@@ -1,0 +1,17 @@
+"""PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and
+data-processing capabilities of the reference ELT pipeline
+(``renzoorlandini/data-engineering-pipeline-project-cloud``), plus the
+LLM-training-data-pipeline operator surface (dedup, similarity search,
+text analysis, multimodal column plumbing) designed for 100 TB scale.
+
+Design rules (see SURVEY.md §7):
+ - DataFrame/SQL declarative plans; Catalyst + AQE do physical planning.
+ - No driver-side materialization: every operator returns a lazy DataFrame.
+ - Explicit schemas; decimal money; partitioned Parquet at rest.
+ - Python UDFs only as Arrow-batched pandas UDFs, never row-at-a-time,
+   and only where built-in functions cannot express the semantics.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,19 @@
+from .scalar import (
+    MONEY,
+    epoch_days_between,
+    money,
+    norm_lower,
+    norm_upper,
+    nullif_zero,
+    portable_hash64,
+)
+
+__all__ = [
+    "MONEY",
+    "epoch_days_between",
+    "money",
+    "norm_lower",
+    "norm_upper",
+    "nullif_zero",
+    "portable_hash64",
+]

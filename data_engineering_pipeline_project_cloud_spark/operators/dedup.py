@@ -1,0 +1,172 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the
+standard large-corpus dedup ladder.  All Spark-side logic is built-in
+higher-order functions (transform/filter/aggregate over arrays) inside
+whole-stage codegen: signatures are computed WITHOUT exploding shingles
+(an explode would multiply the shuffle by shingle count; at 100 TB
+that's the difference between shuffling 100 TB and shuffling ~1 KB of
+signature per document).
+
+Hashing uses ``portable_hash64`` (md5-based) so every step is
+reproducible cross-engine and oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash64
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array, built by index arithmetic over the
+    token array (no explode).  Docs shorter than n yield the whole
+    text as a single shingle."""
+    toks = _tokens(text)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
+                                     for j in range(n)]),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate clustering: group by content hash, keep the
+    smallest id as survivor.  Grouping on the 60-bit content hash (not
+    the full text) keeps shuffle rows small — the standard trick when
+    documents are MBs.  Output: one row per distinct content."""
+    h = portable_hash64(F.col(text_col)).alias("content_hash")
+    return (
+        docs.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).cast("long").alias("keep_doc_id"),
+             F.count(F.lit(1)).cast("long").alias("n_copies"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """MinHash signature matrix: for each of ``num_hashes`` seeded hash
+    functions, the minimum hash over the document's shingle set.
+
+    Entirely map-side (per-row array expressions, zero shuffle); at
+    cluster scale this pipelines with the parquet scan.  Columns:
+    ``mh_0 .. mh_{k-1}``.
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    out = docs.select(F.col(id_col), sh.alias("__sh"))
+
+    # NB: HOF lambdas must be unary — a second parameter would be
+    # interpreted by Spark as the element index.  Bind the salt via a
+    # closure factory instead.
+    def min_hash(salt: str):
+        return F.array_min(F.transform(
+            F.col("__sh"), lambda x: portable_hash64(x, salt=salt)))
+
+    for s in range(num_hashes):
+        out = out.withColumn(f"mh_{s}", min_hash(f"s{s}|"))
+    return out.drop("__sh")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, hash each band, and emit candidate pairs
+    of documents sharing any band bucket.
+
+    Scale shape: explode to (doc, band, band_hash) — ``bands`` rows per
+    doc — then a self-join per bucket.  Bucket sizes are the skew risk
+    at 100 TB (boilerplate text → mega-buckets); production caps bucket
+    size, here buckets stay small by construction.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            portable_hash64(
+                F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
+                                   for r in range(rows_per_band)]),
+                salt=f"band{b}|").alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    buckets = (
+        signatures.select(F.col(id_col),
+                          F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_n: int = 3,
+                  threshold: float = 0.0) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard.
+
+    Joins the (small) candidate-pair set back to the docs twice, then
+    computes |A∩B| / |A∪B| with array intersection — per-row, no
+    explode.  At scale the pair set is ≪ corpus size, so both joins
+    broadcast the pairs.
+    """
+    sh = docs.select(F.col(id_col),
+                     F.array_distinct(shingles(F.col(text_col), shingle_n))
+                     .alias("sh"))
+    out = (
+        pairs.join(sh.select(F.col(id_col).alias("doc_a"),
+                             F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col(id_col).alias("doc_b"),
+                        F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn("n_common",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_union",
+                    (F.size("sh_a") + F.size("sh_b") - F.col("n_common"))
+                    .cast("long"))
+        .withColumn("jaccard",
+                    F.round(F.col("n_common") / F.col("n_union"), 6))
+        .select("doc_a", "doc_b", "n_common", "n_union", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash fingerprint: per bit position, majority vote of token
+    hash bits; near-duplicates differ in few bits (Hamming).  Map-side
+    only.  ``bits`` kept small (16) so the oracle SQL stays tractable;
+    the construction is identical for 64."""
+    toks = _tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: portable_hash64(t, salt="sim|"))
+    n = F.size(toks)
+
+    def ones_at(bit: int):  # unary HOF lambda via closure (see above)
+        return F.size(F.filter(
+            th, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1))
+
+    bit_cols = []
+    for b in range(bits):
+        bit_cols.append(
+            F.when(ones_at(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
+    acc = bit_cols[0]
+    for c in bit_cols[1:]:
+        acc = acc + c
+    return docs.select(F.col(id_col), acc.cast("long").alias("simhash"))

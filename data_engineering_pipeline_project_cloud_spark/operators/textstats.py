@@ -1,0 +1,96 @@
+"""Text-analysis operators: quality scoring, token counts, language ID,
+document fingerprinting.
+
+All built-in column expressions (split/filter/transform/aggregate) —
+JVM-side, no Python in the hot path.  At 100 TB these run as pure
+map-side projections pipelined with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash64
+
+#: Tiny embedded stopword lists for the n-gram/stopword language
+#: heuristic.  Deliberately small and literal so the same lists can be
+#: inlined into oracle SQL.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "est"],
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: char/token counts, distinct-token
+    ratio (repetition detector), mean token length, stopword ratio,
+    digit/punct density — the standard cheap quality filters."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_char = F.length(text_col)
+    n_alpha = F.length(F.regexp_replace(text_col, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(
+        toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
+    return docs.select(
+        F.col(id_col),
+        n_char.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("distinct_ratio"),
+        F.round((n_char - (n_tok - 1)) / n_tok, 6).alias("mean_token_len"),
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_alpha / n_char, 6).alias("alpha_ratio"),
+        F.round(n_digit / n_char, 6).alias("digit_ratio"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language heuristic: count hits against each
+    language's stopword list; argmax with deterministic tie-break
+    (higher hits, then language code ascending); 'und' when no list
+    scores > 0."""
+    toks = _tokens(F.lower(F.col(text_col)))
+
+    def hit_count(words: list[str]):  # unary HOF lambda via closure
+        return F.size(F.filter(toks, lambda w: w.isin(words)))
+
+    hits = {lang: hit_count(ws) for lang, ws in STOPWORDS.items()}
+    scored = docs.select(
+        F.col(id_col),
+        *[hits[lang].cast("long").alias(f"hits_{lang}") for lang in STOPWORDS])
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier lang wins ties → apply last
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best),
+                      F.lit(lang)).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", gram_chars: int = 8) -> DataFrame:
+    """Document fingerprint via rolling char-n-gram hashing (winnowing
+    family): min and max hash over all ``gram_chars``-length character
+    windows.  Index arithmetic over the string — no explode; the
+    per-row cost is O(len), the shuffle cost is 16 bytes/doc."""
+    text = F.col(text_col)
+    k = F.greatest(F.length(text) - F.lit(gram_chars - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: text.substr(i, F.lit(gram_chars)))
+    hashes = F.transform(grams, lambda g: portable_hash64(g, salt="fp|"))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.length(text).cast("long").alias("n_chars"),
+    )

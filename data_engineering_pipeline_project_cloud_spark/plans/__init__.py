@@ -1,0 +1,3 @@
+from .registry import all_queries, all_oracle_sql
+
+__all__ = ["all_queries", "all_oracle_sql"]

@@ -1,0 +1,146 @@
+"""Analytical benchmark queries (TPC-H-shaped) over the star schema.
+
+These are the headline perf queries bench.py times: scan-heavy grouped
+aggregation (q1), join + top-k (q3), and a multi-join volume rollup
+(q5) — the canonical shapes a 100 TB batch engine must do well.
+
+Scale notes:
+ - filters are plain column predicates → pushed to the parquet scan
+   (PushedFilters), row groups skipped via min/max stats;
+ - aggregations are hash aggs with map-side partial combine;
+ - dims (customer at this ratio, nation, region) broadcast — the only
+   unavoidable shuffle is the groupBy key exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import money
+from ..sources import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: the A1/A3 aggregate family (SUM/AVG/COUNT) in
+    one pass, exact-decimal money, shipdate filter pushed to scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = money("l_quantity")
+    price = money("l_extendedprice")
+    disc = money("l_discount")
+    tax = money("l_tax")
+    disc_price = (price * (F.lit(1) - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (F.lit(1) + tax)).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority analog: dim-filtered join + grouped revenue +
+    deterministic top-10 (global sort + limit — Spark plans TakeOrdered,
+    never a full sort, so top-k is cheap at any scale)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+              orders["o_custkey"] == F.col("c_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+        .groupBy(F.col("l_orderkey").alias("order_id"),
+                 F.col("o_orderdate").alias("order_date"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_id").asc())
+        .limit(10)
+    )
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume analog: 6-way join (lineitem-orders-
+    customer-supplier-nation-region) with the customer-nation =
+    supplier-nation colocation predicate, revenue per nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp),
+              (li["l_suppkey"] == supp["s_suppkey"])
+              & (cust["c_nationkey"] == supp["s_nationkey"]))
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+    )
+
+
+_MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+              "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS sum_disc_price,
+               CAST(SUM(CAST({_MONEY_REV} * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+               CAST(COUNT(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": f"""
+        SELECT l_orderkey AS order_id, o_orderdate AS order_date,
+               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '2000-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, order_id ASC
+        LIMIT 10
+    """,
+    "q5_region_volume": f"""
+        SELECT n_name AS nation_name,
+               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+}
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "q5_region_volume": q5_region_volume,
+}

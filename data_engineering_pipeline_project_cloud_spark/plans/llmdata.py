@@ -1,0 +1,267 @@
+"""LLM-training-data pipeline queries (SURVEY.md §7 M6) over the
+``documents`` and ``embeddings`` tables.
+
+Every operator here is oracle-checked: hashing is the portable
+md5-based ``portable_hash64`` so DuckDB reproduces signatures exactly
+(see functions/scalar.py).  The oracle SQL mirrors the Spark
+higher-order-function expressions with DuckDB list lambdas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import textstats as tx
+from ..sources import load_table
+
+MINHASHES = 8
+BANDS = 4
+QUERY_VEC_IDS = list(range(10))
+TOPK = 5
+
+#: portable_hash64(x) in DuckDB SQL (same construction as
+#: functions/scalar.py: first 15 hex chars of md5 → 60-bit BIGINT).
+_H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLES = f"""
+    list_transform(
+        generate_series(1, greatest(len({_TOKENS}) - 2, 1)),
+        i -> concat_ws(' ', {_TOKENS}[i], {_TOKENS}[i+1], {_TOKENS}[i+2]))
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"),
+                                 num_hashes=MINHASHES)
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded buckets
+    → candidate pairs → exact shingle-Jaccard verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS)
+    return dd.jaccard_pairs(docs, pairs)
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-based near-dup: candidate pairs from a cheap block key
+    (lang, token-count bucket), verified with shingle Jaccard ≥ 0.2.
+    The blocked self-join is the scale pattern when LSH recall is not
+    needed: block key bounds the quadratic blow-up."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    blocked = docs.select(
+        "doc_id", "text", "lang",
+        F.floor(F.size(toks) / F.lit(16)).cast("int").alias("len_bucket"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+    )
+    return dd.jaccard_pairs(docs, pairs, threshold=0.2)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — no oracle (bucketing is engine-specific
+    via xxhash64); recall vs brute force is pytest-asserted."""
+    return sim.lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+def _minhash_sig_sql() -> str:
+    cols = []
+    for s in range(MINHASHES):
+        hx = _H.format(x=f"'s{s}|' || x")
+        cols.append(f"list_min(list_transform(sh, x -> {hx})) AS mh_{s}")
+    col_sql = ",\n               ".join(cols)
+    return f"""
+        WITH sh_docs AS (
+            SELECT doc_id, {_SHINGLES} AS sh FROM documents
+        )
+        SELECT doc_id,
+               {col_sql}
+        FROM sh_docs
+    """
+
+
+_JACCARD_VERIFY_SQL = f"""
+    sh_sets AS (
+        SELECT doc_id, list_distinct({_SHINGLES}) AS shset FROM documents
+    ),
+    verified AS (
+        SELECT p.doc_a, p.doc_b,
+               len(list_intersect(sa.shset, sb.shset))::BIGINT AS n_common,
+               (len(sa.shset) + len(sb.shset)
+                - len(list_intersect(sa.shset, sb.shset)))::BIGINT AS n_union,
+               CAST(round(len(list_intersect(sa.shset, sb.shset))
+                     / (len(sa.shset) + len(sb.shset)
+                        - len(list_intersect(sa.shset, sb.shset))), 6)
+                    AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sh_sets sa ON p.doc_a = sa.doc_id
+        JOIN sh_sets sb ON p.doc_b = sb.doc_id
+    )
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": f"""
+        SELECT {_H.format(x='text')} AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "minhash_signatures": _minhash_sig_sql(),
+    "ngram_jaccard_pairs": f"""
+        WITH blocked AS (
+            SELECT doc_id, lang,
+                   CAST(floor(len({_TOKENS}) / 16) AS INT) AS len_bucket
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM blocked a JOIN blocked b
+              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+        ),
+        {_JACCARD_VERIFY_SQL}
+        SELECT * FROM verified WHERE jaccard >= 0.2
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS n_chars,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_distinct_tokens,
+               CAST(round(len(list_distinct({_TOKENS})) / len({_TOKENS}), 6) AS DOUBLE)
+                   AS distinct_ratio,
+               CAST(round((len(text) - (len({_TOKENS}) - 1)) / len({_TOKENS}), 6) AS DOUBLE)
+                   AS mean_token_len,
+               CAST(round(len(list_filter({_TOKENS},
+                    w -> lower(w) IN ('the','a','of','and','to','in','is')))
+                    / len({_TOKENS}), 6) AS DOUBLE) AS stopword_ratio,
+               CAST(round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                    / len(text), 6) AS DOUBLE) AS alpha_ratio,
+               CAST(round(len(regexp_replace(text, '[^0-9]', '', 'g'))
+                    / len(text), 6) AS DOUBLE) AS digit_ratio
+        FROM documents
+    """,
+    "language_id": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(list_filter({_TOKENS.replace('text', 'lower(text)')},
+                        w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS hits_en,
+                   CAST(len(list_filter({_TOKENS.replace('text', 'lower(text)')},
+                        w -> w IN ('el','la','de','y','que','en','es'))) AS BIGINT) AS hits_es,
+                   CAST(len(list_filter({_TOKENS.replace('text', 'lower(text)')},
+                        w -> w IN ('le','la','de','et','que','en','est'))) AS BIGINT) AS hits_fr
+            FROM documents
+        )
+        SELECT doc_id, hits_en, hits_es, hits_fr,
+               CASE WHEN greatest(hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                    WHEN hits_en = greatest(hits_en, hits_es, hits_fr) THEN 'en'
+                    WHEN hits_es = greatest(hits_en, hits_es, hits_fr) THEN 'es'
+                    ELSE 'fr' END AS predicted_lang
+        FROM scored
+    """,
+    "doc_fingerprints": f"""
+        WITH grams AS (
+            SELECT doc_id, len(text) AS n_chars,
+                   list_transform(
+                       generate_series(1, greatest(len(text) - 7, 1)),
+                       i -> {_H.format(x="'fp|' || substr(text, i, 8)")}) AS hs
+            FROM documents
+        )
+        SELECT doc_id, list_min(hs) AS fp_min, list_max(hs) AS fp_max,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM grams
+    """,
+    "cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10
+        ),
+        sims AS (
+            SELECT q.query_id, e.vec_id AS candidate_id,
+                   CAST(round(
+                       list_sum(list_transform(generate_series(1, len(q.qv)),
+                           i -> q.qv[i] * CAST(e.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(
+                                CAST(e.embedding AS DOUBLE[]), x -> x * x)))),
+                       6) AS DOUBLE) AS cosine_sim
+            FROM q, embeddings e
+            WHERE q.query_id <> e.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, candidate_id, cosine_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, candidate_id ASC) AS BIGINT) AS rank
+            FROM sims
+        )
+        SELECT * FROM ranked WHERE rank <= {TOPK}
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(round(sqrt(list_sum(list_transform(
+                    CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS DOUBLE)
+                   AS l2_norm,
+               CAST(round(CAST(list_min(embedding) AS DOUBLE), 6) AS DOUBLE)
+                   AS min_component,
+               CAST(round(CAST(list_max(embedding) AS DOUBLE), 6) AS DOUBLE)
+                   AS max_component,
+               label
+        FROM embeddings
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "simhash_fingerprints": simhash_fingerprints,
+    "text_stats": text_stats,
+    "language_id": language_id,
+    "doc_fingerprints": doc_fingerprints,
+    "cosine_topk": cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_norms": embedding_norms,
+}

@@ -1,0 +1,36 @@
+"""Query registry: merges each plan module's QUERIES / ORACLE_SQL.
+
+The driver contract (``__spark_entry__.py``) pulls from here; tests and
+bench.py iterate the same registry so coverage, correctness, and perf
+all see one source of truth.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _modules():
+    from . import analytics, parity, relational, llmdata, temporal
+    return [parity, analytics, relational, llmdata, temporal]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _modules():
+        dup = set(out) & set(m.QUERIES)
+        if dup:
+            raise ValueError(f"duplicate query names: {dup}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _modules():
+        out.update(m.ORACLE_SQL)
+    return out

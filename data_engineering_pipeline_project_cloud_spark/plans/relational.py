@@ -1,0 +1,327 @@
+"""General relational operator surface (SURVEY.md §7 M4).
+
+Categories the build mandate requires that the reference never
+implements (marked ABSENT in SURVEY.md §2): semi/anti joins, window
+functions, rollup/cube/grouping sets, set operations, distinct
+aggregates, JSON extraction, non-equi range joins, pivot, top-k.
+All pure built-in DataFrame ops — zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import money
+from ..sources import load_table
+
+
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have at least one order.  Semi joins
+    ship only the join key of the probe side and stop at first match —
+    at scale, prefer this over join+distinct (no fan-out, no dedup)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows: top-3 customers per nation by account balance,
+    with row_number/rank/dense_rank side by side.  One shuffle on the
+    partition key; tie-break pinned on custkey for determinism."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        cust.select(
+            "c_custkey", "c_nationkey", money("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: per-customer running order total, lag/lead of
+    order price, and order sequence number over event time."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    price = money("o_totalprice")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").alias("order_date"),
+        price.alias("order_price"),
+        F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(18,2)").alias("running_total"),
+        F.lag(price, 1).over(w).alias("prev_price"),
+        F.lead(price, 1).over(w).alias("next_price"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, segment): subtotal hierarchy with grouping ids.
+    Spark expands grouping sets before the hash agg — still a single
+    shuffle."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.rollup("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum(money("c_acctbal")).cast("decimal(18,2)").alias("sum_acctbal"),
+             F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus) over lineitem quantities."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+             F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: nations with customers vs nations with
+    suppliers, tagged by which set operation produced the row."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation_key")).distinct()
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nation_key")).distinct()
+    both = cust_n.intersect(supp_n).withColumn("set_op", F.lit("intersect"))
+    only_cust = cust_n.exceptAll(supp_n).withColumn("set_op", F.lit("except"))
+    return both.unionByName(only_cust)
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregates per group (COUNT(DISTINCT x)) — Spark
+    plans these as expand + two-phase agg.  The approximate variant
+    (HLL approx_count_distinct, the scale path for 100 TB cardinality
+    estimation) is exposed in `approx_distinct_counts` (rows-only
+    check: sketch values are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch cardinalities — the O(1)-memory scale path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload (SURVEY.md §2.5
+    ABSENT row): get_json_object → typed column → aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"), money("value").alias("value"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"),
+             F.max("k").cast("long").alias("max_k"),
+             F.sum("value").cast("decimal(18,2)").alias("sum_value"),
+             F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: events banded into literal value tiers
+    (lo <= value < hi).  Spark plans this as a broadcast nested-loop
+    join — fine because the build side is a 5-row literal dim; a
+    big-big range join would instead be bucketed by range (see
+    operators/asof.py for that pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("t0", 0.0, 100.0), ("t1", 100.0, 200.0), ("t2", 200.0, 300.0),
+         ("t3", 300.0, 400.0), ("t4", 400.0, 1000.0)],
+        "tier string, lo double, hi double")
+    return (
+        ev.join(F.broadcast(tiers),
+                (ev["value"] >= tiers["lo"]) & (ev["value"] < tiers["hi"]))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+    )
+
+
+def pivot_segment_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: customer counts, market segments × nation region.  Pivot
+    values are pinned (no extra discovery pass over the data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+    return (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)).cast("long"))
+        .na.fill(0, segs)
+    )
+
+
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (top-k).  Spark executes TakeOrdered —
+    per-partition heaps + driver merge of k rows, never a full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", money("o_totalprice").alias("total_price"),
+                      "o_orderdate")
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "semi_join_customers": """
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "anti_join_customers": """
+        SELECT c_custkey, c_name, c_nationkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "window_topn_per_group": """
+        SELECT * FROM (
+            SELECT c_custkey, c_nationkey,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
+                   CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+                   CAST(RANK() OVER w AS INT) AS rnk,
+                   CAST(DENSE_RANK() OVER w AS INT) AS drnk
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+        ) WHERE rn <= 3
+    """,
+    "window_running_totals": """
+        SELECT o_orderkey AS order_id,
+               o_custkey AS customer_id,
+               o_orderdate AS order_date,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS order_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+                    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2)) AS running_total,
+               LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
+               LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price,
+               CAST(ROW_NUMBER() OVER w AS INT) AS order_seq
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+    "rollup_nation_segment": """
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_acctbal,
+               CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+        FROM customer
+        GROUP BY ROLLUP (c_nationkey, c_mktsegment)
+    """,
+    "cube_flag_status": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "set_ops_nations": """
+        SELECT nation_key, 'intersect' AS set_op FROM (
+            SELECT DISTINCT c_nationkey AS nation_key FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT nation_key, 'except' AS set_op FROM (
+            SELECT DISTINCT c_nationkey AS nation_key FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey FROM supplier
+        )
+    """,
+    "distinct_counts": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "json_event_props": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "range_join_value_tiers": """
+        WITH tiers(tier, lo, hi) AS (
+            VALUES ('t0', 0.0, 100.0), ('t1', 100.0, 200.0), ('t2', 200.0, 300.0),
+                   ('t3', 300.0, 400.0), ('t4', 400.0, 1000.0)
+        )
+        SELECT tier,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM events JOIN tiers ON value >= lo AND value < hi
+        GROUP BY tier
+    """,
+    "pivot_segment_by_region": """
+        SELECT r_name AS region_name,
+               CAST(COUNT(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS "AUTOMOBILE",
+               CAST(COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS BIGINT) AS "BUILDING",
+               CAST(COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS BIGINT) AS "FURNITURE",
+               CAST(COUNT(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS BIGINT) AS "HOUSEHOLD",
+               CAST(COUNT(*) FILTER (c_mktsegment = 'MACHINERY') AS BIGINT) AS "MACHINERY"
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "global_topk_orders": """
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               o_orderdate
+        FROM orders
+        ORDER BY total_price DESC, o_orderkey ASC
+        LIMIT 25
+    """,
+}
+
+QUERIES = {
+    "semi_join_customers": semi_join_customers,
+    "anti_join_customers": anti_join_customers,
+    "window_topn_per_group": window_topn_per_group,
+    "window_running_totals": window_running_totals,
+    "rollup_nation_segment": rollup_nation_segment,
+    "cube_flag_status": cube_flag_status,
+    "set_ops_nations": set_ops_nations,
+    "distinct_counts": distinct_counts,
+    "approx_distinct_counts": approx_distinct_counts,
+    "json_event_props": json_event_props,
+    "range_join_value_tiers": range_join_value_tiers,
+    "pivot_segment_by_region": pivot_segment_by_region,
+    "global_topk_orders": global_topk_orders,
+}

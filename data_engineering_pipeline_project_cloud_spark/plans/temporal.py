@@ -1,0 +1,167 @@
+"""Event-time operators over the ``events`` table (SURVEY.md §7 M5
+batch faces; the streaming faces live in ``streaming/events.py`` and
+are equivalence-tested against these in pytest).
+
+Windows here are the batch expression of the same logical operators
+Structured Streaming runs incrementally: tumbling/sliding via
+``F.window``, sessions via gap-split windows, point-in-time enrichment
+via the as-of operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import money
+from ..operators.asof import asof_join
+from ..operators.relational import top1_per_group
+from ..sources import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type: the canonical
+    streaming aggregation, expressed on the batch table.  ``F.window``
+    is a projection + hash agg — one shuffle on (window, type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"),
+             F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value", "n_users")
+    )
+
+
+def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands in
+    2 windows.  Spark expands window assignment map-side; the oracle
+    reproduces it as a union of two bucket-shifted tumbling aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min inactivity): the classic
+    lag → new-session flag → running sum pattern.  Two window passes
+    over ONE shuffle on user_id (same partitioning reused — Spark
+    does not re-exchange between windows with identical keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    gap_s = SESSION_GAP_MIN * 60
+    # ts.cast(double) = fractional epoch seconds; unix_timestamp would
+    # truncate sub-second precision and disagree with the oracle's EPOCH().
+    with_flag = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(
+            (F.col("ts").cast("double")
+             - F.lag("ts", 1).over(w).cast("double")) > gap_s,
+            F.lit(1)).otherwise(F.lit(0)).alias("new_session"),
+    )
+    with_id = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).cast("long").alias("n_events"),
+             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+        .withColumn("session_seq", F.col("session_seq").cast("long"))
+    )
+
+
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each event joined to the user's most
+    recent order as of the event time (backward as-of; see
+    operators/asof.py).  Right side deduped to one row per
+    (customer, orderdate) — max orderkey — so the match is unique and
+    deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderkey").alias("order_id"))
+    dedup = top1_per_group(
+        orders, ["user_id", "order_date"], [F.col("order_id").desc()])
+    return asof_join(
+        ev, dedup, on_left="ts", on_right="order_date",
+        by_left="user_id", by_right="user_id",
+        value_cols=["order_date", "order_id"])
+
+
+ORACLE_SQL: dict[str, str] = {
+    "tumbling_hourly_events": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1, 2
+    """,
+    "sliding_events": """
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                   value
+            FROM events
+        )
+        SELECT window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM assigned GROUP BY 1
+    """,
+    "sessionize_events": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        ids AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM ids GROUP BY user_id, session_seq
+    """,
+    "asof_events_orders": """
+        WITH dedup AS (
+            SELECT o_custkey AS user_id, o_orderdate AS order_date,
+                   MAX(o_orderkey) AS order_id
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.ts, e.user_id, e.event_type,
+               d.order_date, d.order_id
+        FROM events e
+        ASOF LEFT JOIN dedup d
+          ON e.user_id = d.user_id AND e.ts >= d.order_date
+    """,
+}
+
+QUERIES = {
+    "tumbling_hourly_events": tumbling_hourly_events,
+    "sliding_events": sliding_events,
+    "sessionize_events": sessionize_events,
+    "asof_events_orders": asof_events_orders,
+}

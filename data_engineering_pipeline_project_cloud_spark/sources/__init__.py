@@ -1,0 +1,17 @@
+from .catalog import (
+    TABLES,
+    assert_unique_key,
+    load_table,
+    load_tables,
+    read_csv_strict,
+    write_overwrite,
+)
+
+__all__ = [
+    "TABLES",
+    "assert_unique_key",
+    "load_table",
+    "load_tables",
+    "read_csv_strict",
+    "write_overwrite",
+]

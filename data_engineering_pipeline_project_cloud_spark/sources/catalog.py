@@ -1,0 +1,111 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S7).
+
+The reference extracts CSV from object storage into pandas
+(``scripts/main.py:44-49``) and full-overwrite-loads tables
+(``scripts/main.py:55-62``).  Here the source layer is Spark readers:
+splittable, executor-parallel scans with explicit schemas — no
+driver-side materialization, which is the reference's central
+scalability limit (SURVEY.md §3.2).
+
+Scale notes:
+ - Parquet is the at-rest format: columnar, predicate-pushdown and
+   column-pruning friendly; at 100 TB a scan touching 3 of 30 columns
+   reads ~10% of bytes.
+ - CSV ingest takes an explicit StructType — never ``inferSchema``,
+   which double-scans the input ("load loose, cast strict" per
+   SURVEY.md §1.3 stays possible by declaring all-string schemas).
+ - Writes are ``mode("overwrite")`` to preserve the reference's
+   idempotent-rebuild contract (``scripts/main.py:58``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Tables of the driver's TPC-H-ish star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table (S1 analog; splittable distributed read).
+
+    Nanosecond-precision parquet timestamps (the ``events.ts`` column)
+    are not a Spark-native type: read them as raw int64 nanos
+    (``nanosAsLong``) and convert to microsecond timestamps at the
+    source boundary, so every downstream plan sees a plain
+    ``TimestampType`` (truncation semantics match engines that cast
+    ns → µs).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer DIV, not `/`: ns epoch values exceed 2^53 and
+            # would lose precision through double division.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    if not names:
+        names = TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv_strict(spark: SparkSession, path: str, schema: T.StructType,
+                    header: bool = True) -> DataFrame:
+    """CSV scan with a declared schema (S1; ``scripts/main.py:44-49``).
+
+    Unlike the reference's ``pd.read_csv`` (whole file into driver RAM,
+    inferred dtypes), this is an executor-parallel scan over file
+    splits with a pinned schema.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None,
+                    sort_within_by: list[str] | None = None) -> None:
+    """Idempotent full-overwrite sink (S3/S5; ``scripts/main.py:55-62``,
+    ``scripts/transform-complex-full.py:17``).
+
+    ``partition_by`` replaces the reference's serving-path indexes
+    (``scripts/transform-complex-full.py:215-221``) with physical
+    layout: partition pruning + parquet min/max stats give data
+    skipping.  ``sort_within_by`` clusters rows inside files so
+    row-group stats are selective (S6 analog).
+    """
+    if sort_within_by:
+        df = df.sortWithinPartitions(*sort_within_by)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def assert_unique_key(df: DataFrame, keys: list[str]) -> None:
+    """Grain-uniqueness assertion: the Spark stand-in for the
+    reference's PK constraint (``scripts/transform-complex-full.py:212-213``)
+    — Spark has no PK enforcement, so the contract is checked by
+    aggregation (distributed; only violation count reaches the driver).
+    """
+    dupes = df.groupBy(*keys).count().filter("count > 1").count()
+    if dupes:
+        raise ValueError(f"grain violation: {dupes} duplicate key groups for {keys}")
