@@ -1,0 +1,71 @@
+"""Headline benchmark: times the flagship queries at sf0.1.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver materialization, no disk write skew).  Env overrides:
+SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_pipeline_project_cloud_spark.plans import all_queries
+from data_engineering_pipeline_project_cloud_spark.session import get_spark
+
+#: The perf-representative subset: scan-agg, join+topk, multi-join,
+#: the flagship wide build, windows, sessionization, event windows,
+#: dedup sketching, similarity, as-of.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_volume",
+    "pay_agg",
+    "master_table",
+    "window_running_totals",
+    "sessionize_events",
+    "tumbling_hourly_events",
+    "minhash_signatures",
+    "dedup_minhash_pairs",
+    "cosine_topk",
+    "asof_events_orders",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("bench")
+
+    qs = all_queries()
+
+    # JVM/codegen warmup on the tiny sf so per-query timings measure
+    # the plan, not first-run JIT + classloading.
+    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,18 +63,30 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     ``mh_0 .. mh_{k-1}``.
     """
     sh = shingles(F.col(text_col), shingle_n)
-    out = docs.select(F.col(id_col), sh.alias("__sh"))
 
-    # NB: HOF lambdas must be unary — a second parameter would be
-    # interpreted by Spark as the element index.  Bind the salt via a
-    # closure factory instead.
-    def min_hash(salt: str):
-        return F.array_min(F.transform(
-            F.col("__sh"), lambda x: portable_hash64(x, salt=salt)))
+    # Two efficiency choices that matter at corpus scale:
+    #  - Kirsch-Mitzenmacher double hashing: hash function i is
+    #    h1 + i*h2, so each shingle costs 2 md5 evaluations instead of
+    #    k (values stay < 2^60 + k*2^60 << 2^63 — no overflow).
+    #  - A single fold over the shingle array computing all k minima
+    #    at once: Catalyst's CollapseProject would otherwise inline
+    #    the shingle construction into each of the k columns and
+    #    rebuild it k times per row.
+    # (HOF lambdas kept unary — a second parameter would be
+    # interpreted by Spark as the element index.)
+    sentinel = F.lit(1 << 62).cast("long")
+    init = F.array(*[sentinel for _ in range(num_hashes)])
 
-    for s in range(num_hashes):
-        out = out.withColumn(f"mh_{s}", min_hash(f"s{s}|"))
-    return out.drop("__sh")
+    def fold(acc, x):
+        h1 = portable_hash64(x, salt="mh1|")
+        h2 = portable_hash64(x, salt="mh2|")
+        hs = F.array(*[h1 + F.lit(s) * h2 for s in range(num_hashes)])
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    sig = F.aggregate(sh, init, fold)
+    return docs.select(
+        F.col(id_col),
+        *[sig[s].alias(f"mh_{s}") for s in range(num_hashes)])
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",

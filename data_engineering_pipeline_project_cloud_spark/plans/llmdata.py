@@ -22,6 +22,19 @@ BANDS = 4
 QUERY_VEC_IDS = list(range(10))
 TOPK = 5
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table, redistributed across the cluster.
+
+    The test corpus is one small parquet file = ONE input split, which
+    would serialize every per-document op onto a single core.  At real
+    scale the corpus is thousands of splits and this repartition is a
+    no-op by comparison; here it is what makes the hash/shingle work
+    use all cores.  Hash-distributing by doc_id keeps it deterministic.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "documents").repartition(n, "doc_id")
+
 #: portable_hash64(x) in DuckDB SQL (same construction as
 #: functions/scalar.py: first 15 hex chars of md5 → 60-bit BIGINT).
 _H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
@@ -35,18 +48,18 @@ _SHINGLES = f"""
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return dd.exact_dedup(_docs(spark, sf_dir))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"),
+    return dd.minhash_signatures(_docs(spark, sf_dir),
                                  num_hashes=MINHASHES)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded buckets
     → candidate pairs → exact shingle-Jaccard verification."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES)
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS)
     return dd.jaccard_pairs(docs, pairs)
@@ -57,7 +70,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, token-count bucket), verified with shingle Jaccard ≥ 0.2.
     The blocked self-join is the scale pattern when LSH recall is not
     needed: block key bounds the quadratic blow-up."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = F.split(F.trim("text"), r"\s+")
     blocked = docs.select(
         "doc_id", "text", "lang",
@@ -75,19 +88,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+    return dd.simhash(_docs(spark, sf_dir), bits=16)
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.text_stats(load_table(spark, sf_dir, "documents"))
+    return tx.text_stats(_docs(spark, sf_dir))
 
 
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.language_id(load_table(spark, sf_dir, "documents"))
+    return tx.language_id(_docs(spark, sf_dir))
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+    return tx.fingerprint(_docs(spark, sf_dir))
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,10 +120,12 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql() -> str:
-    cols = []
-    for s in range(MINHASHES):
-        hx = _H.format(x=f"'s{s}|' || x")
-        cols.append(f"list_min(list_transform(sh, x -> {hx})) AS mh_{s}")
+    h1 = _H.format(x="'mh1|' || x")
+    h2 = _H.format(x="'mh2|' || x")
+    cols = [
+        f"list_min(list_transform(sh, x -> {h1} + {s} * {h2})) AS mh_{s}"
+        for s in range(MINHASHES)
+    ]
     col_sql = ",\n               ".join(cols)
     return f"""
         WITH sh_docs AS (

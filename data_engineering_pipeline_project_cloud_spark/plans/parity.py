@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import epoch_days_between, money, norm_lower, norm_upper, nullif_zero
-from ..operators import add_surrogate_key, top1_per_group, union_conform_dedup
+from ..operators import add_surrogate_key, union_conform_dedup
 from ..sources import load_table
 
 
@@ -91,16 +91,17 @@ def pay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(nullif_zero(F.col("item_quantity").cast("int"))), F.lit(0))
         .cast("long").alias("type_installments"),
     )
-    totals = per_type.groupBy("order_id").agg(
+    # Argmax as MAX(struct(sum, type)) — lexicographic struct ordering
+    # gives "largest sum, then largest type" in the SAME aggregate as
+    # the totals: one shuffle total, vs. window + self-join (which
+    # would re-shuffle and re-scan).  Tie-break = max payment_type.
+    return per_type.groupBy("order_id").agg(
         F.sum("type_sum").cast("decimal(18,2)").alias("total_paid"),
         F.sum("type_count").cast("long").alias("n_payments"),
         F.sum("type_installments").cast("long").alias("total_installments"),
+        F.max(F.struct("type_sum", "payment_type"))["payment_type"]
+        .alias("top_payment_type"),
     )
-    top = top1_per_group(
-        per_type, ["order_id"],
-        [F.col("type_sum").desc(), F.col("payment_type").asc()],
-    ).select("order_id", F.col("payment_type").alias("top_payment_type"))
-    return totals.join(top, "order_id")
 
 
 def rev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +309,7 @@ _PAY_AGG_SQL = f"""
     ranked AS (
         SELECT order_id, payment_type,
                ROW_NUMBER() OVER (PARTITION BY order_id
-                                  ORDER BY type_sum DESC, payment_type ASC) AS rn
+                                  ORDER BY type_sum DESC, payment_type DESC) AS rn
         FROM per_type
     )
     SELECT t.order_id, t.total_paid, t.n_payments, t.total_installments,
