@@ -30,9 +30,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     text as a single shingle."""
     toks = _tokens(text)
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    # try_element_at: docs shorter than n index past the token array;
+    # the NULLs are skipped by concat_ws, leaving the whole text as the
+    # single shingle (plain element_at would throw at runtime).
     return F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j).cast("int"))
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, (i + j).cast("int"))
                                      for j in range(n)]),
     )
 

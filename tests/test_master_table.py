@@ -1,0 +1,72 @@
+"""End-to-end golden tests for the flagship master-table build
+(SURVEY.md §5.2): grain uniqueness after serving resolution, KPI
+property checks, NULL propagation through the left joins.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.plans.parity import (
+    master_table,
+    write_master,
+)
+from data_engineering_pipeline_project_cloud_spark.sources import assert_unique_key
+
+
+@pytest.fixture(scope="module")
+def master(spark, sf_dir):
+    df = master_table(spark, sf_dir)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def test_gross_revenue_property(master):
+    # item_gross_revenue == item_price + item_freight, every row (F6)
+    bad = master.filter(
+        F.col("item_gross_revenue")
+        != (F.col("item_price") + F.col("item_freight")).cast("decimal(18,4)")
+    ).count()
+    assert bad == 0
+
+
+def test_late_flag_agrees_with_delay(master):
+    # shipped_late_flag <=> shipping_delay_days > 90, NULL iff no ship ts (F4)
+    bad = master.filter(
+        (F.col("shipped_ts").isNotNull()
+         & (F.col("shipped_late_flag") != (F.col("shipping_delay_days") > 90.0)))
+        | (F.col("shipped_ts").isNull() & F.col("shipped_late_flag").isNotNull())
+    ).count()
+    assert bad == 0
+
+
+def test_left_join_null_extension(master, spark, sf_dir):
+    # inner fact spine: no row loss vs conformed items joined to orders
+    from data_engineering_pipeline_project_cloud_spark.plans.parity import (
+        conform_items,
+        conform_orders,
+    )
+    items = conform_items(spark, sf_dir)
+    orders = conform_orders(spark, sf_dir)
+    expected = items.join(orders, "order_id", "inner").count()
+    assert master.count() == expected
+    # pay/rev aggregates exist for every order present in lineitem,
+    # so after the inner spine the left joins must never null out
+    assert master.filter(F.col("total_paid").isNull()).count() == 0
+
+
+def test_write_master_grain_and_layout(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "master")
+    write_master(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    assert_unique_key(back, ["order_id", "order_item_id"])
+    assert "order_purchase_month" in back.columns
+    assert back.count() > 0
+
+
+def test_assert_unique_key_raises(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
+    with pytest.raises(ValueError, match="grain violation"):
+        assert_unique_key(df, ["k"])

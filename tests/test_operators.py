@@ -1,0 +1,116 @@
+"""Unit tests for the custom operators on tiny hand-built frames —
+the cases the sf-scale differential check can't isolate: tie-breaks,
+empty groups, no-match NULL extension, short-document edge cases.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.operators.asof import asof_join
+from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from data_engineering_pipeline_project_cloud_spark.operators.relational import (
+    add_surrogate_key,
+    top1_per_group,
+    union_conform_dedup,
+)
+
+
+def test_top1_per_group_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("a", 10, "x"), ("a", 10, "y"), ("a", 5, "z"), ("b", 1, "q")],
+        "grp string, score int, tag string")
+    out = top1_per_group(df, ["grp"],
+                         [F.col("score").desc(), F.col("tag").asc()])
+    rows = {r["grp"]: r["tag"] for r in out.collect()}
+    # tie on score=10 broken by tag ASC -> "x"
+    assert rows == {"a": "x", "b": "q"}
+
+
+def test_union_conform_dedup(spark):
+    a = spark.createDataFrame([(1, "p"), (2, None)], "k int, v string")
+    b = spark.createDataFrame([(1, "p"), (3, "r")], "k int, v string")
+    out = union_conform_dedup([a, b])
+    rows = sorted((r["k"], r["v"]) for r in out.collect())
+    # duplicate (1,p) collapsed, (2,NULL) dropped by dropna
+    assert rows == [(1, "p"), (3, "r")]
+
+
+def test_add_surrogate_key_deterministic(spark):
+    df = spark.createDataFrame([("c",), ("a",), ("b",)], "name string")
+    out1 = {(r["name"], r["sk"]) for r in
+            add_surrogate_key(df, "sk", ["name"]).collect()}
+    out2 = {(r["name"], r["sk"]) for r in
+            add_surrogate_key(df.repartition(3), "sk", ["name"]).collect()}
+    assert out1 == out2 == {("a", 0), ("b", 1), ("c", 2)}
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "u1"),
+         (2, _ts("2024-01-01T12:00"), "u1"),
+         (3, _ts("2024-01-01T09:00"), "u2"),   # before any right row
+         (4, _ts("2024-01-01T12:00"), "u3")],  # key absent on right
+        "event_id int, ts timestamp, user string")
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:00"), 100),   # exact match allowed
+         ("u1", _ts("2024-01-01T11:30"), 101),
+         ("u2", _ts("2024-01-01T11:00"), 200)],
+        "user string, rts timestamp, rid int")
+    out = asof_join(left, right, on_left="ts", on_right="rts",
+                    by_left="user", by_right="user",
+                    value_cols=["rts", "rid"])
+    got = {r["event_id"]: r["rid"] for r in out.collect()}
+    assert got == {1: 100, 2: 101, 3: None, 4: None}
+    assert out.count() == 4  # left-outer: no row loss
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("hi there",)], "text string")
+    out = df.select(shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
+    # doc shorter than n -> whole text as a single shingle
+    assert out == ["hi there"]
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string")
+    out = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lsh_finds_exact_duplicates(spark):
+    # identical docs share every band -> must surface as a candidate pair
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content with other words entirely here")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(df, num_hashes=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "zq xw vv kk jj uu oo")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]

@@ -1,0 +1,54 @@
+"""Similarity-search invariants the SQL oracle can't express:
+ANN is a subset of the exact computation with identical similarity
+values, and recall against brute force is bounded below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+    QUERY_VEC_IDS,
+    TOPK,
+    ann_lsh_topk,
+    cosine_topk,
+)
+
+
+def test_ann_results_are_exact_cosines(spark, sf_dir):
+    """Every (query, candidate) the ANN path returns must carry the
+    same cosine the brute-force path computes for that pair."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        cosine,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    ann = ann_lsh_topk(spark, sf_dir).alias("a")
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("candidate_id"),
+                   F.col("embedding").alias("cv"))
+    joined = (ann.join(q, "query_id").join(c, "candidate_id")
+              .withColumn("exact", F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+    bad = joined.filter(F.col("cosine_sim") != F.col("exact")).count()
+    assert bad == 0
+
+
+def test_ann_recall_nonzero_and_ranked(spark, sf_dir):
+    exact = {(r["query_id"], r["candidate_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    ann_rows = ann_lsh_topk(spark, sf_dir).collect()
+    ann = {(r["query_id"], r["candidate_id"]) for r in ann_rows}
+    assert exact, "brute-force top-k returned nothing"
+    # single-probe LSH on a small corpus: demand *some* recall, and
+    # structural sanity (<= k per query, rank contiguous from 1).
+    recall = len(exact & ann) / len(exact)
+    assert recall > 0.0
+    per_q: dict = {}
+    for r in ann_rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
+        assert len(ranks) <= TOPK
+    assert set(per_q) <= set(QUERY_VEC_IDS)

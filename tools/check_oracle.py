@@ -9,7 +9,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import traceback
@@ -23,25 +22,7 @@ from data_engineering_pipeline_project_cloud_spark.plans import (  # noqa: E402
     all_queries,
 )
 from data_engineering_pipeline_project_cloud_spark.session import get_spark  # noqa: E402
-
-
-def _canon(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    return str(v)
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = [tuple(_canon(r[i]) for i in idx) for r in rows]
-    return sorted(canon, key=lambda row: tuple(
-        (v is None, "" if v is None else str(v)) for v in row))
+from data_engineering_pipeline_project_cloud_spark.testing import diff_results  # noqa: E402
 
 
 def main() -> int:
@@ -82,17 +63,7 @@ def main() -> int:
             traceback.print_exc()
             failed.append(name)
             continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sset = _rowset(scols, [tuple(r) for r in srows])
-            oset = _rowset(ocols, orows)
-            if sset != oset:
-                diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diffs}")
+        problems = diff_results(scols, [tuple(r) for r in srows], ocols, orows)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failed.append(name)
