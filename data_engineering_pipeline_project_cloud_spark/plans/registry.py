@@ -15,8 +15,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from . import analytics, parity, relational, llmdata, temporal
-    return [parity, analytics, relational, llmdata, temporal]
+    from . import analytics, parity, relational, llmdata, streamed, temporal
+    return [parity, analytics, relational, llmdata, temporal, streamed]
 
 
 def all_queries() -> dict[str, QueryFn]:

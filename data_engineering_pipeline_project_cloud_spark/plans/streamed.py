@@ -1,0 +1,97 @@
+"""Streaming-engine queries for the driver registry.
+
+Each entry runs the REAL Structured Streaming pipeline (readStream →
+watermark → stateful/windowed agg → AvailableNow drain) and returns
+the drained result, so the driver's DuckDB differential check covers
+the incremental execution path, not just the batch expression of the
+same logic (SURVEY.md §5.5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..streaming import (
+    read_events_stream,
+    run_available_now,
+    stream_session_windows,
+    stream_tumbling_hourly,
+    stream_user_lifetime_stats,
+)
+
+
+def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+    name = "q_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    run_available_now(df, name, ckpt, output_mode=mode)
+    return spark.table(name)
+
+
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain(stream_tumbling_hourly(ev).drop("approx_users"), spark)
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return _drain(stream_session_windows(ev), spark).select(
+        "user_id", "session_start", "n_events", "sum_value")
+
+
+def streaming_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState).  Update-mode
+    output carries one row per (user, micro-batch); the final state is
+    the row with the highest running count."""
+    ev = read_events_stream(spark, sf_dir)
+    out = _drain(stream_user_lifetime_stats(ev), spark, mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (out.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn"))
+
+
+ORACLE_SQL: dict[str, str] = {
+    "streaming_tumbling_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "streaming_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        ids AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+        FROM ids GROUP BY user_id, session_seq
+    """,
+    "streaming_user_lifetime": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+               MAX(ts) AS last_seen
+        FROM events GROUP BY user_id
+    """,
+}
+
+QUERIES = {
+    "streaming_tumbling_hourly": streaming_tumbling_hourly,
+    "streaming_sessionize": streaming_sessionize,
+    "streaming_user_lifetime": streaming_user_lifetime,
+}

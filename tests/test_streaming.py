@@ -1,0 +1,94 @@
+"""Batch-vs-stream equivalence (SURVEY.md §5.5): the same logical
+operators run via ``read`` and via ``readStream`` + AvailableNow must
+agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.plans.temporal import (
+    sessionize_events,
+    sliding_events,
+    tumbling_hourly_events,
+)
+from data_engineering_pipeline_project_cloud_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    stream_session_windows,
+    stream_sliding_counts,
+    stream_tumbling_hourly,
+    stream_user_lifetime_stats,
+)
+from data_engineering_pipeline_project_cloud_spark.testing import diff_results
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir):
+    return read_events_stream(spark, sf_dir)
+
+
+def _compare(batch_df, spark, table):
+    got = spark.table(table)
+    problems = diff_results(
+        got.columns, [tuple(r) for r in got.collect()],
+        batch_df.columns, [tuple(r) for r in batch_df.collect()])
+    assert not problems, "; ".join(problems)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_stream, tmp_path):
+    run_available_now(
+        stream_tumbling_hourly(events_stream).drop("approx_users"),
+        "t_tumbling", str(tmp_path / "ckpt"))
+    batch = tumbling_hourly_events(spark, sf_dir).drop("n_users")
+    _compare(batch, spark, "t_tumbling")
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, events_stream, tmp_path):
+    run_available_now(stream_sliding_counts(events_stream),
+                      "t_sliding", str(tmp_path / "ckpt"))
+    _compare(sliding_events(spark, sf_dir), spark, "t_sliding")
+
+
+def test_stream_sessions_match_batch(spark, sf_dir, events_stream, tmp_path):
+    run_available_now(stream_session_windows(events_stream),
+                      "t_sessions", str(tmp_path / "ckpt"))
+    # align faces: batch emits (user, seq, start, end, n, sum) where
+    # end = last event ts; session_window's end = last ts + gap.  Key
+    # both on (user_id, session_start) and compare counts and sums.
+    batch = sessionize_events(spark, sf_dir).select(
+        "user_id", "session_start", "n_events", "sum_value")
+    stream = spark.table("t_sessions").select(
+        "user_id", "session_start", "n_events", "sum_value")
+    problems = diff_results(
+        stream.columns, [tuple(r) for r in stream.collect()],
+        batch.columns, [tuple(r) for r in batch.collect()])
+    assert not problems, "; ".join(problems)
+
+
+def test_stateful_lifetime_matches_batch(spark, sf_dir, events_stream,
+                                         tmp_path):
+    run_available_now(stream_user_lifetime_stats(events_stream),
+                      "t_lifetime", str(tmp_path / "ckpt"),
+                      output_mode="update")
+    # update mode appends one row per (user, micro-batch); the final
+    # state per user is the row with the highest n_events.
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    final = (spark.table("t_lifetime")
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("user_id")
+                 .orderBy(F.col("n_events").desc())))
+             .filter("rn = 1").drop("rn"))
+    batch = (load_table(spark, sf_dir, "events")
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"),
+                  F.max("ts").alias("last_seen")))
+    problems = diff_results(
+        final.columns, [tuple(r) for r in final.collect()],
+        batch.columns, [tuple(r) for r in batch.collect()])
+    assert not problems, "; ".join(problems)
