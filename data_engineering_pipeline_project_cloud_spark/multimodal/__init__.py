@@ -1,0 +1,10 @@
+"""Multimodal (binary) column operators."""
+
+from .media import (  # noqa: F401
+    MEDIA_META_TYPE,
+    byte_stats,
+    decode_media,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)

@@ -1,0 +1,163 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata (extension mandate; the reference is tabular-only).
+
+Pattern for 100 TB of media:
+ - payload is an opaque BINARY column; Spark never interprets it —
+   parquet stores it as byte arrays, scans prune it unless selected
+   (profiles/filters that only touch metadata never read payload
+   bytes — column pruning is the whole point of the typed-meta split).
+ - per-item CPU work (decode, feature extraction) runs in
+   ``mapInPandas``: Arrow-batched, one Python worker per core, no
+   per-row serialization.  Batch size is bounded by
+   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of
+   large blobs doesn't materialize at once.
+ - REAL codecs (PIL/ffmpeg/librosa) are not in this container: the
+   decode step is STUBBED — ``decode_media(..., codec="real")`` raises
+   NotImplementedError; ``codec="fake"`` is a deterministic
+   byte-statistics decode so the Spark-side plumbing (schemas,
+   batching, partitioning) is fully exercised and tested.
+
+No media table ships in the testdata, so ``synthetic_media`` derives a
+deterministic media catalog from ``documents`` (payload = UTF-8 bytes
+of the text; metadata arithmetic on doc_id) — reproducible in ANSI SQL
+for the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load_table
+
+MODALITIES = ("image", "audio", "video")
+
+MEDIA_META_TYPE = T.StructType([
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+])
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media catalog derived from ``documents``:
+    modality = doc_id mod 3, payload = UTF-8 bytes of text, metadata
+    arithmetic on doc_id.  Stands in for a real
+    ``spark.read.parquet('media/')`` with the same schema."""
+    d = load_table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in MODALITIES]),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"))
+    is_img = modality == "image"
+    is_aud = modality == "audio"
+    is_vid = modality == "video"
+    meta = F.struct(
+        F.when(is_img, F.lit("png")).when(is_aud, F.lit("wav"))
+        .otherwise(F.lit("mp4")).alias("format"),
+        F.when(is_img | is_vid, (F.lit(64) + F.pmod(F.col("doc_id"), F.lit(512)))
+               .cast("int")).alias("width"),
+        F.when(is_img | is_vid, (F.lit(64) + F.pmod(F.col("doc_id") * 7, F.lit(512)))
+               .cast("int")).alias("height"),
+        F.when(is_aud, F.lit(16000).cast("int")).alias("sample_rate"),
+        F.when(is_vid, (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(240)))
+               .cast("int")).alias("n_frames"),
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+_BYTE_STATS_SCHEMA = (
+    "media_id long, modality string, n_bytes long, "
+    "byte_mean double, byte_min int, byte_max int"
+)
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """The deterministic 'fake decode': per-item byte statistics via
+    mapInPandas.  Exercises the exact execution shape a real decoder
+    uses (Arrow batch in → numpy per item → small row out)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"].values,
+                "modality": pdf["modality"].values,
+                "n_bytes": [len(a) for a in arrs],
+                "byte_mean": [round(float(a.mean()), 6) if len(a) else None
+                              for a in arrs],
+                "byte_min": [int(a.min()) if len(a) else None for a in arrs],
+                "byte_max": [int(a.max()) if len(a) else None for a in arrs],
+            })
+
+    return media.select("media_id", "modality", "payload") \
+        .mapInPandas(run, _BYTE_STATS_SCHEMA)
+
+
+def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode step.  ``codec='real'`` is the integration point for
+    PIL/ffmpeg/librosa — NOT AVAILABLE in this environment (stub);
+    ``codec='fake'`` routes to the deterministic byte-stats decode."""
+    if codec == "real":
+        raise NotImplementedError(
+            "real media codecs (PIL/ffmpeg/librosa) are not installed in "
+            "this environment; use codec='fake' for the deterministic "
+            "byte-statistics decode with identical plumbing")
+    if codec != "fake":
+        raise ValueError(f"unknown codec mode {codec!r}")
+    return byte_stats(media)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic fake feature extractor: ``dim`` floats in [-1, 1)
+    derived from chained md5 of the payload — the stand-in for a model
+    forward pass, with the real pipeline shape (mapInPandas, payload
+    in / fixed-width ``array<float>`` out)."""
+    n_blocks = (dim + 15) // 16
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                digest = b"".join(
+                    hashlib.md5(bytes(p) + b"|%d" % i).digest()
+                    for i in range(n_blocks))
+                v = np.frombuffer(digest[:dim], dtype=np.uint8)
+                feats.append((v.astype(np.float32) / 128.0 - 1.0).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"].values,
+                                "feature": feats})
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]))
+
+
+def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame sampling PLAN for video rows: the frame indices to decode
+    (every k-th frame plus the last).  Pure column arithmetic — the
+    expensive decode of chosen frames would be a mapInPandas over
+    (payload, frame_idx) after an explode; selection itself never
+    touches payload bytes."""
+    vid = media.filter(F.col("modality") == "video")
+    n = F.col("meta.n_frames")
+    idx = F.sequence(F.lit(0), n - 1, F.lit(every_k))
+    return vid.select(
+        "media_id", n.alias("n_frames"),
+        F.when(F.array_contains(idx, n - 1), idx)
+        .otherwise(F.concat(idx, F.array(n - 1))).alias("frame_indices"),
+    ).withColumn("n_sampled", F.size("frame_indices").cast("long"))

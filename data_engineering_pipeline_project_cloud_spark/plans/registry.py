@@ -15,8 +15,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from . import analytics, parity, relational, llmdata, streamed, temporal
-    return [parity, analytics, relational, llmdata, temporal, streamed]
+    from . import analytics, llmdata, media, parity, relational, streamed, temporal
+    return [parity, analytics, relational, llmdata, temporal, streamed, media]
 
 
 def all_queries() -> dict[str, QueryFn]:

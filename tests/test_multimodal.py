@@ -1,0 +1,90 @@
+"""Multimodal plumbing tests: stubbed decode contract, deterministic
+fake paths, partitioning-independence of mapInPandas results, and a
+pure-Python cross-check of the byte-stats decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.multimodal import (
+    byte_stats,
+    decode_media,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    df = synthetic_media(spark, sf_dir)
+    df.persist()
+    yield df
+    df.unpersist()
+
+
+def test_real_codec_is_stubbed(media):
+    with pytest.raises(NotImplementedError, match="not installed"):
+        decode_media(media, codec="real")
+
+
+def test_byte_stats_matches_python(media):
+    sample = media.limit(20).collect()
+    got = {r["media_id"]: r for r in
+           byte_stats(media.limit(20)).collect()}
+    for row in sample:
+        a = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+        g = got[row["media_id"]]
+        assert g["n_bytes"] == len(a)
+        assert g["byte_mean"] == round(float(a.mean()), 6)
+        assert g["byte_min"] == int(a.min())
+        assert g["byte_max"] == int(a.max())
+
+
+def test_features_deterministic_across_partitioning(media):
+    f1 = {r["media_id"]: r["feature"]
+          for r in extract_features(media, dim=16).collect()}
+    f2 = {r["media_id"]: r["feature"]
+          for r in extract_features(media.repartition(7), dim=16).collect()}
+    assert f1 == f2
+    assert all(len(v) == 16 for v in f1.values())
+    assert all(-1.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_feature_value_construction(media):
+    row = media.filter(F.col("media_id") == 0).collect()[0]
+    digest = hashlib.md5(bytes(row["payload"]) + b"|0").digest()
+    expect = (np.frombuffer(digest[:16], dtype=np.uint8)
+              .astype(np.float32) / 128.0 - 1.0).tolist()
+    got = extract_features(media.filter(F.col("media_id") == 0),
+                           dim=16).collect()[0]["feature"]
+    assert got == pytest.approx(expect)
+
+
+def test_frame_sample_covers_first_and_last(media):
+    rows = frame_sample(media, every_k=10).collect()
+    assert rows, "no video rows"
+    for r in rows:
+        idx = r["frame_indices"]
+        assert idx[0] == 0
+        assert idx[-1] == r["n_frames"] - 1
+        assert r["n_sampled"] == len(idx)
+        assert all(0 <= i < r["n_frames"] for i in idx)
+        # strictly increasing
+        assert all(a < b for a, b in zip(idx, idx[1:]))
+
+
+def test_metadata_only_profile_prunes_payload(spark, sf_dir):
+    """The metadata profile must not read the payload column for the
+    grouping — check the scan's ReadSchema excludes nothing needed and
+    the plan contains no mapInPandas (pure JVM)."""
+    from data_engineering_pipeline_project_cloud_spark.plans.media import (
+        media_profile,
+    )
+    plan = media_profile(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
