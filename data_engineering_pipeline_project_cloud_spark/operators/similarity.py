@@ -132,6 +132,110 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    rounded cosine >= threshold — the semantic-dedup step of a training
+    pipeline.
+
+    This is the EXACT form (self-join, |N|²/2 cosines): correct at any
+    N, affordable when the embedding table is the deduped corpus-level
+    table (here ≤ thousands).  At billions of vectors the same verify
+    step runs after LSH/IVF blocking (``lsh_bucket`` /
+    ``ivf_assignments``) cuts the candidate set — blocking changes the
+    candidate generation, never this verification semantics.
+
+    The threshold is applied to the 6-dp ROUNDED cosine so the
+    filter's boundary behavior is identical cross-engine.
+    """
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_assignments(emb: DataFrame, n_cells: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    'centroid' by cosine.  Centroids are the first ``n_cells`` vectors
+    by id — a deterministic stand-in for a k-means codebook (training
+    the codebook is an offline step; the INDEX/SEARCH plan shape is
+    what matters here).  Cost: |N| × n_cells broadcast comparisons,
+    map-side."""
+    cents = F.broadcast(
+        emb.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell_id"),
+                F.col(vec_col).alias("centroid")))
+    from pyspark.sql import Window
+
+    scored = (
+        emb.select(F.col(id_col), F.col(vec_col)).join(cents)
+        .select(id_col, vec_col, "cell_id",
+                F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+                .alias("cell_sim"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cell_sim").desc(), F.col("cell_id").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1").drop("__rn"))
+
+
+def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
+                 n_cells: int = 16, nprobe: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` closest
+    cells and ranks only vectors assigned there.  At 100 TB the
+    assignment is precomputed and the table is written
+    ``partitionBy(cell_id)`` — a query then touches nprobe/n_cells of
+    the data (partition pruning does the candidate cut)."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assignments(emb, n_cells, id_col, vec_col)
+
+    cents = F.broadcast(
+        emb.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cell_id"),
+                F.col(vec_col).alias("centroid")))
+    q = (emb.filter(F.col(id_col).isin(query_ids))
+         .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("probe_sim").desc(), F.col("cell_id").asc())
+    probes = (
+        q.join(cents)
+        .select("query_id", "qv", "cell_id",
+                F.round(cosine(F.col("qv"), F.col("centroid")), 6)
+                .alias("probe_sim"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+
+    cand = assigned.select(F.col(id_col).alias("candidate_id"),
+                           F.col(vec_col).alias("cv"), "cell_id")
+    sims = (
+        F.broadcast(probes).join(cand, "cell_id")
+        .filter(F.col("query_id") != F.col("candidate_id"))
+        .select("query_id", "candidate_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"))
+        # no dedup needed: each candidate lives in exactly one cell
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "cosine_sim",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-vector diagnostics: dimension, L2 norm, min/max component —

@@ -52,6 +52,66 @@ def text_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs, single digits, single
+#: punctuation marks — the GPT-2-family pre-split shape, kept simple
+#: enough to inline into ANSI-SQL oracles (RE2/Java-regex compatible).
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-style
+    estimate (pre-tokenize with ``BPE_PRETOKEN_RE``, then ~4 chars per
+    subword inside each letter run).  Map-side only."""
+    text = F.col(text_col)
+    ws = _tokens(text)
+    pre = F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    est = F.aggregate(
+        pre, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4))
+    return docs.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(pre).cast("long").alias("n_pretokens"),
+        est.alias("est_bpe_tokens"),
+        F.round(F.length(text) / est, 6).alias("chars_per_bpe_token"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite document quality score in [0, 1]: mean of five cheap
+    signals (length saturation, stopword density, alphabetic fraction,
+    repetition via distinct-token ratio, digit penalty) — the standard
+    pre-training corpus filter, all in codegen."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(
+        toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
+
+    length_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    stopword_score = F.least(stop_hits.cast("double") / n_tok * 5.0, F.lit(1.0))
+    alpha_score = n_alpha.cast("double") / n_char
+    repetition_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    digit_score = F.lit(1.0) - n_digit.cast("double") / n_char
+    quality = (length_score + stopword_score + alpha_score
+               + repetition_score + digit_score) / 5.0
+    return docs.select(
+        F.col(id_col),
+        F.round(length_score, 6).alias("length_score"),
+        F.round(stopword_score, 6).alias("stopword_score"),
+        F.round(alpha_score, 6).alias("alpha_score"),
+        F.round(repetition_score, 6).alias("repetition_score"),
+        F.round(digit_score, 6).alias("digit_score"),
+        F.round(quality, 6).alias("quality"),
+        (quality >= 0.7).alias("passes_filter"),
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language heuristic: count hits against each

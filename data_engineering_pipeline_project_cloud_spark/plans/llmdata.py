@@ -21,6 +21,9 @@ MINHASHES = 8
 BANDS = 4
 QUERY_VEC_IDS = list(range(10))
 TOPK = 5
+NEARDUP_T = 0.4
+IVF_CELLS = 16
+IVF_NPROBE = 2
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +104,30 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(_docs(spark, sf_dir))
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count(_docs(spark, sf_dir))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(_docs(spark, sf_dir))
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup: all embedding pairs with cosine >= 0.4
+    (threshold sits just under the corpus's natural ceiling so real
+    near-neighbors surface at every sf)."""
+    return sim.cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_T)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path #2 next to LSH) — no oracle;
+    recall + cosine-exactness pytest-asserted."""
+    return sim.ivf_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK,
+        n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +254,74 @@ ORACLE_SQL: dict[str, str] = {
                CAST(n_chars AS BIGINT) AS n_chars
         FROM grams
     """,
+    "token_count_bpe": f"""
+        WITH pre AS (
+            SELECT doc_id, text,
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')
+                       AS pt
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+               CAST(len(pt) AS BIGINT) AS n_pretokens,
+               CAST(COALESCE(list_sum(list_transform(pt,
+                    t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT)
+                   AS est_bpe_tokens,
+               CAST(round(len(text) / list_sum(list_transform(pt,
+                    t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 6) AS DOUBLE)
+                   AS chars_per_bpe_token
+        FROM pre
+    """,
+    "quality_score": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tok,
+                   len(text) AS n_char,
+                   len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                   len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   len(list_filter({_TOKENS}, w -> lower(w) IN
+                       ('the','a','of','and','to','in','is'))) AS stop_hits,
+                   len(list_distinct({_TOKENS})) AS n_distinct
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id,
+                   least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS length_score,
+                   least(CAST(stop_hits AS DOUBLE) / n_tok * 5.0, 1.0) AS stopword_score,
+                   CAST(n_alpha AS DOUBLE) / n_char AS alpha_score,
+                   CAST(n_distinct AS DOUBLE) / n_tok AS repetition_score,
+                   1.0 - CAST(n_digit AS DOUBLE) / n_char AS digit_score
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(round(length_score, 6) AS DOUBLE) AS length_score,
+               CAST(round(stopword_score, 6) AS DOUBLE) AS stopword_score,
+               CAST(round(alpha_score, 6) AS DOUBLE) AS alpha_score,
+               CAST(round(repetition_score, 6) AS DOUBLE) AS repetition_score,
+               CAST(round(digit_score, 6) AS DOUBLE) AS digit_score,
+               CAST(round((length_score + stopword_score + alpha_score
+                    + repetition_score + digit_score) / 5.0, 6) AS DOUBLE) AS quality,
+               ((length_score + stopword_score + alpha_score
+                    + repetition_score + digit_score) / 5.0 >= 0.7) AS passes_filter
+        FROM scores
+    """,
+    "embedding_neardup_pairs": """
+        WITH n AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(
+                   list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS DOUBLE)
+                   AS cosine_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
     "cosine_topk": f"""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -276,7 +371,11 @@ QUERIES = {
     "text_stats": text_stats,
     "language_id": language_id,
     "doc_fingerprints": doc_fingerprints,
+    "token_count_bpe": token_count_bpe,
+    "quality_score": quality_score,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_norms": embedding_norms,
 }

@@ -35,6 +35,47 @@ def test_ann_results_are_exact_cosines(spark, sf_dir):
     assert bad == 0
 
 
+def test_ivf_results_are_exact_cosines_and_ranked(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        cosine,
+    )
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        ann_ivf_topk,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    ivf = ann_ivf_topk(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("candidate_id"),
+                   F.col("embedding").alias("cv"))
+    joined = (ivf.join(q, "query_id").join(c, "candidate_id")
+              .withColumn("exact", F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+    assert joined.filter(F.col("cosine_sim") != F.col("exact")).count() == 0
+    # recall vs brute force must be nonzero (nprobe=2 of 16 cells)
+    exact = {(r["query_id"], r["candidate_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    approx = {(r["query_id"], r["candidate_id"]) for r in ivf.collect()}
+    assert len(exact & approx) / len(exact) > 0.0
+
+
+def test_ivf_assignment_partitions_corpus(spark, sf_dir):
+    """Every vector lands in exactly one cell (the partition-pruning
+    contract the 100 TB layout relies on)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        ivf_assignments,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assignments(emb, n_cells=16)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+    n_cells = assigned.select("cell_id").distinct().count()
+    assert 1 <= n_cells <= 16
+
+
 def test_ann_recall_nonzero_and_ranked(spark, sf_dir):
     exact = {(r["query_id"], r["candidate_id"])
              for r in cosine_topk(spark, sf_dir).collect()}
