@@ -57,34 +57,54 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
-                       shingle_n: int = 3) -> DataFrame:
+                       shingle_n: int = 3,
+                       hash_fn: str = "portable") -> DataFrame:
     """MinHash signature matrix: for each of ``num_hashes`` seeded hash
     functions, the minimum hash over the document's shingle set.
 
     Entirely map-side (per-row array expressions, zero shuffle); at
     cluster scale this pipelines with the parquet scan.  Columns:
     ``mh_0 .. mh_{k-1}``.
+
+    ``hash_fn``: ``"portable"`` = md5-based ``portable_hash64`` so the
+    signature VALUES are reproducible in ANSI SQL (the oracle-checked
+    path); ``"fast"`` = ``xxhash64`` right-shifted to 59 bits — ~an
+    order of magnitude cheaper per shingle (no hex-string conv), the
+    production path when signatures are an internal LSH detail.
     """
     sh = shingles(F.col(text_col), shingle_n)
 
     # Two efficiency choices that matter at corpus scale:
     #  - Kirsch-Mitzenmacher double hashing: hash function i is
-    #    h1 + i*h2, so each shingle costs 2 md5 evaluations instead of
-    #    k (values stay < 2^60 + k*2^60 << 2^63 — no overflow).
+    #    h1 + i*h2, so each shingle costs 2 hash evaluations instead
+    #    of k (59/60-bit values: h1 + 7*h2 < 2^63 — no overflow).
     #  - A single fold over the shingle array computing all k minima
-    #    at once: Catalyst's CollapseProject would otherwise inline
-    #    the shingle construction into each of the k columns and
-    #    rebuild it k times per row.
+    #    at once; Spark's runtime subexpression elimination keeps the
+    #    fold evaluated once even though k columns reference it.
     # (HOF lambdas kept unary — a second parameter would be
     # interpreted by Spark as the element index.)
     sentinel = F.lit(1 << 62).cast("long")
     init = F.array(*[sentinel for _ in range(num_hashes)])
 
+    if hash_fn == "portable":
+        def h1(x):
+            return portable_hash64(x, salt="mh1|")
+
+        def h2(x):
+            return portable_hash64(x, salt="mh2|")
+    elif hash_fn == "fast":
+        def h1(x):
+            return F.shiftrightunsigned(F.xxhash64(F.lit("mh1"), x), 5)
+
+        def h2(x):
+            return F.shiftrightunsigned(F.xxhash64(F.lit("mh2"), x), 5)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     def fold(acc, x):
-        h1 = portable_hash64(x, salt="mh1|")
-        h2 = portable_hash64(x, salt="mh2|")
-        hs = F.array(*[h1 + F.lit(s) * h2 for s in range(num_hashes)])
-        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+        a, b = h1(x), h2(x)
+        hs = F.array(*[a + F.lit(s) * b for s in range(num_hashes)])
+        return F.zip_with(acc, hs, lambda u, v: F.least(u, v))
 
     sig = F.aggregate(sh, init, fold)
     return docs.select(
@@ -104,13 +124,14 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     size, here buckets stay small by construction.
     """
     rows_per_band = num_hashes // bands
+    # xxhash64 for band bucketing: the bucket id is internal (never in
+    # query output), so the cheap JVM hash is always right here.
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            portable_hash64(
-                F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}")
-                                   for r in range(rows_per_band)]),
-                salt=f"band{b}|").alias("band_hash"),
+            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}")
+                                   for r in range(rows_per_band)])
+            .alias("band_hash"),
         )
         for b in range(bands)
     ]
@@ -138,12 +159,21 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
 
     Joins the (small) candidate-pair set back to the docs twice, then
     computes |A∩B| / |A∪B| with array intersection — per-row, no
-    explode.  At scale the pair set is ≪ corpus size, so both joins
-    broadcast the pairs.
+    explode.  At scale the pair set is ≪ corpus size: shingle sets are
+    built ONLY for documents that appear in some candidate pair (the
+    semi-join below), so the expensive per-doc work and the join input
+    scale with |candidates|, not |corpus| — shingling the whole corpus
+    twice would be the dominant cost at 100 TB.
     """
-    sh = docs.select(F.col(id_col),
-                     F.array_distinct(shingles(F.col(text_col), shingle_n))
-                     .alias("sh"))
+    cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
+                .union(pairs.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    cand_docs = docs.join(cand_ids, id_col, "left_semi")
+    sh = cand_docs.select(F.col(id_col),
+                          F.array_distinct(shingles(F.col(text_col), shingle_n))
+                          .alias("sh"))
+    # evaluated twice below (doc_a side, doc_b side): materialize once
+    sh = sh.persist()
     out = (
         pairs.join(sh.select(F.col(id_col).alias("doc_a"),
                              F.col("sh").alias("sh_a")), "doc_a")

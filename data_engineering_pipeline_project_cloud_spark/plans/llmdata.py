@@ -61,9 +61,17 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded buckets
-    → candidate pairs → exact shingle-Jaccard verification."""
+    → candidate pairs → exact shingle-Jaccard verification.
+
+    The signature table is persisted before the banding self-join:
+    without it the join's two sides each recompute the whole
+    shingle+hash pipeline (2 full corpus scans).  Signatures are
+    8 longs/doc — at any scale the cache is negligible next to one
+    recompute (on a cluster this materialization is the parquet
+    signature table an LSH index job would write)."""
     docs = _docs(spark, sf_dir)
-    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES)
+    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                 hash_fn="fast").persist()
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS)
     return dd.jaccard_pairs(docs, pairs)
 
