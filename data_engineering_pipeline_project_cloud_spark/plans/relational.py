@@ -199,7 +199,227 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS ((flag), (status), ()) — the general
+    form rollup/cube specialize.  Single shuffle after Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                        "l_returnflag", "l_linestatus")
+        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+             F.count(F.lit(1)).cast("long").alias("n_items"),
+             F.grouping_id().cast("long").alias("gid"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q6 shape: pure scan-filter-aggregate, every predicate
+    pushed to parquet (the canonical data-skipping query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("l_discount").between(0.02, 0.09))
+                  & (F.col("l_quantity") < 24))
+        .agg(F.sum((money("l_extendedprice") * money("l_discount"))
+                   .cast("decimal(18,4)")).cast("decimal(18,4)")
+             .alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape: EXISTS semi-join (orders having any late-shipped
+    item) then priority counts — semi join ships only keys."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"],
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+def correlated_max_item_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery in Spark SQL — the reference's A4
+    idiom (``scripts/transform-complex-full.py:72-79``) handed to
+    Catalyst, whose RewriteCorrelatedScalarSubquery decorrelates it to
+    an aggregate + left join (no per-row re-execution; see SURVEY.md
+    §4.2).  The DataFrame rewrite of the same semantics is ``pay_agg``."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT o_orderkey AS order_id,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+                            AS DECIMAL(12,2))
+                FROM v_lineitem WHERE l_orderkey = o_orderkey) AS max_item_price
+        FROM v_orders
+    """)
+
+
+def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string family ABSENT from the reference (SURVEY.md
+    §2.5): substring, concat, regexp extraction, padding, translate —
+    all codegen, exercised over the part dim."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", F.col("p_size").cast("string"))
+        .alias("brand_size"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "_").alias("brand_clean"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper(F.reverse("p_brand")).alias("brand_rev"),
+    )
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (median / p90) per group — the
+    sort-based exact form; the 100 TB path is approx_percentile
+    (t-digest sketch), same call shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile(price, F.lit(0.9)), 4).alias("p90_price"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): the four lineitem measures melted to
+    (measure, value) rows, then re-aggregated.  Map-side expand — the
+    inverse of pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_orderkey",
+        money("l_quantity").alias("quantity"),
+        money("l_extendedprice").alias("extendedprice"),
+        money("l_discount").alias("discount"),
+        money("l_tax").alias("tax"),
+    ).unpivot(
+        "l_orderkey",
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure", "value")
+    return long.groupBy("measure").agg(
+        F.sum("value").cast("decimal(18,2)").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def argmax_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by aggregates: per nation, the customer holding the
+    max (and min) account balance, tie-broken on custkey via struct
+    ordering — single hash agg, no window."""
+    cust = load_table(spark, sf_dir, "customer")
+    bal = money("c_acctbal")
+    return cust.groupBy("c_nationkey").agg(
+        F.max(F.struct(bal.alias("b"), F.col("c_custkey").alias("k")))["k"]
+        .alias("richest_custkey"),
+        F.min(F.struct(bal.alias("b"), F.col("c_custkey").alias("k")))["k"]
+        .alias("poorest_custkey"),
+        F.max(bal).alias("max_bal"),
+        F.min(bal).alias("min_bal"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "grouping_sets_flag_status": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    "correlated_max_item_price": """
+        SELECT o_orderkey AS order_id,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+                            AS DECIMAL(12,2))
+                FROM lineitem WHERE l_orderkey = o_orderkey) AS max_item_price
+        FROM orders
+    """,
+    "string_functions_part": """
+        SELECT p_partkey,
+               substring(p_name, 1, 12) AS name_prefix,
+               concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS brand_size,
+               regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               translate(p_brand, '#', '_') AS brand_clean,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               upper(reverse(p_brand)) AS brand_rev
+        FROM part
+    """,
+    "percentile_prices": """
+        SELECT l_returnflag,
+               CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4)
+                    AS DOUBLE) AS median_price,
+               CAST(round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4)
+                    AS DOUBLE) AS p90_price,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "unpivot_lineitem_measures": """
+        WITH long AS (
+            SELECT 'quantity' AS measure,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS value FROM lineitem
+            UNION ALL SELECT 'extendedprice',
+                   CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+            UNION ALL SELECT 'discount',
+                   CAST(l_discount AS DECIMAL(12,2)) FROM lineitem
+            UNION ALL SELECT 'tax',
+                   CAST(l_tax AS DECIMAL(12,2)) FROM lineitem
+        )
+        SELECT measure,
+               CAST(SUM(value) AS DECIMAL(18,2)) AS sum_value,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM long GROUP BY measure
+    """,
+    "argmax_customer_by_nation": """
+        WITH ranked AS (
+            SELECT c_nationkey, c_custkey,
+                   CAST(c_acctbal AS DECIMAL(12,2)) AS bal,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) DESC,
+                                c_custkey DESC) AS rmax,
+                   ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY CAST(c_acctbal AS DECIMAL(12,2)) ASC,
+                                c_custkey ASC) AS rmin
+            FROM customer
+        )
+        SELECT c_nationkey,
+               MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest_custkey,
+               MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest_custkey,
+               MAX(bal) AS max_bal,
+               MIN(bal) AS min_bal
+        FROM ranked GROUP BY c_nationkey
+    """,
     "semi_join_customers": """
         SELECT c_custkey, c_name, c_nationkey FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -311,6 +531,14 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "grouping_sets_flag_status": grouping_sets_flag_status,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
+    "correlated_max_item_price": correlated_max_item_price,
+    "string_functions_part": string_functions_part,
+    "percentile_prices": percentile_prices,
+    "unpivot_lineitem_measures": unpivot_lineitem_measures,
+    "argmax_customer_by_nation": argmax_customer_by_nation,
     "semi_join_customers": semi_join_customers,
     "anti_join_customers": anti_join_customers,
     "window_topn_per_group": window_topn_per_group,
