@@ -28,6 +28,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_volume",
+    "q6_forecast_revenue",
     "pay_agg",
     "master_table",
     "window_running_totals",
@@ -35,8 +36,12 @@ HEADLINE = [
     "tumbling_hourly_events",
     "minhash_signatures",
     "dedup_minhash_pairs",
+    "quality_score",
     "cosine_topk",
+    "ann_ivf_topk",
     "asof_events_orders",
+    "media_byte_stats",
+    "streaming_tumbling_hourly",
 ]
 
 

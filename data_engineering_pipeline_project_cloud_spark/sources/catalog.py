@@ -81,6 +81,49 @@ def read_csv_strict(spark: SparkSession, path: str, schema: T.StructType,
     )
 
 
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              partition_column: str | None = None,
+              lower_bound: int | None = None, upper_bound: int | None = None,
+              num_partitions: int = 8,
+              properties: dict | None = None) -> DataFrame:
+    """Relational-source scan (S2; the reference reads Postgres via
+    ``pd.read_sql``, ``scripts/create_dimensions.py:18-29``).
+
+    Without ``partition_column`` a JDBC read is ONE connection on one
+    executor — the single-node bottleneck all over again.  Passing a
+    numeric column + bounds splits the scan into ``num_partitions``
+    range queries executed in parallel; pick a roughly uniform column
+    (a sequence PK) or the stragglers dominate.  Untested here (no DB
+    in the container); the call shape is the public DataFrameReader
+    JDBC API.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table)
+    if partition_column is not None:
+        reader = (reader.option("partitionColumn", partition_column)
+                  .option("lowerBound", str(lower_bound))
+                  .option("upperBound", str(upper_bound))
+                  .option("numPartitions", str(num_partitions)))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str,
+               batch_size: int = 10000, properties: dict | None = None) -> None:
+    """Full-overwrite JDBC sink (S3 parity): ``mode("overwrite")`` +
+    ``batchsize`` reproduces the reference's idempotent replace with
+    10k-row batched INSERTs (``scripts/main.py:55-62``), except each
+    executor writes its partitions concurrently instead of one driver
+    connection."""
+    writer = (df.write.format("jdbc").mode("overwrite")
+              .option("url", url).option("dbtable", table)
+              .option("batchsize", str(batch_size)))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None,
                     sort_within_by: list[str] | None = None) -> None:
     """Idempotent full-overwrite sink (S3/S5; ``scripts/main.py:55-62``,
