@@ -136,6 +136,34 @@ def language_id(docs: DataFrame, text_col: str = "text",
     return scored.withColumn("predicted_lang", pred)
 
 
+#: Scrub patterns (applied in order): URLs, emails, digit runs.
+#: Conservative regexes valid in both Java regex and RE2 so the op is
+#: oracle-checkable cross-engine.
+SCRUB_RULES = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """PII/noise scrubbing: mask URLs, emails, and digit runs — the
+    standard pre-training redaction pass.  Chained regexp_replace in
+    codegen; at 100 TB this pipelines with the scan (no shuffle)."""
+    clean = F.col(text_col)
+    for pat, repl in SCRUB_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.length(text_col).cast("long").alias("n_chars_before"),
+        F.length(clean).cast("long").alias("n_chars_after"),
+        (F.length(clean) - F.length(text_col)).cast("long")
+        .alias("delta_chars"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", gram_chars: int = 8) -> DataFrame:
     """Document fingerprint via rolling char-n-gram hashing (winnowing

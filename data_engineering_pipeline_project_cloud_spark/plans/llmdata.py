@@ -114,6 +114,10 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(_docs(spark, sf_dir))
 
 
+def scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.scrub_text(_docs(spark, sf_dir))
+
+
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_count(_docs(spark, sf_dir))
 
@@ -262,6 +266,25 @@ ORACLE_SQL: dict[str, str] = {
                CAST(n_chars AS BIGINT) AS n_chars
         FROM grams
     """,
+    "scrub_text": """
+        WITH cleaned AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               'https?://[^\\s]+', '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                           '<EMAIL>', 'g'),
+                       '[0-9]+', '<NUM>', 'g') AS clean_text,
+                   len(text) AS n_before
+            FROM documents
+        )
+        SELECT doc_id, clean_text,
+               CAST(n_before AS BIGINT) AS n_chars_before,
+               CAST(len(clean_text) AS BIGINT) AS n_chars_after,
+               CAST(len(clean_text) - n_before AS BIGINT) AS delta_chars
+        FROM cleaned
+    """,
     "token_count_bpe": f"""
         WITH pre AS (
             SELECT doc_id, text,
@@ -381,6 +404,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "token_count_bpe": token_count_bpe,
     "quality_score": quality_score,
+    "scrub_text": scrub_text,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

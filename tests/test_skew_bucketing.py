@@ -1,0 +1,72 @@
+"""Skew-mitigation and shuffle-co-location operators: salted join is
+semantically identical to a plain join; bucketed tables join with no
+Exchange in the physical plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from data_engineering_pipeline_project_cloud_spark.sources import load_table
+from data_engineering_pipeline_project_cloud_spark.testing import diff_results
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name")
+    plain = orders.join(cust, "custkey", "inner")
+    salted = salted_join(orders, cust, "custkey", salt_buckets=4)
+    problems = diff_results(salted.columns, _rows(salted),
+                            plain.columns, _rows(plain))
+    assert not problems, "; ".join(problems)
+
+
+def test_salted_join_matches_plain_left(spark):
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (99, "orphan")], "k int, v string")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    plain = big.join(small, "k", "left")
+    salted = salted_join(big, small, "k", salt_buckets=3, how="left")
+    problems = diff_results(salted.columns, _rows(salted),
+                            plain.columns, _rows(plain))
+    assert not problems, "; ".join(problems)
+    with pytest.raises(ValueError, match="does not support"):
+        salted_join(big, small, "k", how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice")
+    write_bucketed(orders, "t_orders_b", "o_orderkey", 8,
+                   str(tmp_path / "orders_b"))
+    write_bucketed(li, "t_items_b", "o_orderkey", 8,
+                   str(tmp_path / "items_b"))
+    # force the big-big strategy (broadcast would bypass bucketing at
+    # this test scale; at 100 TB neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "t_orders_b", "t_items_b", "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # co-located buckets: no shuffle exchange on either side
+        assert "Exchange hashpartitioning" not in plan, plan
+        expected = orders.join(li, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_items_b")

@@ -68,6 +68,43 @@ def test_stream_sessions_match_batch(spark, sf_dir, events_stream, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+def test_stateful_survives_multiple_microbatches(spark, sf_dir, tmp_path):
+    """Split the events table into 3 files and stream with
+    maxFilesPerTrigger=1: the stateful operator must fold 3 separate
+    micro-batches into the same final state as one batch pass — the
+    incremental-correctness property a single-batch drain can't test."""
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from data_engineering_pipeline_project_cloud_spark.streaming.events import (
+        stream_user_lifetime_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "chunks")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_available_now(stream_user_lifetime_stats(stream), "t_multi",
+                      str(tmp_path / "ckpt"), output_mode="update")
+    final = (spark.table("t_multi")
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("user_id")
+                 .orderBy(F.col("n_events").desc())))
+             .filter("rn = 1").drop("rn"))
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"),
+                  F.max("ts").alias("last_seen")))
+    # at least 2 distinct micro-batch emissions must exist for some user
+    per_user_rows = (spark.table("t_multi").groupBy("user_id").count()
+                     .agg(F.max("count")).collect()[0][0])
+    assert per_user_rows >= 2, "stream did not split into micro-batches"
+    problems = diff_results(
+        final.columns, [tuple(r) for r in final.collect()],
+        batch.columns, [tuple(r) for r in batch.collect()])
+    assert not problems, "; ".join(problems)
+
+
 def test_stateful_lifetime_matches_batch(spark, sf_dir, events_stream,
                                          tmp_path):
     run_available_now(stream_user_lifetime_stats(events_stream),
