@@ -22,6 +22,7 @@ from ..streaming import (
     stream_tumbling_hourly,
     stream_user_lifetime_stats,
 )
+from ..streaming.joins import stream_click_purchase_join
 
 
 def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
@@ -53,7 +54,27 @@ def streaming_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("__rn = 1").drop("__rn"))
 
 
+def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join through the real engine (append mode:
+    rows emit as the watermark closes their match window)."""
+    ev = read_events_stream(spark, sf_dir)
+    return _drain(stream_click_purchase_join(ev), spark, mode="append")
+
+
 ORACLE_SQL: dict[str, str] = {
+    "streaming_click_purchase": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               CAST(round(EPOCH(p.ts) - EPOCH(c.ts), 6) AS DOUBLE) AS lag_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
     "streaming_tumbling_hourly": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -91,6 +112,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "streaming_click_purchase": streaming_click_purchase,
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_sessionize": streaming_sessionize,
     "streaming_user_lifetime": streaming_user_lifetime,

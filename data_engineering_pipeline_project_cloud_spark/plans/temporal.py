@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from ..functions import money
 from ..operators.asof import asof_join
-from ..operators.relational import top1_per_group
 from ..sources import load_table
 
 SESSION_GAP_MIN = 30
@@ -93,15 +92,61 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").alias("order_date"),
         F.col("o_orderkey").alias("order_id"))
-    dedup = top1_per_group(
-        orders, ["user_id", "order_date"], [F.col("order_id").desc()])
+    # keep-max per (user, date) as a hash aggregate: cheaper than the
+    # equivalent window (no per-partition sort), same deterministic row
+    dedup = orders.groupBy("user_id", "order_date").agg(
+        F.max("order_id").alias("order_id"))
     return asof_join(
         ev, dedup, on_left="ts", on_right="order_date",
         by_left="user_id", by_right="user_id",
         value_cols=["order_date", "order_id"])
 
 
+def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-bounded event correlation: each purchase within 1 hour
+    after a click by the same user (the batch face of the stream-stream
+    join in ``streaming/joins.py``).  Equi-join on user + time-range
+    predicate: Spark hashes on user and applies the range as a post-join
+    filter — the same shape the streaming engine executes with
+    watermark-bounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"))
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select("click_id", "purchase_id", "user_id", "click_ts",
+                "purchase_ts",
+                F.round(F.col("purchase_ts").cast("double")
+                        - F.col("click_ts").cast("double"), 6)
+                .alias("lag_seconds"))
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "click_purchase_correlation": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               CAST(round(EPOCH(p.ts) - EPOCH(c.ts), 6) AS DOUBLE) AS lag_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
     "tumbling_hourly_events": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -160,6 +205,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "click_purchase_correlation": click_purchase_correlation,
     "tumbling_hourly_events": tumbling_hourly_events,
     "sliding_events": sliding_events,
     "sessionize_events": sessionize_events,

@@ -1,0 +1,52 @@
+"""Stream-stream joins (Structured Streaming's hardest operator).
+
+Both sides are unbounded; the join is only computable because the
+time-range condition + watermarks bound how much of each side must be
+retained in state: a click can only ever match purchases up to 1 hour
+later, so once the watermark passes click_ts + 1 h + delay the click
+row is evicted.  Without BOTH watermarks and a range on the event
+times, state grows forever — Spark rejects such joins in append mode.
+
+Batch face (identical semantics, equivalence-tested):
+``plans/temporal.py:click_purchase_correlation``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WATERMARK = "2 hours"
+
+
+def stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Inner stream-stream join: purchases within 1 hour after a click
+    by the same user.  State per side is bounded by
+    watermark + range (≈3 h of events per user key)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select("click_id", "purchase_id", "user_id", "click_ts",
+                "purchase_ts",
+                F.round(F.col("purchase_ts").cast("double")
+                        - F.col("click_ts").cast("double"), 6)
+                .alias("lag_seconds"))
+    )

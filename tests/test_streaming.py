@@ -68,6 +68,21 @@ def test_stream_sessions_match_batch(spark, sf_dir, events_stream, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_stream,
+                                          tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.plans.temporal import (
+        click_purchase_correlation,
+    )
+    from data_engineering_pipeline_project_cloud_spark.streaming.joins import (
+        stream_click_purchase_join,
+    )
+
+    run_available_now(stream_click_purchase_join(events_stream),
+                      "t_ssjoin", str(tmp_path / "ckpt"),
+                      output_mode="append")
+    _compare(click_purchase_correlation(spark, sf_dir), spark, "t_ssjoin")
+
+
 def test_stateful_survives_multiple_microbatches(spark, sf_dir, tmp_path):
     """Split the events table into 3 files and stream with
     maxFilesPerTrigger=1: the stateful operator must fold 3 separate
