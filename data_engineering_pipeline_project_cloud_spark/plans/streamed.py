@@ -22,6 +22,7 @@ from ..streaming import (
     stream_tumbling_hourly,
     stream_user_lifetime_stats,
 )
+from ..streaming import stream_dedup_events
 from ..streaming.joins import stream_click_purchase_join
 
 
@@ -54,6 +55,15 @@ def streaming_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("__rn = 1").drop("__rn"))
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked exactly-once dedup through the real engine (the
+    source has unique event_ids, so output == conformed input; the
+    redelivery-dropping behavior is pytest-covered with a duplicated
+    source)."""
+    ev = read_events_stream(spark, sf_dir)
+    return _drain(stream_dedup_events(ev), spark, mode="append")
+
+
 def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join through the real engine (append mode:
     rows emit as the watermark closes their match window)."""
@@ -62,6 +72,11 @@ def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "streaming_dedup": """
+        SELECT event_id, ts, user_id, event_type,
+               CAST(value AS DECIMAL(12,2)) AS value
+        FROM events
+    """,
     "streaming_click_purchase": """
         SELECT c.event_id AS click_id,
                p.event_id AS purchase_id,
@@ -112,6 +127,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "streaming_dedup": streaming_dedup,
     "streaming_click_purchase": streaming_click_purchase,
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_sessionize": streaming_sessionize,

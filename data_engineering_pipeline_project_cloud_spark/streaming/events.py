@@ -145,10 +145,16 @@ def _lifetime_fn(key, pdfs: Iterator[pd.DataFrame],
     })
 
 
-def stream_user_lifetime_stats(events: DataFrame) -> DataFrame:
+def stream_user_lifetime_stats(events: DataFrame,
+                               output_mode: str = "update") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: running
     per-user event count / value total / last-seen — the op Spark's
-    built-in windows can't express (unbounded, per-key, incremental)."""
+    built-in windows can't express (unbounded, per-key, incremental).
+
+    ``output_mode``: "update" for sinks that upsert (memory/kafka);
+    "append" when feeding the file sink (each micro-batch's emitted
+    rows are appended; the latest row per key is the current state).
+    """
     return (
         events.select("user_id", "ts", money("value").alias("value"))
         .groupBy("user_id")
@@ -156,9 +162,23 @@ def stream_user_lifetime_stats(events: DataFrame) -> DataFrame:
             _lifetime_fn,
             outputStructType=_LIFETIME_OUT,
             stateStructType=_LIFETIME_STATE,
-            outputMode="update",
+            outputMode=output_mode,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def stream_dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming exact-once deduplication: drop re-deliveries of the
+    same event_id arriving within the watermark.  State holds one key
+    per event inside the watermark horizon and is evicted as the
+    watermark advances — the at-least-once → exactly-once repair step
+    in front of every downstream aggregate."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type",
+                money("value").alias("value"))
     )
 
 

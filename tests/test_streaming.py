@@ -120,6 +120,86 @@ def test_stateful_survives_multiple_microbatches(spark, sf_dir, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    """Duplicate the whole events table (simulated at-least-once
+    redelivery) and stream it through dropDuplicatesWithinWatermark:
+    exactly the original rows must survive."""
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from data_engineering_pipeline_project_cloud_spark.streaming import (
+        stream_dedup_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "dup_src")
+    ev.unionByName(ev).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    run_available_now(stream_dedup_events(stream), "t_dedup",
+                      str(tmp_path / "ckpt"), output_mode="append")
+    got = spark.table("t_dedup")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_checkpoint_restart_resumes_state(spark, sf_dir, tmp_path):
+    """Exactly-once recovery: run the stateful lifetime aggregation,
+    stop, add NEW source files, and restart from the SAME checkpoint —
+    the second run must process only the new files, resume the saved
+    per-user state, and converge to the batch answer over all files."""
+    import shutil
+
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from data_engineering_pipeline_project_cloud_spark.streaming.events import (
+        stream_user_lifetime_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    staged = str(tmp_path / "staged")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    ev.repartition(4).write.mode("overwrite").parquet(staged)
+    import os
+    os.makedirs(src)
+    parts = sorted(f for f in os.listdir(staged) if f.endswith(".parquet"))
+    assert len(parts) == 4
+    schema = spark.read.parquet(staged).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream_user_lifetime_stats(stream, output_mode="append")
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    # run 1: two files; run 2: two more files, same checkpoint
+    for f in parts[:2]:
+        shutil.copy(f"{staged}/{f}", f"{src}/{f}")
+    run_once()
+    for f in parts[2:]:
+        shutil.copy(f"{staged}/{f}", f"{src}/{f}")
+    run_once()
+
+    final = (spark.read.parquet(sink)
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("user_id")
+                 .orderBy(F.col("n_events").desc())))
+             .filter("rn = 1").drop("rn"))
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"),
+                  F.max("ts").alias("last_seen")))
+    problems = diff_results(
+        final.columns, [tuple(r) for r in final.collect()],
+        batch.columns, [tuple(r) for r in batch.collect()])
+    assert not problems, "; ".join(problems)
+
+
 def test_stateful_lifetime_matches_batch(spark, sf_dir, events_stream,
                                          tmp_path):
     run_available_now(stream_user_lifetime_stats(events_stream),
