@@ -142,6 +142,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
 
 
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash (90/5/5): the reproducible-split pattern — any engine, any
+    run, any partitioning assigns each doc_id the same split.  Split on
+    the ID hash, never on position or rand(): re-shards and re-runs
+    must not move documents across splits."""
+    from ..functions import portable_hash64
+
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(portable_hash64(F.col("doc_id").cast("string"),
+                                    salt="split|"), F.lit(100))
+    split = (F.when(bucket < 90, F.lit("train"))
+             .when(bucket < 95, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return (d.select(split.alias("split"), F.length("text").alias("n_chars"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("total_chars")))
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary profile via explode (the lateral-view /
+    UDTF shape): distinct lowercase tokens, total token volume, and the
+    20 most frequent tokens.  The explode multiplies rows by document
+    length — the one place it is the RIGHT tool, because the aggregate
+    is over tokens, not documents; partial aggregation collapses each
+    partition's counts before the shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+"))
+                    .alias("token"))
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(20)
+    totals = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum("n").cast("long").alias("total_tokens"))
+    return top.crossJoin(F.broadcast(totals)).select(
+        "token", "n", "vocab_size", "total_tokens")
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_bruteforce(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
@@ -353,6 +393,40 @@ ORACLE_SQL: dict[str, str] = {
             list_sum(list_transform(generate_series(1, len(a.v)),
                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.4
     """,
+    "dataset_splits": f"""
+        WITH assigned AS (
+            SELECT CASE
+                     WHEN {_H.format(x="'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 90
+                         THEN 'train'
+                     WHEN {_H.format(x="'split|' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+                         THEN 'val'
+                     ELSE 'test'
+                   END AS split,
+                   len(text) AS n_chars
+            FROM documents
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM assigned GROUP BY split
+    """,
+    "vocab_stats": f"""
+        WITH toks AS (
+            SELECT unnest({_TOKENS.replace('text', 'lower(text)')}) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks GROUP BY token
+        ),
+        totals AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(n) AS BIGINT) AS total_tokens
+            FROM counts
+        )
+        SELECT token, n, vocab_size, total_tokens
+        FROM (SELECT * FROM counts ORDER BY n DESC, token ASC LIMIT 20), totals
+    """,
     "cosine_topk": f"""
         WITH q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -405,6 +479,8 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "quality_score": quality_score,
     "scrub_text": scrub_text,
+    "dataset_splits": dataset_splits,
+    "vocab_stats": vocab_stats,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
