@@ -1,21 +1,22 @@
 """As-of (point-in-time) join — an operator Spark lacks natively.
 
-Implemented per SURVEY.md's custom-operator ladder, option (b): a
-cogrouped ``applyInPandas`` merge.  Both sides are hash-bucketed on the
-entity key into a bounded number of coarse buckets (ONE shuffle each);
-each bucket is merged in a single Arrow batch with pandas
-``merge_asof(by=key)`` — a sorted backward search per key.
+Two implementations per SURVEY.md's custom-operator ladder:
 
-Why buckets instead of cogrouping on the raw key: applyInPandas pays a
-fixed Python/Arrow cost per GROUP; millions of small entity groups
-would serialize millions of tiny batches.  Bucketing amortizes that to
-~one batch per core while merge_asof's ``by=`` argument keeps per-key
-semantics exact.  This is the same layout a 1000-executor cluster
-wants: shuffle once by hash(key), sort within partition by time.
+- ``asof_join_native`` (option a — composition of built-in ops, the
+  DEFAULT): union both sides tagged, one sort-window pass per entity
+  key taking the last non-null right value at or before each left
+  time.  Entirely JVM (one shuffle + window), no Python workers.
+- ``asof_join`` (option b — cogrouped ``applyInPandas`` merge): kept
+  as the reference implementation of the Pandas-UDF ladder rung and
+  cross-checked against the native one in pytest.  Both sides are
+  hash-bucketed on the entity key into a bounded number of coarse
+  buckets (ONE shuffle each); each bucket merges in a single Arrow
+  batch with pandas ``merge_asof(by=key)``.  Bucketing amortizes the
+  fixed Python/Arrow per-GROUP cost to ~one batch per core.
 
-Skew note: a single hot key still lands in one bucket; for that case
-pre-split the hot key by time range and stitch boundaries (not needed
-at test scale).
+Skew note: a single hot key lands in one partition/bucket either way;
+for that case pre-split the hot key by time range and stitch
+boundaries (not needed at test scale).
 """
 
 from __future__ import annotations
@@ -24,6 +25,46 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def asof_join_native(left: DataFrame, right: DataFrame, on_left: str,
+                     on_right: str, by_left: str, by_right: str,
+                     value_cols: list[str]) -> DataFrame:
+    """Backward as-of join (exact matches allowed, left-outer) as pure
+    DataFrame ops: tag and union both sides, then per entity key one
+    ordered window takes the most recent right-side values at or
+    before each left row.  Right rows sort BEFORE left rows at equal
+    timestamps (allow-exact-match semantics).
+
+    ``right`` must be unique per (by_right, on_right) — same contract
+    as ``asof_join``.  One shuffle on the entity key + in-partition
+    sort; at 100 TB this is strictly cheaper than the cogrouped pandas
+    path (no Arrow transfer, stays in codegen).
+    """
+    from pyspark.sql import Window
+
+    left_cols = left.columns
+    lhs = left.select(
+        F.col(by_left).alias("__by"), F.col(on_left).alias("__t"),
+        F.lit(0).alias("__is_right"),
+        *[F.col(c) for c in left_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in value_cols])
+    rhs = right.select(
+        F.col(by_right).alias("__by"), F.col(on_right).alias("__t"),
+        F.lit(1).alias("__is_right"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols])
+    unioned = lhs.unionByName(rhs)
+    w = (Window.partitionBy("__by")
+         .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.select(
+        "__is_right", *left_cols,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
+          for c in value_cols])
+    return filled.filter(F.col("__is_right") == 0).drop("__is_right")
 
 
 def asof_join(left: DataFrame, right: DataFrame, on_left: str, on_right: str,

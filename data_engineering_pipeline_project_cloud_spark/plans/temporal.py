@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import money
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join_native
 from ..sources import load_table
 
 SESSION_GAP_MIN = 30
@@ -96,7 +96,7 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent window (no per-partition sort), same deterministic row
     dedup = orders.groupBy("user_id", "order_date").agg(
         F.max("order_id").alias("order_id"))
-    return asof_join(
+    return asof_join_native(
         ev, dedup, on_left="ts", on_right="order_date",
         by_left="user_id", by_right="user_id",
         value_cols=["order_date", "order_id"])

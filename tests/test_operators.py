@@ -77,6 +77,58 @@ def test_asof_join_backward_semantics(spark):
     assert out.count() == 4  # left-outer: no row loss
 
 
+def test_asof_native_matches_pandas_path(spark, sf_dir):
+    """The JVM-native (union+window) and cogrouped-pandas as-of
+    implementations must agree row-for-row on real data."""
+    from data_engineering_pipeline_project_cloud_spark.operators.asof import (
+        asof_join_native,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from data_engineering_pipeline_project_cloud_spark.testing import diff_results
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderkey").alias("order_id"))
+    dedup = orders.groupBy("user_id", "order_date").agg(
+        F.max("order_id").alias("order_id"))
+    kw = dict(on_left="ts", on_right="order_date",
+              by_left="user_id", by_right="user_id",
+              value_cols=["order_date", "order_id"])
+    native = asof_join_native(ev, dedup, **kw)
+    pandas_ = asof_join(ev, dedup, **kw)
+    problems = diff_results(
+        native.columns, [tuple(r) for r in native.collect()],
+        pandas_.columns, [tuple(r) for r in pandas_.collect()])
+    assert not problems, "; ".join(problems)
+
+
+def test_asof_native_backward_semantics(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.asof import (
+        asof_join_native,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00"), "u1"),
+         (2, _ts("2024-01-01T12:00"), "u1"),
+         (3, _ts("2024-01-01T09:00"), "u2"),
+         (4, _ts("2024-01-01T12:00"), "u3")],
+        "event_id int, ts timestamp, user string")
+    right = spark.createDataFrame(
+        [("u1", _ts("2024-01-01T10:00"), 100),
+         ("u1", _ts("2024-01-01T11:30"), 101),
+         ("u2", _ts("2024-01-01T11:00"), 200)],
+        "user string, rts timestamp, rid int")
+    out = asof_join_native(left, right, on_left="ts", on_right="rts",
+                           by_left="user", by_right="user",
+                           value_cols=["rts", "rid"])
+    got = {r["event_id"]: r["rid"] for r in out.collect()}
+    assert got == {1: 100, 2: 101, 3: None, 4: None}
+    assert out.count() == 4
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([("hi there",)], "text string")
     out = df.select(shingles(F.col("text"), 3).alias("sh")).collect()[0]["sh"]
