@@ -53,9 +53,12 @@ def main() -> None:
     qs = all_queries()
 
     # JVM/codegen warmup on the tiny sf so per-query timings measure
-    # the plan, not first-run JIT + classloading.
-    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop").mode("overwrite").save()
+    # the plan, not first-run JIT + classloading: the generated code
+    # differs per query (HOF folds, hash expressions, window specs),
+    # so EVERY headline query gets one warm pass at sf0.001.
+    for name in HEADLINE:
+        qs[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
