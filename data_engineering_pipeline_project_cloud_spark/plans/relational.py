@@ -150,6 +150,22 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON payload into ``map<string,int>``
+    and explode its entries (key/value lateral view) — schema-on-read
+    for semi-structured columns without a fixed struct."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_entries"),
+             F.sum("value").cast("long").alias("sum_value"),
+             F.min("value").cast("long").alias("min_value"),
+             F.max("value").cast("long").alias("max_value"))
+    )
+
+
 def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join: events banded into literal value tiers
     (lo <= value < hi).  Spark plans this as a broadcast nested-loop
@@ -498,6 +514,18 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
     """,
+    "json_map_entries": """
+        SELECT k AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_entries,
+               CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT)
+                   AS sum_value,
+               CAST(MIN(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT)
+                   AS min_value,
+               CAST(MAX(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT)
+                   AS max_value
+        FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+        GROUP BY k
+    """,
     "range_join_value_tiers": """
         WITH tiers(tier, lo, hi) AS (
             VALUES ('t0', 0.0, 100.0), ('t1', 100.0, 200.0), ('t2', 200.0, 300.0),
@@ -549,6 +577,7 @@ QUERIES = {
     "distinct_counts": distinct_counts,
     "approx_distinct_counts": approx_distinct_counts,
     "json_event_props": json_event_props,
+    "json_map_entries": json_map_entries,
     "range_join_value_tiers": range_join_value_tiers,
     "pivot_segment_by_region": pivot_segment_by_region,
     "global_topk_orders": global_topk_orders,

@@ -1,0 +1,85 @@
+"""Property-based tests (hypothesis): the custom operators against
+brute-force Python references on randomized small inputs — the cases
+fixed fixtures never think of (duplicate timestamps, empty sides,
+single-key pile-ups).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_engineering_pipeline_project_cloud_spark.operators.asof import (
+    asof_join_native,
+)
+from data_engineering_pipeline_project_cloud_spark.operators.relational import (
+    top1_per_group,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, minute-offset) event lists; small domains force collisions
+left_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), max_size=25)
+right_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100)), max_size=15)
+
+
+def _brute_asof(left, right):
+    """Reference: for each left row, the right row with the greatest
+    rts <= ts within the key (exact matches allowed), else None."""
+    out = {}
+    for i, (lk, lt) in enumerate(left):
+        best = None
+        for rk, rt, rid in right:
+            if rk == lk and rt <= lt and (best is None or rt > best[0]):
+                best = (rt, rid)
+        out[i] = best[1] if best else None
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(left=left_rows, right=right_rows)
+def test_asof_native_matches_bruteforce(spark, left, right):
+    # dedup right to one row per (key, time): the operator's contract
+    rdedup = {}
+    for rk, rt in right:
+        rid = rk * 1000 + rt
+        rdedup[(rk, rt)] = rid
+    rlist = [(k, t, rid) for (k, t), rid in rdedup.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=t)) for i, (k, t) in enumerate(left)]
+        or [(0, 0, BASE)],
+        "row_id int, key int, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(k, BASE + dt.timedelta(minutes=t), rid) for k, t, rid in rlist]
+        or [(99, BASE - dt.timedelta(days=1), -1)],
+        "key int, rts timestamp, rid int")
+    out = asof_join_native(ldf, rdf, on_left="ts", on_right="rts",
+                           by_left="key", by_right="key",
+                           value_cols=["rid"])
+    got = {r["row_id"]: r["rid"] for r in out.collect()}
+    expect = _brute_asof(left or [(0, 0)], rlist)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(-5, 5),
+                               st.integers(0, 9)), min_size=1, max_size=20))
+def test_top1_per_group_matches_bruteforce(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "grp int, score int, tag int")
+    out = top1_per_group(df, ["grp"],
+                         [F.col("score").desc(), F.col("tag").asc()])
+    got = {r["grp"]: (r["score"], r["tag"]) for r in out.collect()}
+    expect = {}
+    for g, s, t in rows:
+        if g not in expect or (-s, t) < (-expect[g][0], expect[g][1]):
+            expect[g] = (s, t)
+    assert got == expect
