@@ -95,6 +95,53 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item-revenue analog (q10 shape): filter the fact on
+    the return flag, join customer + nation dims, revenue per
+    customer, top-20.  The returnflag filter lands in the parquet scan
+    before any join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("c_custkey").alias("customer_id"),
+                 F.col("c_name").alias("customer_name"),
+                 F.col("n_name").alias("nation_name"))
+        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("customer_id").asc())
+        .limit(20)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-order analog (q18 shape): HAVING on a grouped sum
+    (orders whose total quantity exceeds a threshold), then join the
+    qualifying keys back to the order header.  Aggregate-then-semi-join:
+    the HAVING runs before any wide join, so only qualifying orders
+    reach the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(money("l_quantity")).cast("decimal(18,2)")
+                .alias("total_qty"))
+           .filter(F.col("total_qty") > 300))
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .select(F.col("o_orderkey").alias("order_id"),
+                F.col("o_custkey").alias("customer_id"),
+                F.col("o_orderdate").alias("order_date"),
+                money("o_totalprice").alias("total_price"),
+                F.col("total_qty"))
+    )
+
+
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
@@ -137,10 +184,39 @@ ORACLE_SQL: dict[str, str] = {
         WHERE r_name = 'ASIA'
         GROUP BY n_name
     """,
+    "q10_returned_revenue": f"""
+        SELECT c_custkey AS customer_id, c_name AS customer_name,
+               n_name AS nation_name,
+               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, customer_id ASC
+        LIMIT 20
+    """,
+    "q18_large_orders": """
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) > 300
+        )
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               o_orderdate AS order_date,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+               total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+    """,
 }
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_volume": q5_region_volume,
+    "q10_returned_revenue": q10_returned_revenue,
+    "q18_large_orders": q18_large_orders,
 }
