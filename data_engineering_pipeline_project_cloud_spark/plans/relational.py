@@ -215,6 +215,38 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite over the star schema: nullability,
+    accepted values, ranges, key uniqueness, referential integrity —
+    the generalized form of the reference's single PK contract
+    (``scripts/transform-complex-full.py:212-213``).  Each row is one
+    check with its distributed violation count."""
+    from ..operators.quality import (
+        expect_accepted_values,
+        expect_in_range,
+        expect_not_null,
+        expect_references,
+        expect_unique,
+        union_reports,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return union_reports([
+        expect_not_null(orders, "o_orderkey"),
+        expect_not_null(li, "l_orderkey"),
+        expect_accepted_values(li, "l_returnflag", ["A", "N", "R"]),
+        expect_in_range(li, "l_discount", 0.0, 1.0),
+        expect_unique(orders, ["o_orderkey"]),
+        expect_unique(cust, ["c_custkey"]),
+        expect_references(li, "l_orderkey", orders, "o_orderkey"),
+        expect_references(orders, "o_custkey", cust, "c_custkey"),
+        expect_references(cust, "c_nationkey", nation, "n_nationkey"),
+    ])
+
+
 def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS ((flag), (status), ()) — the general
     form rollup/cube specialize.  Single shuffle after Expand."""
@@ -346,6 +378,54 @@ def argmax_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "data_quality_report": """
+        SELECT 'not_null:o_orderkey' AS check,
+               CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+                   AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'not_null:l_orderkey',
+               CAST(COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted_values:l_returnflag',
+               CAST(COUNT(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                               OR l_returnflag IS NULL THEN 1 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'in_range:l_discount',
+               CAST(COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 1.0
+                               THEN 1 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               CAST(COALESCE((SELECT COUNT(*) FROM (
+                   SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                   HAVING COUNT(*) > 1)), 0) AS BIGINT)
+        UNION ALL
+        SELECT 'unique:c_custkey',
+               CAST(COALESCE((SELECT COUNT(*) FROM (
+                   SELECT c_custkey FROM customer GROUP BY c_custkey
+                   HAVING COUNT(*) > 1)), 0) AS BIGINT)
+        UNION ALL
+        SELECT 'references:l_orderkey->o_orderkey',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                              WHERE o_orderkey IS NOT NULL))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'references:o_custkey->c_custkey',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                             WHERE c_custkey IS NOT NULL))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'references:c_nationkey->n_nationkey',
+               CAST((SELECT COUNT(*) FROM customer
+                     WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                               WHERE n_nationkey IS NOT NULL))
+                    AS BIGINT)
+    """,
     "grouping_sets_flag_status": """
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
@@ -559,6 +639,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "data_quality_report": data_quality_report,
     "grouping_sets_flag_status": grouping_sets_flag_status,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,

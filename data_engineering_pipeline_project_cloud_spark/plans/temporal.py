@@ -133,7 +133,66 @@ def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel view → click → purchase: each
+    stage's timestamp must be at or after the previous stage's FIRST
+    occurrence.  Three conditional-min aggregations over one shuffle
+    on user_id (the CASE-inside-MIN trick — no joins, no window):
+    stage 2 uses the stage-1 time computed in the same pass via a
+    self-conditional re-aggregation."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    # first view per user (stage 1)
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_view"))
+    # first click at/after first view (stage 2)
+    s2 = (ev.join(s1, "user_id")
+          .groupBy("user_id", "first_view")
+          .agg(F.min(F.when((F.col("event_type") == "click")
+                            & (F.col("ts") >= F.col("first_view")),
+                            F.col("ts"))).alias("first_click")))
+    # first purchase at/after first click (stage 3)
+    s3 = (ev.join(s2, "user_id")
+          .groupBy("user_id", "first_view", "first_click")
+          .agg(F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("ts") >= F.col("first_click")),
+                            F.col("ts"))).alias("first_purchase")))
+    return s3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("first_view").cast("long").alias("n_viewed"),
+        F.count("first_click").cast("long").alias("n_clicked_after_view"),
+        F.count("first_purchase").cast("long").alias("n_purchased_after_click"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "event_funnel": """
+        WITH s1 AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+            FROM events GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, s1.first_view,
+                   MIN(CASE WHEN e.event_type = 'click'
+                            AND e.ts >= s1.first_view THEN e.ts END) AS first_click
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            GROUP BY e.user_id, s1.first_view
+        ),
+        s3 AS (
+            SELECT e.user_id, s2.first_view, s2.first_click,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                            AND e.ts >= s2.first_click THEN e.ts END) AS first_purchase
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            GROUP BY e.user_id, s2.first_view, s2.first_click
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(COUNT(first_view) AS BIGINT) AS n_viewed,
+               CAST(COUNT(first_click) AS BIGINT) AS n_clicked_after_view,
+               CAST(COUNT(first_purchase) AS BIGINT) AS n_purchased_after_click
+        FROM s3
+    """,
     "click_purchase_correlation": """
         SELECT c.event_id AS click_id,
                p.event_id AS purchase_id,
@@ -205,6 +264,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "event_funnel": event_funnel,
     "click_purchase_correlation": click_purchase_correlation,
     "tumbling_hourly_events": tumbling_hourly_events,
     "sliding_events": sliding_events,
