@@ -193,6 +193,52 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     return out
 
 
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", bits: int = 16,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into bytes, pair
+    documents sharing ANY byte-band, verify Hamming distance ≤
+    ``max_hamming`` via bit_count(xor).
+
+    Banding is the same LSH recall trade as MinHash banding: with 2
+    bands of 8 bits, hamming ≤ 1 is guaranteed caught (pigeonhole);
+    larger distances are probabilistic.  The fingerprint table is
+    persisted before the self-join — 8 bytes/doc.
+    """
+    sigs = simhash(docs, text_col, id_col, bits).persist()
+    n_bands = bits // 8
+    band_cols = [
+        F.struct(F.lit(b).alias("band_idx"),
+                 F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF))
+                 .alias("band_val"))
+        for b in range(n_bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, "b.band_idx", "b.band_val")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"),
+                     F.col("simhash").alias("sim_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"),
+                     F.col("simhash").alias("sim_b"))
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+                    .cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash fingerprint: per bit position, majority vote of token

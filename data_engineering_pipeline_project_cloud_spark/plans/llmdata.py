@@ -102,6 +102,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(_docs(spark, sf_dir), bits=16)
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-banded SimHash near-dup pairs, Hamming-verified."""
+    return dd.simhash_pairs(_docs(spark, sf_dir), bits=16, max_hamming=3)
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(_docs(spark, sf_dir))
 
@@ -236,6 +241,52 @@ _JACCARD_VERIFY_SQL = f"""
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "simhash_fingerprints": f"""
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform({_TOKENS}, t -> {_H.format(x="'sim|' || t")}) AS hs,
+                   len({_TOKENS}) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               list_sum(list_transform(generate_series(0, 15),
+                   b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > n
+                        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
+        FROM th
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH th AS (
+            SELECT doc_id,
+                   list_transform({_TOKENS}, t -> {_H.format(x="'sim|' || t")}) AS hs,
+                   len({_TOKENS}) AS n
+            FROM documents
+        ),
+        sigs AS (
+            SELECT doc_id,
+                   list_sum(list_transform(generate_series(0, 15),
+                       b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > n
+                            THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS simhash
+            FROM th
+        ),
+        buckets AS (
+            SELECT doc_id, b AS band_idx,
+                   (simhash >> (b * 8)) & 255 AS band_val
+            FROM sigs, generate_series(0, 1) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               sa.simhash AS sim_a, sb.simhash AS sim_b,
+               CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sigs sa ON c.doc_a = sa.doc_id
+        JOIN sigs sb ON c.doc_b = sb.doc_id
+        WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+    """,
     "dedup_exact": f"""
         SELECT {_H.format(x='text')} AS content_hash,
                CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
@@ -473,6 +524,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "simhash_fingerprints": simhash_fingerprints,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "text_stats": text_stats,
     "language_id": language_id,
     "doc_fingerprints": doc_fingerprints,

@@ -76,6 +76,26 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions: first/last/nth value over a running
+    frame plus ntile quartiles — the remaining analytic-window family
+    (ranking and lag/lead live in the two queries above)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    price = money("o_totalprice")
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        price.alias("order_price"),
+        F.first(price).over(running).alias("first_price"),
+        F.last(price).over(running).alias("latest_price"),
+        F.nth_value(price, 2).over(running).alias("second_price"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP(nation, segment): subtotal hierarchy with grouping ids.
     Spark expands grouping sets before the hash agg — still a single
@@ -550,6 +570,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
+    "window_value_functions": """
+        SELECT o_orderkey AS order_id,
+               o_custkey AS customer_id,
+               CAST(o_totalprice AS DECIMAL(12,2)) AS order_price,
+               FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr AS first_price,
+               LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr AS latest_price,
+               NTH_VALUE(CAST(o_totalprice AS DECIMAL(12,2)), 2) OVER wr AS second_price,
+               CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC),
+               wr AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "rollup_nation_segment": """
         SELECT c_nationkey, c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -652,6 +687,7 @@ QUERIES = {
     "anti_join_customers": anti_join_customers,
     "window_topn_per_group": window_topn_per_group,
     "window_running_totals": window_running_totals,
+    "window_value_functions": window_value_functions,
     "rollup_nation_segment": rollup_nation_segment,
     "cube_flag_status": cube_flag_status,
     "set_ops_nations": set_ops_nations,
