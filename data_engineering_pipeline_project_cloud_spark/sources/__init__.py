@@ -4,6 +4,9 @@ from .catalog import (
     load_table,
     load_tables,
     read_csv_strict,
+    read_csv_with_badrecords,
+    read_jdbc,
+    write_jdbc,
     write_overwrite,
 )
 
@@ -13,5 +16,8 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv_strict",
+    "read_csv_with_badrecords",
+    "read_jdbc",
+    "write_jdbc",
     "write_overwrite",
 ]

@@ -81,6 +81,25 @@ def read_csv_strict(spark: SparkSession, path: str, schema: T.StructType,
     )
 
 
+def read_csv_with_badrecords(spark: SparkSession, path: str,
+                             schema: T.StructType,
+                             header: bool = True) -> DataFrame:
+    """CSV ingest that CAPTURES malformed rows instead of silently
+    nulling (PERMISSIVE default) or dying mid-job (FAILFAST): rows
+    that don't parse land whole in ``_corrupt_record`` for a
+    quarantine split.  At 100 TB a single bad row must neither kill a
+    9-hour load nor vanish — route the quarantine to its own sink and
+    alert on its count."""
+    full = schema.add(T.StructField("_corrupt_record", T.StringType()))
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str,
               partition_column: str | None = None,
               lower_bound: int | None = None, upper_bound: int | None = None,

@@ -1,0 +1,71 @@
+"""foreachBatch upsert sink and corrupt-record CSV ingestion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_pipeline_project_cloud_spark.sources import (
+    load_table,
+    read_csv_with_badrecords,
+)
+from data_engineering_pipeline_project_cloud_spark.streaming.events import (
+    stream_user_lifetime_stats,
+)
+from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+    keyed_upsert_writer,
+    run_foreach_batch,
+)
+
+
+def test_foreach_batch_upsert_latest_per_key(spark, sf_dir, tmp_path):
+    """Stream the stateful lifetime aggregation through a foreachBatch
+    keyed upsert over multiple micro-batches: the sink table must hold
+    exactly one (latest) row per user, equal to the batch answer."""
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp_path / "state_table")
+    run_foreach_batch(
+        stream_user_lifetime_stats(stream),
+        keyed_upsert_writer(sink, ["user_id"], "n_events"),
+        str(tmp_path / "ckpt"))
+
+    table = spark.read.parquet(sink)
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"),
+                  F.max("ts").alias("last_seen")))
+    assert table.count() == batch.count()  # one row per user
+    joined = table.alias("t").join(batch.alias("b"), "user_id")
+    mismatches = joined.filter(
+        (F.col("t.n_events") != F.col("b.n_events"))
+        | (F.col("t.total_value") != F.col("b.total_value"))
+        | (F.col("t.last_seen") != F.col("b.last_seen"))).count()
+    assert mismatches == 0
+
+
+def test_read_csv_quarantines_bad_records(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,amount\n"
+        "1,10.5\n"
+        "not_an_int,3.25\n"     # id unparseable
+        "3,oops\n"              # amount unparseable
+        "4,7.0\n")
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    df = read_csv_with_badrecords(spark, str(p), schema).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 4]
+    assert bad.count() == 2
+    # quarantined rows keep their raw text for repair/audit
+    raws = {r["_corrupt_record"] for r in bad.collect()}
+    assert raws == {"not_an_int,3.25", "3,oops"}
+    df.unpersist()
