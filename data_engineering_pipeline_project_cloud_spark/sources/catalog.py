@@ -144,7 +144,8 @@ def write_jdbc(df: DataFrame, url: str, table: str,
 
 
 def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = None,
-                    sort_within_by: list[str] | None = None) -> None:
+                    sort_within_by: list[str] | None = None,
+                    coalesce_files: int | None = None) -> None:
     """Idempotent full-overwrite sink (S3/S5; ``scripts/main.py:55-62``,
     ``scripts/transform-complex-full.py:17``).
 
@@ -153,7 +154,19 @@ def write_overwrite(df: DataFrame, path: str, partition_by: list[str] | None = N
     layout: partition pruning + parquet min/max stats give data
     skipping.  ``sort_within_by`` clusters rows inside files so
     row-group stats are selective (S6 analog).
+
+    ``coalesce_files`` bounds output file count — the small-files
+    problem: a 32-reducer job writing into 200 hive partitions emits
+    up to 6400 files; downstream listing + open costs then dominate
+    scans.  Repartitioning ON the partition columns puts each hive
+    partition's rows into few tasks (one file per partition per
+    task).  AQE coalescing helps shuffle sizes, not file fanout.
     """
+    if coalesce_files:
+        if partition_by:
+            df = df.repartition(coalesce_files, *[F.col(c) for c in partition_by])
+        else:
+            df = df.repartition(coalesce_files)
     if sort_within_by:
         df = df.sortWithinPartitions(*sort_within_by)
     writer = df.write.mode("overwrite")

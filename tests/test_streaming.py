@@ -120,6 +120,26 @@ def test_stateful_survives_multiple_microbatches(spark, sf_dir, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+def test_stream_quality_filter_matches_batch(spark, sf_dir, tmp_path):
+    """The LLM-data quality filter composed with streaming: identical
+    rows to the batch operator."""
+    from data_engineering_pipeline_project_cloud_spark.operators import (
+        textstats as tx,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from data_engineering_pipeline_project_cloud_spark.streaming.documents import (
+        read_documents_stream,
+        stream_quality_filter,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    run_available_now(stream_quality_filter(stream), "t_quality",
+                      str(tmp_path / "ckpt"), output_mode="append")
+    batch_scored = tx.quality_score(load_table(spark, sf_dir, "documents"))
+    batch = batch_scored.filter(batch_scored["quality"] >= 0.7)
+    _compare(batch, spark, "t_quality")
+
+
 def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     """Duplicate the whole events table (simulated at-least-once
     redelivery) and stream it through dropDuplicatesWithinWatermark:
