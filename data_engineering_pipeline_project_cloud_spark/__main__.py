@@ -1,0 +1,60 @@
+"""CLI — the analog of the reference's ``python pipeline.py`` entry
+point (``scripts/pipeline.py:4-18``), plus query execution.
+
+    python -m data_engineering_pipeline_project_cloud_spark pipeline --sf-dir DIR --out DIR
+    python -m data_engineering_pipeline_project_cloud_spark query NAME --sf-dir DIR [-n 20]
+    python -m data_engineering_pipeline_project_cloud_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="data_engineering_pipeline_project_cloud_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("pipeline", help="run the 3-stage ELT pipeline")
+    pp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pp.add_argument("--out", required=True)
+
+    qp = sub.add_parser("query", help="run one registry query")
+    qp.add_argument("name")
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    qp.add_argument("-n", type=int, default=20, help="rows to show")
+
+    sub.add_parser("list", help="list registry queries")
+
+    args = p.parse_args(argv)
+
+    from .plans import all_oracle_sql, all_queries
+
+    if args.cmd == "list":
+        oracle = all_oracle_sql()
+        for name in sorted(all_queries()):
+            print(f"{name}  [{'oracle' if name in oracle else 'rows-only'}]")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    if args.cmd == "pipeline":
+        from .etl import run_pipeline
+
+        report = run_pipeline(spark, args.sf_dir, args.out)
+        print(json.dumps(report))
+        return 0
+
+    qs = all_queries()
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    qs[args.name](spark, args.sf_dir).show(args.n, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
