@@ -164,6 +164,69 @@ def scrub_text(docs: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Sliding-window chunking for training/RAG: split each document
+    into ``chunk_tokens``-token windows advancing by
+    ``chunk_tokens - overlap``.  Window starts are computed by index
+    arithmetic and exploded — one output row per chunk; the token
+    array is built once per document."""
+    stride = chunk_tokens - overlap
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    # start indices 1, 1+stride, ... while start <= max(n - overlap, 1)
+    # (the last window may be short; empty tails beyond n are excluded)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    starts = F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                         lambda i: i * stride + 1)
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s, chunk_tokens))
+    out = docs.select(
+        F.col(id_col),
+        n.cast("long").alias("doc_tokens"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+    )
+    return out.select(
+        id_col, "doc_tokens",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        F.size("chunk_toks").cast("long").alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   budget: int = 2048) -> DataFrame:
+    """Greedy sequence packing: assign documents (in deterministic id
+    order) to training sequences so each sequence holds ~``budget``
+    tokens — running token total over the canonical order, sequence id
+    = which budget bucket the document's span falls in.  One window
+    pass; the global order is a single-reducer sort at this grain
+    (documents are pre-aggregated rows, not raw text — fine far beyond
+    test scale; shard-parallel packing would partition by hash(doc)
+    first and pack within shards)."""
+    from pyspark.sql import Window
+
+    toks = F.size(_tokens(F.col(text_col))).cast("long")
+    w = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0)
+    sized = docs.select(F.col(id_col), toks.alias("n_tokens"))
+    with_cum = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        with_cum.withColumn(
+            "seq_id",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens"))
+                    / F.lit(budget)).cast("long"))
+        .groupBy("seq_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("seq_tokens"),
+             F.min(id_col).alias("first_doc"),
+             F.max(id_col).alias("last_doc"))
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", gram_chars: int = 8) -> DataFrame:
     """Document fingerprint via rolling char-n-gram hashing (winnowing

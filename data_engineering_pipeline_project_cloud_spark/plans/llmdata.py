@@ -147,6 +147,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+PACK_BUDGET = 2048
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.chunk_documents(_docs(spark, sf_dir),
+                              chunk_tokens=CHUNK_TOKENS,
+                              overlap=CHUNK_OVERLAP)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.pack_sequences(_docs(spark, sf_dir), budget=PACK_BUDGET)
+
+
 def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by content-independent
     key hash (90/5/5): the reproducible-split pattern — any engine, any
@@ -444,6 +459,52 @@ ORACLE_SQL: dict[str, str] = {
             list_sum(list_transform(generate_series(1, len(a.v)),
                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.4
     """,
+    "chunk_documents": f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n,
+                   CAST(greatest(ceil((len({_TOKENS}) - {CHUNK_OVERLAP})
+                        / {CHUNK_TOKENS - CHUNK_OVERLAP}.0), 1) AS INT) AS nc
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, n, toks, unnest(range(0, nc)) AS chunk_idx
+            FROM base
+        ),
+        expanded AS (
+            SELECT doc_id, n, chunk_idx,
+                   list_slice(toks,
+                       chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1,
+                       chunk_idx * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS})
+                       AS ct
+            FROM idx
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS doc_tokens,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               array_to_string(ct, ' ') AS chunk_text,
+               CAST(len(ct) AS BIGINT) AS chunk_tokens
+        FROM expanded
+    """,
+    "pack_sequences": f"""
+        WITH sized AS (
+            SELECT doc_id, CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM sized
+        )
+        SELECT CAST(floor((cum_tokens - n_tokens) / {PACK_BUDGET}) AS BIGINT)
+                   AS seq_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM cum GROUP BY 1
+    """,
     "dataset_splits": f"""
         WITH assigned AS (
             SELECT CASE
@@ -533,6 +594,8 @@ QUERIES = {
     "scrub_text": scrub_text,
     "dataset_splits": dataset_splits,
     "vocab_stats": vocab_stats,
+    "chunk_documents": chunk_documents,
+    "pack_sequences": pack_sequences,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
