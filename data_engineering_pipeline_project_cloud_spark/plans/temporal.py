@@ -133,6 +133,34 @@ def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per user, a dense hourly
+    grid from their first to last event, zero-filled where no events
+    landed — the regularization step before any per-entity time-series
+    model.  The grid is generated per user with ``sequence()`` and
+    exploded (grid rows ≪ event rows when activity is bursty), then
+    left-joined to the hourly aggregate.  Restricted to 20 users so
+    the oracle compare stays small; the plan is user-count-invariant."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                   F.sum(money("value")).cast("decimal(18,2)").alias("sum_value")))
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_hour"),
+        F.date_trunc("hour", F.max("ts")).alias("last_hour"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("first_hour", "last_hour",
+                             F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    return (grid.join(hourly, ["user_id", "hour"], "left")
+            .select("user_id", "hour",
+                    F.coalesce("n_events", F.lit(0)).cast("long")
+                    .alias("n_events"),
+                    F.coalesce("sum_value", F.lit(0).cast("decimal(18,2)"))
+                    .cast("decimal(18,2)").alias("sum_value")))
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel view → click → purchase: each
     stage's timestamp must be at or after the previous stage's FIRST
@@ -167,6 +195,33 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "resample_fill_hourly": """
+        WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+        hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2))
+                       AS sum_value
+            FROM ev GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id,
+                   date_trunc('hour', MIN(ts)) AS first_hour,
+                   date_trunc('hour', MAX(ts)) AS last_hour
+            FROM ev GROUP BY user_id
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(range(first_hour, last_hour + INTERVAL 1 HOUR,
+                                INTERVAL 1 HOUR)) AS hour
+            FROM span
+        )
+        SELECT g.user_id, CAST(g.hour AS TIMESTAMP) AS hour,
+               CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+               CAST(COALESCE(h.sum_value, 0) AS DECIMAL(18,2)) AS sum_value
+        FROM grid g
+        LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
     "event_funnel": """
         WITH s1 AS (
             SELECT user_id,
@@ -264,6 +319,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "resample_fill_hourly": resample_fill_hourly,
     "event_funnel": event_funnel,
     "click_purchase_correlation": click_purchase_correlation,
     "tumbling_hourly_events": tumbling_hourly_events,
