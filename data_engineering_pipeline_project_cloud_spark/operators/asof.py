@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 
 def asof_join_native(left: DataFrame, right: DataFrame, on_left: str,
                      on_right: str, by_left: str, by_right: str,
-                     value_cols: list[str]) -> DataFrame:
+                     value_cols: list[str],
+                     tolerance_seconds: float | None = None) -> DataFrame:
     """Backward as-of join (exact matches allowed, left-outer) as pure
     DataFrame ops: tag and union both sides, then per entity key one
     ordered window takes the most recent right-side values at or
@@ -40,6 +41,10 @@ def asof_join_native(left: DataFrame, right: DataFrame, on_left: str,
     as ``asof_join``.  One shuffle on the entity key + in-partition
     sort; at 100 TB this is strictly cheaper than the cogrouped pandas
     path (no Arrow transfer, stays in codegen).
+
+    ``tolerance_seconds``: like ``merge_asof(tolerance=...)`` — a
+    match older than the tolerance is nulled out (stale
+    point-in-time data treated as no data).
     """
     from pyspark.sql import Window
 
@@ -61,10 +66,20 @@ def asof_join_native(left: DataFrame, right: DataFrame, on_left: str,
          .orderBy(F.col("__t").asc(), F.col("__is_right").desc())
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = unioned.select(
-        "__is_right", *left_cols,
+        "__is_right", "__t", *left_cols,
+        F.last(F.when(F.col("__is_right") == 1, F.col("__t")),
+               ignorenulls=True).over(w).alias("__match_t"),
         *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c)
           for c in value_cols])
-    return filled.filter(F.col("__is_right") == 0).drop("__is_right")
+    out = filled.filter(F.col("__is_right") == 0)
+    if tolerance_seconds is not None:
+        stale = (F.col("__t").cast("double")
+                 - F.col("__match_t").cast("double")) > tolerance_seconds
+        out = out.select(
+            "__is_right", "__t", *left_cols, "__match_t",
+            *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+              for c in value_cols])
+    return out.drop("__is_right", "__t", "__match_t")
 
 
 def asof_join(left: DataFrame, right: DataFrame, on_left: str, on_right: str,

@@ -133,6 +133,28 @@ def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOLERANCE_DAYS = 30
+
+
+def asof_events_orders_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with staleness bound: matches older than 30 days are
+    treated as no data (merge_asof ``tolerance`` semantics) — the
+    point-in-time-correctness rule for feature stores."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderkey").alias("order_id"))
+    dedup = orders.groupBy("user_id", "order_date").agg(
+        F.max("order_id").alias("order_id"))
+    return asof_join_native(
+        ev, dedup, on_left="ts", on_right="order_date",
+        by_left="user_id", by_right="user_id",
+        value_cols=["order_date", "order_id"],
+        tolerance_seconds=TOLERANCE_DAYS * 86400.0)
+
+
 def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap fill: per user, a dense hourly
     grid from their first to last event, zero-filled where no events
@@ -304,6 +326,21 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
         FROM ids GROUP BY user_id, session_seq
     """,
+    "asof_events_orders_tolerance": """
+        WITH dedup AS (
+            SELECT o_custkey AS user_id, o_orderdate AS order_date,
+                   MAX(o_orderkey) AS order_id
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.ts, e.user_id, e.event_type,
+               CASE WHEN EPOCH(e.ts) - EPOCH(d.order_date) > 2592000.0
+                    THEN NULL ELSE d.order_date END AS order_date,
+               CASE WHEN EPOCH(e.ts) - EPOCH(d.order_date) > 2592000.0
+                    THEN NULL ELSE d.order_id END AS order_id
+        FROM events e
+        ASOF LEFT JOIN dedup d
+          ON e.user_id = d.user_id AND e.ts >= d.order_date
+    """,
     "asof_events_orders": """
         WITH dedup AS (
             SELECT o_custkey AS user_id, o_orderdate AS order_date,
@@ -326,4 +363,5 @@ QUERIES = {
     "sliding_events": sliding_events,
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
+    "asof_events_orders_tolerance": asof_events_orders_tolerance,
 }

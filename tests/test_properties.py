@@ -69,6 +69,37 @@ def test_asof_native_matches_bruteforce(spark, left, right):
 
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
+@given(n_tokens=st.integers(1, 300))
+def test_chunking_covers_every_token(spark, n_tokens):
+    """Every token appears in some chunk; consecutive chunks overlap
+    by exactly the configured amount (except a short final chunk);
+    concatenating chunks at the stride reconstructs the document."""
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(chunk_documents(df, chunk_tokens=64, overlap=16).collect(),
+                  key=lambda r: r["chunk_idx"])
+    stride = 64 - 16
+    rebuilt = []
+    for r in rows:
+        toks = r["chunk_text"].split(" ")
+        assert r["chunk_tokens"] == len(toks) <= 64
+        assert toks[0] == f"t{r['chunk_idx'] * stride}"  # window start
+        rebuilt.extend(toks[:stride] if r is not rows[-1] else toks)
+    # dedupe the tail overlap between last two windows
+    expect = [f"t{i}" for i in range(n_tokens)]
+    assert rebuilt[:n_tokens] == expect
+    covered = set()
+    for r in rows:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == set(expect)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
 @given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(-5, 5),
                                st.integers(0, 9)), min_size=1, max_size=20))
 def test_top1_per_group_matches_bruteforce(spark, rows):
