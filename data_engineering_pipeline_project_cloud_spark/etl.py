@@ -58,6 +58,22 @@ def run_dim_build(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     return spark.read.parquet(f"{out_dir}/dim_locations").count()
 
 
+def run_quality_gate(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """Stage 2.5 — data contracts: the expectation suite over the
+    sources; ANY violation aborts the pipeline before the expensive
+    master build (the reference relies on Postgres constraints to
+    reject bad data at load time — this is the explicit, earlier
+    equivalent)."""
+    from .plans.relational import data_quality_report
+
+    report = {r["check"]: r["n_violations"]
+              for r in data_quality_report(spark, sf_dir).collect()}
+    violations = {k: v for k, v in report.items() if v > 0}
+    if violations:
+        raise ValueError(f"data-quality gate failed: {violations}")
+    return report
+
+
 def run_master_build(spark: SparkSession, sf_dir: str, out_dir: str) -> int:
     """Stage 3 — the complex transform
     (``scripts/transform-complex-full.py``): wide fact build, grain
@@ -74,6 +90,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     for name, fn in (
         ("raw_load", lambda: run_raw_load(spark, sf_dir, out_dir)),
         ("dim_build", lambda: run_dim_build(spark, sf_dir, out_dir)),
+        ("quality_gate", lambda: run_quality_gate(spark, sf_dir)),
         ("master_build", lambda: run_master_build(spark, sf_dir, out_dir)),
     ):
         t0 = time.perf_counter()

@@ -99,21 +99,36 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
 
 
 def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
-                 num_planes: int = 6, id_col: str = "vec_id",
+                 num_planes: int = 6, multiprobe: bool = False,
+                 id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket (single-probe).  At 100 TB the corpus is written bucketed
+    bucket.  At 100 TB the corpus is written bucketed
     (``partitionBy(bucket)``) so a query touches one partition — this
-    function expresses the same plan over the raw table."""
+    function expresses the same plan over the raw table.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (flip each sign bit once): recall
+    rises sharply — a near-neighbor differing in one hyperplane sign
+    is the COMMON miss — while candidates grow only
+    (num_planes+1)/2^num_planes of the corpus."""
     from pyspark.sql import Window
 
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col),
         lsh_bucket(F.col(vec_col), num_planes).alias("bucket"))
-    q = F.broadcast(
-        bucketed.filter(F.col(id_col).isin(query_ids))
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-                F.col("bucket")))
+    q_base = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("bucket"))
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+              for p in range(num_planes)])
+        q_base = q_base.select(
+            "query_id", "qv",
+            F.explode(probe_buckets).alias("bucket"))
+    q = F.broadcast(q_base)
     cand = bucketed.select(F.col(id_col).alias("candidate_id"),
                            F.col(vec_col).alias("cv"), "bucket")
     sims = (
@@ -122,6 +137,8 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", "candidate_id",
                 F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"))
     )
+    if multiprobe:  # a candidate can match via several probed buckets
+        sims = sims.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("candidate_id").asc())
     return (

@@ -139,6 +139,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_T)
 
 
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (probes the query bucket + all Hamming-1
+    neighbors) — no oracle; recall-vs-single-probe pytest-asserted."""
+    return sim.lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK,
+        multiprobe=True)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (scale path #2 next to LSH) — no oracle;
     recall + cosine-exactness pytest-asserted."""
@@ -598,6 +606,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_norms": embedding_norms,

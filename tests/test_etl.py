@@ -19,10 +19,14 @@ def test_pipeline_end_to_end_and_idempotent(spark, sf_dir, tmp_path):
     out = str(tmp_path / "warehouse")
     report = run_pipeline(spark, sf_dir, out)
     stages = {s["stage"]: s["result"] for s in report["stages"]}
-    assert set(stages) == {"raw_load", "dim_build", "master_build"}
+    assert set(stages) == {"raw_load", "dim_build", "quality_gate",
+                           "master_build"}
     assert stages["raw_load"]["lineitem"] > 0
     assert stages["dim_build"] > 0
     assert stages["master_build"] > 0
+    # the gate ran every contract and found the sources clean
+    assert stages["quality_gate"] and all(
+        v == 0 for v in stages["quality_gate"].values())
 
     master = spark.read.parquet(f"{out}/master_table")
     assert_unique_key(master, ["order_id", "order_item_id"])

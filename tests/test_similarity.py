@@ -76,6 +76,24 @@ def test_ivf_assignment_partitions_corpus(spark, sf_dir):
     assert 1 <= n_cells <= 16
 
 
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Hamming-1 multi-probe must never lose recall vs single-probe
+    (its candidate set is a superset) and should typically gain."""
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        ann_lsh_multiprobe_topk,
+    )
+
+    exact = {(r["query_id"], r["candidate_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    single = {(r["query_id"], r["candidate_id"])
+              for r in ann_lsh_topk(spark, sf_dir).collect()}
+    multi = {(r["query_id"], r["candidate_id"])
+             for r in ann_lsh_multiprobe_topk(spark, sf_dir).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+
+
 def test_ann_recall_nonzero_and_ranked(spark, sf_dir):
     exact = {(r["query_id"], r["candidate_id"])
              for r in cosine_topk(spark, sf_dir).collect()}
