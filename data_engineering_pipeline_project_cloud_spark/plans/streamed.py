@@ -55,6 +55,28 @@ def streaming_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter("__rn = 1").drop("__rn"))
 
 
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched with the static
+    customer dimension (broadcast per micro-batch, no state, no
+    watermark) — the standard streaming dimension lookup.  The static
+    side is re-resolvable every batch, so slowly-changing dims pick
+    up updates between batches."""
+    from pyspark.sql import functions as F
+
+    from ..sources import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_key")))
+    enriched = (ev.join(cust, "user_id", "left")
+                .select("event_id", "user_id", "event_type",
+                        "segment", "nation_key"))
+    return _drain(enriched, spark, mode="append")
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked exactly-once dedup through the real engine (the
     source has unique event_ids, so output == conformed input; the
@@ -72,6 +94,13 @@ def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "streaming_enriched_events": """
+        SELECT e.event_id, e.user_id, e.event_type,
+               c.c_mktsegment AS segment,
+               c.c_nationkey AS nation_key
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
     "streaming_dedup": """
         SELECT event_id, ts, user_id, event_type,
                CAST(value AS DECIMAL(12,2)) AS value
@@ -127,6 +156,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "streaming_enriched_events": streaming_enriched_events,
     "streaming_dedup": streaming_dedup,
     "streaming_click_purchase": streaming_click_purchase,
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
