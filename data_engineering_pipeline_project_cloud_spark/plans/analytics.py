@@ -142,6 +142,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority analog (q12 shape): join + conditional
+    counts via CASE inside SUM — the classic pivot-free categorical
+    breakdown."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+             .alias("high_priority_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+             .alias("low_priority_count"))
+    )
+
+
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
@@ -197,6 +214,15 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, customer_id ASC
         LIMIT 20
     """,
+    "q12_priority_by_status": """
+        SELECT l_linestatus AS line_status,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus
+    """,
     "q18_large_orders": """
         WITH big AS (
             SELECT l_orderkey,
@@ -218,5 +244,6 @@ QUERIES = {
     "q3_top_orders": q3_top_orders,
     "q5_region_volume": q5_region_volume,
     "q10_returned_revenue": q10_returned_revenue,
+    "q12_priority_by_status": q12_priority_by_status,
     "q18_large_orders": q18_large_orders,
 }

@@ -345,6 +345,44 @@ def string_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: sample stddev/variance, Pearson
+    correlation, sample covariance (built-ins — estimators agree
+    cross-engine), plus population skewness/kurtosis computed from raw
+    power sums.  Built-in skewness/kurtosis differ ~1e-4 between
+    engines (bias-correction variants), so those two are spelled as
+    the SAME power-sum formula on both sides — which is also the
+    single-pass, partially-aggregatable form you'd want at 100 TB.
+    Rounded to 4 dp against summation-order noise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("double")
+    price = F.col("l_extendedprice").cast("double")
+    grouped = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp(price), 4).alias("price_stddev"),
+        F.round(F.var_samp(price), 4).alias("price_var"),
+        F.round(F.corr(qty, price), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp(qty, price), 4).alias("qty_price_covar"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(price).alias("s1"),
+        F.sum(price * price).alias("s2"),
+        F.sum(price * price * price).alias("s3"),
+        F.sum(price * price * price * price).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * F.col("s2") / F.col("n") \
+        + 2 * mu * mu * mu
+    m4 = (F.col("s4") / F.col("n") - 4 * mu * F.col("s3") / F.col("n")
+          + 6 * mu * mu * F.col("s2") / F.col("n") - 3 * mu * mu * mu * mu)
+    return grouped.select(
+        "l_returnflag", "price_stddev", "price_var",
+        F.round(m3 / F.pow(m2, 1.5), 4).alias("price_skew"),
+        F.round(m4 / (m2 * m2) - 3.0, 4).alias("price_kurt"),
+        "qty_price_corr", "qty_price_covar",
+        F.col("n").cast("long").alias("n_rows"),
+    )
+
+
 def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous percentiles (median / p90) per group — the
     sort-based exact form; the 100 TB path is approx_percentile
@@ -489,6 +527,44 @@ ORACLE_SQL: dict[str, str] = {
                CAST(length(p_name) AS BIGINT) AS name_len,
                upper(reverse(p_brand)) AS brand_rev
         FROM part
+    """,
+    "stats_moments": """
+        WITH g AS (
+            SELECT l_returnflag,
+                   CAST(round(stddev_samp(CAST(l_extendedprice AS DOUBLE)), 4)
+                        AS DOUBLE) AS price_stddev,
+                   CAST(round(var_samp(CAST(l_extendedprice AS DOUBLE)), 4)
+                        AS DOUBLE) AS price_var,
+                   CAST(round(corr(CAST(l_quantity AS DOUBLE),
+                                   CAST(l_extendedprice AS DOUBLE)), 4)
+                        AS DOUBLE) AS qty_price_corr,
+                   CAST(round(covar_samp(CAST(l_quantity AS DOUBLE),
+                                         CAST(l_extendedprice AS DOUBLE)), 4)
+                        AS DOUBLE) AS qty_price_covar,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(CAST(l_extendedprice AS DOUBLE)) AS s1,
+                   SUM(CAST(l_extendedprice AS DOUBLE)
+                       * CAST(l_extendedprice AS DOUBLE)) AS s2,
+                   SUM(CAST(l_extendedprice AS DOUBLE)
+                       * CAST(l_extendedprice AS DOUBLE)
+                       * CAST(l_extendedprice AS DOUBLE)) AS s3,
+                   SUM(CAST(l_extendedprice AS DOUBLE)
+                       * CAST(l_extendedprice AS DOUBLE)
+                       * CAST(l_extendedprice AS DOUBLE)
+                       * CAST(l_extendedprice AS DOUBLE)) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, price_stddev, price_var,
+               CAST(round((s3/n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n))
+                    / pow(s2/n - (s1/n)*(s1/n), 1.5), 4) AS DOUBLE)
+                   AS price_skew,
+               CAST(round((s4/n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+                           - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+                    / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0,
+                    4) AS DOUBLE) AS price_kurt,
+               qty_price_corr, qty_price_covar,
+               CAST(n AS BIGINT) AS n_rows
+        FROM g
     """,
     "percentile_prices": """
         SELECT l_returnflag,
@@ -681,6 +757,7 @@ QUERIES = {
     "correlated_max_item_price": correlated_max_item_price,
     "string_functions_part": string_functions_part,
     "percentile_prices": percentile_prices,
+    "stats_moments": stats_moments,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "argmax_customer_by_nation": argmax_customer_by_nation,
     "semi_join_customers": semi_join_customers,
