@@ -159,6 +159,26 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-effect analog (q14 shape): LIKE-pattern dim predicate
+    feeding a conditional revenue ratio — decimal sums for the parts,
+    one double division at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("product_id"), "p_type"))
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    joined = li.join(part, li["l_partkey"] == part["product_id"])
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
+        F.lit(0).cast("decimal(18,4)"))
+    return joined.agg(
+        F.sum(promo).cast("decimal(18,4)").alias("promo_revenue"),
+        F.sum(revenue).cast("decimal(18,4)").alias("total_revenue"),
+        F.round(F.sum(promo).cast("double") * 100.0
+                / F.sum(revenue).cast("double"), 6).alias("promo_pct"),
+    )
+
+
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
@@ -214,6 +234,18 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, customer_id ASC
         LIMIT 20
     """,
+    "q14_promo_effect": f"""
+        SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_MONEY_REV}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END)
+                    AS DECIMAL(18,4)) AS promo_revenue,
+               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS total_revenue,
+               CAST(round(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_MONEY_REV}
+                                        ELSE CAST(0 AS DECIMAL(18,4)) END)
+                               AS DOUBLE) * 100.0
+                          / CAST(SUM({_MONEY_REV}) AS DOUBLE), 6) AS DOUBLE)
+                   AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
     "q12_priority_by_status": """
         SELECT l_linestatus AS line_status,
                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -245,5 +277,6 @@ QUERIES = {
     "q5_region_volume": q5_region_volume,
     "q10_returned_revenue": q10_returned_revenue,
     "q12_priority_by_status": q12_priority_by_status,
+    "q14_promo_effect": q14_promo_effect,
     "q18_large_orders": q18_large_orders,
 }
