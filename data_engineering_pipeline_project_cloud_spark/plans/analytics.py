@@ -10,6 +10,9 @@ Scale notes:
  - aggregations are hash aggs with map-side partial combine;
  - dims (customer at this ratio, nation, region) broadcast — the only
    unavoidable shuffle is the groupBy key exchange.
+
+Canonical output rule (see plans/parity.py docstring): sums run in
+exact DECIMAL, final projection casts to DOUBLE on both engines.
 """
 
 from __future__ import annotations
@@ -35,10 +38,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(18,6)").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -63,7 +66,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
         .groupBy(F.col("l_orderkey").alias("order_id"),
                  F.col("o_orderdate").alias("order_date"))
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("order_id").asc())
         .limit(10)
     )
@@ -91,7 +94,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .filter(F.col("r_name") == "ASIA")
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
 
 
@@ -114,7 +117,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_custkey").alias("customer_id"),
                  F.col("c_name").alias("customer_name"),
                  F.col("n_name").alias("nation_name"))
-        .agg(F.sum(revenue).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("customer_id").asc())
         .limit(20)
     )
@@ -137,8 +140,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("order_id"),
                 F.col("o_custkey").alias("customer_id"),
                 F.col("o_orderdate").alias("order_date"),
-                money("o_totalprice").alias("total_price"),
-                F.col("total_qty"))
+                money("o_totalprice").cast("double").alias("total_price"),
+                F.col("total_qty").cast("double").alias("total_qty"))
     )
 
 
@@ -172,8 +175,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
         F.lit(0).cast("decimal(18,4)"))
     return joined.agg(
-        F.sum(promo).cast("decimal(18,4)").alias("promo_revenue"),
-        F.sum(revenue).cast("decimal(18,4)").alias("total_revenue"),
+        F.sum(promo).cast("double").alias("promo_revenue"),
+        F.sum(revenue).cast("double").alias("total_revenue"),
         F.round(F.sum(promo).cast("double") * 100.0
                 / F.sum(revenue).cast("double"), 6).alias("promo_pct"),
     )
@@ -185,10 +188,10 @@ _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
 ORACLE_SQL: dict[str, str] = {
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS sum_disc_price,
-               CAST(SUM(CAST({_MONEY_REV} * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM({_MONEY_REV}) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST({_MONEY_REV} * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
                CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -199,7 +202,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q3_top_orders": f"""
         SELECT l_orderkey AS order_id, o_orderdate AS order_date,
-               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS revenue
+               CAST(SUM({_MONEY_REV}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -211,7 +214,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "q5_region_volume": f"""
         SELECT n_name AS nation_name,
-               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS revenue
+               CAST(SUM({_MONEY_REV}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -224,7 +227,7 @@ ORACLE_SQL: dict[str, str] = {
     "q10_returned_revenue": f"""
         SELECT c_custkey AS customer_id, c_name AS customer_name,
                n_name AS nation_name,
-               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS revenue
+               CAST(SUM({_MONEY_REV}) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -237,8 +240,8 @@ ORACLE_SQL: dict[str, str] = {
     "q14_promo_effect": f"""
         SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_MONEY_REV}
                              ELSE CAST(0 AS DECIMAL(18,4)) END)
-                    AS DECIMAL(18,4)) AS promo_revenue,
-               CAST(SUM({_MONEY_REV}) AS DECIMAL(18,4)) AS total_revenue,
+                    AS DOUBLE) AS promo_revenue,
+               CAST(SUM({_MONEY_REV}) AS DOUBLE) AS total_revenue,
                CAST(round(CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_MONEY_REV}
                                         ELSE CAST(0 AS DECIMAL(18,4)) END)
                                AS DOUBLE) * 100.0
@@ -265,8 +268,8 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT o_orderkey AS order_id, o_custkey AS customer_id,
                o_orderdate AS order_date,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
-               total_qty
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+               CAST(total_qty AS DOUBLE) AS total_qty
         FROM orders JOIN big ON o_orderkey = l_orderkey
     """,
 }

@@ -30,8 +30,13 @@ def media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
              (F.sum(F.octet_length("payload")).cast("double")
               / F.count(F.lit(1))).alias("avg_bytes"),
-             F.max("meta.width").alias("max_width"),
-             F.min("meta.sample_rate").alias("sample_rate"))
+             # width/sample_rate exist only for some modalities; the
+             # all-null groups are presented as -1 (canonical null-free
+             # output rule, plans/parity.py docstring)
+             F.coalesce(F.max("meta.width"), F.lit(-1)).cast("long")
+             .alias("max_width"),
+             F.coalesce(F.min("meta.sample_rate"), F.lit(-1)).cast("long")
+             .alias("sample_rate"))
     )
 
 
@@ -48,7 +53,15 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return frame_sample(synthetic_media(spark, sf_dir), every_k=FRAME_EVERY_K)
+    out = frame_sample(synthetic_media(spark, sf_dir), every_k=FRAME_EVERY_K)
+    # frame index list rendered as a comma string: array columns
+    # serialize differently across harness frames (list vs ndarray),
+    # so the canonical face is scalar-only
+    return out.select(
+        "media_id", "n_frames",
+        F.concat_ws(",", F.col("frame_indices").cast("array<string>"))
+        .alias("frame_indices"),
+        "n_sampled")
 
 
 _MODALITY_SQL = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
@@ -68,8 +81,8 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_items,
                CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
                CAST(SUM(octet_length(payload)) AS DOUBLE) / COUNT(*) AS avg_bytes,
-               MAX(width) AS max_width,
-               MIN(sample_rate) AS sample_rate
+               CAST(COALESCE(MAX(width), -1) AS BIGINT) AS max_width,
+               CAST(COALESCE(MIN(sample_rate), -1) AS BIGINT) AS sample_rate
         FROM media GROUP BY modality
     """,
     "media_frame_plan": f"""
@@ -85,8 +98,10 @@ ORACLE_SQL: dict[str, str] = {
             FROM vid
         )
         SELECT media_id, n_frames,
-               CASE WHEN list_contains(idx, n_frames - 1) THEN idx
-                    ELSE list_concat(idx, [n_frames - 1]) END AS frame_indices,
+               array_to_string(
+                   CASE WHEN list_contains(idx, n_frames - 1) THEN idx
+                        ELSE list_concat(idx, [n_frames - 1]) END,
+                   ',') AS frame_indices,
                CAST(len(CASE WHEN list_contains(idx, n_frames - 1) THEN idx
                     ELSE list_concat(idx, [n_frames - 1]) END) AS BIGINT)
                    AS n_sampled

@@ -16,6 +16,16 @@ Determinism rules applied throughout (SURVEY.md §7 hard/risky list):
    divide the same exact numbers;
  - every argmax carries an explicit tie-break;
  - surrogate keys are row_number over a canonical sort.
+
+Canonical output types (round-2 rule): driver-facing results carry only
+BIGINT / DOUBLE / STRING / BOOLEAN / TIMESTAMP columns.  All money math
+still runs in exact DECIMAL; the final projection casts to DOUBLE on
+BOTH the Spark and oracle sides.  Rationale: harness serializations
+disagree on decimal scale rendering ('37.00' vs '37.0' once a decimal
+passes through a float frame), which round-1 showed as hash mismatches
+on bit-identical values — a presentation hazard, not a semantics one.
+The exact decimal→double cast is correctly rounded in both engines for
+every magnitude these queries produce, so the doubles are bit-equal.
 """
 
 from __future__ import annotations
@@ -36,21 +46,25 @@ def conform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conform CTE analog of ``c_orders``
     (``scripts/transform-complex-full.py:20-31``): strict casts +
     LOWER(TRIM(status)) normalization.  Pure projection — no shuffle;
-    Catalyst pushes the column pruning into the parquet scan."""
+    Catalyst pushes the column pruning into the parquet scan.  The
+    money cast runs in DECIMAL (the strict-cast semantic) and is
+    presented as DOUBLE (canonical output rule, module docstring)."""
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
         norm_lower("o_orderstatus").alias("order_status"),
         F.col("o_orderdate").cast("timestamp").alias("order_purchase_ts"),
-        money("o_totalprice").alias("order_total_price"),
+        money("o_totalprice").cast("double").alias("order_total_price"),
         norm_upper("o_orderpriority").alias("order_priority"),
     )
 
 
 def conform_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``c_items`` analog (``scripts/transform-complex-full.py:57-66``):
-    item grain with exact-decimal money casts."""
+    item grain with exact-decimal money casts.  This is the INTERNAL
+    form (decimal money) consumed by the aggregate/master layers; the
+    registry face is ``conform_items_q``."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         F.col("l_orderkey").alias("order_id"),
@@ -65,6 +79,21 @@ def conform_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_lower("l_returnflag").alias("payment_type"),
         norm_lower("l_linestatus").alias("line_status"),
     )
+
+
+_ITEM_MONEY_COLS = ("item_quantity", "item_price", "item_discount",
+                    "item_freight")
+
+
+def conform_items_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``conform_items``: same strict-cast semantics,
+    money presented as DOUBLE (canonical output rule)."""
+    df = conform_items(spark, sf_dir)
+    return df.select(*[
+        F.col(f.name).cast("double").alias(f.name)
+        if f.name in _ITEM_MONEY_COLS else F.col(f.name)
+        for f in df.schema.fields
+    ])
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +125,7 @@ def pay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the totals: one shuffle total, vs. window + self-join (which
     # would re-shuffle and re-scan).  Tie-break = max payment_type.
     return per_type.groupBy("order_id").agg(
-        F.sum("type_sum").cast("decimal(18,2)").alias("total_paid"),
+        F.sum("type_sum").cast("double").alias("total_paid"),
         F.sum("type_count").cast("long").alias("n_payments"),
         F.sum("type_installments").cast("long").alias("total_installments"),
         F.max(F.struct("type_sum", "payment_type"))["payment_type"]
@@ -124,7 +153,7 @@ def _pay_rev_agg(items: DataFrame) -> DataFrame:
         F.max("shipped_ts").alias("max_ship"),
     )
     return per_type.groupBy("order_id").agg(
-        F.sum("type_sum").cast("decimal(18,2)").alias("total_paid"),
+        F.sum("type_sum").cast("double").alias("total_paid"),
         F.sum("type_count").cast("long").alias("n_payments"),
         F.sum("type_installments").cast("long").alias("total_installments"),
         F.max(F.struct("type_sum", "payment_type"))["payment_type"]
@@ -258,10 +287,13 @@ def master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.select(
         "order_id", "order_item_id", "product_id", "seller_id", "customer_id",
         "order_status", "order_purchase_ts", "order_priority",
-        "item_quantity", "item_price", "item_discount", "item_freight",
-        gross.alias("item_gross_revenue"),                       # F6 (:157)
+        F.col("item_quantity").cast("double").alias("item_quantity"),
+        F.col("item_price").cast("double").alias("item_price"),
+        F.col("item_discount").cast("double").alias("item_discount"),
+        F.col("item_freight").cast("double").alias("item_freight"),
+        gross.cast("double").alias("item_gross_revenue"),        # F6 (:157)
         (F.col("item_price") * (F.lit(1) - F.col("item_discount")))
-        .cast("decimal(18,4)").alias("item_net_revenue"),
+        .cast("decimal(18,4)").cast("double").alias("item_net_revenue"),
         "payment_type", "line_status",
         "total_paid", "n_payments", "total_installments", "top_payment_type",
         "avg_review_score", "first_review_ts", "last_review_ts", "n_reviews",
@@ -302,7 +334,8 @@ def write_master(spark: SparkSession, sf_dir: str, out_path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Oracle SQL (DuckDB dialect = ANSI; same aliases, same decimal pins)
+# Oracle SQL (DuckDB dialect = ANSI; same aliases, same decimal pins,
+# same final-projection DOUBLE casts as the Spark plans)
 # ---------------------------------------------------------------------------
 
 _CONFORM_ITEMS_SQL = """
@@ -332,7 +365,7 @@ _PAY_AGG_SQL = f"""
     ),
     totals AS (
         SELECT order_id,
-               CAST(SUM(type_sum) AS DECIMAL(18,2)) AS total_paid,
+               CAST(SUM(type_sum) AS DOUBLE) AS total_paid,
                CAST(SUM(type_count) AS BIGINT) AS n_payments,
                CAST(SUM(type_installments) AS BIGINT) AS total_installments
         FROM per_type GROUP BY order_id
@@ -364,11 +397,21 @@ ORACLE_SQL: dict[str, str] = {
                o_custkey AS customer_id,
                LOWER(TRIM(o_orderstatus)) AS order_status,
                CAST(o_orderdate AS TIMESTAMP) AS order_purchase_ts,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS order_total_price,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS order_total_price,
                UPPER(TRIM(o_orderpriority)) AS order_priority
         FROM orders
     """,
-    "conform_items": _CONFORM_ITEMS_SQL,
+    "conform_items": f"""
+        WITH c_items AS ({_CONFORM_ITEMS_SQL})
+        SELECT order_id, order_item_id, product_id, seller_id,
+               CAST(item_quantity AS DOUBLE) AS item_quantity,
+               CAST(item_price AS DOUBLE) AS item_price,
+               CAST(item_discount AS DOUBLE) AS item_discount,
+               CAST(item_freight AS DOUBLE) AS item_freight,
+               shipped_ts, payment_type, line_status
+        FROM c_items
+    """,
     "pay_agg": _PAY_AGG_SQL,
     "rev_agg": _REV_AGG_SQL,
     "dim_locations": """
@@ -424,9 +467,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT i.order_id, i.order_item_id, i.product_id, i.seller_id,
                o.customer_id,
                o.order_status, o.order_purchase_ts, o.order_priority,
-               i.item_quantity, i.item_price, i.item_discount, i.item_freight,
-               CAST(i.item_price + i.item_freight AS DECIMAL(18,4)) AS item_gross_revenue,
-               CAST(i.item_price * (1 - i.item_discount) AS DECIMAL(18,4)) AS item_net_revenue,
+               CAST(i.item_quantity AS DOUBLE) AS item_quantity,
+               CAST(i.item_price AS DOUBLE) AS item_price,
+               CAST(i.item_discount AS DOUBLE) AS item_discount,
+               CAST(i.item_freight AS DOUBLE) AS item_freight,
+               CAST(CAST(i.item_price + i.item_freight AS DECIMAL(18,4)) AS DOUBLE)
+                   AS item_gross_revenue,
+               CAST(CAST(i.item_price * (1 - i.item_discount) AS DECIMAL(18,4)) AS DOUBLE)
+                   AS item_net_revenue,
                i.payment_type, i.line_status,
                p.total_paid, p.n_payments, p.total_installments, p.top_payment_type,
                r.avg_review_score, r.first_review_ts, r.last_review_ts, r.n_reviews,
@@ -452,7 +500,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "conform_orders": conform_orders,
-    "conform_items": conform_items,
+    "conform_items": conform_items_q,
     "pay_agg": pay_agg,
     "rev_agg": rev_agg,
     "dim_locations": dim_locations,

@@ -16,7 +16,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from . import analytics, llmdata, media, parity, relational, streamed, temporal
-    return [parity, analytics, relational, llmdata, temporal, streamed, media]
+    # Registry order = the order the driver's correctness pass consumes
+    # queries, and that pass can be budget-capped (round 1 stopped after
+    # 50 of 78).  Modules whose faces had no round-1 evidence run first
+    # (temporal / streamed / media / the llmdata embedding+corpus half),
+    # then the reference-parity flagship and the rest.
+    return [temporal, streamed, media, llmdata, parity, analytics, relational]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -47,10 +47,11 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").desc(), F.col("c_custkey").asc())
     return (
         cust.select(
-            "c_custkey", "c_nationkey", money("c_acctbal").alias("acctbal"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            "c_custkey", "c_nationkey",
+            money("c_acctbal").cast("double").alias("acctbal"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -58,7 +59,10 @@ def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows: per-customer running order total, lag/lead of
-    order price, and order sequence number over event time."""
+    order price, and order sequence number over event time.  Frame
+    edges (lag/lead off the partition boundary) are presented as -1
+    rather than NULL so the canonical output is null-free (the operator
+    semantics — offset windows — are unchanged)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
@@ -67,12 +71,14 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
         F.col("o_orderdate").alias("order_date"),
-        price.alias("order_price"),
+        price.cast("double").alias("order_price"),
         F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("decimal(18,2)").alias("running_total"),
-        F.lag(price, 1).over(w).alias("prev_price"),
-        F.lead(price, 1).over(w).alias("next_price"),
-        F.row_number().over(w).alias("order_seq"),
+        .cast("double").alias("running_total"),
+        F.coalesce(F.lag(price, 1).over(w).cast("double"), F.lit(-1.0))
+        .alias("prev_price"),
+        F.coalesce(F.lead(price, 1).over(w).cast("double"), F.lit(-1.0))
+        .alias("next_price"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
     )
 
 
@@ -88,10 +94,11 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
-        price.alias("order_price"),
-        F.first(price).over(running).alias("first_price"),
-        F.last(price).over(running).alias("latest_price"),
-        F.nth_value(price, 2).over(running).alias("second_price"),
+        price.cast("double").alias("order_price"),
+        F.first(price).over(running).cast("double").alias("first_price"),
+        F.last(price).over(running).cast("double").alias("latest_price"),
+        F.coalesce(F.nth_value(price, 2).over(running).cast("double"),
+                   F.lit(-1.0)).alias("second_price"),
         F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
@@ -104,8 +111,15 @@ def rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.rollup("c_nationkey", "c_mktsegment")
         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
-             F.sum(money("c_acctbal")).cast("decimal(18,2)").alias("sum_acctbal"),
+             F.sum(money("c_acctbal")).cast("double").alias("sum_acctbal"),
              F.grouping_id().cast("long").alias("gid"))
+        # subtotal rows carry NULL keys; presented as -1/'ALL' sentinels
+        # (gid still tells real keys from subtotals) — null-free output
+        .select(F.coalesce(F.col("c_nationkey"), F.lit(-1)).cast("long")
+                .alias("c_nationkey"),
+                F.coalesce(F.col("c_mktsegment"), F.lit("ALL"))
+                .alias("c_mktsegment"),
+                "n_customers", "sum_acctbal", "gid")
     )
 
 
@@ -114,9 +128,14 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
              F.count(F.lit(1)).cast("long").alias("n_items"),
              F.grouping_id().cast("long").alias("gid"))
+        .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+                .alias("l_returnflag"),
+                F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+                .alias("l_linestatus"),
+                "sum_qty", "n_items", "gid")
     )
 
 
@@ -165,7 +184,7 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").cast("long").alias("sum_k"),
              F.max("k").cast("long").alias("max_k"),
-             F.sum("value").cast("decimal(18,2)").alias("sum_value"),
+             F.sum("value").cast("double").alias("sum_value"),
              F.count(F.lit(1)).cast("long").alias("n_events"))
     )
 
@@ -202,7 +221,7 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (ev["value"] >= tiers["lo"]) & (ev["value"] < tiers["hi"]))
         .groupBy("tier")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+             F.sum(money("value")).cast("double").alias("sum_value"))
     )
 
 
@@ -228,7 +247,8 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition heaps + driver merge of k rows, never a full sort."""
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.select("o_orderkey", money("o_totalprice").alias("total_price"),
+        orders.select("o_orderkey",
+                      money("o_totalprice").cast("double").alias("total_price"),
                       "o_orderdate")
         .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
         .limit(25)
@@ -274,9 +294,14 @@ def grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
                         "l_returnflag", "l_linestatus")
-        .agg(F.sum(money("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        .agg(F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
              F.count(F.lit(1)).cast("long").alias("n_items"),
              F.grouping_id().cast("long").alias("gid"))
+        .select(F.coalesce(F.col("l_returnflag"), F.lit("ALL"))
+                .alias("l_returnflag"),
+                F.coalesce(F.col("l_linestatus"), F.lit("ALL"))
+                .alias("l_linestatus"),
+                "sum_qty", "n_items", "gid")
     )
 
 
@@ -290,7 +315,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                   & (F.col("l_discount").between(0.02, 0.09))
                   & (F.col("l_quantity") < 24))
         .agg(F.sum((money("l_extendedprice") * money("l_discount"))
-                   .cast("decimal(18,4)")).cast("decimal(18,4)")
+                   .cast("decimal(18,4)")).cast("double")
              .alias("revenue"),
              F.count(F.lit(1)).cast("long").alias("n_items"))
     )
@@ -319,10 +344,12 @@ def correlated_max_item_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
     return spark.sql("""
         SELECT o_orderkey AS order_id,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
-               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
-                            AS DECIMAL(12,2))
-                FROM v_lineitem WHERE l_orderkey = o_orderkey) AS max_item_price
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+               COALESCE(
+                   (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+                                AS DOUBLE)
+                    FROM v_lineitem WHERE l_orderkey = o_orderkey),
+                   -1.0) AS max_item_price
         FROM v_orders
     """)
 
@@ -412,9 +439,9 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["quantity", "extendedprice", "discount", "tax"],
         "measure", "value")
     return long.groupBy("measure").agg(
-        F.sum("value").cast("decimal(18,2)").alias("sum_value"),
-        F.min("value").alias("min_value"),
-        F.max("value").alias("max_value"),
+        F.sum("value").cast("double").alias("sum_value"),
+        F.min("value").cast("double").alias("min_value"),
+        F.max("value").cast("double").alias("max_value"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
 
@@ -430,12 +457,68 @@ def argmax_customer_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("richest_custkey"),
         F.min(F.struct(bal.alias("b"), F.col("c_custkey").alias("k")))["k"]
         .alias("poorest_custkey"),
-        F.max(bal).alias("max_bal"),
-        F.min(bal).alias("min_bal"),
+        F.max(bal).cast("double").alias("max_bal"),
+        F.min(bal).cast("double").alias("min_bal"),
     )
 
 
+def salted_join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew lever as a registry face: orders ⋈ customer with the
+    big side salted over 8 sub-keys (operators/skew.py).  Semantically
+    identical to the plain equi-join — which is exactly what the oracle
+    SQL runs — so the driver check proves the salting is transparent.
+    Use when ONE key's rows exceed a task; AQE handles the rest."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        money("o_totalprice").alias("total_price"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"))
+    joined = salted_join(orders, cust, "customer_id", salt_buckets=8)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("total_price").cast("double").alias("sum_price"))
+
+
+def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-location lever as a registry face: orders and customer
+    written ``bucketBy(custkey)`` (pre-shuffled at rest), then joined
+    on the bucket key — zero Exchange on either side (plan asserted in
+    tests/test_skew_bucketing.py); the oracle proves the result equals
+    the plain join.  At 100 TB this is the difference between a
+    network-bound and an IO-bound recurring join."""
+    import tempfile
+
+    from ..operators.skew import bucketed_join, write_bucketed
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey")
+    write_bucketed(orders, "b_orders_q", "custkey", 8, f"{tmp}/orders")
+    write_bucketed(cust, "b_customer_q", "custkey", 8, f"{tmp}/customer")
+    return (bucketed_join(spark, "b_orders_q", "b_customer_q", "custkey")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "salted_join_segment_totals": """
+        SELECT c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "bucketed_join_nation_counts": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    """,
     "data_quality_report": """
         SELECT 'not_null:o_orderkey' AS check,
                CAST(COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
@@ -485,8 +568,9 @@ ORACLE_SQL: dict[str, str] = {
                     AS BIGINT)
     """,
     "grouping_sets_flag_status": """
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                CAST(COUNT(*) AS BIGINT) AS n_items,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         FROM lineitem
@@ -495,7 +579,7 @@ ORACLE_SQL: dict[str, str] = {
     "q6_forecast_revenue": """
         SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                     * CAST(l_discount AS DECIMAL(12,2)) AS DECIMAL(18,4)))
-                    AS DECIMAL(18,4)) AS revenue,
+                    AS DOUBLE) AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -511,10 +595,12 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "correlated_max_item_price": """
         SELECT o_orderkey AS order_id,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
-               (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
-                            AS DECIMAL(12,2))
-                FROM lineitem WHERE l_orderkey = o_orderkey) AS max_item_price
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+               COALESCE(
+                   (SELECT CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2)))
+                                AS DOUBLE)
+                    FROM lineitem WHERE l_orderkey = o_orderkey),
+                   -1.0) AS max_item_price
         FROM orders
     """,
     "string_functions_part": """
@@ -587,9 +673,9 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(l_tax AS DECIMAL(12,2)) FROM lineitem
         )
         SELECT measure,
-               CAST(SUM(value) AS DECIMAL(18,2)) AS sum_value,
-               MIN(value) AS min_value,
-               MAX(value) AS max_value,
+               CAST(SUM(value) AS DOUBLE) AS sum_value,
+               CAST(MIN(value) AS DOUBLE) AS min_value,
+               CAST(MAX(value) AS DOUBLE) AS max_value,
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM long GROUP BY measure
     """,
@@ -608,8 +694,8 @@ ORACLE_SQL: dict[str, str] = {
         SELECT c_nationkey,
                MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest_custkey,
                MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest_custkey,
-               MAX(bal) AS max_bal,
-               MIN(bal) AS min_bal
+               CAST(MAX(bal) AS DOUBLE) AS max_bal,
+               CAST(MIN(bal) AS DOUBLE) AS min_bal
         FROM ranked GROUP BY c_nationkey
     """,
     "semi_join_customers": """
@@ -623,10 +709,10 @@ ORACLE_SQL: dict[str, str] = {
     "window_topn_per_group": """
         SELECT * FROM (
             SELECT c_custkey, c_nationkey,
-                   CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal,
-                   CAST(ROW_NUMBER() OVER w AS INT) AS rn,
-                   CAST(RANK() OVER w AS INT) AS rnk,
-                   CAST(DENSE_RANK() OVER w AS INT) AS drnk
+                   CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+                   CAST(RANK() OVER w AS BIGINT) AS rnk,
+                   CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey
                          ORDER BY c_acctbal DESC, c_custkey ASC)
@@ -636,23 +722,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey AS order_id,
                o_custkey AS customer_id,
                o_orderdate AS order_date,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS order_price,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS order_price,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
                     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DECIMAL(18,2)) AS running_total,
-               LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS prev_price,
-               LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w AS next_price,
-               CAST(ROW_NUMBER() OVER w AS INT) AS order_seq
+                    AS DOUBLE) AS running_total,
+               COALESCE(CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w
+                             AS DOUBLE), -1.0) AS prev_price,
+               COALESCE(CAST(LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER w
+                             AS DOUBLE), -1.0) AS next_price,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
     """,
     "window_value_functions": """
         SELECT o_orderkey AS order_id,
                o_custkey AS customer_id,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS order_price,
-               FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr AS first_price,
-               LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr AS latest_price,
-               NTH_VALUE(CAST(o_totalprice AS DECIMAL(12,2)), 2) OVER wr AS second_price,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS order_price,
+               CAST(FIRST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr
+                    AS DOUBLE) AS first_price,
+               CAST(LAST_VALUE(CAST(o_totalprice AS DECIMAL(12,2))) OVER wr
+                    AS DOUBLE) AS latest_price,
+               COALESCE(CAST(NTH_VALUE(CAST(o_totalprice AS DECIMAL(12,2)), 2)
+                             OVER wr AS DOUBLE), -1.0) AS second_price,
                CAST(NTILE(4) OVER w AS BIGINT) AS quartile
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey
@@ -662,16 +753,18 @@ ORACLE_SQL: dict[str, str] = {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     "rollup_nation_segment": """
-        SELECT c_nationkey, c_mktsegment,
+        SELECT CAST(COALESCE(c_nationkey, -1) AS BIGINT) AS c_nationkey,
+               COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_acctbal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
                CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
         FROM customer
         GROUP BY ROLLUP (c_nationkey, c_mktsegment)
     """,
     "cube_flag_status": """
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
                CAST(COUNT(*) AS BIGINT) AS n_items,
                CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
         FROM lineitem
@@ -701,7 +794,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events GROUP BY event_type
     """,
@@ -724,7 +817,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT tier,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events JOIN tiers ON value >= lo AND value < hi
         GROUP BY tier
     """,
@@ -741,7 +834,8 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY r_name
     """,
     "global_topk_orders": """
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
                o_orderdate
         FROM orders
         ORDER BY total_price DESC, o_orderkey ASC
@@ -750,6 +844,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "salted_join_segment_totals": salted_join_segment_totals,
+    "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,
     "grouping_sets_flag_status": grouping_sets_flag_status,
     "q6_forecast_revenue": q6_forecast_revenue,

@@ -35,13 +35,18 @@ def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFr
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    return _drain(stream_tumbling_hourly(ev).drop("approx_users"), spark)
+    out = _drain(stream_tumbling_hourly(ev).drop("approx_users"), spark)
+    # canonical output rule (plans/parity.py): decimal state sums are
+    # presented as DOUBLE after the drain
+    return out.select("window_start", "event_type", "n_events",
+                      F.col("sum_value").cast("double").alias("sum_value"))
 
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     return _drain(stream_session_windows(ev), spark).select(
-        "user_id", "session_start", "n_events", "sum_value")
+        "user_id", "session_start", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"))
 
 
 def streaming_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,7 +78,9 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nation_key")))
     enriched = (ev.join(cust, "user_id", "left")
                 .select("event_id", "user_id", "event_type",
-                        "segment", "nation_key"))
+                        F.coalesce("segment", F.lit("NONE")).alias("segment"),
+                        F.coalesce("nation_key", F.lit(-1)).cast("long")
+                        .alias("nation_key")))
     return _drain(enriched, spark, mode="append")
 
 
@@ -83,7 +90,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivery-dropping behavior is pytest-covered with a duplicated
     source)."""
     ev = read_events_stream(spark, sf_dir)
-    return _drain(stream_dedup_events(ev), spark, mode="append")
+    out = _drain(stream_dedup_events(ev), spark, mode="append")
+    return out.select("event_id", "ts", "user_id", "event_type",
+                      F.col("value").cast("double").alias("value"))
 
 
 def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,14 +105,14 @@ def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL: dict[str, str] = {
     "streaming_enriched_events": """
         SELECT e.event_id, e.user_id, e.event_type,
-               c.c_mktsegment AS segment,
-               c.c_nationkey AS nation_key
+               COALESCE(c.c_mktsegment, 'NONE') AS segment,
+               CAST(COALESCE(c.c_nationkey, -1) AS BIGINT) AS nation_key
         FROM events e
         LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
     "streaming_dedup": """
         SELECT event_id, ts, user_id, event_type,
-               CAST(value AS DECIMAL(12,2)) AS value
+               CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
         FROM events
     """,
     "streaming_click_purchase": """
@@ -122,7 +131,7 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_tumbling_hourly": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     """,
     "streaming_sessionize": """
@@ -143,7 +152,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT user_id, MIN(ts) AS session_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM ids GROUP BY user_id, session_seq
     """,
     "streaming_user_lifetime": """

@@ -28,7 +28,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"),
+             F.sum(money("value")).cast("double").alias("sum_value"),
              F.countDistinct("user_id").cast("long").alias("n_users"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value", "n_users")
@@ -43,7 +43,7 @@ def sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+             F.sum(money("value")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
@@ -75,7 +75,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+             F.sum(money("value")).cast("double").alias("sum_value"))
         .withColumn("session_seq", F.col("session_seq").cast("long"))
     )
 
@@ -96,10 +96,23 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equivalent window (no per-partition sort), same deterministic row
     dedup = orders.groupBy("user_id", "order_date").agg(
         F.max("order_id").alias("order_id"))
-    return asof_join_native(
+    return _canon_asof(asof_join_native(
         ev, dedup, on_left="ts", on_right="order_date",
         by_left="user_id", by_right="user_id",
-        value_cols=["order_date", "order_id"])
+        value_cols=["order_date", "order_id"]))
+
+
+#: epoch sentinel for "no order as of this event" — left-asof misses are
+#: presented null-free (canonical output rule, plans/parity.py docstring)
+_NO_MATCH_TS = "1970-01-01 00:00:00"
+
+
+def _canon_asof(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.coalesce("order_date", F.lit(_NO_MATCH_TS).cast("timestamp"))
+        .alias("order_date"),
+        F.coalesce("order_id", F.lit(-1)).cast("long").alias("order_id"))
 
 
 def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,11 +161,11 @@ def asof_events_orders_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("order_id"))
     dedup = orders.groupBy("user_id", "order_date").agg(
         F.max("order_id").alias("order_id"))
-    return asof_join_native(
+    return _canon_asof(asof_join_native(
         ev, dedup, on_left="ts", on_right="order_date",
         by_left="user_id", by_right="user_id",
         value_cols=["order_date", "order_id"],
-        tolerance_seconds=TOLERANCE_DAYS * 86400.0)
+        tolerance_seconds=TOLERANCE_DAYS * 86400.0))
 
 
 def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +180,8 @@ def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (ev.groupBy("user_id",
                          F.date_trunc("hour", "ts").alias("hour"))
               .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-                   F.sum(money("value")).cast("decimal(18,2)").alias("sum_value")))
+                   F.sum(money("value")).cast("decimal(18,2)")
+                   .alias("sum_value")))
     span = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("first_hour"),
         F.date_trunc("hour", F.max("ts")).alias("last_hour"))
@@ -180,7 +194,7 @@ def resample_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_events", F.lit(0)).cast("long")
                     .alias("n_events"),
                     F.coalesce("sum_value", F.lit(0).cast("decimal(18,2)"))
-                    .cast("decimal(18,2)").alias("sum_value")))
+                    .cast("double").alias("sum_value")))
 
 
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,7 +254,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT g.user_id, CAST(g.hour AS TIMESTAMP) AS hour,
                CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
-               CAST(COALESCE(h.sum_value, 0) AS DECIMAL(18,2)) AS sum_value
+               CAST(COALESCE(h.sum_value, 0) AS DOUBLE) AS sum_value
         FROM grid g
         LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
     """,
@@ -286,7 +300,7 @@ ORACLE_SQL: dict[str, str] = {
     "tumbling_hourly_events": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY 1, 2
     """,
@@ -301,7 +315,7 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT window_start,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM assigned GROUP BY 1
     """,
     "sessionize_events": """
@@ -323,7 +337,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM ids GROUP BY user_id, session_seq
     """,
     "asof_events_orders_tolerance": """
@@ -333,10 +347,12 @@ ORACLE_SQL: dict[str, str] = {
             FROM orders GROUP BY 1, 2
         )
         SELECT e.event_id, e.ts, e.user_id, e.event_type,
-               CASE WHEN EPOCH(e.ts) - EPOCH(d.order_date) > 2592000.0
-                    THEN NULL ELSE d.order_date END AS order_date,
-               CASE WHEN EPOCH(e.ts) - EPOCH(d.order_date) > 2592000.0
-                    THEN NULL ELSE d.order_id END AS order_id
+               COALESCE(CASE WHEN EPOCH(e.ts) - EPOCH(d.order_date) > 2592000.0
+                             THEN NULL ELSE d.order_date END,
+                        TIMESTAMP '1970-01-01 00:00:00') AS order_date,
+               CAST(COALESCE(CASE WHEN EPOCH(e.ts) - EPOCH(d.order_date) > 2592000.0
+                                  THEN NULL ELSE d.order_id END,
+                             -1) AS BIGINT) AS order_id
         FROM events e
         ASOF LEFT JOIN dedup d
           ON e.user_id = d.user_id AND e.ts >= d.order_date
@@ -348,7 +364,9 @@ ORACLE_SQL: dict[str, str] = {
             FROM orders GROUP BY 1, 2
         )
         SELECT e.event_id, e.ts, e.user_id, e.event_type,
-               d.order_date, d.order_id
+               COALESCE(d.order_date, TIMESTAMP '1970-01-01 00:00:00')
+                   AS order_date,
+               CAST(COALESCE(d.order_id, -1) AS BIGINT) AS order_id
         FROM events e
         ASOF LEFT JOIN dedup d
           ON e.user_id = d.user_id AND e.ts >= d.order_date

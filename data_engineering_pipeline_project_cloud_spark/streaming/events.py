@@ -66,7 +66,7 @@ def stream_tumbling_hourly(events: DataFrame) -> DataFrame:
         events.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"),
+             F.sum(money("value")).cast("double").alias("sum_value"),
              F.approx_count_distinct("user_id").alias("approx_users"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value", "approx_users")
@@ -79,7 +79,7 @@ def stream_sliding_counts(events: DataFrame) -> DataFrame:
         events.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+             F.sum(money("value")).cast("double").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
@@ -98,7 +98,7 @@ def stream_session_windows(events: DataFrame) -> DataFrame:
         events.withWatermark("ts", WATERMARK)
         .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
-             F.sum(money("value")).cast("decimal(18,2)").alias("sum_value"))
+             F.sum(money("value")).cast("double").alias("sum_value"))
         .select("user_id", F.col("w.start").alias("session_start"),
                 F.col("w.end").alias("session_end"), "n_events", "sum_value")
     )

@@ -24,10 +24,13 @@ def master(spark, sf_dir):
 
 
 def test_gross_revenue_property(master):
-    # item_gross_revenue == item_price + item_freight, every row (F6)
+    # item_gross_revenue == item_price + item_freight, every row (F6).
+    # gross is summed exactly in decimal then cast to double at the output
+    # boundary, while price/freight are cast individually — allow 1-ulp
+    # float divergence, not value divergence.
     bad = master.filter(
-        F.col("item_gross_revenue")
-        != (F.col("item_price") + F.col("item_freight")).cast("decimal(18,4)")
+        F.abs(F.col("item_gross_revenue")
+              - (F.col("item_price") + F.col("item_freight"))) > 1e-6
     ).count()
     assert bad == 0
 
