@@ -72,6 +72,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     order of magnitude cheaper per shingle (no hex-string conv), the
     production path when signatures are an internal LSH detail.
     """
+    # Kirsch-Mitzenmacher combination h1 + s*h2 with 60-bit hashes:
+    # 8*2^60 = 2^63 is the signed-64 overflow edge, so k > 8 would wrap
+    # negative in Spark while a HUGEINT-promoting oracle would not.
+    if num_hashes > 8:
+        raise ValueError(
+            f"num_hashes={num_hashes} > 8 overflows the 64-bit "
+            "double-hash combination; use more bands instead")
     sh = shingles(F.col(text_col), shingle_n)
 
     # Two efficiency choices that matter at corpus scale:
@@ -112,27 +119,55 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         *[sig[s].alias(f"mh_{s}") for s in range(num_hashes)])
 
 
+def _cap_buckets(buckets: DataFrame, keys: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop LSH buckets larger than ``max_bucket`` members before
+    pairing.  A mega-bucket (boilerplate text hashing identically, a
+    degenerate band) produces O(bucket²) candidate pairs — the one
+    quadratic blow-up a banded design still allows; at corpus scale the
+    cap bounds any single bucket's contribution.  The aggregate runs on
+    the (doc, band) table — ``bands`` small rows per doc — so the extra
+    pass is negligible next to the pairing join it protects."""
+    if max_bucket is None:
+        return buckets
+    ok = (buckets.groupBy(*keys)
+          .agg(F.count(F.lit(1)).alias("__bucket_n"))
+          .filter(F.col("__bucket_n") <= max_bucket)
+          .drop("__bucket_n"))
+    return buckets.join(ok, keys, "left_semi")
+
+
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 4) -> DataFrame:
+                        num_hashes: int = 8, bands: int = 4,
+                        band_key: str = "hash",
+                        max_bucket: int | None = 1000) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows, hash each band, and emit candidate pairs
     of documents sharing any band bucket.
 
     Scale shape: explode to (doc, band, band_hash) — ``bands`` rows per
-    doc — then a self-join per bucket.  Bucket sizes are the skew risk
-    at 100 TB (boilerplate text → mega-buckets); production caps bucket
-    size, here buckets stay small by construction.
+    doc — then a self-join per bucket.  Buckets larger than
+    ``max_bucket`` are dropped before pairing (see ``_cap_buckets``).
+
+    ``band_key``: ``"hash"`` buckets on ``xxhash64`` of the band's
+    signature rows (cheap JVM hash — right whenever the bucket id is
+    internal); ``"raw"`` buckets on the concatenated signature values
+    themselves, reproducible in ANSI SQL for the oracle-checked
+    pipeline (same candidates, engine-independent).
     """
     rows_per_band = num_hashes // bands
-    # xxhash64 for band bucketing: the bucket id is internal (never in
-    # query output), so the cheap JVM hash is always right here.
+
+    def band_val(b: int):
+        cols = [F.col(f"mh_{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        if band_key == "hash":
+            return F.xxhash64(F.lit(b), *cols).cast("string")
+        if band_key == "raw":
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        raise ValueError(f"unknown band_key {band_key!r}")
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.xxhash64(F.lit(b), *[F.col(f"mh_{b * rows_per_band + r}")
-                                   for r in range(rows_per_band)])
-            .alias("band_hash"),
-        )
+        F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_hash"))
         for b in range(bands)
     ]
     buckets = (
@@ -140,6 +175,7 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
                           F.explode(F.array(*band_cols)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_hash")
     )
+    buckets = _cap_buckets(buckets, ["band_idx", "band_hash"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -193,29 +229,41 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     return out
 
 
+SIMHASH_BITS = 60        # full width of portable_hash64 (60-bit md5 prefix)
+SIMHASH_BAND_BITS = 10   # 6 bands × 10 bits over the 60-bit fingerprint
+
+
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", bits: int = 16,
-                  max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: band the fingerprint into bytes, pair
-    documents sharing ANY byte-band, verify Hamming distance ≤
+                  id_col: str = "doc_id", bits: int = SIMHASH_BITS,
+                  max_hamming: int = 3,
+                  max_bucket: int | None = 1000) -> DataFrame:
+    """SimHash near-dup pairs: band the fingerprint into 10-bit bands,
+    pair documents sharing ANY band, verify Hamming distance ≤
     ``max_hamming`` via bit_count(xor).
 
-    Banding is the same LSH recall trade as MinHash banding: with 2
-    bands of 8 bits, hamming ≤ 1 is guaranteed caught (pigeonhole);
-    larger distances are probabilistic.  The fingerprint table is
-    persisted before the self-join — 8 bytes/doc.
+    Banding is the same LSH recall trade as MinHash banding: with 6
+    bands over 60 bits, any pair at hamming ≤ 5 shares a band
+    (pigeonhole) — so the ``max_hamming``-verified output has full
+    recall; wider distances are probabilistic.  60-bit fingerprints
+    give 2^10 buckets per band: at 16 bits (round-1 shape) the 2^8
+    byte-buckets saturate on any real corpus and candidate generation
+    degenerates toward all-pairs.  Buckets above ``max_bucket`` are
+    dropped before pairing (boilerplate-corpus guard).  The fingerprint
+    table is persisted before the self-join — 8 bytes/doc.
     """
     sigs = simhash(docs, text_col, id_col, bits).persist()
-    n_bands = bits // 8
+    n_bands = bits // SIMHASH_BAND_BITS
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     band_cols = [
         F.struct(F.lit(b).alias("band_idx"),
-                 F.shiftright("simhash", b * 8).bitwiseAND(F.lit(0xFF))
-                 .alias("band_val"))
+                 F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                 .bitwiseAND(F.lit(mask)).alias("band_val"))
         for b in range(n_bands)
     ]
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band_idx", "b.band_val")
+    buckets = _cap_buckets(buckets, ["band_idx", "band_val"], max_bucket)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -240,24 +288,32 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 16) -> DataFrame:
+            bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: per bit position, majority vote of token
     hash bits; near-duplicates differ in few bits (Hamming).  Map-side
-    only.  ``bits`` kept small (16) so the oracle SQL stays tractable;
-    the construction is identical for 64."""
+    only, one pass over the token array: each token hash is expanded to
+    its bit vector once and the per-bit ones-counts are folded in a
+    single ``aggregate`` (vs one array scan per bit), then the majority
+    vote packs the fingerprint.  ``bits`` ≤ 60 — the usable width of
+    ``portable_hash64`` — keeps the value a plain BIGINT in any engine.
+    """
     toks = _tokens(F.col(text_col))
     th = F.transform(toks, lambda t: portable_hash64(t, salt="sim|"))
     n = F.size(toks)
 
-    def ones_at(bit: int):  # unary HOF lambda via closure (see above)
-        return F.size(F.filter(
-            th, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1))
+    def bit_vec(h):  # literal shifts: exact for all 60 bits
+        return F.array(*[
+            F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+            for b in range(bits)])
 
-    bit_cols = []
+    counts = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda u, v: u + v),
+    )
+    fingerprint = None
     for b in range(bits):
-        bit_cols.append(
-            F.when(ones_at(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0)))
-    acc = bit_cols[0]
-    for c in bit_cols[1:]:
-        acc = acc + c
-    return docs.select(F.col(id_col), acc.cast("long").alias("simhash"))
+        term = F.when(counts[b] * 2 > n, F.lit(1 << b).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return docs.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))

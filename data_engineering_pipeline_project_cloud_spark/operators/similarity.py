@@ -149,6 +149,74 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
+def _quantized(vec: Column) -> Column:
+    """Integer-quantized vector (floor(x*1000)): hyperplane sign tests
+    run in exact integer arithmetic, so bucket assignment is identical
+    in any engine — float summation-order can flip a sign at the
+    boundary, and ONE flipped sign silently changes a whole bucket."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * 1000)
+                       .cast("long"))
+
+
+def _portable_sign(qvec: Column, plane: int) -> Column:
+    """Sign bit of <qvec, h_plane> with h_plane[d] = ±1 derived from
+    the md5-based ``portable_hash64`` of (plane, dim) — reproducible in
+    ANSI SQL (see plans/llmdata.py oracle), unlike the xxhash64 planes
+    of ``_hyperplane_sign``."""
+    from ..functions import portable_hash64
+
+    signs = F.transform(
+        F.sequence(F.lit(1), F.size(qvec)),
+        lambda d: F.when(
+            portable_hash64(d.cast("string"), salt=f"hp|{plane}|")
+            .bitwiseAND(F.lit(1)) == 1,
+            F.lit(1)).otherwise(F.lit(-1)).cast("long"))
+    total = F.aggregate(F.zip_with(qvec, signs, lambda x, s: x * s),
+                        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_bucket_portable(vec: Column, num_planes: int = 4) -> Column:
+    """Engine-portable random-hyperplane bucket id (exact integer sign
+    tests, md5-derived planes) — the oracle-checkable variant of
+    ``lsh_bucket``."""
+    q = _quantized(vec)
+    acc = F.lit(0)
+    for p in range(num_planes):
+        acc = acc + _portable_sign(q, p) * F.lit(1 << p)
+    return acc.cast("long")
+
+
+def blocked_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
+                          num_planes: int = 4,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs behind LSH blocking: candidates are
+    pairs sharing a hyperplane bucket, verified by exact cosine ≥
+    threshold.  This is the 100 TB registry shape — the bucket join
+    replaces the O(N²) self-join of ``cosine_neardup_pairs`` with
+    |bucket|² work per bucket (at scale the table is written
+    ``partitionBy(bucket)`` and the join prunes partitions).  Recall:
+    a cosine-close pair disagrees on a random hyperplane with low
+    probability, but blocking IS a recall trade — production stacks
+    multiple bucket tables the way MinHash stacks bands."""
+    b = emb.select(F.col(id_col), F.col(vec_col),
+                   lsh_bucket_portable(F.col(vec_col), num_planes)
+                   .alias("bucket"))
+    lhs = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+                   "bucket")
+    rhs = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+                   "bucket")
+    return (
+        lhs.join(rhs, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("va"), F.col("vb")), 6)
+                .alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
@@ -176,23 +244,14 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
     )
 
 
-def ivf_assignments(emb: DataFrame, n_cells: int = 16,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    'centroid' by cosine.  Centroids are the first ``n_cells`` vectors
-    by id — a deterministic stand-in for a k-means codebook (training
-    the codebook is an offline step; the INDEX/SEARCH plan shape is
-    what matters here).  Cost: |N| × n_cells broadcast comparisons,
-    map-side."""
-    cents = F.broadcast(
-        emb.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell_id"),
-                F.col(vec_col).alias("centroid")))
+def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment by cosine: |N| × n_cells broadcast
+    comparisons, map-side, argmax per vector via window."""
     from pyspark.sql import Window
 
     scored = (
-        emb.select(F.col(id_col), F.col(vec_col)).join(cents)
+        emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
         .select(id_col, vec_col, "cell_id",
                 F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
                 .alias("cell_sim"))
@@ -201,6 +260,53 @@ def ivf_assignments(emb: DataFrame, n_cells: int = 16,
         F.col("cell_sim").desc(), F.col("cell_id").asc())
     return (scored.withColumn("__rn", F.row_number().over(w))
             .filter("__rn = 1").drop("__rn"))
+
+
+def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Spherical k-means codebook in pure DataFrame ops: deterministic
+    init (first ``n_cells`` vectors by id), then ``iters`` rounds of
+    assign → per-cell mean.  The mean is computed by exploding to
+    (cell, dim, component) and re-assembling with a position-sorted
+    collect — each iteration is one broadcast-assign plus one shuffle
+    keyed by (cell, dim): n_cells × dim tiny rows, independent of |N|
+    after the partial agg.  Returns (cell_id, centroid array<double>).
+
+    Empty cells (no vector assigned) drop out; callers see ≤ n_cells
+    cells — the standard k-means degeneracy, harmless for IVF probing.
+    """
+    cents = (emb.filter(F.col(id_col) < n_cells)
+             .select(F.col(id_col).cast("long").alias("cell_id"),
+                     F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double"))
+                     .alias("centroid")))
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cents, id_col, vec_col)
+        by_dim = (assigned.select(
+            "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("comp").cast("double")).alias("mean_comp")))
+        cents = (by_dim.groupBy("cell_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "mean_comp"))).alias("dims"))
+                 .select("cell_id",
+                         F.transform("dims", lambda d: d["mean_comp"])
+                         .alias("centroid")))
+    return cents
+
+
+def ivf_assignments(emb: DataFrame, n_cells: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    kmeans_iters: int = 2) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine.  The codebook is a real (small) spherical
+    k-means fit via ``kmeans_centroids`` — deterministic init, so the
+    index is reproducible.  Cost: |N| × n_cells broadcast comparisons
+    per pass, map-side."""
+    cents = kmeans_centroids(emb, n_cells, kmeans_iters, id_col, vec_col)
+    return _assign_cells(emb, cents, id_col, vec_col)
 
 
 def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -214,12 +320,11 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     the data (partition pruning does the candidate cut)."""
     from pyspark.sql import Window
 
-    assigned = ivf_assignments(emb, n_cells, id_col, vec_col)
+    # one k-means codebook shared by index build and query probing
+    cents = kmeans_centroids(emb, n_cells, 2, id_col, vec_col).persist()
+    assigned = _assign_cells(emb, cents, id_col, vec_col)
 
-    cents = F.broadcast(
-        emb.filter(F.col(id_col) < n_cells)
-        .select(F.col(id_col).alias("cell_id"),
-                F.col(vec_col).alias("centroid")))
+    cents = F.broadcast(cents)
     q = (emb.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
     wq = Window.partitionBy("query_id").orderBy(
@@ -254,15 +359,20 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
 
 
 def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    label_col: str | None = "label") -> DataFrame:
     """Per-vector diagnostics: dimension, L2 norm, min/max component —
-    the sanity profile run before any similarity job."""
+    the sanity profile run before any similarity job.  ``label_col``
+    is included only when present, so the diagnostic works on any
+    embedding table."""
     v = F.col(vec_col)
-    return emb.select(
+    cols = [
         F.col(id_col),
         F.size(v).cast("long").alias("dim"),
         F.round(_norm(v), 6).alias("l2_norm"),
         F.round(F.array_min(v).cast("double"), 6).alias("min_component"),
         F.round(F.array_max(v).cast("double"), 6).alias("max_component"),
-        F.col("label"),
-    )
+    ]
+    if label_col is not None and label_col in emb.columns:
+        cols.append(F.col(label_col))
+    return emb.select(*cols)

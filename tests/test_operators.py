@@ -166,3 +166,40 @@ def test_simhash_identical_docs_equal(spark):
     out = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
     assert out[1] == out[2]
     assert out[1] != out[3]
+
+
+def test_lsh_bucket_cap_bounds_boilerplate(spark):
+    """Adversarial boilerplate corpus: 100 identical docs share every
+    band bucket, so uncapped banding emits the quadratic 4950 pairs.
+    With max_bucket the mega-bucket is dropped BEFORE pairing and only
+    the small genuine bucket survives — the 100 TB skew guard."""
+    docs = spark.createDataFrame(
+        [(i, "same boilerplate text repeated in every single document")
+         for i in range(100)]
+        + [(1000, "a genuinely different document about something else"),
+           (1001, "a genuinely different document about something else")],
+        "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=8)
+    capped = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(
+        sigs, num_hashes=8, bands=4, max_bucket=50).collect()}
+    assert (1000, 1001) in capped
+    assert all(a >= 1000 for a, _ in capped), "mega-bucket not dropped"
+    uncapped = lsh_candidate_pairs(
+        sigs, num_hashes=8, bands=4, max_bucket=None).count()
+    assert uncapped >= 100 * 99 // 2
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    """Same guard on the SimHash banding path."""
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate words appearing everywhere always")
+         for i in range(60)],
+        "doc_id long, text string")
+    capped = simhash_pairs(docs, max_hamming=3, max_bucket=10).count()
+    uncapped = simhash_pairs(docs, max_hamming=3, max_bucket=None).count()
+    assert capped == 0
+    assert uncapped == 60 * 59 // 2

@@ -111,3 +111,40 @@ def test_ann_recall_nonzero_and_ranked(spark, sf_dir):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), qid
         assert len(ranks) <= TOPK
     assert set(per_q) <= set(QUERY_VEC_IDS)
+
+
+def test_kmeans_centroids_improve_assignment_objective(spark, sf_dir):
+    """Fitted k-means cells must fit the corpus at least as well as the
+    deterministic first-N init (iters=0 reproduces the round-1
+    stand-in codebook)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        _assign_cells,
+        kmeans_centroids,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = kmeans_centroids(emb, n_cells=16, iters=0)
+    fit = kmeans_centroids(emb, n_cells=16, iters=2)
+    sim0 = (_assign_cells(emb, init, "vec_id", "embedding")
+            .agg(F.avg("cell_sim")).collect()[0][0])
+    sim2 = (_assign_cells(emb, fit, "vec_id", "embedding")
+            .agg(F.avg("cell_sim")).collect()[0][0])
+    assert sim2 >= sim0 - 1e-6, f"kmeans objective regressed: {sim2} < {sim0}"
+
+
+def test_blocked_neardup_subset_of_exact(spark, sf_dir):
+    """LSH-blocked near-dup pairs are a subset of the exact all-pairs
+    result at the same threshold, with identical cosines."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        blocked_neardup_pairs,
+        cosine_neardup_pairs,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = {(r["vec_a"], r["vec_b"], r["cosine_sim"])
+               for r in blocked_neardup_pairs(emb, threshold=0.3).collect()}
+    exact = {(r["vec_a"], r["vec_b"], r["cosine_sim"])
+             for r in cosine_neardup_pairs(emb, threshold=0.3).collect()}
+    assert blocked <= exact
