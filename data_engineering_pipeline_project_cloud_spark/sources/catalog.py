@@ -16,6 +16,25 @@ Scale notes:
    SURVEY.md §1.3 stays possible by declaring all-string schemas).
  - Writes are ``mode("overwrite")`` to preserve the reference's
    idempotent-rebuild contract (``scripts/main.py:58``).
+
+Object-store (S3) path — parity with ``scripts/main.py:44-49``, where
+the extract is ``pd.read_csv("s3://bucket/key")`` under an IAM role.
+In Spark the SAME reader functions work against S3 by (a) spelling the
+path ``s3a://bucket/prefix/...`` and (b) configuring the S3A connector
+on the session::
+
+    SparkSession.builder
+      .config("spark.hadoop.fs.s3a.aws.credentials.provider",
+              "com.amazonaws.auth.DefaultAWSCredentialsProviderChain")
+      # IAM-role / env-var auth, matching the reference's boto3 chain
+      .config("spark.hadoop.fs.s3a.connection.maximum", "64")
+      .config("spark.sql.files.maxPartitionBytes", "134217728")  # 128 MiB splits
+
+Every function below is path-scheme agnostic (``sf_dir`` may be an
+``s3a://`` URI); S3A streams ranged GETs per split, so executors scan
+object-store parquet in parallel with no driver materialization.  The
+sandbox has no object store or hadoop-aws jars, so this path is
+documented + config-gated rather than tested here.
 """
 
 from __future__ import annotations

@@ -31,20 +31,35 @@ def keyed_upsert_writer(path: str, key_cols: list[str],
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        from pyspark.errors import AnalysisException
+
         spark = batch.sparkSession
         try:
             current = spark.read.parquet(path)
             merged = current.unionByName(batch)
-        except Exception:  # first batch: nothing to merge yet
+        except AnalysisException:  # first batch: no state table yet.
+            # Only the missing-path case falls through; any other read
+            # failure (transient IO, corrupt footer) must fail the
+            # batch so Spark retries it — swallowing it would silently
+            # discard all previously accumulated state.
             merged = batch
         w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
         latest = (merged.withColumn("__rn", F.row_number().over(w))
                   .filter("__rn = 1").drop("__rn"))
-        # write-then-swap via an overwrite of a temp dir would be the
-        # atomic variant; plain overwrite keeps the test-scale contract
-        latest.cache().count()  # materialize BEFORE overwriting input
-        latest.write.mode("overwrite").parquet(path)
-        latest.unpersist()
+        # Write to a temp dir, then swap: the input path is never read
+        # and overwritten in the same job, so a cache eviction or
+        # executor loss mid-write cannot recompute from already-deleted
+        # files and corrupt the state table.
+        tmp = path.rstrip("/") + f"__tmp_batch_{batch_id}"
+        latest.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + f"__old_batch_{batch_id}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return write
 
