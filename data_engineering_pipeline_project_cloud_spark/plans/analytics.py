@@ -182,6 +182,290 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier analog (q2 shape): for every LARGE size-15
+    part, the cheapest offer observed in the fact table from a EUROPE
+    supplier — correlated-min via a per-part argmin window, with the
+    deterministic (price, supplier-key) tie-break.  The part/supplier
+    predicates prune before the argmin; dims broadcast."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    offers = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .filter(F.col("r_name") == "EUROPE")
+        .groupBy(F.col("p_partkey").alias("product_id"),
+                 F.col("p_name").alias("product_name"),
+                 F.col("s_suppkey").alias("supplier_id"),
+                 F.col("s_name").alias("supplier_name"),
+                 F.col("n_name").alias("nation_name"))
+        .agg(F.min(money("l_extendedprice")).alias("best_price_dec"))
+    )
+    w = Window.partitionBy("product_id").orderBy(
+        F.col("best_price_dec").asc(), F.col("supplier_id").asc())
+    return (offers.withColumn("__rn", F.row_number().over(w))
+            .filter("__rn = 1")
+            .select("product_id", "product_name", "supplier_id",
+                    "supplier_name", "nation_name",
+                    F.col("best_price_dec").cast("double")
+                    .alias("best_price")))
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-pair trade-volume analog (q7 shape): revenue flowing
+    between two named nations in either direction, per ship-year.  The
+    nation pair predicate is an OR of two AND arms over the joined
+    supplier-nation × customer-nation — a join-then-filter Catalyst
+    turns into two residual-filtered broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                   F.col("n_name").alias("cust_nation")))
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(n1, supp["s_nationkey"] == F.col("sn_key"))
+        .join(n2, cust["c_nationkey"] == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share analog (q8 shape): the share of AMERICA-customer
+    revenue supplied by NATION_3, per order-year — a conditional-sum
+    ratio (two decimal sums, one double division at the end)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    sn = F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                   F.col("n_name").alias("supp_nation")))
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    target_rev = F.when(F.col("supp_nation") == "NATION_3", revenue).otherwise(
+        F.lit(0).cast("decimal(18,4)"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(sn, supp["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("r_name") == "AMERICA")
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(target_rev).cast("double").alias("target_revenue"),
+             F.sum(revenue).cast("double").alias("total_revenue"))
+        .select("order_year", "target_revenue", "total_revenue",
+                F.round(F.col("target_revenue") / F.col("total_revenue"), 6)
+                .alias("mkt_share"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-profit analog (q9 shape): profit per supplier-nation and
+    order-year for widget parts.  The source has no partsupp table, so
+    unit cost is modeled as 60% of the part's retail price — every
+    intermediate stays in exact decimal wide enough that no cast ever
+    rounds (0.6 × cents = 3 dp; × quantity = 5 dp ⊂ decimal(18,6)),
+    keeping the result bit-stable across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%"))
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,6)")
+    unit_cost = (money("p_retailprice") * F.lit("0.6").cast("decimal(2,1)")
+                 ).cast("decimal(18,3)")
+    line_cost = (unit_cost * money("l_quantity")).cast("decimal(18,6)")
+    profit = (revenue - line_cost).cast("decimal(18,6)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation_name"),
+                 F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-distribution analog (q13 shape): LEFT join customers to
+    their non-open orders, count per customer (zero preserved through
+    the null-safe count), then the distribution of those counts — the
+    double-aggregation shape.  First agg shuffles on custkey, second on
+    the tiny count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") != "P")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("order_count"))
+    )
+    return (per_cust.groupBy("order_count")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers")))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier analog (q15 shape): quarterly revenue per supplier,
+    keep every supplier tied at the maximum.  The max-of-aggregate
+    comparison happens in exact decimal (a double compare could split
+    a genuine tie); the 1-row max broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    per_supp = (li.groupBy(F.col("l_suppkey").alias("supplier_id"))
+                .agg(F.sum(revenue).alias("total_rev_dec")))
+    mx = per_supp.agg(F.max("total_rev_dec").alias("max_rev_dec"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_dec") == F.col("max_rev_dec"))
+        .join(F.broadcast(supp),
+              F.col("supplier_id") == supp["s_suppkey"])
+        .select("supplier_id", F.col("s_name").alias("supplier_name"),
+                F.col("total_rev_dec").cast("double").alias("total_revenue"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order analog (q17 shape): revenue lost to orders
+    below 20% of a part's average quantity, for one brand's SMALL
+    parts — the correlated-scalar-subquery shape, decorrelated into an
+    agg-below-join on partkey (per-part averages join back to the
+    fact rows of the same part)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"]))
+    avg_qty = (li.groupBy(F.col("l_partkey").alias("avg_part"))
+               .agg((F.sum(money("l_quantity")).cast("double")
+                     / F.count(F.lit(1))).alias("avg_quantity")))
+    return (
+        li.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("avg_part"))
+        .filter(F.col("l_quantity").cast("double")
+                < F.lit(0.2) * F.col("avg_quantity"))
+        .agg((F.sum(money("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"),
+             F.count(F.lit(1)).cast("long").alias("n_small_lines"))
+    )
+
+
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate analog (q19 shape): revenue matched by an
+    OR of three brand/size/quantity AND-arms — the predicate a
+    columnar engine must still push as one scan filter (Catalyst keeps
+    the disjunction below the join as a residual on both sides'
+    common columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("double")
+    arm1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10))
+            & qty.between(1, 15))
+    arm2 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(5, 20))
+            & qty.between(10, 25))
+    arm3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(15, 40))
+            & qty.between(20, 35))
+    revenue = (money("l_extendedprice") * (F.lit(1) - money("l_discount"))).cast(
+        "decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(arm1 | arm2 | arm3)
+        .agg(F.sum(revenue).cast("double").alias("revenue"),
+             F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting analog (q21 shape): suppliers
+    in one nation that were the SOLE late shipper on a multi-supplier
+    order.  The reference shape is EXISTS + NOT EXISTS; decorrelated
+    here into one per-order aggregate (distinct suppliers, distinct
+    late suppliers, the late supplier when unique) — one shuffle on
+    orderkey replaces two correlated subqueries."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("n_supp"),
+             F.countDistinct(F.when(late, F.col("l_suppkey"))).cast("long")
+             .alias("n_late_supp"),
+             F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"))
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy(F.col("late_supp").alias("supplier_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("supplier_id") == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_0")
+        .select("supplier_id", F.col("s_name").alias("supplier_name"),
+                "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("supplier_id").asc())
+        .limit(20)
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-relation analog (q22 shape): customers with
+    above-average positive balance and no RECENT orders (the synthetic
+    orders table covers every customer, so "dormant since 1999" plays
+    the role of q22's never-ordered set), summarized per nation — a
+    scalar aggregate threshold (1-row broadcast) plus an anti join,
+    with balances aggregated in exact decimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    nation = load_table(spark, sf_dir, "nation")
+    bal = money("c_acctbal")
+    thresh = (cust.filter(bal > 0)
+              .agg((F.sum(bal).cast("double") / F.count(F.lit(1)))
+                   .alias("avg_bal")))
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(bal.cast("double") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+             F.sum(bal).cast("double").alias("total_balance"))
+    )
+
+
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
@@ -258,6 +542,185 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_linestatus
     """,
+    "q2_cheapest_supplier": """
+        WITH offers AS (
+            SELECT p_partkey AS product_id, p_name AS product_name,
+                   s_suppkey AS supplier_id, s_name AS supplier_name,
+                   n_name AS nation_name,
+                   MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS best_price_dec
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_size = 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY product_id
+                       ORDER BY best_price_dec ASC, supplier_id ASC) AS rn
+            FROM offers
+        )
+        SELECT product_id, product_name, supplier_id, supplier_name,
+               nation_name, CAST(best_price_dec AS DOUBLE) AS best_price
+        FROM ranked WHERE rn = 1
+    """,
+    "q7_volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+               CAST(SUM({_MONEY_REV}) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": f"""
+        WITH yr AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+                   CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                            THEN {_MONEY_REV}
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                       AS target_revenue,
+                   CAST(SUM({_MONEY_REV}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'AMERICA'
+            GROUP BY 1
+        )
+        SELECT order_year, target_revenue, total_revenue,
+               CAST(round(target_revenue / total_revenue, 6) AS DOUBLE)
+                   AS mkt_share
+        FROM yr
+    """,
+    "q9_product_profit": """
+        SELECT n_name AS nation_name,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(SUM(CAST(
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                        AS DECIMAL(18,6))
+                   - CAST(CAST(CAST(p_retailprice AS DECIMAL(12,2))
+                               * CAST(0.6 AS DECIMAL(2,1)) AS DECIMAL(18,3))
+                          * CAST(l_quantity AS DECIMAL(12,2))
+                          AS DECIMAL(18,6))
+                   AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+    "q13_order_count_distribution": """
+        WITH per_cust AS (
+            SELECT c_custkey,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS order_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderstatus <> 'P'
+            GROUP BY c_custkey
+        )
+        SELECT order_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM per_cust GROUP BY order_count
+    """,
+    "q15_top_supplier": f"""
+        WITH per_supp AS (
+            SELECT l_suppkey AS supplier_id,
+                   SUM({_MONEY_REV}) AS total_rev_dec
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT supplier_id, s_name AS supplier_name,
+               CAST(total_rev_dec AS DOUBLE) AS total_revenue
+        FROM per_supp
+        JOIN supplier ON supplier_id = s_suppkey
+        WHERE total_rev_dec = (SELECT MAX(total_rev_dec) FROM per_supp)
+    """,
+    "q17_small_quantity_revenue": """
+        WITH li AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+        ),
+        avg_qty AS (
+            SELECT l_partkey AS avg_part,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_quantity
+            FROM li GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / 7.0 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        FROM li JOIN avg_qty ON l_partkey = avg_part
+        WHERE CAST(l_quantity AS DOUBLE) < 0.2 * avg_quantity
+    """,
+    "q19_disjunctive_predicates": f"""
+        SELECT CAST(SUM({_MONEY_REV}) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND CAST(l_quantity AS DOUBLE) BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+               AND CAST(l_quantity AS DOUBLE) BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+               AND CAST(l_quantity AS DOUBLE) BETWEEN 20 AND 35)
+    """,
+    "q21_waiting_suppliers": """
+        WITH per_order AS (
+            SELECT l_orderkey AS order_id,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                         + INTERVAL 60 DAY THEN l_suppkey END) AS n_late_supp,
+                   MIN(CASE WHEN l_shipdate > o_orderdate
+                       + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey
+            HAVING COUNT(DISTINCT l_suppkey) > 1
+               AND COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                         + INTERVAL 60 DAY THEN l_suppkey END) = 1
+        )
+        SELECT late_supp AS supplier_id, s_name AS supplier_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM per_order
+        JOIN supplier ON late_supp = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_0'
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, supplier_id ASC
+        LIMIT 20
+    """,
+    "q22_idle_customers": """
+        WITH thresh AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_bal
+            FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0
+        )
+        SELECT n_name AS nation_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_balance
+        FROM customer, thresh
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY n_name
+    """,
     "q18_large_orders": """
         WITH big AS (
             SELECT l_orderkey,
@@ -282,4 +745,14 @@ QUERIES = {
     "q12_priority_by_status": q12_priority_by_status,
     "q14_promo_effect": q14_promo_effect,
     "q18_large_orders": q18_large_orders,
+    "q2_cheapest_supplier": q2_cheapest_supplier,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_product_profit": q9_product_profit,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_idle_customers": q22_idle_customers,
 }
