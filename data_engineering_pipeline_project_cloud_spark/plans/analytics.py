@@ -466,6 +466,105 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock analog (q11 shape): per-part shipped value for
+    one nation's suppliers, keeping parts above a fraction of the
+    nation's grand total — the HAVING-against-scalar-subquery shape.
+    The grand total is a 1-row broadcast (no second scan shuffle:
+    Spark computes it from the same per-part aggregate); value math in
+    exact decimal, the threshold compare cast to DOUBLE identically on
+    both engines so the cut is engine-stable.
+    No partsupp table exists in the fixture, so shipped quantity ×
+    retail price plays supplycost × availqty (same plan shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    value = (money("l_quantity") * F.col("p_retailprice")
+             .cast("decimal(12,2)")).cast("decimal(18,4)")
+    per_part = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_0")
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_partkey").alias("part_id"))
+        .agg(F.sum(value).alias("part_value_dec"))
+    )
+    total = per_part.agg(F.sum("part_value_dec").alias("total_value_dec"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value_dec").cast("double")
+                > F.col("total_value_dec").cast("double") * F.lit(0.001))
+        .select("part_id",
+                F.col("part_value_dec").cast("double").alias("part_value"))
+    )
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-count analog (q16 shape): distinct suppliers observed
+    shipping each (brand, type, size) combination, excluding one brand,
+    restricting to a size IN-list, and excluding a NOT-IN supplier set
+    (low-balance suppliers play q16's complaint suppliers).  The NOT IN
+    becomes a broadcast anti join; COUNT(DISTINCT) expands to a
+    two-level agg (partial distinct per partition, then merge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25))
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal").cast("double") < 1000.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(bad_supp),
+              li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.col("p_type").alias("part_type"),
+                 F.col("p_size").cast("long").alias("part_size"))
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-inventory analog (q20 shape): suppliers that shipped, in
+    1996, more than 8% of some widget part's all-time volume — the
+    doubly-nested IN-subquery shape, decorrelated into agg-join-agg +
+    a semi join back to supplier.  Per-part totals are an
+    agg-below-join (small: |parts|); the qualifying supplier-key set
+    is tiny and semi-joins the dim, so no fact re-scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_sel = (load_table(spark, sf_dir, "part")
+                .filter(F.col("p_name").like("%widget%"))
+                .select("p_partkey"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    widget_li = li.join(F.broadcast(part_sel),
+                        li["l_partkey"] == part_sel["p_partkey"], "left_semi")
+    per_part_total = (widget_li.groupBy(F.col("l_partkey").alias("tp_key"))
+                      .agg(F.sum(money("l_quantity")).alias("total_qty_dec")))
+    shipped_1996 = (
+        widget_li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(money("l_quantity")).alias("qty_1996_dec"))
+    )
+    qualifying = (
+        shipped_1996.join(F.broadcast(per_part_total),
+                          F.col("l_partkey") == F.col("tp_key"))
+        .filter(F.col("qty_1996_dec").cast("double")
+                > F.lit(0.08) * F.col("total_qty_dec").cast("double"))
+        .select("l_suppkey").distinct()
+    )
+    return (
+        supp.join(qualifying, supp["s_suppkey"] == qualifying["l_suppkey"],
+                  "left_semi")
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .select(F.col("s_suppkey").alias("supplier_id"),
+                F.col("s_name").alias("supplier_name"),
+                F.col("n_name").alias("nation_name"))
+    )
+
+
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
@@ -721,6 +820,68 @@ ORACLE_SQL: dict[str, str] = {
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
     """,
+    "q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey AS part_id,
+                   CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) *
+                                 CAST(p_retailprice AS DECIMAL(12,2))
+                                 AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                       AS part_value_dec
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN part     ON l_partkey = p_partkey
+            WHERE n_name = 'NATION_0'
+            GROUP BY l_partkey
+        )
+        SELECT part_id, CAST(part_value_dec AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE CAST(part_value_dec AS DOUBLE) >
+              (SELECT CAST(SUM(part_value_dec) AS DOUBLE) FROM per_part)
+              * 0.001
+    """,
+    "q16_supplier_part_counts": """
+        SELECT p_brand AS brand, p_type AS part_type,
+               CAST(p_size AS BIGINT) AS part_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 5, 10, 15, 20, 25)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE CAST(s_acctbal AS DOUBLE) < 1000.0)
+        GROUP BY 1, 2, 3
+    """,
+    "q20_excess_shippers": """
+        WITH widget_li AS (
+            SELECT * FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%widget%')
+        ), per_part_total AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                        AS DECIMAL(38,2)) AS total_qty_dec
+            FROM widget_li GROUP BY l_partkey
+        ), shipped_1996 AS (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)))
+                        AS DECIMAL(38,2)) AS qty_1996_dec
+            FROM widget_li
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+        )
+        SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+               n_name AS nation_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+              SELECT s.l_suppkey
+              FROM shipped_1996 s
+              JOIN per_part_total t ON s.l_partkey = t.l_partkey
+              WHERE CAST(s.qty_1996_dec AS DOUBLE)
+                    > 0.08 * CAST(t.total_qty_dec AS DOUBLE))
+    """,
     "q18_large_orders": """
         WITH big AS (
             SELECT l_orderkey,
@@ -755,4 +916,7 @@ QUERIES = {
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_idle_customers": q22_idle_customers,
+    "q11_important_parts": q11_important_parts,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_excess_shippers": q20_excess_shippers,
 }
