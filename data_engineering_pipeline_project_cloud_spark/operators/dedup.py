@@ -317,3 +317,92 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
     return docs.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Duplicate-cluster labels over a near-dup pair list: iterative
+    min-label propagation until fixpoint (each node adopts the
+    smallest id reachable through the pair graph).  Returns
+    ``(node, cluster_id)`` for every node that appears in a pair —
+    singletons are absent, callers COALESCE to the node's own id.
+
+    Scale notes: each round is one shuffle keyed by node (edges join
+    labels + min-agg).  Rounds needed = graph diameter; near-dup
+    clusters are dense and shallow (diameter ≤ 3-4 in practice:
+    SRR/FineWeb-style dedup reports star-shaped clusters), so this
+    converges in a handful of rounds where the alternating
+    large-star/small-star formulation (Kiveris et al., "Connected
+    Components in MapReduce") would be needed for adversarial
+    long-chain graphs.  Labels are persisted per round and the
+    previous round unpersisted; the convergence probe is a LIMIT-1
+    count on changed labels, not a collect.
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+        .union(pairs.select(F.col(id_b).cast("long").alias("src"),
+                            F.col(id_a).cast("long").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).persist())
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            nbr = (edges.join(labels, edges["src"] == labels["node"])
+                   .select(F.col("dst").alias("node"), F.col("label")))
+            new_labels = (
+                labels.select("node", "label").union(nbr)
+                .groupBy("node").agg(F.min("label").alias("label"))
+                .persist())
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") < F.col("o.label"))
+                .limit(1).count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_one(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Keep-one canonical dedup: cluster near-dup pairs with
+    ``connected_components``, then for every document report its
+    cluster, the cluster size, and whether it is the kept
+    representative (smallest id — deterministic).  Documents in no
+    pair are their own singleton cluster and always kept.
+
+    The cluster label table is ≤ |docs| tiny rows (id, label), so the
+    join back to the corpus broadcasts at any realistic dup rate; the
+    per-cluster size/min rolls up on the label table BEFORE touching
+    the corpus (agg-below-join).
+    """
+    cc = connected_components(pairs, id_a="doc_a", id_b="doc_b")
+    sizes = (cc.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"),
+                  F.min("node").cast("long").alias("keep_id")))
+    labeled = (cc.join(sizes, "cluster_id")
+               .select(F.col("node"), F.col("cluster_id"),
+                       F.col("cluster_size"), F.col("keep_id")))
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col))
+        .join(F.broadcast(labeled),
+              F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+            .cast("long").alias("cluster_id"),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long").alias("cluster_size"),
+            (F.coalesce(F.col("keep_id"), F.col(id_col)) == F.col(id_col))
+            .alias("is_kept"),
+        )
+    )

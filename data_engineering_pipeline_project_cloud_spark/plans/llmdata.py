@@ -99,6 +99,40 @@ def dedup_minhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_pairs(docs, pairs)
 
 
+DUP_CLUSTER_T = 0.5  # verified-Jaccard cut for transitive clustering
+
+
+def _checked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                 hash_fn="portable").persist()
+    cand = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
+                                  band_key="raw", max_bucket=MAX_BUCKET)
+    return dd.jaccard_pairs(docs, cand, threshold=DUP_CLUSTER_T)
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: the oracle-checked MinHash-LSH pipeline's
+    verified pairs at Jaccard ≥ 0.5, closed under transitivity with
+    iterative min-label connected components
+    (operators/dedup.py:connected_components).  The full chain —
+    signatures → banding → verify → clustering — is reproduced by the
+    DuckDB oracle's recursive CTE, so the iterative DataFrame algorithm
+    gets a hard differential check."""
+    cc = dd.connected_components(_checked_pairs(spark, sf_dir))
+    return cc.select(F.col("node").cast("long").alias("doc_id"),
+                     F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def dedup_corpus_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one canonical dedup over the whole corpus: every document
+    labeled with its near-dup cluster, the cluster size, and whether
+    it survives (smallest id per cluster; singletons survive).  The
+    downstream training-data corpus is ``WHERE is_kept``."""
+    docs = _docs(spark, sf_dir)
+    return dd.dedup_keep_one(docs, _checked_pairs(spark, sf_dir))
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-based near-dup: candidate pairs from a cheap block key
     (lang, token-count bucket), verified with shingle Jaccard ≥ 0.2.
@@ -292,6 +326,52 @@ _JACCARD_VERIFY_SQL = f"""
         JOIN sh_sets sb ON p.doc_b = sb.doc_id
     )
 """
+
+# Shared CTE chain for the clustering oracles: checked MinHash-LSH
+# pairs → symmetric edge list → recursive min-label closure → cc.
+# Callers must open with WITH RECURSIVE.
+_CLUSTER_CTE_SQL = f"""
+        sigs AS ({{sig_sql}}),
+        buckets AS ({{band_sql}}),
+        capped AS (
+            SELECT band_idx, band_val FROM buckets
+            GROUP BY band_idx, band_val HAVING COUNT(*) <= {{max_bucket}}
+        ),
+        bkt AS (
+            SELECT b.* FROM buckets b
+            JOIN capped c ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bkt a JOIN bkt b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+        ),
+        {{verify_sql}},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM verified
+            WHERE jaccard >= {{t}}
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM verified
+            WHERE jaccard >= {{t}}
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        cc AS (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        )
+"""
+
+
+def _cluster_cte_sql() -> str:
+    return _CLUSTER_CTE_SQL.format(
+        sig_sql=_minhash_sig_sql(), band_sql=_MINHASH_BAND_SQL,
+        max_bucket=MAX_BUCKET, verify_sql=_JACCARD_VERIFY_SQL,
+        t=DUP_CLUSTER_T)
+
 
 _SIMHASH_SIG_SQL = f"""
     WITH th AS (
@@ -520,6 +600,27 @@ ORACLE_SQL: dict[str, str] = {
         {_JACCARD_VERIFY_SQL}
         SELECT doc_a, doc_b, n_common, n_union, jaccard FROM verified
     """,
+    "dup_clusters": f"""
+        WITH RECURSIVE {_cluster_cte_sql()}
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM cc
+    """,
+    "dedup_corpus_keep_one": f"""
+        WITH RECURSIVE {_cluster_cte_sql()},
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size,
+                   MIN(node) AS keep_id
+            FROM cc GROUP BY cluster_id
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(cc.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+               CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+               (COALESCE(s.keep_id, d.doc_id) = d.doc_id) AS is_kept
+        FROM documents d
+        LEFT JOIN cc ON d.doc_id = cc.node
+        LEFT JOIN sizes s ON cc.cluster_id = s.cluster_id
+    """,
     "embedding_neardup_pairs": f"""
         WITH n AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -677,6 +778,8 @@ QUERIES = {
     "dataset_splits": dataset_splits,
     "vocab_stats": vocab_stats,
     "dedup_minhash_pairs_checked": dedup_minhash_pairs_checked,
+    "dup_clusters": dup_clusters,
+    "dedup_corpus_keep_one": dedup_corpus_keep_one,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash_pairs": dedup_simhash_pairs,

@@ -203,3 +203,29 @@ def test_simhash_pairs_bucket_cap(spark):
     uncapped = simhash_pairs(docs, max_hamming=3, max_bucket=None).count()
     assert capped == 0
     assert uncapped == 60 * 59 // 2
+
+
+def test_connected_components_chain_and_star(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        connected_components,
+    )
+    # chain 1-2-3-4 (worst-case diameter) + star 10-{11,12,13} + isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long")
+    out = {r["node"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_one_singletons_and_sizes(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        dedup_keep_one,
+    )
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 7)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_kept"])
+            for r in dedup_keep_one(docs, pairs).collect()}
+    assert rows == {1: (1, 3, True), 2: (1, 3, False),
+                    3: (1, 3, False), 7: (7, 1, True)}
