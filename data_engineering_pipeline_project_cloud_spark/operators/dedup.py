@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scope_register, scoped_persist
 from ..functions import portable_hash64
 
 
@@ -208,8 +209,9 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     sh = cand_docs.select(F.col(id_col),
                           F.array_distinct(shingles(F.col(text_col), shingle_n))
                           .alias("sh"))
-    # evaluated twice below (doc_a side, doc_b side): materialize once
-    sh = sh.persist()
+    # evaluated twice below (doc_a side, doc_b side): materialize once;
+    # scoped so the next registry query releases it (caching.py)
+    sh = scoped_persist(sh)
     out = (
         pairs.join(sh.select(F.col(id_col).alias("doc_a"),
                              F.col("sh").alias("sh_a")), "doc_a")
@@ -251,7 +253,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     dropped before pairing (boilerplate-corpus guard).  The fingerprint
     table is persisted before the self-join — 8 bytes/doc.
     """
-    sigs = simhash(docs, text_col, id_col, bits).persist()
+    sigs = scoped_persist(simhash(docs, text_col, id_col, bits))
     n_bands = bits // SIMHASH_BAND_BITS
     mask = (1 << SIMHASH_BAND_BITS) - 1
     band_cols = [
@@ -369,6 +371,9 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
                 break
     finally:
         edges.unpersist()
+    # the final label frame stays cached for the caller's action(s);
+    # scoped so the next registry query releases it
+    scope_register(labels)
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double dot product (deterministic —
@@ -321,7 +323,7 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     from pyspark.sql import Window
 
     # one k-means codebook shared by index build and query probing
-    cents = kmeans_centroids(emb, n_cells, 2, id_col, vec_col).persist()
+    cents = scoped_persist(kmeans_centroids(emb, n_cells, 2, id_col, vec_col))
     assigned = _assign_cells(emb, cents, id_col, vec_col)
 
     cents = F.broadcast(cents)

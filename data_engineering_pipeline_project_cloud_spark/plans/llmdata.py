@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import textstats as tx
@@ -78,8 +79,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute (on a cluster this materialization is the parquet
     signature table an LSH index job would write)."""
     docs = _docs(spark, sf_dir)
-    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
-                                 hash_fn="fast").persist()
+    sigs = scoped_persist(dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                                hash_fn="fast"))
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
                                    max_bucket=MAX_BUCKET)
     return dd.jaccard_pairs(docs, pairs)
@@ -92,8 +93,8 @@ def dedup_minhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the DuckDB oracle SQL.  Same operators, same plan shape as the
     production face; only the hash family differs."""
     docs = _docs(spark, sf_dir)
-    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
-                                 hash_fn="portable").persist()
+    sigs = scoped_persist(dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                                hash_fn="portable"))
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
                                    band_key="raw", max_bucket=MAX_BUCKET)
     return dd.jaccard_pairs(docs, pairs)
@@ -104,8 +105,8 @@ DUP_CLUSTER_T = 0.5  # verified-Jaccard cut for transitive clustering
 
 def _checked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
-                                 hash_fn="portable").persist()
+    sigs = scoped_persist(dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                                hash_fn="portable"))
     cand = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
                                   band_key="raw", max_bucket=MAX_BUCKET)
     return dd.jaccard_pairs(docs, cand, threshold=DUP_CLUSTER_T)

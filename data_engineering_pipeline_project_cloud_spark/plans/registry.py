@@ -7,11 +7,28 @@ all see one source of truth.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..caching import release_scoped
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _scope(fn: QueryFn) -> QueryFn:
+    """Release the previous query's scoped caches before running this
+    one, so a long session (driver correctness pass, bench loop) holds
+    at most one query's persisted intermediates at a time.  Unpersist
+    only forces recompute-on-touch — all sources are deterministic —
+    so a caller still lazily holding an earlier result stays correct.
+    """
+    @functools.wraps(fn)
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_scoped()
+        return fn(spark, sf_dir)
+    return run
 
 
 def _modules():
@@ -30,7 +47,7 @@ def all_queries() -> dict[str, QueryFn]:
         dup = set(out) & set(m.QUERIES)
         if dup:
             raise ValueError(f"duplicate query names: {dup}")
-        out.update(m.QUERIES)
+        out.update({name: _scope(fn) for name, fn in m.QUERIES.items()})
     return out
 
 

@@ -229,3 +229,16 @@ def test_dedup_keep_one_singletons_and_sizes(spark):
             for r in dedup_keep_one(docs, pairs).collect()}
     assert rows == {1: (1, 3, True), 2: (1, 3, False),
                     3: (1, 3, False), 7: (7, 1, True)}
+
+
+def test_scoped_caches_released_between_registry_queries(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.caching import _LIVE
+    from data_engineering_pipeline_project_cloud_spark.plans.registry import (
+        all_queries,
+    )
+    qs = all_queries()
+    qs["dedup_minhash_pairs"](spark, sf_dir).count()
+    assert len(_LIVE) >= 1  # signature + shingle caches live after run
+    qs["dedup_exact"](spark, sf_dir).count()
+    # next registry run released them; dedup_exact itself caches nothing
+    assert len(_LIVE) == 0
