@@ -246,27 +246,61 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
     )
 
 
-def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str,
-                  vec_col: str) -> DataFrame:
-    """Nearest-centroid assignment by cosine: |N| × n_cells broadcast
-    comparisons, map-side, argmax per vector via window."""
-    from pyspark.sql import Window
+def with_unit_vectors(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Replace ``vec_col`` with its L2-normalized array<double>.
 
+    Normalizing the corpus ONCE turns every downstream cosine into a
+    plain dot product — in an IVF/k-means build that computes
+    |N| × n_cells similarities per pass, recomputing both norms per
+    pair (what ``cosine`` does) triples the flop count for nothing.
+    The norm is computed in its own projection first; inlining it into
+    the per-element division would re-evaluate the norm aggregate for
+    every element of the array.  Zero vectors pass through unscaled.
+    """
+    n = (emb.withColumn("__n", _norm(F.col(vec_col)))
+         .withColumn("__n", F.when(F.col("__n") == 0, F.lit(1.0))
+                     .otherwise(F.col("__n"))))
+    return (n.withColumn(
+        vec_col,
+        F.transform(F.col(vec_col),
+                    lambda x: x.cast("double") / F.col("__n")))
+        .drop("__n"))
+
+
+def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str,
+                  vec_col: str, assume_unit: bool = False) -> DataFrame:
+    """Nearest-centroid assignment by cosine: |N| × n_cells broadcast
+    comparisons, map-side, then argmax per vector via ``max_by`` hash
+    aggregation (tie → lowest cell_id, deterministic).  A hash agg
+    partial-aggregates map-side, so the shuffle carries ~|N| partial
+    rows instead of the |N| × n_cells rows a sort-window argmax would
+    move — the difference between an index build that scales with the
+    corpus and one that scales with corpus × codebook.
+
+    With ``assume_unit`` both sides are unit vectors and the cosine
+    collapses to a dot product (see ``with_unit_vectors``)."""
+    sim = _dot if assume_unit else cosine
     scored = (
         emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
         .select(id_col, vec_col, "cell_id",
-                F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+                F.round(sim(F.col(vec_col), F.col("centroid")), 6)
                 .alias("cell_sim"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("cell_sim").desc(), F.col("cell_id").asc())
-    return (scored.withColumn("__rn", F.row_number().over(w))
-            .filter("__rn = 1").drop("__rn"))
+    best = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("cell_id"), F.col("cell_sim"),
+                     F.col(vec_col).alias("__v")),
+            F.struct(F.col("cell_sim").alias("s"),
+                     (-F.col("cell_id")).alias("t"))).alias("b"))
+    return best.select(id_col, F.col("b.__v").alias(vec_col),
+                       "b.cell_id", "b.cell_sim")
 
 
 def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     assume_unit: bool = False) -> DataFrame:
     """Spherical k-means codebook in pure DataFrame ops: deterministic
     init (first ``n_cells`` vectors by id), then ``iters`` rounds of
     assign → per-cell mean.  The mean is computed by exploding to
@@ -284,7 +318,7 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                                  lambda x: x.cast("double"))
                      .alias("centroid")))
     for _ in range(iters):
-        assigned = _assign_cells(emb, cents, id_col, vec_col)
+        assigned = _assign_cells(emb, cents, id_col, vec_col, assume_unit)
         by_dim = (assigned.select(
             "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
             .groupBy("cell_id", "pos")
@@ -295,6 +329,10 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                  .select("cell_id",
                          F.transform("dims", lambda d: d["mean_comp"])
                          .alias("centroid")))
+        if assume_unit:
+            # spherical k-means: project the mean back onto the unit
+            # sphere so dot products against it stay cosines
+            cents = with_unit_vectors(cents, "cell_id", "centroid")
     return cents
 
 
@@ -307,8 +345,10 @@ def ivf_assignments(emb: DataFrame, n_cells: int = 16,
     k-means fit via ``kmeans_centroids`` — deterministic init, so the
     index is reproducible.  Cost: |N| × n_cells broadcast comparisons
     per pass, map-side."""
-    cents = kmeans_centroids(emb, n_cells, kmeans_iters, id_col, vec_col)
-    return _assign_cells(emb, cents, id_col, vec_col)
+    embn = scoped_persist(with_unit_vectors(emb, id_col, vec_col))
+    cents = kmeans_centroids(embn, n_cells, kmeans_iters, id_col, vec_col,
+                             assume_unit=True)
+    return _assign_cells(embn, cents, id_col, vec_col, assume_unit=True)
 
 
 def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
@@ -322,19 +362,22 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     the data (partition pruning does the candidate cut)."""
     from pyspark.sql import Window
 
+    # normalize the corpus once: every similarity below is a dot
+    embn = scoped_persist(with_unit_vectors(emb, id_col, vec_col))
     # one k-means codebook shared by index build and query probing
-    cents = scoped_persist(kmeans_centroids(emb, n_cells, 2, id_col, vec_col))
-    assigned = _assign_cells(emb, cents, id_col, vec_col)
+    cents = scoped_persist(kmeans_centroids(embn, n_cells, 2, id_col, vec_col,
+                                            assume_unit=True))
+    assigned = _assign_cells(embn, cents, id_col, vec_col, assume_unit=True)
 
     cents = F.broadcast(cents)
-    q = (emb.filter(F.col(id_col).isin(query_ids))
+    q = (embn.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("probe_sim").desc(), F.col("cell_id").asc())
     probes = (
         q.join(cents)
         .select("query_id", "qv", "cell_id",
-                F.round(cosine(F.col("qv"), F.col("centroid")), 6)
+                F.round(_dot(F.col("qv"), F.col("centroid")), 6)
                 .alias("probe_sim"))
         .withColumn("__rn", F.row_number().over(wq))
         .filter(F.col("__rn") <= nprobe)
@@ -347,7 +390,7 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         F.broadcast(probes).join(cand, "cell_id")
         .filter(F.col("query_id") != F.col("candidate_id"))
         .select("query_id", "candidate_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"))
+                F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"))
         # no dedup needed: each candidate lives in exactly one cell
     )
     w = Window.partitionBy("query_id").orderBy(
