@@ -245,3 +245,117 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.array_max(hashes).alias("fp_max"),
         F.length(text).cast("long").alias("n_chars"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     top_bigram_max: float = 0.2,
+                     dup_5gram_max: float = 0.3) -> DataFrame:
+    """Gopher-style repetition filters: the fraction of bigrams taken
+    by the single most frequent bigram, and the fraction of 5-gram
+    slots occupied by repeats (1 - distinct/total).  Docs breaching
+    either limit are flagged ``is_repetitive`` — the standard cheap
+    cut for boilerplate / looping-generator text.
+
+    The top-bigram count needs a per-(doc, bigram) frequency, so
+    bigrams ARE exploded — but the two-level aggregation partial-
+    aggregates map-side and the shuffle rows are (id, bigram-hash-size)
+    tuples, collapsing back to doc grain immediately.  The 5-gram
+    repeat ratio never explodes: array_distinct over the shingle array,
+    map-side.
+    """
+    from .dedup import shingles
+
+    bg = (docs.select(F.col(id_col),
+                      F.explode(shingles(F.col(text_col), 2)).alias("bg"))
+          .groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("cnt"))
+          .groupBy(id_col)
+          .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+               F.max("cnt").cast("long").alias("top_bigram_count")))
+    five = docs.select(
+        F.col(id_col),
+        F.size(shingles(F.col(text_col), 5)).cast("long").alias("n_5grams"),
+        F.size(F.array_distinct(shingles(F.col(text_col), 5)))
+        .cast("long").alias("n_distinct_5grams"))
+    top_frac = F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6)
+    dup_frac = F.round(
+        (F.col("n_5grams") - F.col("n_distinct_5grams")) / F.col("n_5grams"), 6)
+    return (five.join(bg, id_col)
+            .select(F.col(id_col),
+                    F.col("n_bigrams"), F.col("top_bigram_count"),
+                    top_frac.alias("top_bigram_frac"),
+                    dup_frac.alias("dup_5gram_frac"),
+                    ((top_frac > top_bigram_max) | (dup_frac > dup_5gram_max))
+                    .alias("is_repetitive")))
+
+
+def contamination_check(docs: DataFrame, eval_docs: DataFrame,
+                        gram_n: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        flag_threshold: float = 0.5) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    held-out ``eval_docs`` set.  Docs at or above ``flag_threshold``
+    are flagged for exclusion — the standard decontamination pass run
+    before training.
+
+    Scale shape: the eval-set gram table is tiny next to the corpus
+    (benchmarks are MBs, corpora are TBs), so it broadcasts and the
+    corpus side stays a map-side explode + partial-agg count.  The
+    corpus is never shuffled at gram grain against itself.
+    """
+    from .dedup import shingles
+
+    eval_grams = (eval_docs.select(
+        F.explode(F.array_distinct(shingles(F.col(text_col), gram_n)))
+        .alias("g")).distinct())
+    corpus = docs.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), gram_n)).alias("gs"))
+    hits = (corpus.select(F.col(id_col), F.explode("gs").alias("g"))
+            .join(F.broadcast(eval_grams), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated")))
+    rate = F.round(F.col("n_contaminated") / F.col("n_grams"), 6)
+    return (corpus.select(F.col(id_col), F.size("gs").cast("long").alias("n_grams"))
+            .join(hits, id_col, "left")
+            .select(F.col(id_col), F.col("n_grams"),
+                    F.coalesce("n_contaminated", F.lit(0)).cast("long")
+                    .alias("n_contaminated"))
+            .select(F.col(id_col), "n_grams", "n_contaminated",
+                    rate.alias("contamination_rate"),
+                    (rate >= flag_threshold).alias("flagged")))
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF (natural-log IDF), the
+    classic relevance/topic signal for corpus curation.  Tokens are
+    lowercased; ties break on the rounded score then token text, so
+    the ranking is deterministic cross-engine.
+
+    Shape: one explode to (doc, token) grain, token frequencies and
+    document frequencies both hash-aggregate with map-side partials,
+    the 1-row corpus count broadcasts, and the final top-k is a
+    per-doc window over ≤ distinct-token rows.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col),
+                       F.explode(_tokens(F.lower(F.col(text_col))))
+                       .alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("cnt").alias("n_tokens"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(doc_len, id_col).join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf", F.round(
+                  (F.col("cnt") / F.col("n_tokens"))
+                  * F.log(F.col("n_docs") / F.col("df")), 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col(id_col), "token", "tfidf",
+                    F.col("rank").cast("long").alias("rank")))

@@ -275,6 +275,60 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "n", "vocab_size", "total_tokens")
 
 
+EVAL_MOD = 50            # every 50th doc plays the held-out benchmark
+CONTAM_FLAG_T = 0.5
+TFIDF_K = 3
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality cut: top-bigram fraction +
+    duplicate-5-gram fraction per document, with an is_repetitive
+    flag."""
+    return tx.repetition_stats(_docs(spark, sf_dir))
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose id % 50 == 0 stand in for
+    the held-out eval set; every other document reports what fraction
+    of its distinct 3-grams leak from that set."""
+    d = _docs(spark, sf_dir)
+    return tx.contamination_check(
+        d.filter(F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) != 0),
+        d.filter(F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == 0),
+        flag_threshold=CONTAM_FLAG_T)
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (lowercased, ln IDF,
+    deterministic tie-break)."""
+    return tx.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sample: every language downsampled to
+    ~the smallest language's size by deterministic id-hash threshold
+    (operators/sampling.py) — reproducible across runs and engines."""
+    from ..operators.sampling import stratified_sample as strat
+
+    return strat(_docs(spark, sf_dir), strata_col="lang")
+
+
+def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level near-dup dedup: LSH-blocked cosine pairs ≥ 0.4
+    closed under connected components; one representative (smallest
+    vec_id) kept per semantic cluster.  The embedding-space sibling of
+    ``dedup_corpus_keep_one``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = (sim.blocked_neardup_pairs(emb, threshold=NEARDUP_T,
+                                       num_planes=NEARDUP_PLANES)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    return (dd.dedup_keep_one(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs)
+        .select(F.col("doc_id").alias("vec_id"), "cluster_id",
+                "cluster_size", "is_kept"))
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_bruteforce(
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
@@ -408,6 +462,42 @@ def _hp_sign_sql(plane: int) -> str:
 
 _NEARDUP_BUCKET_SQL = " + ".join(
     f"{_hp_sign_sql(p)} * {1 << p}" for p in range(NEARDUP_PLANES))
+
+
+def _shingle_expr_sql(src: str, n: int) -> str:
+    """Word n-gram list over a pre-split token-array column ``src`` —
+    the SQL twin of ``operators.dedup.shingles`` (out-of-range list
+    indexes yield NULL, concat_ws skips them, so short docs collapse
+    to one whole-text shingle on both engines)."""
+    parts = ", ".join(f"{src}[i+{j}]" for j in range(n))
+    return (f"list_transform(generate_series(1, "
+            f"greatest(len({src}) - {n - 1}, 1)), "
+            f"i -> concat_ws(' ', {parts}))")
+
+
+_EMB_NEARDUP_SQL = f"""
+        WITH n AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS q,
+                   sqrt(list_sum(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+            FROM embeddings
+        ),
+        bkt AS (
+            SELECT vec_id, v, nrm, ({_NEARDUP_BUCKET_SQL}) AS bucket
+            FROM n
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(round(
+                   list_sum(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS DOUBLE)
+                   AS cosine_sim
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round(
+            list_sum(list_transform(generate_series(1, len(a.v)),
+                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= {NEARDUP_T}
+"""
 
 ORACLE_SQL: dict[str, str] = {
     "simhash_fingerprints": _SIMHASH_SIG_SQL,
@@ -622,28 +712,137 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN cc ON d.doc_id = cc.node
         LEFT JOIN sizes s ON cc.cluster_id = s.cluster_id
     """,
-    "embedding_neardup_pairs": f"""
-        WITH n AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   list_transform(CAST(embedding AS DOUBLE[]),
-                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS q,
-                   sqrt(list_sum(list_transform(
-                        CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-            FROM embeddings
+    "embedding_neardup_pairs": _EMB_NEARDUP_SQL,
+    "repetition_stats": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
+        bg AS (
+            SELECT doc_id, unnest({_shingle_expr_sql('t', 2)}) AS bg
+            FROM toks
         ),
-        bkt AS (
-            SELECT vec_id, v, nrm, ({_NEARDUP_BUCKET_SQL}) AS bucket
-            FROM n
+        bgc AS (
+            SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg
+        ),
+        bgd AS (
+            SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top
+            FROM bgc GROUP BY doc_id
+        ),
+        five AS (
+            SELECT doc_id,
+                   len({_shingle_expr_sql('t', 5)}) AS n5,
+                   len(list_distinct({_shingle_expr_sql('t', 5)})) AS nd5
+            FROM toks
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               CAST(round(
-                   list_sum(list_transform(generate_series(1, len(a.v)),
-                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS DOUBLE)
-                   AS cosine_sim
-        FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE round(
-            list_sum(list_transform(generate_series(1, len(a.v)),
-                i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= {NEARDUP_T}
+        SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               CAST(top AS BIGINT) AS top_bigram_count,
+               CAST(round(top / CAST(n_bigrams AS DOUBLE), 6) AS DOUBLE)
+                   AS top_bigram_frac,
+               CAST(round((n5 - nd5) / CAST(n5 AS DOUBLE), 6) AS DOUBLE)
+                   AS dup_5gram_frac,
+               (round(top / CAST(n_bigrams AS DOUBLE), 6) > 0.2
+                OR round((n5 - nd5) / CAST(n5 AS DOUBLE), 6) > 0.3)
+                   AS is_repetitive
+        FROM five f JOIN bgd ON f.doc_id = bgd.doc_id
+    """,
+    "contamination_check": f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct({_SHINGLES}) AS gs FROM documents
+        ),
+        eg AS (
+            SELECT DISTINCT unnest(gs) AS g FROM sh
+            WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        corpus AS (
+            SELECT doc_id, gs FROM sh WHERE doc_id % {EVAL_MOD} <> 0
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS g FROM corpus),
+        hits AS (
+            SELECT ex.doc_id, COUNT(*) AS n_cont
+            FROM ex JOIN eg ON ex.g = eg.g GROUP BY ex.doc_id
+        )
+        SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+               CAST(len(gs) AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_cont, 0) AS BIGINT) AS n_contaminated,
+               CAST(round(COALESCE(n_cont, 0) / CAST(len(gs) AS DOUBLE), 6)
+                    AS DOUBLE) AS contamination_rate,
+               (round(COALESCE(n_cont, 0) / CAST(len(gs) AS DOUBLE), 6)
+                    >= {CONTAM_FLAG_T}) AS flagged
+        FROM corpus c LEFT JOIN hits ON c.doc_id = hits.doc_id
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest({_TOKENS.replace('text', 'lower(text)')}) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS cnt
+            FROM toks GROUP BY doc_id, token
+        ),
+        dl AS (SELECT doc_id, SUM(cnt) AS n_tokens FROM tf GROUP BY doc_id),
+        dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round((cnt / CAST(n_tokens AS DOUBLE))
+                         * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf
+            FROM tf
+            JOIN dl ON tf.doc_id = dl.doc_id
+            JOIN dfreq ON tf.token = dfreq.token
+            CROSS JOIN nd
+        ),
+        rk AS (
+            SELECT doc_id, token, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rnk
+            FROM scored
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, token,
+               CAST(tfidf AS DOUBLE) AS tfidf, CAST(rnk AS BIGINT) AS rank
+        FROM rk WHERE rnk <= {TFIDF_K}
+    """,
+    "stratified_sample": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        m AS (SELECT MIN(n) AS min_n FROM counts),
+        rates AS (
+            SELECT lang,
+                   CAST(floor(1000000 * min_n / CAST(n AS DOUBLE)) AS BIGINT)
+                       AS keep_ppm
+            FROM counts CROSS JOIN m
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ({_H.format(x="'sample|' || CAST(doc_id AS VARCHAR)")}
+               % 1000000) < keep_ppm
+    """,
+    "semantic_dedup_keep_one": f"""
+        WITH RECURSIVE pr AS ({_EMB_NEARDUP_SQL}),
+        edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pr
+            UNION
+            SELECT vec_b AS src, vec_a AS dst FROM pr
+        ),
+        reach(node, label) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+        ),
+        cc AS (
+            SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+        ),
+        sizes AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size, MIN(node) AS keep_id
+            FROM cc GROUP BY cluster_id
+        )
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(COALESCE(cc.cluster_id, e.vec_id) AS BIGINT) AS cluster_id,
+               CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+               (COALESCE(s.keep_id, e.vec_id) = e.vec_id) AS is_kept
+        FROM embeddings e
+        LEFT JOIN cc ON e.vec_id = cc.node
+        LEFT JOIN sizes s ON cc.cluster_id = s.cluster_id
     """,
     "chunk_documents": f"""
         WITH base AS (
@@ -781,6 +980,11 @@ QUERIES = {
     "dedup_minhash_pairs_checked": dedup_minhash_pairs_checked,
     "dup_clusters": dup_clusters,
     "dedup_corpus_keep_one": dedup_corpus_keep_one,
+    "repetition_stats": repetition_stats,
+    "contamination_check": contamination_check,
+    "tfidf_top_terms": tfidf_top_terms,
+    "stratified_sample": stratified_sample,
+    "semantic_dedup_keep_one": semantic_dedup_keep_one,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash_pairs": dedup_simhash_pairs,

@@ -242,3 +242,47 @@ def test_scoped_caches_released_between_registry_queries(spark, sf_dir):
     qs["dedup_exact"](spark, sf_dir).count()
     # next registry run released them; dedup_exact itself caches nothing
     assert len(_LIVE) == 0
+
+
+def test_repetition_stats_flags_looping_text(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        repetition_stats,
+    )
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam spam spam"),
+         (2, "one two three four five six seven eight")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["is_repetitive"] and out[1]["top_bigram_frac"] == 1.0
+    assert not out[2]["is_repetitive"]
+    assert out[2]["n_bigrams"] == 7 and out[2]["top_bigram_count"] == 1
+
+
+def test_contamination_check_rates(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        contamination_check,
+    )
+    ev = spark.createDataFrame([(100, "a b c d e")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"),            # fully contained in eval
+         (2, "x y z w v u t")],       # disjoint
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_check(docs, ev).collect()}
+    assert out[1]["contamination_rate"] == 1.0 and out[1]["flagged"]
+    assert out[2]["n_contaminated"] == 0 and not out[2]["flagged"]
+
+
+def test_stratified_sample_deterministic_and_balanced(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        stratified_sample,
+    )
+    rows = [(i, "en") for i in range(400)] + [(i, "fr") for i in range(400, 440)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    a = stratified_sample(docs).collect()
+    b = stratified_sample(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    by_lang = {}
+    for r in a:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang["fr"] == 40                      # smallest stratum intact
+    assert 20 <= by_lang["en"] <= 70                # en downsampled to ~40
