@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import money
+from ..functions import money, portable_hash64
+from ..operators import relational as rel
 from ..sources import load_table
 
 
@@ -505,7 +506,114 @@ def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
 
 
+CDC_DELETE_MOD = 20  # every 20th order (by key hash) plays a delete
+SCD2_HIGH_DATE = "9999-12-31 00:00:00"
+
+
+def cdc_orders_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (batch MERGE semantics): the orders
+    table plays a per-customer changelog — each order is an upsert of
+    that customer's latest-order record, except orders whose key hash
+    ≡ 0 (mod 20), which play deletes.  The winner per customer is the
+    highest (order_ts, order_key); a winning delete drops the
+    customer.  ``operators/relational.py:cdc_apply``."""
+    orders = load_table(spark, sf_dir, "orders")
+    op = F.when(
+        F.pmod(portable_hash64(F.col("o_orderkey").cast("string"),
+                               salt="cdc|"),
+               F.lit(CDC_DELETE_MOD)) == 0, F.lit("D")).otherwise(F.lit("U"))
+    log = orders.withColumn("op", op)
+    out = rel.cdc_apply(log, ["o_custkey"], ["o_orderdate", "o_orderkey"])
+    return out.select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.col("o_orderdate").alias("order_ts"))
+
+
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: per customer, consecutive runs of an
+    unchanged order status collapse into validity intervals with a
+    high-date sentinel on the open row.
+    ``operators/relational.py:scd2_compact``."""
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.select("o_custkey",
+                        F.col("o_orderstatus").alias("status"),
+                        "o_orderdate", "o_orderkey")
+    out = rel.scd2_compact(obs, ["o_custkey"], "status",
+                           ["o_orderdate", "o_orderkey"],
+                           high_date=SCD2_HIGH_DATE)
+    return out.select(F.col("o_custkey").cast("long").alias("o_custkey"),
+                      "status", "valid_from", "valid_to", "version",
+                      "is_current")
+
+
+_H_REL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
 ORACLE_SQL: dict[str, str] = {
+    "cdc_orders_latest_state": f"""
+        WITH changelog AS (
+            SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+                   o_orderdate,
+                   CASE WHEN ({_H_REL.format(
+                       x="'cdc|' || CAST(o_orderkey AS VARCHAR)")}
+                        % {CDC_DELETE_MOD}) = 0
+                        THEN 'D' ELSE 'U' END AS op
+            FROM orders
+        ),
+        latest AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM changelog
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               o_orderdate AS order_ts
+        FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+    "scd2_order_status_history": f"""
+        WITH obs AS (
+            SELECT o_custkey, o_orderstatus AS status,
+                   o_orderdate, o_orderkey
+            FROM orders
+        ),
+        lagged AS (
+            SELECT *, CASE WHEN lag(status) OVER w IS NULL
+                             OR lag(status) OVER w <> status
+                           THEN 1 ELSE 0 END AS chg
+            FROM obs
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        versioned AS (
+            SELECT *, SUM(chg) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS version
+            FROM lagged
+        ),
+        runs AS (
+            SELECT o_custkey, version, status,
+                   MIN(o_orderdate) AS valid_from
+            FROM versioned GROUP BY o_custkey, version, status
+        ),
+        final AS (
+            SELECT o_custkey, status, valid_from,
+                   COALESCE(LEAD(valid_from) OVER (
+                                PARTITION BY o_custkey ORDER BY version),
+                            TIMESTAMP '{SCD2_HIGH_DATE}') AS valid_to,
+                   version
+            FROM runs
+        )
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey, status,
+               valid_from, valid_to, CAST(version AS BIGINT) AS version,
+               (valid_to = TIMESTAMP '{SCD2_HIGH_DATE}') AS is_current
+        FROM final
+    """,
     "salted_join_segment_totals": """
         SELECT c_mktsegment AS segment,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -844,6 +952,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "cdc_orders_latest_state": cdc_orders_latest_state,
+    "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,

@@ -286,3 +286,39 @@ def test_stratified_sample_deterministic_and_balanced(spark):
         by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
     assert by_lang["fr"] == 40                      # smallest stratum intact
     assert 20 <= by_lang["en"] <= 70                # en downsampled to ~40
+
+
+def test_cdc_apply_latest_wins_and_delete_drops(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.relational import (
+        cdc_apply,
+    )
+    log = spark.createDataFrame(
+        [(1, 1, "a", "U"), (1, 2, "b", "U"),   # key 1: b wins
+         (2, 1, "x", "U"), (2, 2, "x2", "D"),  # key 2: final delete drops
+         (3, 1, "gone", "D"), (3, 2, "back", "U")],  # delete then re-insert
+        "k long, seq long, v string, op string")
+    out = {r["k"]: r["v"]
+           for r in cdc_apply(log, ["k"], ["seq"]).collect()}
+    assert out == {1: "b", 3: "back"}
+
+
+def test_scd2_compact_runs_and_sentinel(spark):
+    import datetime as dtm
+    from data_engineering_pipeline_project_cloud_spark.operators.relational import (
+        scd2_compact,
+    )
+    t = lambda d: dtm.datetime(2024, 1, d)
+    obs = spark.createDataFrame(
+        [(1, "A", t(1), 1), (1, "A", t(2), 2), (1, "B", t(3), 3),
+         (1, "A", t(4), 4), (2, "Z", t(1), 5)],
+        "k long, attr string, ts timestamp, seq long")
+    rows = sorted(
+        scd2_compact(obs, ["k"], "attr", ["ts", "seq"]).collect(),
+        key=lambda r: (r["k"], r["version"]))
+    # key 1: A-run, B-run, A-run again (3 versions); key 2: one current row
+    assert [(r["k"], r["attr"], r["version"], r["is_current"])
+            for r in rows] == [
+        (1, "A", 1, False), (1, "B", 2, False), (1, "A", 3, True),
+        (2, "Z", 1, True)]
+    assert rows[0]["valid_to"] == rows[1]["valid_from"] == t(3)
+    assert rows[2]["valid_to"].year == 9999
