@@ -51,3 +51,30 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
             .filter(sample_decision(id_col, "keep_ppm"))
             .select(F.col(id_col).cast("long").alias(id_col),
                     F.col(strata_col)))
+
+
+def fixed_k_per_stratum(docs: DataFrame, k: int, strata_col: str = "lang",
+                        id_col: str = "doc_id",
+                        salt: str = "ksample|") -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample — the eval-holdout
+    builder: order each stratum by id hash (a stable shuffle) and keep
+    the first ``k``.  Unlike rate-based sampling the output size is
+    exact, and unlike ``ORDER BY rand()`` it never moves documents
+    between runs, re-shards, or engines.
+
+    One shuffle on the stratum key; the per-stratum window ranks by
+    (hash, id) so ties are impossible.  At scale prefer rate-based
+    ``stratified_sample`` when strata are huge (a single-stratum window
+    sorts that stratum on one reducer); k-exact holdouts are for eval
+    sets, where k is small by construction.
+    """
+    from pyspark.sql import Window
+
+    h = F.pmod(portable_hash64(F.col(id_col).cast("string"), salt=salt),
+               F.lit(SAMPLE_SCALE))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (docs.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col(strata_col),
+                    F.col("sample_rank").cast("long").alias("sample_rank")))

@@ -313,6 +313,20 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat(_docs(spark, sf_dir), strata_col="lang")
 
 
+HOLDOUT_K = 20
+
+
+def eval_holdout_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-language deterministic eval holdout: each language
+    contributes its first ``HOLDOUT_K`` documents by id-hash order
+    (operators/sampling.py:fixed_k_per_stratum) — exact sizes, stable
+    across runs and engines."""
+    from ..operators.sampling import fixed_k_per_stratum
+
+    return fixed_k_per_stratum(_docs(spark, sf_dir), k=HOLDOUT_K,
+                               strata_col="lang")
+
+
 def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level near-dup dedup: LSH-blocked cosine pairs ≥ 0.4
     closed under connected components; one representative (smallest
@@ -817,6 +831,20 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ({_H.format(x="'sample|' || CAST(doc_id AS VARCHAR)")}
                % 1000000) < keep_ppm
     """,
+    "eval_holdout_per_lang": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ({_H.format(
+                           x="'ksample|' || CAST(doc_id AS VARCHAR)")}
+                                 % 1000000) ASC, doc_id ASC) AS rnk
+            FROM documents
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(rnk AS BIGINT) AS sample_rank
+        FROM ranked WHERE rnk <= {HOLDOUT_K}
+    """,
     "semantic_dedup_keep_one": f"""
         WITH RECURSIVE pr AS ({_EMB_NEARDUP_SQL}),
         edges AS (
@@ -984,6 +1012,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample": stratified_sample,
+    "eval_holdout_per_lang": eval_holdout_per_lang,
     "semantic_dedup_keep_one": semantic_dedup_keep_one,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_fingerprints": simhash_fingerprints,
