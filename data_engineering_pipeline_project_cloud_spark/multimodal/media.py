@@ -80,7 +80,7 @@ def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BYTE_STATS_SCHEMA = (
-    "media_id long, modality string, n_bytes long, "
+    "media_id long, modality string, n_bytes long, byte_sum long, "
     "byte_mean double, byte_min int, byte_max int"
 )
 
@@ -97,6 +97,7 @@ def byte_stats(media: DataFrame) -> DataFrame:
                 "media_id": pdf["media_id"].values,
                 "modality": pdf["modality"].values,
                 "n_bytes": [len(a) for a in arrs],
+                "byte_sum": [int(a.sum()) for a in arrs],
                 "byte_mean": [round(float(a.mean()), 6) if len(a) else None
                               for a in arrs],
                 "byte_min": [int(a.min()) if len(a) else None for a in arrs],

@@ -103,7 +103,8 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
 def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  num_planes: int = 6, multiprobe: bool = False,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 portable: bool = False) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket.  At 100 TB the corpus is written bucketed
     (``partitionBy(bucket)``) so a query touches one partition — this
@@ -116,9 +117,15 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     (num_planes+1)/2^num_planes of the corpus."""
     from pyspark.sql import Window
 
+    # portable=True swaps the xxhash64 planes for the md5-derived
+    # integer-exact buckets of ``lsh_bucket_portable`` so the whole
+    # approximate result set is reproducible in ANSI SQL (the
+    # oracle-checked registry face); the default stays on the cheaper
+    # JVM xxhash64 path for production
+    mk_bucket = lsh_bucket_portable if portable else lsh_bucket
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col),
-        lsh_bucket(F.col(vec_col), num_planes).alias("bucket"))
+        mk_bucket(F.col(vec_col), num_planes).alias("bucket"))
     q_base = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("bucket"))
@@ -333,6 +340,15 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
             # spherical k-means: project the mean back onto the unit
             # sphere so dot products against it stay cosines
             cents = with_unit_vectors(cents, "cell_id", "centroid")
+        # land the codebook on the driver after each pass: it is
+        # n_cells × dim doubles — bounded and tiny at ANY corpus size —
+        # and the next pass then broadcasts literal data instead of
+        # replaying the whole previous pass inside its own plan
+        # (the nested-broadcast lineage multiplies job count per
+        # iteration).  This is the offline-codebook checkpoint every
+        # production IVF build does.
+        cents = emb.sparkSession.createDataFrame(
+            cents.collect(), schema="cell_id long, centroid array<double>")
     return cents
 
 

@@ -355,6 +355,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
 
 
+def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked ANN face: md5-derived hyperplanes with exact
+    integer sign tests (``lsh_bucket_portable``) make the bucket
+    assignment — and therefore the whole approximate result set —
+    engine-reproducible, so the driver hash-checks an actual ANN
+    query instead of recording rows-only."""
+    return sim.lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK,
+        num_planes=NEARDUP_PLANES, portable=True)
+
+
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_norms(load_table(spark, sf_dir, "embeddings"))
 
@@ -488,6 +499,42 @@ def _shingle_expr_sql(src: str, n: int) -> str:
             f"greatest(len({src}) - {n - 1}, 1)), "
             f"i -> concat_ws(' ', {parts}))")
 
+
+_ANN_LSH_PORTABLE_SQL = f"""
+        WITH n AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(floor(x * 1000) AS BIGINT)) AS q
+            FROM embeddings
+        ),
+        bkt AS (
+            SELECT vec_id, v, ({_NEARDUP_BUCKET_SQL}) AS bucket
+            FROM n
+        ),
+        qs AS (
+            SELECT vec_id AS query_id, v AS qv, bucket
+            FROM bkt WHERE vec_id < 10
+        ),
+        sims AS (
+            SELECT qs.query_id, c.vec_id AS candidate_id,
+                   CAST(round(
+                       list_sum(list_transform(generate_series(1, len(qs.qv)),
+                           i -> qs.qv[i] * c.v[i]))
+                       / (sqrt(list_sum(list_transform(qs.qv, x -> x * x)))
+                          * sqrt(list_sum(list_transform(c.v, x -> x * x)))),
+                       6) AS DOUBLE) AS cosine_sim
+            FROM qs JOIN bkt c
+              ON qs.bucket = c.bucket AND qs.query_id <> c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, candidate_id, cosine_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, candidate_id ASC)
+                        AS BIGINT) AS rank
+            FROM sims
+        )
+        SELECT * FROM ranked WHERE rank <= {TOPK}
+"""
 
 _EMB_NEARDUP_SQL = f"""
         WITH n AS (
@@ -727,6 +774,7 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN sizes s ON cc.cluster_id = s.cluster_id
     """,
     "embedding_neardup_pairs": _EMB_NEARDUP_SQL,
+    "ann_lsh_topk_portable": _ANN_LSH_PORTABLE_SQL,
     "repetition_stats": f"""
         WITH toks AS (SELECT doc_id, {_TOKENS} AS t FROM documents),
         bg AS (
@@ -998,6 +1046,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_topk_portable": ann_lsh_topk_portable,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_norms": embedding_norms,

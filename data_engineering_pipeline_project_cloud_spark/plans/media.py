@@ -41,15 +41,42 @@ def media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fake-decode via mapInPandas (no oracle — DuckDB has no per-byte
-    blob aggregation; invariants pytest-checked against pure Python)."""
-    return byte_stats(synthetic_media(spark, sf_dir))
+    """Fake-decode via mapInPandas.  The driver face keeps only the
+    integer-exact statistics (sum/min/max/count) so the oracle — which
+    re-derives every payload byte in SQL from ``hex(encode(text))`` —
+    compares bit-portable BIGINTs; ``byte_mean`` (float rounding) stays
+    on the operator and is pytest-checked against pure Python."""
+    out = byte_stats(synthetic_media(spark, sf_dir))
+    return out.select(
+        "media_id", "modality", "n_bytes", "byte_sum",
+        F.coalesce(F.col("byte_min"), F.lit(-1)).cast("long")
+        .alias("byte_min"),
+        F.coalesce(F.col("byte_max"), F.lit(-1)).cast("long")
+        .alias("byte_max"))
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake embedding extraction (rows-only check;
-    determinism and shape pytest-asserted)."""
-    return extract_features(synthetic_media(spark, sf_dir), dim=FEATURE_DIM)
+    """Deterministic fake embedding extraction.  Arrays serialize
+    differently across harness frames (list vs ndarray), so the driver
+    face pins the float vector through invertible integer checksums:
+    each feature is ``byte/128 - 1`` with byte in 0..255, so
+    ``round((x+1)*128)`` recovers the md5 byte exactly (float32 and
+    float64 both represent it exactly), and the plain + position-
+    weighted sums pin both the multiset and the order of the vector.
+    The oracle recomputes the same bytes from ``md5(text || '|0')``."""
+    out = extract_features(synthetic_media(spark, sf_dir), dim=FEATURE_DIM)
+    byte_of = lambda x: F.round((x + F.lit(1.0)) * 128).cast("long")  # noqa: E731
+    return out.select(
+        "media_id",
+        F.size("feature").cast("long").alias("n_dims"),
+        F.aggregate(F.transform("feature", byte_of),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("feature_byte_sum"),
+        F.aggregate(
+            F.transform("feature",
+                        lambda x, i: (i.cast("long") + 1) * byte_of(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x).alias("feature_byte_wsum"))
 
 
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +93,60 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MODALITY_SQL = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
+#: Parse hex-pair ``i`` (0-based) of hex string ``h`` into its byte
+#: value — DuckDB has no blob-to-byte-array primitive, so the oracle
+#: re-derives payload bytes positionally from the hex rendering.
+def _HEXBYTE(h: str, digits: str) -> str:
+    return (f"16 * (strpos('{digits}', {h}[2*i+1:2*i+1]) - 1)"
+            f" + (strpos('{digits}', {h}[2*i+2:2*i+2]) - 1)")
+
+
 ORACLE_SQL: dict[str, str] = {
+    "media_byte_stats": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   {_MODALITY_SQL} AS modality,
+                   hex(encode(text)) AS h
+            FROM documents
+        ),
+        b AS (
+            SELECT media_id, modality,
+                   list_transform(
+                       range(CAST(length(h) / 2 AS INT)),
+                       i -> {_HEXBYTE('h', '0123456789ABCDEF')}) AS bytes
+            FROM m
+        )
+        SELECT media_id, modality,
+               CAST(len(bytes) AS BIGINT) AS n_bytes,
+               CAST(COALESCE(list_sum(bytes), 0) AS BIGINT) AS byte_sum,
+               CAST(COALESCE(list_min(bytes), -1) AS BIGINT) AS byte_min,
+               CAST(COALESCE(list_max(bytes), -1) AS BIGINT) AS byte_max
+        FROM b
+    """,
+    # the fake extractor is md5(payload || '|0') bytes scaled to
+    # [-1, 1); text is the payload's exact UTF-8 source, so DuckDB's
+    # VARCHAR md5 hashes identical bytes
+    "media_features": f"""
+        WITH f AS (
+            SELECT doc_id AS media_id, md5(text || '|0') AS h
+            FROM documents
+        ),
+        b AS (
+            SELECT media_id,
+                   list_transform(
+                       range({FEATURE_DIM}),
+                       i -> {_HEXBYTE('h', '0123456789abcdef')}) AS bytes
+            FROM f
+        )
+        SELECT media_id,
+               CAST({FEATURE_DIM} AS BIGINT) AS n_dims,
+               CAST(list_sum(bytes) AS BIGINT) AS feature_byte_sum,
+               CAST(list_sum(list_transform(
+                   range({FEATURE_DIM}),
+                   i -> (i + 1) * bytes[i + 1])) AS BIGINT)
+                   AS feature_byte_wsum
+        FROM b
+    """,
     "media_profile": f"""
         WITH media AS (
             SELECT doc_id AS media_id,
