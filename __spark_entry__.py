@@ -30,6 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
     reference's transform-complex-full.py analog) at sf0.001."""
     from data_engineering_pipeline_project_cloud_spark.plans.parity import master_table
 
+    # driver-owned session: pin the two runtime confs the engine's
+    # timestamp semantics depend on (see plans/registry.py:_scope)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return master_table(spark, "/root/testdata/sf0.001")
 
 

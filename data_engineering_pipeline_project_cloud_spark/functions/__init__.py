@@ -1,6 +1,7 @@
 from .scalar import (
     MONEY,
     epoch_days_between,
+    epoch_seconds,
     money,
     norm_lower,
     norm_upper,
@@ -11,6 +12,7 @@ from .scalar import (
 __all__ = [
     "MONEY",
     "epoch_days_between",
+    "epoch_seconds",
     "money",
     "norm_lower",
     "norm_upper",

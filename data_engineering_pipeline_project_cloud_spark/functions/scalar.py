@@ -54,9 +54,21 @@ def epoch_days_between(later: Column | str, earlier: Column | str) -> Column:
     """
     l = F.col(later) if isinstance(later, str) else later
     e = F.col(earlier) if isinstance(earlier, str) else earlier
-    # timestamp→double = fractional epoch seconds (unix_timestamp would
-    # truncate sub-second precision, diverging from SQL EPOCH()).
-    return (l.cast("double") - e.cast("double")) / F.lit(86400.0)
+    return (epoch_seconds(l) - epoch_seconds(e)) / F.lit(86400.0)
+
+
+def epoch_seconds(c: Column | str) -> Column:
+    """Fractional epoch seconds for any timestamp flavor.
+
+    ``timestamp → double`` preserves sub-second precision where
+    ``unix_timestamp`` truncates, but Spark 4.1 forbids that cast on
+    TIMESTAMP_NTZ.  Routing through TIMESTAMP_LTZ accepts both flavors;
+    the NTZ→LTZ conversion uses the session time zone, which the engine
+    pins to UTC (session.py / plans.registry._scope), so the value is
+    the naive-UTC epoch — exactly SQL ``EPOCH(ts)``.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("timestamp_ltz").cast("double")
 
 
 def portable_hash64(c: Column | str, salt: str = "") -> Column:

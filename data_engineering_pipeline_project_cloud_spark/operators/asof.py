@@ -73,8 +73,10 @@ def asof_join_native(left: DataFrame, right: DataFrame, on_left: str,
           for c in value_cols])
     out = filled.filter(F.col("__is_right") == 0)
     if tolerance_seconds is not None:
-        stale = (F.col("__t").cast("double")
-                 - F.col("__match_t").cast("double")) > tolerance_seconds
+        from ..functions import epoch_seconds
+
+        stale = (epoch_seconds("__t")
+                 - epoch_seconds("__match_t")) > tolerance_seconds
         out = out.select(
             "__is_right", "__t", *left_cols, "__match_t",
             *[F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)

@@ -27,6 +27,13 @@ def _scope(fn: QueryFn) -> QueryFn:
     @functools.wraps(fn)
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_scoped()
+        # the driver runs registry queries on a session IT built, so the
+        # two runtime confs the engine's timestamp semantics depend on
+        # are re-pinned per query: UTC (oracle parity) and LTZ parquet
+        # timestamps (watermarks and epoch casts reject NTZ; under UTC
+        # the wall-clock values are identical either way)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         return fn(spark, sf_dir)
     return run
 

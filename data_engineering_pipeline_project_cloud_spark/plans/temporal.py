@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions import money
+from ..functions import epoch_seconds, money
 from ..operators.asof import asof_join_native
 from ..sources import load_table
 
@@ -57,13 +57,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
                                               F.col("event_id").asc())
     gap_s = SESSION_GAP_MIN * 60
-    # ts.cast(double) = fractional epoch seconds; unix_timestamp would
-    # truncate sub-second precision and disagree with the oracle's EPOCH().
+    # epoch_seconds = fractional epoch; unix_timestamp would truncate
+    # sub-second precision and disagree with the oracle's EPOCH().
     with_flag = ev.select(
         "user_id", "ts", "event_id", "value",
         F.when(
-            (F.col("ts").cast("double")
-             - F.lag("ts", 1).over(w).cast("double")) > gap_s,
+            (epoch_seconds("ts")
+             - epoch_seconds(F.lag("ts", 1).over(w))) > gap_s,
             F.lit(1)).otherwise(F.lit(0)).alias("new_session"),
     )
     with_id = with_flag.withColumn(
@@ -140,8 +140,8 @@ def click_purchase_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
         .select("click_id", "purchase_id", "user_id", "click_ts",
                 "purchase_ts",
-                F.round(F.col("purchase_ts").cast("double")
-                        - F.col("click_ts").cast("double"), 6)
+                F.round(epoch_seconds("purchase_ts")
+                        - epoch_seconds("click_ts"), 6)
                 .alias("lag_seconds"))
     )
 

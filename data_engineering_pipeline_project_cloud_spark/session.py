@@ -40,6 +40,13 @@ def get_spark(app_name: str = "data_engineering_pipeline_project_cloud_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # naive parquet timestamps read as TIMESTAMP (ltz), not NTZ:
+        # watermarks require TIMESTAMP, and NTZ forbids the epoch cast
+        # (timestamp → double).  Under a UTC session the two types carry
+        # identical wall-clock values, so this only restores the round-1
+        # type surface.  Runtime-settable; registry._scope re-pins it on
+        # driver-owned sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

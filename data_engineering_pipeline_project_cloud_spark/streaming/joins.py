@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import epoch_seconds
+
 WATERMARK = "2 hours"
 
 
@@ -46,7 +48,7 @@ def stream_click_purchase_join(events: DataFrame) -> DataFrame:
                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")))
         .select("click_id", "purchase_id", "user_id", "click_ts",
                 "purchase_ts",
-                F.round(F.col("purchase_ts").cast("double")
-                        - F.col("click_ts").cast("double"), 6)
+                F.round(epoch_seconds("purchase_ts")
+                        - epoch_seconds("click_ts"), 6)
                 .alias("lag_seconds"))
     )
