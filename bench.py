@@ -59,12 +59,18 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # the registry's scoped-release only drops the PREVIOUS query's
+        # persists at next-query start; clearing here keeps leftover
+        # blocks from pressuring the next measurement (r1 methodology —
+        # timings are per-query, not amortized-session)
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",

@@ -310,15 +310,17 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                      assume_unit: bool = False) -> DataFrame:
     """Spherical k-means codebook in pure DataFrame ops: deterministic
     init (first ``n_cells`` vectors by id), then ``iters`` rounds of
-    assign → per-cell mean.  The mean is computed by exploding to
-    (cell, dim, component) and re-assembling with a position-sorted
-    collect — each iteration is one broadcast-assign plus one shuffle
-    keyed by (cell, dim): n_cells × dim tiny rows, independent of |N|
-    after the partial agg.  Returns (cell_id, centroid array<double>).
+    assign → per-cell mean.  The mean is one hash aggregation with a
+    SUM column per dimension (map-side partial agg → the shuffle moves
+    ≤ partitions × n_cells rows of dim doubles, independent of |N|) —
+    one shuffle per iteration where a (cell, dim) explode-and-reassemble
+    needs three.  Returns (cell_id, centroid array<double>).
 
     Empty cells (no vector assigned) drop out; callers see ≤ n_cells
     cells — the standard k-means degeneracy, harmless for IVF probing.
     """
+    # array width isn't in the schema; one single-row probe pins it
+    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     cents = (emb.filter(F.col(id_col) < n_cells)
              .select(F.col(id_col).cast("long").alias("cell_id"),
                      F.transform(F.col(vec_col),
@@ -326,16 +328,14 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                      .alias("centroid")))
     for _ in range(iters):
         assigned = _assign_cells(emb, cents, id_col, vec_col, assume_unit)
-        by_dim = (assigned.select(
-            "cell_id", F.posexplode(F.col(vec_col)).alias("pos", "comp"))
-            .groupBy("cell_id", "pos")
-            .agg(F.avg(F.col("comp").cast("double")).alias("mean_comp")))
-        cents = (by_dim.groupBy("cell_id")
-                 .agg(F.array_sort(F.collect_list(
-                     F.struct("pos", "mean_comp"))).alias("dims"))
-                 .select("cell_id",
-                         F.transform("dims", lambda d: d["mean_comp"])
-                         .alias("centroid")))
+        v = F.col(vec_col)
+        sums = assigned.groupBy("cell_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[F.sum(v[i].cast("double")).alias(f"__s{i}") for i in range(dim)])
+        cents = sums.select(
+            "cell_id",
+            F.array(*[F.col(f"__s{i}") / F.col("__n") for i in range(dim)])
+            .alias("centroid"))
         if assume_unit:
             # spherical k-means: project the mean back onto the unit
             # sphere so dot products against it stay cosines
