@@ -53,6 +53,108 @@ def stratified_sample(docs: DataFrame, strata_col: str = "lang",
                     F.col(strata_col)))
 
 
+def temperature_sample(docs: DataFrame, alpha: float = 0.5,
+                       strata_col: str = "lang",
+                       id_col: str = "doc_id",
+                       salt: str = "temp|") -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-pretraining
+    sampler: p(stratum) ∝ n^alpha): per-stratum keep rate
+    ``(n_min / n_s) ** (1 - alpha)``, so ``alpha=1`` keeps the natural
+    distribution, ``alpha=0`` balances every stratum down to the
+    smallest (= ``stratified_sample``), and values between damp the
+    head's dominance without discarding it wholesale.
+
+    Rates are materialized as integer ppm thresholds — double-rounded
+    through 1e9 first, so a last-ulp ``pow`` difference between engines
+    cannot flip the floor — then applied as the usual deterministic
+    id-hash decision.  Same scale shape as ``stratified_sample``: one
+    tiny groupBy + a broadcast of |strata| rows + a map-side filter.
+    """
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n").alias("min_n"))
+    rate = F.pow(F.col("min_n") / F.col("n"), F.lit(1.0 - alpha))
+    keep_ppm = F.floor(F.round(rate * F.lit(1e9), 0) / F.lit(1000)) \
+        .cast("long")
+    rates = (counts.crossJoin(F.broadcast(min_n))
+             .select(strata_col, keep_ppm.alias("keep_ppm")))
+    return (docs.join(F.broadcast(rates), strata_col)
+            .filter(sample_decision(id_col, "keep_ppm", salt=salt))
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col(strata_col), F.col("keep_ppm")))
+
+
+def token_budget_select(docs: DataFrame, budget_tokens: int,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bucket_scale: int = 1000,
+                        salt: str = "budget|") -> DataFrame:
+    """Greedy quality-first corpus selection under a global token
+    budget: documents are bucketed by quality (``floor(q * 1000)``),
+    whole buckets are taken from the top until the next bucket no
+    longer fits, and the boundary bucket is filled document-by-document
+    in deterministic id-hash order until the budget is exhausted.
+
+    This is the scale-correct form of "sort the corpus by quality and
+    take a prefix": a global sort would be one total-order shuffle of
+    the whole corpus, while here the only per-document work is a
+    map-side bucket assignment + one partial-aggregated groupBy over
+    ≤ ``bucket_scale``+1 buckets; the single-partition window runs on
+    the bucket histogram (bounded rows), and the document-level
+    running-sum window touches ONLY the boundary bucket (~1/1000 of
+    the quality span; a pathological corpus with all mass in one
+    bucket degrades to the sort it replaces).
+
+    Output: kept documents as (doc_id, quality_bucket, n_tokens,
+    is_boundary), where ``sum(n_tokens) <= budget_tokens`` and every
+    kept full-bucket doc outranks every dropped doc on quality bucket.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_expr
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    scored = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.least(F.lit(bucket_scale),
+                F.floor(quality_expr(text_col) * bucket_scale))
+        .cast("long").alias("quality_bucket"))
+
+    hist = scored.groupBy("quality_bucket").agg(
+        F.sum("n_tokens").alias("btok"))
+    wd = (Window.orderBy(F.col("quality_bucket").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    marked = hist.select(
+        "quality_bucket", "btok",
+        F.coalesce(F.sum("btok").over(wd), F.lit(0)).alias("cum_before"))
+    # highest bucket that does NOT fully fit; sentinel (-1, 0 budget
+    # left) when the whole corpus fits.  One tiny row, broadcast.
+    ctl = F.broadcast(
+        marked.filter(F.col("cum_before") + F.col("btok") > budget_tokens)
+        .agg(F.max_by(F.struct("quality_bucket", "cum_before"),
+                      "quality_bucket").alias("b"))
+        .select(F.coalesce(F.col("b.quality_bucket"), F.lit(-1))
+                .alias("b_bucket"),
+                F.coalesce(F.lit(budget_tokens) - F.col("b.cum_before"),
+                           F.lit(0)).alias("b_remaining")))
+
+    with_ctl = scored.crossJoin(ctl)
+    kept_full = (with_ctl.filter(F.col("quality_bucket") > F.col("b_bucket"))
+                 .select(id_col, "quality_bucket", "n_tokens",
+                         F.lit(False).alias("is_boundary")))
+    h = F.pmod(portable_hash64(F.col(id_col).cast("string"), salt=salt),
+               F.lit(SAMPLE_SCALE))
+    wb = (Window.partitionBy("quality_bucket")
+          .orderBy(h.asc(), F.col(id_col).asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    kept_boundary = (
+        with_ctl.filter(F.col("quality_bucket") == F.col("b_bucket"))
+        .withColumn("run", F.sum("n_tokens").over(wb))
+        .filter(F.col("run") <= F.col("b_remaining"))
+        .select(id_col, "quality_bucket", "n_tokens",
+                F.lit(True).alias("is_boundary")))
+    return kept_full.unionByName(kept_boundary)
+
+
 def fixed_k_per_stratum(docs: DataFrame, k: int, strata_col: str = "lang",
                         id_col: str = "doc_id",
                         salt: str = "ksample|") -> DataFrame:

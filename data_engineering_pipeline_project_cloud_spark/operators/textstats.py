@@ -78,6 +78,29 @@ def token_count(docs: DataFrame, text_col: str = "text",
     )
 
 
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality signal as a bare column expression
+    (rounded to 6 places), for operators that need quality alongside
+    other per-doc columns in ONE scan (e.g. token-budget selection —
+    joining ``quality_score``'s output back would scan the corpus
+    twice)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_char = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    stop_hits = F.size(F.filter(
+        toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
+    length_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    stopword_score = F.least(stop_hits.cast("double") / n_tok * 5.0, F.lit(1.0))
+    alpha_score = n_alpha.cast("double") / n_char
+    repetition_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    digit_score = F.lit(1.0) - n_digit.cast("double") / n_char
+    return F.round((length_score + stopword_score + alpha_score
+                    + repetition_score + digit_score) / 5.0, 6)
+
+
 def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Composite document quality score in [0, 1]: mean of five cheap

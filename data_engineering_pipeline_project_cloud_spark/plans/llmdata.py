@@ -313,6 +313,31 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat(_docs(spark, sf_dir), strata_col="lang")
 
 
+TEMP_ALPHA = 0.5
+TOKEN_BUDGET = 8000
+
+
+def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed corpus sample (p ∝ n^0.5 per language): damps
+    the head language's dominance without flattening the mix entirely —
+    the multilingual-pretraining middle ground between natural and
+    balanced sampling (operators/sampling.py:temperature_sample)."""
+    from ..operators.sampling import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), alpha=TEMP_ALPHA)
+
+
+def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first corpus selection under a global 8k-token budget:
+    whole quality buckets from the top, the boundary bucket filled in
+    deterministic hash order (operators/sampling.py:token_budget_select
+    — the scale-correct replacement for sort-by-quality-take-prefix)."""
+    from ..operators.sampling import token_budget_select
+
+    return token_budget_select(_docs(spark, sf_dir),
+                               budget_tokens=TOKEN_BUDGET)
+
+
 HOLDOUT_K = 20
 
 
@@ -879,6 +904,84 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ({_H.format(x="'sample|' || CAST(doc_id AS VARCHAR)")}
                % 1000000) < keep_ppm
     """,
+    "temperature_sample_by_lang": f"""
+        WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        m AS (SELECT MIN(n) AS min_n FROM counts),
+        rates AS (
+            SELECT lang,
+                   CAST(floor(round(pow(min_n / CAST(n AS DOUBLE),
+                                        {1.0 - TEMP_ALPHA}) * 1e9) / 1000)
+                        AS BIGINT) AS keep_ppm
+            FROM counts CROSS JOIN m
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang, r.keep_ppm
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE ({_H.format(x="'temp|' || CAST(doc_id AS VARCHAR)")}
+               % 1000000) < keep_ppm
+    """,
+    "token_budget_corpus": f"""
+        WITH q AS (
+            SELECT doc_id,
+                   round((least(len({_TOKENS}) / 100.0, 1.0)
+                     + least(len(list_filter({_TOKENS}, w -> lower(w) IN
+                           ('the','a','of','and','to','in','is')))
+                         / CAST(len({_TOKENS}) AS DOUBLE) * 5.0, 1.0)
+                     + len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / CAST(len(text) AS DOUBLE)
+                     + len(list_distinct({_TOKENS}))
+                         / CAST(len({_TOKENS}) AS DOUBLE)
+                     + 1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / CAST(len(text) AS DOUBLE)) / 5.0, 6) AS quality,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        scored AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+                   CAST(least(1000, floor(quality * 1000)) AS BIGINT)
+                       AS quality_bucket
+            FROM q
+        ),
+        hist AS (
+            SELECT quality_bucket, SUM(n_tokens) AS btok
+            FROM scored GROUP BY quality_bucket
+        ),
+        marked AS (
+            SELECT quality_bucket, btok,
+                   COALESCE(SUM(btok) OVER (ORDER BY quality_bucket DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum_before
+            FROM hist
+        ),
+        boundary AS (
+            SELECT quality_bucket AS b_bucket, cum_before FROM marked
+            WHERE cum_before + btok > {TOKEN_BUDGET}
+            ORDER BY quality_bucket DESC LIMIT 1
+        ),
+        ctl AS (
+            SELECT COALESCE((SELECT b_bucket FROM boundary), -1) AS b_bucket,
+                   COALESCE((SELECT {TOKEN_BUDGET} - cum_before FROM boundary),
+                            0) AS b_remaining
+        )
+        SELECT s.doc_id, s.quality_bucket, s.n_tokens,
+               FALSE AS is_boundary
+        FROM scored s CROSS JOIN ctl c
+        WHERE s.quality_bucket > c.b_bucket
+        UNION ALL
+        SELECT doc_id, quality_bucket, n_tokens, TRUE AS is_boundary
+        FROM (
+            SELECT s.doc_id, s.quality_bucket, s.n_tokens, c.b_remaining,
+                   SUM(s.n_tokens) OVER (
+                       ORDER BY ({_H.format(
+                           x="'budget|' || CAST(s.doc_id AS VARCHAR)")}
+                                 % 1000000) ASC, s.doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS run
+            FROM scored s CROSS JOIN ctl c
+            WHERE s.quality_bucket = c.b_bucket
+        ) WHERE run <= b_remaining
+    """,
     "eval_holdout_per_lang": f"""
         WITH ranked AS (
             SELECT doc_id, lang,
@@ -1061,6 +1164,8 @@ QUERIES = {
     "contamination_check": contamination_check,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample": stratified_sample,
+    "temperature_sample_by_lang": temperature_sample_by_lang,
+    "token_budget_corpus": token_budget_corpus,
     "eval_holdout_per_lang": eval_holdout_per_lang,
     "semantic_dedup_keep_one": semantic_dedup_keep_one,
     "dedup_minhash_pairs": dedup_minhash_pairs,

@@ -322,3 +322,48 @@ def test_scd2_compact_runs_and_sentinel(spark):
         (2, "Z", 1, True)]
     assert rows[0]["valid_to"] == rows[1]["valid_from"] == t(3)
     assert rows[2]["valid_to"].year == 9999
+
+
+def test_temperature_sample_alpha_extremes(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        temperature_sample,
+    )
+    rows = [(i, "en") for i in range(400)] + [(i, "fr") for i in range(400, 440)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    natural = temperature_sample(docs, alpha=1.0).collect()
+    assert len(natural) == 440                       # alpha=1 keeps everything
+    balanced = temperature_sample(docs, alpha=0.0)
+    ppm = {r["lang"]: r["keep_ppm"] for r in balanced.collect()}
+    assert ppm["fr"] == 1_000_000                    # smallest stratum intact
+    assert ppm["en"] == 100_000                      # 40/400 exactly
+    mid = {r["lang"]: r["keep_ppm"]
+           for r in temperature_sample(docs, alpha=0.5).collect()}
+    # temperature rate sits strictly between balanced and natural
+    assert 100_000 < mid["en"] < 1_000_000
+    a = sorted(map(tuple, temperature_sample(docs, alpha=0.5).collect()))
+    b = sorted(map(tuple, temperature_sample(docs, alpha=0.5).collect()))
+    assert a == b                                    # rerun-stable
+
+
+def test_token_budget_select_invariants(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 8000
+    kept = token_budget_select(docs, budget_tokens=budget).collect()
+    assert kept, "budget selects a non-empty corpus"
+    assert sum(r["n_tokens"] for r in kept) <= budget
+    # greedy property: every kept full-bucket doc outranks every
+    # dropped doc; the boundary bucket is the unique partial one
+    full_buckets = {r["quality_bucket"] for r in kept if not r["is_boundary"]}
+    boundary = {r["quality_bucket"] for r in kept if r["is_boundary"]}
+    assert len(boundary) <= 1
+    if boundary:
+        assert min(full_buckets) > max(boundary)
+    # huge budget keeps the whole corpus
+    all_kept = token_budget_select(docs, budget_tokens=10**9).collect()
+    assert len(all_kept) == docs.count()
+    assert not any(r["is_boundary"] for r in all_kept)
