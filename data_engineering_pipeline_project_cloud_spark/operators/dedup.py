@@ -138,17 +138,11 @@ def _cap_buckets(buckets: DataFrame, keys: list[str],
     return buckets.join(ok, keys, "left_semi")
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 8, bands: int = 4,
-                        band_key: str = "hash",
-                        max_bucket: int | None = 1000) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands of
-    ``num_hashes/bands`` rows, hash each band, and emit candidate pairs
-    of documents sharing any band bucket.
-
-    Scale shape: explode to (doc, band, band_hash) — ``bands`` rows per
-    doc — then a self-join per bucket.  Buckets larger than
-    ``max_bucket`` are dropped before pairing (see ``_cap_buckets``).
+def band_table(signatures: DataFrame, id_col: str = "doc_id",
+               num_hashes: int = 8, bands: int = 4,
+               band_key: str = "hash") -> DataFrame:
+    """Explode a MinHash signature table to its LSH band buckets:
+    (id, band_idx, band_hash), ``bands`` rows per document.
 
     ``band_key``: ``"hash"`` buckets on ``xxhash64`` of the band's
     signature rows (cheap JVM hash — right whenever the bucket id is
@@ -171,11 +165,27 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         F.struct(F.lit(b).alias("band_idx"), band_val(b).alias("band_hash"))
         for b in range(bands)
     ]
-    buckets = (
+    return (
         signatures.select(F.col(id_col),
                           F.explode(F.array(*band_cols)).alias("band"))
         .select(id_col, "band.band_idx", "band.band_hash")
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 8, bands: int = 4,
+                        band_key: str = "hash",
+                        max_bucket: int | None = 1000) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows, hash each band, and emit candidate pairs
+    of documents sharing any band bucket.
+
+    Scale shape: explode to (doc, band, band_hash) — ``bands`` rows per
+    doc (``band_table``) — then a self-join per bucket.  Buckets larger
+    than ``max_bucket`` are dropped before pairing (see
+    ``_cap_buckets``).
+    """
+    buckets = band_table(signatures, id_col, num_hashes, bands, band_key)
     buckets = _cap_buckets(buckets, ["band_idx", "band_hash"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -186,6 +196,66 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .select(F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
+    )
+
+
+def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         num_hashes: int = 8, bands: int = 4,
+                         threshold: float = 0.5,
+                         hash_fn: str = "portable",
+                         band_key: str = "raw") -> DataFrame:
+    """Near-duplicate decontamination against a REFERENCE corpus (eval
+    benchmarks, a licensed-content blocklist, a previous training mix):
+    every corpus document is scored by its best shingle-Jaccard against
+    any reference document it shares an LSH band bucket with.
+
+    The exact-overlap sibling (``textstats.contamination_check``)
+    catches verbatim n-gram leaks; this catches paraphrase-level
+    near-dups the way corpus-vs-corpus dedup is actually run — as a
+    band JOIN against the reference, never a corpus self-join.
+
+    Scale shape: the reference is small by construction (benchmarks are
+    MBs, corpora TBs), so its band table is broadcast; the corpus side
+    is one map-side signature pass + the band join.  Verification
+    shingles only candidate docs (``jaccard_pairs`` semi-join).  Docs
+    with no candidate are reported with sentinel (-1, 0.0, false) —
+    null-free canonical output.
+
+    Output: (doc_id, best_ref_id, best_jaccard, flagged) at corpus
+    grain; ties on jaccard break to the smallest reference id.
+    """
+    sig_kw = dict(num_hashes=num_hashes, hash_fn=hash_fn)
+    sigs_c = minhash_signatures(corpus, text_col, id_col, **sig_kw)
+    sigs_r = minhash_signatures(reference, text_col, id_col, **sig_kw)
+    bc = band_table(sigs_c, id_col, num_hashes, bands, band_key)
+    br = band_table(sigs_r, id_col, num_hashes, bands, band_key)
+    cand = (
+        bc.join(F.broadcast(br.withColumnRenamed(id_col, "__ref_id")),
+                ["band_idx", "band_hash"])
+        .select(F.col(id_col).alias("doc_a"),
+                F.col("__ref_id").alias("doc_b"))
+        .distinct()
+    )
+    docs_all = (corpus.select(id_col, text_col)
+                .unionByName(reference.select(id_col, text_col)))
+    ver = jaccard_pairs(docs_all, cand, text_col, id_col)
+    best = ver.groupBy("doc_a").agg(
+        F.max_by(F.struct(F.col("doc_b"), F.col("jaccard")),
+                 F.struct(F.col("jaccard").alias("j"),
+                          (-F.col("doc_b")).alias("t"))).alias("b"))
+    return (
+        corpus.select(F.col(id_col).cast("long").alias(id_col))
+        .join(F.broadcast(best), F.col(id_col) == F.col("doc_a"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("b.doc_b"), F.lit(-1)).cast("long")
+            .alias("best_ref_id"),
+            F.coalesce(F.col("b.jaccard"), F.lit(0.0)).cast("double")
+            .alias("best_jaccard"),
+            (F.coalesce(F.col("b.jaccard"), F.lit(0.0)) >= threshold)
+            .alias("flagged"),
+        )
     )
 
 

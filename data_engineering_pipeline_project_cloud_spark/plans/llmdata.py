@@ -298,6 +298,24 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_threshold=CONTAM_FLAG_T)
 
 
+DECONTAM_T = 0.5
+
+
+def cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination vs the eval slice (doc_id % 50 == 0
+    plays the held-out benchmark, as in ``contamination_check``): each
+    remaining document's best shingle-Jaccard against any eval doc it
+    shares a MinHash LSH band with — a band JOIN against the broadcast
+    reference, never a corpus self-join
+    (operators/dedup.py:cross_corpus_neardup)."""
+    d = _docs(spark, sf_dir)
+    corpus = d.filter(F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) != 0)
+    reference = d.filter(F.pmod(F.col("doc_id"), F.lit(EVAL_MOD)) == 0)
+    return dd.cross_corpus_neardup(corpus, reference,
+                                   num_hashes=MINHASHES, bands=BANDS,
+                                   threshold=DECONTAM_T)
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (lowercased, ln IDF,
     deterministic tie-break)."""
@@ -395,7 +413,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_norms(load_table(spark, sf_dir, "embeddings"))
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(where: str = "") -> str:
     h1 = _H.format(x="'mh1|' || x")
     h2 = _H.format(x="'mh2|' || x")
     cols = [
@@ -405,7 +423,7 @@ def _minhash_sig_sql() -> str:
     col_sql = ",\n               ".join(cols)
     return f"""
         WITH sh_docs AS (
-            SELECT doc_id, {_SHINGLES} AS sh FROM documents
+            SELECT doc_id, {_SHINGLES} AS sh FROM documents {where}
         )
         SELECT doc_id,
                {col_sql}
@@ -493,12 +511,16 @@ _SIMHASH_SIG_SQL = f"""
     FROM th
 """
 
-_MINHASH_BAND_SQL = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, "
-    f"CAST(mh_{2 * b} AS VARCHAR) || '|' || CAST(mh_{2 * b + 1} AS VARCHAR) "
-    f"AS band_val FROM sigs"
-    for b in range(BANDS)
-)
+def _minhash_band_sql(src: str = "sigs") -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"CAST(mh_{2 * b} AS VARCHAR) || '|' || CAST(mh_{2 * b + 1} AS VARCHAR) "
+        f"AS band_val FROM {src}"
+        for b in range(BANDS)
+    )
+
+
+_MINHASH_BAND_SQL = _minhash_band_sql()
 
 
 def _hp_sign_sql(plane: int) -> str:
@@ -904,6 +926,33 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ({_H.format(x="'sample|' || CAST(doc_id AS VARCHAR)")}
                % 1000000) < keep_ppm
     """,
+    "cross_corpus_decontam": f"""
+        WITH sigs_c AS ({_minhash_sig_sql(f"WHERE doc_id % {EVAL_MOD} <> 0")}),
+        sigs_r AS ({_minhash_sig_sql(f"WHERE doc_id % {EVAL_MOD} = 0")}),
+        bc AS ({_minhash_band_sql("sigs_c")}),
+        br AS ({_minhash_band_sql("sigs_r")}),
+        pairs AS (
+            SELECT DISTINCT c.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bc c JOIN br r
+              ON c.band_idx = r.band_idx AND c.band_val = r.band_val
+        ),
+        {_JACCARD_VERIFY_SQL},
+        best AS (
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT doc_a, doc_b, jaccard,
+                       row_number() OVER (PARTITION BY doc_a
+                           ORDER BY jaccard DESC, doc_b ASC) AS rnk
+                FROM verified
+            ) WHERE rnk = 1
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(COALESCE(b.doc_b, -1) AS BIGINT) AS best_ref_id,
+               CAST(COALESCE(b.jaccard, 0.0) AS DOUBLE) AS best_jaccard,
+               (COALESCE(b.jaccard, 0.0) >= {DECONTAM_T}) AS flagged
+        FROM documents d
+        LEFT JOIN best b ON d.doc_id = b.doc_a
+        WHERE d.doc_id % {EVAL_MOD} <> 0
+    """,
     "temperature_sample_by_lang": f"""
         WITH counts AS (
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
@@ -1162,6 +1211,7 @@ QUERIES = {
     "dedup_corpus_keep_one": dedup_corpus_keep_one,
     "repetition_stats": repetition_stats,
     "contamination_check": contamination_check,
+    "cross_corpus_decontam": cross_corpus_decontam,
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample": stratified_sample,
     "temperature_sample_by_lang": temperature_sample_by_lang,

@@ -367,3 +367,24 @@ def test_token_budget_select_invariants(spark, sf_dir):
     all_kept = token_budget_select(docs, budget_tokens=10**9).collect()
     assert len(all_kept) == docs.count()
     assert not any(r["is_boundary"] for r in all_kept)
+
+
+def test_cross_corpus_neardup_flags_paraphrase(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        cross_corpus_neardup,
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    reference = spark.createDataFrame(
+        [(1000, base), (1001, "completely different reference text here")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, base + " tail"),                       # near-copy of ref 1000
+         (2, "unrelated words nothing shared at all with anything")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cross_corpus_neardup(corpus, reference, threshold=0.5).collect()}
+    assert len(out) == 2                      # corpus grain, no row lost
+    assert out[1]["flagged"] and out[1]["best_ref_id"] == 1000
+    assert out[1]["best_jaccard"] > 0.8
+    assert not out[2]["flagged"] and out[2]["best_ref_id"] == -1
+    assert out[2]["best_jaccard"] == 0.0
