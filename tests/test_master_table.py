@@ -73,3 +73,18 @@ def test_assert_unique_key_raises(spark):
     df = spark.createDataFrame([(1, "a"), (1, "b")], "k int, v string")
     with pytest.raises(ValueError, match="grain violation"):
         assert_unique_key(df, ["k"])
+
+
+def test_master_table_plan_shape(spark, sf_dir):
+    """The flagship build must stay all-broadcast: five dims and the
+    two pre-aggregates hash-join against the fact spine without a
+    single sort-merge join (the plan that survives a 100x fact-side
+    scale-up; dims stay broadcastable by construction)."""
+    from data_engineering_pipeline_project_cloud_spark.plans.parity import (
+        master_table,
+    )
+
+    plan = master_table(spark, sf_dir)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5
