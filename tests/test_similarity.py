@@ -148,3 +148,30 @@ def test_blocked_neardup_subset_of_exact(spark, sf_dir):
     exact = {(r["vec_a"], r["vec_b"], r["cosine_sim"])
              for r in cosine_neardup_pairs(emb, threshold=0.3).collect()}
     assert blocked <= exact
+
+
+def test_ivf_partitioned_index_prunes(spark, sf_dir, tmp_path):
+    """The IVF scale path made concrete: assignments written
+    partitionBy(cell_id) and probed with a cell filter must show
+    partition pruning in the scan (the candidate cut is I/O, not
+    compute) and return exactly the unpruned filter's rows."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        ivf_assignments,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assignments(emb, n_cells=8, kmeans_iters=1)
+    out = str(tmp_path / "ivf_index")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(out)
+
+    back = spark.read.parquet(out)
+    probe = back.filter(F.col("cell_id").isin([0, 1]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "cell_id" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    expect = {r["vec_id"] for r in
+              assigned.filter(F.col("cell_id").isin([0, 1])).collect()}
+    got = {r["vec_id"] for r in probe.collect()}
+    assert got == expect and got
