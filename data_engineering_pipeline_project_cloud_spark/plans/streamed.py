@@ -102,6 +102,17 @@ def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(stream_click_purchase_join(ev), spark, mode="append")
 
 
+def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless corpus firehose filter through the real engine: the
+    batch quality operator attached to a document stream (no state, no
+    watermark, append drain) — output must equal the batch filter,
+    which is exactly what the oracle asserts."""
+    from ..streaming.documents import read_documents_stream, stream_quality_filter
+
+    docs = read_documents_stream(spark, sf_dir)
+    return _drain(stream_quality_filter(docs), spark, mode="append")
+
+
 ORACLE_SQL: dict[str, str] = {
     "streaming_enriched_events": """
         SELECT e.event_id, e.user_id, e.event_type,
@@ -155,6 +166,46 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         FROM ids GROUP BY user_id, session_seq
     """,
+    "streaming_quality_filter": """
+        WITH base AS (
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+                   len(text) AS n_char,
+                   len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                   len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       w -> lower(w) IN
+                       ('the','a','of','and','to','in','is'))) AS stop_hits,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                       AS n_distinct
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id,
+                   least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) AS length_score,
+                   least(CAST(stop_hits AS DOUBLE) / n_tok * 5.0, 1.0)
+                       AS stopword_score,
+                   CAST(n_alpha AS DOUBLE) / n_char AS alpha_score,
+                   CAST(n_distinct AS DOUBLE) / n_tok AS repetition_score,
+                   1.0 - CAST(n_digit AS DOUBLE) / n_char AS digit_score
+            FROM base
+        )
+        SELECT doc_id,
+               CAST(round(length_score, 6) AS DOUBLE) AS length_score,
+               CAST(round(stopword_score, 6) AS DOUBLE) AS stopword_score,
+               CAST(round(alpha_score, 6) AS DOUBLE) AS alpha_score,
+               CAST(round(repetition_score, 6) AS DOUBLE) AS repetition_score,
+               CAST(round(digit_score, 6) AS DOUBLE) AS digit_score,
+               CAST(round((length_score + stopword_score + alpha_score
+                    + repetition_score + digit_score) / 5.0, 6) AS DOUBLE)
+                   AS quality,
+               ((length_score + stopword_score + alpha_score
+                    + repetition_score + digit_score) / 5.0 >= 0.7)
+                   AS passes_filter
+        FROM scores
+        WHERE round((length_score + stopword_score + alpha_score
+                    + repetition_score + digit_score) / 5.0, 6) >= 0.7
+    """,
     "streaming_user_lifetime": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -168,6 +219,7 @@ QUERIES = {
     "streaming_enriched_events": streaming_enriched_events,
     "streaming_dedup": streaming_dedup,
     "streaming_click_purchase": streaming_click_purchase,
+    "streaming_quality_filter": streaming_quality_filter,
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_sessionize": streaming_sessionize,
     "streaming_user_lifetime": streaming_user_lifetime,
