@@ -155,6 +155,37 @@ def token_budget_select(docs: DataFrame, budget_tokens: int,
     return kept_full.unionByName(kept_boundary)
 
 
+def quantile_quality_filter(docs: DataFrame, q: float = 0.5,
+                            strata_col: str = "lang",
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Per-stratum quantile quality cut: keep documents at or above
+    their stratum's q-th quality percentile — the relative filter that
+    survives domain shift (an absolute quality bar tuned on English
+    web text throws away most of a code or low-resource-language
+    corpus; a per-stratum quantile keeps the best half of EACH).
+
+    One narrow corpus-grain projection (id, stratum, quality — no
+    text) persisted so quality is computed in a single scan, a
+    |strata|-row exact-percentile aggregate (at 100 TB:
+    ``approx_percentile``, same call shape), broadcast back, map-side
+    filter.  Thresholds are rounded to 4 places so the linear
+    interpolation inside percentile stays cross-engine stable.
+    """
+    from ..caching import scoped_persist
+    from .textstats import quality_expr
+
+    scored = scoped_persist(docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(strata_col),
+        quality_expr(text_col).alias("quality")))
+    thr = scored.groupBy(strata_col).agg(
+        F.round(F.percentile("quality", F.lit(q)), 4).alias("q_threshold"))
+    return (scored.join(F.broadcast(thr), strata_col)
+            .filter(F.col("quality") >= F.col("q_threshold"))
+            .select(id_col, strata_col, "quality", "q_threshold"))
+
+
 def fixed_k_per_stratum(docs: DataFrame, k: int, strata_col: str = "lang",
                         id_col: str = "doc_id",
                         salt: str = "ksample|") -> DataFrame:

@@ -345,6 +345,19 @@ def temperature_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_sample(_docs(spark, sf_dir), alpha=TEMP_ALPHA)
 
 
+QUANTILE_Q = 0.5
+
+
+def quality_quantile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each language's top half by quality (per-stratum median
+    cut) — the relative filter that doesn't starve low-resource
+    languages the way one global bar does
+    (operators/sampling.py:quantile_quality_filter)."""
+    from ..operators.sampling import quantile_quality_filter
+
+    return quantile_quality_filter(_docs(spark, sf_dir), q=QUANTILE_Q)
+
+
 def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-first corpus selection under a global 8k-token budget:
     whole quality buckets from the top, the boundary bucket filled in
@@ -606,6 +619,20 @@ _EMB_NEARDUP_SQL = f"""
             list_sum(list_transform(generate_series(1, len(a.v)),
                 i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= {NEARDUP_T}
 """
+
+#: the composite quality signal (operators/textstats.py:quality_expr)
+#: as a DuckDB scalar over ``text`` — shared by every curation oracle
+#: that consumes quality alongside other per-doc columns
+_QUALITY_EXPR_SQL = f"""round((least(len({_TOKENS}) / 100.0, 1.0)
+                     + least(len(list_filter({_TOKENS}, w -> lower(w) IN
+                           ('the','a','of','and','to','in','is')))
+                         / CAST(len({_TOKENS}) AS DOUBLE) * 5.0, 1.0)
+                     + len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / CAST(len(text) AS DOUBLE)
+                     + len(list_distinct({_TOKENS}))
+                         / CAST(len({_TOKENS}) AS DOUBLE)
+                     + 1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / CAST(len(text) AS DOUBLE)) / 5.0, 6)"""
 
 ORACLE_SQL: dict[str, str] = {
     "simhash_fingerprints": _SIMHASH_SIG_SQL,
@@ -953,6 +980,22 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN best b ON d.doc_id = b.doc_a
         WHERE d.doc_id % {EVAL_MOD} <> 0
     """,
+    "quality_quantile_by_lang": f"""
+        WITH scored AS (
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST({_QUALITY_EXPR_SQL} AS DOUBLE) AS quality
+            FROM documents
+        ),
+        thr AS (
+            SELECT lang,
+                   CAST(round(quantile_cont(quality, {QUANTILE_Q}), 4)
+                        AS DOUBLE) AS q_threshold
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, s.quality, t.q_threshold
+        FROM scored s JOIN thr t ON s.lang = t.lang
+        WHERE s.quality >= t.q_threshold
+    """,
     "temperature_sample_by_lang": f"""
         WITH counts AS (
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
@@ -973,16 +1016,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_budget_corpus": f"""
         WITH q AS (
             SELECT doc_id,
-                   round((least(len({_TOKENS}) / 100.0, 1.0)
-                     + least(len(list_filter({_TOKENS}, w -> lower(w) IN
-                           ('the','a','of','and','to','in','is')))
-                         / CAST(len({_TOKENS}) AS DOUBLE) * 5.0, 1.0)
-                     + len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                         / CAST(len(text) AS DOUBLE)
-                     + len(list_distinct({_TOKENS}))
-                         / CAST(len({_TOKENS}) AS DOUBLE)
-                     + 1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))
-                         / CAST(len(text) AS DOUBLE)) / 5.0, 6) AS quality,
+                   {_QUALITY_EXPR_SQL} AS quality,
                    CAST(len({_TOKENS}) AS BIGINT) AS n_tokens
             FROM documents
         ),
@@ -1215,6 +1249,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "stratified_sample": stratified_sample,
     "temperature_sample_by_lang": temperature_sample_by_lang,
+    "quality_quantile_by_lang": quality_quantile_by_lang,
     "token_budget_corpus": token_budget_corpus,
     "eval_holdout_per_lang": eval_holdout_per_lang,
     "semantic_dedup_keep_one": semantic_dedup_keep_one,

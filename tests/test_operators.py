@@ -388,3 +388,27 @@ def test_cross_corpus_neardup_flags_paraphrase(spark):
     assert out[1]["best_jaccard"] > 0.8
     assert not out[2]["flagged"] and out[2]["best_ref_id"] == -1
     assert out[2]["best_jaccard"] == 0.0
+
+
+def test_quantile_quality_filter_per_stratum(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        quantile_quality_filter,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quantile_quality_filter(docs, q=0.5).collect()
+    total = {r["lang"]: c for r, c in
+             [(r, r["cnt"]) for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+              .collect()]}
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(total)        # no language starved
+    for lang, rows in by_lang.items():
+        # median cut keeps roughly the top half of EACH stratum
+        assert 0.4 * total[lang] <= len(rows) <= 0.75 * total[lang] + 1
+        thr = {r["q_threshold"] for r in rows}
+        assert len(thr) == 1                 # one threshold per stratum
+        assert all(r["quality"] >= r["q_threshold"] for r in rows)
