@@ -135,6 +135,43 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   max_postings: int = 20) -> DataFrame:
+    """Token → posting-list index build: one row per distinct
+    lowercase token with its document frequency and the first
+    ``max_postings`` doc ids (ascending, pipe-joined — harnesses
+    serialize arrays inconsistently, so the sample is a string).
+
+    The cap is applied BEFORE collecting: rows are ranked inside each
+    token's partition and filtered, so ``collect_list`` never holds
+    more than ``max_postings`` ids — a stop-word token at corpus scale
+    would otherwise accumulate millions of ids into one aggregation
+    buffer.  Doc frequency comes from a partition-wide count in the
+    same window pass (no second aggregation over the full pair set).
+    Skew note: each hot token still sorts on one partition; at 100 TB
+    either pre-filter a stop-list or split hot tokens by doc-id range
+    and merge counts.
+    """
+    from pyspark.sql import Window
+
+    pairs = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")))
+        .alias("token"))
+    w = Window.partitionBy("token")
+    ranked = pairs.select(
+        "token", id_col,
+        F.row_number().over(w.orderBy(F.col(id_col).asc())).alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__df"))
+    return (ranked.filter(F.col("__rn") <= max_postings)
+            .groupBy("token")
+            .agg(F.first("__df").cast("long").alias("doc_freq"),
+                 F.array_join(F.sort_array(F.collect_list(id_col)), "|")
+                 .alias("posting_sample")))
+
+
 def language_id(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Stopword-vote language heuristic: count hits against each

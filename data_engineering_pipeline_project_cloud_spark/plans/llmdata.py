@@ -255,6 +255,18 @@ def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_chars").cast("long").alias("total_chars")))
 
 
+INDEX_POSTINGS = 20
+
+
+def inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token → posting-list index over the corpus, capped to 20 doc
+    ids per token BEFORE collection (operators/textstats.py:
+    inverted_index — the aggregation buffer never exceeds the cap,
+    however hot the token)."""
+    return tx.inverted_index(_docs(spark, sf_dir),
+                             max_postings=INDEX_POSTINGS)
+
+
 def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary profile via explode (the lateral-view /
     UDTF shape): distinct lowercase tokens, total token volume, and the
@@ -1169,6 +1181,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM assigned GROUP BY split
     """,
+    "inverted_index_sample": f"""
+        WITH pairs AS (
+            SELECT DISTINCT token, CAST(doc_id AS BIGINT) AS doc_id
+            FROM (
+                SELECT doc_id,
+                       unnest({_TOKENS.replace('text', 'lower(text)')}) AS token
+                FROM documents
+            )
+        ),
+        ranked AS (
+            SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token
+                       ORDER BY doc_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY token) AS df
+            FROM pairs
+        )
+        SELECT token,
+               CAST(MAX(df) AS BIGINT) AS doc_freq,
+               string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id ASC)
+                   AS posting_sample
+        FROM ranked WHERE rn <= {INDEX_POSTINGS}
+        GROUP BY token
+    """,
     "vocab_stats": f"""
         WITH toks AS (
             SELECT unnest({_TOKENS.replace('text', 'lower(text)')}) AS token
@@ -1240,6 +1275,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "dataset_splits": dataset_splits,
     "vocab_stats": vocab_stats,
+    "inverted_index_sample": inverted_index_sample,
     "dedup_minhash_pairs_checked": dedup_minhash_pairs_checked,
     "dup_clusters": dup_clusters,
     "dedup_corpus_keep_one": dedup_corpus_keep_one,

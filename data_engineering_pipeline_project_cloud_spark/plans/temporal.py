@@ -230,7 +230,55 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_CAP = 50
+
+
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event-type sequence — the
+    training-example assembly shape (user history → one serialized
+    sequence row).  The cap is applied before collection (ranked
+    window, filter, THEN collect), so no user's aggregation buffer
+    exceeds ``SEQ_CAP`` events however hot the key; total count and
+    last-seen come from the same window pass.  The sequence is
+    pipe-joined (harnesses serialize arrays inconsistently)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ranked = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.row_number().over(
+            w.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("__rn"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.max("ts").over(w).alias("__last_ts"))
+    return (ranked.filter(F.col("__rn") <= SEQ_CAP)
+            .groupBy("user_id")
+            .agg(F.first("__n").cast("long").alias("n_events"),
+                 F.first("__last_ts").alias("last_ts"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("__rn").alias("rn"),
+                                      F.col("event_type").alias("et")))),
+                         lambda s: s["et"]), "|").alias("event_seq")))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "user_event_sequences": f"""
+        WITH ranked AS (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS n,
+                   max(ts) OVER (PARTITION BY user_id) AS last_ts
+            FROM events
+        )
+        SELECT user_id,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               MAX(last_ts) AS last_ts,
+               string_agg(event_type, '|' ORDER BY rn ASC) AS event_seq
+        FROM ranked WHERE rn <= {SEQ_CAP}
+        GROUP BY user_id
+    """,
     "resample_fill_hourly": """
         WITH ev AS (SELECT * FROM events WHERE user_id < 20),
         hourly AS (
@@ -374,6 +422,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "user_event_sequences": user_event_sequences,
     "resample_fill_hourly": resample_fill_hourly,
     "event_funnel": event_funnel,
     "click_purchase_correlation": click_purchase_correlation,

@@ -412,3 +412,19 @@ def test_quantile_quality_filter_per_stratum(spark, sf_dir):
         thr = {r["q_threshold"] for r in rows}
         assert len(thr) == 1                 # one threshold per stratum
         assert all(r["quality"] >= r["q_threshold"] for r in rows)
+
+
+def test_inverted_index_caps_postings(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        inverted_index,
+    )
+    docs = spark.createDataFrame(
+        [(i, "common unique%d" % i) for i in range(50)],
+        "doc_id long, text string")
+    out = {r["token"]: r for r in
+           inverted_index(docs, max_postings=5).collect()}
+    hot = out["common"]
+    assert hot["doc_freq"] == 50                      # full df survives the cap
+    assert hot["posting_sample"] == "0|1|2|3|4"       # capped, ascending
+    assert out["unique7"]["doc_freq"] == 1
+    assert out["unique7"]["posting_sample"] == "7"
