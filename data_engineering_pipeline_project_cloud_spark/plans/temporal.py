@@ -230,6 +230,48 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_DAYS = 7
+DEBOUNCE_S = 60
+
+
+def rolling_7d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, the trailing 7-day order
+    total at every order — a RANGE frame over event time, not a ROWS
+    frame (peers at the same timestamp aggregate together; gaps count
+    as time, not rows).  Spark's range frame needs a numeric sort key,
+    so the frame runs over epoch seconds — identical semantics to the
+    oracle's ``RANGE BETWEEN INTERVAL 7 DAYS PRECEDING`` under the
+    pinned UTC session.  One shuffle on the customer key."""
+    o = load_table(spark, sf_dir, "orders")
+    secs = epoch_seconds("o_orderdate").cast("long")
+    w = (Window.partitionBy("o_custkey").orderBy(secs)
+         .rangeBetween(-ROLL_DAYS * 86400, 0))
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        money("o_totalprice").cast("double").alias("order_total"),
+        F.sum(money("o_totalprice")).over(w).cast("double")
+        .alias("spend_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"))
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce per (user, event_type): drop any event within 60 s of
+    that key's previous event — the telemetry duplicate-burst cleanup.
+    One lag over one shuffle on the key; kept rows carry the gap to
+    the previous event (-1 for the first)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    gap = epoch_seconds("ts") - epoch_seconds(F.lag("ts", 1).over(w))
+    return (ev.select("event_id", "ts", "user_id", "event_type",
+                      F.round(F.coalesce(gap, F.lit(-1.0)), 6)
+                      .alias("gap_seconds"))
+            .filter((F.col("gap_seconds") > DEBOUNCE_S)
+                    | (F.col("gap_seconds") == -1.0)))
+
+
 SEQ_CAP = 50
 
 
@@ -263,6 +305,32 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "rolling_7d_customer_spend": f"""
+        SELECT o_custkey AS customer_id,
+               o_orderkey AS order_id,
+               o_orderdate AS order_date,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS order_total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+                   AS spend_7d,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL {ROLL_DAYS} DAYS PRECEDING
+                     AND CURRENT ROW)
+    """,
+    "event_debounce": f"""
+        WITH gapped AS (
+            SELECT event_id, ts, user_id, event_type,
+                   round(COALESCE(EPOCH(ts) - EPOCH(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC)), -1.0), 6)
+                       AS gap_seconds
+            FROM events
+        )
+        SELECT * FROM gapped
+        WHERE gap_seconds > {DEBOUNCE_S} OR gap_seconds = -1.0
+    """,
     "user_event_sequences": f"""
         WITH ranked AS (
             SELECT user_id, event_type, ts,
@@ -422,6 +490,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "rolling_7d_customer_spend": rolling_7d_customer_spend,
+    "event_debounce": event_debounce,
     "user_event_sequences": user_event_sequences,
     "resample_fill_hourly": resample_fill_hourly,
     "event_funnel": event_funnel,
