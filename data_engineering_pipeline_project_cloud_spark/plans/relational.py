@@ -424,6 +424,35 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 100000.0
+
+
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals via ``width_bucket`` — the
+    profiling primitive behind range-partitioning decisions and data
+    drift checks.  Map-side bucket assignment + one partial-aggregated
+    groupBy of ≤ buckets+2 rows (under/overflow land in 0 and
+    buckets+1); bucket bounds are reported so the result is
+    self-describing."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    b = F.width_bucket(price, F.lit(HIST_LO), F.lit(HIST_HI),
+                       F.lit(HIST_BUCKETS))
+    step = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    return (o.select(b.cast("long").alias("bucket"),
+                     money("o_totalprice").alias("p"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("p").cast("double").alias("total_price"))
+            .select("bucket",
+                    F.round(F.lit(HIST_LO) + (F.col("bucket") - 1) * step, 2)
+                    .alias("bucket_lo"),
+                    F.round(F.lit(HIST_LO) + F.col("bucket") * step, 2)
+                    .alias("bucket_hi"),
+                    "n_orders", "total_price"))
+
+
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide → long): the four lineitem measures melted to
     (measure, value) rows, then re-aggregated.  Map-side expand — the
@@ -722,6 +751,29 @@ ORACLE_SQL: dict[str, str] = {
                upper(reverse(p_brand)) AS brand_rev
         FROM part
     """,
+    "price_histogram": f"""
+        WITH b AS (
+            SELECT CAST(CASE
+                     WHEN CAST(o_totalprice AS DOUBLE) < {HIST_LO} THEN 0
+                     WHEN CAST(o_totalprice AS DOUBLE) >= {HIST_HI}
+                         THEN {HIST_BUCKETS + 1}
+                     ELSE floor((CAST(o_totalprice AS DOUBLE) - {HIST_LO})
+                          / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) + 1
+                   END AS BIGINT) AS bucket,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS p
+            FROM orders
+        )
+        SELECT bucket,
+               CAST(round({HIST_LO} + (bucket - 1)
+                    * {(HIST_HI - HIST_LO) / HIST_BUCKETS}, 2) AS DOUBLE)
+                   AS bucket_lo,
+               CAST(round({HIST_LO} + bucket
+                    * {(HIST_HI - HIST_LO) / HIST_BUCKETS}, 2) AS DOUBLE)
+                   AS bucket_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(p) AS DOUBLE) AS total_price
+        FROM b GROUP BY bucket
+    """,
     "stats_moments": """
         WITH g AS (
             SELECT l_returnflag,
@@ -964,6 +1016,7 @@ QUERIES = {
     "string_functions_part": string_functions_part,
     "percentile_prices": percentile_prices,
     "stats_moments": stats_moments,
+    "price_histogram": price_histogram,
     "unpivot_lineitem_measures": unpivot_lineitem_measures,
     "argmax_customer_by_nation": argmax_customer_by_nation,
     "semi_join_customers": semi_join_customers,
