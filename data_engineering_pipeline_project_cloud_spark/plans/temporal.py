@@ -234,6 +234,65 @@ ROLL_DAYS = 7
 DEBOUNCE_S = 60
 
 
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by the week of their first
+    event, activity counted per (cohort week, weeks-since-cohort) —
+    the product-analytics staple.  Three shuffles, all at or below
+    user grain: first-event per user, distinct (user, week) activity,
+    and the final tiny (cohort, offset) aggregate; cohort sizes are
+    aggregated BEFORE the broadcast join back (agg-below-join)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size"))
+    activity = (ev.select("user_id",
+                          F.date_trunc("week", "ts").cast("date")
+                          .alias("week"))
+                .distinct())
+    offset = (F.datediff("week", "cohort_week") / F.lit(7)).cast("long")
+    ret = (activity.join(firsts, "user_id")
+           .groupBy("cohort_week", offset.alias("week_offset"))
+           .agg(F.countDistinct("user_id").cast("long").alias("n_active")))
+    return (ret.join(F.broadcast(sizes), "cohort_week")
+            .select(F.col("cohort_week").cast("string").alias("cohort_week"),
+                    "week_offset", "n_active", "cohort_size",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 6)
+                    .alias("retention")))
+
+
+OUTLIER_MIN_N = 5
+OUTLIER_SIGMA = 2.0
+
+
+def customer_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend anomalies: orders above mean + 2σ of that
+    customer's own history (population σ from raw power sums — the
+    cross-engine-stable form, like ``stats_moments``), customers with
+    < 5 orders skipped.  Stats aggregate below the join and broadcast
+    back; the threshold and the compared total are both rounded so an
+    engine's last-ulp difference cannot flip a boundary row."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("double")
+    stats = (o.groupBy("o_custkey")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(p).alias("s"),
+                  F.sum(p * p).alias("s2"))
+             .filter(F.col("n") >= OUTLIER_MIN_N))
+    mean = F.col("s") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    thr = stats.select(
+        "o_custkey", F.col("n").cast("long").alias("n_orders"),
+        F.round(mean + OUTLIER_SIGMA * F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+        .alias("threshold"))
+    return (o.join(F.broadcast(thr), "o_custkey")
+            .filter(F.round(p, 4) > F.col("threshold"))
+            .select(F.col("o_custkey").alias("customer_id"),
+                    F.col("o_orderkey").alias("order_id"),
+                    F.round(p, 4).alias("order_total"),
+                    "threshold", "n_orders"))
+
+
 def rolling_7d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: per customer, the trailing 7-day order
     total at every order — a RANGE frame over event time, not a ROWS
@@ -305,6 +364,61 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "weekly_cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+            FROM firsts GROUP BY cohort_week
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ),
+        ret AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+                       AS week_offset,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+            FROM activity a JOIN firsts f ON a.user_id = f.user_id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(r.cohort_week AS VARCHAR) AS cohort_week,
+               r.week_offset, r.n_active, s.cohort_size,
+               CAST(round(r.n_active / CAST(s.cohort_size AS DOUBLE), 6)
+                    AS DOUBLE) AS retention
+        FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week
+    """,
+    "customer_spend_outliers": f"""
+        WITH stats AS (
+            SELECT o_custkey,
+                   COUNT(*) AS n,
+                   SUM(CAST(o_totalprice AS DOUBLE)) AS s,
+                   SUM(CAST(o_totalprice AS DOUBLE)
+                       * CAST(o_totalprice AS DOUBLE)) AS s2
+            FROM orders GROUP BY o_custkey
+            HAVING COUNT(*) >= {OUTLIER_MIN_N}
+        ),
+        thr AS (
+            SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+                   round(s / n + {OUTLIER_SIGMA}
+                         * sqrt(greatest(s2 / n - (s / n) * (s / n), 0.0)), 4)
+                       AS threshold
+            FROM stats
+        )
+        SELECT o.o_custkey AS customer_id,
+               o.o_orderkey AS order_id,
+               CAST(round(CAST(o.o_totalprice AS DOUBLE), 4) AS DOUBLE)
+                   AS order_total,
+               CAST(t.threshold AS DOUBLE) AS threshold,
+               t.n_orders
+        FROM orders o JOIN thr t ON o.o_custkey = t.o_custkey
+        WHERE round(CAST(o.o_totalprice AS DOUBLE), 4) > t.threshold
+    """,
     "rolling_7d_customer_spend": f"""
         SELECT o_custkey AS customer_id,
                o_orderkey AS order_id,
@@ -490,6 +604,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "weekly_cohort_retention": weekly_cohort_retention,
+    "customer_spend_outliers": customer_spend_outliers,
     "rolling_7d_customer_spend": rolling_7d_customer_spend,
     "event_debounce": event_debounce,
     "user_event_sequences": user_event_sequences,
