@@ -512,6 +512,27 @@ def salted_join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_price").cast("double").alias("sum_price"))
 
 
+SALT_DISTINCT_BUCKETS = 16
+
+
+def two_stage_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe COUNT(DISTINCT) as a registry face: distinct users per
+    event type computed in two stages — dedup within (type, salt)
+    sub-keys, then sum the per-salt distinct counts.  A single-stage
+    distinct shuffles EVERY row of a hot group to one reducer for the
+    dedup; salting splits that group 16 ways and the second stage
+    moves only 16 tiny rows per group.  The salt is the user id's own
+    hash, so a user lands in exactly one sub-key and the two-stage
+    count is exact — which the oracle (plain COUNT DISTINCT) proves."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("user_id"), F.lit(SALT_DISTINCT_BUCKETS))
+    stage1 = (ev.select("event_type", "user_id", salt.alias("__salt"))
+              .groupBy("event_type", "__salt")
+              .agg(F.countDistinct("user_id").alias("part")))
+    return (stage1.groupBy("event_type")
+            .agg(F.sum("part").cast("long").alias("n_users")))
+
+
 def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-location lever as a registry face: orders and customer
     written ``bucketBy(custkey)`` (pre-shuffled at rest), then joined
@@ -642,6 +663,11 @@ ORACLE_SQL: dict[str, str] = {
                valid_from, valid_to, CAST(version AS BIGINT) AS version,
                (valid_to = TIMESTAMP '{SCD2_HIGH_DATE}') AS is_current
         FROM final
+    """,
+    "two_stage_distinct_users": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
     """,
     "salted_join_segment_totals": """
         SELECT c_mktsegment AS segment,
@@ -1007,6 +1033,7 @@ QUERIES = {
     "cdc_orders_latest_state": cdc_orders_latest_state,
     "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,
+    "two_stage_distinct_users": two_stage_distinct_users,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,
     "grouping_sets_flag_status": grouping_sets_flag_status,
