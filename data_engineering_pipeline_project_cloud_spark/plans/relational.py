@@ -512,6 +512,28 @@ def salted_join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_price").cast("double").alias("sum_price"))
 
 
+def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-count sketches: a Datasketches HLL per
+    event type, UNIONED into a corpus-wide sketch without touching the
+    raw rows again — the pattern that makes distinct counts roll up
+    through cube/partition levels at 100 TB (per-partition sketches
+    are bytes; exact distincts would re-shuffle the fact table per
+    level).  Output: per-type estimates plus the unioned __ALL__ row.
+    Rows-only face (sketch estimates have no SQL oracle); the ≤2%
+    error bound vs exact is pytest-asserted."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    by_type = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_users"))
+    unioned = (per_type.agg(F.hll_union_agg("sk").alias("u"))
+               .select(F.lit("__ALL__").alias("event_type"),
+                       F.hll_sketch_estimate("u").cast("long")
+                       .alias("est_users")))
+    return by_type.unionByName(unioned)
+
+
 SALT_DISTINCT_BUCKETS = 16
 
 
@@ -1034,6 +1056,7 @@ QUERIES = {
     "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,
     "two_stage_distinct_users": two_stage_distinct_users,
+    "hll_rollup_users": hll_rollup_users,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,
     "grouping_sets_flag_status": grouping_sets_flag_status,

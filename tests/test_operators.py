@@ -428,3 +428,21 @@ def test_inverted_index_caps_postings(spark):
     assert hot["posting_sample"] == "0|1|2|3|4"       # capped, ascending
     assert out["unique7"]["doc_freq"] == 1
     assert out["unique7"]["posting_sample"] == "7"
+
+
+def test_hll_rollup_within_error_bound(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.plans.relational import (
+        hll_rollup_users,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    est = {r["event_type"]: r["est_users"]
+           for r in hll_rollup_users(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["__ALL__"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)
