@@ -18,7 +18,7 @@ Two standard levers for the shuffles AQE can't fully save:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,24 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     sort-merge join over co-located buckets, no Exchange on either
     side (asserted in tests)."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` bits of two
+    bucketized dimensions.  Sorting/range-partitioning the table by
+    this key clusters rows that are close in BOTH dimensions into the
+    same files, so parquet min/max row-group stats prune scans for
+    predicates on EITHER column — the multi-dimensional data-skipping
+    layout (Delta/Iceberg OPTIMIZE ZORDER) built from plain column
+    arithmetic.  Callers bucketize raw values into [0, 2^bits) first;
+    the expression is a fixed chain of shift/or ops in codegen, and
+    2 × 16 bits keeps the key in a BIGINT in any engine."""
+    a = a.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = b.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(abit, 2 * i)) \
+             .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+    return z

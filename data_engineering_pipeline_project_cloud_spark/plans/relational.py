@@ -512,6 +512,29 @@ def salted_join_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_price").cast("double").alias("sum_price"))
 
 
+ZORDER_BITS = 16
+ZORDER_EPOCH = "1992-01-01"
+
+
+def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional layout key: the Morton (Z-order) interleave of
+    customer and order-day buckets (operators/skew.py:zorder_key).
+    Sorting the table by this key before writing clusters rows close
+    in BOTH dimensions into the same files, so row-group min/max stats
+    prune scans for predicates on either column — the data-skipping
+    strategy behind OPTIMIZE ZORDER, from plain column arithmetic."""
+    from ..operators.skew import zorder_key
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit(ZORDER_EPOCH).cast("date"))
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        day.cast("long").alias("order_day"),
+        zorder_key(F.col("o_custkey"), day, bits=ZORDER_BITS).alias("zkey"))
+
+
 def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-count sketches: a Datasketches HLL per
     event type, UNIONED into a corpus-wide sketch without touching the
@@ -685,6 +708,25 @@ ORACLE_SQL: dict[str, str] = {
                valid_from, valid_to, CAST(version AS BIGINT) AS version,
                (valid_to = TIMESTAMP '{SCD2_HIGH_DATE}') AS is_current
         FROM final
+    """,
+    "zorder_layout_orders": f"""
+        WITH base AS (
+            SELECT o_orderkey AS order_id,
+                   o_custkey AS customer_id,
+                   CAST(date_diff('day', DATE '{ZORDER_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
+                   o_custkey & {(1 << ZORDER_BITS) - 1} AS a,
+                   CAST(date_diff('day', DATE '{ZORDER_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS BIGINT)
+                       & {(1 << ZORDER_BITS) - 1} AS b
+            FROM orders
+        )
+        SELECT order_id, customer_id, order_day,
+               CAST({" + ".join(
+                   f"(((a >> {i}) & 1) * {1 << (2 * i)})"
+                   f" + (((b >> {i}) & 1) * {1 << (2 * i + 1)})"
+                   for i in range(ZORDER_BITS))} AS BIGINT) AS zkey
+        FROM base
     """,
     "two_stage_distinct_users": """
         SELECT event_type,
@@ -1057,6 +1099,7 @@ QUERIES = {
     "salted_join_segment_totals": salted_join_segment_totals,
     "two_stage_distinct_users": two_stage_distinct_users,
     "hll_rollup_users": hll_rollup_users,
+    "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,
     "grouping_sets_flag_status": grouping_sets_flag_status,

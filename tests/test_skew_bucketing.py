@@ -70,3 +70,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_items_b")
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.skew import (
+        zorder_key,
+    )
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", zorder_key(F.col("a"), F.col("b"))
+                     .alias("z")).collect()}
+    for a, b in cases:
+        assert got[(a, b)] == ref(a, b), (a, b)
