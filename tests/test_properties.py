@@ -114,3 +114,77 @@ def test_top1_per_group_matches_bruteforce(spark, rows):
         if g not in expect or (-s, t) < (-expect[g][0], expect[g][1]):
             expect[g] = (s, t)
     assert got == expect
+
+
+corpus_rows = st.lists(
+    st.tuples(st.integers(0, 9999),
+              st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12)),
+    min_size=1, max_size=30, unique_by=lambda r: r[0])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=corpus_rows, budget=st.integers(1, 200))
+def test_token_budget_select_invariants_random(spark, rows, budget):
+    """Random corpora: the selection never exceeds the budget, every
+    kept full-bucket doc outranks every dropped doc on quality bucket,
+    and at most one bucket is partially taken."""
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        token_budget_select,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in rows], "doc_id long, text string")
+    kept = token_budget_select(docs, budget_tokens=budget).collect()
+    assert sum(r["n_tokens"] for r in kept) <= budget
+    boundary = {r["quality_bucket"] for r in kept if r["is_boundary"]}
+    assert len(boundary) <= 1
+    full = {r["quality_bucket"] for r in kept if not r["is_boundary"]}
+    if boundary:
+        assert all(f > max(boundary) for f in full)
+    # determinism
+    again = token_budget_select(docs, budget_tokens=budget).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 500)),
+                     min_size=1, max_size=40))
+def test_event_debounce_gap_property(spark, rows):
+    """Kept events (beyond each key's first) are > 60s from their
+    predecessor IN THE ORIGINAL stream — lag is over all events, not
+    only kept ones (debounce, not throttle)."""
+    from data_engineering_pipeline_project_cloud_spark.plans.temporal import (
+        DEBOUNCE_S,
+    )
+    ev = spark.createDataFrame(
+        [(i, u, "e", BASE + dt.timedelta(seconds=s), 1.0, "{}")
+         for i, (u, s) in enumerate(rows)],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (Window.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+    gap = (F.col("ts").cast("double")
+           - F.lag("ts", 1).over(w).cast("double"))
+    out = (ev.select("event_id", "ts", "user_id", "event_type",
+                     F.round(F.coalesce(gap, F.lit(-1.0)), 6)
+                     .alias("gap_seconds"))
+           .filter((F.col("gap_seconds") > DEBOUNCE_S)
+                   | (F.col("gap_seconds") == -1.0)))
+    kept = out.collect()
+    # reference: per user, sorted by (ts, event_id); keep first and
+    # any event whose gap to the immediately previous EVENT > 60
+    by_user = {}
+    for i, (u, s) in enumerate(rows):
+        by_user.setdefault(u, []).append((s, i))
+    expect = set()
+    for u, evs in by_user.items():
+        evs.sort()
+        for j, (s, i) in enumerate(evs):
+            if j == 0 or s - evs[j - 1][0] > DEBOUNCE_S:
+                expect.add(i)
+    assert {r["event_id"] for r in kept} == expect
