@@ -204,7 +204,8 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
                          num_hashes: int = 8, bands: int = 4,
                          threshold: float = 0.5,
                          hash_fn: str = "portable",
-                         band_key: str = "raw") -> DataFrame:
+                         band_key: str = "raw",
+                         max_bucket: int | None = 1000) -> DataFrame:
     """Near-duplicate decontamination against a REFERENCE corpus (eval
     benchmarks, a licensed-content blocklist, a previous training mix):
     every corpus document is scored by its best shingle-Jaccard against
@@ -217,8 +218,12 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
 
     Scale shape: the reference is small by construction (benchmarks are
     MBs, corpora TBs), so its band table is broadcast; the corpus side
-    is one map-side signature pass + the band join.  Verification
-    shingles only candidate docs (``jaccard_pairs`` semi-join).  Docs
+    is one map-side signature pass + the band join, with corpus-side
+    buckets above ``max_bucket`` dropped first (identical short/
+    boilerplate docs share one signature — without the cap that bucket
+    alone yields |bucket|×|ref-bucket| candidates).  Verification
+    shingles only candidate docs (``jaccard_pairs`` semi-join), each
+    side against ITS OWN corpus — the two id spaces may overlap.  Docs
     with no candidate are reported with sentinel (-1, 0.0, false) —
     null-free canonical output.
 
@@ -229,6 +234,7 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
     sigs_c = minhash_signatures(corpus, text_col, id_col, **sig_kw)
     sigs_r = minhash_signatures(reference, text_col, id_col, **sig_kw)
     bc = band_table(sigs_c, id_col, num_hashes, bands, band_key)
+    bc = _cap_buckets(bc, ["band_idx", "band_hash"], max_bucket)
     br = band_table(sigs_r, id_col, num_hashes, bands, band_key)
     cand = (
         bc.join(F.broadcast(br.withColumnRenamed(id_col, "__ref_id")),
@@ -237,9 +243,9 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
                 F.col("__ref_id").alias("doc_b"))
         .distinct()
     )
-    docs_all = (corpus.select(id_col, text_col)
-                .unionByName(reference.select(id_col, text_col)))
-    ver = jaccard_pairs(docs_all, cand, text_col, id_col)
+    ver = jaccard_pairs(corpus.select(id_col, text_col), cand,
+                        text_col, id_col,
+                        docs_b=reference.select(id_col, text_col))
     best = ver.groupBy("doc_a").agg(
         F.max_by(F.struct(F.col("doc_b"), F.col("jaccard")),
                  F.struct(F.col("jaccard").alias("j"),
@@ -261,7 +267,8 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
 
 def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", shingle_n: int = 3,
-                  threshold: float = 0.0) -> DataFrame:
+                  threshold: float = 0.0,
+                  docs_b: DataFrame | None = None) -> DataFrame:
     """Verify candidate pairs with exact shingle-set Jaccard.
 
     Joins the (small) candidate-pair set back to the docs twice, then
@@ -271,22 +278,42 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     semi-join below), so the expensive per-doc work and the join input
     scale with |candidates|, not |corpus| — shingling the whole corpus
     twice would be the dominant cost at 100 TB.
+
+    ``docs_b``: bipartite mode — ``doc_a`` ids resolve against
+    ``docs``, ``doc_b`` ids against ``docs_b``.  Required whenever the
+    two pair sides come from DIFFERENT corpora whose id spaces may
+    overlap (cross-corpus decontamination): a shared id in a unioned
+    frame would let one side's text stand in for the other's.
     """
-    cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
-                .union(pairs.select(F.col("doc_b").alias(id_col)))
-                .distinct())
-    cand_docs = docs.join(cand_ids, id_col, "left_semi")
-    sh = cand_docs.select(F.col(id_col),
-                          F.array_distinct(shingles(F.col(text_col), shingle_n))
-                          .alias("sh"))
-    # evaluated twice below (doc_a side, doc_b side): materialize once;
-    # scoped so the next registry query releases it (caching.py)
-    sh = scoped_persist(sh)
+    def _shingle_side(src: DataFrame, side: str) -> DataFrame:
+        ids = pairs.select(F.col(side).alias(id_col)).distinct()
+        cand = src.join(ids, id_col, "left_semi")
+        sh = cand.select(F.col(id_col),
+                         F.array_distinct(shingles(F.col(text_col), shingle_n))
+                         .alias("sh"))
+        # may be evaluated more than once downstream: materialize;
+        # scoped so the next registry query releases it (caching.py)
+        return scoped_persist(sh)
+
+    if docs_b is None:
+        # self-join mode: ids from BOTH sides resolve in the one corpus
+        cand_ids = (pairs.select(F.col("doc_a").alias(id_col))
+                    .union(pairs.select(F.col("doc_b").alias(id_col)))
+                    .distinct())
+        cand_docs = docs.join(cand_ids, id_col, "left_semi")
+        sh = scoped_persist(cand_docs.select(
+            F.col(id_col),
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+            .alias("sh")))
+        sh_a = sh_b = sh
+    else:
+        sh_a = _shingle_side(docs, "doc_a")
+        sh_b = _shingle_side(docs_b, "doc_b")
     out = (
-        pairs.join(sh.select(F.col(id_col).alias("doc_a"),
-                             F.col("sh").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col(id_col).alias("doc_b"),
-                        F.col("sh").alias("sh_b")), "doc_b")
+        pairs.join(sh_a.select(F.col(id_col).alias("doc_a"),
+                               F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh_b.select(F.col(id_col).alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
         .withColumn("n_common",
                     F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
         .withColumn("n_union",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..functions import portable_hash64
 
 SAMPLE_SCALE = 1_000_000  # hash-threshold resolution (ppm)
@@ -112,12 +113,15 @@ def token_budget_select(docs: DataFrame, budget_tokens: int,
     from .textstats import quality_expr
 
     n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-    scored = docs.select(
+    # consumed three times below (histogram, full-bucket branch,
+    # boundary branch): persist the narrow projection so the
+    # regex-heavy quality signals run in ONE corpus scan
+    scored = scoped_persist(docs.select(
         F.col(id_col).cast("long").alias(id_col),
         n_tokens.cast("long").alias("n_tokens"),
         F.least(F.lit(bucket_scale),
                 F.floor(quality_expr(text_col) * bucket_scale))
-        .cast("long").alias("quality_bucket"))
+        .cast("long").alias("quality_bucket")))
 
     hist = scored.groupBy("quality_bucket").agg(
         F.sum("n_tokens").alias("btok"))
@@ -172,7 +176,6 @@ def quantile_quality_filter(docs: DataFrame, q: float = 0.5,
     filter.  Thresholds are rounded to 4 places so the linear
     interpolation inside percentile stays cross-engine stable.
     """
-    from ..caching import scoped_persist
     from .textstats import quality_expr
 
     scored = scoped_persist(docs.select(

@@ -320,7 +320,12 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
     cells — the standard k-means degeneracy, harmless for IVF probing.
     """
     # array width isn't in the schema; one single-row probe pins it
-    dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    # (an eager job, like the per-pass codebook collect below)
+    probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:  # empty input: no vectors, no codebook
+        return emb.sparkSession.createDataFrame(
+            [], schema="cell_id long, centroid array<double>")
+    dim = probe["d"]
     cents = (emb.filter(F.col(id_col) < n_cells)
              .select(F.col(id_col).cast("long").alias("cell_id"),
                      F.transform(F.col(vec_col),

@@ -78,12 +78,10 @@ def token_count(docs: DataFrame, text_col: str = "text",
     )
 
 
-def quality_expr(text_col: str = "text") -> Column:
-    """The composite quality signal as a bare column expression
-    (rounded to 6 places), for operators that need quality alongside
-    other per-doc columns in ONE scan (e.g. token-budget selection —
-    joining ``quality_score``'s output back would scan the corpus
-    twice)."""
+def _quality_signals(text_col: str = "text") -> dict[str, Column]:
+    """The five raw quality signals (unrounded) — single source for
+    ``quality_score`` and ``quality_expr``; a tweak to any signal
+    changes every consumer identically."""
     text = F.col(text_col)
     toks = _tokens(text)
     n_tok = F.size(toks)
@@ -92,13 +90,28 @@ def quality_expr(text_col: str = "text") -> Column:
     n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
     stop_hits = F.size(F.filter(
         toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
-    length_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
-    stopword_score = F.least(stop_hits.cast("double") / n_tok * 5.0, F.lit(1.0))
-    alpha_score = n_alpha.cast("double") / n_char
-    repetition_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    digit_score = F.lit(1.0) - n_digit.cast("double") / n_char
-    return F.round((length_score + stopword_score + alpha_score
-                    + repetition_score + digit_score) / 5.0, 6)
+    return {
+        "length_score": F.least(n_tok.cast("double") / 100.0, F.lit(1.0)),
+        "stopword_score": F.least(
+            stop_hits.cast("double") / n_tok * 5.0, F.lit(1.0)),
+        "alpha_score": n_alpha.cast("double") / n_char,
+        "repetition_score":
+            F.size(F.array_distinct(toks)).cast("double") / n_tok,
+        "digit_score": F.lit(1.0) - n_digit.cast("double") / n_char,
+    }
+
+
+def _quality_mean(sig: dict[str, Column]) -> Column:
+    return sum(sig.values(), F.lit(0.0)) / float(len(sig))
+
+
+def quality_expr(text_col: str = "text") -> Column:
+    """The composite quality signal as a bare column expression
+    (rounded to 6 places), for operators that need quality alongside
+    other per-doc columns in ONE scan (e.g. token-budget selection —
+    joining ``quality_score``'s output back would scan the corpus
+    twice)."""
+    return F.round(_quality_mean(_quality_signals(text_col)), 6)
 
 
 def quality_score(docs: DataFrame, text_col: str = "text",
@@ -107,29 +120,11 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     signals (length saturation, stopword density, alphabetic fraction,
     repetition via distinct-token ratio, digit penalty) — the standard
     pre-training corpus filter, all in codegen."""
-    text = F.col(text_col)
-    toks = _tokens(text)
-    n_tok = F.size(toks)
-    n_char = F.length(text)
-    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
-    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    stop_hits = F.size(F.filter(
-        toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
-
-    length_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
-    stopword_score = F.least(stop_hits.cast("double") / n_tok * 5.0, F.lit(1.0))
-    alpha_score = n_alpha.cast("double") / n_char
-    repetition_score = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    digit_score = F.lit(1.0) - n_digit.cast("double") / n_char
-    quality = (length_score + stopword_score + alpha_score
-               + repetition_score + digit_score) / 5.0
+    sig = _quality_signals(text_col)
+    quality = _quality_mean(sig)
     return docs.select(
         F.col(id_col),
-        F.round(length_score, 6).alias("length_score"),
-        F.round(stopword_score, 6).alias("stopword_score"),
-        F.round(alpha_score, 6).alias("alpha_score"),
-        F.round(repetition_score, 6).alias("repetition_score"),
-        F.round(digit_score, 6).alias("digit_score"),
+        *[F.round(c, 6).alias(name) for name, c in sig.items()],
         F.round(quality, 6).alias("quality"),
         (quality >= 0.7).alias("passes_filter"),
     )

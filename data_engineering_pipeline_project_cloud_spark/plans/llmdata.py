@@ -968,7 +968,16 @@ ORACLE_SQL: dict[str, str] = {
     "cross_corpus_decontam": f"""
         WITH sigs_c AS ({_minhash_sig_sql(f"WHERE doc_id % {EVAL_MOD} <> 0")}),
         sigs_r AS ({_minhash_sig_sql(f"WHERE doc_id % {EVAL_MOD} = 0")}),
-        bc AS ({_minhash_band_sql("sigs_c")}),
+        bc0 AS ({_minhash_band_sql("sigs_c")}),
+        bc_capped AS (
+            SELECT band_idx, band_val FROM bc0
+            GROUP BY band_idx, band_val HAVING COUNT(*) <= {MAX_BUCKET}
+        ),
+        bc AS (
+            SELECT b.* FROM bc0 b
+            JOIN bc_capped c
+              ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+        ),
         br AS ({_minhash_band_sql("sigs_r")}),
         pairs AS (
             SELECT DISTINCT c.doc_id AS doc_a, r.doc_id AS doc_b

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import scoped_persist
 from ..functions import money, portable_hash64
 from ..operators import relational as rel
 from ..sources import load_table
@@ -528,11 +529,21 @@ def zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate").cast("date"),
                      F.lit(ZORDER_EPOCH).cast("date"))
-    return o.select(
+    # range-bucketize custkey into [0, 2^bits) — zorder_key's contract;
+    # a raw key above 2^bits would wrap under the mask and interleave
+    # distant customers into the same z-ranges.  The divisor derives
+    # from the observed max (one tiny agg, broadcast back), so the
+    # bucketization stays locality-preserving at ANY scale factor.
+    mx = o.agg(F.max("o_custkey").alias("mx"))
+    scale = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("mx") + 1) / F.lit(1 << ZORDER_BITS)).cast("long"))
+    cust_bucket = F.floor(F.col("o_custkey") / scale).cast("long")
+    return o.crossJoin(F.broadcast(mx)).select(
         F.col("o_orderkey").alias("order_id"),
         F.col("o_custkey").alias("customer_id"),
         day.cast("long").alias("order_day"),
-        zorder_key(F.col("o_custkey"), day, bits=ZORDER_BITS).alias("zkey"))
+        zorder_key(cust_bucket, day, bits=ZORDER_BITS).alias("zkey"))
 
 
 def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,8 +556,10 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only face (sketch estimates have no SQL oracle); the ≤2%
     error bound vs exact is pytest-asserted."""
     ev = load_table(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"))
+    # consumed twice (per-type estimates + the union row): persist the
+    # |types| sketch rows so the fact table is scanned once
+    per_type = scoped_persist(ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")))
     by_type = per_type.select(
         "event_type",
         F.hll_sketch_estimate("sk").cast("long").alias("est_users"))
@@ -710,16 +723,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM final
     """,
     "zorder_layout_orders": f"""
-        WITH base AS (
+        WITH m AS (
+            SELECT greatest(1, CAST(ceil((MAX(o_custkey) + 1)
+                       / {1 << ZORDER_BITS}.0) AS BIGINT)) AS scale
+            FROM orders
+        ),
+        base AS (
             SELECT o_orderkey AS order_id,
                    o_custkey AS customer_id,
                    CAST(date_diff('day', DATE '{ZORDER_EPOCH}',
                         CAST(o_orderdate AS DATE)) AS BIGINT) AS order_day,
-                   o_custkey & {(1 << ZORDER_BITS) - 1} AS a,
+                   CAST(floor(o_custkey / CAST(m.scale AS DOUBLE)) AS BIGINT)
+                       & {(1 << ZORDER_BITS) - 1} AS a,
                    CAST(date_diff('day', DATE '{ZORDER_EPOCH}',
                         CAST(o_orderdate AS DATE)) AS BIGINT)
                        & {(1 << ZORDER_BITS) - 1} AS b
-            FROM orders
+            FROM orders CROSS JOIN m
         )
         SELECT order_id, customer_id, order_day,
                CAST({" + ".join(

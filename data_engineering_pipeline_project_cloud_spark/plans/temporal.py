@@ -315,20 +315,25 @@ def rolling_7d_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"))
 
 
-def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debounce per (user, event_type): drop any event within 60 s of
-    that key's previous event — the telemetry duplicate-burst cleanup.
+def debounce(ev: DataFrame, gap_s: float = DEBOUNCE_S) -> DataFrame:
+    """Debounce per (user, event_type): drop any event within
+    ``gap_s`` seconds of that key's previous event (kept or not — a
+    debounce, not a throttle) — the telemetry duplicate-burst cleanup.
     One lag over one shuffle on the key; kept rows carry the gap to
     the previous event (-1 for the first)."""
-    ev = load_table(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id", "event_type")
          .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
     gap = epoch_seconds("ts") - epoch_seconds(F.lag("ts", 1).over(w))
     return (ev.select("event_id", "ts", "user_id", "event_type",
                       F.round(F.coalesce(gap, F.lit(-1.0)), 6)
                       .alias("gap_seconds"))
-            .filter((F.col("gap_seconds") > DEBOUNCE_S)
+            .filter((F.col("gap_seconds") > gap_s)
                     | (F.col("gap_seconds") == -1.0)))
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of ``debounce`` over the events table."""
+    return debounce(load_table(spark, sf_dir, "events"))
 
 
 SEQ_CAP = 50

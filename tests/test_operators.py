@@ -446,3 +446,23 @@ def test_hll_rollup_within_error_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, e in exact.items():
         assert abs(est[k] - e) <= max(2, 0.02 * e), (k, est[k], e)
+
+
+def test_cross_corpus_neardup_overlapping_id_spaces(spark):
+    """Corpus and reference independently numbered from the same id
+    range: the corpus doc must be scored against ITS OWN text, never
+    against the reference doc that happens to share its id."""
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        cross_corpus_neardup,
+    )
+    ref_text = "shared identifier reference body with many common words here"
+    reference = spark.createDataFrame(
+        [(7, ref_text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(7, "totally unrelated corpus content nothing in common at all"),
+         (8, ref_text + " tail")],       # genuine near-copy of ref 7
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           cross_corpus_neardup(corpus, reference, threshold=0.5).collect()}
+    assert not out[7]["flagged"], "id collision must not cross texts"
+    assert out[8]["flagged"] and out[8]["best_ref_id"] == 7

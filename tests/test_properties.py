@@ -157,25 +157,14 @@ def test_event_debounce_gap_property(spark, rows):
     only kept ones (debounce, not throttle)."""
     from data_engineering_pipeline_project_cloud_spark.plans.temporal import (
         DEBOUNCE_S,
+        debounce,
     )
     ev = spark.createDataFrame(
         [(i, u, "e", BASE + dt.timedelta(seconds=s), 1.0, "{}")
          for i, (u, s) in enumerate(rows)],
         "event_id long, user_id long, event_type string, ts timestamp,"
         " value double, props string")
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = (Window.partitionBy("user_id", "event_type")
-         .orderBy(F.col("ts").asc(), F.col("event_id").asc()))
-    gap = (F.col("ts").cast("double")
-           - F.lag("ts", 1).over(w).cast("double"))
-    out = (ev.select("event_id", "ts", "user_id", "event_type",
-                     F.round(F.coalesce(gap, F.lit(-1.0)), 6)
-                     .alias("gap_seconds"))
-           .filter((F.col("gap_seconds") > DEBOUNCE_S)
-                   | (F.col("gap_seconds") == -1.0)))
-    kept = out.collect()
+    kept = debounce(ev).collect()
     # reference: per user, sorted by (ts, event_id); keep first and
     # any event whose gap to the immediately previous EVENT > 60
     by_user = {}

@@ -56,6 +56,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     qs, oracle = all_queries(), all_oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        raise SystemExit(f"unknown queries: {sorted(unknown)}")
+    no_oracle = only & (set(qs) - set(oracle))
+    if no_oracle:
+        raise SystemExit(f"rows-only (no oracle to cross-check): "
+                         f"{sorted(no_oracle)}")
     bad = []
     for name in qs:
         if name not in oracle or (only and name not in only):
