@@ -130,6 +130,25 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     )
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Pre-tokenization text canonicalization: control characters →
+    space, whitespace runs collapsed to one space, ends trimmed — the
+    cleanup that makes downstream token counts, shingles, and hashes
+    insensitive to formatting noise.  Pure map-side regexps in
+    codegen; ``changed`` flags rows the cleanup touched (the usual
+    monitoring signal for upstream extraction regressions)."""
+    text = F.col(text_col)
+    cleaned = F.trim(F.regexp_replace(
+        F.regexp_replace(text, r"[\x00-\x1F\x7F]", " "), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        cleaned.alias("norm_text"),
+        F.length(text).cast("long").alias("n_chars_before"),
+        F.length(cleaned).cast("long").alias("n_chars_after"),
+        (cleaned != text).alias("changed"))
+
+
 def inverted_index(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    max_postings: int = 20) -> DataFrame:

@@ -183,6 +183,10 @@ def scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.scrub_text(_docs(spark, sf_dir))
 
 
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.normalize_text(_docs(spark, sf_dir))
+
+
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_count(_docs(spark, sf_dir))
 
@@ -748,6 +752,22 @@ ORACLE_SQL: dict[str, str] = {
                CAST(n_chars AS BIGINT) AS n_chars
         FROM grams
     """,
+    "normalize_text": """
+        WITH cleaned AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(text,
+                           '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS norm_text,
+                   text
+            FROM documents
+        )
+        SELECT doc_id, norm_text,
+               CAST(len(text) AS BIGINT) AS n_chars_before,
+               CAST(len(norm_text) AS BIGINT) AS n_chars_after,
+               (norm_text <> text) AS changed
+        FROM cleaned
+    """,
     "scrub_text": """
         WITH cleaned AS (
             SELECT doc_id,
@@ -1310,4 +1330,5 @@ QUERIES = {
     "token_count_bpe": token_count_bpe,
     "quality_score": quality_score,
     "scrub_text": scrub_text,
+    "normalize_text": normalize_text,
 }

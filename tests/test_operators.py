@@ -466,3 +466,17 @@ def test_cross_corpus_neardup_overlapping_id_spaces(spark):
            cross_corpus_neardup(corpus, reference, threshold=0.5).collect()}
     assert not out[7]["flagged"], "id collision must not cross texts"
     assert out[8]["flagged"] and out[8]["best_ref_id"] == 7
+
+
+def test_normalize_text_collapses_noise(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        normalize_text,
+    )
+    docs = spark.createDataFrame(
+        [(1, "  hello\t\tworld \x01 again  "), (2, "clean")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert out[1]["norm_text"] == "hello world again"
+    assert out[1]["changed"]
+    assert out[2]["norm_text"] == "clean" and not out[2]["changed"]
+    assert out[1]["n_chars_after"] < out[1]["n_chars_before"]
