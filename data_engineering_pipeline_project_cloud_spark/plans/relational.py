@@ -652,9 +652,17 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rel.scd2_compact(obs, ["o_custkey"], "status",
                            ["o_orderdate", "o_orderkey"],
                            high_date=SCD2_HIGH_DATE)
+    # valid_to carries the year-9999 open-row sentinel, which overflows
+    # nanosecond timestamp frames (Arrow/pandas max is 2262) — a
+    # toPandas-collecting harness would error on the raw timestamp, so
+    # the driver face presents both validity bounds as ISO strings
     return out.select(F.col("o_custkey").cast("long").alias("o_custkey"),
-                      "status", "valid_from", "valid_to", "version",
-                      "is_current")
+                      "status",
+                      F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss")
+                      .alias("valid_from"),
+                      F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss")
+                      .alias("valid_to"),
+                      "version", "is_current")
 
 
 _H_REL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
@@ -718,7 +726,9 @@ ORACLE_SQL: dict[str, str] = {
             FROM runs
         )
         SELECT CAST(o_custkey AS BIGINT) AS o_custkey, status,
-               valid_from, valid_to, CAST(version AS BIGINT) AS version,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+               CAST(version AS BIGINT) AS version,
                (valid_to = TIMESTAMP '{SCD2_HIGH_DATE}') AS is_current
         FROM final
     """,
