@@ -8,7 +8,9 @@ all see one source of truth.
 from __future__ import annotations
 
 import functools
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -43,47 +45,58 @@ def _modules():
     return [temporal, streamed, media, llmdata, parity, analytics, relational]
 
 
-#: Round-1 driver rows that came back hash_match: false.  Their output
-#: types have since been canonicalized (see plans/parity.py docstring);
-#: they need fresh driver evidence MOST, so they run first.
-_R1_RED = [
-    "conform_orders", "conform_items", "pay_agg", "master_table",
-    "q1_pricing_summary", "q3_top_orders", "q18_large_orders",
-    "grouping_sets_flag_status", "correlated_max_item_price",
-    "unpivot_lineitem_measures", "argmax_customer_by_nation",
-    "window_topn_per_group", "window_running_totals",
-    "window_value_functions", "rollup_nation_segment", "cube_flag_status",
-    "json_event_props", "range_join_value_tiers",
-    "simhash_fingerprints", "dedup_simhash_pairs",
-]
+def _evidence() -> tuple[set[str], set[str]]:
+    """Scan the driver's ``CORRECTNESS_r*.json`` records (repo root) and
+    classify every query ever checked by its LATEST row:
 
-#: Round-1 rows that were fully green (or rows-only by design).  Their
-#: evidence already exists; they run last so a budget-capped driver
-#: pass spends its budget on queries without any green row yet.
-_R1_GREEN = [
-    "rev_agg", "dim_locations", "q5_region_volume", "q10_returned_revenue",
-    "q12_priority_by_status", "q14_promo_effect", "data_quality_report",
-    "q6_forecast_revenue", "q4_order_priority", "string_functions_part",
-    "percentile_prices", "stats_moments", "semi_join_customers",
-    "anti_join_customers", "set_ops_nations", "distinct_counts",
-    "approx_distinct_counts", "json_map_entries", "pivot_segment_by_region",
-    "global_topk_orders", "dedup_exact", "minhash_signatures",
-    "dedup_minhash_pairs", "ngram_jaccard_pairs", "text_stats",
-    "language_id", "doc_fingerprints", "token_count_bpe", "quality_score",
-    "scrub_text",
-]
+    * **settled** — hash-green (all three checks true) or rows-only by
+      design (``err == "no_oracle"`` with a row count recorded).  Evidence
+      exists; re-checking wastes a budget-capped driver pass.
+    * **red** — latest row has a hash/schema/row mismatch or a real error.
+      Needs fresh evidence soon, but AFTER the never-checked queries.
+
+    Deriving this at import time (rather than hard-coding round lists)
+    keeps the driver consumption order pointed at current evidence no
+    matter how many rounds have run.
+    """
+    settled: set[str] = set()
+    red: set[str] = set()
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            green = (
+                row.get("rows_match") and row.get("schema_match")
+                and row.get("hash_match")
+            )
+            rows_only = (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            )
+            if green or rows_only:
+                settled.add(name)
+                red.discard(name)
+            else:
+                red.add(name)
+                settled.discard(name)
+    return settled, red
 
 
 def _prioritize(names) -> list[str]:
-    """Driver consumption order: round-1 hash-red first, then queries
-    with no round-1 evidence at all (module order), round-1 greens
-    last.  The driver's correctness pass can be budget-capped (round 1
-    recorded 50 of 78 declared queries), so position IS evidence."""
+    """Driver consumption order: queries with NO driver evidence in any
+    round run first (module order), latest-red next, settled (green or
+    rows-only-by-design) last.  The driver's correctness pass is
+    budget-capped (~50 of 121 queries per round), so position IS
+    evidence: this order spends the budget where no row exists yet."""
     names = list(names)
-    red = [n for n in _R1_RED if n in names]
-    green = [n for n in _R1_GREEN if n in names]
-    mid = [n for n in names if n not in set(red) | set(green)]
-    return red + mid + green
+    settled, red = _evidence()
+    never = [n for n in names if n not in settled and n not in red]
+    red_l = [n for n in names if n in red]
+    settled_l = [n for n in names if n in settled]
+    return never + red_l + settled_l
 
 
 def all_queries() -> dict[str, QueryFn]:
