@@ -250,9 +250,14 @@ def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
         F.max_by(F.struct(F.col("doc_b"), F.col("jaccard")),
                  F.struct(F.col("jaccard").alias("j"),
                           (-F.col("doc_b")).alias("t"))).alias("b"))
+    # `best` is corpus-grain (one row per corpus doc with any LSH
+    # candidate) — in the heavily-contaminated case it approaches
+    # |corpus| rows, so it must NOT carry a broadcast hint; only the
+    # reference-side band table above is small by construction.  Leave
+    # the strategy to the planner/AQE.
     return (
         corpus.select(F.col(id_col).cast("long").alias(id_col))
-        .join(F.broadcast(best), F.col(id_col) == F.col("doc_a"), "left")
+        .join(best, F.col(id_col) == F.col("doc_a"), "left")
         .select(
             id_col,
             F.coalesce(F.col("b.doc_b"), F.lit(-1)).cast("long")

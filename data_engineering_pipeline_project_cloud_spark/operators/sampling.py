@@ -71,6 +71,14 @@ def temperature_sample(docs: DataFrame, alpha: float = 0.5,
     id-hash decision.  Same scale shape as ``stratified_sample``: one
     tiny groupBy + a broadcast of |strata| rows + a map-side filter.
     """
+    if not 0.0 <= alpha <= 1.0:
+        # alpha > 1 flips the exponent sign, producing keep rates > 1
+        # that would silently clamp to keep-everything; alpha < 0
+        # over-suppresses the head the same silent way.  This sampler
+        # only downsamples — reject anything outside the documented
+        # interpolation range.
+        raise ValueError(
+            f"temperature_sample alpha must be in [0, 1], got {alpha}")
     counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
     min_n = counts.agg(F.min("n").alias("min_n"))
     rate = F.pow(F.col("min_n") / F.col("n"), F.lit(1.0 - alpha))

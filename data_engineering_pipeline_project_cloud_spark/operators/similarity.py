@@ -318,9 +318,15 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
 
     Empty cells (no vector assigned) drop out; callers see ≤ n_cells
     cells — the standard k-means degeneracy, harmless for IVF probing.
+
+    Contract: every non-null vector has the SAME width (the per-dim
+    SUM columns assume it; a ragged row would silently skew that
+    cell's mean).  NULL vectors are excluded from the fit.
     """
-    # array width isn't in the schema; one single-row probe pins it
-    # (an eager job, like the per-pass codebook collect below)
+    emb = emb.filter(F.col(vec_col).isNotNull())
+    # array width isn't in the schema; one single-row probe (over
+    # non-null vectors only) pins it (an eager job, like the per-pass
+    # codebook collect below)
     probe = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if probe is None:  # empty input: no vectors, no codebook
         return emb.sparkSession.createDataFrame(
@@ -375,19 +381,26 @@ def ivf_assignments(emb: DataFrame, n_cells: int = 16,
 def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  n_cells: int = 16, nprobe: int = 2,
                  id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 vec_col: str = "embedding",
+                 centroids: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` closest
     cells and ranks only vectors assigned there.  At 100 TB the
     assignment is precomputed and the table is written
     ``partitionBy(cell_id)`` — a query then touches nprobe/n_cells of
-    the data (partition pruning does the candidate cut)."""
+    the data (partition pruning does the candidate cut).
+
+    ``centroids`` lets the caller supply a pre-fit codebook
+    (cell_id, unit-norm centroid array<double>) — at scale the
+    codebook is an offline artifact fit once and reused by every
+    query, not refit per invocation."""
     from pyspark.sql import Window
 
     # normalize the corpus once: every similarity below is a dot
     embn = scoped_persist(with_unit_vectors(emb, id_col, vec_col))
     # one k-means codebook shared by index build and query probing
-    cents = scoped_persist(kmeans_centroids(embn, n_cells, 2, id_col, vec_col,
-                                            assume_unit=True))
+    cents = (centroids if centroids is not None
+             else scoped_persist(kmeans_centroids(embn, n_cells, 2, id_col,
+                                                  vec_col, assume_unit=True)))
     assigned = _assign_cells(embn, cents, id_col, vec_col, assume_unit=True)
 
     cents = F.broadcast(cents)

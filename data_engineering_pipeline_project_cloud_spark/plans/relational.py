@@ -591,6 +591,15 @@ def two_stage_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("part").cast("long").alias("n_users")))
 
 
+#: sf_dir whose bucketed orders/customer tables are currently written
+#: (and registered in the session catalog).  Bucketing IS a write-once
+#: layout decision — the whole point is that N later joins reuse one
+#: pre-shuffle — so the registry face writes once per (sf_dir) and
+#: rewrites only when the sf_dir changes (the table names are fixed,
+#: so tracking a set would serve stale data on alternation).
+_BUCKETED_FOR: str | None = None
+
+
 def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-location lever as a registry face: orders and customer
     written ``bucketBy(custkey)`` (pre-shuffled at rest), then joined
@@ -602,13 +611,16 @@ def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.skew import bucketed_join, write_bucketed
 
-    tmp = tempfile.mkdtemp(prefix="bucketed_")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"), "o_orderkey")
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"), "c_nationkey")
-    write_bucketed(orders, "b_orders_q", "custkey", 8, f"{tmp}/orders")
-    write_bucketed(cust, "b_customer_q", "custkey", 8, f"{tmp}/customer")
+    global _BUCKETED_FOR
+    if _BUCKETED_FOR != sf_dir:
+        tmp = tempfile.mkdtemp(prefix="bucketed_")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("custkey"), "o_orderkey")
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("custkey"), "c_nationkey")
+        write_bucketed(orders, "b_orders_q", "custkey", 8, f"{tmp}/orders")
+        write_bucketed(cust, "b_customer_q", "custkey", 8, f"{tmp}/customer")
+        _BUCKETED_FOR = sf_dir
     return (bucketed_join(spark, "b_orders_q", "b_customer_q", "custkey")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from data_engineering_pipeline_project_cloud_spark.operators.asof import asof_join
@@ -343,6 +345,31 @@ def test_temperature_sample_alpha_extremes(spark):
     a = sorted(map(tuple, temperature_sample(docs, alpha=0.5).collect()))
     b = sorted(map(tuple, temperature_sample(docs, alpha=0.5).collect()))
     assert a == b                                    # rerun-stable
+    # outside [0, 1] the exponent flips sign (silent keep-everything)
+    # or over-suppresses — rejected loudly instead
+    for bad in (1.5, -0.1):
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_sample(docs, alpha=bad)
+
+
+def test_xcheck_canon_null_vs_string():
+    """The 4-way cross-check's NULL canonicalization must decide on the
+    Python object: a genuine string 'None'/'nan' is NOT a null, while
+    None / float NaN / pandas NaT / pandas NA all are."""
+    import numpy as np
+    import pandas as pd
+
+    from tools.xcheck_serialization import _canon
+
+    null = _canon(None)
+    assert _canon(float("nan")) == null
+    assert _canon(np.float64("nan")) == null
+    assert _canon(pd.NaT) == null
+    assert _canon(pd.NA) == null
+    assert _canon("None") == "None" != null     # real strings survive
+    assert _canon("nan") == "nan" != null
+    assert _canon(0.0) == "0.0"
+    assert _canon(np.array([1, 2])) == str(np.array([1, 2]))
 
 
 def test_token_budget_select_invariants(spark, sf_dir):

@@ -37,8 +37,19 @@ from data_engineering_pipeline_project_cloud_spark.session import get_spark  # n
 
 
 def _canon(v) -> str:
-    s = str(v)
-    return "\0NULL" if s in ("None", "nan", "NaT", "<NA>") else s
+    # decide NULL-ness on the Python object, not its string form — a
+    # genuine string value 'None'/'nan' must NOT collapse into the
+    # NULL sentinel (that conflation could hide a real divergence)
+    if v is None:
+        return "\0NULL"
+    try:
+        if v != v:  # IEEE NaN / NaT: the only self-unequal scalars
+            return "\0NULL"
+    except TypeError:
+        return "\0NULL"  # pandas NA: comparisons propagate, bool() raises
+    except ValueError:
+        pass  # numpy arrays: elementwise compare is ambiguous, not a null
+    return str(v)
 
 
 def _ms(cols, rows) -> Counter:
