@@ -84,8 +84,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 
     # Two efficiency choices that matter at corpus scale:
     #  - Kirsch-Mitzenmacher double hashing: hash function i is
-    #    h1 + i*h2, so each shingle costs 2 hash evaluations instead
-    #    of k (59/60-bit values: h1 + 7*h2 < 2^63 — no overflow).
+    #    h1 + i*h2, so each shingle costs one md5 digest (sliced into
+    #    both 60-bit halves) or 2 xxhash64 calls instead of k hashes
+    #    (59/60-bit values: h1 + 7*h2 < 2^63 — no overflow).
     #  - A single fold over the shingle array computing all k minima
     #    at once; Spark's runtime subexpression elimination keeps the
     #    fold evaluated once even though k columns reference it.
@@ -95,12 +96,22 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     init = F.array(*[sentinel for _ in range(num_hashes)])
 
     if hash_fn == "portable":
-        def h1(x):
-            return portable_hash64(x, salt="mh1|")
+        # One md5 digest per shingle, sliced into two independent
+        # 60-bit halves (chars 1-15 and 17-31 of the 32-hex digest).
+        # HOF lambda bodies get no common-subexpression elimination, so
+        # computing h1/h2 as two salted md5 calls would double the
+        # digest cost; materializing the digest array first makes the
+        # md5 per-shingle cost exactly 1.
+        src = F.transform(sh, lambda x: F.md5(F.concat(F.lit("mh|"), x)))
 
-        def h2(x):
-            return portable_hash64(x, salt="mh2|")
+        def h1(d):
+            return F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+
+        def h2(d):
+            return F.conv(F.substring(d, 17, 15), 16, 10).cast("long")
     elif hash_fn == "fast":
+        src = sh
+
         def h1(x):
             return F.shiftrightunsigned(F.xxhash64(F.lit("mh1"), x), 5)
 
@@ -114,7 +125,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         hs = F.array(*[a + F.lit(s) * b for s in range(num_hashes)])
         return F.zip_with(acc, hs, lambda u, v: F.least(u, v))
 
-    sig = F.aggregate(sh, init, fold)
+    sig = F.aggregate(src, init, fold)
     return docs.select(
         F.col(id_col),
         *[sig[s].alias(f"mh_{s}") for s in range(num_hashes)])

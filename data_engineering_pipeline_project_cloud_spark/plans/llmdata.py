@@ -468,16 +468,22 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig_sql(where: str = "") -> str:
-    h1 = _H.format(x="'mh1|' || x")
-    h2 = _H.format(x="'mh2|' || x")
+    # one md5 digest per shingle, sliced into two 60-bit halves — the
+    # exact construction of operators/dedup.py:minhash_signatures
+    # (portable path): h1 = hex chars 1-15, h2 = hex chars 17-31
+    h1 = "(('0x' || substr(d, 1, 15))::BIGINT)"
+    h2 = "(('0x' || substr(d, 17, 15))::BIGINT)"
     cols = [
-        f"list_min(list_transform(sh, x -> {h1} + {s} * {h2})) AS mh_{s}"
+        f"list_min(list_transform(ds, d -> {h1} + {s} * {h2})) AS mh_{s}"
         for s in range(MINHASHES)
     ]
     col_sql = ",\n               ".join(cols)
     return f"""
         WITH sh_docs AS (
-            SELECT doc_id, {_SHINGLES} AS sh FROM documents {where}
+            SELECT doc_id,
+                   list_transform({_SHINGLES},
+                                  x -> md5('mh|' || x)) AS ds
+            FROM documents {where}
         )
         SELECT doc_id,
                {col_sql}
