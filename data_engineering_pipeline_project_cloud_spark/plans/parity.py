@@ -60,12 +60,27 @@ def conform_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def conform_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conform_items(spark: SparkSession, sf_dir: str,
+                  distribute: bool = False) -> DataFrame:
     """``c_items`` analog (``scripts/transform-complex-full.py:57-66``):
     item grain with exact-decimal money casts.  This is the INTERNAL
     form (decimal money) consumed by the aggregate/master layers; the
-    registry face is ``conform_items_q``."""
+    registry face is ``conform_items_q``.
+
+    ``distribute``: hash-redistribute the RAW scan by order key before
+    the cast-heavy projection.  The test parquet is one row group =
+    one effective scan task, so without it the decimal/timestamp casts
+    run on a single core; with it they run cluster-wide, and the
+    resulting ``HashPartitioning(order_id)`` feeds every downstream
+    order-grain aggregate and join with no further exchange (Catalyst
+    keeps the projection above the repartition exchange — verified via
+    explain).  Consumers that reuse one distributed frame in two
+    branches (master build) get the scan+exchange deduplicated by
+    ReuseExchange."""
     li = load_table(spark, sf_dir, "lineitem")
+    if distribute:
+        li = li.repartition(spark.sparkContext.defaultParallelism,
+                            "l_orderkey")
     return li.select(
         F.col("l_orderkey").alias("order_id"),
         F.col("l_linenumber").alias("order_item_id"),
@@ -113,7 +128,7 @@ def pay_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum wins, then lexicographically smallest type (pinned; the
     reference leaves this nondeterministic).
     """
-    li = conform_items(spark, sf_dir)
+    li = conform_items(spark, sf_dir, distribute=True)
     per_type = li.groupBy("order_id", "payment_type").agg(
         F.sum("item_price").alias("type_sum"),
         F.count(F.lit(1)).alias("type_count"),
@@ -170,7 +185,7 @@ def rev_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``rev_agg`` analog (``scripts/transform-complex-full.py:83-91``):
     per-order AVG/MIN/MAX (A3).  AVG is spelled SUM::DOUBLE/COUNT so
     the division operands are exact decimals in both engines."""
-    li = conform_items(spark, sf_dir)
+    li = conform_items(spark, sf_dir, distribute=True)
     return li.groupBy("order_id").agg(
         (F.sum("item_quantity").cast("double") / F.count("item_quantity"))
         .alias("avg_review_score"),
@@ -241,7 +256,7 @@ def master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         analog of the reference's 7 serving indexes
         (``scripts/transform-complex-full.py:215-221``).
     """
-    items = conform_items(spark, sf_dir)
+    items = conform_items(spark, sf_dir, distribute=True)
     orders = conform_orders(spark, sf_dir)
     payrev = _pay_rev_agg(items)
 
