@@ -197,6 +197,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     ``_cap_buckets``).
     """
     buckets = band_table(signatures, id_col, num_hashes, bands, band_key)
+    # the bucket table feeds three subplans (cap aggregate, cap
+    # semi-join, and both sides of the pairing self-join below); an
+    # unmaterialized plan would recompute the signature pipeline for
+    # each.  (id, band_idx, band_hash) is ``bands`` small rows per doc
+    # — at cluster scale this is the LSH index table itself.
+    buckets = scoped_persist(buckets)
+    buckets.count()
     buckets = _cap_buckets(buckets, ["band_idx", "band_hash"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -301,6 +308,17 @@ def jaccard_pairs(docs: DataFrame, pairs: DataFrame, text_col: str = "text",
     overlap (cross-corpus decontamination): a shared id in a unioned
     frame would let one side's text stand in for the other's.
     """
+    # the candidate subplan (typically an LSH band self-join) is
+    # referenced 3x below (two semi-join id sets + the final join);
+    # without materialization each reference re-runs the pairing join —
+    # and a lazy persist still races its own copies when the three
+    # references land in one job's parallel stages.  Materialize
+    # eagerly: candidates are two ids per row — tiny at any scale (at
+    # cluster scale this is the candidate table an LSH index job
+    # writes before verification).
+    pairs = scoped_persist(pairs)
+    pairs.count()
+
     def _shingle_side(src: DataFrame, side: str) -> DataFrame:
         ids = pairs.select(F.col(side).alias(id_col)).distinct()
         cand = src.join(ids, id_col, "left_semi")
