@@ -74,9 +74,10 @@ def conform_items(spark: SparkSession, sf_dir: str,
     resulting ``HashPartitioning(order_id)`` feeds every downstream
     order-grain aggregate and join with no further exchange (Catalyst
     keeps the projection above the repartition exchange — verified via
-    explain).  Consumers that reuse one distributed frame in two
-    branches (master build) get the scan+exchange deduplicated by
-    ReuseExchange."""
+    explain).  A consumer using the frame in two branches (master
+    build) gets two scans, but column pruning pushes through the
+    exchange so each branch scans and shuffles only the columns it
+    needs — cheaper at scale than one unpruned shared exchange."""
     li = load_table(spark, sf_dir, "lineitem")
     if distribute:
         li = li.repartition(spark.sparkContext.defaultParallelism,

@@ -88,3 +88,25 @@ def test_master_table_plan_shape(spark, sf_dir):
         .toString()
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_order_grain_aggs_single_exchange(spark, sf_dir):
+    """pay_agg / rev_agg must shuffle exactly once: the raw scan is
+    hash-redistributed by order key (parallelizing the cast-heavy
+    conform), and both levels of the aggregation then run on that
+    partitioning with no further exchange.  A second Exchange would
+    mean the groupBy stopped exploiting HashPartitioning(order_id) —
+    the plan property that keeps these aggs one-shuffle at 100x the
+    fact size."""
+    import re
+
+    from data_engineering_pipeline_project_cloud_spark.plans.parity import (
+        pay_agg,
+        rev_agg,
+    )
+
+    for fn in (pay_agg, rev_agg):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan() \
+            .toString()
+        n = len(re.findall(r"\bExchange hash", plan))
+        assert n == 1, f"{fn.__name__}: {n} exchanges\n{plan}"
