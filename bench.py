@@ -64,7 +64,7 @@ def main() -> None:
     # bench sf so the timed run measures the query path (probe +
     # pruned rank), not the index build.
     from data_engineering_pipeline_project_cloud_spark.plans import llmdata
-    llmdata._ivf_codebook(spark, sf_dir)
+    llmdata.prefit_ivf_codebook(spark, sf_dir)
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

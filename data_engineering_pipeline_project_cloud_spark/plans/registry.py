@@ -62,12 +62,28 @@ def _evidence() -> tuple[set[str], set[str]]:
     settled: set[str] = set()
     red: set[str] = set()
     root = Path(__file__).resolve().parents[2]
-    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+
+    def _round_no(p: Path) -> int:
+        # order by the PARSED round number — lexicographic filename
+        # order would misorder unpadded or 3-digit rounds (r3 vs r01,
+        # r100 vs r20), letting an older round's row win "latest"
+        try:
+            return int(p.stem.rsplit("_r", 1)[-1])
+        except ValueError:
+            return -1
+
+    for path in sorted(root.glob("CORRECTNESS_r*.json"), key=_round_no):
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # a malformed or empty-round file (e.g. a JSON list) must
+            # not take down every registry entrypoint
+            continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             green = (
                 row.get("rows_match") and row.get("schema_match")
                 and row.get("hash_match")
@@ -85,18 +101,32 @@ def _evidence() -> tuple[set[str], set[str]]:
     return settled, red
 
 
+#: Queries whose OUTPUT VALUES changed since the last recorded
+#: CORRECTNESS round (their old green rows no longer prove the current
+#: code).  They re-check right after the never-checked set; clear an
+#: entry once a newer round records it green again.  Round 3: the
+#: md5-slice rewrite changed every portable MinHash signature value.
+_CHANGED_SINCE_EVIDENCE: set[str] = {
+    "minhash_signatures",
+}
+
+
 def _prioritize(names) -> list[str]:
     """Driver consumption order: queries with NO driver evidence in any
-    round run first (module order), latest-red next, settled (green or
-    rows-only-by-design) last.  The driver's correctness pass is
-    budget-capped (~50 of 121 queries per round), so position IS
-    evidence: this order spends the budget where no row exists yet."""
+    round run first (module order), outputs-changed-since-evidence and
+    latest-red next, settled (green or rows-only-by-design) last.  The
+    driver's correctness pass is budget-capped (~50 of 121 queries per
+    round), so position IS evidence: this order spends the budget where
+    no trustworthy row exists yet."""
     names = list(names)
     settled, red = _evidence()
     never = [n for n in names if n not in settled and n not in red]
+    stale = [n for n in names if n in _CHANGED_SINCE_EVIDENCE
+             and n in settled]
     red_l = [n for n in names if n in red]
-    settled_l = [n for n in names if n in settled]
-    return never + red_l + settled_l
+    settled_l = [n for n in names
+                 if n in settled and n not in _CHANGED_SINCE_EVIDENCE]
+    return never + stale + red_l + settled_l
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -612,7 +612,12 @@ def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import bucketed_join, write_bucketed
 
     global _BUCKETED_FOR
-    if _BUCKETED_FOR != sf_dir:
+    # the memo is Python-side but the tables live in the SESSION
+    # catalog: a recreated session (or a second one) would pass the
+    # string check with the tables gone — verify they actually exist
+    tables_ok = (spark.catalog.tableExists("b_orders_q")
+                 and spark.catalog.tableExists("b_customer_q"))
+    if _BUCKETED_FOR != sf_dir or not tables_ok:
         tmp = tempfile.mkdtemp(prefix="bucketed_")
         orders = load_table(spark, sf_dir, "orders").select(
             F.col("o_custkey").alias("custkey"), "o_orderkey")
