@@ -433,3 +433,40 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
             .filter(F.col("rank") <= k)
             .select(F.col(id_col), "token", "tfidf",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def source_mix(docs: DataFrame, source_col: str = "source",
+               lang_col: str = "lang", text_col: str = "text") -> DataFrame:
+    """Per-source corpus mix report: document and token counts, their
+    corpus shares, language breadth, and mean document length — the
+    table a data-mixing pass starts from when deciding per-source
+    sampling weights (up/down-weighting over-represented domains).
+
+    Shape: one hash aggregate over the corpus to source grain with
+    map-side partials (token counts are computed in the partial, so
+    the shuffle carries per-source sums, not text), then corpus totals
+    via an unpartitioned window over the AGGREGATED frame — sources
+    are a bounded set, so the single-partition window sees |sources|
+    rows, never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(_tokens(F.col(text_col)))
+    per_src = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.sum(F.length(text_col)).cast("long").alias("sum_chars"),
+    )
+    w = Window.partitionBy()
+    return per_src.select(
+        F.col(source_col),
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+        .alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6)
+        .alias("token_share"),
+        F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
+    )

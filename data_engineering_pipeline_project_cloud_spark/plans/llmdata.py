@@ -260,6 +260,15 @@ CHUNK_OVERLAP = 16
 PACK_BUDGET = 2048
 
 
+def source_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-mixing report (operators/textstats.py:source_mix):
+    doc/token counts, corpus shares, language breadth, mean length —
+    the step before per-source sampling weights in a training-mix
+    build (complements temperature_sample_by_lang, which rebalances;
+    this reports what there is to rebalance)."""
+    return tx.source_mix(load_table(spark, sf_dir, "documents"))
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_documents(_docs(spark, sf_dir),
                               chunk_tokens=CHUNK_TOKENS,
@@ -724,6 +733,24 @@ ORACLE_SQL: dict[str, str] = {
                CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    "source_mix_summary": f"""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len({_TOKENS})) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, n_tokens, n_langs,
+               CAST(round(n_docs / CAST(SUM(n_docs) OVER () AS DOUBLE), 6)
+                    AS DOUBLE) AS doc_share,
+               CAST(round(n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6)
+                    AS DOUBLE) AS token_share,
+               CAST(round(sum_chars / CAST(n_docs AS DOUBLE), 6)
+                    AS DOUBLE) AS avg_chars
+        FROM per_src
     """,
     "minhash_signatures": _minhash_sig_sql(),
     "ngram_jaccard_pairs": f"""
@@ -1368,4 +1395,5 @@ QUERIES = {
     "quality_score": quality_score,
     "scrub_text": scrub_text,
     "normalize_text": normalize_text,
+    "source_mix_summary": source_mix_summary,
 }

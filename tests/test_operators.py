@@ -507,3 +507,20 @@ def test_normalize_text_collapses_noise(spark):
     assert out[1]["changed"]
     assert out[2]["norm_text"] == "clean" and not out[2]["changed"]
     assert out[1]["n_chars_after"] < out[1]["n_chars_before"]
+
+
+def test_source_mix_shares(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        source_mix,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = source_mix(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    # rounded per-row, so the share sums land within rounding slack
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["n_langs"] >= 1
+        assert r["avg_chars"] > 0
