@@ -81,8 +81,13 @@ def _evidence() -> tuple[set[str], set[str]]:
             # a malformed or empty-round file (e.g. a JSON list) must
             # not take down every registry entrypoint
             continue
+        rnd = _round_no(path)
         for name, row in rows.items():
             if not isinstance(row, dict):
+                continue
+            if rnd <= _OUTPUT_CHANGED_AFTER.get(name, -1):
+                # this row predates a change to the query's output
+                # values — it no longer proves the current code
                 continue
             green = (
                 row.get("rows_match") and row.get("schema_match")
@@ -101,32 +106,32 @@ def _evidence() -> tuple[set[str], set[str]]:
     return settled, red
 
 
-#: Queries whose OUTPUT VALUES changed since the last recorded
-#: CORRECTNESS round (their old green rows no longer prove the current
-#: code).  They re-check right after the never-checked set; clear an
-#: entry once a newer round records it green again.  Round 3: the
-#: md5-slice rewrite changed every portable MinHash signature value.
-_CHANGED_SINCE_EVIDENCE: set[str] = {
-    "minhash_signatures",
+#: Rows recorded in round ≤ N no longer prove query X's current code
+#: because a later code change altered X's OUTPUT VALUES.  _evidence()
+#: ignores those rows, so the query reads as never-checked (front of
+#: the driver window) until a round > N records it again — the entry
+#: then expires on its own, no manual clearing.  Round 3: the
+#: md5-slice rewrite changed every portable MinHash signature value,
+#: so the r1 green row for minhash_signatures is void.
+_OUTPUT_CHANGED_AFTER: dict[str, int] = {
+    "minhash_signatures": 2,
 }
 
 
 def _prioritize(names) -> list[str]:
-    """Driver consumption order: queries with NO driver evidence in any
-    round run first (module order), outputs-changed-since-evidence and
-    latest-red next, settled (green or rows-only-by-design) last.  The
-    driver's correctness pass is budget-capped (~50 of 121 queries per
-    round), so position IS evidence: this order spends the budget where
-    no trustworthy row exists yet."""
+    """Driver consumption order: queries with NO trustworthy driver
+    evidence in any round run first (module order; evidence voided by
+    _OUTPUT_CHANGED_AFTER counts as none), latest-red next, settled
+    (green or rows-only-by-design) last.  The driver's correctness
+    pass is budget-capped (~50 of 122 queries per round), so position
+    IS evidence: this order spends the budget where no trustworthy row
+    exists yet."""
     names = list(names)
     settled, red = _evidence()
     never = [n for n in names if n not in settled and n not in red]
-    stale = [n for n in names if n in _CHANGED_SINCE_EVIDENCE
-             and n in settled]
     red_l = [n for n in names if n in red]
-    settled_l = [n for n in names
-                 if n in settled and n not in _CHANGED_SINCE_EVIDENCE]
-    return never + stale + red_l + settled_l
+    settled_l = [n for n in names if n in settled]
+    return never + red_l + settled_l
 
 
 def all_queries() -> dict[str, QueryFn]:
