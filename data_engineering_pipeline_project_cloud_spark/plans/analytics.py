@@ -565,10 +565,60 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_order_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation (the one join type the rest of the
+    surface lacks): daily order counts vs daily shipped-item counts,
+    date-grain FULL OUTER JOIN with null-extension classification —
+    the ops report that surfaces days with orders but no shipments and
+    vice versa.  Scale shape: both sides partial-aggregate to date
+    grain BEFORE the join (agg-below-join), so the full-outer join
+    runs on bounded day-grain rows, never fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = (orders.groupBy(F.date_trunc("day", F.col("o_orderdate"))
+                         .alias("day"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))
+    sd = (li.groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("day"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_shipped_items")))
+    status = (F.when(F.col("o.day").isNotNull() & F.col("s.day").isNotNull(),
+                     F.lit("both"))
+              .when(F.col("o.day").isNotNull(), F.lit("orders_only"))
+              .otherwise(F.lit("ships_only")))
+    return (od.alias("o")
+            .join(sd.alias("s"), F.col("o.day") == F.col("s.day"), "full_outer")
+            .select(
+                F.coalesce(F.col("o.day"), F.col("s.day")).alias("day"),
+                F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+                .alias("n_orders"),
+                F.coalesce(F.col("n_shipped_items"), F.lit(0)).cast("long")
+                .alias("n_shipped_items"),
+                status.alias("status"),
+            ))
+
+
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
 ORACLE_SQL: dict[str, str] = {
+    "daily_order_ship_reconciliation": """
+        WITH od AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        sd AS (
+            SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_shipped_items
+            FROM lineitem GROUP BY 1
+        )
+        SELECT COALESCE(od.day, sd.day) AS day,
+               COALESCE(od.n_orders, 0) AS n_orders,
+               COALESCE(sd.n_shipped_items, 0) AS n_shipped_items,
+               CASE WHEN od.day IS NOT NULL AND sd.day IS NOT NULL THEN 'both'
+                    WHEN od.day IS NOT NULL THEN 'orders_only'
+                    ELSE 'ships_only' END AS status
+        FROM od FULL OUTER JOIN sd ON od.day = sd.day
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -919,4 +969,5 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_excess_shippers": q20_excess_shippers,
+    "daily_order_ship_reconciliation": daily_order_ship_reconciliation,
 }

@@ -524,3 +524,29 @@ def test_source_mix_shares(spark, sf_dir):
     for r in rows:
         assert r["n_langs"] >= 1
         assert r["avg_chars"] > 0
+
+
+def test_full_outer_reconciliation_covers_both_sides(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.plans.analytics import (
+        daily_order_ship_reconciliation,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = daily_order_ship_reconciliation(spark, sf_dir)
+    rows = out.collect()
+    # every day from either side appears exactly once
+    days = [r["day"] for r in rows]
+    assert len(days) == len(set(days))
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_items = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert sum(r["n_shipped_items"] for r in rows) == n_items
+    # classification agrees with the null-extension pattern
+    for r in rows:
+        if r["status"] == "orders_only":
+            assert r["n_shipped_items"] == 0
+        elif r["status"] == "ships_only":
+            assert r["n_orders"] == 0
+        else:
+            assert r["n_orders"] > 0 and r["n_shipped_items"] > 0
