@@ -197,6 +197,54 @@ def quantile_quality_filter(docs: DataFrame, q: float = 0.5,
             .select(id_col, strata_col, "quality", "q_threshold"))
 
 
+def mixture_resample(docs: DataFrame, weights: dict[str, float],
+                     default_weight: float = 1.0,
+                     source_col: str = "source",
+                     id_col: str = "doc_id",
+                     salt: str = "mix|") -> DataFrame:
+    """Resample the corpus toward a TARGET mixture: given per-source
+    weights (relative, not necessarily normalized), downsample each
+    source so the kept corpus's source shares are proportional to the
+    weights — the data-mixing step that turns `source_mix`'s report
+    into an actual rebalanced corpus.
+
+    Down-sampling only (no duplication): with ``c = min_s(n_s / w_s)``
+    the keep rate for source ``s`` is ``c * w_s / n_s`` — at least one
+    source keeps everything and expected kept counts are exactly
+    proportional to the weights.  Rates materialize as integer ppm
+    (double-rounded through 1e9, same guard as ``temperature_sample``)
+    and apply as the deterministic id-hash threshold, so the selection
+    is reproducible across runs, retries, and engines.
+
+    Sources absent from ``weights`` get ``default_weight`` (so a
+    literal weight table for the head sources composes with a uniform
+    tail).  Scale shape: the weight lookup is a literal CASE chain
+    (map-side, no join); source counts are one partial-aggregated
+    groupBy at |sources| grain, broadcast back; the filter is
+    map-side.  One corpus scan, no corpus-grain shuffle.
+    """
+    bad = {s: w for s, w in weights.items() if w <= 0}
+    if bad or default_weight <= 0:
+        raise ValueError(
+            f"mixture weights must be > 0, got {bad or default_weight}")
+    w_expr = F.lit(float(default_weight))
+    for s, wt in sorted(weights.items(), reverse=True):
+        w_expr = F.when(F.col(source_col) == s,
+                        F.lit(float(wt))).otherwise(w_expr)
+    counts = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n"), F.first(w_expr).alias("w"))
+    c = counts.agg(F.min(F.col("n") / F.col("w")).alias("c"))
+    keep_ppm = F.floor(
+        F.round(F.least(F.col("c") * F.col("w") / F.col("n"), F.lit(1.0))
+                * F.lit(1e9), 0) / F.lit(1000)).cast("long")
+    rates = (counts.crossJoin(F.broadcast(c))
+             .select(source_col, keep_ppm.alias("keep_ppm")))
+    return (docs.join(F.broadcast(rates), source_col)
+            .filter(sample_decision(id_col, "keep_ppm", salt=salt))
+            .select(F.col(id_col).cast("long").alias(id_col),
+                    F.col(source_col), F.col("keep_ppm")))
+
+
 def fixed_k_per_stratum(docs: DataFrame, k: int, strata_col: str = "lang",
                         id_col: str = "doc_id",
                         salt: str = "ksample|") -> DataFrame:

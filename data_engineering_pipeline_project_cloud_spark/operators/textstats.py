@@ -435,6 +435,99 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text",
                     F.col("rank").cast("long").alias("rank")))
 
 
+def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Unigram language-model scoring (the CCNet-style perplexity
+    quality signal): each document's mean negative log-probability
+    under a unigram model, plus the perplexity it implies — low-ppl
+    documents look like the corpus at large, high-ppl ones are
+    outliers (noise, boilerplate, wrong-language text).
+
+    The model here is fit on the corpus itself (token frequency /
+    total tokens — no OOV by construction); in a production pipeline
+    the frequency table would come from a held-out reference corpus
+    and be loaded as a static table, with Laplace smoothing for OOV —
+    the join shape below is identical either way.
+
+    Scale shape: tokens explode once to (doc, token) grain but
+    collapse immediately to per-doc term frequencies via a partial-
+    aggregated groupBy, so the token→logp join moves distinct
+    (doc, token) pairs, not raw token instances.  The frequency table
+    is vocab-grain (bounded far below corpus size; Zipf guarantees
+    it); the planner/AQE picks broadcast vs shuffle join on it.  The
+    1-row total broadcasts.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = tf.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    total = freq.agg(F.sum("gcnt").alias("total"))
+    logp = (freq.crossJoin(F.broadcast(total))
+            .select("token",
+                    F.log(F.col("gcnt") / F.col("total")).alias("logp")))
+    nll = -F.sum(F.col("cnt") * F.col("logp")) / F.sum("cnt")
+    return (tf.join(logp, "token")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                 F.round(nll, 6).alias("avg_neg_logp"),
+                 F.round(F.exp(nll), 2).alias("unigram_ppl")))
+
+
+#: Gopher-style rule thresholds, tuned to split the synthetic corpus
+#: into mixed outcomes (each rule passes most but not all documents).
+#: Literal so the same numbers inline into the oracle SQL.
+RULE_THRESHOLDS = {
+    "min_tokens": 25,
+    "max_tokens": 85,
+    "min_mean_token_len": 4.3,
+    "max_mean_token_len": 4.75,
+    "min_stopword_hits": 2,
+    "min_distinct_ratio": 0.35,
+}
+
+
+def rule_filter(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id",
+                thresholds: dict | None = None) -> DataFrame:
+    """Gopher-style rule-based document filter: hard per-rule pass/
+    fail flags (length band, mean-word-length band, minimum stopword
+    evidence, repetition via distinct-token ratio) and the AND of all
+    of them as ``keep``.  Complements ``quality_score`` (a soft
+    composite) — production curation stacks run the hard rules first
+    and score only the survivors.
+
+    All signals are integer or exact-rational arithmetic over one
+    tokenization, so the flags are bit-identical cross-engine.  Pure
+    map-side projection: pipelines with the scan, no shuffle.
+    """
+    t = dict(RULE_THRESHOLDS, **(thresholds or {}))
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    mean_len = (F.length(text) - (n_tok - 1)) / n_tok
+    stop_hits = F.size(F.filter(
+        toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    pass_length = ((n_tok >= t["min_tokens"]) & (n_tok <= t["max_tokens"]))
+    pass_word_len = ((mean_len >= t["min_mean_token_len"])
+                     & (mean_len <= t["max_mean_token_len"]))
+    pass_stopwords = stop_hits >= t["min_stopword_hits"]
+    pass_repetition = distinct_ratio >= t["min_distinct_ratio"]
+    return docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        pass_length.alias("pass_length"),
+        pass_word_len.alias("pass_word_len"),
+        pass_stopwords.alias("pass_stopwords"),
+        pass_repetition.alias("pass_repetition"),
+        (pass_length & pass_word_len & pass_stopwords & pass_repetition)
+        .alias("keep"))
+
+
 def source_mix(docs: DataFrame, source_col: str = "source",
                lang_col: str = "lang", text_col: str = "text") -> DataFrame:
     """Per-source corpus mix report: document and token counts, their

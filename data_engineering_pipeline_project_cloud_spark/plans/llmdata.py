@@ -260,6 +260,38 @@ CHUNK_OVERLAP = 16
 PACK_BUDGET = 2048
 
 
+def lm_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity scoring
+    (operators/textstats.py:unigram_lm_scores): per-doc mean negative
+    log-prob + perplexity under the corpus unigram model — the soft
+    quality signal that flags outlier documents."""
+    return tx.unigram_lm_scores(_docs(spark, sf_dir))
+
+
+def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style hard rule filter (operators/textstats.py:
+    rule_filter): per-rule pass flags (length band, mean-word-length
+    band, stopword evidence, repetition) + the AND as ``keep``."""
+    return tx.rule_filter(_docs(spark, sf_dir))
+
+
+#: Target mixture for the resampler face: up-weight the first five
+#: sources 3× over the uniform tail (literal so the oracle CASE can
+#: mirror it).
+MIX_WEIGHTS = {f"src{i}": 3.0 for i in range(5)}
+
+
+def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampler (operators/sampling.py:
+    mixture_resample): downsample each source so kept shares are
+    proportional to MIX_WEIGHTS — the acting half of
+    ``source_mix_summary``'s report."""
+    from ..operators.sampling import mixture_resample
+
+    return mixture_resample(load_table(spark, sf_dir, "documents"),
+                            MIX_WEIGHTS)
+
+
 def source_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data-mixing report (operators/textstats.py:source_mix):
     doc/token counts, corpus shares, language breadth, mean length —
@@ -696,7 +728,84 @@ _QUALITY_EXPR_SQL = f"""round((least(len({_TOKENS}) / 100.0, 1.0)
                      + 1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))
                          / CAST(len(text) AS DOUBLE)) / 5.0, 6)"""
 
+_RT = tx.RULE_THRESHOLDS
+
 ORACLE_SQL: dict[str, str] = {
+    "lm_unigram_scores": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS cnt
+            FROM toks GROUP BY doc_id, token
+        ),
+        freq AS (SELECT token, SUM(cnt) AS gcnt FROM tf GROUP BY token),
+        tot AS (SELECT SUM(gcnt) AS total FROM freq),
+        logp AS (
+            SELECT token, ln(gcnt / total) AS logp
+            FROM freq CROSS JOIN tot
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               round(-SUM(cnt * logp) / SUM(cnt), 6) AS avg_neg_logp,
+               round(exp(-SUM(cnt * logp) / SUM(cnt)), 2) AS unigram_ppl
+        FROM tf JOIN logp USING (token)
+        GROUP BY tf.doc_id
+    """,
+    "gopher_rule_filter": f"""
+        WITH sig AS (
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tok,
+                   (len(text) - (len({_TOKENS}) - 1))
+                       / CAST(len({_TOKENS}) AS DOUBLE) AS mean_len,
+                   len(list_filter({_TOKENS}, w -> lower(w) IN
+                       ('the','a','of','and','to','in','is'))) AS stop_hits,
+                   len(list_distinct({_TOKENS}))
+                       / CAST(len({_TOKENS}) AS DOUBLE) AS dr
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               round(mean_len, 6) AS mean_token_len,
+               CAST(stop_hits AS BIGINT) AS stopword_hits,
+               round(dr, 6) AS distinct_ratio,
+               (n_tok >= {_RT["min_tokens"]}
+                AND n_tok <= {_RT["max_tokens"]}) AS pass_length,
+               (mean_len >= {_RT["min_mean_token_len"]}
+                AND mean_len <= {_RT["max_mean_token_len"]}) AS pass_word_len,
+               (stop_hits >= {_RT["min_stopword_hits"]}) AS pass_stopwords,
+               (dr >= {_RT["min_distinct_ratio"]}) AS pass_repetition,
+               (n_tok >= {_RT["min_tokens"]}
+                AND n_tok <= {_RT["max_tokens"]}
+                AND mean_len >= {_RT["min_mean_token_len"]}
+                AND mean_len <= {_RT["max_mean_token_len"]}
+                AND stop_hits >= {_RT["min_stopword_hits"]}
+                AND dr >= {_RT["min_distinct_ratio"]}) AS keep
+        FROM sig
+    """,
+    "mixture_resample_by_source": f"""
+        WITH wts AS (
+            SELECT source, COUNT(*) AS n,
+                   CASE WHEN source IN
+                        ('src0','src1','src2','src3','src4')
+                        THEN 3.0 ELSE 1.0 END AS w
+            FROM documents GROUP BY source
+        ),
+        m AS (SELECT MIN(n / w) AS c FROM wts),
+        rates AS (
+            SELECT source,
+                   CAST(floor(round(least(c * w / n, 1.0) * 1e9, 0)
+                              / 1000) AS BIGINT) AS keep_ppm
+            FROM wts CROSS JOIN m
+        )
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source, r.keep_ppm
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ({_H.format(x="'mix|' || CAST(doc_id AS VARCHAR)")}
+               % 1000000) < keep_ppm
+    """,
     "simhash_fingerprints": _SIMHASH_SIG_SQL,
     "dedup_simhash_pairs": f"""
         WITH sigs AS ({_SIMHASH_SIG_SQL}),
@@ -1396,4 +1505,7 @@ QUERIES = {
     "scrub_text": scrub_text,
     "normalize_text": normalize_text,
     "source_mix_summary": source_mix_summary,
+    "lm_unigram_scores": lm_unigram_scores,
+    "gopher_rule_filter": gopher_rule_filter,
+    "mixture_resample_by_source": mixture_resample_by_source,
 }

@@ -550,3 +550,78 @@ def test_full_outer_reconciliation_covers_both_sides(spark, sf_dir):
             assert r["n_orders"] == 0
         else:
             assert r["n_orders"] > 0 and r["n_shipped_items"] > 0
+
+
+def test_mixture_resample_shares_and_determinism(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        mixture_resample,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"src0": 3.0, "src1": 3.0}
+    out = mixture_resample(docs, weights)
+    rows = out.collect()
+    # deterministic: identical selection on re-run
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in mixture_resample(docs, weights).collect())
+    # up-weighted sources keep everything (c = n_s / 3 is the min),
+    # uniform-tail sources keep ~1/3
+    ppm = {r["source"]: r["keep_ppm"] for r in rows}
+    per_src_in = {r["source"]: r["n"] for r in
+                  docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+    if per_src_in.get("src0") == min(per_src_in.values()):
+        assert ppm["src0"] >= 999999
+    for s, p in ppm.items():
+        assert 0 < p <= 1_000_000
+    # every kept doc's hash respects its source threshold (subset rule)
+    kept = {r["doc_id"] for r in rows}
+    assert kept <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {"src0": -1.0})
+
+
+def test_rule_filter_flags_consistent(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        rule_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown foxes jumped over a lazy dog near the "
+             "riverbank while autumn leaves drifted slowly in the wind "
+             "and the forest grew quiet around them all day long today"),
+         (2, "tiny doc"),
+         (3, " ".join(["word"] * 60))],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in rule_filter(df).collect()}
+    # keep == AND of the four rule flags, always
+    for r in rows.values():
+        assert r["keep"] == (r["pass_length"] and r["pass_word_len"]
+                             and r["pass_stopwords"] and r["pass_repetition"])
+    assert not rows[2]["pass_length"]          # 2 tokens < min 25
+    assert not rows[3]["pass_repetition"]      # 1/60 distinct ratio
+    assert rows[3]["distinct_ratio"] == pytest.approx(1 / 60, abs=1e-6)
+    assert rows[1]["pass_stopwords"]           # 'the' x4, 'a', 'in' ...
+
+
+def test_unigram_lm_scores_orders_outliers(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        unigram_lm_scores,
+    )
+
+    common = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, common), (2, common), (3, common), (4, "zeta eta unique rare")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    # the doc made of rare tokens scores strictly worse (higher NLL)
+    assert rows[4]["avg_neg_logp"] > rows[1]["avg_neg_logp"]
+    # identical docs score identically
+    assert rows[1]["avg_neg_logp"] == rows[2]["avg_neg_logp"]
+    # ppl = exp(nll) up to the independent roundings
+    import math
+    for r in rows.values():
+        assert r["unigram_ppl"] == pytest.approx(
+            math.exp(r["avg_neg_logp"]), rel=1e-3)
+        assert r["n_tokens"] == 4
