@@ -570,6 +570,49 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(unioned)
 
 
+QSKETCH_BIN = 1000  # fixed-width histogram bin (price units)
+
+
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable QUANTILE sketches (the t-digest pattern with a
+    deterministic fixed-bin histogram, so it IS oracle-checkable
+    unlike the HLL face): per-returnflag price histograms are built in
+    one partial-aggregated pass, then the corpus-wide row is derived
+    by MERGING the per-flag histograms (summing bin counts) — the raw
+    fact table is scanned exactly once, which is what lets quantiles
+    roll up through cube/partition levels at 100 TB.  Estimates are
+    bin lower edges at the ceil-rank crossing; max error = one bin
+    width (pytest-asserted vs exact percentile).
+
+    All bin/rank arithmetic is floor/div integer logic over IEEE
+    doubles, bit-identical cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_ = F.floor(F.col("l_extendedprice") / QSKETCH_BIN).cast("long")
+    hist = scoped_persist(
+        li.groupBy(F.col("l_returnflag").alias("g"), bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    merged = (hist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+              .select(F.lit("__ALL__").alias("g"), "bin", "cnt"))
+    allh = hist.select("g", "bin", "cnt").unionByName(merged)
+    wc = (Window.partitionBy("g").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wn = Window.partitionBy("g")
+    cum = allh.select(
+        "g", "bin", "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"))
+    # integer rank crossings: cum >= ceil(q*n) ⟺ cum*denom >= n*num
+    hit50 = F.col("cum") * 2 >= F.col("n")
+    hit95 = F.col("cum") * 100 >= F.col("n") * 95
+    return (cum.groupBy("g")
+            .agg(F.max("n").cast("long").alias("n_rows"),
+                 (F.min(F.when(hit50, F.col("bin"))) * QSKETCH_BIN)
+                 .cast("double").alias("p50_est"),
+                 (F.min(F.when(hit95, F.col("bin"))) * QSKETCH_BIN)
+                 .cast("double").alias("p95_est")))
+
+
 SALT_DISTINCT_BUCKETS = 16
 
 
@@ -778,6 +821,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "quantile_sketch_rollup": f"""
+        WITH h AS (
+            SELECT l_returnflag AS g,
+                   CAST(floor(l_extendedprice / {QSKETCH_BIN}) AS BIGINT)
+                       AS bin,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ),
+        allh AS (
+            SELECT g, bin, cnt FROM h
+            UNION ALL
+            SELECT '__ALL__', bin, SUM(cnt) FROM h GROUP BY bin
+        ),
+        c AS (
+            SELECT g, bin, cnt,
+                   SUM(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+                   SUM(cnt) OVER (PARTITION BY g) AS n
+            FROM allh
+        )
+        SELECT g, CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MIN(CASE WHEN cum * 2 >= n THEN bin END)
+                    * {QSKETCH_BIN} AS DOUBLE) AS p50_est,
+               CAST(MIN(CASE WHEN cum * 100 >= n * 95 THEN bin END)
+                    * {QSKETCH_BIN} AS DOUBLE) AS p95_est
+        FROM c GROUP BY g
     """,
     "salted_join_segment_totals": """
         SELECT c_mktsegment AS segment,
@@ -1144,6 +1213,7 @@ QUERIES = {
     "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,
     "two_stage_distinct_users": two_stage_distinct_users,
+    "quantile_sketch_rollup": quantile_sketch_rollup,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,

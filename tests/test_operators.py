@@ -625,3 +625,30 @@ def test_unigram_lm_scores_orders_outliers(spark):
         assert r["unigram_ppl"] == pytest.approx(
             math.exp(r["avg_neg_logp"]), rel=1e-3)
         assert r["n_tokens"] == 4
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.plans.relational import (
+        QSKETCH_BIN,
+        quantile_sketch_rollup,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    out = {r["g"]: r for r in quantile_sketch_rollup(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {r["g"]: r for r in
+             li.groupBy(F.col("l_returnflag").alias("g")).agg(
+                 F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+                 F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"))
+             .collect()}
+    exact["__ALL__"] = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95")).collect()[0]
+    assert set(out) == set(exact)
+    for g, r in out.items():
+        # estimate is the bin LOWER edge containing the order statistic:
+        # within one bin width of the exact interpolated percentile
+        assert abs(r["p50_est"] - exact[g]["p50"]) <= QSKETCH_BIN
+        assert abs(r["p95_est"] - exact[g]["p95"]) <= QSKETCH_BIN
+    # the merged __ALL__ row covers every input row (re-aggregation)
+    assert out["__ALL__"]["n_rows"] == li.count()
