@@ -570,6 +570,74 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(unioned)
 
 
+#: (fmt, table, sf_dir) → scratch dir already holding that table in
+#: that format.  Format round-trips are write-once layout decisions
+#: (like the bucketed tables): the read path is what each face
+#: exercises, so repeated calls in one session reuse the first write.
+_FORMAT_SCRATCH: dict[tuple[str, str, str], str] = {}
+
+
+def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str,
+                 options: dict[str, str] | None = None) -> str:
+    import os
+    import tempfile
+
+    key = (fmt, table, sf_dir)
+    path = _FORMAT_SCRATCH.get(key)
+    if path is None or not os.path.isdir(path):
+        path = tempfile.mkdtemp(prefix=f"rt_{fmt}_{table}_")
+        w = load_table(spark, sf_dir, table).write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
+        w.format(fmt).save(path)
+        _FORMAT_SCRATCH[key] = path
+    return path
+
+
+def csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path with a PINNED schema (SURVEY §2 S1): the region
+    table written as headered CSV and read back with an explicit
+    schema — never inference, which samples the file and can flip a
+    column's type between runs.  The oracle reads the original
+    parquet, so a quoting/escaping/typing bug anywhere in the text
+    round-trip fails the hash check."""
+    path = _format_copy(spark, sf_dir, "region", "csv", {"header": "true"})
+    back = (spark.read.schema("r_regionkey int, r_name string")
+            .option("header", "true").csv(path))
+    return back.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"), "r_name")
+
+
+def jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source path with a pinned schema (S1): nation
+    written as JSONL and read back with an explicit schema (schema'd
+    reads skip the double scan JSON inference costs — at 100 TB
+    inference reads the corpus twice)."""
+    path = _format_copy(spark, sf_dir, "nation", "json")
+    back = (spark.read
+            .schema("n_nationkey int, n_name string, n_regionkey int")
+            .json(path))
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+
+def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source path (S1): orders written as ORC (self-describing —
+    types, including the LTZ timestamp, survive without a pinned
+    schema) and aggregated from the ORC copy; the oracle aggregates
+    the original parquet, so any type drift through the columnar
+    round-trip breaks parity."""
+    path = _format_copy(spark, sf_dir, "orders", "orc")
+    back = spark.read.orc(path)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(money("o_totalprice")).cast("double")
+                 .alias("sum_price"),
+                 F.max("o_orderdate").alias("max_orderdate")))
+
+
 QSKETCH_BIN = 1000  # fixed-width histogram bin (price units)
 
 
@@ -821,6 +889,23 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "csv_roundtrip_region": """
+        SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        FROM region
+    """,
+    "jsonl_roundtrip_nation": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+    """,
+    "orc_roundtrip_orders": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price,
+               MAX(o_orderdate) AS max_orderdate
+        FROM orders GROUP BY o_orderstatus
     """,
     "quantile_sketch_rollup": f"""
         WITH h AS (
@@ -1214,6 +1299,9 @@ QUERIES = {
     "salted_join_segment_totals": salted_join_segment_totals,
     "two_stage_distinct_users": two_stage_distinct_users,
     "quantile_sketch_rollup": quantile_sketch_rollup,
+    "csv_roundtrip_region": csv_roundtrip_region,
+    "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
+    "orc_roundtrip_orders": orc_roundtrip_orders,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,

@@ -652,3 +652,23 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
         assert abs(r["p95_est"] - exact[g]["p95"]) <= QSKETCH_BIN
     # the merged __ALL__ row covers every input row (re-aggregation)
     assert out["__ALL__"]["n_rows"] == li.count()
+
+
+def test_map_side_text_ops_no_exchange(spark, sf_dir):
+    """The pure map-side text family must pipeline with the scan —
+    any Exchange in these plans is a scale regression (at 100 TB it
+    would shuffle the raw corpus for a projection)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        normalize_text,
+        quality_score,
+        rule_filter,
+        scrub_text,
+        text_stats,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (rule_filter, quality_score, text_stats, scrub_text,
+               normalize_text):
+        plan = (op(docs)._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan, f"{op.__name__}: {plan}"
