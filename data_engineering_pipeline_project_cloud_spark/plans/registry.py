@@ -118,6 +118,26 @@ _OUTPUT_CHANGED_AFTER: dict[str, int] = {
 }
 
 
+#: Round in which a query was ADDED (absent = round 1/2).  These are
+#: facts, so entries never go stale.  Among never-checked queries the
+#: driver window fills oldest-first: a query that has waited since an
+#: earlier round outranks one added this round (which still has its
+#: full pytest + local-differential evidence and can take the next
+#: window).  Without this, each round's additions would push the
+#: long-unproven tail out of the budget-capped driver pass forever.
+_ADDED_IN_ROUND: dict[str, int] = {
+    "source_mix_summary": 3,
+    "daily_order_ship_reconciliation": 3,
+    "lm_unigram_scores": 3,
+    "gopher_rule_filter": 3,
+    "mixture_resample_by_source": 3,
+    "quantile_sketch_rollup": 3,
+    "csv_roundtrip_region": 3,
+    "jsonl_roundtrip_nation": 3,
+    "orc_roundtrip_orders": 3,
+}
+
+
 def _prioritize(names) -> list[str]:
     """Driver consumption order: queries with NO trustworthy driver
     evidence in any round run first (module order; evidence voided by
@@ -129,6 +149,8 @@ def _prioritize(names) -> list[str]:
     names = list(names)
     settled, red = _evidence()
     never = [n for n in names if n not in settled and n not in red]
+    # oldest additions first (stable: module order within a round)
+    never.sort(key=lambda n: _ADDED_IN_ROUND.get(n, 0))
     red_l = [n for n in names if n in red]
     settled_l = [n for n in names if n in settled]
     return never + red_l + settled_l

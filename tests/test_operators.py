@@ -672,3 +672,18 @@ def test_map_side_text_ops_no_exchange(spark, sf_dir):
                normalize_text):
         plan = (op(docs)._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan, f"{op.__name__}: {plan}"
+
+
+def test_registry_priority_never_oldest_first(monkeypatch):
+    """Driver-window ordering: never-checked queries run before any
+    with evidence, and among never-checked the OLDEST additions come
+    first so a new round's queries cannot starve the long-unproven
+    tail of a budget-capped driver pass."""
+    from data_engineering_pipeline_project_cloud_spark.plans import registry
+
+    monkeypatch.setattr(registry, "_evidence",
+                        lambda: ({"settled"}, {"red"}))
+    monkeypatch.setattr(registry, "_ADDED_IN_ROUND", {"new3": 3})
+    order = registry._prioritize(
+        ["new3", "old_a", "red", "settled", "old_b"])
+    assert order == ["old_a", "old_b", "new3", "red", "settled"]
