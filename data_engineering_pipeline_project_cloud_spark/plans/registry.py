@@ -135,6 +135,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "csv_roundtrip_region": 3,
     "jsonl_roundtrip_nation": 3,
     "orc_roundtrip_orders": 3,
+    "partition_pruned_orders": 3,
 }
 
 

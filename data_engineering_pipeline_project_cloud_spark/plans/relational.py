@@ -578,17 +578,20 @@ _FORMAT_SCRATCH: dict[tuple[str, str, str], str] = {}
 
 
 def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str,
-                 options: dict[str, str] | None = None) -> str:
+                 options: dict[str, str] | None = None,
+                 partition_by: str | None = None) -> str:
     import os
     import tempfile
 
-    key = (fmt, table, sf_dir)
+    key = (fmt + (f":{partition_by}" if partition_by else ""), table, sf_dir)
     path = _FORMAT_SCRATCH.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix=f"rt_{fmt}_{table}_")
         w = load_table(spark, sf_dir, table).write.mode("overwrite")
         for k, v in (options or {}).items():
             w = w.option(k, v)
+        if partition_by:
+            w = w.partitionBy(partition_by)
         w.format(fmt).save(path)
         _FORMAT_SCRATCH[key] = path
     return path
@@ -636,6 +639,26 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(money("o_totalprice")).cast("double")
                  .alias("sum_price"),
                  F.max("o_orderdate").alias("max_orderdate")))
+
+
+def partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet layout + partition-pruned scan (the CTAS/
+    S5 layout decision and its payoff): orders written
+    ``partitionBy(o_orderstatus)`` once per session, then read back
+    filtered to one status and aggregated.  The filter resolves
+    against DIRECTORY names — non-matching partitions are never
+    opened (PartitionFilters in the scan node, plan-asserted in
+    tests/test_operators.py).  At 100 TB partition pruning is the
+    difference between scanning one status's files and the whole
+    table; the oracle (same aggregate over the unpartitioned parquet
+    WHERE status='F') proves the layout move lost nothing."""
+    path = _format_copy(spark, sf_dir, "orders", "parquet",
+                        partition_by="o_orderstatus")
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(money("o_totalprice")).cast("double")
+                 .alias("sum_price")))
 
 
 QSKETCH_BIN = 1000  # fixed-width histogram bin (price units)
@@ -898,6 +921,14 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation
+    """,
+    "partition_pruned_orders": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
     """,
     "orc_roundtrip_orders": """
         SELECT o_orderstatus,
@@ -1302,6 +1333,7 @@ QUERIES = {
     "csv_roundtrip_region": csv_roundtrip_region,
     "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
     "orc_roundtrip_orders": orc_roundtrip_orders,
+    "partition_pruned_orders": partition_pruned_orders,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,

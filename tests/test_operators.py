@@ -687,3 +687,17 @@ def test_registry_priority_never_oldest_first(monkeypatch):
     order = registry._prioritize(
         ["new3", "old_a", "red", "settled", "old_b"])
     assert order == ["old_a", "old_b", "new3", "red", "settled"]
+
+
+def test_partition_pruning_plan_and_values(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.plans.relational import (
+        partition_pruned_orders,
+    )
+
+    df = partition_pruned_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the status filter must resolve against directory names, not rows
+    assert "PartitionFilters" in plan, plan
+    import re
+    pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+    assert "o_orderstatus" in pf and "= F" in pf, pf
