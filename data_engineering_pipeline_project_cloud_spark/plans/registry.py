@@ -136,6 +136,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "jsonl_roundtrip_nation": 3,
     "orc_roundtrip_orders": 3,
     "partition_pruned_orders": 3,
+    "jdbc_roundtrip_nation": 3,
 }
 
 

@@ -641,6 +641,46 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_orderdate").alias("max_orderdate")))
 
 
+#: sf_dir → scratch dir holding the session's embedded-Derby database
+#: (write-once, like the other layout scratches).
+_JDBC_SCRATCH: dict[str, str] = {}
+
+_DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC round-trip (S2 partitioned scan + S3 batched
+    overwrite sink) through embedded Derby — the JVM database Spark
+    already ships for its metastore, so the sandbox's no-DB-server
+    constraint doesn't bite.  Write: ``mode("overwrite")`` +
+    ``batchsize`` (the reference's batched-INSERT rationale,
+    ``scripts/main.py:55-62``); read: partitionColumn/bounds → 4
+    parallel range queries (the anti-single-connection shape,
+    ``sources/catalog.py:read_jdbc``).  The oracle reads the original
+    parquet, so any type-mapping drift through the SQL dialect fails
+    the hash check."""
+    import tempfile
+
+    from ..sources.catalog import read_jdbc, write_jdbc
+
+    base = _JDBC_SCRATCH.get(sf_dir)
+    if base is None:
+        base = tempfile.mkdtemp(prefix="jdbc_derby_")
+        url = f"jdbc:derby:{base}/db;create=true"
+        write_jdbc(load_table(spark, sf_dir, "nation"), url, "nation_rt",
+                   batch_size=10000, properties=_DERBY_PROPS)
+        _JDBC_SCRATCH[sf_dir] = base
+    url = f"jdbc:derby:{base}/db;create=true"
+    back = read_jdbc(spark, url, "nation_rt",
+                     partition_column="n_nationkey", lower_bound=0,
+                     upper_bound=25, num_partitions=4,
+                     properties=_DERBY_PROPS)
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+
 def partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet layout + partition-pruned scan (the CTAS/
     S5 layout decision and its payoff): orders written
@@ -918,6 +958,11 @@ ORACLE_SQL: dict[str, str] = {
         FROM region
     """,
     "jsonl_roundtrip_nation": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+    """,
+    "jdbc_roundtrip_nation": """
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation
@@ -1334,6 +1379,7 @@ QUERIES = {
     "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
     "orc_roundtrip_orders": orc_roundtrip_orders,
     "partition_pruned_orders": partition_pruned_orders,
+    "jdbc_roundtrip_nation": jdbc_roundtrip_nation,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,

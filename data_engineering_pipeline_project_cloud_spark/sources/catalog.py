@@ -131,9 +131,11 @@ def read_jdbc(spark: SparkSession, url: str, table: str,
     executor — the single-node bottleneck all over again.  Passing a
     numeric column + bounds splits the scan into ``num_partitions``
     range queries executed in parallel; pick a roughly uniform column
-    (a sequence PK) or the stragglers dominate.  Untested here (no DB
-    in the container); the call shape is the public DataFrameReader
-    JDBC API.
+    (a sequence PK) or the stragglers dominate.  Exercised end-to-end
+    against embedded Derby (the JVM DB Spark ships for its metastore):
+    ``plans/relational.py:jdbc_roundtrip_nation`` (oracle-checked) and
+    ``tests/test_sinks_ingest.py`` (4-way partitioned read +
+    idempotent overwrite).
     """
     reader = spark.read.format("jdbc").option("url", url).option(
         "dbtable", table)

@@ -69,3 +69,28 @@ def test_read_csv_quarantines_bad_records(spark, tmp_path):
     raws = {r["_corrupt_record"] for r in bad.collect()}
     assert raws == {"not_an_int,3.25", "3,oops"}
     df.unpersist()
+
+
+def test_jdbc_derby_roundtrip_partitioned_and_idempotent(spark, sf_dir,
+                                                         tmp_path):
+    """S2/S3 evidence on a real database: embedded Derby (ships with
+    Spark).  The partitioned read opens 4 parallel range queries; a
+    second overwrite write leaves the same rows (idempotent replace)."""
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+    from data_engineering_pipeline_project_cloud_spark.sources.catalog import (
+        read_jdbc,
+        write_jdbc,
+    )
+
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    nation = load_table(spark, sf_dir, "nation")
+    write_jdbc(nation, url, "nation_t", batch_size=1000, properties=props)
+    write_jdbc(nation, url, "nation_t", batch_size=1000, properties=props)
+    back = read_jdbc(spark, url, "nation_t",
+                     partition_column="n_nationkey", lower_bound=0,
+                     upper_bound=25, num_partitions=4, properties=props)
+    assert back.rdd.getNumPartitions() == 4
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in nation.collect())
+    assert got == want
