@@ -201,7 +201,8 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float],
                      default_weight: float = 1.0,
                      source_col: str = "source",
                      id_col: str = "doc_id",
-                     salt: str = "mix|") -> DataFrame:
+                     salt: str = "mix|",
+                     strict: bool = False) -> DataFrame:
     """Resample the corpus toward a TARGET mixture: given per-source
     weights (relative, not necessarily normalized), downsample each
     source so the kept corpus's source shares are proportional to the
@@ -233,6 +234,17 @@ def mixture_resample(docs: DataFrame, weights: dict[str, float],
                         F.lit(float(wt))).otherwise(w_expr)
     counts = docs.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n"), F.first(w_expr).alias("w"))
+    if strict:
+        # a typo'd weight key never matches any row and silently
+        # degrades to default_weight everywhere; strict mode spends
+        # one action on the |sources|-grain aggregate to surface it
+        counts = scoped_persist(counts)
+        present = {r[0] for r in counts.select(source_col).collect()}
+        unknown = set(weights) - present
+        if unknown:
+            raise ValueError(
+                f"mixture weights reference absent sources: "
+                f"{sorted(unknown)}")
     c = counts.agg(F.min(F.col("n") / F.col("w")).alias("c"))
     keep_ppm = F.floor(
         F.round(F.least(F.col("c") * F.col("w") / F.col("n"), F.lit(1.0))

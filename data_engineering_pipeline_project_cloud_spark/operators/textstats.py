@@ -505,7 +505,11 @@ def rule_filter(docs: DataFrame, text_col: str = "text",
     text = F.col(text_col)
     toks = _tokens(text)
     n_tok = F.size(toks)
-    mean_len = (F.length(text) - (n_tok - 1)) / n_tok
+    # mean length of the TOKENS themselves (not char-count minus
+    # separator arithmetic, which over-counts when whitespace runs
+    # longer than one char)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda a, w: a + F.length(w))
+    mean_len = tok_chars / n_tok
     stop_hits = F.size(F.filter(
         toks, lambda w: F.lower(w).isin(STOPWORDS["en"])))
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tok

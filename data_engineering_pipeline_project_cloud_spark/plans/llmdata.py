@@ -759,7 +759,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH sig AS (
             SELECT doc_id,
                    len({_TOKENS}) AS n_tok,
-                   (len(text) - (len({_TOKENS}) - 1))
+                   list_sum(list_transform({_TOKENS}, w -> len(w)))
                        / CAST(len({_TOKENS}) AS DOUBLE) AS mean_len,
                    len(list_filter({_TOKENS}, w -> lower(w) IN
                        ('the','a','of','and','to','in','is'))) AS stop_hits,
@@ -789,9 +789,10 @@ ORACLE_SQL: dict[str, str] = {
     "mixture_resample_by_source": f"""
         WITH wts AS (
             SELECT source, COUNT(*) AS n,
-                   CASE WHEN source IN
-                        ('src0','src1','src2','src3','src4')
-                        THEN 3.0 ELSE 1.0 END AS w
+                   CASE {" ".join(
+                       f"WHEN source = '{s}' THEN {w}"
+                       for s, w in sorted(MIX_WEIGHTS.items()))}
+                        ELSE 1.0 END AS w
             FROM documents GROUP BY source
         ),
         m AS (SELECT MIN(n / w) AS c FROM wts),

@@ -142,7 +142,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
 
 def _prioritize(names) -> list[str]:
     """Driver consumption order: queries with NO trustworthy driver
-    evidence in any round run first (module order; evidence voided by
+    evidence in any round run first (oldest _ADDED_IN_ROUND round
+    first, module order within a round; evidence voided by
     _OUTPUT_CHANGED_AFTER counts as none), latest-red next, settled
     (green or rows-only-by-design) last.  The driver's correctness
     pass is budget-capped (~50 of 122 queries per round), so position

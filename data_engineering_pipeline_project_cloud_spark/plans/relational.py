@@ -583,7 +583,8 @@ def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str,
     import os
     import tempfile
 
-    key = (fmt + (f":{partition_by}" if partition_by else ""), table, sf_dir)
+    key = (fmt + (f":{partition_by}" if partition_by else "")
+           + f":{sorted((options or {}).items())}", table, sf_dir)
     path = _FORMAT_SCRATCH.get(key)
     if path is None or not os.path.isdir(path):
         path = tempfile.mkdtemp(prefix=f"rt_{fmt}_{table}_")
@@ -663,8 +664,10 @@ def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.catalog import read_jdbc, write_jdbc
 
+    import os
+
     base = _JDBC_SCRATCH.get(sf_dir)
-    if base is None:
+    if base is None or not os.path.isdir(base):
         base = tempfile.mkdtemp(prefix="jdbc_derby_")
         url = f"jdbc:derby:{base}/db;create=true"
         write_jdbc(load_table(spark, sf_dir, "nation"), url, "nation_rt",
@@ -712,8 +715,12 @@ def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     by MERGING the per-flag histograms (summing bin counts) — the raw
     fact table is scanned exactly once, which is what lets quantiles
     roll up through cube/partition levels at 100 TB.  Estimates are
-    bin lower edges at the ceil-rank crossing; max error = one bin
-    width (pytest-asserted vs exact percentile).
+    bin lower edges at the ceil-rank crossing: the ceil-rank ORDER
+    STATISTIC always lies inside the estimated bin (pytest-asserted),
+    i.e. max error = one bin width vs that order statistic.  An
+    interpolated percentile can sit farther away when the data has a
+    gap wider than a bin at the interpolation point — order-statistic
+    semantics are what a histogram sketch promises.
 
     All bin/rank arithmetic is floor/div integer logic over IEEE
     doubles, bit-identical cross-engine.

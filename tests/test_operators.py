@@ -565,21 +565,27 @@ def test_mixture_resample_shares_and_determinism(spark, sf_dir):
     # deterministic: identical selection on re-run
     assert sorted(r["doc_id"] for r in rows) == sorted(
         r["doc_id"] for r in mixture_resample(docs, weights).collect())
-    # up-weighted sources keep everything (c = n_s / 3 is the min),
-    # uniform-tail sources keep ~1/3
+    # every source's ppm equals the formula computed independently:
+    # keep_s = min(1, c * w_s / n_s) with c = min_s(n_s / w_s)
     ppm = {r["source"]: r["keep_ppm"] for r in rows}
     per_src_in = {r["source"]: r["n"] for r in
                   docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
                   .collect()}
-    if per_src_in.get("src0") == min(per_src_in.values()):
-        assert ppm["src0"] >= 999999
-    for s, p in ppm.items():
-        assert 0 < p <= 1_000_000
-    # every kept doc's hash respects its source threshold (subset rule)
-    kept = {r["doc_id"] for r in rows}
-    assert kept <= {r["doc_id"] for r in docs.select("doc_id").collect()}
+    import math
+    c = min(n / weights.get(s, 1.0) for s, n in per_src_in.items())
+    for s, n in per_src_in.items():
+        want = math.floor(round(min(c * weights.get(s, 1.0) / n, 1.0)
+                                * 1e9) / 1000)
+        # sources whose every doc hashed out of the sample emit no row
+        assert ppm.get(s, want) == want, (s, ppm.get(s), want)
+    # the arg-min source keeps everything by construction
+    s_min = min(per_src_in, key=lambda s: per_src_in[s] / weights.get(s, 1.0))
+    assert ppm[s_min] == 1_000_000
     with pytest.raises(ValueError):
         mixture_resample(docs, {"src0": -1.0})
+    with pytest.raises(ValueError):
+        mixture_resample(docs, {"no_such_source": 2.0},
+                         strict=True).collect()
 
 
 def test_rule_filter_flags_consistent(spark):
@@ -628,6 +634,8 @@ def test_unigram_lm_scores_orders_outliers(spark):
 
 
 def test_quantile_sketch_error_bound(spark, sf_dir):
+    import math
+
     from data_engineering_pipeline_project_cloud_spark.plans.relational import (
         QSKETCH_BIN,
         quantile_sketch_rollup,
@@ -636,22 +644,22 @@ def test_quantile_sketch_error_bound(spark, sf_dir):
 
     out = {r["g"]: r for r in quantile_sketch_rollup(spark, sf_dir).collect()}
     li = load_table(spark, sf_dir, "lineitem")
-    exact = {r["g"]: r for r in
-             li.groupBy(F.col("l_returnflag").alias("g")).agg(
-                 F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-                 F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"))
-             .collect()}
-    exact["__ALL__"] = li.agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95")).collect()[0]
-    assert set(out) == set(exact)
+    by_g: dict[str, list[float]] = {"__ALL__": []}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        by_g.setdefault(r[0], []).append(r[1])
+        by_g["__ALL__"].append(r[1])
+    assert set(out) == set(by_g)
+
+    def ostat(vals: list[float], q: float) -> float:
+        return sorted(vals)[max(0, math.ceil(q * len(vals)) - 1)]
+
     for g, r in out.items():
-        # estimate is the bin LOWER edge containing the order statistic:
-        # within one bin width of the exact interpolated percentile
-        assert abs(r["p50_est"] - exact[g]["p50"]) <= QSKETCH_BIN
-        assert abs(r["p95_est"] - exact[g]["p95"]) <= QSKETCH_BIN
-    # the merged __ALL__ row covers every input row (re-aggregation)
-    assert out["__ALL__"]["n_rows"] == li.count()
+        # the defining sketch property: the ceil-rank ORDER STATISTIC
+        # lies inside the estimated bin [lower_edge, lower_edge + w)
+        for est, q in ((r["p50_est"], 0.5), (r["p95_est"], 0.95)):
+            v = ostat(by_g[g], q)
+            assert est <= v < est + QSKETCH_BIN, (g, q, est, v)
+        assert r["n_rows"] == len(by_g[g])
 
 
 def test_map_side_text_ops_no_exchange(spark, sf_dir):
