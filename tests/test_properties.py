@@ -177,3 +177,71 @@ def test_event_debounce_gap_property(spark, rows):
             if j == 0 or s - evs[j - 1][0] > DEBOUNCE_S:
                 expect.add(i)
     assert {r["event_id"] for r in kept} == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(counts=st.lists(st.integers(1, 40), min_size=2, max_size=5),
+       weights=st.lists(st.floats(0.25, 4.0), min_size=5, max_size=5))
+def test_mixture_resample_ppm_formula_random(spark, counts, weights):
+    """keep_ppm must equal min(1, c*w/n) in exact ppm for every
+    source, for arbitrary source sizes and weights."""
+    import math
+
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        mixture_resample,
+    )
+
+    rows, nxt = [], 0
+    wmap = {}
+    for i, n in enumerate(counts):
+        src = f"s{i}"
+        wmap[src] = weights[i % len(weights)]
+        for _ in range(n):
+            rows.append((nxt, src))
+            nxt += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_resample(docs, wmap).collect()
+    c = min(n / wmap[f"s{i}"] for i, n in enumerate(counts))
+    for i, n in enumerate(counts):
+        want = math.floor(
+            round(min(c * wmap[f"s{i}"] / n, 1.0) * 1e9) / 1000)
+        got = {r["keep_ppm"] for r in out if r["source"] == f"s{i}"}
+        assert got <= {want}, (i, got, want)
+    # kept counts can never exceed the source size; arg-min keeps all
+    smin = min(range(len(counts)),
+               key=lambda i: counts[i] / wmap[f"s{i}"])
+    kept_min = sum(1 for r in out if r["source"] == f"s{smin}")
+    assert kept_min == counts[smin]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(vals=st.lists(st.floats(0, 9999), min_size=1, max_size=60))
+def test_quantile_sketch_order_stat_random(spark, vals):
+    """The ceil-rank order statistic always lies inside the estimated
+    bin, for arbitrary value distributions including heavy ties."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_project_cloud_spark.plans import relational
+
+    df = spark.createDataFrame(
+        [("A", float(v)) for v in vals],
+        "l_returnflag string, l_extendedprice double")
+
+    # reuse the face's arithmetic inline on the tiny frame
+    w = relational.QSKETCH_BIN
+    bin_ = F.floor(F.col("l_extendedprice") / w).cast("long")
+    hist = (df.groupBy(bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")).collect())
+    hist.sort(key=lambda r: r["bin"])
+    n = sum(r["cnt"] for r in hist)
+    for num, den in ((1, 2), (95, 100)):  # q = num/den, integer math
+        cum, est = 0, None
+        for r in hist:
+            cum += r["cnt"]
+            if cum * den >= n * num and est is None:
+                est = r["bin"] * w
+        rank = -(-n * num // den)  # ceil(n*q) exactly
+        v = sorted(vals)[max(0, rank - 1)]
+        assert est <= v < est + w, (num, den, est, v)
