@@ -6,5 +6,6 @@ from .media import (  # noqa: F401
     decode_media,
     extract_features,
     frame_sample,
+    resize_media,
     synthetic_media,
 )

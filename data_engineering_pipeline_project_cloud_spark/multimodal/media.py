@@ -148,6 +148,63 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         ]))
 
 
+_RESIZE_SCHEMA = (
+    "media_id long, modality string, width long, height long, "
+    "new_width long, new_height long, n_bytes long, "
+    "resized_n_bytes long, resized_byte_sum long"
+)
+
+
+def resize_media(media: DataFrame, target_max_dim: int = 64) -> DataFrame:
+    """Resize step for image/video rows: aspect-preserving integer
+    target dimensions (``max(w,h) → target_max_dim``, integer-div so
+    the math is bit-identical cross-engine) plus a deterministic
+    nearest-neighbor byte resample of the payload down to one
+    ``new_width``-byte scanline — the stand-in for a real thumbnail
+    pass (PIL/ffmpeg NOT in this environment; ``decode_media`` holds
+    the declared ``codec='real'`` stub) with the real pipeline shape:
+    Arrow batch in via mapInPandas, numpy fancy-indexing per item,
+    integer-exact summary out.  Audio rows are excluded (no spatial
+    dims); selection happens BEFORE payload bytes move."""
+
+    t = target_max_dim
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "modality", "width", "height", "new_width",
+                "new_height", "n_bytes", "resized_n_bytes",
+                "resized_byte_sum")}
+            for mid, mod, p, w, h in zip(
+                    pdf["media_id"], pdf["modality"], pdf["payload"],
+                    pdf["width"], pdf["height"]):
+                arr = np.frombuffer(p, dtype=np.uint8)
+                n = len(arr)
+                m = max(int(w), int(h))
+                if m <= t:
+                    nw, nh = int(w), int(h)
+                else:
+                    nw, nh = int(w) * t // m, int(h) * t // m
+                k = max(1, nw)
+                res = arr[(np.arange(k) * n) // k] if n > k else arr
+                out["media_id"].append(int(mid))
+                out["modality"].append(mod)
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["n_bytes"].append(n)
+                out["resized_n_bytes"].append(len(res))
+                out["resized_byte_sum"].append(int(res.sum()))
+            yield pd.DataFrame(out)
+
+    flat = (media.filter(F.col("modality").isin("image", "video"))
+            .select("media_id", "modality", "payload",
+                    F.col("meta.width").alias("width"),
+                    F.col("meta.height").alias("height")))
+    return flat.mapInPandas(run, _RESIZE_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_k: int = 10) -> DataFrame:
     """Frame sampling PLAN for video rows: the frame indices to decode
     (every k-th frame plus the last).  Pure column arithmetic — the

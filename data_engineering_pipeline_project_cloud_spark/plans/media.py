@@ -12,6 +12,7 @@ from ..multimodal import (
     byte_stats,
     extract_features,
     frame_sample,
+    resize_media,
     synthetic_media,
 )
 
@@ -79,6 +80,19 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x).alias("feature_byte_wsum"))
 
 
+RESIZE_MAX_DIM = 64
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail/resize pass over image+video rows
+    (multimodal/media.py:resize_media): aspect-preserving integer
+    target dims + deterministic nearest-neighbor byte resample via
+    mapInPandas.  All output columns are integer-exact, so the DuckDB
+    oracle re-derives the resample from the hex payload rendering."""
+    return resize_media(synthetic_media(spark, sf_dir),
+                        target_max_dim=RESIZE_MAX_DIM)
+
+
 def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = frame_sample(synthetic_media(spark, sf_dir), every_k=FRAME_EVERY_K)
     # frame index list rendered as a comma string: array columns
@@ -96,6 +110,16 @@ _MODALITY_SQL = "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 #: Parse hex-pair ``i`` (0-based) of hex string ``h`` into its byte
 #: value — DuckDB has no blob-to-byte-array primitive, so the oracle
 #: re-derives payload bytes positionally from the hex rendering.
+_HEXDIGITS = "0123456789ABCDEF"
+
+
+def _BYTE_AT(bi: str) -> str:
+    """Byte value at 0-based byte index expression ``bi`` of hex
+    rendering ``h`` (1-based inclusive DuckDB slicing)."""
+    return (f"16 * (strpos('{_HEXDIGITS}', h[2*({bi})+1:2*({bi})+1]) - 1)"
+            f" + (strpos('{_HEXDIGITS}', h[2*({bi})+2:2*({bi})+2]) - 1)")
+
+
 def _HEXBYTE(h: str, digits: str) -> str:
     return (f"16 * (strpos('{digits}', {h}[2*i+1:2*i+1]) - 1)"
             f" + (strpos('{digits}', {h}[2*i+2:2*i+2]) - 1)")
@@ -165,6 +189,45 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COALESCE(MIN(sample_rate), -1) AS BIGINT) AS sample_rate
         FROM media GROUP BY modality
     """,
+    "media_resize": f"""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   {_MODALITY_SQL} AS modality,
+                   CAST(64 + doc_id % 512 AS BIGINT) AS width,
+                   CAST(64 + (doc_id * 7) % 512 AS BIGINT) AS height,
+                   hex(encode(text)) AS h
+            FROM documents
+            WHERE doc_id % 3 <> 1
+        ),
+        d AS (
+            SELECT media_id, modality, width, height, h,
+                   length(h) // 2 AS n,
+                   CASE WHEN greatest(width, height) <= {RESIZE_MAX_DIM}
+                        THEN width
+                        ELSE width * {RESIZE_MAX_DIM}
+                             // greatest(width, height)
+                   END AS new_width,
+                   CASE WHEN greatest(width, height) <= {RESIZE_MAX_DIM}
+                        THEN height
+                        ELSE height * {RESIZE_MAX_DIM}
+                             // greatest(width, height)
+                   END AS new_height
+            FROM m
+        ),
+        r AS (SELECT *, greatest(1, new_width) AS k FROM d)
+        SELECT media_id, modality, width, height, new_width, new_height,
+               CAST(n AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN n > k THEN k ELSE n END AS BIGINT)
+                   AS resized_n_bytes,
+               CAST(CASE WHEN n > k THEN
+                   list_sum(list_transform(range(k),
+                       j -> {_BYTE_AT('(j*n)//k')}))
+               ELSE
+                   list_sum(list_transform(range(n),
+                       j -> {_BYTE_AT('j')}))
+               END AS BIGINT) AS resized_byte_sum
+        FROM r
+    """,
     "media_frame_plan": f"""
         WITH vid AS (
             SELECT doc_id AS media_id,
@@ -194,4 +257,5 @@ QUERIES = {
     "media_byte_stats": media_byte_stats,
     "media_features": media_features,
     "media_frame_plan": media_frame_plan,
+    "media_resize": media_resize,
 }

@@ -137,6 +137,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "orc_roundtrip_orders": 3,
     "partition_pruned_orders": 3,
     "jdbc_roundtrip_nation": 3,
+    "media_resize": 3,
 }
 
 

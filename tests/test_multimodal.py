@@ -88,3 +88,33 @@ def test_metadata_only_profile_prunes_payload(spark, sf_dir):
     )
     plan = media_profile(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
+
+
+def test_resize_media_matches_python_reference(spark, sf_dir):
+    import numpy as np
+
+    from data_engineering_pipeline_project_cloud_spark.multimodal import (
+        resize_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, sf_dir)
+    out = {r["media_id"]: r for r in resize_media(media).collect()}
+    src = media.filter(media.modality.isin("image", "video")) \
+        .select("media_id", "payload", "meta.width", "meta.height").collect()
+    assert set(out) == {r["media_id"] for r in src}
+    for r in src:
+        arr = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        n, w, h = len(arr), r["width"], r["height"]
+        m = max(w, h)
+        nw, nh = (w, h) if m <= 64 else (w * 64 // m, h * 64 // m)
+        k = max(1, nw)
+        res = arr[(np.arange(k) * n) // k] if n > k else arr
+        got = out[r["media_id"]]
+        assert (got["new_width"], got["new_height"]) == (nw, nh)
+        assert got["resized_n_bytes"] == len(res)
+        assert got["resized_byte_sum"] == int(res.sum())
+        # aspect ratio preserved within integer truncation: each dim
+        # truncates by < 1, so the ratio drifts by < (1 + w/h) / nh
+        if m > 64:
+            assert abs(nw / nh - w / h) <= (1.0 + w / h) / nh + 1e-9
