@@ -457,10 +457,16 @@ def unigram_lm_scores(docs: DataFrame, text_col: str = "text",
     it); the planner/AQE picks broadcast vs shuffle join on it.  The
     1-row total broadcasts.
     """
+    from ..caching import scoped_persist
+
     toks = docs.select(
         F.col(id_col),
         F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    # consumed twice (model fit + scoring join): persist the narrow
+    # (doc, token, cnt) frame so the corpus text is scanned and
+    # exploded ONCE — without it both branches re-run the tokenize
+    tf = scoped_persist(
+        toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("cnt")))
     freq = tf.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
     total = freq.agg(F.sum("gcnt").alias("total"))
     logp = (freq.crossJoin(F.broadcast(total))
