@@ -1381,12 +1381,16 @@ QUERIES = {
     "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,
     "two_stage_distinct_users": two_stage_distinct_users,
+    # dict order = within-round driver-window order for never-checked
+    # queries (registry._prioritize): the JDBC face leads — it closes
+    # the rounds-1/2 "S2/S3 untestable" gap, the highest-value row if
+    # a budget-capped pass cuts off mid-block
+    "jdbc_roundtrip_nation": jdbc_roundtrip_nation,
     "quantile_sketch_rollup": quantile_sketch_rollup,
+    "partition_pruned_orders": partition_pruned_orders,
     "csv_roundtrip_region": csv_roundtrip_region,
     "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
     "orc_roundtrip_orders": orc_roundtrip_orders,
-    "partition_pruned_orders": partition_pruned_orders,
-    "jdbc_roundtrip_nation": jdbc_roundtrip_nation,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
