@@ -138,6 +138,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "partition_pruned_orders": 3,
     "jdbc_roundtrip_nation": 3,
     "media_resize": 3,
+    "ts_profile_similarity": 3,
 }
 
 

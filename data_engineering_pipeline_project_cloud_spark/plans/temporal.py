@@ -368,7 +368,95 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lambda s: s["et"]), "|").alias("event_seq")))
 
 
+TS_SIM_QUERY_USERS = 5
+TS_SIM_TOPK = 5
+TS_SIM_DIM = 24
+
+
+def ts_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the streaming-similarity-search
+    family, re-expressed batch-first): each user's hour-of-day
+    activity profile — a dense 24-dim event-count vector — compared by
+    exact cosine, top-k nearest users per broadcast query user.
+
+    Scale shape: profiles are ONE partial-aggregated groupBy (24
+    conditional sums, map-side; the shuffle carries 24 doubles/user,
+    never events), persisted because they feed both the corpus side
+    and the query filter; the |Q|-row query set broadcasts; similarity
+    is a single profile-table scan.  At larger user counts the vector
+    schema is identical to ``embeddings`` — swap the scan for the
+    LSH/IVF blocking in operators/similarity.py.
+    """
+    from ..caching import scoped_persist
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    prof = ev.groupBy("user_id").agg(
+        *[F.sum(F.when(hour == h, 1).otherwise(0)).cast("double")
+          .alias(f"h{h}") for h in range(TS_SIM_DIM)])
+    vec = F.array(*[F.col(f"h{h}") for h in range(TS_SIM_DIM)])
+    norm = F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, x: a + x * x))
+    p = scoped_persist(prof.select(
+        F.col("user_id"), vec.alias("v"), norm.alias("nrm")))
+    q = (p.filter(F.col("user_id") < TS_SIM_QUERY_USERS)
+         .select(F.col("user_id").alias("query_user"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x)
+    sims = (p.crossJoin(F.broadcast(q))
+            .filter(F.col("user_id") != F.col("query_user"))
+            .select("query_user",
+                    F.col("user_id").alias("candidate_user"),
+                    F.round(dot / (F.col("qn") * F.col("nrm")), 6)
+                    .alias("cosine_sim")))
+    w = Window.partitionBy("query_user").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_user").asc())
+    return (sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TS_SIM_TOPK)
+            .select("query_user", "candidate_user", "cosine_sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+_TS_H = ", ".join(
+    f"CAST(SUM(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) AS DOUBLE)"
+    f" AS h{h}" for h in range(24))
+_TS_VEC = "[" + ", ".join(f"h{h}" for h in range(24)) + "]"
+
 ORACLE_SQL: dict[str, str] = {
+    "ts_profile_similarity": f"""
+        WITH prof AS (
+            SELECT user_id, {_TS_H}
+            FROM events GROUP BY user_id
+        ),
+        p AS (
+            SELECT user_id, {_TS_VEC} AS v,
+                   sqrt(list_sum(list_transform({_TS_VEC}, x -> x * x)))
+                       AS nrm
+            FROM prof
+        ),
+        q AS (
+            SELECT user_id AS query_user, v AS qv, nrm AS qn
+            FROM p WHERE user_id < {TS_SIM_QUERY_USERS}
+        ),
+        sims AS (
+            SELECT q.query_user, p.user_id AS candidate_user,
+                   round(
+                       list_sum(list_transform(generate_series(1, 24),
+                           i -> q.qv[i] * p.v[i])) / (q.qn * p.nrm),
+                       6) AS cosine_sim
+            FROM p CROSS JOIN q
+            WHERE p.user_id <> q.query_user
+        ),
+        ranked AS (
+            SELECT query_user, candidate_user, cosine_sim,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_user
+                        ORDER BY cosine_sim DESC, candidate_user ASC)
+                        AS BIGINT) AS rank
+            FROM sims
+        )
+        SELECT * FROM ranked WHERE rank <= {TS_SIM_TOPK}
+    """,
     "weekly_cohort_retention": """
         WITH firsts AS (
             SELECT user_id,
@@ -609,6 +697,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "ts_profile_similarity": ts_profile_similarity,
     "weekly_cohort_retention": weekly_cohort_retention,
     "customer_spend_outliers": customer_spend_outliers,
     "rolling_7d_customer_spend": rolling_7d_customer_spend,
