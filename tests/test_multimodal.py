@@ -118,3 +118,17 @@ def test_resize_media_matches_python_reference(spark, sf_dir):
         # truncates by < 1, so the ratio drifts by < (1 + w/h) / nh
         if m > 64:
             assert abs(nw / nh - w / h) <= (1.0 + w / h) / nh + 1e-9
+
+
+def test_resize_deterministic_across_partitioning(spark, sf_dir):
+    """mapInPandas output must not depend on how rows land in Arrow
+    batches — repartitioning the input cannot change any value."""
+    from data_engineering_pipeline_project_cloud_spark.multimodal import (
+        resize_media,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, sf_dir)
+    a = sorted(map(tuple, resize_media(media).collect()))
+    b = sorted(map(tuple, resize_media(media.repartition(7)).collect()))
+    assert a == b

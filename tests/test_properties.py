@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -245,3 +247,32 @@ def test_quantile_sketch_order_stat_random(spark, vals):
         rank = -(-n * num // den)  # ceil(n*q) exactly
         v = sorted(vals)[max(0, rank - 1)]
         assert est <= v < est + w, (num, den, est, v)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=1, max_size=8),
+    min_size=1, max_size=10))
+def test_unigram_lm_matches_bruteforce(spark, docs):
+    """avg_neg_logp must equal the brute-force corpus unigram NLL for
+    arbitrary tiny corpora (heavy ties, singleton vocab, repeats)."""
+    import math
+
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        unigram_lm_scores,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+
+    from collections import Counter
+    freq: Counter = Counter()
+    for toks in docs:
+        freq.update(toks)
+    total = sum(freq.values())
+    for i, toks in enumerate(docs):
+        want = -sum(math.log(freq[t] / total) for t in toks) / len(toks)
+        assert out[i]["avg_neg_logp"] == pytest.approx(want, abs=1e-6)
+        assert out[i]["n_tokens"] == len(toks)
