@@ -292,6 +292,40 @@ def mixture_resample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                             MIX_WEIGHTS)
 
 
+BOILERPLATE_TOPK = 20
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate detector (the C4-style repeated-
+    substring pass): the word trigrams appearing in the most DISTINCT
+    documents, with document frequency and corpus share — template
+    text (headers, footers, license blurbs) is invisible at per-doc
+    grain (``repetition_stats``) and only shows up here.
+
+    Shape: one explode to gram grain that partial-aggregates
+    immediately (array_distinct first, so a gram repeated within one
+    doc counts once and the exploded rows are bounded by distinct
+    grams per doc); the global top-k is ORDER BY + LIMIT, which Spark
+    executes as TakeOrderedAndProject — a per-partition top-k merged
+    on the driver, never a single-reducer total sort.  Ties at the
+    cut break on the gram text, so the result set is deterministic
+    cross-engine.
+    """
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.explode(F.array_distinct(
+            dd.shingles(F.col("text"), 3))).alias("gram"))
+    counts = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (counts.crossJoin(F.broadcast(n_docs))
+            .select("gram", "doc_freq",
+                    F.round(F.col("doc_freq") / F.col("n_docs"), 6)
+                    .alias("df_share"))
+            .orderBy(F.col("doc_freq").desc(), F.col("gram").asc())
+            .limit(BOILERPLATE_TOPK))
+
+
 def source_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source data-mixing report (operators/textstats.py:source_mix):
     doc/token counts, corpus shares, language breadth, mean length —
@@ -731,6 +765,22 @@ _QUALITY_EXPR_SQL = f"""round((least(len({_TOKENS}) / 100.0, 1.0)
 _RT = tx.RULE_THRESHOLDS
 
 ORACLE_SQL: dict[str, str] = {
+    "boilerplate_ngrams": f"""
+        WITH grams AS (
+            SELECT unnest(list_distinct({_SHINGLES})) AS gram
+            FROM documents
+        ),
+        counts AS (
+            SELECT gram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM grams GROUP BY gram
+        ),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT gram, doc_freq,
+               round(doc_freq / CAST(n_docs AS DOUBLE), 6) AS df_share
+        FROM counts CROSS JOIN nd
+        ORDER BY doc_freq DESC, gram ASC
+        LIMIT {BOILERPLATE_TOPK}
+    """,
     "lm_unigram_scores": """
         WITH toks AS (
             SELECT doc_id,
@@ -1509,4 +1559,5 @@ QUERIES = {
     "lm_unigram_scores": lm_unigram_scores,
     "gopher_rule_filter": gopher_rule_filter,
     "mixture_resample_by_source": mixture_resample_by_source,
+    "boilerplate_ngrams": boilerplate_ngrams,
 }

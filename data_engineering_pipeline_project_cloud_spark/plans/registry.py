@@ -139,6 +139,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "jdbc_roundtrip_nation": 3,
     "media_resize": 3,
     "ts_profile_similarity": 3,
+    "boilerplate_ngrams": 3,
+    "skew_key_report": 3,
 }
 
 

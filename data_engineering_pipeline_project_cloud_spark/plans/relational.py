@@ -704,6 +704,39 @@ def partition_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("sum_price")))
 
 
+SKEW_REPORT_TOPK = 5
+
+
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic: the heaviest keys per fact-side join
+    column with row counts and table share — the report you run
+    BEFORE choosing between salting, bucketing, and AQE skew-join
+    thresholds (operators/skew.py holds the levers; this finds where
+    they're needed).  A key holding >1/shuffle-partitions of the
+    table is the straggler signature.
+
+    Shape: one partial-aggregated groupBy per column (the shuffle
+    carries key+count, never fact rows), top-k via ORDER BY + LIMIT
+    (TakeOrderedAndProject — per-partition top-k, no total sort),
+    deterministic tie-break on the key value.
+    """
+    def top_keys(table: str, col: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        counts = t.groupBy(F.col(col).cast("long").alias("key")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"))
+        total = t.agg(F.count(F.lit(1)).alias("total"))
+        return (counts.crossJoin(F.broadcast(total))
+                .select(F.lit(f"{table}.{col}").alias("join_col"), "key",
+                        "n_rows",
+                        F.round(F.col("n_rows") / F.col("total"), 6)
+                        .alias("share"))
+                .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+                .limit(SKEW_REPORT_TOPK))
+
+    return (top_keys("orders", "o_custkey")
+            .unionByName(top_keys("lineitem", "l_orderkey")))
+
+
 QSKETCH_BIN = 1000  # fixed-width histogram bin (price units)
 
 
@@ -968,6 +1001,35 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation
+    """,
+    "skew_key_report": f"""
+        WITH o AS (
+            SELECT 'orders.o_custkey' AS join_col,
+                   CAST(o_custkey AS BIGINT) AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY o_custkey
+        ),
+        ot AS (SELECT COUNT(*) AS total FROM orders),
+        l AS (
+            SELECT 'lineitem.l_orderkey' AS join_col,
+                   CAST(l_orderkey AS BIGINT) AS key,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        lt AS (SELECT COUNT(*) AS total FROM lineitem),
+        o_top AS (
+            SELECT join_col, key, n_rows,
+                   round(n_rows / CAST(total AS DOUBLE), 6) AS share
+            FROM o CROSS JOIN ot
+            ORDER BY n_rows DESC, key ASC LIMIT {SKEW_REPORT_TOPK}
+        ),
+        l_top AS (
+            SELECT join_col, key, n_rows,
+                   round(n_rows / CAST(total AS DOUBLE), 6) AS share
+            FROM l CROSS JOIN lt
+            ORDER BY n_rows DESC, key ASC LIMIT {SKEW_REPORT_TOPK}
+        )
+        SELECT * FROM o_top UNION ALL SELECT * FROM l_top
     """,
     "jdbc_roundtrip_nation": """
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
@@ -1387,6 +1449,7 @@ QUERIES = {
     # a budget-capped pass cuts off mid-block
     "jdbc_roundtrip_nation": jdbc_roundtrip_nation,
     "quantile_sketch_rollup": quantile_sketch_rollup,
+    "skew_key_report": skew_key_report,
     "partition_pruned_orders": partition_pruned_orders,
     "csv_roundtrip_region": csv_roundtrip_region,
     "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
