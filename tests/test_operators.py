@@ -709,3 +709,20 @@ def test_partition_pruning_plan_and_values(spark, sf_dir):
     import re
     pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
     assert "o_orderstatus" in pf and "= F" in pf, pf
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    """Global ORDER BY + LIMIT faces must compile to
+    TakeOrderedAndProject (per-partition top-k merged at the driver),
+    never a total-order Sort across the full table — the difference
+    between O(k) driver memory and a single-reducer sort at 100 TB."""
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        boilerplate_ngrams,
+    )
+    from data_engineering_pipeline_project_cloud_spark.plans.relational import (
+        skew_key_report,
+    )
+
+    for fn in (boilerplate_ngrams, skew_key_report):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, f"{fn.__name__}: {plan}"
