@@ -1,0 +1,79 @@
+"""Fuzzy record linkage: blocked edit-distance matching to a canonical
+dimension.
+
+The reference conforms heterogeneous location sources by exact
+normalized keys (transform.py:31-49 — rename + UPPER/TRIM + dropna);
+real ingested dimensions also carry typos the exact key misses.  This
+operator is the scale-grade extension: match each dirty value to its
+best canonical candidate by Levenshtein distance, WITHOUT the O(N·M)
+cross join — candidates are generated only inside equality blocks.
+
+100 TB design:
+
+* The cross product is never materialized.  Pairs exist only within a
+  block (here: first character + a length band), so comparisons per
+  dirty row are bounded by the block's canonical population, not |canon|.
+* The canonical side of a linkage is a dimension — thousands to
+  millions of rows, MBs — so the blocked candidate join broadcasts it;
+  the dirty side (the 100 TB fact/feed) streams map-side.  No shuffle
+  of the big side at all.
+* ``levenshtein`` is a JVM codegen built-in; best-match selection is
+  ``MIN(struct(dist, tie, value))`` inside one partial-aggregating
+  groupBy — no window, no second shuffle of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Candidate pairs are kept only when |len(dirty) - len(canon)| is
+#: within this band.  Levenshtein distance is >= the length delta, so
+#: a band of B never discards a true match with distance <= B.
+LENGTH_BAND = 2
+
+
+def blocked_fuzzy_match(dirty: DataFrame, canon: DataFrame,
+                        dirty_col: str, canon_col: str,
+                        max_dist: int = 2) -> DataFrame:
+    """Best canonical match per dirty row, by minimum edit distance.
+
+    ``dirty`` must carry a row identity (all its columns are kept);
+    ``canon`` contributes ``canon_col`` (deduplicated).  Blocking is
+    equality on the first character plus a +/-LENGTH_BAND length band
+    — sound for ``max_dist <= LENGTH_BAND`` whenever the first
+    character is reliable (normalize/trim upstream; a dropped leading
+    character needs a looser block, e.g. soundex).
+
+    Returns ``dirty``'s columns + ``matched`` (best canonical value,
+    NULL when nothing within ``max_dist``) + ``match_dist``.  Ties on
+    distance break to the lexicographically smallest canonical value,
+    so the output is deterministic on any partitioning.
+    """
+    if max_dist > LENGTH_BAND:
+        raise ValueError(
+            f"max_dist={max_dist} exceeds the length-band block bound "
+            f"{LENGTH_BAND}; widen LENGTH_BAND or tighten max_dist")
+    cand = (canon.select(F.col(canon_col).alias("__canon")).distinct()
+            .withColumn("__c_first", F.substring("__canon", 1, 1))
+            .withColumn("__c_len", F.length("__canon")))
+    d = (dirty
+         .withColumn("__d_first", F.substring(dirty_col, 1, 1))
+         .withColumn("__d_len", F.length(dirty_col)))
+    pairs = d.join(
+        F.broadcast(cand),
+        (F.col("__d_first") == F.col("__c_first"))
+        & (F.abs(F.col("__d_len") - F.col("__c_len")) <= LENGTH_BAND),
+        "left",
+    ).withColumn("__dist", F.levenshtein(F.col(dirty_col), F.col("__canon")))
+    # best match = MIN over (dist, canon) structs among candidates
+    # within max_dist; struct comparison gives the pinned tie-break
+    within = F.when(F.col("__dist") <= max_dist,
+                    F.struct(F.col("__dist").alias("d"),
+                             F.col("__canon").alias("v")))
+    keys = [c for c in dirty.columns]
+    best = (pairs.groupBy(*keys)
+            .agg(F.min(within).alias("__best"))
+            .select(*keys,
+                    F.col("__best.v").alias("matched"),
+                    F.col("__best.d").cast("int").alias("match_dist")))
+    return best

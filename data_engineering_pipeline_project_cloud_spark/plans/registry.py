@@ -141,6 +141,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "ts_profile_similarity": 3,
     "boilerplate_ngrams": 3,
     "skew_key_report": 3,
+    "fuzzy_match_nations": 3,
+    "conform_quarantine_orders": 3,
 }
 
 

@@ -896,9 +896,111 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "version", "is_current")
 
 
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage face: a supplier feed whose nation names
+    arrive corrupted (one character dropped at a key-derived position)
+    is matched back to the canonical nation dimension by blocked
+    Levenshtein distance (operators/linkage.py:blocked_fuzzy_match).
+    The reference conforms dims by exact normalized keys
+    (transform.py:31-49); this is the scale-grade extension for keys
+    that exact normalization cannot repair.  Ambiguous repairs (the
+    dropped digit makes another nation closer or equal) resolve by the
+    pinned (distance, value) tie-break, so the output is deterministic
+    — exactly what the oracle replays."""
+    from ..operators.linkage import blocked_fuzzy_match
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    named = sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+    # drop ONE character at position (s_suppkey mod (len-1)) + 2 — in
+    # [2, len], never the first char, so the first-character block in
+    # blocked_fuzzy_match stays sound
+    pos = (F.pmod(F.col("s_suppkey"), F.length("n_name") - 1) + 2).cast("int")
+    dirty = named.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.concat(
+            F.substr(F.col("n_name"), F.lit(1), pos - 1),
+            F.substr(F.col("n_name"), pos + 1, F.length("n_name")),
+        ).alias("dirty_name"))
+    return blocked_fuzzy_match(dirty, nat, "dirty_name", "n_name",
+                               max_dist=FUZZY_MAX_DIST)
+
+
+def conform_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter conform: parse a raw string date column with
+    TRY_CAST and return the quarantined rows (parse failures) instead
+    of failing the job.  The reference's "load loose, cast strict"
+    contract (SURVEY.md §1.3) aborts on the first bad value; at 100 TB
+    a single malformed row must not kill a 6-hour job — bad rows are
+    split into a quarantine table (the badRecordsPath pattern) and the
+    clean rows flow on.  Corruption is simulated deterministically:
+    every 97th order key gets a LEADING junk character (leading — a
+    trailing one would not corrupt at all under DuckDB's
+    garbage-tolerant date parser, and the oracle must fail the same
+    rows)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").cast("string")
+        .alias("iso"))
+    raw = o.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.when(F.pmod("o_orderkey", F.lit(97)) == 0,
+               F.concat(F.lit("X"), "iso"))
+        .otherwise(F.col("iso")).alias("raw_date"))
+    return (raw.withColumn("parsed", F.col("raw_date").try_cast("date"))
+            .filter(F.col("parsed").isNull())
+            .select("o_orderkey", "raw_date"))
+
+
 _H_REL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 ORACLE_SQL: dict[str, str] = {
+    "fuzzy_match_nations": """
+        WITH dirty AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+                   concat(substr(n_name, 1, pos - 1),
+                          substr(n_name, pos + 1, length(n_name)))
+                       AS dirty_name
+            FROM (SELECT s_suppkey, n_name,
+                         CAST(s_suppkey % (length(n_name) - 1) AS INT) + 2
+                             AS pos
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        ), cand AS (SELECT DISTINCT n_name FROM nation),
+        pairs AS (
+            SELECT d.s_suppkey, d.dirty_name, c.n_name,
+                   levenshtein(d.dirty_name, c.n_name) AS dist
+            FROM dirty d
+            LEFT JOIN cand c
+              ON substr(d.dirty_name, 1, 1) = substr(c.n_name, 1, 1)
+             AND abs(length(d.dirty_name) - length(c.n_name)) <= 2
+        )
+        SELECT s_suppkey, dirty_name,
+               struct_extract(best, 'v') AS matched,
+               CAST(struct_extract(best, 'd') AS INT) AS match_dist
+        FROM (
+            SELECT s_suppkey, dirty_name,
+                   min(CASE WHEN dist <= 2
+                            THEN {'d': dist, 'v': n_name} END) AS best
+            FROM pairs GROUP BY s_suppkey, dirty_name
+        )
+    """,
+    "conform_quarantine_orders": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN concat('X', CAST(CAST(o_orderdate AS DATE)
+                                          AS VARCHAR))
+                    ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+               END AS raw_date
+        FROM orders
+        WHERE TRY_CAST(CASE WHEN o_orderkey % 97 = 0
+                            THEN concat('X', CAST(CAST(o_orderdate AS DATE)
+                                                  AS VARCHAR))
+                            ELSE CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+                       END AS DATE) IS NULL
+    """,
     "cdc_orders_latest_state": f"""
         WITH changelog AS (
             SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
@@ -1439,6 +1541,8 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "fuzzy_match_nations": fuzzy_match_nations,
+    "conform_quarantine_orders": conform_quarantine_orders,
     "cdc_orders_latest_state": cdc_orders_latest_state,
     "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,

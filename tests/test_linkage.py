@@ -1,0 +1,83 @@
+"""Fuzzy record linkage (operators/linkage.py) and the dead-letter
+conform face: match semantics, tie-break determinism, block soundness,
+and quarantine/valid row accounting.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.operators.linkage import (
+    blocked_fuzzy_match,
+)
+from data_engineering_pipeline_project_cloud_spark.plans.relational import (
+    conform_quarantine_orders,
+    fuzzy_match_nations,
+)
+from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+
+def _match_map(df):
+    return {r["dirty"]: (r["matched"], r["match_dist"])
+            for r in df.collect()}
+
+
+def test_exact_and_near_matches(spark):
+    dirty = spark.createDataFrame(
+        [("ALPHA",), ("ALPH",), ("BETAX",), ("ZZZZZ",)], "dirty string")
+    canon = spark.createDataFrame(
+        [("ALPHA",), ("BETA",), ("GAMMA",)], "name string")
+    out = _match_map(blocked_fuzzy_match(dirty, canon, "dirty", "name"))
+    assert out["ALPHA"] == ("ALPHA", 0)
+    assert out["ALPH"] == ("ALPHA", 1)
+    assert out["BETAX"] == ("BETA", 1)
+    # no candidate within max_dist=2 (and none sharing the block)
+    assert out["ZZZZZ"] == (None, None)
+
+
+def test_tie_breaks_to_lexicographically_smallest(spark):
+    dirty = spark.createDataFrame([("IRA",)], "dirty string")
+    canon = spark.createDataFrame([("IRAQ",), ("IRAN",)], "name string")
+    out = _match_map(blocked_fuzzy_match(dirty, canon, "dirty", "name"))
+    assert out["IRA"] == ("IRAN", 1)  # dist 1 both; IRAN < IRAQ
+
+
+def test_length_band_blocks_far_candidates(spark):
+    # same first char, but length differs by 3 > LENGTH_BAND: the pair
+    # is never generated even though its true distance is 3 > max_dist
+    # anyway — the band only prunes what max_dist would reject
+    dirty = spark.createDataFrame([("AB",)], "dirty string")
+    canon = spark.createDataFrame([("ABCDE",)], "name string")
+    out = _match_map(blocked_fuzzy_match(dirty, canon, "dirty", "name"))
+    assert out["AB"] == (None, None)
+
+
+def test_max_dist_beyond_band_rejected(spark):
+    dirty = spark.createDataFrame([("A",)], "dirty string")
+    canon = spark.createDataFrame([("A",)], "name string")
+    with pytest.raises(ValueError, match="length-band"):
+        blocked_fuzzy_match(dirty, canon, "dirty", "name", max_dist=3)
+
+
+def test_fuzzy_match_nations_recovers_or_ties(spark, sf_dir):
+    """Every supplier row gets a match at distance <= 1: the dirty name
+    is one deletion from its true nation, so the true nation is always
+    a candidate at dist 1 (dist 0 when the deletion collides with
+    another canonical name, e.g. NATION_12 -> NATION_2)."""
+    out = fuzzy_match_nations(spark, sf_dir)
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    rows = out.collect()
+    assert len(rows) == n_sup
+    assert all(r["matched"] is not None and r["match_dist"] <= 1
+               for r in rows)
+
+
+def test_quarantine_accounting(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    expected_bad = orders.filter(F.pmod("o_orderkey", F.lit(97)) == 0).count()
+    quar = conform_quarantine_orders(spark, sf_dir)
+    rows = quar.collect()
+    assert len(rows) == expected_bad
+    # every quarantined raw value really fails the strict parse
+    assert all(r["raw_date"].startswith("X") for r in rows)
