@@ -276,3 +276,49 @@ def test_unigram_lm_matches_bruteforce(spark, docs):
         want = -sum(math.log(freq[t] / total) for t in toks) / len(toks)
         assert out[i]["avg_neg_logp"] == pytest.approx(want, abs=1e-6)
         assert out[i]["n_tokens"] == len(toks)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+_words = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(dirty=st.lists(_words, min_size=1, max_size=8, unique=True),
+       canon=st.lists(_words, min_size=1, max_size=8, unique=True))
+def test_blocked_fuzzy_match_matches_bruteforce(spark, dirty, canon):
+    """blocked_fuzzy_match == brute-force argmin over the pairs its
+    block admits (same first char, length delta <= LENGTH_BAND, dist
+    <= max_dist), tie-breaking to the smallest canonical value.  The
+    tiny 'abc' alphabet forces dense collisions, ties, and
+    exact-duplicate values."""
+    from data_engineering_pipeline_project_cloud_spark.operators.linkage import (
+        LENGTH_BAND,
+        blocked_fuzzy_match,
+    )
+
+    ddf = spark.createDataFrame([(w,) for w in dirty], "dirty string")
+    cdf = spark.createDataFrame([(w,) for w in canon], "name string")
+    out = {r["dirty"]: (r["matched"], r["match_dist"])
+           for r in blocked_fuzzy_match(ddf, cdf, "dirty", "name").collect()}
+
+    for w in dirty:
+        best = None
+        for c in set(canon):
+            if c[0] != w[0] or abs(len(c) - len(w)) > LENGTH_BAND:
+                continue
+            d = _lev(w, c)
+            if d <= 2 and (best is None or (d, c) < best):
+                best = (d, c)
+        expect = (best[1], best[0]) if best else (None, None)
+        assert out[w] == expect, f"{w}: got {out[w]}, want {expect}"
