@@ -1541,8 +1541,6 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
-    "fuzzy_match_nations": fuzzy_match_nations,
-    "conform_quarantine_orders": conform_quarantine_orders,
     "cdc_orders_latest_state": cdc_orders_latest_state,
     "scd2_order_status_history": scd2_order_status_history,
     "salted_join_segment_totals": salted_join_segment_totals,
@@ -1558,6 +1556,10 @@ QUERIES = {
     "csv_roundtrip_region": csv_roundtrip_region,
     "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
     "orc_roundtrip_orders": orc_roundtrip_orders,
+    # added late in round 3 — behind the block above so the JDBC /
+    # sketch / layout faces keep their driver-window precedence
+    "fuzzy_match_nations": fuzzy_match_nations,
+    "conform_quarantine_orders": conform_quarantine_orders,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
