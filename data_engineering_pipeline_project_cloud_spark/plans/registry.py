@@ -146,6 +146,13 @@ _ADDED_IN_ROUND: dict[str, int] = {
 }
 
 
+#: Within a round's never-checked additions, these run FIRST (listed
+#: order), ahead of module order: the JDBC round-trip closes the
+#: rounds-1/2 "S2/S3 untestable" gap — the single highest-value row if
+#: a budget-capped pass cuts off inside the round-3 block.
+_ROUND_LEAD = ["jdbc_roundtrip_nation", "quantile_sketch_rollup"]
+
+
 def _prioritize(names) -> list[str]:
     """Driver consumption order: queries with NO trustworthy driver
     evidence in any round run first (oldest _ADDED_IN_ROUND round
@@ -158,8 +165,11 @@ def _prioritize(names) -> list[str]:
     names = list(names)
     settled, red = _evidence()
     never = [n for n in names if n not in settled and n not in red]
-    # oldest additions first (stable: module order within a round)
-    never.sort(key=lambda n: _ADDED_IN_ROUND.get(n, 0))
+    # oldest additions first; within a round, _ROUND_LEAD names lead
+    # and the rest keep module order (sort is stable)
+    lead = {n: i for i, n in enumerate(_ROUND_LEAD)}
+    never.sort(key=lambda n: (_ADDED_IN_ROUND.get(n, 0),
+                              lead.get(n, len(lead))))
     red_l = [n for n in names if n in red]
     settled_l = [n for n in names if n in settled]
     return never + red_l + settled_l
