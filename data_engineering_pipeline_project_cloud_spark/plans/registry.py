@@ -143,6 +143,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "skew_key_report": 3,
     "fuzzy_match_nations": 3,
     "conform_quarantine_orders": 3,
+    "manifest_pruned_scan": 3,
 }
 
 

@@ -896,6 +896,51 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "version", "is_current")
 
 
+#: sf_dir whose manifest table is currently on disk (write-once layout,
+#: like the bucketed tables above)
+_MANIFEST_FOR: tuple[str, str] | None = None
+MANIFEST_FILES = 5
+MANIFEST_MIN_YEAR = 1997
+
+
+def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse data skipping as a registry face: orders are laid out
+    as a manifest table (range-partitioned by order year, per-file
+    min/max footer stats — sources/manifest_source.py), then a
+    selective year predicate is answered opening ONLY the files whose
+    stat range intersects it.  The pushed filters prune the file list
+    AND are re-applied row-wise by Spark, so the oracle (the plain
+    predicate over the raw table) proves skipping is semantically
+    free.  File-level pruning itself is asserted in
+    tests/test_manifest_source.py."""
+    import os
+    import tempfile
+
+    from ..sources.manifest_source import register, write_manifest_table
+
+    global _MANIFEST_FOR
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if _MANIFEST_FOR is None or _MANIFEST_FOR[0] != sf_dir \
+            or not os.path.exists(_MANIFEST_FOR[1]):
+        tmp = tempfile.mkdtemp(prefix="manifest_orders_")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.repartitionByRange(MANIFEST_FILES, "order_year"),
+            tmp, ["order_year", "o_orderkey"])
+        _MANIFEST_FOR = (sf_dir, tmp)
+    df = (spark.read.format("graft_manifest")
+          .option("path", _MANIFEST_FOR[1]).load())
+    return (df.filter(F.col("order_year") >= MANIFEST_MIN_YEAR)
+            .groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -958,6 +1003,15 @@ def conform_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H_REL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 ORACLE_SQL: dict[str, str] = {
+    "manifest_pruned_scan": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE year(o_orderdate) >= 1997
+        GROUP BY 1
+    """,
     "fuzzy_match_nations": """
         WITH dirty AS (
             SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
@@ -1560,6 +1614,7 @@ QUERIES = {
     # sketch / layout faces keep their driver-window precedence
     "fuzzy_match_nations": fuzzy_match_nations,
     "conform_quarantine_orders": conform_quarantine_orders,
+    "manifest_pruned_scan": manifest_pruned_scan,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
