@@ -8,13 +8,15 @@ selective query opens only the files whose stat range intersects its
 predicates.  This module implements that pattern end-to-end with
 public APIs only:
 
-* ``write_manifest_table(df, path, stat_cols)`` — a normal distributed
-  parquet write, then one driver-side metadata pass over the parquet
-  FOOTERS (row-group stats only; no data pages are read) to build
-  ``manifest.json``.  Footer reads are O(files), not O(bytes) — this
-  is exactly how table-format commit services build manifests; at
-  cluster scale the footer pass distributes trivially (it is
-  per-file independent).
+* ``ManifestArrowWriter`` — the write side, a real distributed commit
+  protocol: each task streams its Arrow batches to a write-ahead file
+  and accumulates min/max in the same pass (stats cost no extra scan),
+  returning them in its ``WriterCommitMessage``; the driver's
+  ``commit`` publishes files then manifest (manifest LAST — readers
+  see old or new version, never a mix), ``abort`` removes the
+  write-ahead files.  ``write_manifest_table`` is the DataFrame-API
+  entry; ``build_manifest_from_footers`` backfills a manifest over a
+  pre-existing parquet directory from footers (O(files) metadata).
 * ``ManifestDataSource`` — reads a manifest table.  ``pushFilters``
   receives Catalyst's translated predicates, prunes the FILE LIST with
   them, and declares every filter unsupported so Spark still applies
@@ -35,10 +37,12 @@ from __future__ import annotations
 
 import json
 import os
+from dataclasses import dataclass, field
 from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -46,6 +50,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -53,15 +58,28 @@ MANIFEST_NAME = "manifest.json"
 
 
 def write_manifest_table(df, path: str, stat_cols: list[str]) -> dict:
-    """Distributed parquet write + footer-stats manifest build.
+    """Write ``df`` as a manifest table through the distributed commit
+    protocol (``ManifestArrowWriter``): each task streams its Arrow
+    batches to a write-ahead file and returns (path, rows, min/max) in
+    its commit message; ``commit()`` on the driver publishes the files
+    and the manifest atomically-enough for a single-node FS (a
+    lakehouse would write the same manifest to its log/commit
+    service).  Returns the manifest dict."""
+    register(df.sparkSession)
+    (df.write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", ",".join(stat_cols)).save())
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return json.load(fh)
 
-    ``stat_cols`` must be int/float/string columns (no timestamps —
-    see module docstring).  Returns the manifest dict (also written to
-    ``<path>/manifest.json``).
-    """
+
+def build_manifest_from_footers(path: str, schema_json: str,
+                                stat_cols: list[str]) -> dict:
+    """Backfill a manifest over an EXISTING parquet directory from the
+    file footers (row-group stats only; no data pages are read) —
+    O(files) metadata, the onboarding path for tables written before
+    manifest tracking."""
     import pyarrow.parquet as pq
 
-    df.write.mode("overwrite").parquet(path)
     files = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
@@ -84,10 +102,116 @@ def write_manifest_table(df, path: str, stat_cols: list[str]) -> dict:
             if lo is not None:
                 stats[col] = {"min": lo, "max": hi}
         files.append({"path": fpath, "rows": md.num_rows, "stats": stats})
-    manifest = {"schema": df.schema.json(), "files": files}
+    manifest = {"schema": schema_json, "files": files}
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh)
     return manifest
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    tmp_path: str
+    final_path: str
+    rows: int
+    stats: dict = field(default_factory=dict)
+
+
+class ManifestArrowWriter(DataSourceArrowWriter):
+    """The write side of the table format: write-ahead data files +
+    publish-on-commit manifest.
+
+    Each task streams its record batches to ``.<name>.tmp`` and
+    accumulates per-column min/max as it goes (one pass — stats cost
+    nothing extra); the driver's ``commit`` renames the write-ahead
+    files into place, drops files from any previous version, and
+    writes ``manifest.json`` LAST — a reader that loads the manifest
+    sees either the old version or the new one, never a half-written
+    mix.  ``abort`` removes the write-ahead files; a retried task
+    rewrites its own tmp file (same name), so task retries and
+    speculation cannot double-publish.
+    """
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        if not overwrite:
+            raise ValueError(
+                "graft_manifest sink supports mode('overwrite') only")
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("graft_manifest requires option 'path'")
+        raw = options.get("statcols") or ""
+        self._stat_cols = [c for c in raw.split(",") if c]
+        self._schema_json = schema.json()
+
+    def write(self, iterator) -> WriterCommitMessage | None:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        final = os.path.join(self._path, f"part-{pid:05d}.parquet")
+        tmp = os.path.join(self._path, f".part-{pid:05d}.parquet.tmp")
+        writer = None
+        rows = 0
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+                for col in self._stat_cols:
+                    try:
+                        mm = pc.min_max(batch.column(col))
+                        bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
+                    except (KeyError, TypeError, pa.ArrowInvalid,
+                            pa.ArrowNotImplementedError):
+                        continue  # absent or unstatable column
+                    if bmin is None:
+                        continue
+                    lo[col] = bmin if col not in lo else min(lo[col], bmin)
+                    hi[col] = bmax if col not in hi else max(hi[col], bmax)
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows == 0:
+            # empty partition: no file; the runtime requires a real
+            # WriterCommitMessage (None is rejected), so send a
+            # zero-row sentinel that commit/abort skip
+            return _FileCommit(tmp_path="", final_path="", rows=0)
+        stats = {c: {"min": lo[c], "max": hi[c]} for c in lo}
+        return _FileCommit(tmp_path=tmp, final_path=final, rows=rows,
+                           stats=stats)
+
+    def commit(self, messages) -> None:
+        msgs = [m for m in messages if m is not None and m.rows > 0]
+        keep = set()
+        for m in msgs:
+            os.replace(m.tmp_path, m.final_path)
+            keep.add(os.path.basename(m.final_path))
+        # overwrite semantics: drop data files from the previous version
+        for name in os.listdir(self._path):
+            if name.endswith(".parquet") and name not in keep:
+                os.remove(os.path.join(self._path, name))
+        manifest = {
+            "schema": self._schema_json,
+            "files": [{"path": m.final_path, "rows": m.rows,
+                       "stats": m.stats}
+                      for m in sorted(msgs, key=lambda m: m.final_path)],
+        }
+        # the manifest IS the publish point: written last, replaced
+        # atomically
+        tmp_manifest = os.path.join(self._path, f".{MANIFEST_NAME}.tmp")
+        with open(tmp_manifest, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp_manifest, os.path.join(self._path, MANIFEST_NAME))
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.rows > 0 and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
 
 
 class _FilePartition(InputPartition):
@@ -175,6 +299,10 @@ class ManifestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ManifestReader:
         return ManifestReader(self.options)
+
+    def writer(self, schema: StructType,
+               overwrite: bool) -> ManifestArrowWriter:
+        return ManifestArrowWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:

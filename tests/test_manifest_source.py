@@ -106,3 +106,57 @@ def test_registry_face_oracle_shape(spark, sf_dir):
     out = manifest_pruned_scan(spark, sf_dir)
     rows = {r["order_year"]: r["n_orders"] for r in out.collect()}
     assert rows and min(rows) >= 1997
+
+
+def test_writer_commit_protocol(spark, sf_dir, tmp_path):
+    """Write path: empty partitions yield no file, no write-ahead tmp
+    files survive commit, and a second overwrite drops the first
+    version's files (no orphans outside the manifest)."""
+    path = str(tmp_path / "m1")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    # 8 partitions over 25 rows: some may be empty -> None commits
+    m1 = write_manifest_table(nat.repartition(8, "n_nationkey"), path,
+                              ["n_nationkey"])
+    names = set(os.listdir(path))
+    assert not any(n.endswith(".tmp") for n in names)
+    listed1 = {os.path.basename(f["path"]) for f in m1["files"]}
+    assert listed1 == {n for n in names if n.endswith(".parquet")}
+    assert sum(f["rows"] for f in m1["files"]) == 25
+    # overwrite with a different layout: old files must not linger
+    m2 = write_manifest_table(nat.repartition(2, "n_nationkey"), path,
+                              ["n_nationkey"])
+    names2 = {n for n in os.listdir(path) if n.endswith(".parquet")}
+    assert names2 == {os.path.basename(f["path"]) for f in m2["files"]}
+    register(spark)
+    got = (spark.read.format("graft_manifest").option("path", path)
+           .load().count())
+    assert got == 25
+
+
+def test_footer_backfill_matches_commit_stats(spark, sf_dir, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        build_manifest_from_footers,
+    )
+
+    path = str(tmp_path / "m2")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("order_year"))
+    m_commit = write_manifest_table(
+        orders.repartitionByRange(3, "order_year"), path,
+        ["order_year", "o_orderkey"])
+    m_footer = build_manifest_from_footers(
+        path, m_commit["schema"], ["order_year", "o_orderkey"])
+    by_path_c = {f["path"]: f for f in m_commit["files"]}
+    by_path_f = {f["path"]: f for f in m_footer["files"]}
+    assert by_path_c.keys() == by_path_f.keys()
+    for p in by_path_c:
+        assert by_path_c[p]["rows"] == by_path_f[p]["rows"]
+        assert by_path_c[p]["stats"] == by_path_f[p]["stats"]
+
+
+def test_append_mode_rejected(spark, sf_dir, tmp_path):
+    nat = load_table(spark, sf_dir, "nation")
+    with pytest.raises(Exception, match="overwrite"):
+        (nat.write.format("graft_manifest").mode("append")
+         .option("path", str(tmp_path / "m3")).save())
