@@ -144,6 +144,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "fuzzy_match_nations": 3,
     "conform_quarantine_orders": 3,
     "manifest_pruned_scan": 3,
+    "streaming_manifest_tail": 3,
 }
 
 

@@ -24,6 +24,7 @@ from ..streaming import (
 )
 from ..streaming import stream_dedup_events
 from ..streaming.joins import stream_click_purchase_join
+from ..sources import load_table
 
 
 def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
@@ -113,7 +114,47 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(stream_quality_filter(docs), spark, mode="append")
 
 
+_MANIFEST_STREAM_FOR: tuple[str, str] | None = None
+
+
+def streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table as a STREAM source
+    (sources/manifest_source.py:ManifestStreamReader): nation is laid
+    out as a manifest table once per sf_dir, then read back through
+    the streaming engine — the manifest's append-only file list is the
+    changelog, offsets index into it (how table formats tail their
+    transaction log).  Draining the whole log must equal the batch
+    read, which is what the oracle (plain nation scan) checks;
+    append-only-new-files incremental behavior is asserted with a
+    checkpoint in tests/test_manifest_source.py."""
+    import os
+
+    from ..sources.manifest_source import register, write_manifest_table
+
+    global _MANIFEST_STREAM_FOR
+    register(spark)
+    if _MANIFEST_STREAM_FOR is None or _MANIFEST_STREAM_FOR[0] != sf_dir \
+            or not os.path.exists(_MANIFEST_STREAM_FOR[1]):
+        tmp = tempfile.mkdtemp(prefix="manifest_stream_")
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey")
+        write_manifest_table(nat.repartition(4, "n_nationkey"), tmp,
+                             ["n_nationkey"])
+        _MANIFEST_STREAM_FOR = (sf_dir, tmp)
+    stream = (spark.readStream.format("graft_manifest")
+              .option("path", _MANIFEST_STREAM_FOR[1]).load())
+    return _drain(stream, spark, mode="append").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "streaming_manifest_tail": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
+    """,
     "streaming_enriched_events": """
         SELECT e.event_id, e.user_id, e.event_type,
                COALESCE(c.c_mktsegment, 'NONE') AS segment,
@@ -223,4 +264,5 @@ QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_sessionize": streaming_sessionize,
     "streaming_user_lifetime": streaming_user_lifetime,
+    "streaming_manifest_tail": streaming_manifest_tail,
 }

@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -132,15 +133,24 @@ class ManifestArrowWriter(DataSourceArrowWriter):
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        if not overwrite:
-            raise ValueError(
-                "graft_manifest sink supports mode('overwrite') only")
         self._path = options.get("path")
         if not self._path:
             raise ValueError("graft_manifest requires option 'path'")
         raw = options.get("statcols") or ""
         self._stat_cols = [c for c in raw.split(",") if c]
         self._schema_json = schema.json()
+        self._overwrite = overwrite
+        # versioned file names make appends collision-free and give
+        # the manifest log a monotone order; the version is fixed on
+        # the driver before tasks launch
+        self._prior: list[dict] = []
+        self._version = 0
+        mpath = os.path.join(self._path, MANIFEST_NAME)
+        if not overwrite and os.path.exists(mpath):
+            with open(mpath) as fh:
+                prev = json.load(fh)
+            self._prior = prev["files"]
+            self._version = prev.get("version", 0) + 1
 
     def write(self, iterator) -> WriterCommitMessage | None:
         import pyarrow as pa
@@ -150,8 +160,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
         pid = TaskContext.get().partitionId()
         os.makedirs(self._path, exist_ok=True)
-        final = os.path.join(self._path, f"part-{pid:05d}.parquet")
-        tmp = os.path.join(self._path, f".part-{pid:05d}.parquet.tmp")
+        name = f"part-v{self._version:04d}-{pid:05d}.parquet"
+        final = os.path.join(self._path, name)
+        tmp = os.path.join(self._path, f".{name}.tmp")
         writer = None
         rows = 0
         lo: dict[str, object] = {}
@@ -191,15 +202,24 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         for m in msgs:
             os.replace(m.tmp_path, m.final_path)
             keep.add(os.path.basename(m.final_path))
-        # overwrite semantics: drop data files from the previous version
-        for name in os.listdir(self._path):
-            if name.endswith(".parquet") and name not in keep:
-                os.remove(os.path.join(self._path, name))
+        new_files = [{"path": m.final_path, "rows": m.rows,
+                      "stats": m.stats}
+                     for m in sorted(msgs, key=lambda m: m.final_path)]
+        if self._overwrite:
+            # drop data files from the previous version
+            for name in os.listdir(self._path):
+                if name.endswith(".parquet") and name not in keep:
+                    os.remove(os.path.join(self._path, name))
+            files = new_files
+        else:
+            # append: the manifest file list is an append-only log —
+            # prior entries keep their positions (the streaming
+            # reader's offsets index into this list)
+            files = self._prior + new_files
         manifest = {
             "schema": self._schema_json,
-            "files": [{"path": m.final_path, "rows": m.rows,
-                       "stats": m.stats}
-                      for m in sorted(msgs, key=lambda m: m.final_path)],
+            "version": self._version,
+            "files": files,
         }
         # the manifest IS the publish point: written last, replaced
         # atomically
@@ -283,6 +303,55 @@ class ManifestReader(DataSourceReader):
         yield from pq.ParquetFile(partition.path).iter_batches()
 
 
+class ManifestStreamReader(DataSourceStreamReader):
+    """Manifest-tail streaming: the manifest's append-only file list
+    is the changelog, offsets are INDEXES into it — exactly how table
+    formats expose a table as a stream (Delta/Iceberg streaming
+    sources tail the transaction log).  Each microbatch plans one
+    input partition per newly-appended file and reuses the batch
+    reader's Arrow path.  Offsets live in the engine's checkpoint, so
+    restart resumes at the first unprocessed file — exactly-once at
+    file granularity; ``commit`` is a no-op because the manifest is
+    the durable log (nothing to acknowledge).
+
+    Requires append-mode writes: an overwrite rewrites history and
+    invalidates outstanding offsets (same contract as any log-tailing
+    source over a truncated log).
+    """
+
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("graft_manifest requires option 'path'")
+        self._mpath = path if path.endswith(".json") else os.path.join(
+            path, MANIFEST_NAME)
+
+    def _files(self) -> list[dict]:
+        with open(self._mpath) as fh:
+            return json.load(fh)["files"]
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"]:end["index"]]
+        return [_FilePartition(f["path"]) for f in files]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        import pyarrow.parquet as pq
+
+        yield from pq.ParquetFile(partition.path).iter_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # the manifest is the durable log; offsets checkpoint engine-side
+
+    def stop(self) -> None:
+        pass
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("graft_manifest").option("path", dir)``."""
 
@@ -303,6 +372,9 @@ class ManifestDataSource(DataSource):
     def writer(self, schema: StructType,
                overwrite: bool) -> ManifestArrowWriter:
         return ManifestArrowWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> ManifestStreamReader:
+        return ManifestStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -155,8 +155,52 @@ def test_footer_backfill_matches_commit_stats(spark, sf_dir, tmp_path):
         assert by_path_c[p]["stats"] == by_path_f[p]["stats"]
 
 
-def test_append_mode_rejected(spark, sf_dir, tmp_path):
-    nat = load_table(spark, sf_dir, "nation")
-    with pytest.raises(Exception, match="overwrite"):
-        (nat.write.format("graft_manifest").mode("append")
-         .option("path", str(tmp_path / "m3")).save())
+def test_append_mode_extends_log(spark, sf_dir, tmp_path):
+    """Append keeps prior manifest entries at their positions (the
+    stream reader's offset contract) and bumps the version so file
+    names never collide."""
+    path = str(tmp_path / "m3")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    register(spark)
+    m1 = write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+    (nat.coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    import json
+    with open(os.path.join(path, "manifest.json")) as fh:
+        m2 = json.load(fh)
+    assert m2["version"] == m1.get("version", 0) + 1
+    assert m2["files"][:len(m1["files"])] == m1["files"]
+    assert len(m2["files"]) == 2 * len(m1["files"])
+    got = (spark.read.format("graft_manifest").option("path", path)
+           .load().count())
+    assert got == 50
+
+
+def test_stream_reads_only_appended_files(spark, sf_dir, tmp_path):
+    """Manifest-tail streaming with checkpoint restart: run 1 drains
+    the initial files; files appended afterwards are the ONLY rows
+    run 2 (same checkpoint) emits — file-granular exactly-once."""
+    path = str(tmp_path / "mstream")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    register(spark)
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+
+    def drain():
+        q = (spark.readStream.format("graft_manifest")
+             .option("path", path).load()
+             .writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(sink)
+
+    first = drain().count()
+    assert first == 25
+    appended = nat.filter(F.col("n_nationkey") < 10).coalesce(1)
+    (appended.write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    total = drain().count()  # file sink accumulates across runs
+    assert total == 35, "second run must emit exactly the 10 appended rows"
