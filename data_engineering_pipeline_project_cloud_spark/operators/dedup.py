@@ -468,9 +468,16 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     converges in a handful of rounds where the alternating
     large-star/small-star formulation (Kiveris et al., "Connected
     Components in MapReduce") would be needed for adversarial
-    long-chain graphs.  Labels are persisted per round and the
-    previous round unpersisted; the convergence probe is a LIMIT-1
-    count on changed labels, not a collect.
+    long-chain graphs.  Each round's result is LINEAGE-TRUNCATED with
+    an eager ``localCheckpoint`` — ``persist`` alone keeps the logical
+    plan, and an iterative plan embeds the previous round's tree twice
+    per round (labels appears on both union branches) plus the whole
+    upstream candidate pipeline, so optimizer time on the driver grows
+    exponentially with rounds (measured: 18 s → 70 s/round by round 2
+    on a 24-edge graph).  On a cluster swap ``localCheckpoint`` for a
+    reliable ``checkpoint`` dir — local checkpoint blocks don't
+    survive executor loss.  The convergence probe is a LIMIT-1 count
+    on changed labels, not a collect.
     """
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("src"),
@@ -478,33 +485,26 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
         .union(pairs.select(F.col(id_b).cast("long").alias("src"),
                             F.col(id_a).cast("long").alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)  # truncate the candidate pipeline
     )
     labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).persist())
-    labels.count()
-    try:
-        for _ in range(max_iters):
-            nbr = (edges.join(labels, edges["src"] == labels["node"])
-                   .select(F.col("dst").alias("node"), F.col("label")))
-            new_labels = (
-                labels.select("node", "label").union(nbr)
-                .groupBy("node").agg(F.min("label").alias("label"))
-                .persist())
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") < F.col("o.label"))
-                .limit(1).count())
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        edges.unpersist()
-    # the final label frame stays cached for the caller's action(s);
-    # scoped so the next registry query releases it
-    scope_register(labels)
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nbr = (edges.join(labels, edges["src"] == labels["node"])
+               .select(F.col("dst").alias("node"), F.col("label")))
+        new_labels = (
+            labels.select("node", "label").union(nbr)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True))
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
 
 
