@@ -455,3 +455,151 @@ def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
     if label_col is not None and label_col in emb.columns:
         cols.append(F.col(label_col))
     return emb.select(*cols)
+
+
+def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[list[list[float]]]:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces and a tiny k-means codebook is fit in
+    EACH (the FAISS ``PQm`` index family; Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+    Returns a driver-side nested list ``[m][≤k][dim/m]`` — the
+    codebooks are ``m·k·(dim/m) = k·dim`` doubles at ANY corpus size,
+    the offline artifact every PQ index ships.  Fitting runs ``m``
+    small DataFrame k-means (operators' own ``kmeans_centroids``) over
+    sliced subvectors; normalize the corpus first if ADC should rank
+    by cosine (see ``pq_ann_topk``).
+    """
+    probe = (emb.filter(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("d")).first())
+    if probe is None:
+        return []
+    dim = probe["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col))
+        cents = kmeans_centroids(sliced, n_cells=k, iters=iters,
+                                 id_col=id_col, vec_col=vec_col,
+                                 assume_unit=False)
+        rows = sorted((r["cell_id"], list(r["centroid"]))
+                      for r in cents.collect())
+        books.append([c for _, c in rows])
+    return books
+
+
+def _sub_l2sq(vec: Column, off: int, cent: list[float]) -> Column:
+    """Squared L2 distance between ``vec[off:off+len(cent)]`` and a
+    literal centroid — unrolled per element (no per-row array build)."""
+    t = None
+    for i, c in enumerate(cent):
+        d = vec[off + i].cast("double") - F.lit(float(c))
+        t = d * d if t is None else t + d * d
+    return t
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector as ``m`` one-byte codes: per subspace, the
+    index of the nearest codebook centroid (squared L2; ties break to
+    the lowest code via first-match ``array_position``).  Map-side
+    only — the 100 TB encode is one scan; the output shuffles/stores
+    ``m`` small ints per vector instead of ``dim`` floats (16× smaller
+    at dim=64, m=4 — the compression that lets a corpus-scale index
+    fit in RAM)."""
+    v = F.col(vec_col)
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = len(book[0])
+        dists = F.array(*[_sub_l2sq(v, j * sub, cent) for cent in book])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1)
+                     .cast("int"))
+    return emb.select(F.col(id_col), F.array(*codes).alias("pq_codes"))
+
+
+def pq_ann_topk(emb: DataFrame, query_ids: list[int],
+                codebooks: list[list[list[float]]], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                codes: DataFrame | None = None,
+                rerank: int = 8) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact
+    rerank: each query's per-subspace distance table (query subvector
+    → every centroid) is built ONCE driver-side — |Q|·m·k floats,
+    bounded — and candidate scoring is ``m`` table lookups per pair
+    instead of a ``dim``-wide dot product (the PQ speedup, honestly
+    expressed: 4 lookups vs 64 multiplies at dim=64/m=4).  The ADC
+    pass selects a ``rerank·k`` shortlist per query; only the
+    shortlist's TRUE vectors are fetched and scored with exact cosine
+    (unit-vector dot) — the two-stage retrieve-then-rerank every
+    production PQ deployment runs, which is also what makes the
+    full-precision corpus scan avoidable at 100 TB.  ``rerank=0``
+    returns the raw ADC ranking (approx distances).
+
+    Pass a pre-encoded ``codes`` frame to skip re-encoding (the
+    at-rest PQ index); queries are looked up in ``emb`` by id, and
+    ``emb`` must be unit-normalized for the rerank dot to be a cosine.
+    """
+    from pyspark.sql import Window
+
+    if codes is None:
+        # the code table is scanned once per query below; without
+        # materialization each scan would re-run the encode over the
+        # raw corpus (m·k unrolled L2 expressions per row).  The
+        # persisted table is m small ints per vector — the in-RAM PQ
+        # index; at rest this is the parquet code table an index job
+        # writes.
+        codes = scoped_persist(pq_encode(emb, codebooks, id_col, vec_col))
+    qrows = {r[id_col]: list(r[vec_col])
+             for r in emb.filter(F.col(id_col).isin(query_ids)).collect()}
+    m = len(codebooks)
+    scored = None
+    for qid in sorted(qrows):
+        qv = qrows[qid]
+        # per-subspace literal lookup tables for THIS query
+        total = None
+        for j, book in enumerate(codebooks):
+            sub = len(book[0])
+            qs = qv[j * sub:(j + 1) * sub]
+            table = F.array(*[
+                F.lit(float(sum((a - c) ** 2 for a, c in zip(qs, cent))))
+                for cent in book])
+            term = F.element_at(table, F.col("pq_codes")[j] + 1)
+            total = term if total is None else total + term
+        part = codes.filter(F.col(id_col) != qid).select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col(id_col).alias("candidate_id"),
+            F.round(total, 6).alias("approx_dist"))
+        scored = part if scored is None else scored.unionByName(part)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("candidate_id").asc())
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= (k * rerank if rerank else k)))
+    if not rerank:
+        return shortlist.select("query_id", "candidate_id", "approx_dist",
+                                F.col("rank").cast("long").alias("rank"))
+    # exact rerank: fetch true vectors ONLY for the shortlist
+    # (|Q|·rerank·k rows) and score with the unit-vector dot product
+    cand_vecs = emb.select(F.col(id_col).alias("candidate_id"),
+                           F.col(vec_col).alias("__cv"))
+    qvec_df = F.broadcast(emb.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in qrows.items()],
+        schema="query_id long, __qv array<double>"))
+    exact = (shortlist.select("query_id", "candidate_id")
+             .join(cand_vecs, "candidate_id")
+             .join(qvec_df, "query_id")
+             .select("query_id", "candidate_id",
+                     F.round(_dot(F.col("__qv"), F.col("__cv")), 6)
+                     .alias("cosine_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id").asc())
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "candidate_id", "cosine_sim",
+                    F.col("rank").cast("long").alias("rank")))

@@ -255,6 +255,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=prefit_ivf_codebook(spark, sf_dir))
 
 
+PQ_M = 4          # subspaces
+PQ_K = 16         # centroids per subspace (codes fit a nibble)
+#: per-(sf_dir) PQ codebooks — like _IVF_CODEBOOKS, the offline
+#: artifact a PQ index build ships; m·k·(dim/m) doubles, tiny
+_PQ_CODEBOOKS: dict[tuple[str, int, int], list] = {}
+
+
+def prefit_pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Fit (or fetch memoized) the product-quantization codebooks —
+    m per-subspace k-means over the UNIT-NORMALIZED corpus, so the
+    ADC distance ranks by cosine (for unit vectors,
+    ||q-x||² = 2 - 2·cos)."""
+    key = (sf_dir, PQ_M, PQ_K)
+    if key not in _PQ_CODEBOOKS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        embn = scoped_persist(sim.with_unit_vectors(emb))
+        _PQ_CODEBOOKS[key] = sim.pq_codebooks(embn, m=PQ_M, k=PQ_K, iters=2)
+    return _PQ_CODEBOOKS[key]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (scale path #3: 16×-compressed code
+    table + asymmetric distance tables) — no oracle (the codebook is a
+    float k-means artifact); code-range/compression/recall-vs-exact
+    invariants are pytest-asserted in tests/test_similarity.py.  On
+    unit vectors the ADC ranking is the cosine ranking, so top-k here
+    approximates ``cosine_topk``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    embn = scoped_persist(sim.with_unit_vectors(emb))
+    return sim.pq_ann_topk(embn, QUERY_VEC_IDS,
+                           prefit_pq_codebooks(spark, sf_dir), k=TOPK)
+
+
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 16
 PACK_BUDGET = 2048
@@ -1523,6 +1556,7 @@ QUERIES = {
     "ann_lsh_topk_portable": ann_lsh_topk_portable,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_norms": embedding_norms,
     "chunk_documents": chunk_documents,
     "pack_sequences": pack_sequences,

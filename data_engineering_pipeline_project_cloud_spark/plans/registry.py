@@ -145,6 +145,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "conform_quarantine_orders": 3,
     "manifest_pruned_scan": 3,
     "streaming_manifest_tail": 3,
+    "ann_pq_topk": 3,
 }
 
 

@@ -175,3 +175,55 @@ def test_ivf_partitioned_index_prunes(spark, sf_dir, tmp_path):
               assigned.filter(F.col("cell_id").isin([0, 1])).collect()}
     got = {r["vec_id"] for r in probe.collect()}
     assert got == expect and got
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        pq_encode,
+        with_unit_vectors,
+    )
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        PQ_K,
+        PQ_M,
+        prefit_pq_codebooks,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    books = prefit_pq_codebooks(spark, sf_dir)
+    assert len(books) == PQ_M
+    for book in books:
+        assert 1 <= len(book) <= PQ_K
+    embn = with_unit_vectors(load_table(spark, sf_dir, "embeddings"))
+    codes = pq_encode(embn, books)
+    rows = codes.collect()
+    assert len(rows) == embn.count()
+    for r in rows:
+        assert len(r["pq_codes"]) == PQ_M
+        for j, c in enumerate(r["pq_codes"]):
+            assert 0 <= c < len(books[j])
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """ADC shortlist + exact rerank must keep real recall against the
+    exact cosine top-k (unit vectors: L2 and cosine agree on ranking),
+    emit exactly TOPK ranked rows per query, and rank by descending
+    exact cosine."""
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        ann_pq_topk,
+    )
+
+    pq = ann_pq_topk(spark, sf_dir)
+    rows = pq.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == set(QUERY_VEC_IDS)
+    for q, rs in per_q.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, TOPK + 1))
+        sims = [r["cosine_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    exact = {(r["query_id"], r["candidate_id"])
+             for r in cosine_topk(spark, sf_dir).collect()}
+    approx = {(r["query_id"], r["candidate_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ+rerank recall {recall} collapsed"
