@@ -153,7 +153,17 @@ _ADDED_IN_ROUND: dict[str, int] = {
 #: order), ahead of module order: the JDBC round-trip closes the
 #: rounds-1/2 "S2/S3 untestable" gap — the single highest-value row if
 #: a budget-capped pass cuts off inside the round-3 block.
-_ROUND_LEAD = ["jdbc_roundtrip_nation", "quantile_sketch_rollup"]
+_ROUND_LEAD = [
+    "jdbc_roundtrip_nation",     # closes the r1/r2 "S2/S3 untestable" gap
+    "quantile_sketch_rollup",
+    # novel operator families added late in round 3 — without a lead
+    # slot they'd sort behind the llmdata report faces and miss a
+    # ~50-row window
+    "manifest_pruned_scan",
+    "fuzzy_match_nations",
+    "conform_quarantine_orders",
+    "streaming_manifest_tail",
+]
 
 
 def _prioritize(names) -> list[str]:
