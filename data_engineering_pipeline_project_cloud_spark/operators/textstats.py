@@ -573,3 +573,83 @@ def source_mix(docs: DataFrame, source_col: str = "source",
         .alias("token_share"),
         F.round(F.col("sum_chars") / F.col("n_docs"), 6).alias("avg_chars"),
     )
+
+
+def nb_classifier_scores(docs: DataFrame, label_col: str = "label",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Multinomial Naive Bayes quality classifier — train AND score in
+    one distributed pipeline (the CCNet/fastText-style learned quality
+    signal that production curation stacks layer on top of hard rules:
+    weak-label a slice, fit a cheap bag-of-words model, score the
+    whole corpus).
+
+    ``docs`` carries a boolean ``label_col`` (the weak label, e.g. the
+    Gopher rule filter's ``keep``).  Laplace-smoothed per-class token
+    log-probabilities over the GLOBAL vocabulary:
+    ``ln((cnt_c(t) + 1) / (N_c + V))``; per-document score per class =
+    class log-prior + Σ cnt(t)·logp_c(t).
+
+    Scale shape: tokens explode once and collapse immediately to
+    (doc, token, cnt) grain (partial agg); the model tables are
+    vocab × 2 rows (Zipf-bounded far below corpus size — broadcast),
+    priors and vocab size are 1-2 row broadcasts; scoring is one join
+    of the term-frequency table against the broadcast model — a
+    corpus-size-independent model, corpus-linear scoring pass, no
+    driver-side math.  ``predicted_pass`` compares the ROUNDED scores
+    so the cross-engine boundary is exact.
+
+    Contract: both classes must be present in the weak labels — a
+    single-class corpus has nothing to fit (its log-prior degenerates
+    to null/-inf; engines disagree on which).
+    """
+    from ..caching import scoped_persist
+
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.col(label_col).alias("__y"),
+        F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
+    tf = scoped_persist(
+        toks.groupBy(id_col, "__y", "token")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    cls_tok = tf.groupBy("__y", "token").agg(F.sum("cnt").alias("ccnt"))
+    cls_tot = cls_tok.groupBy("__y").agg(F.sum("ccnt").alias("ctot"))
+    vocab = tf.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    classes = spark.createDataFrame([(True,), (False,)], "cls boolean")
+    grid = (vocab.crossJoin(F.broadcast(classes))
+            .join(cls_tok,
+                  (F.col("cls") == F.col("__y"))
+                  & (vocab["token"] == cls_tok["token"]), "left")
+            .select(vocab["token"], "cls",
+                    F.coalesce(F.col("ccnt"), F.lit(0)).alias("ccnt")))
+    logp = (grid.join(F.broadcast(cls_tot),
+                      grid["cls"] == cls_tot["__y"])
+            .crossJoin(F.broadcast(vsize))
+            .select("token", "cls",
+                    F.log((F.col("ccnt") + 1)
+                          / (F.col("ctot") + F.col("v"))).alias("logp")))
+    lbl = F.col(label_col)
+    priors = docs.agg(
+        F.log(F.count(F.when(lbl, 1)) / F.count(F.lit(1)))
+        .alias("prior_pass"),
+        F.log(F.count(F.when(~lbl, 1)) / F.count(F.lit(1)))
+        .alias("prior_fail"))
+    scored = (tf.join(logp, "token")
+              .groupBy(id_col)
+              .agg(F.sum(F.when(F.col("cls"), F.col("cnt"))).cast("long")
+                   .alias("n_tokens"),
+                   F.sum(F.when(F.col("cls"),
+                                F.col("cnt") * F.col("logp")))
+                   .alias("__sp"),
+                   F.sum(F.when(~F.col("cls"),
+                                F.col("cnt") * F.col("logp")))
+                   .alias("__sf"),
+                   F.first("__y").alias("weak_label"))
+              .crossJoin(F.broadcast(priors)))
+    sp = F.round(F.col("__sp") + F.col("prior_pass"), 6)
+    sf = F.round(F.col("__sf") + F.col("prior_fail"), 6)
+    return scored.select(
+        F.col(id_col), "n_tokens", "weak_label",
+        sp.alias("score_pass"), sf.alias("score_fail"),
+        (sp >= sf).alias("predicted_pass"))

@@ -308,6 +308,20 @@ def gopher_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.rule_filter(_docs(spark, sf_dir))
 
 
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier (operators/textstats.py:
+    nb_classifier_scores): the Gopher rule filter's ``keep`` verdicts
+    weak-label the corpus, a Laplace-smoothed multinomial NB fits on
+    those labels, and every document gets per-class log-scores + a
+    predicted flag — the rules-then-model escalation a production
+    curation stack runs (hard rules are cheap but brittle; the model
+    generalizes their signal)."""
+    d = _docs(spark, sf_dir)
+    labels = tx.rule_filter(d).select("doc_id", F.col("keep").alias("y"))
+    return tx.nb_classifier_scores(
+        d.join(labels, "doc_id"), label_col="y")
+
+
 #: Target mixture for the resampler face: up-weight the first five
 #: sources 3× over the uniform tail (literal so the oracle CASE can
 #: mirror it).
@@ -797,7 +811,82 @@ _QUALITY_EXPR_SQL = f"""round((least(len({_TOKENS}) / 100.0, 1.0)
 
 _RT = tx.RULE_THRESHOLDS
 
+#: the Gopher `keep` predicate over the `sig` CTE columns — shared by
+#: the gopher_rule_filter oracle and the NB classifier's weak-label CTE
+_GOPHER_KEEP = f"""(n_tok >= {_RT["min_tokens"]}
+                AND n_tok <= {_RT["max_tokens"]}
+                AND mean_len >= {_RT["min_mean_token_len"]}
+                AND mean_len <= {_RT["max_mean_token_len"]}
+                AND stop_hits >= {_RT["min_stopword_hits"]}
+                AND dr >= {_RT["min_distinct_ratio"]})"""
+
+_GOPHER_SIG = f"""
+            SELECT doc_id,
+                   len({_TOKENS}) AS n_tok,
+                   list_sum(list_transform({_TOKENS}, w -> len(w)))
+                       / CAST(len({_TOKENS}) AS DOUBLE) AS mean_len,
+                   len(list_filter({_TOKENS}, w -> lower(w) IN
+                       ('the','a','of','and','to','in','is'))) AS stop_hits,
+                   len(list_distinct({_TOKENS}))
+                       / CAST(len({_TOKENS}) AS DOUBLE) AS dr
+            FROM documents"""
+
 ORACLE_SQL: dict[str, str] = {
+    "nb_quality_classifier": f"""
+        WITH sig AS ({_GOPHER_SIG}),
+        labels AS (SELECT doc_id, {_GOPHER_KEEP} AS y FROM sig),
+        toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT t.doc_id, l.y, token, COUNT(*) AS cnt
+            FROM toks t JOIN labels l USING (doc_id)
+            GROUP BY t.doc_id, l.y, token
+        ),
+        cls_tok AS (
+            SELECT y, token, SUM(cnt) AS ccnt FROM tf GROUP BY y, token
+        ),
+        cls_tot AS (SELECT y, SUM(ccnt) AS ctot FROM cls_tok GROUP BY y),
+        vocab AS (SELECT DISTINCT token FROM tf),
+        vs AS (SELECT COUNT(*) AS v FROM vocab),
+        grid AS (
+            SELECT v.token, c.cls, COALESCE(ct.ccnt, 0) AS ccnt
+            FROM vocab v
+            CROSS JOIN (SELECT true AS cls UNION ALL SELECT false) c
+            LEFT JOIN cls_tok ct ON ct.y = c.cls AND ct.token = v.token
+        ),
+        logp AS (
+            SELECT g.token, g.cls,
+                   ln((g.ccnt + 1) / (t.ctot + s.v)) AS logp
+            FROM grid g JOIN cls_tot t ON g.cls = t.y CROSS JOIN vs s
+        ),
+        priors AS (
+            SELECT ln(COUNT(CASE WHEN y THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE)) AS prior_pass,
+                   ln(COUNT(CASE WHEN NOT y THEN 1 END)
+                      / CAST(COUNT(*) AS DOUBLE)) AS prior_fail
+            FROM labels
+        ),
+        scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(CASE WHEN lp.cls THEN cnt END) AS BIGINT)
+                       AS n_tokens,
+                   bool_or(tf.y) AS weak_label,
+                   SUM(CASE WHEN lp.cls THEN cnt * lp.logp END) AS sp,
+                   SUM(CASE WHEN NOT lp.cls THEN cnt * lp.logp END) AS sf
+            FROM tf JOIN logp lp USING (token)
+            GROUP BY tf.doc_id
+        )
+        SELECT doc_id, n_tokens, weak_label,
+               round(sp + prior_pass, 6) AS score_pass,
+               round(sf + prior_fail, 6) AS score_fail,
+               round(sp + prior_pass, 6) >= round(sf + prior_fail, 6)
+                   AS predicted_pass
+        FROM scored CROSS JOIN priors
+    """,
     "boilerplate_ngrams": f"""
         WITH grams AS (
             SELECT unnest(list_distinct({_SHINGLES})) AS gram
@@ -839,17 +928,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY tf.doc_id
     """,
     "gopher_rule_filter": f"""
-        WITH sig AS (
-            SELECT doc_id,
-                   len({_TOKENS}) AS n_tok,
-                   list_sum(list_transform({_TOKENS}, w -> len(w)))
-                       / CAST(len({_TOKENS}) AS DOUBLE) AS mean_len,
-                   len(list_filter({_TOKENS}, w -> lower(w) IN
-                       ('the','a','of','and','to','in','is'))) AS stop_hits,
-                   len(list_distinct({_TOKENS}))
-                       / CAST(len({_TOKENS}) AS DOUBLE) AS dr
-            FROM documents
-        )
+        WITH sig AS ({_GOPHER_SIG})
         SELECT doc_id,
                CAST(n_tok AS BIGINT) AS n_tokens,
                round(mean_len, 6) AS mean_token_len,
@@ -861,12 +940,7 @@ ORACLE_SQL: dict[str, str] = {
                 AND mean_len <= {_RT["max_mean_token_len"]}) AS pass_word_len,
                (stop_hits >= {_RT["min_stopword_hits"]}) AS pass_stopwords,
                (dr >= {_RT["min_distinct_ratio"]}) AS pass_repetition,
-               (n_tok >= {_RT["min_tokens"]}
-                AND n_tok <= {_RT["max_tokens"]}
-                AND mean_len >= {_RT["min_mean_token_len"]}
-                AND mean_len <= {_RT["max_mean_token_len"]}
-                AND stop_hits >= {_RT["min_stopword_hits"]}
-                AND dr >= {_RT["min_distinct_ratio"]}) AS keep
+               {_GOPHER_KEEP} AS keep
         FROM sig
     """,
     "mixture_resample_by_source": f"""
@@ -1592,6 +1666,7 @@ QUERIES = {
     "source_mix_summary": source_mix_summary,
     "lm_unigram_scores": lm_unigram_scores,
     "gopher_rule_filter": gopher_rule_filter,
+    "nb_quality_classifier": nb_quality_classifier,
     "mixture_resample_by_source": mixture_resample_by_source,
     "boilerplate_ngrams": boilerplate_ngrams,
 }

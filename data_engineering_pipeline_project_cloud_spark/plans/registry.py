@@ -146,6 +146,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_pruned_scan": 3,
     "streaming_manifest_tail": 3,
     "ann_pq_topk": 3,
+    "nb_quality_classifier": 3,
 }
 
 

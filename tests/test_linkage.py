@@ -81,3 +81,26 @@ def test_quarantine_accounting(spark, sf_dir):
     assert len(rows) == expected_bad
     # every quarantined raw value really fails the strict parse
     assert all(r["raw_date"].startswith("X") for r in rows)
+
+
+def test_nb_classifier_learns_above_majority(spark, sf_dir):
+    """The NB quality classifier must (a) cover every document,
+    (b) produce strictly negative log-scores (log-probs + log-prior),
+    and (c) beat the majority-class baseline on its own training
+    labels — the minimum bar for 'the model learned something' on a
+    corpus whose weak labels derive from stats, not word identity."""
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        nb_quality_classifier,
+    )
+
+    rows = nb_quality_classifier(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["n_tokens"] > 0
+        assert r["score_pass"] < 0 and r["score_fail"] < 0
+        assert r["predicted_pass"] == (r["score_pass"] >= r["score_fail"])
+    acc = sum(r["weak_label"] == r["predicted_pass"] for r in rows) / len(rows)
+    p = sum(r["weak_label"] for r in rows) / len(rows)
+    assert acc > max(p, 1 - p), (
+        f"train accuracy {acc:.3f} under majority baseline {max(p, 1-p):.3f}")
