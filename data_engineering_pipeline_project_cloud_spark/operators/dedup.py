@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..caching import scope_register, scoped_persist
+from ..caching import scoped_persist
 from ..functions import portable_hash64
 
 
@@ -478,6 +478,14 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a",
     reliable ``checkpoint`` dir — local checkpoint blocks don't
     survive executor loss.  The convergence probe is a LIMIT-1 count
     on changed labels, not a collect.
+
+    Block release: checkpointed rounds have NO lineage, so an eager
+    unpersist would make a still-referenced frame unrecomputable —
+    intermediate rounds are instead dropped by the ContextCleaner as
+    their Python/JVM references die each iteration.  The retained
+    footprint is bounded and tiny regardless: each round's block set
+    is the (node, label) long-pair table, ≤ max_iters of them,
+    independent of corpus width.
     """
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("src"),

@@ -275,8 +275,16 @@ def with_unit_vectors(emb: DataFrame, id_col: str = "vec_id",
         .drop("__n"))
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, c: (x.cast("double") - c)
+                   * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
 def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str,
-                  vec_col: str, assume_unit: bool = False) -> DataFrame:
+                  vec_col: str, assume_unit: bool = False,
+                  metric: str = "cosine") -> DataFrame:
     """Nearest-centroid assignment by cosine: |N| × n_cells broadcast
     comparisons, map-side, then argmax per vector via ``max_by`` hash
     aggregation (tie → lowest cell_id, deterministic).  A hash agg
@@ -286,8 +294,17 @@ def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str,
     corpus and one that scales with corpus × codebook.
 
     With ``assume_unit`` both sides are unit vectors and the cosine
-    collapses to a dot product (see ``with_unit_vectors``)."""
-    sim = _dot if assume_unit else cosine
+    collapses to a dot product (see ``with_unit_vectors``).
+    ``metric="l2"`` scores by NEGATED squared L2 distance (higher =
+    closer, so the same argmax applies) — the metric for PQ subvector
+    codebooks, where slices of unit vectors are not unit-norm and
+    cosine would both mis-cluster by ignoring magnitude and emit NaN
+    on zero-norm slices."""
+    if metric == "l2":
+        def sim(a, b):
+            return -_l2sq(a, b)
+    else:
+        sim = _dot if assume_unit else cosine
     scored = (
         emb.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(cents))
         .select(id_col, vec_col, "cell_id",
@@ -307,7 +324,8 @@ def _assign_cells(emb: DataFrame, cents: DataFrame, id_col: str,
 def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     assume_unit: bool = False) -> DataFrame:
+                     assume_unit: bool = False,
+                     metric: str = "cosine") -> DataFrame:
     """Spherical k-means codebook in pure DataFrame ops: deterministic
     init (first ``n_cells`` vectors by id), then ``iters`` rounds of
     assign → per-cell mean.  The mean is one hash aggregation with a
@@ -338,7 +356,8 @@ def kmeans_centroids(emb: DataFrame, n_cells: int = 16, iters: int = 2,
                                  lambda x: x.cast("double"))
                      .alias("centroid")))
     for _ in range(iters):
-        assigned = _assign_cells(emb, cents, id_col, vec_col, assume_unit)
+        assigned = _assign_cells(emb, cents, id_col, vec_col, assume_unit,
+                                 metric=metric)
         v = F.col(vec_col)
         sums = assigned.groupBy("cell_id").agg(
             F.count(F.lit(1)).alias("__n"),
@@ -485,9 +504,13 @@ def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
         sliced = emb.select(
             F.col(id_col),
             F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col))
+        # L2 Lloyd iterations: subvectors of unit vectors are NOT
+        # unit-norm, and the ADC tables score by squared L2 — fitting
+        # under cosine would optimize a different metric than the one
+        # the codebook is used with (and NaN on zero-norm slices)
         cents = kmeans_centroids(sliced, n_cells=k, iters=iters,
                                  id_col=id_col, vec_col=vec_col,
-                                 assume_unit=False)
+                                 assume_unit=False, metric="l2")
         rows = sorted((r["cell_id"], list(r["centroid"]))
                       for r in cents.collect())
         books.append([c for _, c in rows])
@@ -521,7 +544,10 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
         dists = F.array(*[_sub_l2sq(v, j * sub, cent) for cent in book])
         codes.append((F.array_position(dists, F.array_min(dists)) - 1)
                      .cast("int"))
-    return emb.select(F.col(id_col), F.array(*codes).alias("pq_codes"))
+    # NULL vectors carry no codes; downstream ADC would rank their
+    # NULL distances first under the window's default NULLS FIRST
+    return (emb.filter(v.isNotNull())
+            .select(F.col(id_col), F.array(*codes).alias("pq_codes")))
 
 
 def pq_ann_topk(emb: DataFrame, query_ids: list[int],
@@ -557,7 +583,12 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
         # writes.
         codes = scoped_persist(pq_encode(emb, codebooks, id_col, vec_col))
     qrows = {r[id_col]: list(r[vec_col])
-             for r in emb.filter(F.col(id_col).isin(query_ids)).collect()}
+             for r in emb.filter(F.col(id_col).isin(query_ids)
+                                 & F.col(vec_col).isNotNull()).collect()}
+    missing = set(query_ids) - set(qrows)
+    if missing:
+        raise ValueError(
+            f"query ids absent or NULL-embedded: {sorted(missing)}")
     m = len(codebooks)
     scored = None
     for qid in sorted(qrows):
@@ -578,7 +609,7 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
             F.round(total, 6).alias("approx_dist"))
         scored = part if scored is None else scored.unionByName(part)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("candidate_id").asc())
+        F.col("approx_dist").asc_nulls_last(), F.col("candidate_id").asc())
     shortlist = (scored.withColumn("rank", F.row_number().over(w))
                  .filter(F.col("rank") <= (k * rerank if rerank else k)))
     if not rerank:

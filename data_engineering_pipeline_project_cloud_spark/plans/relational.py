@@ -919,8 +919,7 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.manifest_source import register, write_manifest_table
 
     global _MANIFEST_FOR
-    register(spark)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)  # also enables the python filter-pushdown conf
     if _MANIFEST_FOR is None or _MANIFEST_FOR[0] != sf_dir \
             or not os.path.exists(_MANIFEST_FOR[1]):
         tmp = tempfile.mkdtemp(prefix="manifest_orders_")

@@ -78,9 +78,14 @@ def build_manifest_from_footers(path: str, schema_json: str,
     """Backfill a manifest over an EXISTING parquet directory from the
     file footers (row-group stats only; no data pages are read) —
     O(files) metadata, the onboarding path for tables written before
-    manifest tracking."""
+    manifest tracking.  The version is recovered from the highest
+    ``part-vNNNN`` filename present, so a later append never reuses a
+    live file name."""
+    import re
+
     import pyarrow.parquet as pq
 
+    version = 0
     files = []
     for name in sorted(os.listdir(path)):
         if not name.endswith(".parquet"):
@@ -103,7 +108,10 @@ def build_manifest_from_footers(path: str, schema_json: str,
             if lo is not None:
                 stats[col] = {"min": lo, "max": hi}
         files.append({"path": fpath, "rows": md.num_rows, "stats": stats})
-    manifest = {"schema": schema_json, "files": files}
+        m = re.match(r"part-v(\d+)-", name)
+        if m:
+            version = max(version, int(m.group(1)))
+    manifest = {"schema": schema_json, "version": version, "files": files}
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -140,17 +148,23 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._stat_cols = [c for c in raw.split(",") if c]
         self._schema_json = schema.json()
         self._overwrite = overwrite
-        # versioned file names make appends collision-free and give
-        # the manifest log a monotone order; the version is fixed on
-        # the driver before tasks launch
+        # versioned file names make EVERY write (append or overwrite)
+        # collision-free with the live table's files — an overwrite
+        # that reused v0000 names would os.replace files the current
+        # manifest still describes, breaking the readers-see-old-or-new
+        # invariant mid-commit
         self._prior: list[dict] = []
         self._version = 0
+        self._stale: list[str] = []
         mpath = os.path.join(self._path, MANIFEST_NAME)
-        if not overwrite and os.path.exists(mpath):
+        if os.path.exists(mpath):
             with open(mpath) as fh:
                 prev = json.load(fh)
-            self._prior = prev["files"]
             self._version = prev.get("version", 0) + 1
+            if overwrite:
+                self._stale = [f["path"] for f in prev["files"]]
+            else:
+                self._prior = prev["files"]
 
     def write(self, iterator) -> WriterCommitMessage | None:
         import pyarrow as pa
@@ -158,11 +172,16 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         import pyarrow.parquet as pq
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
         os.makedirs(self._path, exist_ok=True)
-        name = f"part-v{self._version:04d}-{pid:05d}.parquet"
+        name = f"part-v{self._version:04d}-{ctx.partitionId():05d}.parquet"
         final = os.path.join(self._path, name)
-        tmp = os.path.join(self._path, f".{name}.tmp")
+        # attempt-unique staging name: a speculative/zombie attempt of
+        # the same partition must never stream into the same tmp file
+        # (the Hadoop commit-protocol rule); only the attempt whose
+        # commit message Spark accepts gets published
+        tmp = os.path.join(self._path,
+                           f".{name}.{ctx.taskAttemptId()}.tmp")
         writer = None
         rows = 0
         lo: dict[str, object] = {}
@@ -190,7 +209,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         if rows == 0:
             # empty partition: no file; the runtime requires a real
             # WriterCommitMessage (None is rejected), so send a
-            # zero-row sentinel that commit/abort skip
+            # zero-row sentinel that commit/abort skip.  If the
+            # iterator yielded only zero-row batches the staging file
+            # was still created — remove it, nothing will publish it.
+            if writer is not None and os.path.exists(tmp):
+                os.remove(tmp)
             return _FileCommit(tmp_path="", final_path="", rows=0)
         stats = {c: {"min": lo[c], "max": hi[c]} for c in lo}
         return _FileCommit(tmp_path=tmp, final_path=final, rows=rows,
@@ -198,35 +221,40 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         msgs = [m for m in messages if m is not None and m.rows > 0]
-        keep = set()
         for m in msgs:
             os.replace(m.tmp_path, m.final_path)
-            keep.add(os.path.basename(m.final_path))
         new_files = [{"path": m.final_path, "rows": m.rows,
                       "stats": m.stats}
                      for m in sorted(msgs, key=lambda m: m.final_path)]
-        if self._overwrite:
-            # drop data files from the previous version
-            for name in os.listdir(self._path):
-                if name.endswith(".parquet") and name not in keep:
-                    os.remove(os.path.join(self._path, name))
-            files = new_files
-        else:
-            # append: the manifest file list is an append-only log —
-            # prior entries keep their positions (the streaming
-            # reader's offsets index into this list)
-            files = self._prior + new_files
+        # append: the manifest file list is an append-only log — prior
+        # entries keep their positions (the streaming reader's offsets
+        # index into this list); overwrite: only the new version
+        files = new_files if self._overwrite else self._prior + new_files
         manifest = {
             "schema": self._schema_json,
             "version": self._version,
             "files": files,
         }
-        # the manifest IS the publish point: written last, replaced
-        # atomically
+        # the manifest IS the publish point: written after the data
+        # files land (their names never collide with the previous
+        # version), replaced atomically
         tmp_manifest = os.path.join(self._path, f".{MANIFEST_NAME}.tmp")
         with open(tmp_manifest, "w") as fh:
             json.dump(manifest, fh)
         os.replace(tmp_manifest, os.path.join(self._path, MANIFEST_NAME))
+        # vacuum the superseded version's files only AFTER the publish:
+        # a crash anywhere above leaves the old manifest + old files
+        # fully intact, never a manifest describing replaced contents
+        for path in self._stale:
+            if os.path.exists(path):
+                os.remove(path)
+        # sweep dead attempts' staging files (failed/speculative
+        # attempts return no commit message, so nothing else removes
+        # them); single-writer assumption — like any FS table format
+        # without a lock service
+        for name in os.listdir(self._path):
+            if name.startswith(".") and name.endswith(".tmp"):
+                os.remove(os.path.join(self._path, name))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -378,5 +406,15 @@ class ManifestDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled``
+    (default-off runtime conf): PySpark 4.1 REFUSES any batch read of
+    a Python source that implements ``pushFilters`` while the conf is
+    off, so registering the source without it would make every
+    ``graft_manifest`` scan error.  Deliberate session-wide setting,
+    owned here so no caller/test ordering can leave the source
+    half-registered; it only affects Python data sources that push
+    filters — this one."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ManifestDataSource)
