@@ -204,3 +204,28 @@ def test_stream_reads_only_appended_files(spark, sf_dir, tmp_path):
      .option("path", path).option("statCols", "n_nationkey").save())
     total = drain().count()  # file sink accumulates across runs
     assert total == 35, "second run must emit exactly the 10 appended rows"
+
+
+def test_overwrite_bumps_version_and_vacuums_after_publish(
+        spark, sf_dir, tmp_path):
+    """An overwrite of a live table must never reuse its file names
+    (the previous version's files survive until the new manifest is
+    published) and must leave no superseded files or staging tmps."""
+    import json
+
+    path = str(tmp_path / "m4")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m1 = write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+    v1_names = {os.path.basename(f["path"]) for f in m1["files"]}
+    m2 = write_manifest_table(nat.coalesce(2), path, ["n_nationkey"])
+    with open(os.path.join(path, "manifest.json")) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["version"] == m1.get("version", 0) + 1
+    v2_names = {os.path.basename(f["path"]) for f in m2["files"]}
+    assert v1_names.isdisjoint(v2_names), "overwrite reused live names"
+    names = set(os.listdir(path))
+    assert not any(n.endswith(".tmp") for n in names)
+    assert {n for n in names if n.endswith(".parquet")} == v2_names
+    register(spark)
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == 25
