@@ -72,15 +72,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical-by-construction variant with a full DuckDB oracle is
     ``dedup_minhash_pairs_checked``.
 
-    The signature table is persisted before the banding self-join:
-    without it the join's two sides each recompute the whole
-    shingle+hash pipeline (2 full corpus scans).  Signatures are
-    8 longs/doc — at any scale the cache is negligible next to one
-    recompute (on a cluster this materialization is the parquet
-    signature table an LSH index job would write)."""
+    Candidate generation is single-pass (one groupBy collects each
+    bucket's capped member array and pairs are generated map-side —
+    operators/dedup.py:lsh_candidate_pairs), so the signature pipeline
+    has exactly one consumer and needs no materialization; the pair
+    table itself is materialized inside ``jaccard_pairs`` (it feeds
+    the two semi-joins + the final join)."""
     docs = _docs(spark, sf_dir)
-    sigs = scoped_persist(dd.minhash_signatures(docs, num_hashes=MINHASHES,
-                                                hash_fn="fast"))
+    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                 hash_fn="fast")
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
                                    max_bucket=MAX_BUCKET)
     return dd.jaccard_pairs(docs, pairs)
@@ -93,8 +93,8 @@ def dedup_minhash_pairs_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the DuckDB oracle SQL.  Same operators, same plan shape as the
     production face; only the hash family differs."""
     docs = _docs(spark, sf_dir)
-    sigs = scoped_persist(dd.minhash_signatures(docs, num_hashes=MINHASHES,
-                                                hash_fn="portable"))
+    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                 hash_fn="portable")
     pairs = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
                                    band_key="raw", max_bucket=MAX_BUCKET)
     return dd.jaccard_pairs(docs, pairs)
@@ -105,8 +105,8 @@ DUP_CLUSTER_T = 0.5  # verified-Jaccard cut for transitive clustering
 
 def _checked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    sigs = scoped_persist(dd.minhash_signatures(docs, num_hashes=MINHASHES,
-                                                hash_fn="portable"))
+    sigs = dd.minhash_signatures(docs, num_hashes=MINHASHES,
+                                 hash_fn="portable")
     cand = dd.lsh_candidate_pairs(sigs, num_hashes=MINHASHES, bands=BANDS,
                                   band_key="raw", max_bucket=MAX_BUCKET)
     return dd.jaccard_pairs(docs, cand, threshold=DUP_CLUSTER_T)
