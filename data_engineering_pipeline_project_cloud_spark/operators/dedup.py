@@ -388,7 +388,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     byte-buckets saturate on any real corpus and candidate generation
     degenerates toward all-pairs.  Buckets above ``max_bucket`` are
     dropped before pairing (boilerplate-corpus guard).  The fingerprint
-    table is persisted before the self-join — 8 bytes/doc.
+    table is persisted — 8 bytes/doc — because the Hamming
+    verification joins reuse it on both pair sides.
     """
     sigs = scoped_persist(simhash(docs, text_col, id_col, bits))
     n_bands = bits // SIMHASH_BAND_BITS
@@ -402,16 +403,23 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band_idx", "b.band_val")
-    buckets = _cap_buckets(buckets, ["band_idx", "band_val"], max_bucket)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    # same single-pass per-bucket pairing as lsh_candidate_pairs: one
+    # groupBy collects the capped sorted member array, upper-triangle
+    # pairs generate map-side
+    grouped = (buckets.groupBy("band_idx", "band_val")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids").between(
+                   2, max_bucket if max_bucket is not None else (1 << 31))))
+    n_ids = F.size(F.col("ids"))
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n_ids),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    cand = (grouped.select(F.explode(combos).alias("p"))
+            .select(F.col("p.a").alias("doc_a"),
+                    F.col("p.b").alias("doc_b"))
+            .distinct())
     sa = sigs.select(F.col(id_col).alias("doc_a"),
                      F.col("simhash").alias("sim_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"),
