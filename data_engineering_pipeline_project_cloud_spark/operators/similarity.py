@@ -491,40 +491,80 @@ def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     sliced subvectors; normalize the corpus first if ADC should rank
     by cosine (see ``pq_ann_topk``).
     """
-    probe = (emb.filter(F.col(vec_col).isNotNull())
-             .select(F.size(F.col(vec_col)).alias("d")).first())
+    spark = emb.sparkSession
+    nn = emb.filter(F.col(vec_col).isNotNull())
+    probe = nn.select(F.size(F.col(vec_col)).alias("d")).first()
     if probe is None:
         return []
     dim = probe["d"]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sliced = emb.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col))
-        # L2 Lloyd iterations: subvectors of unit vectors are NOT
-        # unit-norm, and the ADC tables score by squared L2 — fitting
-        # under cosine would optimize a different metric than the one
-        # the codebook is used with (and NaN on zero-norm slices)
-        cents = kmeans_centroids(sliced, n_cells=k, iters=iters,
-                                 id_col=id_col, vec_col=vec_col,
-                                 assume_unit=False, metric="l2")
-        rows = sorted((r["cell_id"], list(r["centroid"]))
-                      for r in cents.collect())
-        books.append([c for _, c in rows])
+    # ALL m subspace fits run as ONE pipeline over an exploded
+    # (id, sub_id, subvec) frame — m sequential kmeans_centroids calls
+    # would each pay their own assign/aggregate/collect jobs and
+    # codegen compiles, m× the wall clock for identical math.  L2
+    # Lloyd iterations (not cosine): subvectors of unit vectors are
+    # not unit-norm, and the ADC tables score by squared L2.
+    v = F.col(vec_col)
+    slices = nn.select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("sub_id"),
+                     F.transform(F.slice(v, j * sub + 1, sub),
+                                 lambda x: x.cast("double")).alias("sv"))
+            for j in range(m)])).alias("s")
+    ).select("vid", "s.sub_id", "s.sv")
+    # deterministic init: the first k vectors by id seed every subspace
+    cents = (slices.filter(F.col("vid") < k)
+             .select("sub_id", F.col("vid").cast("long").alias("cell_id"),
+                     F.col("sv").alias("centroid")))
+    for _ in range(iters):
+        d2 = _l2sq(F.col("sv"), F.col("centroid"))
+        best = (slices.join(F.broadcast(cents), "sub_id")
+                .groupBy("vid", "sub_id")
+                .agg(F.min_by(F.struct(F.col("cell_id"), F.col("sv")),
+                              F.struct(d2.alias("d"),
+                                       F.col("cell_id").alias("t")))
+                     .alias("b")))
+        sums = (best.select("sub_id", F.col("b.cell_id").alias("cell_id"),
+                            F.col("b.sv").alias("sv"))
+                .groupBy("sub_id", "cell_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.col("sv")[i]).alias(f"s{i}")
+                       for i in range(sub)]))
+        rows = (sums.select("sub_id", "cell_id",
+                            F.array(*[F.col(f"s{i}") / F.col("n")
+                                      for i in range(sub)])
+                            .alias("centroid"))).collect()
+        # bounded codebook checkpoint (m·k·sub doubles): the next pass
+        # broadcasts literal data instead of replaying this pass
+        cents = spark.createDataFrame(
+            [(r["sub_id"], r["cell_id"], list(r["centroid"]))
+             for r in rows],
+            schema="sub_id int, cell_id long, centroid array<double>")
+    final = sorted((r["sub_id"], r["cell_id"], list(r["centroid"]))
+                   for r in cents.collect())
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for sub_id, _, cent in final:
+        books[sub_id].append(cent)
     return books
 
 
 def _sub_l2sq(vec: Column, off: int, cent: list[float]) -> Column:
     """Squared L2 distance between ``vec[off:off+len(cent)]`` and a
-    literal centroid — unrolled per element (no per-row array build)."""
-    t = None
-    for i, c in enumerate(cent):
-        d = vec[off + i].cast("double") - F.lit(float(c))
-        t = d * d if t is None else t + d * d
-    return t
+    literal centroid, as a compact HOF fold.  An unrolled per-element
+    expression (m·k·sub terms across the full encode projection) blows
+    whole-stage codegen up to megabytes of generated Java — the
+    COMPILE dominates the tiny data; the fold keeps the plan
+    k-independent in size."""
+    sub = len(cent)
+    return F.aggregate(
+        F.zip_with(F.slice(vec, off + 1, sub),
+                   F.array(*[F.lit(float(c)) for c in cent]),
+                   lambda x, c: (x.cast("double") - c)
+                   * (x.cast("double") - c)),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
@@ -590,24 +630,32 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
         raise ValueError(
             f"query ids absent or NULL-embedded: {sorted(missing)}")
     m = len(codebooks)
-    scored = None
+    # ADC distance tables, built driver-side (|Q|·m·k floats, bounded)
+    # and shipped as ONE broadcast DataFrame — per-query literal plans
+    # would replicate the whole scoring subplan |Q| times (|Q|× the
+    # codegen) where a single broadcast cross join scans the code
+    # table once for all queries
+    tables = []
     for qid in sorted(qrows):
         qv = qrows[qid]
-        # per-subspace literal lookup tables for THIS query
-        total = None
+        per_sub = []
         for j, book in enumerate(codebooks):
             sub = len(book[0])
             qs = qv[j * sub:(j + 1) * sub]
-            table = F.array(*[
-                F.lit(float(sum((a - c) ** 2 for a, c in zip(qs, cent))))
+            per_sub.append([
+                float(sum((a - c) ** 2 for a, c in zip(qs, cent)))
                 for cent in book])
-            term = F.element_at(table, F.col("pq_codes")[j] + 1)
-            total = term if total is None else total + term
-        part = codes.filter(F.col(id_col) != qid).select(
-            F.lit(qid).cast("long").alias("query_id"),
-            F.col(id_col).alias("candidate_id"),
-            F.round(total, 6).alias("approx_dist"))
-        scored = part if scored is None else scored.unionByName(part)
+        tables.append((int(qid), per_sub))
+    tdf = F.broadcast(emb.sparkSession.createDataFrame(
+        tables, schema="query_id long, adc array<array<double>>"))
+    total = None
+    for j in range(m):
+        term = F.element_at(F.col("adc")[j], F.col("pq_codes")[j] + 1)
+        total = term if total is None else total + term
+    scored = (codes.crossJoin(tdf)
+              .filter(F.col(id_col) != F.col("query_id"))
+              .select("query_id", F.col(id_col).alias("candidate_id"),
+                      F.round(total, 6).alias("approx_dist")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc_nulls_last(), F.col("candidate_id").asc())
     shortlist = (scored.withColumn("rank", F.row_number().over(w))

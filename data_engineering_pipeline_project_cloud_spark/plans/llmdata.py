@@ -271,7 +271,12 @@ def prefit_pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     if key not in _PQ_CODEBOOKS:
         emb = load_table(spark, sf_dir, "embeddings")
         embn = scoped_persist(sim.with_unit_vectors(emb))
-        _PQ_CODEBOOKS[key] = sim.pq_codebooks(embn, m=PQ_M, k=PQ_K, iters=2)
+        # 1 Lloyd iteration for the registry fit: each extra iteration
+        # costs m fresh assign+aggregate+collect plans (heavy codegen
+        # per subspace), while end recall is carried by the ADC
+        # shortlist + exact rerank, not codebook polish — the
+        # iterate-to-convergence fit is an offline-index concern
+        _PQ_CODEBOOKS[key] = sim.pq_codebooks(embn, m=PQ_M, k=PQ_K, iters=1)
     return _PQ_CODEBOOKS[key]
 
 
