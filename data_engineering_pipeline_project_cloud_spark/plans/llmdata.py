@@ -327,6 +327,45 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(labels, "doc_id"), label_col="y")
 
 
+BPE_MERGES = 8
+#: learned merge tables per sf_dir — the tokenizer artifact (bounded
+#: driver-side state, like the PQ/IVF codebooks)
+_BPE_TABLES: dict[tuple[str, int], list] = {}
+
+
+def prefit_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    from ..operators import bpe
+
+    key = (sf_dir, BPE_MERGES)
+    if key not in _BPE_TABLES:
+        _BPE_TABLES[key] = bpe.bpe_train(_docs(spark, sf_dir),
+                                         n_merges=BPE_MERGES)
+    return _BPE_TABLES[key]
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py): the learned merge
+    table — rank-ordered most-frequent adjacent unit pairs over the
+    corpus word histogram.  No SQL oracle (the loop is iterative-
+    global); the table is checked against a from-scratch Python BPE
+    reference in tests/test_bpe.py."""
+    rows = [(r, l, rt, n) for r, l, rt, n in prefit_bpe_merges(spark, sf_dir)]
+    return spark.createDataFrame(
+        rows, schema="rank int, left_unit string, right_unit string,"
+                     " pair_freq long")
+
+
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded with the learned BPE merges: per-document unit
+    counts before/after merging — the compression the vocabulary buys,
+    one map-side corpus scan (the merge table inlines as bounded
+    nested folds)."""
+    from ..operators import bpe
+
+    return bpe.bpe_encode_stats(_docs(spark, sf_dir),
+                                prefit_bpe_merges(spark, sf_dir))
+
+
 #: Target mixture for the resampler face: up-weight the first five
 #: sources 3× over the uniform tail (literal so the oracle CASE can
 #: mirror it).
@@ -1672,6 +1711,8 @@ QUERIES = {
     "lm_unigram_scores": lm_unigram_scores,
     "gopher_rule_filter": gopher_rule_filter,
     "nb_quality_classifier": nb_quality_classifier,
+    "bpe_merge_table": bpe_merge_table,
+    "bpe_compression_stats": bpe_compression_stats,
     "mixture_resample_by_source": mixture_resample_by_source,
     "boilerplate_ngrams": boilerplate_ngrams,
 }

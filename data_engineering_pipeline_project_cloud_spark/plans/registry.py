@@ -147,6 +147,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "streaming_manifest_tail": 3,
     "ann_pq_topk": 3,
     "nb_quality_classifier": 3,
+    "bpe_merge_table": 3,
+    "bpe_compression_stats": 3,
 }
 
 
