@@ -63,10 +63,16 @@ def _apply_merge(units: Column, left: str, right: str) -> Column:
 
 def word_histogram(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over lowercased whitespace tokens — the training
-    input; vocab-grain (Zipf-bounded), never corpus-grain."""
-    return (docs.select(F.explode(
-        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("word"))
-        .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    input; vocab-grain (Zipf-bounded), never corpus-grain.  Empty
+    words (NULL or whitespace-only documents: trim+split of '' yields
+    [''], and split('', '') yields [''] again — a phantom unit the
+    Python reference never produces) are dropped."""
+    return (docs.filter(F.col(text_col).isNotNull())
+            .select(F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+                .alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
 
 
 def bpe_train(docs: DataFrame, n_merges: int = 8,
@@ -116,17 +122,23 @@ def bpe_encode_stats(docs: DataFrame,
     """Per-document BPE token counts (before vs after merges) — the
     compression the learned vocabulary buys, computed map-side over
     the corpus in one scan (the merge table inlines as ``n_merges``
-    nested folds; bounded, so the plan is corpus-size-independent)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    nested folds; bounded, so the plan is corpus-size-independent).
+    NULL-text and zero-token documents are dropped — they would emit
+    NULL stats, and the faces guarantee null-free canonical output."""
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda w: w != "")
     per_word_units = F.transform(
         words, lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))))
     seg = F.transform(per_word_units, lambda u: bpe_segment(u, merges))
     n_chars = F.aggregate(per_word_units, F.lit(0),
                           lambda a, u: a + F.size(u))
     n_bpe = F.aggregate(seg, F.lit(0), lambda a, u: a + F.size(u))
-    return docs.select(
-        F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        n_chars.cast("long").alias("n_char_units"),
-        n_bpe.cast("long").alias("n_bpe_units"),
-        F.round(n_bpe / n_chars, 6).alias("compression"))
+    return (docs.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.size(words).cast("long").alias("n_words"),
+                n_chars.cast("long").alias("n_char_units"),
+                n_bpe.cast("long").alias("n_bpe_units"),
+                F.round(n_bpe / n_chars, 6).alias("compression"))
+            .filter(F.col("n_words") > 0))

@@ -149,6 +149,38 @@ def _cap_buckets(buckets: DataFrame, keys: list[str],
     return buckets.join(ok, keys, "left_semi")
 
 
+def _bucket_pairs(buckets: DataFrame, keys: list[str], id_col: str,
+                  max_bucket: int | None) -> DataFrame:
+    """Candidate pairs from a (member, *bucket-keys) table: drop
+    over-cap buckets FIRST with the constant-state count + semi-join
+    pass (``_cap_buckets`` — the collect_list below materializes a
+    whole bucket's member array in one aggregation buffer, so the cap
+    must bound memory BEFORE that, not just prune pair output after),
+    then ONE groupBy collects each surviving bucket's sorted distinct
+    members and upper-triangle pairs generate map-side.
+    ``array_distinct`` guards duplicate member ids (a re-ingested or
+    unioned corpus): a repeated id would otherwise pair with itself.
+    """
+    buckets = _cap_buckets(buckets, keys, max_bucket)
+    grouped = (buckets.groupBy(*keys)
+               .agg(F.array_distinct(F.array_sort(F.collect_list(id_col)))
+                    .alias("ids"))
+               .filter(F.size("ids") >= 2))
+    n = F.size(F.col("ids"))
+    # upper triangle: element i pairs with every LATER element — the
+    # (element, index) 2-arg transform lambda is the documented Spark
+    # HOF form (elsewhere the unary form is mandatory)
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    return (grouped.select(F.explode(combos).alias("p"))
+            .select(F.col("p.a").alias("doc_a"),
+                    F.col("p.b").alias("doc_b"))
+            .distinct())
+
+
 def band_table(signatures: DataFrame, id_col: str = "doc_id",
                num_hashes: int = 8, bands: int = 4,
                band_key: str = "hash") -> DataFrame:
@@ -192,35 +224,19 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     of documents sharing any band bucket.
 
     Scale shape: explode to (doc, band, band_hash) — ``bands`` rows per
-    doc (``band_table``) — then ONE groupBy collects each bucket's
-    (size-capped, sorted) member array and the upper-triangle pairs
-    are generated map-side from the array.  vs the equivalent bucket
-    self-join this is one shuffle of the band table instead of two
-    plus it needs no materialized bucket table (single consumer), and
-    the size cap is a HAVING on the same aggregation rather than a
-    separate cap-join pass — measured ~40% faster end-to-end at sf0.1
-    with an identical pair set.  Per-bucket work is O(bucket²) bounded
-    by ``max_bucket``² (the cap exists exactly to bound it); buckets
-    larger than ``max_bucket`` are dropped whole, as before.
+    doc (``band_table``) — then the single-pass per-bucket pairing of
+    ``_bucket_pairs``: over-cap buckets dropped by a constant-state
+    count pass first (memory bound), one groupBy collects each
+    surviving bucket's member array, upper-triangle pairs generate
+    map-side.  vs the equivalent bucket self-join this is one shuffle
+    of the band table instead of two and needs no materialized bucket
+    table (single consumer) — measured ~40% faster end-to-end at
+    sf0.1 with an identical pair set.  Per-bucket pair fan-out is
+    O(``max_bucket``²)-bounded.
     """
     buckets = band_table(signatures, id_col, num_hashes, bands, band_key)
-    grouped = (buckets.groupBy("band_idx", "band_hash")
-               .agg(F.array_sort(F.collect_list(id_col)).alias("ids")))
-    hi = max_bucket if max_bucket is not None else (1 << 31)
-    grouped = grouped.filter(F.size("ids").between(2, hi))
-    n = F.size(F.col("ids"))
-    # upper triangle: for element i, pair with every LATER element —
-    # the (element, index) 2-arg transform lambda is the documented
-    # Spark HOF form (elsewhere the unary form is mandatory)
-    combos = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, n),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    return (grouped.select(F.explode(combos).alias("p"))
-            .select(F.col("p.a").alias("doc_a"),
-                    F.col("p.b").alias("doc_b"))
-            .distinct())
+    return _bucket_pairs(buckets, ["band_idx", "band_hash"], id_col,
+                         max_bucket)
 
 
 def cross_corpus_neardup(corpus: DataFrame, reference: DataFrame,
@@ -403,23 +419,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, "b.band_idx", "b.band_val")
-    # same single-pass per-bucket pairing as lsh_candidate_pairs: one
-    # groupBy collects the capped sorted member array, upper-triangle
-    # pairs generate map-side
-    grouped = (buckets.groupBy("band_idx", "band_val")
-               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-               .filter(F.size("ids").between(
-                   2, max_bucket if max_bucket is not None else (1 << 31))))
-    n_ids = F.size(F.col("ids"))
-    combos = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, n_ids),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    cand = (grouped.select(F.explode(combos).alias("p"))
-            .select(F.col("p.a").alias("doc_a"),
-                    F.col("p.b").alias("doc_b"))
-            .distinct())
+    cand = _bucket_pairs(buckets, ["band_idx", "band_val"], id_col,
+                         max_bucket)
     sa = sigs.select(F.col(id_col).alias("doc_a"),
                      F.col("simhash").alias("sim_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"),

@@ -508,16 +508,23 @@ def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
     # not unit-norm, and the ADC tables score by squared L2.
     v = F.col(vec_col)
     slices = nn.select(
-        F.col(id_col).alias("vid"),
+        F.col(id_col).cast("long").alias("vid"),
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("sub_id"),
                      F.transform(F.slice(v, j * sub + 1, sub),
                                  lambda x: x.cast("double")).alias("sv"))
             for j in range(m)])).alias("s")
     ).select("vid", "s.sub_id", "s.sv")
-    # deterministic init: the first k vectors by id seed every subspace
-    cents = (slices.filter(F.col("vid") < k)
-             .select("sub_id", F.col("vid").cast("long").alias("cell_id"),
+    # deterministic init: the first k vectors BY ORDER of id seed
+    # every subspace (a `vid < k` filter would silently seed fewer —
+    # or zero — cells whenever the id space doesn't start at 0);
+    # cell labels are the seed ids themselves (distinctness is all
+    # that's required)
+    first_k = F.broadcast(
+        nn.select(F.col(id_col).cast("long").alias("vid"))
+        .orderBy("vid").limit(k))
+    cents = (slices.join(first_k, "vid")
+             .select("sub_id", F.col("vid").alias("cell_id"),
                      F.col("sv").alias("centroid")))
     for _ in range(iters):
         d2 = _l2sq(F.col("sv"), F.col("centroid"))
@@ -615,12 +622,10 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
     from pyspark.sql import Window
 
     if codes is None:
-        # the code table is scanned once per query below; without
-        # materialization each scan would re-run the encode over the
-        # raw corpus (m·k unrolled L2 expressions per row).  The
-        # persisted table is m small ints per vector — the in-RAM PQ
-        # index; at rest this is the parquet code table an index job
-        # writes.
+        # the code table feeds the broadcast-tables cross join below
+        # AND (with rerank) the shortlist join; materialized it is m
+        # small ints per vector — the in-RAM PQ index; at rest this is
+        # the parquet code table an index job writes.
         codes = scoped_persist(pq_encode(emb, codebooks, id_col, vec_col))
     qrows = {r[id_col]: list(r[vec_col])
              for r in emb.filter(F.col(id_col).isin(query_ids)

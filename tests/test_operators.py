@@ -726,3 +726,41 @@ def test_global_topk_uses_take_ordered(spark, sf_dir):
     for fn in (boilerplate_ngrams, skew_key_report):
         plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, f"{fn.__name__}: {plan}"
+
+
+def test_bucket_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """A duplicated member id in a bucket (re-ingested/unioned corpus)
+    must not pair a document with itself."""
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        _bucket_pairs,
+    )
+
+    buckets = spark.createDataFrame(
+        [(1, 0, 7), (1, 0, 7), (2, 0, 7), (9, 1, 3)],
+        "doc_id long, band_idx int, band_hash long")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in _bucket_pairs(buckets, ["band_idx", "band_hash"],
+                                    "doc_id", 100).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_pq_codebooks_seed_with_offset_ids(spark):
+    """Codebook init must seed from the first k vectors BY ORDER of
+    id — an id space not starting at 0 seeded zero cells before."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = spark.createDataFrame(
+        [(1000 + i, [float(i % 3), float(i % 5), float(i % 7), 1.0])
+         for i in range(40)],
+        "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=2, k=4, iters=1)
+    assert len(books) == 2
+    assert all(1 <= len(b) <= 4 for b in books)
+    codes = pq_encode(emb, books).collect()
+    assert len(codes) == 40
+    for r in codes:
+        for j, c in enumerate(r["pq_codes"]):
+            assert 0 <= c < len(books[j])
