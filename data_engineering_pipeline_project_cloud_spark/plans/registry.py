@@ -149,6 +149,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "nb_quality_classifier": 3,
     "bpe_merge_table": 3,
     "bpe_compression_stats": 3,
+    "interval_overlap_orders": 3,
 }
 
 

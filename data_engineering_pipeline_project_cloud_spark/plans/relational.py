@@ -940,6 +940,38 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+IOJ_WINDOW_DAYS = 14
+IOJ_A_MONTHS = ("1995-01-01", "1995-02-01")   # urgent side: Jan 1995
+IOJ_B_MONTHS = ("1995-01-01", "1995-03-01")   # high side: Jan-Feb 1995
+
+
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join face (operators/intervals.py): urgent
+    orders' 14-day fulfillment windows intersected with high-priority
+    orders' windows — pairs whose handling periods collide, the
+    capacity-contention question.  Binned-equi-join implementation;
+    the oracle is the plain non-equi theta join, so the driver check
+    proves the binning is semantically transparent."""
+    from ..operators.intervals import interval_overlap_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d"))
+    win_end = F.date_add(F.col("d"), IOJ_WINDOW_DAYS)
+    a = (o.filter((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("d") >= IOJ_A_MONTHS[0])
+                  & (F.col("d") < IOJ_A_MONTHS[1]))
+         .select("o_orderkey", F.col("d").alias("s"),
+                 win_end.alias("e")))
+    b = (o.filter((F.col("o_orderpriority") == "2-HIGH")
+                  & (F.col("d") >= IOJ_B_MONTHS[0])
+                  & (F.col("d") < IOJ_B_MONTHS[1]))
+         .select("o_orderkey", F.col("d").alias("s"),
+                 win_end.alias("e")))
+    return interval_overlap_join(a, b, "o_orderkey", "s", "e",
+                                 "o_orderkey", "s", "e", bin_days=7)
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -1002,6 +1034,32 @@ def conform_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H_REL = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 ORACLE_SQL: dict[str, str] = {
+    "interval_overlap_orders": """
+        WITH a AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS a_id,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE) + INTERVAL 14 DAY AS e
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1995-02-01'
+        ), b AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS b_id,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE) + INTERVAL 14 DAY AS e
+            FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+              AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1995-03-01'
+        )
+        SELECT a.a_id, b.b_id,
+               CAST(date_diff('day',
+                              greatest(a.s, b.s),
+                              least(a.e, b.e)) + 1 AS BIGINT)
+                   AS overlap_days
+        FROM a JOIN b
+          ON a.s <= b.e AND b.s <= a.e AND a.a_id <> b.b_id
+    """,
     "manifest_pruned_scan": """
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -1614,6 +1672,7 @@ QUERIES = {
     "fuzzy_match_nations": fuzzy_match_nations,
     "conform_quarantine_orders": conform_quarantine_orders,
     "manifest_pruned_scan": manifest_pruned_scan,
+    "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,

@@ -322,3 +322,51 @@ def test_blocked_fuzzy_match_matches_bruteforce(spark, dirty, canon):
                 best = (d, c)
         expect = (best[1], best[0]) if best else (None, None)
         assert out[w] == expect, f"{w}: got {out[w]}, want {expect}"
+
+
+def _brute_overlap(a, b):
+    out = set()
+    for aid, as_, ae in a:
+        for bid, bs, be in b:
+            if aid != bid and as_ <= be and bs <= ae:
+                out.add((aid, bid, min(ae, be) - max(as_, bs) + 1))
+    return out
+
+
+_iv = st.lists(st.tuples(st.integers(0, 40), st.integers(0, 60),
+                         st.integers(0, 30)), min_size=0, max_size=15)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(a=_iv, b=_iv, bin_days=st.sampled_from([1, 3, 7, 30]))
+def test_interval_overlap_matches_bruteforce(spark, a, b, bin_days):
+    """Binned overlap join == brute-force theta join for EVERY bin
+    width (binning must be semantically transparent), including
+    touching endpoints and zero-length intervals."""
+    from data_engineering_pipeline_project_cloud_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    def df(rows, dedup):
+        # one interval per id (the operator's pair-grain contract)
+        seen = {}
+        for i, s, ln in rows:
+            seen.setdefault(i, (s, s + ln))
+        data = [(i, dt.date(2020, 1, 1) + dt.timedelta(days=s),
+                 dt.date(2020, 1, 1) + dt.timedelta(days=e))
+                for i, (s, e) in seen.items()]
+        return (spark.createDataFrame(
+            data or [(999999, dt.date(2020, 1, 1), dt.date(2020, 1, 1))],
+            "id long, s date, e date"), seen)
+
+    adf, aseen = df(a, True)
+    bdf, bseen = df(b, True)
+    got = {(r["a_id"], r["b_id"], r["overlap_days"])
+           for r in interval_overlap_join(
+               adf, bdf, "id", "s", "e", "id", "s", "e",
+               bin_days=bin_days).collect()}
+    want = _brute_overlap(
+        [(i, s, e) for i, (s, e) in aseen.items()] or [(999999, 0, 0)],
+        [(i, s, e) for i, (s, e) in bseen.items()] or [(999999, 0, 0)])
+    assert got == want
