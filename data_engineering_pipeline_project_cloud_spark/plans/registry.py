@@ -167,6 +167,8 @@ _ROUND_LEAD = [
     "fuzzy_match_nations",
     "conform_quarantine_orders",
     "streaming_manifest_tail",
+    "interval_overlap_orders",
+    "nb_quality_classifier",
 ]
 
 
