@@ -1,5 +1,5 @@
-"""Manifest-table source: lakehouse-style file skipping as a Spark 4
-Python DataSource.
+"""Manifest-table source: lakehouse-style file skipping, versioned
+commits, and time travel as a Spark 4 Python DataSource.
 
 The reference's scan surface is "read whatever the path holds"
 (main.py:44-49); table formats (Delta/Iceberg/Hudi) instead keep a
@@ -12,11 +12,35 @@ public APIs only:
   protocol: each task streams its Arrow batches to a write-ahead file
   and accumulates min/max in the same pass (stats cost no extra scan),
   returning them in its ``WriterCommitMessage``; the driver's
-  ``commit`` publishes files then manifest (manifest LAST — readers
-  see old or new version, never a mix), ``abort`` removes the
-  write-ahead files.  ``write_manifest_table`` is the DataFrame-API
-  entry; ``build_manifest_from_footers`` backfills a manifest over a
-  pre-existing parquet directory from footers (O(files) metadata).
+  ``commit`` publishes data files first, then claims the next manifest
+  VERSION with an atomic put-if-absent (``os.link`` of a fully-written
+  temp file — the same primitive Delta's LogStore calls putIfAbsent).
+  Losing the claim means another writer landed that version first: the
+  committer re-reads the new latest manifest, REBASES (append: prior
+  file list = the winner's; overwrite: supersede the winner), and
+  retries at version+1 — optimistic concurrency, no lost updates,
+  no lock service.  ``abort`` removes the write-ahead files.
+* **Time travel** — every commit writes an immutable
+  ``manifest-v{N}.json`` snapshot; ``option("versionAsOf", N)`` reads
+  the table exactly as of version N.  Appends never delete anything,
+  so the whole append history stays readable; an ``overwrite`` eagerly
+  vacuums the superseded files *and* manifest snapshots (retention 0 —
+  the post-publish cleanup below), so the travel window restarts at the
+  last overwrite.  ``manifest.json`` is maintained as a latest-version
+  convenience pointer; version resolution is authoritative from the
+  immutable ``manifest-v*.json`` files.
+* **Schema evolution** — appending a DataFrame with NEW columns widens
+  the manifest schema (add-column only; a changed type for an existing
+  name is refused).  The read side aligns every file's Arrow batches
+  to the manifest schema, NULL-filling columns the file predates — the
+  add-column contract every table format honors.
+* **Idempotent transactional appends** — ``option("txnAppId", id)`` +
+  ``option("txnVersion", n)`` record the (app, version) watermark in
+  the manifest; a replayed commit with an already-recorded version is
+  a no-op (files cleaned, no new manifest).  This is what makes a
+  Structured Streaming ``foreachBatch`` sink exactly-once: Spark may
+  re-run a batch with the same batch_id after a failure, and the
+  replay must not double-append (streaming/sinks.py wires it up).
 * ``ManifestDataSource`` — reads a manifest table.  ``pushFilters``
   receives Catalyst's translated predicates, prunes the FILE LIST with
   them, and declares every filter unsupported so Spark still applies
@@ -28,7 +52,10 @@ public APIs only:
 
 Scale notes: the manifest is metadata (bytes per file); a 100 TB table
 at 1 GB/file is ~100k manifest entries — a single JSON read on the
-driver, the same order as a table format's snapshot load.  Timestamp
+driver, the same order as a table format's snapshot load.  The
+put-if-absent claim assumes the storage gives atomic create-if-absent
+(POSIX link here; S3 conditional PUT / a commit service in the cloud —
+the identical protocol Delta runs per object store).  Timestamp
 columns are deliberately excluded from stats (naive-vs-LTZ semantics
 differ between engines); prune on int/float/string columns.
 """
@@ -37,6 +64,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import uuid
 from dataclasses import dataclass, field
 from typing import Iterator
 
@@ -57,20 +86,98 @@ from pyspark.sql.types import StructType
 
 MANIFEST_NAME = "manifest.json"
 
+_V_RE = re.compile(r"manifest-v(\d{8})\.json")
+
+
+def _manifest_file(version: int) -> str:
+    return f"manifest-v{version:08d}.json"
+
+
+def _versioned_manifests(path: str) -> dict[int, str]:
+    """version → snapshot path, from the immutable manifest-v*.json files."""
+    out: dict[int, str] = {}
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        m = _V_RE.fullmatch(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(path, name)
+    return out
+
+
+def load_manifest(path: str, version: int | None = None) -> dict:
+    """Resolve a manifest-table directory (or a direct ``*.json`` path)
+    to a manifest dict.  ``version=None`` → latest: the highest
+    ``manifest-v*.json`` snapshot, falling back to the legacy
+    ``manifest.json`` for tables written before versioned snapshots.
+    An explicit ``version`` reads that snapshot (time travel) and
+    raises ``ValueError`` if it is not available (never written, or
+    vacuumed by a later overwrite)."""
+    if path.endswith(".json"):
+        with open(path) as fh:
+            return json.load(fh)
+    snaps = _versioned_manifests(path)
+    if version is not None:
+        p = snaps.get(version)
+        if p is None:
+            raise ValueError(
+                f"manifest version {version} is not available under {path} "
+                f"(have {sorted(snaps)}); it was never written or was "
+                f"vacuumed by a later overwrite")
+        with open(p) as fh:
+            return json.load(fh)
+    if snaps:
+        with open(snaps[max(snaps)]) as fh:
+            return json.load(fh)
+    with open(os.path.join(path, MANIFEST_NAME)) as fh:
+        return json.load(fh)
+
+
+def _require_path(options) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError("graft_manifest requires option 'path'")
+    return path
+
+
+def _version_option(options) -> int | None:
+    v = options.get("versionasof")
+    return None if v is None else int(v)
+
+
+def _merged_schema_json(prior_json: str, new: StructType) -> str:
+    """Append-time schema evolution: prior columns keep their position,
+    genuinely new columns append.  A column present in both with a
+    DIFFERENT type is refused — add-column is the only evolution this
+    format (like most) performs implicitly."""
+    prior = StructType.fromJson(json.loads(prior_json))
+    by_name = {f.name: f for f in prior.fields}
+    added = []
+    for f in new.fields:
+        p = by_name.get(f.name)
+        if p is None:
+            added.append(f)
+        elif p.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column {f.name!r} from "
+                f"{p.dataType.simpleString()} to {f.dataType.simpleString()}"
+                " — add-column is the only implicit evolution")
+    return StructType(prior.fields + added).json()
+
 
 def write_manifest_table(df, path: str, stat_cols: list[str]) -> dict:
     """Write ``df`` as a manifest table through the distributed commit
     protocol (``ManifestArrowWriter``): each task streams its Arrow
     batches to a write-ahead file and returns (path, rows, min/max) in
     its commit message; ``commit()`` on the driver publishes the files
-    and the manifest atomically-enough for a single-node FS (a
-    lakehouse would write the same manifest to its log/commit
-    service).  Returns the manifest dict."""
+    then claims the next manifest version atomically.  Returns the
+    manifest dict."""
     register(df.sparkSession)
     (df.write.format("graft_manifest").mode("overwrite")
      .option("path", path).option("statCols", ",".join(stat_cols)).save())
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        return json.load(fh)
+    return load_manifest(path)
 
 
 def build_manifest_from_footers(path: str, schema_json: str,
@@ -81,8 +188,6 @@ def build_manifest_from_footers(path: str, schema_json: str,
     manifest tracking.  The version is recovered from the highest
     ``part-vNNNN`` filename present, so a later append never reuses a
     live file name."""
-    import re
-
     import pyarrow.parquet as pq
 
     version = 0
@@ -111,7 +216,8 @@ def build_manifest_from_footers(path: str, schema_json: str,
         m = re.match(r"part-v(\d+)-", name)
         if m:
             version = max(version, int(m.group(1)))
-    manifest = {"schema": schema_json, "version": version, "files": files}
+    manifest = {"schema": schema_json, "version": version, "files": files,
+                "txn": {}}
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(manifest, fh)
     return manifest
@@ -127,44 +233,46 @@ class _FileCommit(WriterCommitMessage):
 
 class ManifestArrowWriter(DataSourceArrowWriter):
     """The write side of the table format: write-ahead data files +
-    publish-on-commit manifest.
+    optimistic-concurrency versioned manifest commit.
 
-    Each task streams its record batches to ``.<name>.tmp`` and
-    accumulates per-column min/max as it goes (one pass — stats cost
-    nothing extra); the driver's ``commit`` renames the write-ahead
-    files into place, drops files from any previous version, and
-    writes ``manifest.json`` LAST — a reader that loads the manifest
-    sees either the old version or the new one, never a half-written
-    mix.  ``abort`` removes the write-ahead files; a retried task
-    rewrites its own tmp file (same name), so task retries and
+    Each task streams its record batches to an attempt-unique staging
+    file and accumulates per-column min/max as it goes (one pass —
+    stats cost nothing extra).  The driver's ``commit`` renames the
+    write-ahead files into place (names carry a per-commit id, so two
+    concurrent writers can never collide on a data file), then runs
+    the CAS loop: read latest manifest → compose version N+1 →
+    put-if-absent ``manifest-v{N+1}.json`` → on conflict re-read and
+    retry.  A crash anywhere before the snapshot lands leaves the
+    previous version fully intact; a crash after it is a completed
+    commit (the pointer/vacuum steps below are conveniences, not
+    correctness).  ``abort`` removes the write-ahead files; a retried
+    task rewrites its own attempt-unique tmp file, so task retries and
     speculation cannot double-publish.
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool):
-        self._path = options.get("path")
-        if not self._path:
-            raise ValueError("graft_manifest requires option 'path'")
+        self._path = _require_path(options)
         raw = options.get("statcols") or ""
         self._stat_cols = [c for c in raw.split(",") if c]
+        self._schema = schema
         self._schema_json = schema.json()
         self._overwrite = overwrite
-        # versioned file names make EVERY write (append or overwrite)
-        # collision-free with the live table's files — an overwrite
-        # that reused v0000 names would os.replace files the current
-        # manifest still describes, breaking the readers-see-old-or-new
-        # invariant mid-commit
-        self._prior: list[dict] = []
-        self._version = 0
-        self._stale: list[str] = []
-        mpath = os.path.join(self._path, MANIFEST_NAME)
-        if os.path.exists(mpath):
-            with open(mpath) as fh:
-                prev = json.load(fh)
-            self._version = prev.get("version", 0) + 1
-            if overwrite:
-                self._stale = [f["path"] for f in prev["files"]]
-            else:
-                self._prior = prev["files"]
+        self._txn_app = options.get("txnappid")
+        tv = options.get("txnversion")
+        self._txn_ver = None if tv is None else int(tv)
+        if (self._txn_app is None) != (self._txn_ver is None):
+            raise ValueError("txnAppId and txnVersion must be set together")
+        # per-commit id: makes every data-file name globally unique, so
+        # concurrent writers (and a committed-then-retried version
+        # claim) can never collide on a file the other published
+        self._commit_id = uuid.uuid4().hex[:8]
+        # version hint for file-name provenance only — the real commit
+        # version is claimed atomically at commit time
+        try:
+            self._name_version = load_manifest(self._path).get(
+                "version", 0) + 1
+        except (FileNotFoundError, ValueError):
+            self._name_version = 0
 
     def write(self, iterator) -> WriterCommitMessage | None:
         import pyarrow as pa
@@ -174,7 +282,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
         ctx = TaskContext.get()
         os.makedirs(self._path, exist_ok=True)
-        name = f"part-v{self._version:04d}-{ctx.partitionId():05d}.parquet"
+        name = (f"part-v{self._name_version:04d}-{self._commit_id}"
+                f"-{ctx.partitionId():05d}.parquet")
         final = os.path.join(self._path, name)
         # attempt-unique staging name: a speculative/zombie attempt of
         # the same partition must never stream into the same tmp file
@@ -219,41 +328,119 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         return _FileCommit(tmp_path=tmp, final_path=final, rows=rows,
                            stats=stats)
 
+    def _latest(self) -> dict | None:
+        try:
+            return load_manifest(self._path)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _txn_already_committed(self, manifest: dict | None) -> bool:
+        if manifest is None or self._txn_app is None:
+            return False
+        done = manifest.get("txn", {}).get(self._txn_app)
+        return done is not None and int(done) >= self._txn_ver
+
     def commit(self, messages) -> None:
         msgs = [m for m in messages if m is not None and m.rows > 0]
+        # idempotent transactional replay (exactly-once streaming): if
+        # this (appId, version) watermark is already in the manifest,
+        # the whole commit is a no-op — drop the staged files
+        if self._txn_already_committed(self._latest()):
+            for m in msgs:
+                if os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+            return
         for m in msgs:
             os.replace(m.tmp_path, m.final_path)
         new_files = [{"path": m.final_path, "rows": m.rows,
                       "stats": m.stats}
                      for m in sorted(msgs, key=lambda m: m.final_path)]
-        # append: the manifest file list is an append-only log — prior
-        # entries keep their positions (the streaming reader's offsets
-        # index into this list); overwrite: only the new version
-        files = new_files if self._overwrite else self._prior + new_files
-        manifest = {
-            "schema": self._schema_json,
-            "version": self._version,
-            "files": files,
-        }
-        # the manifest IS the publish point: written after the data
-        # files land (their names never collide with the previous
-        # version), replaced atomically
-        tmp_manifest = os.path.join(self._path, f".{MANIFEST_NAME}.tmp")
-        with open(tmp_manifest, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp_manifest, os.path.join(self._path, MANIFEST_NAME))
-        # vacuum the superseded version's files only AFTER the publish:
-        # a crash anywhere above leaves the old manifest + old files
-        # fully intact, never a manifest describing replaced contents
-        for path in self._stale:
-            if os.path.exists(path):
+        os.makedirs(self._path, exist_ok=True)
+        # --- optimistic-concurrency CAS loop ---------------------------
+        # compose the next version from the CURRENT latest (not the
+        # planning-time state), claim its snapshot file atomically, and
+        # on conflict rebase + retry: concurrent appends both land,
+        # never a lost update
+        stale_files: list[str] = []
+        stale_manifests: list[str] = []
+        while True:
+            prev = self._latest()
+            if self._txn_already_committed(prev):
+                # a concurrent replay of the same (app, batch) won the
+                # race — our published files belong to no manifest;
+                # remove them and no-op
+                for f in new_files:
+                    if os.path.exists(f["path"]):
+                        os.remove(f["path"])
+                return
+            target = 0 if prev is None else prev.get("version", 0) + 1
+            txn = dict((prev or {}).get("txn", {}))
+            if self._txn_app is not None:
+                txn[self._txn_app] = self._txn_ver
+            if self._overwrite or prev is None:
+                files = list(new_files)
+                schema_json = self._schema_json
+                stale_files = [f["path"] for f in (prev or {}).get(
+                    "files", [])]
+                stale_manifests = list(
+                    _versioned_manifests(self._path).values())
+            else:
+                # append: the manifest file list is an append-only log —
+                # prior entries keep their positions (the streaming
+                # reader's offsets index into this list)
+                files = prev["files"] + new_files
+                schema_json = _merged_schema_json(prev["schema"],
+                                                  self._schema)
+                stale_files = []
+                stale_manifests = []
+            manifest = {"schema": schema_json, "version": target,
+                        "files": files, "txn": txn}
+            vpath = os.path.join(self._path, _manifest_file(target))
+            # put-if-absent: write the snapshot fully to a private tmp,
+            # then hard-link it to the versioned name — link fails
+            # atomically if another writer claimed this version, and a
+            # reader can never observe a partially written snapshot
+            link_tmp = os.path.join(
+                self._path, f".{_manifest_file(target)}.{self._commit_id}.tmp")
+            with open(link_tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                os.link(link_tmp, vpath)
+            except FileExistsError:
+                os.remove(link_tmp)
+                continue  # lost the claim: re-read latest and rebase
+            os.remove(link_tmp)
+            break
+        # --- post-publish conveniences (crash-safe to skip) ------------
+        # legacy latest pointer: only refresh if we are still the
+        # highest version (a concurrent writer may already be past us)
+        snaps = _versioned_manifests(self._path)
+        if snaps and max(snaps) == target:
+            tmp_manifest = os.path.join(
+                self._path, f".{MANIFEST_NAME}.{self._commit_id}.tmp")
+            with open(tmp_manifest, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp_manifest, os.path.join(self._path, MANIFEST_NAME))
+        # overwrite vacuums the superseded version's files and manifest
+        # snapshots only AFTER the publish (retention 0; the time-travel
+        # window restarts at the last overwrite).  A crash anywhere
+        # above leaves the old version fully intact.
+        live = {f["path"] for f in manifest["files"]}
+        for path in stale_files:
+            if path not in live and os.path.exists(path):
                 os.remove(path)
-        # sweep dead attempts' staging files (failed/speculative
-        # attempts return no commit message, so nothing else removes
-        # them); single-writer assumption — like any FS table format
-        # without a lock service
+        for mpath in stale_manifests:
+            if os.path.basename(mpath) != _manifest_file(target) \
+                    and os.path.exists(mpath):
+                os.remove(mpath)
+        # sweep THIS commit's dead staging files only (failed or
+        # speculative attempts return no commit message, so nothing
+        # else removes them).  Another writer's in-flight staging files
+        # are NOT ours to touch — orphans from crashed writers linger
+        # until a vacuum, like any lock-free table format.
         for name in os.listdir(self._path):
-            if name.startswith(".") and name.endswith(".tmp"):
+            if (name.startswith(".") and name.endswith(".tmp")
+                    and self._commit_id in name):
                 os.remove(os.path.join(self._path, name))
 
     def abort(self, messages) -> None:
@@ -263,8 +450,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, schema_json: str | None = None):
         self.path = path
+        self.schema_json = schema_json
 
 
 def _file_survives(stats: dict, filters) -> bool:
@@ -304,15 +492,44 @@ def _file_survives(stats: dict, filters) -> bool:
     return True
 
 
+def _read_aligned(path: str, schema_json: str | None) -> Iterator:
+    """Yield a parquet file's Arrow batches aligned to the manifest
+    schema: columns the file predates (schema evolution) are
+    NULL-filled, column order is normalized.  A file already matching
+    the manifest schema streams through untouched — the alignment path
+    costs nothing on non-evolved tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if schema_json is None:
+        yield from pf.iter_batches()
+        return
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    if pf.schema_arrow.names == list(target.names):
+        yield from pf.iter_batches()
+        return
+    have = set(pf.schema_arrow.names)
+    for batch in pf.iter_batches():
+        arrays = []
+        for f in target:
+            if f.name in have:
+                col = batch.column(f.name)
+                if col.type != f.type:
+                    col = col.cast(f.type)
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(batch.num_rows, f.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
 class ManifestReader(DataSourceReader):
     def __init__(self, options):
-        path = options.get("path")
-        if not path:
-            raise ValueError("graft_manifest requires option 'path'")
-        mpath = path if path.endswith(".json") else os.path.join(
-            path, MANIFEST_NAME)
-        with open(mpath) as fh:
-            self._manifest = json.load(fh)
+        path = _require_path(options)
+        self._manifest = load_manifest(path, _version_option(options))
+        self._schema_json = self._manifest["schema"]
         self._files = self._manifest["files"]
 
     def pushFilters(self, filters):
@@ -323,12 +540,16 @@ class ManifestReader(DataSourceReader):
         yield from filters
 
     def partitions(self):
-        return [_FilePartition(f["path"]) for f in self._files]
+        return [_FilePartition(f["path"], self._schema_json)
+                for f in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        if partition is None:
+            # all files pruned: partitions() returned [] and the
+            # runtime substitutes a single None partition — an empty
+            # scan, not an error
+            return
+        yield from _read_aligned(partition.path, partition.schema_json)
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -348,30 +569,26 @@ class ManifestStreamReader(DataSourceStreamReader):
     """
 
     def __init__(self, options):
-        path = options.get("path")
-        if not path:
-            raise ValueError("graft_manifest requires option 'path'")
-        self._mpath = path if path.endswith(".json") else os.path.join(
-            path, MANIFEST_NAME)
+        self._path = _require_path(options)
 
-    def _files(self) -> list[dict]:
-        with open(self._mpath) as fh:
-            return json.load(fh)["files"]
+    def _manifest(self) -> dict:
+        return load_manifest(self._path)
 
     def initialOffset(self) -> dict:
         return {"index": 0}
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._files())}
+        return {"index": len(self._manifest()["files"])}
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()[start["index"]:end["index"]]
-        return [_FilePartition(f["path"]) for f in files]
+        m = self._manifest()
+        files = m["files"][start["index"]:end["index"]]
+        return [_FilePartition(f["path"], m["schema"]) for f in files]
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow.parquet as pq
-
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        if partition is None:
+            return
+        yield from _read_aligned(partition.path, partition.schema_json)
 
     def commit(self, end: dict) -> None:
         pass  # the manifest is the durable log; offsets checkpoint engine-side
@@ -381,18 +598,20 @@ class ManifestStreamReader(DataSourceStreamReader):
 
 
 class ManifestDataSource(DataSource):
-    """``spark.read.format("graft_manifest").option("path", dir)``."""
+    """``spark.read.format("graft_manifest").option("path", dir)``.
+
+    Options: ``path`` (required), ``versionAsOf`` (time travel),
+    ``statCols`` / ``txnAppId`` / ``txnVersion`` (write side).
+    """
 
     @classmethod
     def name(cls) -> str:
         return "graft_manifest"
 
     def schema(self) -> StructType:
-        path = self.options.get("path")
-        mpath = path if path.endswith(".json") else os.path.join(
-            path, MANIFEST_NAME)
-        with open(mpath) as fh:
-            return StructType.fromJson(json.loads(json.load(fh)["schema"]))
+        path = _require_path(self.options)
+        m = load_manifest(path, _version_option(self.options))
+        return StructType.fromJson(json.loads(m["schema"]))
 
     def reader(self, schema: StructType) -> ManifestReader:
         return ManifestReader(self.options)

@@ -229,3 +229,157 @@ def test_overwrite_bumps_version_and_vacuums_after_publish(
     register(spark)
     assert (spark.read.format("graft_manifest").option("path", path)
             .load().count()) == 25
+
+
+def test_fully_pruned_scan_returns_zero_rows(spark, manifest_dir):
+    """When pushed filters prune EVERY file, partitions() is empty and
+    the runtime substitutes a single None partition; read(None) must
+    yield nothing, not crash (round-3 advisory)."""
+    path, m = manifest_dir
+    register(spark)
+    beyond = max(f["stats"]["order_year"]["max"] for f in m["files"]) + 1
+    got = (spark.read.format("graft_manifest").option("path", path).load()
+           .filter(F.col("order_year") >= beyond))
+    assert got.count() == 0
+
+
+def test_missing_path_option_raises_value_error(spark):
+    register(spark)
+    with pytest.raises(Exception, match="requires option 'path'"):
+        spark.read.format("graft_manifest").load().collect()
+
+
+def test_concurrent_appends_no_lost_update(spark, sf_dir, tmp_path):
+    """Optimistic concurrency: two writers initialized against the SAME
+    latest version both commit appends; the CAS loop must land them as
+    consecutive versions with BOTH file sets present (no lost update)."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestArrowWriter,
+        _FileCommit,
+        load_manifest,
+    )
+
+    path = str(tmp_path / "mcc")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m0 = write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+
+    def staged_commit(tag: str):
+        """A writer whose task output is staged by hand (driver-side
+        stand-in for the executor write path), not yet committed."""
+        w = ManifestArrowWriter(
+            {"path": path, "statcols": "k"},
+            spark.createDataFrame([(1,)], "k int").schema,
+            overwrite=False)
+        tmp = os.path.join(path, f".stage_{tag}.{w._commit_id}.tmp")
+        final = os.path.join(path, f"part-x-{tag}-{w._commit_id}.parquet")
+        pq.write_table(pa.table({"k": [1, 2, 3]}), tmp)
+        return w, [_FileCommit(tmp_path=tmp, final_path=final, rows=3,
+                               stats={"k": {"min": 1, "max": 3}})]
+
+    # both writers plan against version 0, then commit one after the
+    # other — writer B's planned version collides and must rebase
+    wa, ma = staged_commit("a")
+    wb, mb = staged_commit("b")
+    wa.commit(ma)
+    wb.commit(mb)
+    latest = load_manifest(path)
+    assert latest["version"] == m0["version"] + 2
+    paths = [f["path"] for f in latest["files"]]
+    assert ma[0].final_path in paths and mb[0].final_path in paths
+    assert len(paths) == len(m0["files"]) + 2
+    # prior entries keep their log positions (stream-offset contract)
+    assert latest["files"][:len(m0["files"])] == m0["files"]
+    # intermediate snapshot is readable (time travel across the race)
+    mid = load_manifest(path, m0["version"] + 1)
+    assert len(mid["files"]) == len(m0["files"]) + 1
+
+
+def test_time_travel_reads_version_as_of(spark, sf_dir, tmp_path):
+    """Every commit leaves an immutable snapshot; versionAsOf=N reads
+    the table exactly as of version N after later appends."""
+    path = str(tmp_path / "mtt")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    register(spark)
+    write_manifest_table(nat.filter(F.col("n_nationkey") < 10).coalesce(1),
+                         path, ["n_nationkey"])
+    (nat.filter(F.col("n_nationkey") >= 10).coalesce(1)
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    latest = spark.read.format("graft_manifest").option("path", path).load()
+    v0 = (spark.read.format("graft_manifest").option("path", path)
+          .option("versionAsOf", "0").load())
+    assert latest.count() == 25
+    assert v0.count() == 10
+    assert v0.agg(F.max("n_nationkey")).collect()[0][0] == 9
+    # a never-written version is a clear error, not garbage
+    with pytest.raises(Exception, match="not available"):
+        (spark.read.format("graft_manifest").option("path", path)
+         .option("versionAsOf", "99").load().collect())
+
+
+def test_schema_evolution_null_fills_old_files(spark, sf_dir, tmp_path):
+    """Appending a widened schema evolves the manifest schema; files
+    written before the new column read back NULL-filled (the
+    add-column contract every table format honors)."""
+    path = str(tmp_path / "mse")
+    nat = load_table(spark, sf_dir, "nation")
+    register(spark)
+    write_manifest_table(
+        nat.select("n_nationkey", "n_name").coalesce(1), path,
+        ["n_nationkey"])
+    (nat.select("n_nationkey", "n_name", "n_regionkey").coalesce(1)
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert df.count() == 50
+    assert df.filter(F.col("n_regionkey").isNull()).count() == 25
+    # time travel before the evolution sees the NARROW schema
+    v0 = (spark.read.format("graft_manifest").option("path", path)
+          .option("versionAsOf", "0").load())
+    assert v0.columns == ["n_nationkey", "n_name"]
+    # a type CHANGE for an existing column is refused
+    with pytest.raises(Exception, match="cannot change column"):
+        (nat.select(F.col("n_nationkey").cast("string"), "n_name")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "").save())
+
+
+def test_txn_append_is_idempotent(spark, sf_dir, tmp_path):
+    """txnAppId/txnVersion watermarking: replaying a committed (app,
+    version) append is a no-op — same rows, same manifest version, no
+    orphan files (the exactly-once primitive the streaming sink uses)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+    )
+
+    path = str(tmp_path / "mtxn")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    register(spark)
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+
+    def txn_append(batch_id: int):
+        (nat.filter(F.col("n_nationkey") < 5).coalesce(1)
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey")
+         .option("txnAppId", "app1").option("txnVersion", str(batch_id))
+         .save())
+
+    txn_append(0)
+    v_after = load_manifest(path)["version"]
+    n_after = (spark.read.format("graft_manifest").option("path", path)
+               .load().count())
+    txn_append(0)  # replay: must no-op
+    assert load_manifest(path)["version"] == v_after
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == n_after
+    data_files = {n for n in os.listdir(path) if n.endswith(".parquet")}
+    assert data_files == {os.path.basename(f["path"])
+                          for f in load_manifest(path)["files"]}
+    txn_append(1)  # a NEW batch id commits normally
+    assert load_manifest(path)["version"] == v_after + 1
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == n_after + 5
