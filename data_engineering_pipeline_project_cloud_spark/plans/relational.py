@@ -896,11 +896,9 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "version", "is_current")
 
 
-#: sf_dir whose manifest table is currently on disk (write-once layout,
-#: like the bucketed tables above)
-_MANIFEST_FOR: tuple[str, str] | None = None
 MANIFEST_FILES = 5
 MANIFEST_MIN_YEAR = 1997
+TT_SPLIT_YEAR = 1998  # manifest_time_travel: v0 = years before this
 
 
 def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,31 +911,102 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate over the raw table) proves skipping is semantically
     free.  File-level pruning itself is asserted in
     tests/test_manifest_source.py."""
-    import os
-    import tempfile
-
     from ..sources.manifest_source import register, write_manifest_table
+    from .scratch import scoped_scratch
 
-    global _MANIFEST_FOR
     register(spark)  # also enables the python filter-pushdown conf
-    if _MANIFEST_FOR is None or _MANIFEST_FOR[0] != sf_dir \
-            or not os.path.exists(_MANIFEST_FOR[1]):
-        tmp = tempfile.mkdtemp(prefix="manifest_orders_")
+
+    def build(path: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey",
             F.col("o_totalprice").cast("double").alias("total_price"),
             F.year("o_orderdate").cast("int").alias("order_year"))
         write_manifest_table(
             orders.repartitionByRange(MANIFEST_FILES, "order_year"),
-            tmp, ["order_year", "o_orderkey"])
-        _MANIFEST_FOR = (sf_dir, tmp)
-    df = (spark.read.format("graft_manifest")
-          .option("path", _MANIFEST_FOR[1]).load())
+            path, ["order_year", "o_orderkey"])
+
+    tmp = scoped_scratch("manifest_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", tmp).load()
     return (df.filter(F.col("order_year") >= MANIFEST_MIN_YEAR)
             .groupBy("order_year")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
                  .cast("double").alias("sum_price")))
+
+
+def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reads (``versionAsOf``) over the versioned manifest
+    table: orders land in TWO commits — version 0 holds the years
+    before TT_SPLIT_YEAR, version 1 appends the rest — and the face
+    reads **version 0 after the append**, aggregating per year.  The
+    oracle recomputes the same aggregate from the raw table under the
+    version-0 predicate, so the driver hash proves the snapshot is
+    exactly the pre-append table, untouched by the later commit.
+    Optimistic-concurrency commit claiming and interleaved-writer
+    rebasing are asserted in tests/test_manifest_source.py."""
+    from ..sources.manifest_source import register, write_manifest_table
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.filter(F.col("order_year") < TT_SPLIT_YEAR)
+            .repartitionByRange(2, "order_year"), path,
+            ["order_year", "o_orderkey"])
+        (orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
+         .repartitionByRange(2, "order_year")
+         .write.format("graft_manifest").mode("append")
+         .option("path", path)
+         .option("statCols", "order_year,o_orderkey").save())
+
+    tmp = scoped_scratch("manifest_tt_orders", sf_dir, build)
+    v0 = (spark.read.format("graft_manifest").option("path", tmp)
+          .option("versionAsOf", "0").load())
+    return (v0.groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-column schema evolution through the manifest table: version
+    0 writes nation WITHOUT the region column, version 1 appends the
+    widened schema; the latest read returns BOTH halves under the
+    evolved schema with the old files' missing column NULL-filled (the
+    contract every table format honors for added columns).  The oracle
+    is the equivalent UNION ALL with an explicit NULL, so the driver
+    hash proves the null-fill and column alignment byte-for-byte."""
+    from ..sources.manifest_source import register, write_manifest_table
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        nat = load_table(spark, sf_dir, "nation")
+        write_manifest_table(
+            nat.select("n_nationkey", "n_name").coalesce(1), path,
+            ["n_nationkey"])
+        (nat.select("n_nationkey", "n_name",
+                    F.col("n_regionkey").cast("long").alias("n_regionkey"))
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey").save())
+
+    tmp = scoped_scratch("manifest_se_nation", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    # present the null-filled column COALESCEd to a sentinel: a nullable
+    # numeric in driver-facing output round-trips through float frames
+    # ('0' vs '0.0' — the round-1 serialization trap); the -1 rows are
+    # exactly the pre-evolution files
+    return df.select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name",
+        F.coalesce(F.col("n_regionkey").cast("long"), F.lit(-1).cast("long"))
+        .alias("n_regionkey"))
 
 
 IOJ_WINDOW_DAYS = 14
@@ -1068,6 +1137,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
+    """,
+    "manifest_time_travel": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE year(o_orderdate) < 1998
+        GROUP BY 1
+    """,
+    "manifest_schema_evolution": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(-1 AS BIGINT) AS n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
     """,
     "fuzzy_match_nations": """
         WITH dirty AS (
@@ -1672,6 +1759,8 @@ QUERIES = {
     "fuzzy_match_nations": fuzzy_match_nations,
     "conform_quarantine_orders": conform_quarantine_orders,
     "manifest_pruned_scan": manifest_pruned_scan,
+    "manifest_time_travel": manifest_time_travel,
+    "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,
     "zorder_layout_orders": zorder_layout_orders,

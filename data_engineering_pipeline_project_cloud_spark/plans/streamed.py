@@ -114,9 +114,6 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(stream_quality_filter(docs), spark, mode="append")
 
 
-_MANIFEST_STREAM_FOR: tuple[str, str] | None = None
-
-
 def streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest table as a STREAM source
     (sources/manifest_source.py:ManifestStreamReader): nation is laid
@@ -127,26 +124,73 @@ def streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     read, which is what the oracle (plain nation scan) checks;
     append-only-new-files incremental behavior is asserted with a
     checkpoint in tests/test_manifest_source.py."""
-    import os
-
     from ..sources.manifest_source import register, write_manifest_table
+    from .scratch import scoped_scratch
 
-    global _MANIFEST_STREAM_FOR
     register(spark)
-    if _MANIFEST_STREAM_FOR is None or _MANIFEST_STREAM_FOR[0] != sf_dir \
-            or not os.path.exists(_MANIFEST_STREAM_FOR[1]):
-        tmp = tempfile.mkdtemp(prefix="manifest_stream_")
+
+    def build(path: str) -> None:
         nat = load_table(spark, sf_dir, "nation").select(
             "n_nationkey", "n_name", "n_regionkey")
-        write_manifest_table(nat.repartition(4, "n_nationkey"), tmp,
+        write_manifest_table(nat.repartition(4, "n_nationkey"), path,
                              ["n_nationkey"])
-        _MANIFEST_STREAM_FOR = (sf_dir, tmp)
+
+    tmp = scoped_scratch("manifest_stream", sf_dir, build)
     stream = (spark.readStream.format("graft_manifest")
-              .option("path", _MANIFEST_STREAM_FOR[1]).load())
+              .option("path", tmp).load())
     return _drain(stream, spark, mode="append").select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",
         F.col("n_regionkey").cast("long").alias("n_regionkey"))
+
+
+def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming INTO the manifest table: the conformed
+    event stream drains through a ``foreachBatch`` +
+    ``manifest_append_writer`` sink (streaming/sinks.py) — each
+    micro-batch appends new files and claims ONE manifest version with
+    its (appId, batch_id) watermark recorded, so a replayed batch
+    no-ops inside the commit protocol.  The face then reads the table
+    back; the oracle is the plain batch conform of events, so the
+    driver hash proves the stream → commit → read loop is lossless and
+    duplicate-free.  Replay/restart idempotence is asserted in
+    tests/test_sinks_ingest.py.  Sink cost is O(batch) — new files +
+    one manifest claim — never a read-modify-write of the table, which
+    is what makes the pattern hold at a 100 TB table size."""
+    from ..streaming.sinks import manifest_append_writer, run_foreach_batch
+    from ..sources.manifest_source import register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        import os
+
+        src = os.path.join(path, "src")
+        table = os.path.join(path, "table")
+        ckpt = os.path.join(path, "ckpt")
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type",
+            F.col("value").cast("decimal(12,2)").cast("double")
+            .alias("value"))
+        # two source files + maxFilesPerTrigger=1 → the sink commits
+        # across MULTIPLE micro-batches, each one manifest version
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_foreach_batch(
+            stream, manifest_append_writer(table, ["event_id"], "evsink"),
+            ckpt)
+
+    import os
+
+    path = scoped_scratch("manifest_sink_events", sf_dir, build)
+    return (spark.read.format("graft_manifest")
+            .option("path", os.path.join(path, "table")).load()
+            .select(F.col("event_id").cast("long").alias("event_id"),
+                    F.col("user_id").cast("long").alias("user_id"),
+                    "event_type", "value"))
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -154,6 +198,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
         FROM nation
+    """,
+    "streaming_manifest_sink": """
+        SELECT CAST(event_id AS BIGINT) AS event_id,
+               CAST(user_id AS BIGINT) AS user_id,
+               event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value
+        FROM events
     """,
     "streaming_enriched_events": """
         SELECT e.event_id, e.user_id, e.event_type,
@@ -265,4 +316,5 @@ QUERIES = {
     "streaming_sessionize": streaming_sessionize,
     "streaming_user_lifetime": streaming_user_lifetime,
     "streaming_manifest_tail": streaming_manifest_tail,
+    "streaming_manifest_sink": streaming_manifest_sink,
 }

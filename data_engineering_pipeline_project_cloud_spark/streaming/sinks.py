@@ -64,6 +64,37 @@ def keyed_upsert_writer(path: str, key_cols: list[str],
     return write
 
 
+def manifest_append_writer(path: str, stat_cols: list[str],
+                           app_id: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback appending each micro-batch to a manifest
+    table (sources/manifest_source.py) EXACTLY ONCE.
+
+    Spark's foreachBatch contract is at-least-once: after a failure the
+    engine replays the last batch with the SAME batch_id.  Exactly-once
+    therefore needs the sink to be idempotent per batch_id — here the
+    manifest commit records a ``(txnAppId -> txnVersion)`` watermark and
+    a replayed (app, batch_id) commit no-ops inside the commit protocol
+    itself (checked again under the CAS claim, so even a racing replay
+    cannot double-append).  This is the same idempotent-writes design
+    Delta's ``txnAppId``/``txnVersion`` options implement, and it
+    replaces the full-rewrite ``keyed_upsert_writer`` for append-shaped
+    state: each batch lands as new files + one manifest version — no
+    read-modify-write of the table, so sink cost is O(batch), not
+    O(table), at any scale.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest_source import register
+
+        register(batch.sparkSession)
+        (batch.write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", ",".join(stat_cols))
+         .option("txnAppId", app_id).option("txnVersion", str(batch_id))
+         .save())
+
+    return write
+
+
 def run_foreach_batch(df: DataFrame, writer: Callable[[DataFrame, int], None],
                       checkpoint: str) -> None:
     """Drain the stream through a foreachBatch writer (AvailableNow)."""

@@ -94,3 +94,70 @@ def test_jdbc_derby_roundtrip_partitioned_and_idempotent(spark, sf_dir,
     got = sorted(tuple(r) for r in back.collect())
     want = sorted(tuple(r) for r in nation.collect())
     assert got == want
+
+def test_manifest_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
+    """Streaming into the manifest table through foreachBatch with txn
+    watermarking: each micro-batch advances the manifest exactly one
+    version; a checkpoint restart emits nothing already processed; a
+    REPLAYED batch (Spark's at-least-once failure mode, simulated by
+    invoking the callback again with a committed batch_id) no-ops."""
+    import json
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        register,
+    )
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        manifest_append_writer,
+        run_foreach_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp_path / "mtable")
+    ckpt = str(tmp_path / "ckpt")
+    writer = manifest_append_writer(sink, ["event_id"], app_id="evsink")
+
+    run_foreach_batch(stream, writer, ckpt)
+    register(spark)
+    m = load_manifest(sink)
+    n_batches = m["version"] + 1  # one manifest version per micro-batch
+    assert n_batches >= 2
+    assert int(m["txn"]["evsink"]) == n_batches - 1
+    total = ev.count()
+    table = spark.read.format("graft_manifest").option("path", sink).load()
+    assert table.count() == total
+    assert table.select("event_id").distinct().count() == total
+
+    # restart from the same checkpoint with no new input: no new version
+    stream2 = (spark.readStream.schema(spark.read.parquet(src).schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    run_foreach_batch(stream2, writer, ckpt)
+    assert load_manifest(sink)["version"] == m["version"]
+
+    # replay of an already-committed batch id must no-op inside the
+    # commit protocol (version, rows, and files all unchanged)
+    replay = ev.limit(7)
+    writer(replay, 0)
+    m2 = load_manifest(sink)
+    assert m2["version"] == m["version"]
+    assert (spark.read.format("graft_manifest").option("path", sink)
+            .load().count()) == total
+    import os
+    data_files = {n for n in os.listdir(sink) if n.endswith(".parquet")}
+    assert data_files == {os.path.basename(f["path"]) for f in m2["files"]}
+
+    # genuinely new data lands exactly once
+    new = ev.limit(5).withColumn("event_id", F.col("event_id") + 10_000_000)
+    new.coalesce(1).write.mode("append").parquet(src)
+    stream3 = (spark.readStream.schema(spark.read.parquet(src).schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    run_foreach_batch(stream3, writer, ckpt)
+    m3 = load_manifest(sink)
+    assert m3["version"] == m["version"] + 1
+    assert (spark.read.format("graft_manifest").option("path", sink)
+            .load().count()) == total + 5
