@@ -15,10 +15,24 @@ keys — Catalyst-planned, AQE-skew-splittable), then the exact overlap
 predicate verifies candidates and ``distinct`` collapses multi-bin
 matches.  Fan-out per interval is ``len/bin_width + 1`` rows — pick
 ``bin_days`` near the typical interval length so most intervals
-explode to 1-2 bins; intervals orders of magnitude longer than the
-bin (a years-long validity row) should be capped or routed to a
-broadcast side by the caller, the same long-outlier caveat every
-binned overlap join (e.g. genomic binning schemes) carries.
+explode to 1-2 bins.
+
+Long-outlier routing (``max_bins``): at validity-table scale the
+years-long interval is the norm, not the exception — one unbounded
+row per entity — and binning it explodes to ``len/bin_days`` rows.
+With ``max_bins`` set, intervals covering more bins are ROUTED OUT of
+the binned path entirely: they join by the exact predicate as a
+broadcast side against the other input (long intervals are rare and
+wide, so the long set is small — dimension-sized — while each long
+interval would match huge bin ranges anyway, exactly when binning
+stops paying).  Short×short stays the shuffled equi join;
+long_a×(all b) and short_a×long_b are broadcast theta joins; the
+union is exact-verified and ``distinct``-collapsed like the pure
+binned path, so routing never changes the result set (property-tested
+against brute force in tests/test_operators.py).  The same
+short/long split is how published interval-join schemes (e.g. genomic
+binning; Flink's interval join with bounded ranges) handle the
+unbounded tail.
 """
 
 from __future__ import annotations
@@ -35,33 +49,62 @@ def _eday(c: Column) -> Column:
 def interval_overlap_join(a: DataFrame, b: DataFrame,
                           a_id: str, a_start: str, a_end: str,
                           b_id: str, b_start: str, b_end: str,
-                          bin_days: int = 7) -> DataFrame:
+                          bin_days: int = 7,
+                          max_bins: int | None = None) -> DataFrame:
     """All (a_id, b_id) whose [start, end] day-granularity intervals
     intersect (closed ends: touching endpoints DO overlap), with the
     overlap length in days.  Self-pairs (equal ids) are excluded —
     callers joining a set to itself get proper pairs only.
 
+    ``max_bins``: intervals spanning more than this many bins bypass
+    binning and join as a broadcast side by the exact predicate (see
+    module docstring); ``None`` bins everything (only safe when the
+    caller knows no interval is orders of magnitude longer than
+    ``bin_days``).
+
     Returns ``(a_id, b_id, overlap_days)``, deterministic row set.
     """
-    def bins(df: DataFrame, id_col: str, s: str, e: str,
+    def prep(df: DataFrame, id_col: str, s: str, e: str,
              out_id: str) -> DataFrame:
-        lo = F.floor(_eday(F.col(s)) / bin_days)
-        hi = F.floor(_eday(F.col(e)) / bin_days)
         return df.select(
             F.col(id_col).cast("long").alias(out_id),
             _eday(F.col(s)).alias(f"{out_id}_s"),
-            _eday(F.col(e)).alias(f"{out_id}_e"),
+            _eday(F.col(e)).alias(f"{out_id}_e"))
+
+    def bins(df: DataFrame, out_id: str) -> DataFrame:
+        lo = F.floor(F.col(f"{out_id}_s") / bin_days)
+        hi = F.floor(F.col(f"{out_id}_e") / bin_days)
+        return df.select(
+            out_id, f"{out_id}_s", f"{out_id}_e",
             F.explode(F.sequence(lo, hi)).alias("bin"))
 
-    ab = bins(a, a_id, a_start, a_end, "a_id")
-    bb = bins(b, b_id, b_start, b_end, "b_id")
-    cand = ab.join(bb, "bin")
+    def n_bins(out_id: str) -> Column:
+        return (F.floor(F.col(f"{out_id}_e") / bin_days)
+                - F.floor(F.col(f"{out_id}_s") / bin_days) + 1)
+
+    ap = prep(a, a_id, a_start, a_end, "a_id")
+    bp = prep(b, b_id, b_start, b_end, "b_id")
+    exact = (F.col("a_id_s") <= F.col("b_id_e")) \
+        & (F.col("b_id_s") <= F.col("a_id_e"))
+    if max_bins is None:
+        cand = bins(ap, "a_id").join(bins(bp, "b_id"), "bin")
+    else:
+        a_short = ap.filter(n_bins("a_id") <= max_bins)
+        a_long = ap.filter(n_bins("a_id") > max_bins)
+        b_short = bp.filter(n_bins("b_id") <= max_bins)
+        b_long = bp.filter(n_bins("b_id") > max_bins)
+        binned = (bins(a_short, "a_id").join(bins(b_short, "b_id"), "bin")
+                  .drop("bin"))
+        # long outliers: rare + wide → broadcast theta join with the
+        # exact predicate; long_a pairs against ALL of b (covers
+        # long×long), short_a against long_b covers the rest
+        residual = (F.broadcast(a_long).join(bp, exact)
+                    .unionByName(a_short.join(F.broadcast(b_long), exact)))
+        cand = binned.unionByName(residual)
     overlap = (F.least(F.col("a_id_e"), F.col("b_id_e"))
                - F.greatest(F.col("a_id_s"), F.col("b_id_s")) + 1)
     return (cand
-            .filter((F.col("a_id_s") <= F.col("b_id_e"))
-                    & (F.col("b_id_s") <= F.col("a_id_e"))
-                    & (F.col("a_id") != F.col("b_id")))
+            .filter(exact & (F.col("a_id") != F.col("b_id")))
             .select("a_id", "b_id", overlap.cast("long")
                     .alias("overlap_days"))
             .distinct())

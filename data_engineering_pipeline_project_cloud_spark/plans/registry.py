@@ -151,6 +151,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "bpe_compression_stats": 3,
     "interval_overlap_orders": 3,
     "manifest_time_travel": 4,
+    "interval_overlap_validity": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
 }

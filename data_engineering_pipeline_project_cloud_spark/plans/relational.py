@@ -1041,6 +1041,47 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "o_orderkey", "s", "e", bin_days=7)
 
 
+IOV_MAX_BINS = 8
+
+
+def interval_overlap_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join WITH long-outlier routing
+    (operators/intervals.py ``max_bins``): the b side mixes 14-day
+    fulfillment windows (short → binned equi join) with per-priority
+    VALIDITY SPANS covering the whole table history (years-long → the
+    broadcast residual path; binning such a row would explode it to
+    hundreds of bin rows — the validity-table norm at 100 TB, one
+    unbounded row per entity).  Span rows carry negative ids so they
+    can never collide with order keys.  The oracle is the plain theta
+    join over the identical union, so the driver hash proves the
+    short/long routing is semantically transparent; the
+    residual-side-is-broadcast plan shape is asserted in
+    tests/test_properties.py."""
+    from ..operators.intervals import interval_overlap_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d"))
+    win_end = F.date_add(F.col("d"), IOJ_WINDOW_DAYS)
+    a = (o.filter((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("d") >= IOJ_A_MONTHS[0])
+                  & (F.col("d") < IOJ_A_MONTHS[1]))
+         .select("o_orderkey", F.col("d").alias("s"), win_end.alias("e")))
+    b_short = (o.filter((F.col("o_orderpriority") == "2-HIGH")
+                        & (F.col("d") >= "1995-02-01")
+                        & (F.col("d") < "1995-03-01"))
+               .select("o_orderkey", F.col("d").alias("s"),
+                       win_end.alias("e")))
+    spans = (o.groupBy("o_orderpriority")
+             .agg(F.min("d").alias("s"), F.max("d").alias("e"))
+             .select((-F.substring("o_orderpriority", 1, 1).cast("long"))
+                     .alias("o_orderkey"), "s", "e"))
+    b = b_short.unionByName(spans)
+    return interval_overlap_join(a, b, "o_orderkey", "s", "e",
+                                 "o_orderkey", "s", "e",
+                                 bin_days=7, max_bins=IOV_MAX_BINS)
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -1137,6 +1178,39 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
+    """,
+    "interval_overlap_validity": """
+        WITH a AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS a_id,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 14 DAY
+                        AS DATE) AS e
+            FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1995-02-01'
+        ), b AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS b_id,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(CAST(o_orderdate AS DATE) + INTERVAL 14 DAY
+                        AS DATE) AS e
+            FROM orders
+            WHERE o_orderpriority = '2-HIGH'
+              AND CAST(o_orderdate AS DATE) >= DATE '1995-02-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1995-03-01'
+            UNION ALL
+            SELECT -CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS b_id,
+                   min(CAST(o_orderdate AS DATE)) AS s,
+                   max(CAST(o_orderdate AS DATE)) AS e
+            FROM orders GROUP BY o_orderpriority
+        )
+        SELECT a.a_id, b.b_id,
+               CAST(date_diff('day',
+                              greatest(a.s, b.s),
+                              least(a.e, b.e)) + 1 AS BIGINT)
+                   AS overlap_days
+        FROM a JOIN b
+          ON a.s <= b.e AND b.s <= a.e AND a.a_id <> b.b_id
     """,
     "manifest_time_travel": """
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -1760,6 +1834,7 @@ QUERIES = {
     "conform_quarantine_orders": conform_quarantine_orders,
     "manifest_pruned_scan": manifest_pruned_scan,
     "manifest_time_travel": manifest_time_travel,
+    "interval_overlap_validity": interval_overlap_validity,
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,

@@ -370,3 +370,70 @@ def test_interval_overlap_matches_bruteforce(spark, a, b, bin_days):
         [(i, s, e) for i, (s, e) in aseen.items()] or [(999999, 0, 0)],
         [(i, s, e) for i, (s, e) in bseen.items()] or [(999999, 0, 0)])
     assert got == want
+
+
+_iv_long = st.lists(
+    st.tuples(st.integers(0, 40),
+              st.integers(0, 60),
+              # mixed lengths: mostly short, some YEARS-long outliers
+              st.one_of(st.integers(0, 20), st.integers(500, 3000))),
+    min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(a=_iv_long, b=_iv_long, max_bins=st.sampled_from([1, 3, 8]))
+def test_interval_overlap_outlier_routing_matches_bruteforce(
+        spark, a, b, max_bins):
+    """With max_bins set, years-long intervals bypass binning and join
+    via the broadcast residual path; the routed result must still equal
+    brute force exactly (routing is semantically transparent)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    def df(rows):
+        seen = {}
+        for i, s, ln in rows:
+            seen.setdefault(i, (s, s + ln))
+        data = [(i, dt.date(2020, 1, 1) + dt.timedelta(days=s),
+                 dt.date(2020, 1, 1) + dt.timedelta(days=e))
+                for i, (s, e) in seen.items()]
+        return (spark.createDataFrame(
+            data or [(999999, dt.date(2020, 1, 1), dt.date(2020, 1, 1))],
+            "id long, s date, e date"), seen)
+
+    adf, aseen = df(a)
+    bdf, bseen = df(b)
+    got = {(r["a_id"], r["b_id"], r["overlap_days"])
+           for r in interval_overlap_join(
+               adf, bdf, "id", "s", "e", "id", "s", "e",
+               bin_days=7, max_bins=max_bins).collect()}
+    want = _brute_overlap(
+        [(i, s, e) for i, (s, e) in aseen.items()] or [(999999, 0, 0)],
+        [(i, s, e) for i, (s, e) in bseen.items()] or [(999999, 0, 0)])
+    assert got == want
+
+
+def test_interval_overlap_residual_side_is_broadcast(spark):
+    """The long-outlier residual joins must be planned as BROADCAST
+    joins (never a shuffled theta join of the big side), and the
+    short×short branch stays a shuffled equi join on the bin key."""
+    import datetime as dtt
+
+    from data_engineering_pipeline_project_cloud_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    rows = [(i, dtt.date(2020, 1, 1), dtt.date(2020, 1, 10))
+            for i in range(1, 6)]
+    long_rows = [(100 + i, dtt.date(2018, 1, 1), dtt.date(2024, 1, 1))
+                 for i in range(2)]
+    adf = spark.createDataFrame(rows + long_rows, "id long, s date, e date")
+    bdf = spark.createDataFrame(rows + long_rows, "id long, s date, e date")
+    out = interval_overlap_join(adf, bdf, "id", "s", "e", "id", "s", "e",
+                                bin_days=7, max_bins=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # both residual branches broadcast their LONG side
+    assert plan.count("BroadcastExchange") >= 2, plan
