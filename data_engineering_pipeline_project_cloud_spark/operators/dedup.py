@@ -160,7 +160,17 @@ def _bucket_pairs(buckets: DataFrame, keys: list[str], id_col: str,
     members and upper-triangle pairs generate map-side.
     ``array_distinct`` guards duplicate member ids (a re-ingested or
     unioned corpus): a repeated id would otherwise pair with itself.
+
+    With a cap, the band table has THREE consumers (the cap's count
+    aggregate, its semi-join probe side, and the pairing groupBy), so
+    it is persisted here — otherwise the whole upstream
+    shingle/signature pipeline would recompute per consumer (round-3
+    advisory; the cache is session-scoped and released by the registry
+    before the next query).  Uncapped, the single consumer needs no
+    materialization.
     """
+    if max_bucket is not None:
+        buckets = scoped_persist(buckets)
     buckets = _cap_buckets(buckets, keys, max_bucket)
     grouped = (buckets.groupBy(*keys)
                .agg(F.array_distinct(F.array_sort(F.collect_list(id_col)))
@@ -229,9 +239,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     count pass first (memory bound), one groupBy collects each
     surviving bucket's member array, upper-triangle pairs generate
     map-side.  vs the equivalent bucket self-join this is one shuffle
-    of the band table instead of two and needs no materialized bucket
-    table (single consumer) — measured ~40% faster end-to-end at
-    sf0.1 with an identical pair set.  Per-bucket pair fan-out is
+    of the band table instead of two — measured ~40% faster end-to-end
+    at sf0.1 with an identical pair set.  The band table itself is
+    persisted inside ``_bucket_pairs`` whenever a cap is set (three
+    consumers there).  Per-bucket pair fan-out is
     O(``max_bucket``²)-bounded.
     """
     buckets = band_table(signatures, id_col, num_hashes, bands, band_key)

@@ -104,3 +104,39 @@ def test_nb_classifier_learns_above_majority(spark, sf_dir):
     p = sum(r["weak_label"] for r in rows) / len(rows)
     assert acc > max(p, 1 - p), (
         f"train accuracy {acc:.3f} under majority baseline {max(p, 1-p):.3f}")
+
+
+def test_duplicate_dirty_rows_each_survive(spark):
+    """Row-grain contract: two IDENTICAL dirty rows must both come back
+    with their (identical) best match — the internal row id prevents
+    the group-by from collapsing them (round-3 verdict nit)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.linkage import (
+        blocked_fuzzy_match,
+    )
+
+    dirty = spark.createDataFrame(
+        [("FRNCE",), ("FRNCE",), ("GRMANY",)], "name string")
+    canon = spark.createDataFrame(
+        [("FRANCE",), ("GERMANY",)], "cname string")
+    out = blocked_fuzzy_match(dirty, canon, "name", "cname").collect()
+    assert len(out) == 3
+    got = sorted((r["name"], r["matched"], r["match_dist"]) for r in out)
+    assert got == [("FRNCE", "FRANCE", 1), ("FRNCE", "FRANCE", 1),
+                   ("GRMANY", "GERMANY", 1)]
+
+
+def test_explicit_id_col_is_honored(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.linkage import (
+        blocked_fuzzy_match,
+    )
+    import pytest
+
+    dirty = spark.createDataFrame(
+        [(1, "FRNCE"), (2, "FRNCE")], "rid long, name string")
+    canon = spark.createDataFrame([("FRANCE",)], "cname string")
+    out = blocked_fuzzy_match(dirty, canon, "name", "cname",
+                              id_col="rid").collect()
+    assert sorted(r["rid"] for r in out) == [1, 2]
+    assert all(r["matched"] == "FRANCE" for r in out)
+    with pytest.raises(ValueError, match="not a column"):
+        blocked_fuzzy_match(dirty, canon, "name", "cname", id_col="nope")
