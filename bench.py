@@ -44,6 +44,29 @@ HEADLINE = [
     "streaming_tumbling_hourly",
 ]
 
+#: Heavy non-headline faces tracked round-over-round WITHOUT joining
+#: the headline total (cross-round comparability of the total is
+#: sacred — same 17 queries since r1).  Timed after the headline run,
+#: reported under "secondary".
+SECONDARY = [
+    "interval_overlap_orders",
+    "interval_overlap_validity",
+    "ann_pq_topk",
+    "nb_quality_classifier",
+    "manifest_pruned_scan",
+    "manifest_time_travel",
+    "streaming_manifest_sink",
+]
+
+#: Methodology provenance recorded in the JSON so cross-round readers
+#: aren't misled (r3 verdict nit #3).
+NOTES = (
+    "ann_ivf_topk timings exclude the offline IVF codebook fit from r3 "
+    "onward (pre-fit in warmup as an index artifact; r2's 4.61s "
+    "included it). secondary timings (added r4) are not part of "
+    "'value' and include one-time scratch-layout builds on first call."
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,22 +90,30 @@ def main() -> None:
     llmdata.prefit_ivf_codebook(spark, sf_dir)
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # the registry's scoped-release only drops the PREVIOUS query's
-        # persists at next-query start; clearing here keeps leftover
-        # blocks from pressuring the next measurement (r1 methodology —
-        # timings are per-query, not amortized-session)
-        spark.catalog.clearCache()
+    def timed(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+            # the registry's scoped-release only drops the PREVIOUS
+            # query's persists at next-query start; clearing here keeps
+            # leftover blocks from pressuring the next measurement (r1
+            # methodology — timings are per-query, not amortized)
+            spark.catalog.clearCache()
+        return out
+
+    timings = timed(HEADLINE)
+    secondary = timed(SECONDARY)
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
+        "notes": NOTES,
         "sf": sf,
     }))
 
