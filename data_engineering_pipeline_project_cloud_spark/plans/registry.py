@@ -152,6 +152,9 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "interval_overlap_orders": 3,
     "manifest_time_travel": 4,
     "interval_overlap_validity": 4,
+    "manifest_merge_upsert": 4,
+    "manifest_delete_rows": 4,
+    "manifest_compaction": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
 }

@@ -1041,6 +1041,130 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "o_orderkey", "s", "e", bin_days=7)
 
 
+MERGE_INSERT_BASE = 1_000_000_000
+
+
+def _orders_manifest_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+        .alias("total_price"))
+
+
+def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE into the manifest table
+    (sources/manifest_source.py:merge_into_manifest): orders land as a
+    range-partitioned manifest table, then a CDC-style batch upserts
+    every 10th key (status flip + repriced) and inserts 5 brand-new
+    keys; the face reads the post-merge LATEST STATE.  Only files
+    whose key stats might hold an updated key are rewritten (stats +
+    exact-key pruning); replaced files tombstone in the same atomic
+    commit (conflict-detected under concurrency — pytest-asserted).
+    The oracle recomputes the merged state relationally from the raw
+    table, so the driver hash proves MERGE semantics end-to-end."""
+    from ..sources.manifest_source import (
+        merge_into_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), path,
+            ["o_orderkey"])
+        updates = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                   .select("o_orderkey", F.lit("U").alias("status"),
+                           (F.col("total_price") + F.lit(1.0))
+                           .alias("total_price")))
+        inserts = spark.range(5).select(
+            (F.lit(MERGE_INSERT_BASE) + F.col("id")).alias("o_orderkey"),
+            F.lit("N").alias("status"),
+            (F.col("id").cast("double") + F.lit(0.5)).alias("total_price"))
+        merge_into_manifest(updates.unionByName(inserts), path,
+                            ["o_orderkey"], ["o_orderkey"])
+
+    path = scoped_scratch("manifest_merge_orders", sf_dir, build)
+    return (spark.read.format("graft_manifest").option("path", path).load()
+            .select("o_orderkey", "status", "total_price"))
+
+
+def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE by key
+    (sources/manifest_source.py:delete_from_manifest): every 7th order
+    key is deleted from the orders manifest table, rewriting only the
+    files that might hold a doomed key; the face aggregates the
+    surviving state per status.  The oracle is the same aggregate
+    under the inverse predicate on the raw table."""
+    from ..sources.manifest_source import (
+        delete_from_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), path,
+            ["o_orderkey"])
+        delete_from_manifest(
+            orders.filter(F.col("o_orderkey") % 7 == 0)
+            .select("o_orderkey"), path, ["o_orderkey"], ["o_orderkey"])
+
+    path = scoped_scratch("manifest_delete_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    return (df.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style bin packing
+    (sources/manifest_source.py:compact_manifest): nation arrives in
+    four small append commits (the small-file debt a per-micro-batch
+    streaming sink accumulates), then compaction rewrites them into one
+    right-sized file in a single tombstone commit.  The face reads the
+    post-compaction table; the oracle is the plain nation scan, so the
+    driver hash proves compaction changes LAYOUT ONLY.  The
+    file-count reduction itself is pytest-asserted."""
+    from ..sources.manifest_source import (
+        compact_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        nat = load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey")
+        write_manifest_table(
+            nat.filter(F.col("n_nationkey") < 7).coalesce(1), path,
+            ["n_nationkey"])
+        for lo, hi in [(7, 14), (14, 20), (20, 26)]:
+            (nat.filter((F.col("n_nationkey") >= lo)
+                        & (F.col("n_nationkey") < hi)).coalesce(1)
+             .write.format("graft_manifest").mode("append")
+             .option("path", path).option("statCols", "n_nationkey")
+             .save())
+        compact_manifest(spark, path, ["n_nationkey"], 1_000_000)
+
+    path = scoped_scratch("manifest_compact_nation", sf_dir, build)
+    return (spark.read.format("graft_manifest").option("path", path).load()
+            .select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
+                    "n_name",
+                    F.col("n_regionkey").cast("long").alias("n_regionkey")))
+
+
 IOV_MAX_BINS = 8
 
 
@@ -1178,6 +1302,36 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
+    """,
+    "manifest_merge_upsert": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DOUBLE) + 1.0
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DOUBLE) END AS total_price
+        FROM orders
+        UNION ALL
+        SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
+               'N' AS status,
+               CAST(i AS DOUBLE) + 0.5 AS total_price
+        FROM range(5) AS t(i)
+    """,
+    "manifest_delete_rows": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        GROUP BY 1
+    """,
+    "manifest_compaction": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+               CAST(n_regionkey AS BIGINT) AS n_regionkey
+        FROM nation
     """,
     "interval_overlap_validity": """
         WITH a AS (
@@ -1835,6 +1989,9 @@ QUERIES = {
     "manifest_pruned_scan": manifest_pruned_scan,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,
+    "manifest_merge_upsert": manifest_merge_upsert,
+    "manifest_delete_rows": manifest_delete_rows,
+    "manifest_compaction": manifest_compaction,
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,

@@ -223,6 +223,172 @@ def build_manifest_from_footers(path: str, schema_json: str,
     return manifest
 
 
+def _key_affected_files(files: list[dict], updates, key_cols: list[str],
+                        max_driver_keys: int = 100_000) -> list[dict]:
+    """Live files that MIGHT contain a key present in ``updates`` —
+    the file-skipping half of copy-on-write MERGE.  Pruning is stats-
+    based (per key column, a file whose [min,max] is disjoint from the
+    updates' range cannot match) with an exact-key refinement on the
+    first key column whenever the distinct key set is driver-bounded
+    (sorted list + bisect per file — the same O(files·log keys)
+    metadata pass a table format's MERGE planner runs).  Missing stats
+    → the file is affected (never prune on doubt)."""
+    import bisect
+
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = updates.agg(*aggs).collect()[0]
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in key_cols}
+    first = key_cols[0]
+    sample = (updates.select(first).distinct()
+              .limit(max_driver_keys + 1).collect())
+    keys_sorted = (sorted(r[0] for r in sample if r[0] is not None)
+                   if len(sample) <= max_driver_keys else None)
+    out = []
+    for f in files:
+        if f.get("dead"):
+            continue
+        keep = True
+        for c in key_cols:
+            s = f.get("stats", {}).get(c)
+            lo, hi = bounds[c]
+            if s is None or lo is None:
+                continue  # unstatable: cannot prune this file on c
+            try:
+                if hi < s["min"] or lo > s["max"]:
+                    keep = False
+                    break
+            except TypeError:
+                continue
+        if keep and keys_sorted is not None:
+            s = f.get("stats", {}).get(first)
+            if s is not None:
+                try:
+                    i = bisect.bisect_left(keys_sorted, s["min"])
+                    keep = (i < len(keys_sorted)
+                            and keys_sorted[i] <= s["max"])
+                except TypeError:
+                    pass
+        if keep:
+            out.append(f)
+    return out
+
+
+def _table_schema(manifest: dict) -> StructType:
+    return StructType.fromJson(json.loads(manifest["schema"]))
+
+
+def merge_into_manifest(updates, path: str, key_cols: list[str],
+                        stat_cols: list[str]) -> dict:
+    """Copy-on-write MERGE (upsert by key) into a manifest table: rows
+    of ``updates`` REPLACE same-key rows, new keys INSERT.  ``updates``
+    must be key-grain (one row per key — run latest-state dedup
+    upstream) with the table's columns.
+
+    Only the files that might hold an updated key are rewritten
+    (``_key_affected_files`` stats pruning); untouched files keep
+    their manifest entries.  The rewrite = affected files anti-joined
+    on the keys, unioned with the updates, appended in the SAME atomic
+    commit that tombstones the replaced entries (``replacePaths``), so
+    readers see pre-merge or post-merge, never a mix — and a
+    concurrent commit that already rewrote one of those files fails
+    this commit with a concurrent-modification error instead of
+    resurrecting its rows.  Tombstoned files stay on disk and
+    addressable: time travel to pre-merge versions keeps working.
+
+    100 TB shape: work is O(affected files + updates), never a scan of
+    the table; the anti-join broadcasts the (CDC-batch-sized) key set.
+    """
+    spark = updates.sparkSession
+    register(spark)
+    m = load_manifest(path)
+    st = _table_schema(m)
+    from pyspark.sql import functions as F
+
+    # conform the updates to the TABLE schema (order + types): a MERGE
+    # must never implicitly evolve the table
+    updates = updates.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+    affected = _key_affected_files(m["files"], updates, key_cols)
+    paths = [f["path"] for f in affected]
+    if paths:
+        # an explicit schema makes the parquet reader NULL-fill columns
+        # an old file predates (schema-evolution alignment, JVM-side)
+        base = spark.read.schema(st).parquet(*paths)
+        kept = base.join(
+            F.broadcast(updates.select(*key_cols).distinct()),
+            key_cols, "left_anti")
+        out = kept.unionByName(updates)
+    else:
+        out = updates
+    (out.repartition(max(1, len(paths)))
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", ",".join(stat_cols))
+     .option("replacePaths", json.dumps(paths)).save())
+    return load_manifest(path)
+
+
+def delete_from_manifest(keys, path: str, key_cols: list[str],
+                         stat_cols: list[str]) -> dict:
+    """Copy-on-write DELETE by key: rewrite only the files that might
+    hold a doomed key, dropping those rows (anti-join); same atomic
+    tombstone commit and conflict detection as ``merge_into_manifest``.
+    A delete that empties every affected file commits pure tombstones
+    (no new files)."""
+    spark = keys.sparkSession
+    register(spark)
+    m = load_manifest(path)
+    st = _table_schema(m)
+    from pyspark.sql import functions as F
+
+    types = {f.name: f.dataType for f in st.fields}
+    keys = keys.select(*[F.col(c).cast(types[c]).alias(c)
+                         for c in key_cols])
+    affected = _key_affected_files(m["files"], keys, key_cols)
+    paths = [f["path"] for f in affected]
+    if not paths:
+        return m  # nothing could match: the table is untouched
+    from pyspark.sql import functions as F
+
+    base = spark.read.schema(st).parquet(*paths)
+    kept = base.join(F.broadcast(keys.select(*key_cols).distinct()),
+                     key_cols, "left_anti")
+    (kept.repartition(max(1, len(paths)))
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", ",".join(stat_cols))
+     .option("replacePaths", json.dumps(paths)).save())
+    return load_manifest(path)
+
+
+def compact_manifest(spark, path: str, stat_cols: list[str],
+                     small_file_rows: int) -> dict:
+    """OPTIMIZE-style bin packing: rewrite the live files smaller than
+    ``small_file_rows`` into ~target-sized files, in one atomic
+    tombstone commit.  Contents are untouched (the compaction face's
+    oracle proves it); only the layout changes — the small-file debt a
+    streaming sink accumulates (one file per micro-batch partition) is
+    exactly what this pays down.  Skips when fewer than two small
+    files exist."""
+    register(spark)
+    m = load_manifest(path)
+    small = [f for f in m["files"]
+             if not f.get("dead") and f["rows"] < small_file_rows]
+    if len(small) < 2:
+        return m
+    paths = [f["path"] for f in small]
+    st = _table_schema(m)
+    total = sum(f["rows"] for f in small)
+    n_out = max(1, -(-total // small_file_rows))  # ceil
+    (spark.read.schema(st).parquet(*paths).repartition(n_out)
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", ",".join(stat_cols))
+     .option("replacePaths", json.dumps(paths)).save())
+    return load_manifest(path)
+
+
 @dataclass
 class _FileCommit(WriterCommitMessage):
     tmp_path: str
@@ -262,6 +428,16 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._txn_ver = None if tv is None else int(tv)
         if (self._txn_app is None) != (self._txn_ver is None):
             raise ValueError("txnAppId and txnVersion must be set together")
+        # replacePaths (append mode only): data files this commit
+        # REWRITES — they are tombstoned in the same atomic commit that
+        # appends the rewritten files (the copy-on-write half of
+        # MERGE/compaction).  Commit fails with a concurrent-
+        # modification error if another commit already tombstoned one
+        # of them (write-write conflict detection, Delta-style).
+        rp = options.get("replacepaths")
+        self._replace = set(json.loads(rp)) if rp else set()
+        if self._replace and overwrite:
+            raise ValueError("replacePaths requires append mode")
         # per-commit id: makes every data-file name globally unique, so
         # concurrent writers (and a committed-then-retried version
         # claim) can never collide on a file the other published
@@ -378,6 +554,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             if self._txn_app is not None:
                 txn[self._txn_app] = self._txn_ver
             if self._overwrite or prev is None:
+                if self._replace:
+                    raise ValueError(
+                        "replacePaths requires an existing table")
                 files = list(new_files)
                 schema_json = self._schema_json
                 stale_files = [f["path"] for f in (prev or {}).get(
@@ -387,8 +566,30 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             else:
                 # append: the manifest file list is an append-only log —
                 # prior entries keep their positions (the streaming
-                # reader's offsets index into this list)
-                files = prev["files"] + new_files
+                # reader's offsets index into this list); a replaced
+                # file is TOMBSTONED in place, never removed (offset
+                # stability + time travel keep it addressable)
+                prior = prev["files"]
+                if self._replace:
+                    live = {f["path"] for f in prior if not f.get("dead")}
+                    gone = self._replace - live
+                    if gone:
+                        # write-write conflict: someone else already
+                        # rewrote (or vacuumed) a file this commit is
+                        # based on — committing would resurrect or
+                        # duplicate its rows.  Fail; the caller re-runs
+                        # the merge against the new latest version.
+                        for f in new_files:
+                            if os.path.exists(f["path"]):
+                                os.remove(f["path"])
+                        raise ValueError(
+                            "concurrent modification: files no longer "
+                            f"live: {sorted(gone)}; re-run the merge "
+                            "against the current table version")
+                    prior = [dict(f, dead=True)
+                             if f["path"] in self._replace else f
+                             for f in prior]
+                files = prior + new_files
                 schema_json = _merged_schema_json(prev["schema"],
                                                   self._schema)
                 stale_files = []
@@ -530,7 +731,10 @@ class ManifestReader(DataSourceReader):
         path = _require_path(options)
         self._manifest = load_manifest(path, _version_option(options))
         self._schema_json = self._manifest["schema"]
-        self._files = self._manifest["files"]
+        # tombstoned entries (replaced by a merge/compaction commit)
+        # stay in the list for offset stability but hold no live rows
+        self._files = [f for f in self._manifest["files"]
+                       if not f.get("dead")]
 
     def pushFilters(self, filters):
         self._files = [f for f in self._files
@@ -581,9 +785,17 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"index": len(self._manifest()["files"])}
 
     def partitions(self, start: dict, end: dict):
+        # offsets index into the RAW list (tombstones keep their
+        # positions); dead entries plan no partition.  Note the
+        # log-tailing caveat: rows a merge commit REWRITES are not
+        # re-emitted — streaming a table that receives updates needs
+        # changefeed semantics this source does not implement (the
+        # same restriction Delta's streaming source has without
+        # ignoreChanges).
         m = self._manifest()
         files = m["files"][start["index"]:end["index"]]
-        return [_FilePartition(f["path"], m["schema"]) for f in files]
+        return [_FilePartition(f["path"], m["schema"])
+                for f in files if not f.get("dead")]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:

@@ -383,3 +383,139 @@ def test_txn_append_is_idempotent(spark, sf_dir, tmp_path):
     assert load_manifest(path)["version"] == v_after + 1
     assert (spark.read.format("graft_manifest").option("path", path)
             .load().count()) == n_after + 5
+
+
+def _live(m):
+    return [f for f in m["files"] if not f.get("dead")]
+
+
+def test_merge_upsert_rewrites_only_affected_files(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE: same-key rows replaced, new keys inserted,
+    and ONLY the files whose key-range might match are rewritten — the
+    rest keep their entries; replaced files are tombstoned in place
+    (offset stability) and stay readable via time travel."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        merge_into_manifest,
+    )
+
+    path = str(tmp_path / "mmerge")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m0 = write_manifest_table(
+        nat.repartitionByRange(3, "n_nationkey"), path, ["n_nationkey"])
+    assert len(m0["files"]) == 3
+    updates = spark.createDataFrame(
+        [(0, "ZED"), (100, "NEWLAND")], "n_nationkey long, n_name string")
+    m1 = merge_into_manifest(updates, path, ["n_nationkey"],
+                             ["n_nationkey"])
+    # exact-key refinement: key 0 hits the first range file, key 100
+    # none — exactly one file rewritten
+    assert sum(1 for f in m1["files"] if f.get("dead")) == 1
+    assert m1["version"] == m0["version"] + 1
+    register(spark)
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    assert df.count() == 26
+    got = {r["n_nationkey"]: r["n_name"] for r in df.collect()}
+    assert got[0] == "ZED" and got[100] == "NEWLAND"
+    # untouched rows survive byte-for-byte
+    orig = {r["n_nationkey"]: r["n_name"] for r in nat.collect()}
+    assert all(got[k] == v for k, v in orig.items() if k != 0)
+    # pre-merge snapshot still reads the original data
+    v0 = (spark.read.format("graft_manifest").option("path", path)
+          .option("versionAsOf", str(m0["version"])).load())
+    assert {r["n_nationkey"]: r["n_name"]
+            for r in v0.collect()} == orig
+
+
+def test_delete_by_key_and_empty_rewrite(spark, sf_dir, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_from_manifest,
+    )
+
+    path = str(tmp_path / "mdel")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_manifest_table(
+        nat.repartitionByRange(3, "n_nationkey"), path, ["n_nationkey"])
+    keys = spark.createDataFrame([(k,) for k in range(10, 15)],
+                                 "n_nationkey long")
+    m1 = delete_from_manifest(keys, path, ["n_nationkey"], ["n_nationkey"])
+    register(spark)
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    assert df.count() == 20
+    assert df.filter((F.col("n_nationkey") >= 10)
+                     & (F.col("n_nationkey") < 15)).count() == 0
+    # deleting keys that can't match any file is a no-op (no version bump)
+    none = spark.createDataFrame([(999,)], "n_nationkey long")
+    m2 = delete_from_manifest(none, path, ["n_nationkey"], ["n_nationkey"])
+    assert m2["version"] == m1["version"]
+
+
+def test_compaction_preserves_content(spark, sf_dir, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        compact_manifest,
+    )
+    from data_engineering_pipeline_project_cloud_spark.testing import diff_results
+
+    path = str(tmp_path / "mcomp")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    register(spark)
+    write_manifest_table(
+        nat.filter(F.col("n_nationkey") < 7).coalesce(1), path,
+        ["n_nationkey"])
+    for lo, hi in [(7, 14), (14, 20), (20, 26)]:
+        (nat.filter((F.col("n_nationkey") >= lo)
+                    & (F.col("n_nationkey") < hi)).coalesce(1)
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey").save())
+    m1 = compact_manifest(spark, path, ["n_nationkey"], 1000)
+    assert sum(1 for f in m1["files"] if f.get("dead")) == 4
+    assert len(_live(m1)) == 1
+    got = spark.read.format("graft_manifest").option("path", path).load()
+    problems = diff_results(
+        got.columns, [tuple(r) for r in got.collect()],
+        nat.columns, [tuple(r) for r in nat.collect()])
+    assert not problems, "; ".join(problems)
+    # already-compacted: idempotent no-op
+    m2 = compact_manifest(spark, path, ["n_nationkey"], 1000)
+    assert m2["version"] == m1["version"]
+
+
+def test_merge_conflict_detected(spark, sf_dir, tmp_path):
+    """A commit whose replacePaths includes a file another commit
+    already tombstoned must FAIL (write-write conflict) instead of
+    resurrecting/duplicating its rows."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestArrowWriter,
+        _FileCommit,
+        load_manifest,
+        merge_into_manifest,
+    )
+
+    path = str(tmp_path / "mconf")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+    victim = load_manifest(path)["files"][0]["path"]
+    merge_into_manifest(
+        spark.createDataFrame([(0, "ZED")], "n_nationkey long, n_name string"),
+        path, ["n_nationkey"], ["n_nationkey"])
+    assert load_manifest(path)["files"][0].get("dead")
+
+    w = ManifestArrowWriter(
+        {"path": path, "statcols": "",
+         "replacepaths": json.dumps([victim])},
+        spark.createDataFrame([(1,)], "k int").schema, overwrite=False)
+    stage = os.path.join(path, f".conflict.{w._commit_id}.tmp")
+    pq.write_table(pa.table({"k": [1]}), stage)
+    msg = _FileCommit(tmp_path=stage,
+                      final_path=os.path.join(
+                          path, f"part-x-conflict-{w._commit_id}.parquet"),
+                      rows=1, stats={})
+    v_before = load_manifest(path)["version"]
+    with pytest.raises(ValueError, match="concurrent modification"):
+        w.commit([msg])
+    assert load_manifest(path)["version"] == v_before
+    # the conflicting commit's published file was cleaned up
+    assert not os.path.exists(msg.final_path)
