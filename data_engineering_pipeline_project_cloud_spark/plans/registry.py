@@ -157,6 +157,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_compaction": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
+    "streaming_manifest_upsert_view": 4,
 }
 
 

@@ -193,7 +193,62 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "event_type", "value"))
 
 
+def streaming_manifest_upsert_view(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Streaming CDC-upsert materialized view: the stateful per-user
+    lifetime aggregation (applyInPandasWithState, update mode) is
+    MERGED into a manifest table per micro-batch
+    (streaming/sinks.py:manifest_merge_writer) — each batch rewrites
+    only the files whose key stats might hold an updated user, under a
+    txn-gated atomic commit, so the table always holds exactly one
+    CURRENT row per user and replayed batches no-op.  The face reads
+    the converged view; the oracle is the batch aggregate over the
+    full event history, which is precisely what the view must equal.
+    This is the composition that replaces a full-table rewrite per
+    batch with O(affected files + batch) work — the keyed-state story
+    that holds at a 100 TB view."""
+    import os
+
+    from ..sources.manifest_source import register
+    from ..streaming.sinks import manifest_merge_writer, run_foreach_batch
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        table = os.path.join(path, "table")
+        ckpt = os.path.join(path, "ckpt")
+        ev = load_table(spark, sf_dir, "events")
+        ev.repartition(2).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_foreach_batch(
+            stream_user_lifetime_stats(stream),
+            manifest_merge_writer(table, ["user_id"], ["user_id"],
+                                  "ulview"),
+            ckpt)
+
+    import os
+
+    path = scoped_scratch("manifest_upsert_view", sf_dir, build)
+    return (spark.read.format("graft_manifest")
+            .option("path", os.path.join(path, "table")).load()
+            .select("user_id", "n_events",
+                    F.col("total_value").cast("double").alias("total_value"),
+                    "last_seen"))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "streaming_manifest_upsert_view": """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_value,
+               MAX(ts) AS last_seen
+        FROM events GROUP BY user_id
+    """,
     "streaming_manifest_tail": """
         SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
                CAST(n_regionkey AS BIGINT) AS n_regionkey
@@ -317,4 +372,5 @@ QUERIES = {
     "streaming_user_lifetime": streaming_user_lifetime,
     "streaming_manifest_tail": streaming_manifest_tail,
     "streaming_manifest_sink": streaming_manifest_sink,
+    "streaming_manifest_upsert_view": streaming_manifest_upsert_view,
 }

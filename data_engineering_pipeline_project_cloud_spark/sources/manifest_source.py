@@ -282,7 +282,8 @@ def _table_schema(manifest: dict) -> StructType:
 
 
 def merge_into_manifest(updates, path: str, key_cols: list[str],
-                        stat_cols: list[str]) -> dict:
+                        stat_cols: list[str],
+                        txn: tuple[str, int] | None = None) -> dict:
     """Copy-on-write MERGE (upsert by key) into a manifest table: rows
     of ``updates`` REPLACE same-key rows, new keys INSERT.  ``updates``
     must be key-grain (one row per key — run latest-state dedup
@@ -301,10 +302,19 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
 
     100 TB shape: work is O(affected files + updates), never a scan of
     the table; the anti-join broadcasts the (CDC-batch-sized) key set.
+
+    ``txn=(app_id, version)`` makes the merge idempotent per version
+    (the streaming foreachBatch contract): an already-recorded version
+    returns without planning any work, and the commit protocol
+    re-checks under the CAS claim.
     """
     spark = updates.sparkSession
     register(spark)
     m = load_manifest(path)
+    if txn is not None:
+        done = m.get("txn", {}).get(txn[0])
+        if done is not None and int(done) >= txn[1]:
+            return m  # replayed batch: the merge already landed
     st = _table_schema(m)
     from pyspark.sql import functions as F
 
@@ -324,10 +334,14 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
         out = kept.unionByName(updates)
     else:
         out = updates
-    (out.repartition(max(1, len(paths)))
-     .write.format("graft_manifest").mode("append")
-     .option("path", path).option("statCols", ",".join(stat_cols))
-     .option("replacePaths", json.dumps(paths)).save())
+    w = (out.repartition(max(1, len(paths)))
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", ",".join(stat_cols))
+         .option("replacePaths", json.dumps(paths)))
+    if txn is not None:
+        w = (w.option("txnAppId", txn[0])
+             .option("txnVersion", str(txn[1])))
+    w.save()
     return load_manifest(path)
 
 

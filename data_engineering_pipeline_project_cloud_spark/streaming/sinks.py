@@ -95,6 +95,48 @@ def manifest_append_writer(path: str, stat_cols: list[str],
     return write
 
 
+def manifest_merge_writer(path: str, key_cols: list[str],
+                          stat_cols: list[str],
+                          app_id: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining a KEYED VIEW in a manifest
+    table via copy-on-write MERGE — the streaming-CDC upsert pattern
+    (each update-mode micro-batch emits the latest row per key; MERGE
+    lands it).  Exactly-once: the merge is txn-gated per batch_id, so
+    a replayed batch no-ops before planning any work.
+
+    vs ``keyed_upsert_writer`` (full table rewrite per batch) the
+    merge rewrites ONLY the files whose key stats might hold an
+    updated key — per-batch cost O(affected files + batch), which is
+    what keeps a 100 TB keyed state table maintainable; vs
+    ``manifest_append_writer`` the table holds one CURRENT row per key
+    instead of the whole append log.  The first batch creates the
+    table (plain append), since MERGE needs a schema to conform to.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest_source import (
+            load_manifest,
+            merge_into_manifest,
+            register,
+        )
+
+        register(batch.sparkSession)
+        try:
+            load_manifest(path)
+        except FileNotFoundError:
+            # first batch creates the table (txn-stamped append)
+            (batch.write.format("graft_manifest").mode("append")
+             .option("path", path)
+             .option("statCols", ",".join(stat_cols))
+             .option("txnAppId", app_id)
+             .option("txnVersion", str(batch_id)).save())
+            return
+        merge_into_manifest(batch, path, key_cols, stat_cols,
+                            txn=(app_id, batch_id))
+
+    return write
+
+
 def run_foreach_batch(df: DataFrame, writer: Callable[[DataFrame, int], None],
                       checkpoint: str) -> None:
     """Drain the stream through a foreachBatch writer (AvailableNow)."""

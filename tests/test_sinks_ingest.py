@@ -161,3 +161,47 @@ def test_manifest_sink_exactly_once_across_restart(spark, sf_dir, tmp_path):
     assert m3["version"] == m["version"] + 1
     assert (spark.read.format("graft_manifest").option("path", sink)
             .load().count()) == total + 5
+
+def test_manifest_merge_writer_maintains_keyed_view(spark, sf_dir, tmp_path):
+    """Streaming CDC-upsert view: update-mode lifetime stats merged
+    into a manifest table per micro-batch must converge to the batch
+    answer with ONE current row per user; a replayed batch no-ops."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        register,
+    )
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        manifest_merge_writer,
+        run_foreach_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp_path / "view")
+    writer = manifest_merge_writer(sink, ["user_id"], ["user_id"], "ulview")
+    run_foreach_batch(stream_user_lifetime_stats(stream), writer,
+                      str(tmp_path / "ckpt"))
+
+    register(spark)
+    table = spark.read.format("graft_manifest").option("path", sink).load()
+    batch = (ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                  .alias("total_value"),
+                  F.max("ts").alias("last_seen")))
+    assert table.count() == batch.count()  # one CURRENT row per user
+    joined = table.alias("t").join(batch.alias("b"), "user_id")
+    mismatches = joined.filter(
+        (F.col("t.n_events") != F.col("b.n_events"))
+        | (F.col("t.total_value") != F.col("b.total_value"))
+        | (F.col("t.last_seen") != F.col("b.last_seen"))).count()
+    assert mismatches == 0
+    # replayed batch id: no version bump, no row change
+    m = load_manifest(sink)
+    writer(table.limit(3), 0)
+    assert load_manifest(sink)["version"] == m["version"]
+    assert (spark.read.format("graft_manifest").option("path", sink)
+            .load().count()) == batch.count()
