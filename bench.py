@@ -55,7 +55,9 @@ SECONDARY = [
     "nb_quality_classifier",
     "manifest_pruned_scan",
     "manifest_time_travel",
+    "manifest_merge_upsert",
     "streaming_manifest_sink",
+    "streaming_manifest_upsert_view",
 ]
 
 #: Methodology provenance recorded in the JSON so cross-round readers

@@ -570,32 +570,27 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(unioned)
 
 
-#: (fmt, table, sf_dir) → scratch dir already holding that table in
-#: that format.  Format round-trips are write-once layout decisions
-#: (like the bucketed tables): the read path is what each face
-#: exercises, so repeated calls in one session reuse the first write.
-_FORMAT_SCRATCH: dict[tuple[str, str, str], str] = {}
-
-
 def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str,
                  options: dict[str, str] | None = None,
                  partition_by: str | None = None) -> str:
-    import os
-    import tempfile
+    """Scratch copy of ``table`` in ``fmt``.  Format round-trips are
+    write-once layout decisions (like the bucketed tables): the read
+    path is what each face exercises, so repeated calls in one session
+    reuse the first write; plans/scratch.py owns the cross-sf
+    lifecycle."""
+    from .scratch import scoped_scratch
 
-    key = (fmt + (f":{partition_by}" if partition_by else "")
-           + f":{sorted((options or {}).items())}", table, sf_dir)
-    path = _FORMAT_SCRATCH.get(key)
-    if path is None or not os.path.isdir(path):
-        path = tempfile.mkdtemp(prefix=f"rt_{fmt}_{table}_")
+    name = f"rt_{fmt}_{table}" + (f"_{partition_by}" if partition_by else "")
+
+    def build(path: str) -> None:
         w = load_table(spark, sf_dir, table).write.mode("overwrite")
         for k, v in (options or {}).items():
             w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(partition_by)
         w.format(fmt).save(path)
-        _FORMAT_SCRATCH[key] = path
-    return path
+
+    return scoped_scratch(name, sf_dir, build)
 
 
 def csv_roundtrip_region(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -642,10 +637,6 @@ def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("o_orderdate").alias("max_orderdate")))
 
 
-#: sf_dir → scratch dir holding the session's embedded-Derby database
-#: (write-once, like the other layout scratches).
-_JDBC_SCRATCH: dict[str, str] = {}
-
 _DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 
@@ -660,19 +651,15 @@ def jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sources/catalog.py:read_jdbc``).  The oracle reads the original
     parquet, so any type-mapping drift through the SQL dialect fails
     the hash check."""
-    import tempfile
-
     from ..sources.catalog import read_jdbc, write_jdbc
+    from .scratch import scoped_scratch
 
-    import os
-
-    base = _JDBC_SCRATCH.get(sf_dir)
-    if base is None or not os.path.isdir(base):
-        base = tempfile.mkdtemp(prefix="jdbc_derby_")
+    def build(base: str) -> None:
         url = f"jdbc:derby:{base}/db;create=true"
         write_jdbc(load_table(spark, sf_dir, "nation"), url, "nation_rt",
                    batch_size=10000, properties=_DERBY_PROPS)
-        _JDBC_SCRATCH[sf_dir] = base
+
+    base = scoped_scratch("jdbc_derby", sf_dir, build)
     url = f"jdbc:derby:{base}/db;create=true"
     back = read_jdbc(spark, url, "nation_rt",
                      partition_column="n_nationkey", lower_bound=0,
@@ -809,9 +796,9 @@ def two_stage_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (and registered in the session catalog).  Bucketing IS a write-once
 #: layout decision — the whole point is that N later joins reuse one
 #: pre-shuffle — so the registry face writes once per (sf_dir) and
-#: rewrites only when the sf_dir changes (the table names are fixed,
-#: so tracking a set would serve stale data on alternation).
-_BUCKETED_FOR: str | None = None
+#: rewrites only when the sf_dir changes (plans/scratch.py owns the
+#: lifecycle; the table names are fixed, so a superseded scale's copy
+#: is removed rather than served stale).
 
 
 def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -821,25 +808,24 @@ def bucketed_join_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_skew_bucketing.py); the oracle proves the result equals
     the plain join.  At 100 TB this is the difference between a
     network-bound and an IO-bound recurring join."""
-    import tempfile
-
     from ..operators.skew import bucketed_join, write_bucketed
+    from .scratch import scoped_scratch
 
-    global _BUCKETED_FOR
-    # the memo is Python-side but the tables live in the SESSION
-    # catalog: a recreated session (or a second one) would pass the
-    # string check with the tables gone — verify they actually exist
-    tables_ok = (spark.catalog.tableExists("b_orders_q")
-                 and spark.catalog.tableExists("b_customer_q"))
-    if _BUCKETED_FOR != sf_dir or not tables_ok:
-        tmp = tempfile.mkdtemp(prefix="bucketed_")
+    def build(tmp: str) -> None:
         orders = load_table(spark, sf_dir, "orders").select(
             F.col("o_custkey").alias("custkey"), "o_orderkey")
         cust = load_table(spark, sf_dir, "customer").select(
             F.col("c_custkey").alias("custkey"), "c_nationkey")
         write_bucketed(orders, "b_orders_q", "custkey", 8, f"{tmp}/orders")
         write_bucketed(cust, "b_customer_q", "custkey", 8, f"{tmp}/customer")
-        _BUCKETED_FOR = sf_dir
+
+    tmp = scoped_scratch("bucketed_tables", sf_dir, build)
+    # the scratch memo is Python-side but the tables live in the
+    # SESSION catalog: a recreated session would reuse the directory
+    # with the table entries gone — re-register by rebuilding
+    if not (spark.catalog.tableExists("b_orders_q")
+            and spark.catalog.tableExists("b_customer_q")):
+        build(tmp)
     return (bucketed_join(spark, "b_orders_q", "b_customer_q", "custkey")
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders")))

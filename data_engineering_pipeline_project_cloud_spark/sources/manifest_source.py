@@ -403,6 +403,49 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
     return load_manifest(path)
 
 
+def vacuum_manifest(path: str, keep_versions: int = 1) -> dict:
+    """Retention cleanup: keep the newest ``keep_versions`` manifest
+    snapshots, delete older snapshots plus every data file no kept
+    snapshot references (merge/compaction tombstones past retention,
+    abandoned staging files from crashed writers).  The newest
+    snapshot is never touched, so readers of the current version are
+    unaffected; time travel contracts to the kept window — the same
+    trade VACUUM makes in any table format.  Pure O(files) driver
+    metadata work; like any format's VACUUM it assumes no write is in
+    flight (staging files are swept).  Returns
+    ``{"removed_files": [...], "removed_manifests": [...]}``."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    snaps = _versioned_manifests(path)
+    if not snaps:
+        return {"removed_files": [], "removed_manifests": []}
+    kept = sorted(snaps)[-keep_versions:]
+    # a file is protected iff some KEPT version reads it LIVE — an
+    # entry tombstoned in every kept snapshot is retention-expired
+    # even though its path still occupies its list position
+    referenced: set[str] = set()
+    for v in kept:
+        with open(snaps[v]) as fh:
+            m = json.load(fh)
+        referenced |= {f["path"] for f in m["files"] if not f.get("dead")}
+    removed_files: list[str] = []
+    removed_manifests: list[str] = []
+    for v, p in snaps.items():
+        if v not in kept:
+            os.remove(p)
+            removed_manifests.append(p)
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if name.endswith(".parquet") and full not in referenced:
+            os.remove(full)
+            removed_files.append(full)
+        elif name.startswith(".") and name.endswith(".tmp"):
+            os.remove(full)
+            removed_files.append(full)
+    return {"removed_files": removed_files,
+            "removed_manifests": removed_manifests}
+
+
 @dataclass
 class _FileCommit(WriterCommitMessage):
     tmp_path: str

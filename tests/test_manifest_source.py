@@ -519,3 +519,46 @@ def test_merge_conflict_detected(spark, sf_dir, tmp_path):
     assert load_manifest(path)["version"] == v_before
     # the conflicting commit's published file was cleaned up
     assert not os.path.exists(msg.final_path)
+
+
+def test_vacuum_retention(spark, sf_dir, tmp_path):
+    """VACUUM keeps the newest N snapshots and removes older snapshots
+    plus any data file no kept version reads live (merge tombstones
+    past retention); the current version is untouched and still
+    readable, time travel contracts to the kept window."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        merge_into_manifest,
+        vacuum_manifest,
+    )
+
+    path = str(tmp_path / "mvac")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])  # v0
+    (nat.filter(F.col("n_nationkey") < 5).coalesce(1)
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())  # v1
+    merge_into_manifest(
+        spark.createDataFrame([(0, "ZED")], "n_nationkey long, n_name string"),
+        path, ["n_nationkey"], ["n_nationkey"])  # v2: tombstones
+    n_dead = sum(1 for f in load_manifest(path)["files"] if f.get("dead"))
+    assert n_dead >= 1
+
+    res = vacuum_manifest(path, keep_versions=1)
+    assert len(res["removed_manifests"]) == 2  # v0, v1 snapshots
+    # every tombstoned file is retention-expired under keep=1
+    assert len([p for p in res["removed_files"]
+                if p.endswith(".parquet")]) >= n_dead
+    register(spark)
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    # 25 + 5 appended (key 0 duplicated), merge collapses both copies
+    # of key 0 into one upserted row
+    assert df.count() == 29
+    assert {r["n_name"] for r in df.filter("n_nationkey = 0").collect()} \
+        == {"ZED"}
+    with pytest.raises(Exception, match="not available"):
+        (spark.read.format("graft_manifest").option("path", path)
+         .option("versionAsOf", "0").load().collect())
+    # idempotent: a second vacuum removes nothing
+    res2 = vacuum_manifest(path, keep_versions=1)
+    assert not res2["removed_files"] and not res2["removed_manifests"]
