@@ -1027,6 +1027,24 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "o_orderkey", "s", "e", bin_days=7)
 
 
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation
+    (operators/sketches.py): per-user event counts answered from a
+    depth×width counter table instead of a per-key groupBy — the
+    fixed-state frequency primitive of the sketch family (HLL =
+    distinct, quantile sketch = distribution, CMS = frequency).  The
+    oracle rebuilds the identical counters from the portable md5 hash
+    and takes the same min-over-depth estimates, so the driver hash
+    proves every counter and estimate bit-for-bit; the ≥-true-count
+    and merge properties are pytest-asserted."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    sketch = cms_build(ev, "user_id")
+    return cms_estimate(ev, sketch, "user_id")
+
+
 MERGE_INSERT_BASE = 1_000_000_000
 
 
@@ -1288,6 +1306,22 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
+    """,
+    "cms_user_event_counts": """
+        WITH h AS (
+            SELECT user_id, t.d,
+                   (('0x' || substr(md5('cms' || CAST(t.d AS VARCHAR)
+                                        || '|' || CAST(user_id AS VARCHAR)),
+                                    1, 15))::BIGINT) % 256 AS bucket
+            FROM events, range(4) AS t(d)
+        ), sk AS (
+            SELECT d, bucket, COUNT(*) AS cnt FROM h GROUP BY d, bucket
+        ), probes AS (
+            SELECT DISTINCT user_id, d, bucket FROM h
+        )
+        SELECT p.user_id, CAST(MIN(sk.cnt) AS BIGINT) AS est_count
+        FROM probes p JOIN sk USING (d, bucket)
+        GROUP BY p.user_id
     """,
     "manifest_merge_upsert": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -1978,6 +2012,7 @@ QUERIES = {
     "manifest_merge_upsert": manifest_merge_upsert,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_compaction": manifest_compaction,
+    "cms_user_event_counts": cms_user_event_counts,
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,

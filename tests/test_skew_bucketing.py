@@ -91,3 +91,39 @@ def test_zorder_key_matches_reference_interleave(spark):
                      .alias("z")).collect()}
     for a, b in cases:
         assert got[(a, b)] == ref(a, b), (a, b)
+
+
+def test_cms_never_undercounts_and_merges(spark, sf_dir):
+    """CMS invariants: every estimate >= the true count (and equals it
+    for most keys at this load factor), and the sketch of a union
+    equals the elementwise merge of the parts' sketches."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_project_cloud_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    sketch = cms_build(ev, "user_id")
+    est = {r["user_id"]: r["est_count"]
+           for r in cms_estimate(ev, sketch, "user_id").collect()}
+    exact = {r["user_id"]: r["n"]
+             for r in ev.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert est.keys() == exact.keys()
+    assert all(est[k] >= exact[k] for k in exact)
+    # load factor |keys| << width: the large majority must be exact
+    exact_hits = sum(1 for k in exact if est[k] == exact[k])
+    assert exact_hits >= 0.9 * len(exact)
+
+    # mergeability: sketch(a ∪ b) == merge(sketch(a), sketch(b))
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 != 0)
+    merged = cms_merge(cms_build(a, "user_id"), cms_build(b, "user_id"))
+    whole = {(r["d"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    got = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
