@@ -156,6 +156,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_delete_rows": 4,
     "manifest_compaction": 4,
     "cms_user_event_counts": 4,
+    "manifest_changefeed": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
     "streaming_manifest_upsert_view": 4,

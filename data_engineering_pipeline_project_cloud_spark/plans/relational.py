@@ -1067,6 +1067,14 @@ def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit (conflict-detected under concurrency — pytest-asserted).
     The oracle recomputes the merged state relationally from the raw
     table, so the driver hash proves MERGE semantics end-to-end."""
+    path = _merge_orders_path(spark, sf_dir)
+    return (spark.read.format("graft_manifest").option("path", path).load()
+            .select("o_orderkey", "status", "total_price"))
+
+
+def _merge_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """The merged orders manifest table (v0 = raw orders, v1 = CDC
+    merge), shared by the merge and changefeed faces."""
     from ..sources.manifest_source import (
         merge_into_manifest,
         register,
@@ -1092,9 +1100,23 @@ def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_into_manifest(updates.unionByName(inserts), path,
                             ["o_orderkey"], ["o_orderkey"])
 
-    path = scoped_scratch("manifest_merge_orders", sf_dir, build)
-    return (spark.read.format("graft_manifest").option("path", path).load()
-            .select("o_orderkey", "status", "total_price"))
+    return scoped_scratch("manifest_merge_orders", sf_dir, build)
+
+
+def manifest_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changefeed between manifest versions
+    (sources/manifest_source.py:manifest_changes — the CDC-read analog
+    of a table format's change data feed): diffing the merged orders
+    table's latest version against version 0 must recover EXACTLY the
+    CDC batch the merge applied — post-image updates for every 10th
+    key, the 5 synthetic inserts, nothing else (rows the merge
+    rewrote unchanged while copying their files emit nothing: the diff
+    is over values, not layout).  The oracle derives the same change
+    set relationally from the raw table."""
+    from ..sources.manifest_source import manifest_changes
+
+    path = _merge_orders_path(spark, sf_dir)
+    return manifest_changes(spark, path, 0, None, ["o_orderkey"])
 
 
 def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1337,6 +1359,21 @@ ORACLE_SQL: dict[str, str] = {
         SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
                'N' AS status,
                CAST(i AS DOUBLE) + 0.5 AS total_price
+        FROM range(5) AS t(i)
+    """,
+    "manifest_changefeed": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               'U' AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) + 1.0
+                   AS total_price,
+               'update' AS change_type
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
+               'N' AS status,
+               CAST(i AS DOUBLE) + 0.5 AS total_price,
+               'insert' AS change_type
         FROM range(5) AS t(i)
     """,
     "manifest_delete_rows": """
@@ -2013,6 +2050,7 @@ QUERIES = {
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
+    "manifest_changefeed": manifest_changefeed,
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,

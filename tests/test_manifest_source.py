@@ -562,3 +562,38 @@ def test_vacuum_retention(spark, sf_dir, tmp_path):
     # idempotent: a second vacuum removes nothing
     res2 = vacuum_manifest(path, keep_versions=1)
     assert not res2["removed_files"] and not res2["removed_manifests"]
+
+
+def test_changefeed_insert_update_delete(spark, sf_dir, tmp_path):
+    """manifest_changes recovers exactly the applied change set:
+    updates carry the post-image, deletes the pre-image, untouched
+    keys (even ones whose file a merge rewrote) emit nothing."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_from_manifest,
+        manifest_changes,
+        merge_into_manifest,
+    )
+
+    path = str(tmp_path / "mcdf")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])  # v0
+    merge_into_manifest(
+        spark.createDataFrame([(0, "ZED"), (100, "NEWLAND")],
+                              "n_nationkey long, n_name string"),
+        path, ["n_nationkey"], ["n_nationkey"])  # v1
+    delete_from_manifest(
+        spark.createDataFrame([(5,)], "n_nationkey long"),
+        path, ["n_nationkey"], ["n_nationkey"])  # v2
+
+    changes = {r["n_nationkey"]: (r["change_type"], r["n_name"])
+               for r in manifest_changes(
+                   spark, path, 0, None, ["n_nationkey"]).collect()}
+    old5 = nat.filter(F.col("n_nationkey") == 5).collect()[0]["n_name"]
+    assert changes == {0: ("update", "ZED"),
+                       100: ("insert", "NEWLAND"),
+                       5: ("delete", old5)}
+    # adjacent-version diff sees only the delete
+    mid = {r["n_nationkey"]: r["change_type"]
+           for r in manifest_changes(
+               spark, path, 1, 2, ["n_nationkey"]).collect()}
+    assert mid == {5: "delete"}
