@@ -157,6 +157,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_compaction": 4,
     "cms_user_event_counts": 4,
     "manifest_changefeed": 4,
+    "manifest_bloom_lookup": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
     "streaming_manifest_upsert_view": 4,

@@ -1027,6 +1027,36 @@ def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "o_orderkey", "s", "e", bin_days=7)
 
 
+def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter point lookup through the manifest table
+    (sources/manifest_source.py ``bloomCols``): orders land
+    HASH-partitioned on the key, so every file's min/max range spans
+    the whole table and range stats cannot skip anything — the
+    per-file blooms are what turn an ``o_orderkey = K`` lookup into
+    opening ~one file (a bloom has no false negatives, so skipping is
+    exact; Spark still re-applies the filter row-wise).  The oracle is
+    the plain point lookup on the raw table; file-count pruning itself
+    is pytest-asserted."""
+    from ..sources.manifest_source import register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        (orders.repartition(6, "o_orderkey")
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "o_orderkey")
+         .option("bloomCols", "o_orderkey").save())
+
+    path = scoped_scratch("manifest_bloom_orders", sf_dir, build)
+    key = (load_table(spark, sf_dir, "orders")
+           .agg(F.max("o_orderkey")).collect()[0][0])
+    return (spark.read.format("graft_manifest").option("path", path).load()
+            .filter(F.col("o_orderkey") == int(key))
+            .select("o_orderkey", "status", "total_price"))
+
+
 def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation
     (operators/sketches.py): per-user event counts answered from a
@@ -1328,6 +1358,14 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
+    """,
+    "manifest_bloom_lookup": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS total_price
+        FROM orders
+        WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
     """,
     "cms_user_event_counts": """
         WITH h AS (
@@ -2051,6 +2089,7 @@ QUERIES = {
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
     "manifest_changefeed": manifest_changefeed,
+    "manifest_bloom_lookup": manifest_bloom_lookup,
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,

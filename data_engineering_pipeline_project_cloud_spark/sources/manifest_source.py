@@ -135,6 +135,64 @@ def load_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+#: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
+#: ~100 keys/file, 128 bytes of manifest metadata per (file, column).
+_BLOOM_M = 1024
+_BLOOM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+_MASK64 = (1 << 64) - 1
+
+
+def _bloom_indexes_scalar(value: int) -> list[int]:
+    """The k probe positions for one integer value — the scalar twin
+    of the vectorized builder (identical mixing, so reader membership
+    tests agree with writer bits)."""
+    out = []
+    for salt in _BLOOM_SALTS:
+        x = (value & _MASK64) * salt & _MASK64
+        x ^= x >> 33
+        x = x * 0xFF51AFD7ED558CCD & _MASK64
+        x ^= x >> 29
+        out.append(x % _BLOOM_M)
+    return out
+
+
+def _bloom_bits_from_numpy(arr) -> "object":
+    """Accumulate bloom bits for an int64/uint64 numpy array —
+    vectorized mixing (no per-row Python), returns a 16-word uint64
+    bit array."""
+    import numpy as np
+
+    bits = np.zeros(_BLOOM_M // 64, dtype=np.uint64)
+    v = arr.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        for salt in _BLOOM_SALTS:
+            x = v * np.uint64(salt)
+            x = x ^ (x >> np.uint64(33))
+            x = x * np.uint64(0xFF51AFD7ED558CCD)
+            x = x ^ (x >> np.uint64(29))
+            idx = x % np.uint64(_BLOOM_M)
+            for i in np.unique(idx):  # ≤ m distinct positions
+                bits[int(i) // 64] |= np.uint64(1 << (int(i) % 64))
+    return bits
+
+
+def _bloom_encode(bits) -> str:
+    import base64
+
+    return base64.b64encode(bits.tobytes()).decode("ascii")
+
+
+def _bloom_maybe_contains(encoded: str, value: int) -> bool:
+    """False ONLY when the bloom proves the value absent."""
+    import base64
+
+    raw = base64.b64decode(encoded)
+    for i in _bloom_indexes_scalar(value):
+        if not (raw[i // 8] >> (i % 8)) & 1:
+            return False
+    return True
+
+
 def _require_path(options) -> str:
     path = options.get("path")
     if not path:
@@ -504,6 +562,7 @@ class _FileCommit(WriterCommitMessage):
     final_path: str
     rows: int
     stats: dict = field(default_factory=dict)
+    bloom: dict = field(default_factory=dict)
 
 
 class ManifestArrowWriter(DataSourceArrowWriter):
@@ -529,6 +588,12 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._path = _require_path(options)
         raw = options.get("statcols") or ""
         self._stat_cols = [c for c in raw.split(",") if c]
+        # bloomCols: integer columns to build per-file bloom filters
+        # for — point-lookup (EqualTo) skipping on keys min/max can't
+        # prune (unsorted layouts); 128 bytes of manifest metadata per
+        # (file, column), built vectorized in the same write pass
+        braw = options.get("bloomcols") or ""
+        self._bloom_cols = [c for c in braw.split(",") if c]
         self._schema = schema
         self._schema_json = schema.json()
         self._overwrite = overwrite
@@ -580,6 +645,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         rows = 0
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
+        blooms: dict[str, object] = {}
         try:
             for batch in iterator:
                 if writer is None:
@@ -597,6 +663,20 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                         continue
                     lo[col] = bmin if col not in lo else min(lo[col], bmin)
                     hi[col] = bmax if col not in hi else max(hi[col], bmax)
+                for col in self._bloom_cols:
+                    try:
+                        arr = (batch.column(col).drop_null()
+                               .to_numpy(zero_copy_only=False))
+                        if arr.dtype.kind not in ("i", "u") or not len(arr):
+                            continue
+                        bits = _bloom_bits_from_numpy(arr)
+                    except (KeyError, TypeError, ValueError,
+                            pa.ArrowInvalid):
+                        continue  # absent or non-integer column
+                    if col in blooms:
+                        blooms[col] |= bits
+                    else:
+                        blooms[col] = bits
         finally:
             if writer is not None:
                 writer.close()
@@ -610,8 +690,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 os.remove(tmp)
             return _FileCommit(tmp_path="", final_path="", rows=0)
         stats = {c: {"min": lo[c], "max": hi[c]} for c in lo}
+        bloom = {c: _bloom_encode(b) for c, b in blooms.items()}
         return _FileCommit(tmp_path=tmp, final_path=final, rows=rows,
-                           stats=stats)
+                           stats=stats, bloom=bloom)
 
     def _latest(self) -> dict | None:
         try:
@@ -637,9 +718,10 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             return
         for m in msgs:
             os.replace(m.tmp_path, m.final_path)
-        new_files = [{"path": m.final_path, "rows": m.rows,
-                      "stats": m.stats}
-                     for m in sorted(msgs, key=lambda m: m.final_path)]
+        new_files = [
+            {"path": m.final_path, "rows": m.rows, "stats": m.stats,
+             **({"bloom": m.bloom} if getattr(m, "bloom", None) else {})}
+            for m in sorted(msgs, key=lambda m: m.final_path)]
         os.makedirs(self._path, exist_ok=True)
         # --- optimistic-concurrency CAS loop ---------------------------
         # compose the next version from the CURRENT latest (not the
@@ -765,10 +847,24 @@ class _FilePartition(InputPartition):
         self.schema_json = schema_json
 
 
-def _file_survives(stats: dict, filters) -> bool:
+def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
     """False only when some pushed filter PROVABLY excludes every row
-    of the file (stat range disjoint from the predicate).  Missing
-    stats for a column → the file survives."""
+    of the file: stat range disjoint from the predicate, or an
+    ``EqualTo`` integer literal whose bloom probes all miss (a bloom
+    has no false negatives, so this is exact exclusion).  Missing
+    stats/bloom for a column → the file survives."""
+    if bloom:
+        for f in filters:
+            if not isinstance(f, EqualTo):
+                continue
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1:
+                continue
+            enc = bloom.get(attr[0])
+            if (enc is not None and isinstance(f.value, int)
+                    and not isinstance(f.value, bool)
+                    and not _bloom_maybe_contains(enc, f.value)):
+                return False
     for f in filters:
         if not isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
                               LessThan, LessThanOrEqual)):
@@ -847,7 +943,8 @@ class ManifestReader(DataSourceReader):
 
     def pushFilters(self, filters):
         self._files = [f for f in self._files
-                       if _file_survives(f["stats"], filters)]
+                       if _file_survives(f["stats"], filters,
+                                         f.get("bloom"))]
         # declare everything unsupported: Spark re-applies all filters
         # row-wise, so pruning can never change results — only IO
         yield from filters

@@ -597,3 +597,63 @@ def test_changefeed_insert_update_delete(spark, sf_dir, tmp_path):
            for r in manifest_changes(
                spark, path, 1, 2, ["n_nationkey"]).collect()}
     assert mid == {5: "delete"}
+
+
+def test_bloom_membership_no_false_negatives():
+    """Writer bits vs reader probes must agree exactly: every inserted
+    value tests positive (no false negatives, the correctness side),
+    and the false-positive rate at this load is small (the IO side)."""
+    import numpy as np
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _bloom_bits_from_numpy,
+        _bloom_encode,
+        _bloom_maybe_contains,
+    )
+
+    vals = np.array([3, 17, 999_999_937, 2**62 + 11, 0, -5 % 2**64],
+                    dtype=np.uint64)
+    enc = _bloom_encode(_bloom_bits_from_numpy(vals))
+    for v in vals:
+        assert _bloom_maybe_contains(enc, int(v))
+    misses = sum(1 for v in range(10_000, 11_000)
+                 if _bloom_maybe_contains(enc, v))
+    assert misses <= 50  # ~1% expected at 6 keys / 1024 bits
+
+
+def test_bloom_prunes_point_lookups(spark, sf_dir, tmp_path):
+    """bloomCols: an EqualTo lookup on an UNSORTED key opens only the
+    files whose bloom might contain it — min/max ranges overlap on a
+    hash-partitioned layout, so blooms are what makes the lookup
+    O(1 file); results still equal the plain filter."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestReader,
+        load_manifest,
+        register,
+    )
+
+    path = str(tmp_path / "mbloom")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "o_orderstatus")
+    register(spark)
+    # hash partitioning: every file's key RANGE spans the table, so
+    # min/max pruning keeps everything; only the blooms can skip
+    (orders.repartition(6, "o_orderkey")
+     .write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "o_orderkey")
+     .option("bloomCols", "o_orderkey").save())
+    m = load_manifest(path)
+    assert all("o_orderkey" in f.get("bloom", {}) for f in m["files"])
+
+    key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    from pyspark.sql.datasource import EqualTo
+
+    rd = ManifestReader({"path": path})
+    list(rd.pushFilters([EqualTo(("o_orderkey",), int(key))]))
+    surviving = len(rd.partitions())
+    assert surviving < len(m["files"]), "bloom should prune files"
+    got = (spark.read.format("graft_manifest").option("path", path)
+           .load().filter(F.col("o_orderkey") == key).count())
+    want = orders.filter(F.col("o_orderkey") == key).count()
+    assert got == want >= 1
