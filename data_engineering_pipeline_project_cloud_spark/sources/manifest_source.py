@@ -289,8 +289,12 @@ def _key_affected_files(files: list[dict], updates, key_cols: list[str],
     updates' range cannot match) with an exact-key refinement on the
     first key column whenever the distinct key set is driver-bounded
     (sorted list + bisect per file — the same O(files·log keys)
-    metadata pass a table format's MERGE planner runs).  Missing stats
-    → the file is affected (never prune on doubt)."""
+    metadata pass a table format's MERGE planner runs), plus a bloom
+    membership probe when the file carries one and the key set is
+    small — the case that matters on HASH layouts, where every file's
+    range spans the table and only blooms can skip.  Missing
+    stats/bloom → the file is affected (never prune on doubt)."""
+    import base64
     import bisect
 
     from pyspark.sql import functions as F
@@ -330,6 +334,19 @@ def _key_affected_files(files: list[dict], updates, key_cols: list[str],
                             and keys_sorted[i] <= s["max"])
                 except TypeError:
                     pass
+        if keep and keys_sorted is not None and len(keys_sorted) <= 1024:
+            enc = f.get("bloom", {}).get(first)
+            int_keys = [k for k in keys_sorted
+                        if isinstance(k, int) and not isinstance(k, bool)]
+            # only prune when EVERY key is bloom-probeable — a partial
+            # probe over a mixed-type key set could drop a file that
+            # holds one of the unprobed keys
+            if enc is not None and len(int_keys) == len(keys_sorted):
+                raw = base64.b64decode(enc)
+                keep = any(
+                    all((raw[i // 8] >> (i % 8)) & 1
+                        for i in _bloom_indexes_scalar(k))
+                    for k in int_keys)
         if keep:
             out.append(f)
     return out

@@ -657,3 +657,37 @@ def test_bloom_prunes_point_lookups(spark, sf_dir, tmp_path):
            .load().filter(F.col("o_orderkey") == key).count())
     want = orders.filter(F.col("o_orderkey") == key).count()
     assert got == want >= 1
+
+
+def test_merge_uses_blooms_on_hash_layout(spark, sf_dir, tmp_path):
+    """On a hash layout (every file's key range spans the table) the
+    range/bisect pruning keeps everything — the bloom membership probe
+    is what narrows a small-key MERGE to the files that actually hold
+    the keys, and the merged result is still exact."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        merge_into_manifest,
+        register,
+    )
+
+    path = str(tmp_path / "mbm")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    register(spark)
+    (nat.repartition(5, "n_nationkey")
+     .write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "n_nationkey")
+     .option("bloomCols", "n_nationkey").save())
+    m0 = load_manifest(path)
+    n_files = len([f for f in m0["files"] if not f.get("dead")])
+    assert n_files >= 3
+
+    updates = spark.createDataFrame([(3, "XED")],
+                                    "n_nationkey long, n_name string")
+    m1 = merge_into_manifest(updates, path, ["n_nationkey"],
+                             ["n_nationkey"])
+    dead = sum(1 for f in m1["files"] if f.get("dead"))
+    assert dead < n_files, "bloom probe should not rewrite every file"
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    assert df.count() == 25
+    assert df.filter("n_nationkey = 3").collect()[0]["n_name"] == "XED"
