@@ -28,9 +28,17 @@ from ..sources import load_table
 
 
 def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+    import shutil
+
     name = "q_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
-    run_available_now(df, name, ckpt, output_mode=mode)
+    try:
+        run_available_now(df, name, ckpt, output_mode=mode)
+    finally:
+        # the memory sink holds the drained rows; the checkpoint is
+        # only needed while the query runs — drop it so a long session
+        # doesn't accumulate one dir per drain
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
