@@ -508,9 +508,16 @@ def manifest_changes(spark, path: str, from_version: int,
     old = snap(from_version)
     new = snap(to_version)
     val_cols = [c for c in new.columns if c not in key_cols]
+    # an evolution boundary between the versions: columns the old
+    # snapshot predates compare as NULL (matching what the evolved
+    # table reads for those rows), so add-column alone never reports
+    # an update
+    types = dict(new.dtypes)
+    o_val = [(F.col(c) if c in old.columns
+              else F.lit(None).cast(types[c])).alias(c) for c in val_cols]
     o = old.select(
         *key_cols,
-        F.struct(*[F.col(c).alias(c) for c in val_cols]).alias("__old"),
+        F.struct(*o_val).alias("__old"),
         F.lit(True).alias("__in_old"))
     n = new.select(
         *key_cols,

@@ -691,3 +691,37 @@ def test_merge_uses_blooms_on_hash_layout(spark, sf_dir, tmp_path):
     df = spark.read.format("graft_manifest").option("path", path).load()
     assert df.count() == 25
     assert df.filter("n_nationkey = 3").collect()[0]["n_name"] == "XED"
+
+
+def test_changefeed_across_schema_evolution(spark, sf_dir, tmp_path):
+    """Diffing across an add-column boundary: the old snapshot's
+    missing column compares as NULL (what the evolved table reads for
+    those rows), so pure evolution emits NO changes and a real value
+    change still does."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        manifest_changes,
+        merge_into_manifest,
+    )
+
+    path = str(tmp_path / "mcse")
+    nat = load_table(spark, sf_dir, "nation")
+    write_manifest_table(
+        nat.select("n_nationkey", "n_name").coalesce(1), path,
+        ["n_nationkey"])  # v0: narrow
+    (nat.select("n_nationkey", "n_name",
+                F.col("n_regionkey").cast("long").alias("n_regionkey"))
+     .filter(F.col("n_nationkey") >= 100).coalesce(1)
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey")
+     .save())  # v1: widened schema, zero rows appended (filter empty)
+    assert manifest_changes(spark, path, 0, 1,
+                            ["n_nationkey"]).count() == 0
+    merge_into_manifest(
+        spark.createDataFrame([(0, "ZED", 9)],
+                              "n_nationkey long, n_name string,"
+                              " n_regionkey long"),
+        path, ["n_nationkey"], ["n_nationkey"])  # v2
+    ch = {r["n_nationkey"]: (r["change_type"], r["n_regionkey"])
+          for r in manifest_changes(spark, path, 0, None,
+                                    ["n_nationkey"]).collect()}
+    assert ch == {0: ("update", 9)}
