@@ -764,3 +764,27 @@ def test_pq_codebooks_seed_with_offset_ids(spark):
     for r in codes:
         for j, c in enumerate(r["pq_codes"]):
             assert 0 <= c < len(books[j])
+
+
+def test_registry_round_declarations_consistent():
+    """Evidence bookkeeping guard: every _ADDED_IN_ROUND /
+    _OUTPUT_CHANGED_AFTER name is a real registry query (a typo'd name
+    would silently mis-order the driver window), and the rows-only
+    set (queries with no oracle) is exactly the known sketch/ANN/BPE
+    faces — a NEW query missing its oracle entry fails here instead of
+    silently downgrading to the weak rows-only check."""
+    from data_engineering_pipeline_project_cloud_spark.plans import registry
+
+    q = set(registry.all_queries())
+    o = set(registry.all_oracle_sql())
+    assert o <= q, f"oracles without queries: {o - q}"
+    assert q - o == {
+        "dedup_minhash_pairs", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
+        "ann_ivf_topk", "ann_pq_topk", "hll_rollup_users",
+        "approx_distinct_counts", "bpe_merge_table",
+        "bpe_compression_stats",
+    }, f"unexpected rows-only set: {sorted(q - o)}"
+    assert set(registry._ADDED_IN_ROUND) <= q, \
+        sorted(set(registry._ADDED_IN_ROUND) - q)
+    assert set(registry._OUTPUT_CHANGED_AFTER) <= q, \
+        sorted(set(registry._OUTPUT_CHANGED_AFTER) - q)
