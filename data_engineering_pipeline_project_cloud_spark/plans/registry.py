@@ -158,6 +158,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "cms_user_event_counts": 4,
     "manifest_changefeed": 4,
     "manifest_bloom_lookup": 4,
+    "xml_roundtrip_supplier": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
     "streaming_manifest_upsert_view": 4,

@@ -622,6 +622,22 @@ def jsonl_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey").cast("long").alias("n_regionkey"))
 
 
+def xml_roundtrip_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source path with a pinned schema (S1 family — Spark 4
+    ships the XML reader natively): supplier written as row-tagged XML
+    and read back with an explicit schema (XML inference, like
+    JSON/CSV, double-scans and can type-flip; feeds and B2B exports
+    are where XML still shows up).  The oracle reads the original
+    parquet, so any escaping/typing drift through the markup
+    round-trip fails the hash check."""
+    path = _format_copy(spark, sf_dir, "supplier", "xml",
+                        {"rootTag": "suppliers", "rowTag": "supplier"})
+    back = (spark.read
+            .schema("s_suppkey long, s_name string, s_nationkey long")
+            .option("rowTag", "supplier").format("xml").load(path))
+    return back.select("s_suppkey", "s_name", "s_nationkey")
+
+
 def orc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source path (S1): orders written as ORC (self-describing —
     types, including the LTZ timestamp, survive without a pinned
@@ -1359,6 +1375,11 @@ ORACLE_SQL: dict[str, str] = {
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
     """,
+    "xml_roundtrip_supplier": """
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(s_nationkey AS BIGINT) AS s_nationkey
+        FROM supplier
+    """,
     "manifest_bloom_lookup": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                o_orderstatus AS status,
@@ -2077,6 +2098,7 @@ QUERIES = {
     "csv_roundtrip_region": csv_roundtrip_region,
     "jsonl_roundtrip_nation": jsonl_roundtrip_nation,
     "orc_roundtrip_orders": orc_roundtrip_orders,
+    "xml_roundtrip_supplier": xml_roundtrip_supplier,
     # added late in round 3 — behind the block above so the JDBC /
     # sketch / layout faces keep their driver-window precedence
     "fuzzy_match_nations": fuzzy_match_nations,
