@@ -599,7 +599,70 @@ def daily_order_ship_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
 _MONEY_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * "
               "(1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(18,4))")
 
+def trend_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear regression (distributed OLS): the
+    daily order-count trend per priority, slope/intercept from the
+    textbook normal equations — n, Σx, Σy, Σxy, Σx² are ONE partial-
+    aggregating groupBy, so a 100 TB fit is a single scan + a
+    |groups|-row reduction (the y = a+bx special case of the
+    sufficient-statistics pattern every distributed regression uses).
+    x (epoch day) and y (daily count) are integers, so every sum is
+    EXACT integer arithmetic — the division to double happens once at
+    the end, making the result bit-identical cross-engine (no
+    summation-order drift).  The oracle computes the same normal
+    equations in SQL."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long").alias("x"))
+    daily = (o.groupBy("o_orderpriority", "x")
+             .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    s = (daily.groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = num.cast("double") / den.cast("double")
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double"))
+                 / F.col("n").cast("double"))
+    return s.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "trend_orders_by_priority": """
+        WITH daily AS (
+            SELECT o_orderpriority,
+                   CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM orders GROUP BY 1, 2
+        ), s AS (
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM daily GROUP BY 1
+        )
+        SELECT o_orderpriority AS priority, n AS n_days,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                   AS intercept
+        FROM s
+    """,
     "daily_order_ship_reconciliation": """
         WITH od AS (
             SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
@@ -949,6 +1012,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "trend_orders_by_priority": trend_orders_by_priority,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_volume": q5_region_volume,

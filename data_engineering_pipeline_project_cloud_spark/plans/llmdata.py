@@ -488,6 +488,58 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token", "n", "vocab_size", "total_tokens")
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 50
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top
+    bigrams whose co-occurrence beats the independence model —
+    PMI = ln(p(ab) / (p(a)·p(b))) — the classic phrase-extraction pass
+    a tokenizer/vocab pipeline runs before merging multi-word units.
+    Corpus shape: one explode to unigram counts, one index-transform
+    to bigram counts (no self-join of the token stream), both
+    partial-aggregating; the final join attaches the two unigram
+    frequencies to each surviving bigram (≥ PMI_MIN_COUNT occurrences
+    — PMI is noise for rare pairs) and top-k is
+    TakeOrderedAndProject on the ROUNDED score with a pinned (a, b)
+    tie-break, so the cutoff set is engine-independent."""
+    d = _docs(spark, sf_dir)
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = d.select(t.alias("t"))
+    uni = (toks.select(F.explode("t").alias("a"))
+           .groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("ca")))
+    uni = scoped_persist(uni)
+    n = F.size("t")
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(F.col("t"), i).alias("a"),
+                           F.element_at(F.col("t"), i + 1).alias("b"))
+    )).otherwise(F.array())
+    bi_all = scoped_persist(
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cab")))
+    bi = bi_all.filter(F.col("cab") >= PMI_MIN_COUNT)
+    tu = uni.agg(F.sum("ca").cast("long").alias("tu"))
+    tb_ = bi_all.agg(F.sum("cab").cast("long").alias("tb"))
+    joined = (bi
+              .join(uni, "a")
+              .join(uni.select(F.col("a").alias("b"),
+                               F.col("ca").alias("cb")), "b")
+              .crossJoin(F.broadcast(tu)).crossJoin(F.broadcast(tb_)))
+    pmi = F.round(F.log(
+        (F.col("cab").cast("double") / F.col("tb").cast("double"))
+        / ((F.col("ca").cast("double") / F.col("tu").cast("double"))
+           * (F.col("cb").cast("double") / F.col("tu").cast("double")))),
+        6)
+    return (joined.select("a", "b", F.col("cab").alias("n_ab"),
+                          pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), F.col("a").asc(),
+                     F.col("b").asc())
+            .limit(PMI_TOPK))
+
+
 EVAL_MOD = 50            # every 50th doc plays the held-out benchmark
 CONTAM_FLAG_T = 0.5
 TFIDF_K = 3
@@ -1608,6 +1660,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM ranked WHERE rn <= {INDEX_POSTINGS}
         GROUP BY token
     """,
+    "pmi_collocations": """
+        WITH t AS (
+            SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ), uc AS (
+            SELECT a, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM (SELECT unnest(t) AS a FROM t) GROUP BY a
+        ), bc AS (
+            SELECT t[i] AS a, t[i + 1] AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cab
+            FROM t, UNNEST(range(1, len(t))) AS u(i)
+            GROUP BY 1, 2
+        ), tu AS (SELECT CAST(SUM(ca) AS BIGINT) AS tu FROM uc),
+        tb AS (SELECT CAST(SUM(cab) AS BIGINT) AS tb FROM bc)
+        SELECT bc.a, bc.b, bc.cab AS n_ab,
+               round(ln((CAST(cab AS DOUBLE) / tb)
+                        / ((CAST(ua.ca AS DOUBLE) / tu)
+                           * (CAST(ub.ca AS DOUBLE) / tu))), 6) AS pmi
+        FROM bc
+        JOIN uc ua ON ua.a = bc.a
+        JOIN uc ub ON ub.a = bc.b
+        CROSS JOIN tu CROSS JOIN tb
+        WHERE cab >= 5
+        ORDER BY pmi DESC, bc.a ASC, bc.b ASC
+        LIMIT 50
+    """,
     "vocab_stats": f"""
         WITH toks AS (
             SELECT unnest({_TOKENS.replace('text', 'lower(text)')}) AS token
@@ -1680,6 +1758,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "dataset_splits": dataset_splits,
     "vocab_stats": vocab_stats,
+    "pmi_collocations": pmi_collocations,
     "inverted_index_sample": inverted_index_sample,
     "dedup_minhash_pairs_checked": dedup_minhash_pairs_checked,
     "dup_clusters": dup_clusters,

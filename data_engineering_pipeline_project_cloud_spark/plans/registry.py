@@ -159,6 +159,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_changefeed": 4,
     "manifest_bloom_lookup": 4,
     "xml_roundtrip_supplier": 4,
+    "trend_orders_by_priority": 4,
+    "pmi_collocations": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
     "streaming_manifest_upsert_view": 4,
