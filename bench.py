@@ -56,8 +56,10 @@ SECONDARY = [
     "manifest_pruned_scan",
     "manifest_time_travel",
     "manifest_merge_upsert",
+    "manifest_changefeed",
     "streaming_manifest_sink",
     "streaming_manifest_upsert_view",
+    "pmi_collocations",
 ]
 
 #: Methodology provenance recorded in the JSON so cross-round readers
