@@ -636,7 +636,97 @@ def trend_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(intercept, 6).alias("intercept"))
 
 
+PR_ITERS = 3
+#: Fixed-point rank units: 1 rank = 1e10 units.  The whole iteration is
+#: EXACT 64-bit integer arithmetic — contribution = half-up integer
+#: division of rank units by degree, damped update = 0.15 + 0.85·S as
+#: (15·U/100) + (17·S + 10) DIV 20 — so Spark and the SQL oracle agree
+#: bit-for-bit with no float-rounding tie behavior in sight (a
+#: round(double) formulation lost one row per 10k to engine tie-break
+#: differences at the 10th decimal).
+PR_UNIT = 10_000_000_000
+
+
+def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the bipartite part–supplier shipment
+    graph — the message-passing loop every distributed graph engine
+    runs (contrib = rank/degree flows along edges, damped sum per
+    node), expressed as ``PR_ITERS`` DataFrame join+agg rounds.  Scale
+    shape: per iteration ONE join of the edge list against the
+    |nodes|-grain rank table and one partial-aggregating groupBy —
+    work is O(edges)/iteration, state is O(nodes); the same loop at
+    100 TB keys both tables by node and reuses the partitioning
+    across iterations (the dup_clusters localCheckpoint pattern caps
+    plan growth for long runs).  Ranks run in exact fixed-point
+    integer units (see ``PR_UNIT``), so the unrolled SQL oracle
+    matches bit-for-bit."""
+    from ..caching import scoped_persist
+
+    o = (load_table(spark, sf_dir, "lineitem")
+         .select(F.concat(F.lit("p"),
+                          F.col("l_partkey").cast("string")).alias("a"),
+                 F.concat(F.lit("s"),
+                          F.col("l_suppkey").cast("string")).alias("b"))
+         .distinct())
+    edges = scoped_persist(
+        o.unionAll(o.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    deg = edges.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("deg"))
+    state = scoped_persist(
+        deg.select("a", F.lit(PR_UNIT).cast("long").alias("r"), "deg"))
+    for _ in range(PR_ITERS):
+        # half-up integer division r/deg: (2r + deg) DIV 2deg
+        contrib = (edges
+                   .join(state, "a")
+                   .select(F.col("b").alias("node"),
+                           F.expr("(2 * r + deg) DIV (2 * deg)")
+                           .alias("c")))
+        ranks = (contrib.groupBy("node")
+                 .agg(F.expr(f"{PR_UNIT} DIV 100 * 15"
+                             " + (17 * sum(c) + 10) DIV 20")
+                      .cast("long").alias("r")))
+        state = scoped_persist(
+            ranks.select(F.col("node").alias("a"), "r")
+            .join(deg, "a").localCheckpoint(eager=True))
+    # r_units < 2^53, so the single double division is exact-input and
+    # deterministic in both engines
+    return state.select(
+        F.col("a").alias("node"),
+        (F.col("r").cast("double") / F.lit(float(PR_UNIT))).alias("pr"))
+
+
+_PR_ITER_SQL = """
+        {out} AS (
+            SELECT e.b AS a,
+                   CAST(10000000000 // 100 * 15
+                        + (17 * SUM((2 * {prev}.r + deg.deg)
+                                    // (2 * deg.deg)) + 10) // 20
+                        AS BIGINT) AS r
+            FROM e
+            JOIN {prev} ON e.a = {prev}.a
+            JOIN deg ON e.a = deg.a
+            GROUP BY e.b
+        )"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "pagerank_part_supplier": """
+        WITH e0 AS (
+            SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
+                   's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM lineitem
+        ),
+        e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e GROUP BY a),
+        r0 AS (SELECT a, CAST(10000000000 AS BIGINT) AS r FROM deg),
+    """ + _PR_ITER_SQL.format(out="r1", prev="r0") + ","
+        + _PR_ITER_SQL.format(out="r2", prev="r1") + ","
+        + _PR_ITER_SQL.format(out="r3", prev="r2") + """
+        SELECT a AS node,
+               CAST(r AS DOUBLE) / 10000000000.0 AS pr
+        FROM r3
+    """,
     "trend_orders_by_priority": """
         WITH daily AS (
             SELECT o_orderpriority,
@@ -1013,6 +1103,7 @@ ORACLE_SQL: dict[str, str] = {
 
 QUERIES = {
     "trend_orders_by_priority": trend_orders_by_priority,
+    "pagerank_part_supplier": pagerank_part_supplier,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_volume": q5_region_volume,

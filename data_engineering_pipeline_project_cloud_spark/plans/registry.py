@@ -160,6 +160,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_bloom_lookup": 4,
     "xml_roundtrip_supplier": 4,
     "trend_orders_by_priority": 4,
+    "pagerank_part_supplier": 4,
     "pmi_collocations": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
