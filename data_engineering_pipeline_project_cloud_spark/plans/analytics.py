@@ -695,6 +695,61 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r").cast("double") / F.lit(float(PR_UNIT))).alias("pr"))
 
 
+def supplier_cosupply_triangles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-node triangle counting on the supplier CO-SUPPLY graph
+    (suppliers sharing at least one part, projected from the
+    lineitem part–supplier pairs) with DEGREE-ORDERED edge
+    orientation — the canonical distributed triangle algorithm
+    (MPS/Cohen): every edge is directed from its lower-(degree, id)
+    endpoint to the higher, wedges pair a vertex's oriented
+    out-neighbors, and one closing-edge join verifies each triangle
+    EXACTLY once (apex = the triangle's lowest-rank vertex).  The
+    orientation is the scale lever: out-degree is bounded by
+    O(√edges) on any graph, so the wedge fan-out — the quadratic
+    danger on skewed graphs, where one hub would otherwise generate
+    deg² wedges — is capped without sampling.  Counts are exact
+    integers, so the identical SQL joins give a bit-for-bit oracle."""
+    from ..caching import scoped_persist
+
+    ps = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("p"),
+                  F.col("l_suppkey").cast("long").alias("s"))
+          .distinct())
+    b = ps.select(F.col("p"), F.col("s").alias("s2"))
+    pairs = (ps.join(b, "p")
+             .filter(F.col("s") < F.col("s2"))
+             .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+             .distinct())
+    pairs = scoped_persist(pairs)
+    deg = (pairs.select(F.col("u").alias("n"))
+           .unionAll(pairs.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    e = (pairs
+         .join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")),
+               "u")
+         .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")),
+               "v"))
+    u_first = (F.col("du") < F.col("dv")) \
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    d = scoped_persist(e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg")))
+    d1 = d.select(F.col("src"), F.col("dst").alias("b"),
+                  F.col("ddeg").alias("db"))
+    d2 = d.select(F.col("src"), F.col("dst").alias("c"),
+                  F.col("ddeg").alias("dc"))
+    rank_lt = (F.col("db") < F.col("dc")) \
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    wedges = d1.join(d2, "src").filter(rank_lt)
+    closing = d.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return (tri.select(F.explode(F.array("src", "b", "c")).alias("s_suppkey"))
+            .groupBy("s_suppkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+
+
 _PR_ITER_SQL = """
         {out} AS (
             SELECT e.b AS a,
@@ -710,6 +765,47 @@ _PR_ITER_SQL = """
 
 
 ORACLE_SQL: dict[str, str] = {
+    "supplier_cosupply_triangles": """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey AS p,
+                   CAST(l_suppkey AS BIGINT) AS s
+            FROM lineitem
+        ),
+        pairs AS (
+            SELECT DISTINCT a.s AS u, b.s AS v
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        ),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM pairs
+                  UNION ALL SELECT v AS n FROM pairs)
+            GROUP BY n
+        ),
+        o AS (
+            SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                        THEN u ELSE v END AS src,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                        THEN v ELSE u END AS dst,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                        THEN dv.d ELSE du.d END AS ddeg
+            FROM pairs
+            JOIN deg du ON du.n = u
+            JOIN deg dv ON dv.n = v
+        ),
+        tri AS (
+            SELECT d1.src, d1.dst AS b, d2.dst AS c
+            FROM o d1
+            JOIN o d2 ON d1.src = d2.src
+                 AND (d1.ddeg < d2.ddeg
+                      OR (d1.ddeg = d2.ddeg AND d1.dst < d2.dst))
+            JOIN o d3 ON d3.src = d1.dst AND d3.dst = d2.dst
+        )
+        SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT src AS s_suppkey FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY s_suppkey
+    """,
     "pagerank_part_supplier": """
         WITH e0 AS (
             SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
@@ -1104,6 +1200,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "trend_orders_by_priority": trend_orders_by_priority,
     "pagerank_part_supplier": pagerank_part_supplier,
+    "supplier_cosupply_triangles": supplier_cosupply_triangles,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_volume": q5_region_volume,
