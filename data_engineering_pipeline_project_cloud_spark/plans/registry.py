@@ -162,6 +162,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "trend_orders_by_priority": 4,
     "pagerank_part_supplier": 4,
     "supplier_cosupply_triangles": 4,
+    "event_transition_matrix": 4,
     "pmi_collocations": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,

@@ -423,7 +423,50 @@ _TS_H = ", ".join(
     f" AS h{h}" for h in range(24))
 _TS_VEC = "[" + ", ".join(f"h{h}" for h in range(24)) + "]"
 
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: LAG pairs each event with its predecessor (one shuffle on
+    user_id, ties pinned by event_id), transition counts aggregate at
+    |types|² grain, and probabilities normalize per source type — the
+    funnel/journey summary every product-analytics stack computes.  At
+    100 TB the only corpus-grain work is the single user_id window
+    pass; everything after runs on the tiny type×type frame.  Counts
+    are exact; p rounds at 6dp after one double division (the
+    established cross-engine-safe shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    seq = ev.select(F.lag("event_type").over(w).alias("from_type"),
+                    F.col("event_type").alias("to_type"))
+    t = (seq.filter(F.col("from_type").isNotNull())
+         .groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_trans")))
+    tot = t.groupBy("from_type").agg(F.sum("n_trans").alias("tot"))
+    return (t.join(tot, "from_type")
+            .select("from_type", "to_type", "n_trans",
+                    F.round(F.col("n_trans").cast("double")
+                            / F.col("tot").cast("double"), 6).alias("p")))
+
 ORACLE_SQL: dict[str, str] = {
+    "event_transition_matrix": """
+        WITH seq AS (
+            SELECT event_type AS to_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS from_type
+            FROM events
+        ), t AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+            FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+        ), tot AS (
+            SELECT from_type, SUM(n_trans) AS tot FROM t GROUP BY 1
+        )
+        SELECT t.from_type, t.to_type, n_trans,
+               CAST(round(CAST(n_trans AS DOUBLE)
+                          / CAST(tot AS DOUBLE), 6) AS DOUBLE) AS p
+        FROM t JOIN tot ON t.from_type = tot.from_type
+    """,
     "ts_profile_similarity": f"""
         WITH prof AS (
             SELECT user_id, {_TS_H}
@@ -697,6 +740,7 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 QUERIES = {
+    "event_transition_matrix": event_transition_matrix,
     "ts_profile_similarity": ts_profile_similarity,
     "weekly_cohort_retention": weekly_cohort_retention,
     "customer_spend_outliers": customer_spend_outliers,
