@@ -163,6 +163,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "pagerank_part_supplier": 4,
     "supplier_cosupply_triangles": 4,
     "event_transition_matrix": 4,
+    "supplier_partset_simjoin": 4,
     "pmi_collocations": 4,
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,

@@ -1073,6 +1073,25 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "status", "total_price"))
 
 
+SIMJOIN_T = 0.17
+
+
+def supplier_partset_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join on supplier part-sets
+    (operators/similarity.py:prefix_filter_set_join — the PPJoin-family
+    prefix-filtering algorithm): all supplier pairs whose part
+    catalogs overlap with Jaccard ≥ SIMJOIN_T, no hashing, no false
+    negatives.  The oracle is the brute-force all-shared-token join,
+    so the driver hash proves the prefix filter loses nothing; the
+    hypothesis test covers adversarial set shapes."""
+    from ..operators.similarity import prefix_filter_set_join
+
+    ps = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").cast("long").alias("s_id"),
+                  F.col("l_partkey").alias("part")))
+    return prefix_filter_set_join(ps, "s_id", "part", SIMJOIN_T)
+
+
 def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch frequency estimation
     (operators/sketches.py): per-user event counts answered from a
@@ -1387,6 +1406,27 @@ ORACLE_SQL: dict[str, str] = {
                    AS total_price
         FROM orders
         WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)
+    """,
+    "supplier_partset_simjoin": """
+        WITH ps AS (
+            SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+                   l_partkey AS tok
+            FROM lineitem
+        ), sz AS (
+            SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM ps GROUP BY s
+        ), i AS (
+            SELECT x.s AS a, y.s AS b, CAST(COUNT(*) AS BIGINT) AS inter
+            FROM ps x JOIN ps y ON x.tok = y.tok AND x.s < y.s
+            GROUP BY 1, 2
+        )
+        SELECT a, b, inter,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+        FROM i
+        JOIN sz na ON na.s = i.a
+        JOIN sz nb ON nb.s = i.b
+        WHERE round(CAST(inter AS DOUBLE)
+                    / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= 0.17
     """,
     "cms_user_event_counts": """
         WITH h AS (
@@ -2110,6 +2150,7 @@ QUERIES = {
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
+    "supplier_partset_simjoin": supplier_partset_simjoin,
     "manifest_changefeed": manifest_changefeed,
     "manifest_bloom_lookup": manifest_bloom_lookup,
     "manifest_schema_evolution": manifest_schema_evolution,

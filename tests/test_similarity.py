@@ -227,3 +227,39 @@ def test_pq_recall_vs_bruteforce(spark, sf_dir):
     approx = {(r["query_id"], r["candidate_id"]) for r in rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"PQ+rerank recall {recall} collapsed"
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_sets = st.dictionaries(st.integers(0, 8),
+                        st.sets(st.integers(0, 25), min_size=1,
+                                max_size=12),
+                        min_size=2, max_size=6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(sets=_sets, t=st.sampled_from([0.1, 0.3, 0.5, 0.8]))
+def test_prefix_filter_simjoin_matches_bruteforce(spark, sets, t):
+    """Prefix filtering must be EXACT: the candidate restriction can
+    never lose a qualifying pair, for any set shapes and threshold."""
+    from data_engineering_pipeline_project_cloud_spark.operators.similarity import (
+        prefix_filter_set_join,
+    )
+
+    rows = [(s, tok) for s, toks in sets.items() for tok in toks]
+    df = spark.createDataFrame(rows, "sid long, tok long")
+    got = {(r["a"], r["b"]): (r["inter"], r["jaccard"])
+           for r in prefix_filter_set_join(df, "sid", "tok", t).collect()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            if j >= t:
+                want[(a, b)] = (inter, j)
+    assert got == want
