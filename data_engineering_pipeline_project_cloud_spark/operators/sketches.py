@@ -76,6 +76,10 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str,
               .select(key_col, F.explode(F.array(*hashes)).alias("h"))
               .select(key_col, F.col("h.d").alias("d"),
                       F.col("h.bucket").alias("bucket")))
-    return (probes.join(F.broadcast(sketch), ["d", "bucket"])
+    # left join + 0-fill: a bucket no key ever touched is an implicit
+    # zero counter, so a NEVER-SEEN key estimates 0 (or a small
+    # collision overcount) instead of silently dropping out
+    return (probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
             .groupBy(key_col)
-            .agg(F.min("cnt").cast("long").alias("est_count")))
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est_count")))

@@ -127,3 +127,26 @@ def test_cms_never_undercounts_and_merges(spark, sf_dir):
     whole = {(r["d"], r["bucket"]): r["cnt"] for r in sketch.collect()}
     got = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_cms_unseen_keys_estimate_zero_ish(spark, sf_dir):
+    """Keys never inserted must return an estimate (0, or a small
+    collision overcount) — not drop out of the result."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_project_cloud_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    sketch = cms_build(ev, "user_id")
+    unseen = spark.range(900_000, 900_050).select(
+        F.col("id").alias("user_id"))
+    est = {r["user_id"]: r["est_count"]
+           for r in cms_estimate(unseen, sketch, "user_id").collect()}
+    assert len(est) == 50  # every queried key answered
+    assert all(v >= 0 for v in est.values())
+    assert sum(1 for v in est.values() if v == 0) >= 40  # mostly exact 0
