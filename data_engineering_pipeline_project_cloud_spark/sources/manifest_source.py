@@ -179,7 +179,12 @@ def _bloom_bits_from_numpy(arr) -> "object":
 def _bloom_encode(bits) -> str:
     import base64
 
-    return base64.b64encode(bits.tobytes()).decode("ascii")
+    # explicit little-endian words: _bloom_maybe_contains indexes the
+    # decoded bytes assuming LE bit layout, so a manifest written on a
+    # big-endian host must serialize identically (native order there
+    # would flip every word and turn pruning into false negatives —
+    # i.e. silently dropped rows)
+    return base64.b64encode(bits.astype("<u8").tobytes()).decode("ascii")
 
 
 def _bloom_maybe_contains(encoded: str, value: int) -> bool:
@@ -281,6 +286,27 @@ def build_manifest_from_footers(path: str, schema_json: str,
     return manifest
 
 
+def _key_pruning_info(updates, key_cols: list[str],
+                      max_driver_keys: int = 100_000):
+    """One metadata pass over the updates: per-key-column [min,max]
+    bounds plus a driver-bounded sorted distinct sample of the FIRST
+    key column (``None`` when the key set exceeds the cap).  Shared by
+    MERGE/DELETE file pruning and by the serializable-conflict check —
+    both sides of the protocol must reason from the same key summary."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in key_cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    row = updates.agg(*aggs).collect()[0]
+    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in key_cols}
+    sample = (updates.select(key_cols[0]).distinct()
+              .limit(max_driver_keys + 1).collect())
+    keys_sorted = (sorted(r[0] for r in sample if r[0] is not None)
+                   if len(sample) <= max_driver_keys else None)
+    return bounds, keys_sorted
+
+
 def _key_affected_files(files: list[dict], updates, key_cols: list[str],
                         max_driver_keys: int = 100_000) -> list[dict]:
     """Live files that MIGHT contain a key present in ``updates`` —
@@ -294,21 +320,17 @@ def _key_affected_files(files: list[dict], updates, key_cols: list[str],
     small — the case that matters on HASH layouts, where every file's
     range spans the table and only blooms can skip.  Missing
     stats/bloom → the file is affected (never prune on doubt)."""
+    bounds, keys_sorted = _key_pruning_info(updates, key_cols,
+                                            max_driver_keys)
+    return _files_possibly_containing(files, key_cols, bounds, keys_sorted)
+
+
+def _files_possibly_containing(files: list[dict], key_cols: list[str],
+                               bounds: dict, keys_sorted) -> list[dict]:
     import base64
     import bisect
 
-    from pyspark.sql import functions as F
-
-    aggs = []
-    for c in key_cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    row = updates.agg(*aggs).collect()[0]
-    bounds = {c: (row[f"__lo_{c}"], row[f"__hi_{c}"]) for c in key_cols}
     first = key_cols[0]
-    sample = (updates.select(first).distinct()
-              .limit(max_driver_keys + 1).collect())
-    keys_sorted = (sorted(r[0] for r in sample if r[0] is not None)
-                   if len(sample) <= max_driver_keys else None)
     out = []
     for f in files:
         if f.get("dead"):
@@ -352,6 +374,81 @@ def _key_affected_files(files: list[dict], updates, key_cols: list[str],
     return out
 
 
+def _conflict_option(read_version: int, key_col: str, bounds: dict,
+                     keys_sorted) -> str | None:
+    """Serialize the keyed commit's conflict-detection summary for the
+    writer options — read snapshot version, first-key-column bounds,
+    and (when driver-bounded) the exact key sample.  Returns ``None``
+    when the key values are not JSON-portable (no detection, as before
+    this feature — never a wrong answer, only a weaker guard)."""
+    lo, hi = bounds.get(key_col, (None, None))
+    payload = {"readVersion": read_version, "col": key_col,
+               "lo": lo, "hi": hi, "keys": keys_sorted}
+    try:
+        return json.dumps(payload)
+    except TypeError:
+        return None
+
+
+def _conflicting_added_files(path: str, prev: dict,
+                             conflict: dict) -> list[str]:
+    """Files some OTHER commit appended after this keyed commit's read
+    snapshot that may contain one of its keys — the serializable-
+    conflict check (WriteSerializable → Serializable): a racing append
+    that inserts a key this MERGE/DELETE is touching must fail one of
+    the two, or the keyed view ends up with duplicate/resurrected
+    keys.  Detection is the same stats-range → exact-key-bisect →
+    bloom-probe ladder as file pruning; a file with NO stats on the
+    key column conflicts conservatively (cannot prove disjoint)."""
+    import bisect
+
+    rv = conflict.get("readVersion")
+    try:
+        base = load_manifest(path, rv)
+    except (ValueError, FileNotFoundError, TypeError):
+        # the read snapshot is gone (concurrent vacuum/overwrite):
+        # the commit cannot prove what changed under it — conflict
+        return ["<read snapshot no longer available>"]
+    n_known = len(base["files"])
+    col = conflict["col"]
+    lo, hi = conflict.get("lo"), conflict.get("hi")
+    keys_sorted = conflict.get("keys")
+    out = []
+    for f in prev["files"][n_known:]:
+        if f.get("dead"):
+            continue
+        s = f.get("stats", {}).get(col)
+        if s is None:
+            out.append(f["path"])
+            continue
+        if lo is not None:
+            try:
+                if hi < s["min"] or lo > s["max"]:
+                    continue
+            except TypeError:
+                pass
+        if keys_sorted:
+            hit = True
+            try:
+                i = bisect.bisect_left(keys_sorted, s["min"])
+                hit = (i < len(keys_sorted)
+                       and keys_sorted[i] <= s["max"])
+            except TypeError:
+                pass
+            if not hit:
+                continue
+            enc = f.get("bloom", {}).get(col)
+            int_keys = [k for k in keys_sorted
+                        if isinstance(k, int) and not isinstance(k, bool)]
+            if (enc is not None and len(keys_sorted) <= 1024
+                    and len(int_keys) == len(keys_sorted)
+                    and not any(_bloom_maybe_contains(enc, k)
+                                for k in int_keys)):
+                continue
+        out.append(f["path"])
+    return out
+
+
 def _table_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
@@ -375,6 +472,17 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     resurrecting its rows.  Tombstoned files stay on disk and
     addressable: time travel to pre-merge versions keeps working.
 
+    Serializable vs concurrent appends: the commit also carries this
+    merge's KEY SUMMARY (``conflictKeys``) and, at CAS time, checks
+    every file appended after the merge's read snapshot against it
+    (stats range → exact-key bisect → bloom probe) — a racing plain
+    append that inserted one of the merged keys fails THIS commit with
+    a serializable-conflict error instead of silently leaving two rows
+    for the key.  Remaining caveat (documented, same as Delta under
+    WriteSerializable): two concurrent PLAIN appends inserting the
+    same key carry no key summary and are not cross-checked — keyed
+    views should insert through MERGE, not bare appends.
+
     100 TB shape: work is O(affected files + updates), never a scan of
     the table; the anti-join broadcasts the (CDC-batch-sized) key set.
 
@@ -397,7 +505,11 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     # must never implicitly evolve the table
     updates = updates.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
-    affected = _key_affected_files(m["files"], updates, key_cols)
+    bounds, keys_sorted = _key_pruning_info(updates, key_cols)
+    affected = _files_possibly_containing(m["files"], key_cols, bounds,
+                                          keys_sorted)
+    conflict = _conflict_option(m.get("version", 0), key_cols[0],
+                                bounds, keys_sorted)
     paths = [f["path"] for f in affected]
     if paths:
         # an explicit schema makes the parquet reader NULL-fill columns
@@ -413,6 +525,8 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
          .write.format("graft_manifest").mode("append")
          .option("path", path).option("statCols", ",".join(stat_cols))
          .option("replacePaths", json.dumps(paths)))
+    if conflict is not None:
+        w = w.option("conflictKeys", conflict)
     if txn is not None:
         w = (w.option("txnAppId", txn[0])
              .option("txnVersion", str(txn[1])))
@@ -436,7 +550,11 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
     types = {f.name: f.dataType for f in st.fields}
     keys = keys.select(*[F.col(c).cast(types[c]).alias(c)
                          for c in key_cols])
-    affected = _key_affected_files(m["files"], keys, key_cols)
+    bounds, keys_sorted = _key_pruning_info(keys, key_cols)
+    affected = _files_possibly_containing(m["files"], key_cols, bounds,
+                                          keys_sorted)
+    conflict = _conflict_option(m.get("version", 0), key_cols[0],
+                                bounds, keys_sorted)
     paths = [f["path"] for f in affected]
     if not paths:
         return m  # nothing could match: the table is untouched
@@ -445,10 +563,13 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
     base = spark.read.schema(st).parquet(*paths)
     kept = base.join(F.broadcast(keys.select(*key_cols).distinct()),
                      key_cols, "left_anti")
-    (kept.repartition(max(1, len(paths)))
-     .write.format("graft_manifest").mode("append")
-     .option("path", path).option("statCols", ",".join(stat_cols))
-     .option("replacePaths", json.dumps(paths)).save())
+    w = (kept.repartition(max(1, len(paths)))
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", ",".join(stat_cols))
+         .option("replacePaths", json.dumps(paths)))
+    if conflict is not None:
+        w = w.option("conflictKeys", conflict)
+    w.save()
     return load_manifest(path)
 
 
@@ -505,13 +626,18 @@ def manifest_changes(spark, path: str, from_version: int,
             r = r.option("versionAsOf", str(version))
         return r.load()
 
-    old = snap(from_version)
-    new = snap(to_version)
+    return _value_diff(snap(from_version), snap(to_version), key_cols)
+
+
+def _value_diff(old, new, key_cols: list[str]):
+    """The changefeed's diff core: full-outer key join of two row sets,
+    one output row per changed key.  Columns the old side predates
+    (an evolution boundary between the versions) compare as NULL —
+    matching what the evolved table reads for those rows — so
+    add-column alone never reports an update."""
+    from pyspark.sql import functions as F
+
     val_cols = [c for c in new.columns if c not in key_cols]
-    # an evolution boundary between the versions: columns the old
-    # snapshot predates compare as NULL (matching what the evolved
-    # table reads for those rows), so add-column alone never reports
-    # an update
     types = dict(new.dtypes)
     o_val = [(F.col(c) if c in old.columns
               else F.lit(None).cast(types[c])).alias(c) for c in val_cols]
@@ -537,7 +663,54 @@ def manifest_changes(spark, path: str, from_version: int,
                     "change_type"))
 
 
-def vacuum_manifest(path: str, keep_versions: int = 1) -> dict:
+def manifest_changes_incremental(spark, path: str, from_version: int,
+                                 to_version: int | None,
+                                 key_cols: list[str]):
+    """Log-based changefeed: SAME output as ``manifest_changes`` on
+    the same history, but reads only the DELTA files instead of two
+    full snapshots — the O(rewritten + appended files) increment.
+
+    Why the file-set diff is sufficient: data files are immutable and
+    every update/delete is copy-on-write (a rewrite commit tombstones
+    the old file and appends its replacement), so a file live in BOTH
+    endpoint snapshots holds byte-identical rows that cannot have
+    changed — and under keyed merge discipline no other live file
+    holds those keys.  The value diff therefore only needs the
+    symmetric difference of the two LIVE file sets: files live at
+    ``from`` but not at ``to`` carry every pre-image; files live at
+    ``to`` but not at ``from`` carry every post-image and insert.
+    Rows a rewrite copied unchanged appear on both sides with equal
+    values and net out in the diff, exactly as in the full-snapshot
+    form.  A file added and retired strictly inside the window is in
+    neither set — its transient rows net out by construction.
+
+    100 TB shape: the file-set diff is O(manifest) driver metadata;
+    the join reads only changed files — a single merge increment on a
+    100 TB table touches the CDC-batch-sized rewrite set, not the
+    table.  Both versions must still be retained (same contract as
+    ``manifest_changes``)."""
+    register(spark)
+    m_from = load_manifest(path, from_version)
+    m_to = load_manifest(path, to_version) if to_version is not None \
+        else load_manifest(path)
+    live_from = {f["path"] for f in m_from["files"] if not f.get("dead")}
+    live_to = {f["path"] for f in m_to["files"] if not f.get("dead")}
+    old_paths = sorted(live_from - live_to)
+    new_paths = sorted(live_to - live_from)
+    st = _table_schema(m_to)
+
+    def side(paths: list[str]):
+        if not paths:
+            return spark.createDataFrame([], st)
+        # explicit to-version schema: files from before an evolution
+        # boundary NULL-fill the columns they predate, JVM-side
+        return spark.read.schema(st).parquet(*paths)
+
+    return _value_diff(side(old_paths), side(new_paths), key_cols)
+
+
+def vacuum_manifest(path: str, keep_versions: int = 1,
+                    min_age_seconds: float = 0.0) -> dict:
     """Retention cleanup: keep the newest ``keep_versions`` manifest
     snapshots, delete older snapshots plus every data file no kept
     snapshot references (merge/compaction tombstones past retention,
@@ -545,11 +718,22 @@ def vacuum_manifest(path: str, keep_versions: int = 1) -> dict:
     snapshot is never touched, so readers of the current version are
     unaffected; time travel contracts to the kept window — the same
     trade VACUUM makes in any table format.  Pure O(files) driver
-    metadata work; like any format's VACUUM it assumes no write is in
-    flight (staging files are swept).  Returns
-    ``{"removed_files": [...], "removed_manifests": [...]}``."""
+    metadata work.  Returns
+    ``{"removed_files": [...], "removed_manifests": [...]}``.
+
+    ``min_age_seconds`` is the in-flight-writer guard (the retention
+    check table formats run by default): a data/staging file younger
+    than the window is SKIPPED even when unreferenced, because it may
+    belong to a commit between data-file publish and manifest claim —
+    deleting it would destroy that in-flight commit.  The default 0
+    keeps vacuum deterministic for single-writer tests; any deployment
+    with concurrent writers should pass an age comfortably above the
+    longest commit (Delta's equivalent default is 7 days)."""
+    import time
+
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    cutoff = time.time() - min_age_seconds
     snaps = _versioned_manifests(path)
     if not snaps:
         return {"removed_files": [], "removed_manifests": []}
@@ -568,12 +752,24 @@ def vacuum_manifest(path: str, keep_versions: int = 1) -> dict:
         if v not in kept:
             os.remove(p)
             removed_manifests.append(p)
+    def young(full: str) -> bool:
+        if min_age_seconds <= 0:
+            return False
+        try:
+            return os.path.getmtime(full) > cutoff
+        except OSError:
+            return True  # raced with its writer: certainly in flight
+
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
         if name.endswith(".parquet") and full not in referenced:
+            if young(full):
+                continue  # possibly published-but-unclaimed: retained
             os.remove(full)
             removed_files.append(full)
         elif name.startswith(".") and name.endswith(".tmp"):
+            if young(full):
+                continue  # possibly a live writer's staging file
             os.remove(full)
             removed_files.append(full)
     return {"removed_files": removed_files,
@@ -636,6 +832,15 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._replace = set(json.loads(rp)) if rp else set()
         if self._replace and overwrite:
             raise ValueError("replacePaths requires append mode")
+        # conflictKeys (append mode, keyed commits): the committing
+        # MERGE/DELETE's read version + key summary — commit() checks
+        # files OTHER commits appended after that version against it
+        # and fails on possible key intersection (serializable
+        # append-vs-merge; see _conflicting_added_files)
+        ck = options.get("conflictkeys")
+        self._conflict = json.loads(ck) if ck else None
+        if self._conflict is not None and overwrite:
+            raise ValueError("conflictKeys requires append mode")
         # per-commit id: makes every data-file name globally unique, so
         # concurrent writers (and a committed-then-retried version
         # claim) can never collide on a file the other published
@@ -754,6 +959,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # never a lost update
         stale_files: list[str] = []
         stale_manifests: list[str] = []
+
+        def fail(msg: str) -> None:
+            # every refusal path must unpublish this commit's data
+            # files first — they were already renamed into place, and
+            # raising without cleanup would leak orphan parquet into
+            # the table directory until a vacuum
+            for f in new_files:
+                if os.path.exists(f["path"]):
+                    os.remove(f["path"])
+            raise ValueError(msg)
+
         while True:
             prev = self._latest()
             if self._txn_already_committed(prev):
@@ -770,8 +986,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 txn[self._txn_app] = self._txn_ver
             if self._overwrite or prev is None:
                 if self._replace:
-                    raise ValueError(
-                        "replacePaths requires an existing table")
+                    fail("replacePaths requires an existing table")
                 files = list(new_files)
                 schema_json = self._schema_json
                 stale_files = [f["path"] for f in (prev or {}).get(
@@ -794,19 +1009,32 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                         # based on — committing would resurrect or
                         # duplicate its rows.  Fail; the caller re-runs
                         # the merge against the new latest version.
-                        for f in new_files:
-                            if os.path.exists(f["path"]):
-                                os.remove(f["path"])
-                        raise ValueError(
-                            "concurrent modification: files no longer "
-                            f"live: {sorted(gone)}; re-run the merge "
-                            "against the current table version")
+                        fail("concurrent modification: files no longer "
+                             f"live: {sorted(gone)}; re-run the merge "
+                             "against the current table version")
                     prior = [dict(f, dead=True)
                              if f["path"] in self._replace else f
                              for f in prior]
+                if self._conflict is not None:
+                    clash = _conflicting_added_files(
+                        self._path, prev, self._conflict)
+                    if clash:
+                        # serializable conflict: a commit that landed
+                        # after this keyed commit's read snapshot
+                        # appended files that may contain its keys —
+                        # committing on top could leave duplicate or
+                        # resurrected keys in the keyed view
+                        fail("serializable conflict: concurrent "
+                             "commit(s) appended files that may contain "
+                             f"this commit's keys: {sorted(clash)}; "
+                             "re-run the merge against the current "
+                             "table version")
+                try:
+                    schema_json = _merged_schema_json(prev["schema"],
+                                                      self._schema)
+                except ValueError as exc:
+                    fail(str(exc))
                 files = prior + new_files
-                schema_json = _merged_schema_json(prev["schema"],
-                                                  self._schema)
                 stale_files = []
                 stale_manifests = []
             manifest = {"schema": schema_json, "version": target,
@@ -1016,12 +1244,17 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         # offsets index into the RAW list (tombstones keep their
-        # positions); dead entries plan no partition.  Note the
-        # log-tailing caveat: rows a merge commit REWRITES are not
-        # re-emitted — streaming a table that receives updates needs
-        # changefeed semantics this source does not implement (the
-        # same restriction Delta's streaming source has without
-        # ignoreChanges).
+        # positions); dead entries plan no partition.  Log-tailing
+        # caveat: a merge/compaction commit APPENDS its rewrite output
+        # past old offsets, so every row it copied unchanged from a
+        # replaced file IS RE-EMITTED downstream as a duplicate, and
+        # its deletes are never emitted — streaming a table that
+        # receives updates needs the CDC stream
+        # (``option("readChangeFeed", "true")`` →
+        # ManifestCDCStreamReader), which diffs each commit instead of
+        # tailing raw files.  This raw tail matches Delta's source
+        # under ignoreChanges: append-only tables stream exactly-once,
+        # rewrites leak duplicates.
         m = self._manifest()
         files = m["files"][start["index"]:end["index"]]
         return [_FilePartition(f["path"], m["schema"])
@@ -1039,11 +1272,181 @@ class ManifestStreamReader(DataSourceStreamReader):
         pass
 
 
+class _CDCInsertPartition(InputPartition):
+    def __init__(self, path: str, schema_json: str, version: int):
+        self.path = path
+        self.schema_json = schema_json
+        self.version = version
+
+
+class _CDCDiffPartition(InputPartition):
+    def __init__(self, old_paths: list[str], new_paths: list[str],
+                 schema_json: str, key_cols: list[str], version: int):
+        self.old_paths = old_paths
+        self.new_paths = new_paths
+        self.schema_json = schema_json
+        self.key_cols = key_cols
+        self.version = version
+
+
+def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
+    """Row-level diff of ONE rewrite commit, computed inside the stream
+    partition: read the commit's replaced files (pre-images) and its
+    appended files (post-images), full-outer join on the keys in
+    Arrow, and emit insert/update/delete rows.  Memory is bounded by
+    the commit's rewrite volume — CDC-batch-sized under merge
+    discipline (the files one MERGE touched), never the table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(
+        StructType.fromJson(json.loads(part.schema_json)))
+    for f in target:
+        if pa.types.is_nested(f.type):
+            raise ValueError(
+                f"readChangeFeed cannot diff nested column {f.name!r}; "
+                "flat key/value columns only")
+
+    def read_all(paths: list[str]):
+        batches = []
+        for p in paths:
+            batches.extend(_read_aligned(p, part.schema_json))
+        if batches:
+            return pa.Table.from_batches(batches, schema=target)
+        return target.empty_table()
+
+    keys = part.key_cols
+    vals = [n for n in target.names if n not in keys]
+    old_t = (read_all(part.old_paths).select(keys + vals)
+             .rename_columns(keys + [f"__o_{c}" for c in vals]))
+    old_t = old_t.append_column(
+        "__in_old", pa.repeat(True, old_t.num_rows))
+    new_t = (read_all(part.new_paths).select(keys + vals)
+             .rename_columns(keys + [f"__n_{c}" for c in vals]))
+    new_t = new_t.append_column(
+        "__in_new", pa.repeat(True, new_t.num_rows))
+    j = old_t.join(new_t, keys=keys, join_type="full outer")
+    in_old = pc.fill_null(j["__in_old"], False)
+    in_new = pc.fill_null(j["__in_new"], False)
+    same = pa.repeat(True, j.num_rows)
+    for c in vals:
+        o, n = j[f"__o_{c}"], j[f"__n_{c}"]
+        eq = pc.or_(pc.fill_null(pc.equal(o, n), False),
+                    pc.and_(pc.is_null(o), pc.is_null(n)))
+        same = pc.and_(same, eq)
+    changed = pc.or_(pc.invert(pc.and_(in_old, in_new)),
+                     pc.invert(same))
+    change_type = pc.if_else(
+        pc.invert(in_old), pa.scalar("insert"),
+        pc.if_else(pc.invert(in_new), pa.scalar("delete"),
+                   pa.scalar("update")))
+    arrays = [j[k] for k in keys]
+    arrays += [pc.if_else(in_new, j[f"__n_{c}"], j[f"__o_{c}"])
+               for c in vals]
+    arrays += [change_type, pa.repeat(part.version, j.num_rows)]
+    out = pa.table(
+        dict(zip(keys + vals + ["change_type", "commit_version"], arrays))
+    ).filter(changed)
+    # normalize column order to table-schema order + change columns
+    out = out.select(list(target.names) + ["change_type", "commit_version"])
+    yield from out.to_batches()
+
+
+class ManifestCDCStreamReader(DataSourceStreamReader):
+    """CHANGE-DATA-FEED streaming: offsets are manifest VERSIONS, each
+    micro-batch emits the row-level changes of the commits in its
+    range — inserts from pure appends, insert/update/delete from
+    rewrite (MERGE/DELETE/OPTIMIZE) commits — with ``change_type`` and
+    ``commit_version`` columns appended.  This is what the raw
+    manifest tail (``ManifestStreamReader``) cannot do: a rewrite
+    commit's copied rows are NOT re-emitted (compaction emits
+    nothing), updates arrive exactly once, deletes arrive at all.
+
+    Per commit the planner diffs two adjacent snapshots' file lists —
+    O(manifest) driver metadata; appended-only commits plan one
+    partition per new file (full scan parallelism, rows stream through
+    the aligned Arrow path with constant change columns), rewrite
+    commits plan one diff partition over the commit's replaced +
+    appended files (``_cdc_diff_batches``).  Requires ``keyCols`` as
+    soon as the history contains a rewrite commit, and requires the
+    commit-range snapshots to be retained (no overwrite/vacuum inside
+    the unread window — the same contract Delta's change feed has)."""
+
+    def __init__(self, options):
+        self._path = _require_path(options)
+        raw = options.get("keycols") or ""
+        self._key_cols = [c for c in raw.split(",") if c]
+        self._start = int(options.get("startingversion", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        return {"version": load_manifest(self._path).get("version", 0) + 1}
+
+    def _version_partitions(self, v: int) -> list:
+        cur = load_manifest(self._path, v)
+        prev_files = (load_manifest(self._path, v - 1)["files"]
+                      if v > 0 else [])
+        appended = cur["files"][len(prev_files):]
+        flipped = [pf["path"] for pf, cf in zip(prev_files, cur["files"])
+                   if not pf.get("dead") and cf.get("dead")]
+        if not flipped:
+            return [_CDCInsertPartition(f["path"], cur["schema"], v)
+                    for f in appended if not f.get("dead")]
+        if not self._key_cols:
+            raise ValueError(
+                f"manifest version {v} is a rewrite commit; "
+                "readChangeFeed needs option 'keyCols' to diff it")
+        return [_CDCDiffPartition(flipped,
+                                  [f["path"] for f in appended],
+                                  cur["schema"], self._key_cols, v)]
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for v in range(start["version"], end["version"]):
+            parts.extend(self._version_partitions(v))
+        return parts
+
+    def read(self, partition) -> Iterator:
+        import pyarrow as pa
+
+        if partition is None:
+            return  # empty range (e.g. a rewrite that emitted no rows)
+        if isinstance(partition, _CDCDiffPartition):
+            yield from _cdc_diff_batches(partition)
+            return
+        for batch in _read_aligned(partition.path, partition.schema_json):
+            n = batch.num_rows
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.repeat("insert", n), pa.repeat(partition.version, n)],
+                schema=pa.schema(
+                    list(batch.schema)
+                    + [pa.field("change_type", pa.string()),
+                       pa.field("commit_version", pa.int64())]))
+
+    def commit(self, end: dict) -> None:
+        pass  # snapshots are the durable log; offsets checkpoint engine-side
+
+    def stop(self) -> None:
+        pass
+
+
+def _cdc_option(options) -> bool:
+    return str(options.get("readchangefeed", "")).lower() in ("true", "1")
+
+
 class ManifestDataSource(DataSource):
     """``spark.read.format("graft_manifest").option("path", dir)``.
 
     Options: ``path`` (required), ``versionAsOf`` (time travel),
-    ``statCols`` / ``txnAppId`` / ``txnVersion`` (write side).
+    ``statCols`` / ``bloomCols`` / ``txnAppId`` / ``txnVersion`` /
+    ``replacePaths`` / ``conflictKeys`` (write side),
+    ``readChangeFeed`` + ``keyCols`` + ``startingVersion`` (CDC
+    streaming — ``readStream`` emits row-level changes per commit
+    instead of tailing raw files).
     """
 
     @classmethod
@@ -1051,18 +1454,32 @@ class ManifestDataSource(DataSource):
         return "graft_manifest"
 
     def schema(self) -> StructType:
+        from pyspark.sql.types import LongType, StringType, StructField
+
         path = _require_path(self.options)
         m = load_manifest(path, _version_option(self.options))
-        return StructType.fromJson(json.loads(m["schema"]))
+        st = StructType.fromJson(json.loads(m["schema"]))
+        if _cdc_option(self.options):
+            st = StructType(st.fields
+                            + [StructField("change_type", StringType()),
+                               StructField("commit_version", LongType())])
+        return st
 
     def reader(self, schema: StructType) -> ManifestReader:
+        if _cdc_option(self.options):
+            raise ValueError(
+                "readChangeFeed is a streaming option; for a batch "
+                "change set use manifest_changes / "
+                "manifest_changes_incremental")
         return ManifestReader(self.options)
 
     def writer(self, schema: StructType,
                overwrite: bool) -> ManifestArrowWriter:
         return ManifestArrowWriter(self.options, schema, overwrite)
 
-    def streamReader(self, schema: StructType) -> ManifestStreamReader:
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if _cdc_option(self.options):
+            return ManifestCDCStreamReader(self.options)
         return ManifestStreamReader(self.options)
 
 
