@@ -168,6 +168,9 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_schema_evolution": 4,
     "streaming_manifest_sink": 4,
     "streaming_manifest_upsert_view": 4,
+    "manifest_changefeed_incremental": 5,
+    "streaming_manifest_cdc_feed": 5,
+    "manifest_cdc_downstream_view": 5,
 }
 
 

@@ -1184,6 +1184,25 @@ def manifest_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return manifest_changes(spark, path, 0, None, ["o_orderkey"])
 
 
+def manifest_changefeed_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """LOG-BASED changefeed
+    (sources/manifest_source.py:manifest_changes_incremental): the
+    same change set as ``manifest_changefeed`` over the same history,
+    but derived by diffing only the files in the two versions' live-set
+    symmetric difference — O(rewritten + appended files) instead of two
+    full snapshot scans (copy-on-write makes files immutable, so a
+    file live at both endpoints cannot hold a changed row).  The
+    oracle is the identical relational change set; the only-delta-
+    files-opened property is pytest-asserted with a reader spy
+    (tests/test_manifest_cdc.py)."""
+    from ..sources.manifest_source import manifest_changes_incremental
+
+    path = _merge_orders_path(spark, sf_dir)
+    return manifest_changes_incremental(spark, path, 0, None,
+                                        ["o_orderkey"])
+
+
 def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write DELETE by key
     (sources/manifest_source.py:delete_from_manifest): every 7th order
@@ -1461,6 +1480,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM range(5) AS t(i)
     """,
     "manifest_changefeed": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               'U' AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) + 1.0
+                   AS total_price,
+               'update' AS change_type
+        FROM orders
+        WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
+               'N' AS status,
+               CAST(i AS DOUBLE) + 0.5 AS total_price,
+               'insert' AS change_type
+        FROM range(5) AS t(i)
+    """,
+    "manifest_changefeed_incremental": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                'U' AS status,
                CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) + 1.0
@@ -2152,6 +2186,7 @@ QUERIES = {
     "cms_user_event_counts": cms_user_event_counts,
     "supplier_partset_simjoin": supplier_partset_simjoin,
     "manifest_changefeed": manifest_changefeed,
+    "manifest_changefeed_incremental": manifest_changefeed_incremental,
     "manifest_bloom_lookup": manifest_bloom_lookup,
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,

@@ -248,7 +248,168 @@ def streaming_manifest_upsert_view(spark: SparkSession,
                     "last_seen"))
 
 
+def _cdc_orders_path(spark: SparkSession, sf_dir: str) -> str:
+    """A manifest table with a deterministic 3-commit history (v0 =
+    conformed orders, v1 = CDC merge: every 10th key updated + 5
+    inserts, v2 = delete every 7th key), its CDC stream drained to a
+    parquet feed, and a DOWNSTREAM table maintained from that stream —
+    shared by the cdc-feed and cdc-downstream faces."""
+    import os
+
+    from ..sources.manifest_source import (
+        delete_from_manifest,
+        merge_into_manifest,
+        register,
+        write_manifest_table,
+    )
+    from ..streaming.sinks import cdc_apply_writer, run_foreach_batch
+    from .relational import MERGE_INSERT_BASE, _orders_manifest_frame
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), src,
+            ["o_orderkey"])  # v0
+        updates = (orders.filter(F.col("o_orderkey") % 10 == 0)
+                   .select("o_orderkey", F.lit("U").alias("status"),
+                           (F.col("total_price") + F.lit(1.0))
+                           .alias("total_price")))
+        inserts = spark.range(5).select(
+            (F.lit(MERGE_INSERT_BASE) + F.col("id")).alias("o_orderkey"),
+            F.lit("N").alias("status"),
+            (F.col("id").cast("double") + F.lit(0.5)).alias("total_price"))
+        merge_into_manifest(updates.unionByName(inserts), src,
+                            ["o_orderkey"], ["o_orderkey"])  # v1
+        doomed = (spark.read.format("graft_manifest").option("path", src)
+                  .load().filter(F.col("o_orderkey") % 7 == 0)
+                  .select("o_orderkey"))
+        delete_from_manifest(doomed, src, ["o_orderkey"],
+                             ["o_orderkey"])  # v2
+        stream = (spark.readStream.format("graft_manifest")
+                  .option("path", src)
+                  .option("readChangeFeed", "true")
+                  .option("keyCols", "o_orderkey").load())
+        # feed: the raw change log, durably sunk
+        q = (stream.writeStream.format("parquet")
+             .option("path", os.path.join(path, "feed"))
+             .option("checkpointLocation", os.path.join(path, "feed_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        # downstream: a second keyed view maintained FROM the CDC
+        # stream (medallion hop — never rescans src)
+        run_foreach_batch(
+            (spark.readStream.format("graft_manifest")
+             .option("path", src)
+             .option("readChangeFeed", "true")
+             .option("keyCols", "o_orderkey").load()),
+            cdc_apply_writer(os.path.join(path, "table"),
+                             ["o_orderkey"], ["o_orderkey"], "cdcview"),
+            os.path.join(path, "view_ck"))
+
+    return scoped_scratch("manifest_cdc_orders", sf_dir, build)
+
+
+def streaming_manifest_cdc_feed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The manifest table's CHANGE DATA FEED as a stream
+    (sources/manifest_source.py:ManifestCDCStreamReader,
+    ``option("readChangeFeed", "true")``): draining the 3-commit
+    orders history must emit exactly the row-level change log —
+    every base row as insert@0, the merge's post-image updates and
+    inserts @1, the delete pre-images @2 — and NOTHING for rows the
+    rewrites copied unchanged (the raw manifest tail would re-emit
+    every copied row; this source diffs each commit instead).  The
+    oracle derives the identical change log relationally from the raw
+    orders table."""
+    import os
+
+    path = _cdc_orders_path(spark, sf_dir)
+    return (spark.read.parquet(os.path.join(path, "feed"))
+            .select("o_orderkey", "status",
+                    F.col("total_price").cast("double").alias("total_price"),
+                    "change_type", "commit_version"))
+
+
+def manifest_cdc_downstream_view(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Changefeed-driven MATERIALIZED VIEW (streaming/sinks.py:
+    cdc_apply_writer): a downstream manifest table maintained from the
+    source table's CDC stream — per batch, collapse to the latest
+    change per key, MERGE the post-images, DELETE the deleted keys —
+    so the view converges to the source's latest state without ever
+    rescanning the source (the bronze→silver medallion hop; per-batch
+    cost is O(changes + affected files)).  The oracle recomputes the
+    same end state relationally from the raw orders table, so the
+    driver hash proves feed → apply → view end-to-end."""
+    import os
+
+    path = _cdc_orders_path(spark, sf_dir)
+    return (spark.read.format("graft_manifest")
+            .option("path", os.path.join(path, "table")).load()
+            .select("o_orderkey", "status",
+                    F.col("total_price").cast("double")
+                    .alias("total_price")))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "streaming_manifest_cdc_feed": """
+        WITH merged AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS status,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                  AS DOUBLE) + 1.0
+                        ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                  AS DOUBLE) END AS total_price
+            FROM orders
+            UNION ALL
+            SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
+                   'N' AS status, CAST(i AS DOUBLE) + 0.5 AS total_price
+            FROM range(5) AS t(i)
+        )
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS total_price,
+               'insert' AS change_type,
+               CAST(0 AS BIGINT) AS commit_version
+        FROM orders
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), 'U',
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) + 1.0,
+               'update', CAST(1 AS BIGINT)
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT CAST(1000000000 + i AS BIGINT), 'N',
+               CAST(i AS DOUBLE) + 0.5, 'insert', CAST(1 AS BIGINT)
+        FROM range(5) AS t(i)
+        UNION ALL
+        SELECT o_orderkey, status, total_price, 'delete',
+               CAST(2 AS BIGINT)
+        FROM merged WHERE o_orderkey % 7 = 0
+    """,
+    "manifest_cdc_downstream_view": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                    ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderkey % 10 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DOUBLE) + 1.0
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DOUBLE) END AS total_price
+        FROM orders
+        WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
+               'N' AS status, CAST(i AS DOUBLE) + 0.5 AS total_price
+        FROM range(5) AS t(i)
+        WHERE (1000000000 + i) % 7 <> 0
+    """,
     "streaming_manifest_upsert_view": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -381,4 +542,6 @@ QUERIES = {
     "streaming_manifest_tail": streaming_manifest_tail,
     "streaming_manifest_sink": streaming_manifest_sink,
     "streaming_manifest_upsert_view": streaming_manifest_upsert_view,
+    "streaming_manifest_cdc_feed": streaming_manifest_cdc_feed,
+    "manifest_cdc_downstream_view": manifest_cdc_downstream_view,
 }

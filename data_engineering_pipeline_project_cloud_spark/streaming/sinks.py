@@ -137,6 +137,62 @@ def manifest_merge_writer(path: str, key_cols: list[str],
     return write
 
 
+def cdc_apply_writer(path: str, key_cols: list[str],
+                     stat_cols: list[str],
+                     app_id: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining a DOWNSTREAM manifest table
+    from a CHANGE-DATA-FEED stream (``readChangeFeed`` →
+    ``change_type``/``commit_version`` columns) — the medallion hop: a
+    silver keyed view materialized from bronze's CDC stream instead of
+    rescanning bronze, so per-batch cost is O(changes + affected
+    files), never O(source table).
+
+    A catch-up batch can carry SEVERAL commits' changes for one key
+    (insert at v0, update at v1, delete at v2), so the writer first
+    collapses to the latest change per key (max ``commit_version``),
+    then MERGEs the surviving post-images and DELETEs the deleted
+    keys.  Exactly-once: the merge is txn-gated per batch_id (a
+    replayed batch no-ops inside the commit protocol); the delete is
+    naturally idempotent (absent keys plan no file rewrites).
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest_source import (
+            delete_from_manifest,
+            load_manifest,
+            merge_into_manifest,
+            register,
+        )
+
+        register(batch.sparkSession)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col("commit_version").desc())
+        latest = (batch.withColumn("__rn", F.row_number().over(w))
+                  .filter("__rn = 1").drop("__rn", "commit_version"))
+        ups = (latest.filter(F.col("change_type") != "delete")
+               .drop("change_type"))
+        dels = (latest.filter(F.col("change_type") == "delete")
+                .select(*key_cols))
+        try:
+            load_manifest(path)
+            exists = True
+        except FileNotFoundError:
+            exists = False
+        if not exists:
+            (ups.write.format("graft_manifest").mode("append")
+             .option("path", path)
+             .option("statCols", ",".join(stat_cols))
+             .option("txnAppId", app_id)
+             .option("txnVersion", str(batch_id)).save())
+        elif ups.take(1):
+            merge_into_manifest(ups, path, key_cols, stat_cols,
+                                txn=(app_id, batch_id))
+        if dels.take(1):
+            delete_from_manifest(dels, path, key_cols, stat_cols)
+
+    return write
+
+
 def run_foreach_batch(df: DataFrame, writer: Callable[[DataFrame, int], None],
                       checkpoint: str) -> None:
     """Drain the stream through a foreachBatch writer (AvailableNow)."""
