@@ -50,7 +50,8 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
                           a_id: str, a_start: str, a_end: str,
                           b_id: str, b_start: str, b_end: str,
                           bin_days: int = 7,
-                          max_bins: int | None = None) -> DataFrame:
+                          max_bins: int | None = None,
+                          max_broadcast_rows: int = 1_000_000) -> DataFrame:
     """All (a_id, b_id) whose [start, end] day-granularity intervals
     intersect (closed ends: touching endpoints DO overlap), with the
     overlap length in days.  Self-pairs (equal ids) are excluded —
@@ -62,6 +63,16 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
     caller knows no interval is orders of magnitude longer than
     ``bin_days``).
 
+    ``max_broadcast_rows`` makes the routing SELF-DEFENDING: the
+    broadcast-residual path assumes long intervals are rare
+    (dimension-sized); one cheap metadata aggregate counts them, and
+    when the count exceeds this bound — an adversarial input where
+    long is the norm — the operator falls back to binning EVERYTHING
+    at a coarser width (chosen so the longest interval explodes to at
+    most ``max_bins`` bins) instead of broadcasting a big side.
+    Coarser bins trade candidate precision for bounded fan-out; the
+    result set is unchanged either way (exact verify + distinct).
+
     Returns ``(a_id, b_id, overlap_days)``, deterministic row set.
     """
     def prep(df: DataFrame, id_col: str, s: str, e: str,
@@ -71,9 +82,9 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
             _eday(F.col(s)).alias(f"{out_id}_s"),
             _eday(F.col(e)).alias(f"{out_id}_e"))
 
-    def bins(df: DataFrame, out_id: str) -> DataFrame:
-        lo = F.floor(F.col(f"{out_id}_s") / bin_days)
-        hi = F.floor(F.col(f"{out_id}_e") / bin_days)
+    def bins(df: DataFrame, out_id: str, width: int) -> DataFrame:
+        lo = F.floor(F.col(f"{out_id}_s") / width)
+        hi = F.floor(F.col(f"{out_id}_e") / width)
         return df.select(
             out_id, f"{out_id}_s", f"{out_id}_e",
             F.explode(F.sequence(lo, hi)).alias("bin"))
@@ -87,20 +98,42 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
     exact = (F.col("a_id_s") <= F.col("b_id_e")) \
         & (F.col("b_id_s") <= F.col("a_id_e"))
     if max_bins is None:
-        cand = bins(ap, "a_id").join(bins(bp, "b_id"), "bin")
+        cand = bins(ap, "a_id", bin_days).join(
+            bins(bp, "b_id", bin_days), "bin")
     else:
-        a_short = ap.filter(n_bins("a_id") <= max_bins)
-        a_long = ap.filter(n_bins("a_id") > max_bins)
-        b_short = bp.filter(n_bins("b_id") <= max_bins)
-        b_long = bp.filter(n_bins("b_id") > max_bins)
-        binned = (bins(a_short, "a_id").join(bins(b_short, "b_id"), "bin")
-                  .drop("bin"))
-        # long outliers: rare + wide → broadcast theta join with the
-        # exact predicate; long_a pairs against ALL of b (covers
-        # long×long), short_a against long_b covers the rest
-        residual = (F.broadcast(a_long).join(bp, exact)
-                    .unionByName(a_short.join(F.broadcast(b_long), exact)))
-        cand = binned.unionByName(residual)
+        def long_stats(df: DataFrame, out_id: str):
+            row = df.agg(
+                F.sum((n_bins(out_id) > max_bins).cast("long"))
+                .alias("n_long"),
+                F.max(F.col(f"{out_id}_e") - F.col(f"{out_id}_s"))
+                .alias("max_len")).collect()[0]
+            return row["n_long"] or 0, row["max_len"] or 0
+
+        na_long, alen = long_stats(ap, "a_id")
+        nb_long, blen = long_stats(bp, "b_id")
+        if na_long + nb_long > max_broadcast_rows:
+            # the rare-and-wide assumption failed: re-bin everything
+            # at a width that fits the longest interval in max_bins
+            coarse = max(bin_days,
+                         -(-(max(alen, blen) + 1) // max_bins))
+            cand = bins(ap, "a_id", coarse).join(
+                bins(bp, "b_id", coarse), "bin").drop("bin")
+        else:
+            a_short = ap.filter(n_bins("a_id") <= max_bins)
+            a_long = ap.filter(n_bins("a_id") > max_bins)
+            b_short = bp.filter(n_bins("b_id") <= max_bins)
+            b_long = bp.filter(n_bins("b_id") > max_bins)
+            binned = (bins(a_short, "a_id", bin_days)
+                      .join(bins(b_short, "b_id", bin_days), "bin")
+                      .drop("bin"))
+            # long outliers: rare + wide → broadcast theta join with
+            # the exact predicate; long_a pairs against ALL of b
+            # (covers long×long), short_a against long_b covers the
+            # rest
+            residual = (F.broadcast(a_long).join(bp, exact)
+                        .unionByName(
+                            a_short.join(F.broadcast(b_long), exact)))
+            cand = binned.unionByName(residual)
     overlap = (F.least(F.col("a_id_e"), F.col("b_id_e"))
                - F.greatest(F.col("a_id_s"), F.col("b_id_s")) + 1)
     return (cand

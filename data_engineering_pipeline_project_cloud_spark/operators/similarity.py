@@ -689,31 +689,12 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
                     F.col("rank").cast("long").alias("rank")))
 
 
-def prefix_filter_set_join(sets, set_id: str, token: str,
-                           threshold: float):
-    """EXACT set-similarity join (all pairs with Jaccard ≥ threshold)
-    by PREFIX FILTERING — the PPJoin-family algorithm, the exact
-    counterpart of the MinHash-LSH approximate pipeline
-    (operators/dedup.py):
-
-    1. order tokens globally by ascending frequency (rare first, ties
-       by token) — the dictionary is |vocab|-grain metadata;
-    2. per set, only the first ``|s| - ceil(t·|s|) + 1`` tokens in
-       that order form the PREFIX: two sets with Jaccard ≥ t MUST
-       share a prefix token (J ≥ t ⇒ |A∩B| ≥ t·|A|, so A cannot avoid
-       B across its prefix) — candidates come from an equi join on
-       prefix tokens only, and rare-first ordering makes those the
-       least-shared tokens, collapsing candidate fan-out;
-    3. exact verification: intersection sizes for the candidate pairs
-       only (one join on the full token table, candidate-bounded),
-       Jaccard = ∩ / (|A|+|B|−∩), filter ≥ t.
-
-    Returns ``(a, b, inter, jaccard)`` with a < b — exact, no
-    hashing, no false negatives by construction.  100 TB shape: the
-    corpus-grain work is one frequency count and one prefix join; the
-    quadratic danger is confined to sets sharing RARE tokens, which is
-    exactly what the ordering minimizes (vs the naive all-pairs join
-    on ANY shared token)."""
+def _ranked_prefix(sets, set_id: str, token: str, threshold: float):
+    """(token table, set sizes, prefix frame) for the PPJoin pipeline:
+    tokens globally ordered rare-first, each set cut to its prefix of
+    the first ``|s| - ceil(t·|s|) + 1`` tokens.  The prefix frame
+    carries ``(s, tok, pos, n)`` so candidate generation can apply the
+    positional and length filters."""
     from pyspark.sql import Window
 
     from ..caching import scoped_persist
@@ -734,10 +715,77 @@ def prefix_filter_set_join(sets, set_id: str, token: str,
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n"))
         + 1)
-    cand = (prefix.select(F.col("s").alias("a"), "tok")
-            .join(prefix.select(F.col("s").alias("b"), "tok"), "tok")
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    return ps, sizes, prefix
+
+
+def _ppjoin_candidates(prefix, threshold: float,
+                       pos_len_filters: bool = True):
+    """Candidate pairs from the prefix-token equi join, optionally
+    tightened by PPJoin's LENGTH and POSITIONAL filters — both are
+    necessary conditions of J ≥ t, so they only drop pairs the exact
+    verify would reject anyway (output-identity is oracle- and
+    pytest-proven):
+
+    * length: J ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ t needs
+      ``|B| ≥ t·|A|`` and ``|A| ≥ t·|B|``;
+    * positional: J ≥ t needs ``|A∩B| ≥ t/(1+t)·(|A|+|B|)``, and for
+      a pair's FIRST shared token (positions i, j in the rare-first
+      order — no shared token precedes it) the intersection is at
+      most ``1 + min(|A|−i, |B|−j)``.  Applied per shared-token row:
+      a qualifying pair always survives via its first shared token's
+      row, extra rows are pruned before the distinct.
+
+    Ties compare with ``>=`` in double arithmetic — boundary pairs
+    are kept, never dropped (no false negatives)."""
+    pa = prefix.select(F.col("s").alias("a"), "tok",
+                       F.col("pos").alias("__pa"),
+                       F.col("n").alias("__na"))
+    pb = prefix.select(F.col("s").alias("b"), "tok",
+                       F.col("pos").alias("__pb"),
+                       F.col("n").alias("__nb"))
+    cand = pa.join(pb, "tok").filter(F.col("a") < F.col("b"))
+    if pos_len_filters:
+        na, nb = F.col("__na"), F.col("__nb")
+        t = F.lit(float(threshold))
+        ubound = (F.lit(1)
+                  + F.least(na - F.col("__pa"), nb - F.col("__pb")))
+        cand = cand.filter(
+            (nb.cast("double") >= t * na)
+            & (na.cast("double") >= t * nb)
+            & (ubound.cast("double") * (F.lit(1.0) + t)
+               >= t * (na + nb)))
+    return cand.select("a", "b").distinct()
+
+
+def prefix_filter_set_join(sets, set_id: str, token: str,
+                           threshold: float):
+    """EXACT set-similarity join (all pairs with Jaccard ≥ threshold)
+    by PREFIX FILTERING — the PPJoin-family algorithm, the exact
+    counterpart of the MinHash-LSH approximate pipeline
+    (operators/dedup.py):
+
+    1. order tokens globally by ascending frequency (rare first, ties
+       by token) — the dictionary is |vocab|-grain metadata;
+    2. per set, only the first ``|s| - ceil(t·|s|) + 1`` tokens in
+       that order form the PREFIX: two sets with Jaccard ≥ t MUST
+       share a prefix token (J ≥ t ⇒ |A∩B| ≥ t·|A|, so A cannot avoid
+       B across its prefix) — candidates come from an equi join on
+       prefix tokens only, tightened by PPJoin's positional and
+       length filters (``_ppjoin_candidates``), and rare-first
+       ordering makes those the least-shared tokens, collapsing
+       candidate fan-out;
+    3. exact verification: intersection sizes for the candidate pairs
+       only (one join on the full token table, candidate-bounded),
+       Jaccard = ∩ / (|A|+|B|−∩), filter ≥ t.
+
+    Returns ``(a, b, inter, jaccard)`` with a < b — exact, no
+    hashing, no false negatives by construction.  100 TB shape: the
+    corpus-grain work is one frequency count and one prefix join; the
+    quadratic danger is confined to sets sharing RARE tokens, which is
+    exactly what the ordering minimizes (vs the naive all-pairs join
+    on ANY shared token)."""
+    ps, sizes, prefix = _ranked_prefix(sets, set_id, token, threshold)
+    cand = _ppjoin_candidates(prefix, threshold)
     # candidate-bounded by construction: expand each candidate pair to
     # a's tokens, then equi-join b's — never the all-pairs token join
     inter = (cand

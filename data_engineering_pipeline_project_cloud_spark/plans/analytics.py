@@ -695,6 +695,38 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r").cast("double") / F.lit(float(PR_UNIT))).alias("pr"))
 
 
+#: Hub-part guard for the co-supply projection: a part shared by d
+#: suppliers emits d·(d−1)/2 pairs BEFORE the degree-ordered wedge cap
+#: can help, so one 10⁴-degree hub would emit ~5·10⁷ rows from the
+#: projection join alone.  Parts above this degree are EXCLUDED from
+#: the graph — a part supplied by hundreds of suppliers makes every
+#: pair of them "co-suppliers", which is near-clique noise, not
+#: signal (the same drop-the-hub trade the dedup family's
+#: ``_cap_buckets`` makes).  256 bounds the per-part fan-out at ~32k
+#: pairs while sitting far above the test data's max degree (52 at
+#: sf0.1), so results are unchanged at every test scale.
+TRI_MAX_PART_DEG = 256
+
+
+def _cosupply_pairs(ps: DataFrame,
+                    max_part_deg: int = TRI_MAX_PART_DEG) -> DataFrame:
+    """Project (part, supplier) incidences to distinct co-supply
+    supplier pairs, dropping hub parts whose supplier degree exceeds
+    ``max_part_deg`` BEFORE the pairing self-join — the projection's
+    fan-out is then bounded at max_part_deg²/2 rows per part by
+    construction, instead of deg² on whatever skew the data has."""
+    pdeg = (ps.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("__pd"))
+            .filter(F.col("__pd") <= max_part_deg)
+            .select("p"))
+    bounded = ps.join(pdeg, "p")
+    b = bounded.select(F.col("p"), F.col("s").alias("s2"))
+    return (bounded.join(b, "p")
+            .filter(F.col("s") < F.col("s2"))
+            .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+            .distinct())
+
+
 def supplier_cosupply_triangles(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Per-node triangle counting on the supplier CO-SUPPLY graph
@@ -708,20 +740,18 @@ def supplier_cosupply_triangles(spark: SparkSession,
     orientation is the scale lever: out-degree is bounded by
     O(√edges) on any graph, so the wedge fan-out — the quadratic
     danger on skewed graphs, where one hub would otherwise generate
-    deg² wedges — is capped without sampling.  Counts are exact
-    integers, so the identical SQL joins give a bit-for-bit oracle."""
+    deg² wedges — is capped without sampling.  The projection join
+    one step earlier has its own hub guard (``TRI_MAX_PART_DEG``,
+    capped-pair-count pytest in tests/test_analytics_caps.py).
+    Counts are exact integers, so the identical SQL joins give a
+    bit-for-bit oracle."""
     from ..caching import scoped_persist
 
     ps = (load_table(spark, sf_dir, "lineitem")
           .select(F.col("l_partkey").alias("p"),
                   F.col("l_suppkey").cast("long").alias("s"))
           .distinct())
-    b = ps.select(F.col("p"), F.col("s").alias("s2"))
-    pairs = (ps.join(b, "p")
-             .filter(F.col("s") < F.col("s2"))
-             .select(F.col("s").alias("u"), F.col("s2").alias("v"))
-             .distinct())
-    pairs = scoped_persist(pairs)
+    pairs = scoped_persist(_cosupply_pairs(ps))
     deg = (pairs.select(F.col("u").alias("n"))
            .unionAll(pairs.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d")))
@@ -766,10 +796,16 @@ _PR_ITER_SQL = """
 
 ORACLE_SQL: dict[str, str] = {
     "supplier_cosupply_triangles": """
-        WITH ps AS (
+        WITH ps0 AS (
             SELECT DISTINCT l_partkey AS p,
                    CAST(l_suppkey AS BIGINT) AS s
             FROM lineitem
+        ),
+        pok AS (
+            SELECT p FROM ps0 GROUP BY p HAVING COUNT(*) <= 256
+        ),
+        ps AS (
+            SELECT ps0.p, ps0.s FROM ps0 JOIN pok USING (p)
         ),
         pairs AS (
             SELECT DISTINCT a.s AS u, b.s AS v
