@@ -653,3 +653,45 @@ def nb_classifier_scores(docs: DataFrame, label_col: str = "label",
         F.col(id_col), "n_tokens", "weak_label",
         sp.alias("score_pass"), sf.alias("score_fail"),
         (sp >= sf).alias("predicted_pass"))
+
+
+def prune_rare_tokens(docs: DataFrame, id_col: str, text_col: str,
+                      min_fraction: float, unk: str = "<unk>") -> DataFrame:
+    """Vocabulary-pruned corpus rewrite (the tokenizer-prep OOV pass):
+    every token whose CORPUS frequency is below ``min_fraction`` of
+    total tokens is replaced by ``unk``, and each document's text is
+    reassembled in original token order.  This is the explode → global
+    vocab → broadcast-join → ordered-collapse plan shape shared by all
+    rewrite-the-corpus operators: the vocabulary is corpus-grain
+    metadata (bounded — real corpora have ~10⁵–10⁷ types against 10¹²
+    tokens), so the keep-set broadcasts; the only shuffle is the
+    per-document regroup, and ``array_sort(collect_list(struct(pos,
+    word)))`` restores order without a per-partition sort.
+
+    Returns ``(id_col, clean_text, n_unk)``.  Tokenization is literal
+    single-space split, matching the oracle's ``string_split``.
+    """
+    import math
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
+    freq = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    total = freq.agg(F.sum("c")).collect()[0][0] or 0
+    threshold = math.ceil(min_fraction * total)
+    keep = (freq.filter(F.col("c") >= threshold)
+            .select("word", F.lit(1).alias("__keep")))
+    tagged = words.join(F.broadcast(keep), "word", "left")
+    replaced = F.when(F.col("__keep").isNull(),
+                      F.lit(unk)).otherwise(F.col("word"))
+    return (tagged
+            .select(id_col, "pos", replaced.alias("w"),
+                    F.col("__keep").isNull().cast("long").alias("u"))
+            .groupBy(id_col)
+            .agg(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("pos", "w"))),
+                         lambda x: x["w"]), " ").alias("clean_text"),
+                 F.sum("u").cast("long").alias("n_unk")))

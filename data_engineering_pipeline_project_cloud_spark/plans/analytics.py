@@ -780,6 +780,78 @@ def supplier_cosupply_triangles(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
 
 
+#: k-core peel: drop nodes of degree < K, remove their edges, repeat.
+KCORE_K = 3
+KCORE_ITERS = 4
+
+
+def kcore_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core PEELING on the bipartite part–supplier graph
+    (the graph-family's density primitive next to triangles and
+    PageRank): each round drops every node whose current degree is
+    below ``KCORE_K`` and removes its incident edges — low-degree
+    fringes peel away in cascades, leaving the densely-connected
+    core.  The face runs exactly ``KCORE_ITERS`` rounds (a fixed
+    unrolling, so the SQL oracle is the identical exact computation;
+    a production run would iterate to fixpoint with the same loop
+    body) and returns each surviving node with its end-state degree.
+    Scale shape: per round one degree aggregation over the live edge
+    list plus two semi joins against the keep set — O(edges)/round,
+    the same join-per-iteration budget as PageRank, shrinking as the
+    graph peels."""
+    from ..caching import scoped_persist
+
+    ps = (load_table(spark, sf_dir, "lineitem")
+          .select(F.concat(F.lit("p"),
+                           F.col("l_partkey").cast("string")).alias("a"),
+                  F.concat(F.lit("s"),
+                           F.col("l_suppkey").cast("string")).alias("b"))
+          .distinct())
+    return kcore_peel(ps, KCORE_K, KCORE_ITERS)
+
+
+def kcore_peel(undirected: DataFrame, k: int, iters: int) -> DataFrame:
+    """``iters`` rounds of k-core peeling over an undirected edge list
+    ``(a, b)`` (one row per edge, either orientation): symmetrize,
+    then per round keep only nodes with current degree ≥ ``k`` and the
+    edges between them.  Returns ``(node, deg)`` — surviving nodes
+    with their end-state degrees."""
+    from ..caching import scoped_persist
+
+    edges = scoped_persist(undirected.select("a", "b").unionAll(
+        undirected.select(F.col("b").alias("a"), F.col("a").alias("b"))))
+    for _ in range(iters):
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        edges = scoped_persist(
+            edges.join(keep, "a")
+            .join(keep.select(F.col("a").alias("b")), "b")
+            .select("a", "b").localCheckpoint(eager=True))
+    return (edges.groupBy("a")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            .select(F.col("a").alias("node"), "deg"))
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),",
+        "e0 AS (SELECT 'p' || CAST(l_partkey AS VARCHAR) AS a,"
+        " 's' || CAST(l_suppkey AS VARCHAR) AS b FROM ps"
+        " UNION ALL SELECT 's' || CAST(l_suppkey AS VARCHAR),"
+        " 'p' || CAST(l_partkey AS VARCHAR) FROM ps)"]
+    for i in range(1, KCORE_ITERS + 1):
+        parts.append(
+            f", k{i} AS (SELECT a FROM e{i-1} GROUP BY a"
+            f" HAVING COUNT(*) >= {KCORE_K})")
+        parts.append(
+            f", e{i} AS (SELECT e.a, e.b FROM e{i-1} e"
+            f" JOIN k{i} x ON x.a = e.a JOIN k{i} y ON y.a = e.b)")
+    parts.append(
+        f" SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg"
+        f" FROM e{KCORE_ITERS} GROUP BY a")
+    return "\n".join(parts)
+
+
 _PR_ITER_SQL = """
         {out} AS (
             SELECT e.b AS a,
@@ -842,6 +914,7 @@ ORACLE_SQL: dict[str, str] = {
               UNION ALL SELECT c FROM tri)
         GROUP BY s_suppkey
     """,
+    "kcore_part_supplier": _kcore_oracle(),
     "pagerank_part_supplier": """
         WITH e0 AS (
             SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS a,
@@ -1236,6 +1309,7 @@ ORACLE_SQL: dict[str, str] = {
 QUERIES = {
     "trend_orders_by_priority": trend_orders_by_priority,
     "pagerank_part_supplier": pagerank_part_supplier,
+    "kcore_part_supplier": kcore_part_supplier,
     "supplier_cosupply_triangles": supplier_cosupply_triangles,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

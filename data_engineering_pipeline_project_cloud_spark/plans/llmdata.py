@@ -927,7 +927,57 @@ _GOPHER_SIG = f"""
                        / CAST(len({_TOKENS}) AS DOUBLE) AS dr
             FROM documents"""
 
+#: OOV threshold: tokens below this fraction of total corpus tokens
+#: are out-of-vocabulary.  The synthetic corpus has one deliberately
+#: rare type (~0.1% of tokens) against a ~3%-per-type body at every
+#: sf, so 1% is scale-invariant and non-trivial.
+OOV_MIN_FRACTION = 0.01
+
+
+def oov_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-pruned corpus rewrite
+    (operators/textstats.py:prune_rare_tokens): tokens rarer than
+    ``OOV_MIN_FRACTION`` of the corpus are replaced by ``<unk>`` and
+    every document is reassembled in original token order — the
+    tokenizer-prep OOV pass.  The keep-vocabulary is corpus-grain
+    broadcast metadata; the only shuffle is the per-document regroup.
+    The oracle rebuilds the identical rewrite relationally, proving
+    tokenization, thresholding, replacement, and order-preserving
+    reassembly all at once."""
+    from ..operators.textstats import prune_rare_tokens
+
+    return prune_rare_tokens(_docs(spark, sf_dir), "doc_id", "text",
+                             OOV_MIN_FRACTION)
+
+
 ORACLE_SQL: dict[str, str] = {
+    "oov_scrub_documents": f"""
+        WITH s AS (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        ),
+        w AS (
+            SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+                   unnest(arr) AS word
+            FROM s
+        ),
+        freq AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+        tot AS (SELECT COUNT(*) AS n FROM w),
+        keep AS (
+            SELECT word FROM freq, tot
+            WHERE c >= ceil({OOV_MIN_FRACTION} * n)
+        ),
+        r AS (
+            SELECT w.doc_id, w.pos,
+                   CASE WHEN k.word IS NULL THEN '<unk>'
+                        ELSE w.word END AS word,
+                   CASE WHEN k.word IS NULL THEN 1 ELSE 0 END AS u
+            FROM w LEFT JOIN keep k USING (word)
+        )
+        SELECT doc_id,
+               string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               CAST(SUM(u) AS BIGINT) AS n_unk
+        FROM r GROUP BY doc_id
+    """,
     "nb_quality_classifier": f"""
         WITH sig AS ({_GOPHER_SIG}),
         labels AS (SELECT doc_id, {_GOPHER_KEEP} AS y FROM sig),
@@ -1746,6 +1796,7 @@ ORACLE_SQL: dict[str, str] = {
 # never-driver-checked (round 1) faces first: the registry is consumed
 # in order and the driver's correctness pass may be budget-capped
 QUERIES = {
+    "oov_scrub_documents": oov_scrub_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,

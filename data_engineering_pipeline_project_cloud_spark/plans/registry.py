@@ -171,6 +171,10 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_changefeed_incremental": 5,
     "streaming_manifest_cdc_feed": 5,
     "manifest_cdc_downstream_view": 5,
+    "heavy_hitter_users": 5,
+    "oov_scrub_documents": 5,
+    "events_scd2_status": 5,
+    "kcore_part_supplier": 5,
 }
 
 

@@ -1110,6 +1110,34 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(ev, sketch, "user_id")
 
 
+#: Heavy-hitter support threshold as a fraction of the stream; must
+#: exceed 1/(HH_CAPACITY+1) for the Misra–Gries candidate set to be
+#: provably complete.
+HH_MIN_FRACTION = 0.0075
+HH_CAPACITY = 256
+
+
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters without a full-cardinality groupBy
+    (operators/frequent.py): per-partition Misra–Gries summaries
+    (mergeable-summaries update rule, ≤ HH_CAPACITY counters each)
+    nominate candidate users, then ONE candidate-bounded counting pass
+    returns every user with ≥ ceil(0.75%·N) events and its exact
+    count.  The frequency-sketch family's third member next to CMS
+    (point estimates) and HLL (distinct): frequent-item IDENTITIES.
+    At 100 TB the summaries are O(partitions·capacity) driver-sized
+    metadata and only candidate rows ever shuffle.  The oracle is the
+    plain GROUP BY/HAVING — the driver hash proves the candidate pass
+    loses nothing and counts exactly."""
+    from ..operators.frequent import heavy_hitters_exact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"))
+    return (heavy_hitters_exact(ev, "user_id", HH_MIN_FRACTION,
+                                capacity=HH_CAPACITY)
+            .select("user_id", F.col("n").alias("n_events")))
+
+
 MERGE_INSERT_BASE = 1_000_000_000
 
 
@@ -1446,6 +1474,13 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sz nb ON nb.s = i.b
         WHERE round(CAST(inter AS DOUBLE)
                     / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= 0.17
+    """,
+    "heavy_hitter_users": """
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY user_id
+        HAVING COUNT(*) >= ceil(0.0075 * (SELECT COUNT(*) FROM events))
     """,
     "cms_user_event_counts": """
         WITH h AS (
@@ -2184,6 +2219,7 @@ QUERIES = {
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
+    "heavy_hitter_users": heavy_hitter_users,
     "supplier_partset_simjoin": supplier_partset_simjoin,
     "manifest_changefeed": manifest_changefeed,
     "manifest_changefeed_incremental": manifest_changefeed_incremental,

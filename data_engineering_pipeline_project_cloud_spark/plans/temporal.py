@@ -449,7 +449,89 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_trans").cast("double")
                             / F.col("tot").cast("double"), 6).alias("p")))
 
+def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join against an SCD Type-2 dimension (the
+    feature-store primitive): each event is enriched with the status
+    VERSION that was valid at the event's timestamp — the version
+    whose [valid_from, valid_to) half-open window contains ``ts``.
+    Because SCD2 validity windows PARTITION each key's timeline, the
+    interval lookup reduces exactly to a backward as-of join on
+    ``valid_from`` (operators/asof.py — one shuffle + window, no theta
+    join); events before the key's first version get the NONE/-1
+    sentinel.  The dimension is the same history
+    ``scd2_order_status_history`` builds
+    (operators/relational.py:scd2_compact); the oracle derives it
+    relationally and joins by the explicit BETWEEN predicate, so the
+    driver hash proves the as-of reduction is semantically identical
+    to the interval join."""
+    from ..operators import relational as rel
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = orders.select("o_custkey",
+                        F.col("o_orderstatus").alias("status"),
+                        "o_orderdate", "o_orderkey")
+    hist = rel.scd2_compact(obs, ["o_custkey"], "status",
+                            ["o_orderdate", "o_orderkey"],
+                            high_date="9999-12-31 00:00:00")
+    dim = hist.select(F.col("o_custkey").cast("long").alias("user_id"),
+                      "valid_from", "status",
+                      F.col("version").cast("long").alias("version"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.col("user_id").cast("long").alias("user_id"))
+    out = asof_join_native(ev, dim, on_left="ts", on_right="valid_from",
+                           by_left="user_id", by_right="user_id",
+                           value_cols=["status", "version"])
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce("status", F.lit("NONE")).alias("status"),
+        F.coalesce("version", F.lit(-1)).cast("long").alias("version"))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_scd2_status": """
+        WITH obs AS (
+            SELECT o_custkey, o_orderstatus AS status,
+                   o_orderdate, o_orderkey
+            FROM orders
+        ),
+        lagged AS (
+            SELECT *, CASE WHEN lag(status) OVER w IS NULL
+                             OR lag(status) OVER w <> status
+                           THEN 1 ELSE 0 END AS chg
+            FROM obs
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        versioned AS (
+            SELECT *, SUM(chg) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS version
+            FROM lagged
+        ),
+        runs AS (
+            SELECT o_custkey, version, status,
+                   MIN(o_orderdate) AS valid_from
+            FROM versioned GROUP BY o_custkey, version, status
+        ),
+        final AS (
+            SELECT o_custkey, status, valid_from,
+                   COALESCE(LEAD(valid_from) OVER (
+                                PARTITION BY o_custkey ORDER BY version),
+                            TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                   version
+            FROM runs
+        )
+        SELECT e.event_id,
+               CAST(e.user_id AS BIGINT) AS user_id,
+               COALESCE(f.status, 'NONE') AS status,
+               CAST(COALESCE(f.version, -1) AS BIGINT) AS version
+        FROM events e
+        LEFT JOIN final f
+          ON f.o_custkey = e.user_id
+         AND e.ts >= f.valid_from AND e.ts < f.valid_to
+    """,
     "event_transition_matrix": """
         WITH seq AS (
             SELECT event_type AS to_type,
@@ -755,4 +837,5 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_tolerance": asof_events_orders_tolerance,
+    "events_scd2_status": events_scd2_status,
 }
