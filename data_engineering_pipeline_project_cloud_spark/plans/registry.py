@@ -175,6 +175,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "oov_scrub_documents": 5,
     "events_scd2_status": 5,
     "kcore_part_supplier": 5,
+    "cdc_incremental_agg_view": 5,
 }
 
 

@@ -262,7 +262,11 @@ def _cdc_orders_path(spark: SparkSession, sf_dir: str) -> str:
         register,
         write_manifest_table,
     )
-    from ..streaming.sinks import cdc_apply_writer, run_foreach_batch
+    from ..streaming.sinks import (
+        cdc_agg_delta_writer,
+        cdc_apply_writer,
+        run_foreach_batch,
+    )
     from .relational import MERGE_INSERT_BASE, _orders_manifest_frame
     from .scratch import scoped_scratch
 
@@ -309,6 +313,17 @@ def _cdc_orders_path(spark: SparkSession, sf_dir: str) -> str:
             cdc_apply_writer(os.path.join(path, "table"),
                              ["o_orderkey"], ["o_orderkey"], "cdcview"),
             os.path.join(path, "view_ck"))
+        # gold hop: an AGGREGATE view maintained by retraction deltas
+        # from the preimage-enabled CDC stream
+        run_foreach_batch(
+            (spark.readStream.format("graft_manifest")
+             .option("path", src)
+             .option("readChangeFeed", "true")
+             .option("updatePreimages", "true")
+             .option("keyCols", "o_orderkey").load()),
+            cdc_agg_delta_writer(os.path.join(path, "agg"),
+                                 ["status"], "total_price", "cdcagg"),
+            os.path.join(path, "agg_ck"))
 
     return scoped_scratch("manifest_cdc_orders", sf_dir, build)
 
@@ -355,7 +370,50 @@ def manifest_cdc_downstream_view(spark: SparkSession,
                     .alias("total_price")))
 
 
+def cdc_incremental_agg_view(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Incrementally-maintained AGGREGATE view
+    (streaming/sinks.py:cdc_agg_delta_writer): per-status order count
+    and revenue, maintained purely from the preimage-enabled CDC
+    stream by retraction deltas (+1 for insert/update_postimage, −1
+    for delete/update_preimage) — the source table is never rescanned
+    and updates that MOVE a row between statuses transfer it between
+    groups.  Sums accumulate in exact DECIMAL, so the converged view
+    equals the batch aggregate bit-for-bit, which is precisely what
+    the oracle asserts."""
+    import os
+
+    path = _cdc_orders_path(spark, sf_dir)
+    return (spark.read.format("graft_manifest")
+            .option("path", os.path.join(path, "agg")).load()
+            .select("status",
+                    F.col("n_rows").alias("n_orders"),
+                    F.col("sum_value").cast("double").alias("sum_price")))
+
+
 ORACLE_SQL: dict[str, str] = {
+    "cdc_incremental_agg_view": """
+        WITH final AS (
+            SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'U'
+                        ELSE o_orderstatus END AS status,
+                   CASE WHEN o_orderkey % 10 = 0
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                  AS DOUBLE) + 1.0
+                        ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                  AS DOUBLE) END AS total_price
+            FROM orders
+            WHERE o_orderkey % 7 <> 0
+            UNION ALL
+            SELECT 'N' AS status, CAST(i AS DOUBLE) + 0.5 AS total_price
+            FROM range(5) AS t(i)
+            WHERE (1000000000 + i) % 7 <> 0
+        )
+        SELECT status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(total_price AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM final GROUP BY status
+    """,
     "streaming_manifest_cdc_feed": """
         WITH merged AS (
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -544,4 +602,5 @@ QUERIES = {
     "streaming_manifest_upsert_view": streaming_manifest_upsert_view,
     "streaming_manifest_cdc_feed": streaming_manifest_cdc_feed,
     "manifest_cdc_downstream_view": manifest_cdc_downstream_view,
+    "cdc_incremental_agg_view": cdc_incremental_agg_view,
 }

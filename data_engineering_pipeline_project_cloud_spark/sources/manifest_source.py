@@ -1281,12 +1281,14 @@ class _CDCInsertPartition(InputPartition):
 
 class _CDCDiffPartition(InputPartition):
     def __init__(self, old_paths: list[str], new_paths: list[str],
-                 schema_json: str, key_cols: list[str], version: int):
+                 schema_json: str, key_cols: list[str], version: int,
+                 preimages: bool = False):
         self.old_paths = old_paths
         self.new_paths = new_paths
         self.schema_json = schema_json
         self.key_cols = key_cols
         self.version = version
+        self.preimages = preimages
 
 
 def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
@@ -1302,6 +1304,12 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
 
     target = to_arrow_schema(
         StructType.fromJson(json.loads(part.schema_json)))
+    # normalize nullability: files written from non-nullable plans
+    # (e.g. literal columns) carry required fields while the manifest
+    # schema may not, and vice versa — the diff compares VALUES, so
+    # cast every file to an all-nullable view of the table schema
+    target = pa.schema(
+        [pa.field(f.name, f.type, nullable=True) for f in target])
     for f in target:
         if pa.types.is_nested(f.type):
             raise ValueError(
@@ -1309,12 +1317,13 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
                 "flat key/value columns only")
 
     def read_all(paths: list[str]):
-        batches = []
+        tables = []
         for p in paths:
-            batches.extend(_read_aligned(p, part.schema_json))
-        if batches:
-            return pa.Table.from_batches(batches, schema=target)
-        return target.empty_table()
+            batches = list(_read_aligned(p, part.schema_json))
+            if batches:
+                tables.append(pa.Table.from_batches(batches)
+                              .select(target.names).cast(target))
+        return pa.concat_tables(tables) if tables else target.empty_table()
 
     keys = part.key_cols
     vals = [n for n in target.names if n not in keys]
@@ -1337,6 +1346,29 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
         same = pc.and_(same, eq)
     changed = pc.or_(pc.invert(pc.and_(in_old, in_new)),
                      pc.invert(same))
+    names = list(target.names) + ["change_type", "commit_version"]
+
+    def image(mask, side: str, ctype: str):
+        sub = pa.table(dict(zip(
+            keys + vals + ["change_type", "commit_version"],
+            [j[k] for k in keys]
+            + [j[f"__{side}_{c}"] for c in vals]
+            + [pa.repeat(ctype, j.num_rows),
+               pa.repeat(part.version, j.num_rows)]))).filter(mask)
+        return sub.select(names)
+
+    if part.preimages:
+        # Delta-CDF fidelity: updates emit BOTH images, tagged
+        # update_preimage / update_postimage — what retraction-based
+        # consumers (incremental aggregate maintenance) need
+        is_update = pc.and_(pc.and_(in_old, in_new), pc.invert(same))
+        out = pa.concat_tables([
+            image(pc.invert(in_old), "n", "insert"),
+            image(pc.invert(in_new), "o", "delete"),
+            image(is_update, "o", "update_preimage"),
+            image(is_update, "n", "update_postimage")])
+        yield from out.to_batches()
+        return
     change_type = pc.if_else(
         pc.invert(in_old), pa.scalar("insert"),
         pc.if_else(pc.invert(in_new), pa.scalar("delete"),
@@ -1349,7 +1381,7 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
         dict(zip(keys + vals + ["change_type", "commit_version"], arrays))
     ).filter(changed)
     # normalize column order to table-schema order + change columns
-    out = out.select(list(target.names) + ["change_type", "commit_version"])
+    out = out.select(names)
     yield from out.to_batches()
 
 
@@ -1378,6 +1410,12 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         raw = options.get("keycols") or ""
         self._key_cols = [c for c in raw.split(",") if c]
         self._start = int(options.get("startingversion", 0))
+        # updatePreimages: Delta-CDF-style update rows — each update
+        # emits an update_preimage AND an update_postimage row instead
+        # of a single post-image 'update' row (what retraction-based
+        # incremental aggregate consumers need)
+        self._preimages = str(options.get("updatepreimages", "")
+                              ).lower() in ("true", "1")
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -1401,7 +1439,8 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                 "readChangeFeed needs option 'keyCols' to diff it")
         return [_CDCDiffPartition(flipped,
                                   [f["path"] for f in appended],
-                                  cur["schema"], self._key_cols, v)]
+                                  cur["schema"], self._key_cols, v,
+                                  preimages=self._preimages)]
 
     def partitions(self, start: dict, end: dict):
         parts = []

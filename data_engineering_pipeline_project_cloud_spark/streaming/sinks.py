@@ -193,6 +193,71 @@ def cdc_apply_writer(path: str, key_cols: list[str],
     return write
 
 
+def cdc_agg_delta_writer(path: str, group_cols: list[str],
+                         value_col: str,
+                         app_id: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback maintaining an incrementally-updated
+    AGGREGATE view (count + sum per group) from a PREIMAGE-enabled CDC
+    stream (``updatePreimages=true``) — classic retraction-based
+    incremental view maintenance: ``insert``/``update_postimage`` rows
+    contribute +1/+value, ``delete``/``update_preimage`` rows
+    −1/−value (so an update that moves a row between groups transfers
+    it), the signed deltas aggregate per group, and a MERGE lands them
+    on the (group-grain) view table.  This is the GOLD hop of the
+    medallion: the silver keyed view (``cdc_apply_writer``) holds
+    rows, this holds aggregates, and neither ever rescans the source.
+
+    Sums accumulate in DECIMAL(18,2), so incremental addition is exact
+    and order-independent — the converged view equals the batch
+    aggregate bit-for-bit, with no float drift across batches.  The
+    merge is txn-gated per batch_id (replay no-ops).  Output columns:
+    ``group_cols + (n_rows, sum_value)``.
+    """
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest_source import (
+            load_manifest,
+            merge_into_manifest,
+            register,
+        )
+
+        spark = batch.sparkSession
+        register(spark)
+        sign = F.when(
+            F.col("change_type").isin("insert", "update_postimage"),
+            F.lit(1)).otherwise(F.lit(-1))
+        delta = (batch.groupBy(*group_cols)
+                 .agg(F.sum(sign).cast("long").alias("__dn"),
+                      F.sum(F.col(value_col).cast("decimal(12,2)")
+                            * sign).cast("decimal(18,2)").alias("__ds")))
+        try:
+            load_manifest(path)
+        except FileNotFoundError:
+            (delta.select(*group_cols,
+                          F.col("__dn").alias("n_rows"),
+                          F.col("__ds").alias("sum_value"))
+             .write.format("graft_manifest").mode("append")
+             .option("path", path)
+             .option("statCols", ",".join(group_cols))
+             .option("txnAppId", app_id)
+             .option("txnVersion", str(batch_id)).save())
+            return
+        cur = (spark.read.format("graft_manifest")
+               .option("path", path).load())
+        upd = (delta.join(cur, group_cols, "left")
+               .select(*group_cols,
+                       (F.coalesce(F.col("n_rows"), F.lit(0))
+                        + F.col("__dn")).cast("long").alias("n_rows"),
+                       (F.coalesce(F.col("sum_value"),
+                                   F.lit(0).cast("decimal(18,2)"))
+                        + F.col("__ds")).cast("decimal(18,2)")
+                       .alias("sum_value")))
+        merge_into_manifest(upd, path, group_cols, group_cols,
+                            txn=(app_id, batch_id))
+
+    return write
+
+
 def run_foreach_batch(df: DataFrame, writer: Callable[[DataFrame, int], None],
                       checkpoint: str) -> None:
     """Drain the stream through a foreachBatch writer (AvailableNow)."""

@@ -394,3 +394,76 @@ def test_schema_refusal_cleans_published_files(spark, sf_dir, tmp_path):
     leftovers = {os.path.join(path, n) for n in os.listdir(path)
                  if n.endswith(".parquet")} - live
     assert not leftovers
+
+
+def test_cdc_preimages_emit_both_update_images(spark, history_table,
+                                               tmp_path):
+    """updatePreimages=true: every update emits an update_preimage row
+    (old values) AND an update_postimage row (new values); inserts and
+    deletes are unchanged."""
+    register(spark)
+    stream = (spark.readStream.format("graft_manifest")
+              .option("path", history_table)
+              .option("readChangeFeed", "true")
+              .option("updatePreimages", "true")
+              .option("keyCols", "n_nationkey").load())
+    sink = str(tmp_path / "pre_sink")
+    q = (stream.writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "pre_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink).collect()
+    v1 = {(r["change_type"], r["n_nationkey"]): r["n_name"]
+          for r in got if r["commit_version"] == 1}
+    assert ("update_preimage", 0) in v1 and v1[("update_preimage", 0)] != "ZED"
+    assert v1[("update_postimage", 0)] == "ZED"
+    assert v1[("insert", 100)] == "NEWLAND"
+    assert ("update", 0) not in v1
+    # one extra row vs the single-image feed (the update doubled)
+    assert len(got) == 28 + 1
+
+
+def test_cdc_agg_view_incremental_across_batches(spark, sf_dir, tmp_path):
+    """Retraction-based IVM over TWO stream runs: run 1 builds the agg
+    view from the initial history; a later cross-group update commit
+    is applied by run 2 from its deltas alone — the view must equal
+    the batch aggregate after each run, including the group transfer."""
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        cdc_agg_delta_writer,
+        run_foreach_batch,
+    )
+
+    src = str(tmp_path / "aggsrc")
+    agg = str(tmp_path / "aggview")
+    ckpt = str(tmp_path / "aggck")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        F.col("n_name").alias("grp"),
+        F.lit(10.0).alias("v"))
+    grp_of = {r["n_nationkey"]: r["grp"] for r in nat.collect()}
+    write_manifest_table(
+        nat.filter("n_nationkey < 10").coalesce(1), src, ["n_nationkey"])
+
+    def drain():
+        run_foreach_batch(
+            (spark.readStream.format("graft_manifest")
+             .option("path", src).option("readChangeFeed", "true")
+             .option("updatePreimages", "true")
+             .option("keyCols", "n_nationkey").load()),
+            cdc_agg_delta_writer(agg, ["grp"], "v", "aggtest"), ckpt)
+        return {r["grp"]: (r["n_rows"], float(r["sum_value"]))
+                for r in (spark.read.format("graft_manifest")
+                          .option("path", agg).load().collect())}
+
+    first = drain()
+    assert first == {grp_of[k]: (1, 10.0) for k in range(10)}
+    # cross-group move: key 3 changes group and value
+    merge_into_manifest(
+        spark.createDataFrame([(3, grp_of[7], 2.5)],
+                              "n_nationkey long, grp string, v double"),
+        src, ["n_nationkey"], ["n_nationkey"])
+    second = drain()
+    want = {grp_of[k]: (1, 10.0) for k in range(10) if k != 3}
+    want[grp_of[3]] = (0, 0.0)              # retracted, group emptied
+    want[grp_of[7]] = (2, 12.5)             # received the moved row
+    assert second == want
