@@ -101,21 +101,22 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
         cand = bins(ap, "a_id", bin_days).join(
             bins(bp, "b_id", bin_days), "bin")
     else:
-        def long_stats(df: DataFrame, out_id: str):
-            row = df.agg(
-                F.sum((n_bins(out_id) > max_bins).cast("long"))
-                .alias("n_long"),
-                F.max(F.col(f"{out_id}_e") - F.col(f"{out_id}_s"))
-                .alias("max_len")).collect()[0]
-            return row["n_long"] or 0, row["max_len"] or 0
+        def side_stats(df: DataFrame, out_id: str) -> DataFrame:
+            return df.select(
+                (n_bins(out_id) > max_bins).cast("long").alias("l"),
+                (F.col(f"{out_id}_e") - F.col(f"{out_id}_s"))
+                .alias("len"))
 
-        na_long, alen = long_stats(ap, "a_id")
-        nb_long, blen = long_stats(bp, "b_id")
-        if na_long + nb_long > max_broadcast_rows:
+        # ONE metadata job for the routing decision (long count + max
+        # interval length over both inputs)
+        row = (side_stats(ap, "a_id").unionAll(side_stats(bp, "b_id"))
+               .agg(F.sum("l").alias("n_long"),
+                    F.max("len").alias("max_len")).collect()[0])
+        n_long, max_len = row["n_long"] or 0, row["max_len"] or 0
+        if n_long > max_broadcast_rows:
             # the rare-and-wide assumption failed: re-bin everything
             # at a width that fits the longest interval in max_bins
-            coarse = max(bin_days,
-                         -(-(max(alen, blen) + 1) // max_bins))
+            coarse = max(bin_days, -(-(max_len + 1) // max_bins))
             cand = bins(ap, "a_id", coarse).join(
                 bins(bp, "b_id", coarse), "bin").drop("bin")
         else:

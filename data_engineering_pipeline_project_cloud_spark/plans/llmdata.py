@@ -927,6 +927,27 @@ _GOPHER_SIG = f"""
                        / CAST(len({_TOKENS}) AS DOUBLE) AS dr
             FROM documents"""
 
+def split_group_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-disjoint train/val/test split — the leakage guard
+    ``dataset_splits`` (id-hash) cannot give: the split key is the
+    document's SOURCE, so every document from one source/domain lands
+    in the same split.  Near-duplicates and templated text concentrate
+    within a source, and an id-level split leaks them across
+    train/test; grouping by the contamination unit is the standard
+    countermeasure (the GroupShuffleSplit idea at corpus scale).
+    80/10/10 by source hash, deterministic across engines via the
+    portable md5 hash; the no-straddle invariant is pytest-asserted."""
+    from ..functions import portable_hash64
+
+    d = _docs(spark, sf_dir)
+    bucket = F.pmod(portable_hash64(F.col("source"), salt="gsplit|"),
+                    F.lit(10))
+    split = (F.when(bucket < 8, F.lit("train"))
+             .when(bucket == 8, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return d.select("doc_id", "source", split.alias("split"))
+
+
 #: OOV threshold: tokens below this fraction of total corpus tokens
 #: are out-of-vocabulary.  The synthetic corpus has one deliberately
 #: rare type (~0.1% of tokens) against a ~3%-per-type body at every
@@ -951,6 +972,17 @@ def oov_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "split_group_by_source": f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CASE
+                 WHEN {_H.format(x="'gsplit|' || source")} % 10 < 8
+                     THEN 'train'
+                 WHEN {_H.format(x="'gsplit|' || source")} % 10 = 8
+                     THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    """,
     "oov_scrub_documents": f"""
         WITH s AS (
             SELECT doc_id, string_split(text, ' ') AS arr FROM documents
@@ -1797,6 +1829,7 @@ ORACLE_SQL: dict[str, str] = {
 # in order and the driver's correctness pass may be budget-capped
 QUERIES = {
     "oov_scrub_documents": oov_scrub_documents,
+    "split_group_by_source": split_group_by_source,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "cosine_topk": cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,

@@ -176,6 +176,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "events_scd2_status": 5,
     "kcore_part_supplier": 5,
     "cdc_incremental_agg_view": 5,
+    "split_group_by_source": 5,
+    "order_volume_anomalies": 5,
 }
 
 

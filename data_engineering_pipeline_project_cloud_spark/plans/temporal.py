@@ -449,6 +449,51 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_trans").cast("double")
                             / F.col("tot").cast("double"), 6).alias("p")))
 
+#: Rolling anomaly window: trailing days (exclusive of the current
+#: day), minimum history before a z-score is emitted, and the flag
+#: threshold.
+ANOM_WINDOW_DAYS = 28
+ANOM_MIN_DAYS = 7
+ANOM_Z = 2.0
+
+
+def order_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the daily order-count
+    series per priority — the monitoring primitive over any metric
+    stream: each day's count is compared against its own trailing
+    ``ANOM_WINDOW_DAYS``-day baseline (EXCLUSIVE of the current day —
+    the anomaly must not contaminate its own baseline) and flagged
+    when |z| > ``ANOM_Z``.  The baseline runs as ONE range-frame
+    window pass over the day-grain series (tiny after the daily
+    pre-aggregation — the scale cost is the first groupBy, not the
+    window).  Mean/variance come from integer power sums (counts are
+    exact), so both engines compute identical doubles — the
+    cross-engine-deterministic z-score idiom
+    (``customer_spend_outliers``)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderpriority").alias("priority"),
+                       F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    day = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (Window.partitionBy("priority").orderBy(day)
+         .rangeBetween(-ANOM_WINDOW_DAYS, -1))
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    c = F.count(F.lit(1)).over(w)
+    mean = s1.cast("double") / c
+    var = (s2.cast("double") - s1.cast("double") * s1 / c) / (c - 1)
+    ok = (c >= ANOM_MIN_DAYS) & (s2 * c > s1 * s1)
+    z = F.when(ok, F.round((F.col("n") - mean) / F.sqrt(var), 6))
+    # dates present as ISO strings (canonical output rule: VARCHAR,
+    # not engine-variant date serializations)
+    return (daily
+            .select("priority",
+                    F.date_format("d", "yyyy-MM-dd").alias("d"),
+                    F.col("n").alias("n_orders"),
+                    z.alias("z"),
+                    F.when(ok, F.abs(z) > ANOM_Z).alias("is_anomaly")))
+
+
 def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME join against an SCD Type-2 dimension (the
     feature-store primitive): each event is enriched with the status
@@ -489,6 +534,39 @@ def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "order_volume_anomalies": f"""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT priority, d, n,
+                   SUM(n) OVER w AS s1,
+                   SUM(n * n) OVER w AS s2,
+                   COUNT(*) OVER w AS c
+            FROM daily
+            WINDOW w AS (PARTITION BY priority ORDER BY d
+                         RANGE BETWEEN INTERVAL {ANOM_WINDOW_DAYS} DAYS
+                               PRECEDING
+                               AND INTERVAL 1 DAYS PRECEDING)
+        )
+        SELECT priority, strftime(d, '%Y-%m-%d') AS d, n AS n_orders,
+               CASE WHEN c >= {ANOM_MIN_DAYS} AND s2 * c > s1 * s1
+                    THEN round((n - CAST(s1 AS DOUBLE) / c)
+                               / sqrt((CAST(s2 AS DOUBLE)
+                                       - CAST(s1 AS DOUBLE) * s1 / c)
+                                      / (c - 1)), 6)
+               END AS z,
+               CASE WHEN c >= {ANOM_MIN_DAYS} AND s2 * c > s1 * s1
+                    THEN abs(round((n - CAST(s1 AS DOUBLE) / c)
+                               / sqrt((CAST(s2 AS DOUBLE)
+                                       - CAST(s1 AS DOUBLE) * s1 / c)
+                                      / (c - 1)), 6)) > {ANOM_Z}
+               END AS is_anomaly
+        FROM win
+    """,
     "events_scd2_status": """
         WITH obs AS (
             SELECT o_custkey, o_orderstatus AS status,
@@ -838,4 +916,5 @@ QUERIES = {
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_tolerance": asof_events_orders_tolerance,
     "events_scd2_status": events_scd2_status,
+    "order_volume_anomalies": order_volume_anomalies,
 }

@@ -133,3 +133,44 @@ def test_kcore_peels_pendant_chain(spark):
     final = {r["node"]: r["deg"]
              for r in kcore_peel(e, k=2, iters=4).collect()}
     assert final == {"1": 2, "2": 2, "3": 2}
+
+
+def test_group_split_never_straddles_sources(spark, sf_dir):
+    """The leakage guard's invariant: every source maps to exactly one
+    split (no doc of a source lands in a different split), and all
+    three splits are populated at test scale."""
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        split_group_by_source,
+    )
+
+    rows = split_group_by_source(spark, sf_dir).collect()
+    by_source: dict[str, set] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values())
+    assert {s for ss in by_source.values() for s in ss} == {
+        "train", "val", "test"}
+
+
+def test_anomaly_baseline_excludes_current_day(spark, sf_dir):
+    """The rolling baseline is exclusive of the flagged day: early days
+    (history < ANOM_MIN_DAYS) carry NULL z, and every flagged day has
+    |z| above the threshold."""
+    from data_engineering_pipeline_project_cloud_spark.plans.temporal import (
+        ANOM_MIN_DAYS,
+        ANOM_Z,
+        order_volume_anomalies,
+    )
+
+    rows = order_volume_anomalies(spark, sf_dir).collect()
+    by_p: dict[str, list] = {}
+    for r in rows:
+        by_p.setdefault(r["priority"], []).append(r)
+    for p, rs in by_p.items():
+        rs.sort(key=lambda r: r["d"])
+        # first ANOM_MIN_DAYS-1 days cannot have enough history
+        for r in rs[:ANOM_MIN_DAYS - 1]:
+            assert r["z"] is None
+    for r in rows:
+        if r["is_anomaly"]:
+            assert abs(r["z"]) > ANOM_Z
