@@ -178,6 +178,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "cdc_incremental_agg_view": 5,
     "split_group_by_source": 5,
     "order_volume_anomalies": 5,
+    "order_price_psi_drift": 5,
 }
 
 

@@ -1110,6 +1110,49 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(ev, sketch, "user_id")
 
 
+#: PSI drift buckets: fixed price edges (deterministic in both
+#: engines — quantile edges would couple the bucketing to percentile
+#: implementations), Laplace-smoothed shares so empty buckets cannot
+#: divide by zero.
+PSI_EDGES = [50_000, 100_000, 150_000, 200_000, 250_000, 300_000, 400_000]
+PSI_SPLIT_YEAR = 1996
+PSI_SMOOTH = 0.5
+
+
+def order_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two periods of
+    the order-price distribution — the monitoring primitive for
+    feature/label drift: bucket the metric on FIXED edges, compare the
+    reference period's share per bucket against the current period's,
+    and report each bucket's PSI term ``(p−q)·ln(p/q)`` (sum ≥ 0.2 is
+    the conventional act threshold).  One scan → one 8-row aggregate;
+    shares are Laplace-smoothed from exact integer counts, so both
+    engines compute identical doubles."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("double").alias("p"),
+        (F.year("o_orderdate") >= PSI_SPLIT_YEAR).alias("cur"))
+    bucket = F.when(F.col("p") < PSI_EDGES[0], 0)
+    for i, e in enumerate(PSI_EDGES[1:], start=1):
+        bucket = bucket.when(F.col("p") < e, i)
+    bucket = bucket.otherwise(len(PSI_EDGES))
+    agg = (o.groupBy(bucket.cast("int").alias("bucket"))
+           .agg(F.sum(F.when(~F.col("cur"), 1).otherwise(0))
+                .cast("long").alias("n_ref"),
+                F.sum(F.when(F.col("cur"), 1).otherwise(0))
+                .cast("long").alias("n_cur")))
+    n_buckets = len(PSI_EDGES) + 1
+    w = Window.partitionBy()
+    p = ((F.col("n_ref") + PSI_SMOOTH)
+         / (F.sum("n_ref").over(w) + PSI_SMOOTH * n_buckets))
+    q = ((F.col("n_cur") + PSI_SMOOTH)
+         / (F.sum("n_cur").over(w) + PSI_SMOOTH * n_buckets))
+    return agg.select(
+        "bucket", "n_ref", "n_cur",
+        F.round(p, 6).alias("ref_share"),
+        F.round(q, 6).alias("cur_share"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"))
+
+
 #: Heavy-hitter support threshold as a fraction of the stream; must
 #: exceed 1/(HH_CAPACITY+1) for the Misra–Gries candidate set to be
 #: provably complete.
@@ -1475,6 +1518,37 @@ ORACLE_SQL: dict[str, str] = {
         WHERE round(CAST(inter AS DOUBLE)
                     / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= 0.17
     """,
+    "order_price_psi_drift": (lambda edges, split, s, b: f"""
+        WITH base AS (
+            SELECT CAST(o_totalprice AS DOUBLE) AS p,
+                   year(o_orderdate) >= {split} AS cur
+            FROM orders
+        ),
+        agg AS (
+            SELECT CAST(CASE
+                     {' '.join(f'WHEN p < {e} THEN {i}'
+                               for i, e in enumerate(edges))}
+                     ELSE {len(edges)} END AS INT) AS bucket,
+                   CAST(SUM(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_ref,
+                   CAST(SUM(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_cur
+            FROM base GROUP BY 1
+        )
+        SELECT bucket, n_ref, n_cur,
+               round((n_ref + {s}) / (SUM(n_ref) OVER () + {s} * {b}),
+                     6) AS ref_share,
+               round((n_cur + {s}) / (SUM(n_cur) OVER () + {s} * {b}),
+                     6) AS cur_share,
+               round(((n_ref + {s}) / (SUM(n_ref) OVER () + {s} * {b})
+                      - (n_cur + {s}) / (SUM(n_cur) OVER () + {s} * {b}))
+                     * ln(((n_ref + {s})
+                           / (SUM(n_ref) OVER () + {s} * {b}))
+                          / ((n_cur + {s})
+                             / (SUM(n_cur) OVER () + {s} * {b}))),
+                     6) AS psi_term
+        FROM agg
+    """)(PSI_EDGES, PSI_SPLIT_YEAR, PSI_SMOOTH, len(PSI_EDGES) + 1),
     "heavy_hitter_users": """
         SELECT CAST(user_id AS BIGINT) AS user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events
@@ -2220,6 +2294,7 @@ QUERIES = {
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
     "heavy_hitter_users": heavy_hitter_users,
+    "order_price_psi_drift": order_price_psi_drift,
     "supplier_partset_simjoin": supplier_partset_simjoin,
     "manifest_changefeed": manifest_changefeed,
     "manifest_changefeed_incremental": manifest_changefeed_incremental,

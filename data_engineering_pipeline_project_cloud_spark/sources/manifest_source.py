@@ -210,6 +210,54 @@ def _version_option(options) -> int | None:
     return None if v is None else int(v)
 
 
+def _parse_ts(value: str) -> float:
+    """timestampAsOf accepts epoch seconds or 'YYYY-MM-DD[ HH:MM:SS]'
+    (interpreted as UTC, matching the committedAt stamps)."""
+    import calendar
+    import time as _time
+
+    try:
+        return float(value)
+    except ValueError:
+        pass
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return calendar.timegm(_time.strptime(value, fmt))
+        except ValueError:
+            continue
+    raise ValueError(
+        f"timestampAsOf {value!r}: expected epoch seconds or "
+        "'YYYY-MM-DD[ HH:MM:SS]' (UTC)")
+
+
+def resolve_version(path: str, options) -> int | None:
+    """Resolve the snapshot version a read should load: explicit
+    ``versionAsOf`` wins; ``timestampAsOf`` picks the LATEST version
+    whose ``committedAt`` stamp is at or before the requested time
+    (the table as it was then — same contract as Delta's timestamp
+    travel); neither → latest.  Snapshots from before commit-time
+    stamping count as time zero (always eligible)."""
+    v = _version_option(options)
+    ts = options.get("timestampasof")
+    if ts is None:
+        return v
+    if v is not None:
+        raise ValueError("set versionAsOf OR timestampAsOf, not both")
+    want = _parse_ts(str(ts))
+    snaps = _versioned_manifests(path)
+    best = None
+    for ver in sorted(snaps):
+        with open(snaps[ver]) as fh:
+            at = json.load(fh).get("committedAt", 0.0)
+        if at <= want:
+            best = ver
+    if best is None:
+        raise ValueError(
+            f"no manifest version committed at or before {ts} under "
+            f"{path} (earliest retained snapshot is newer)")
+    return best
+
+
 def _merged_schema_json(prior_json: str, new: StructType) -> str:
     """Append-time schema evolution: prior columns keep their position,
     genuinely new columns append.  A column present in both with a
@@ -776,6 +824,69 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
             "removed_manifests": removed_manifests}
 
 
+def fsck_manifest(path: str) -> dict:
+    """Offline integrity audit (the table-format FSCK): verify the
+    LATEST snapshot's live files all exist with footer row counts
+    matching their manifest entries, and report data files NO retained
+    snapshot references (vacuum debt from expired tombstones, or
+    leftovers from crashed writers).  O(files) driver metadata — only
+    parquet footers are opened, never data pages.  Returns
+    ``{"missing_files", "row_mismatches", "orphan_files", "ok"}``."""
+    import pyarrow.parquet as pq
+
+    m = load_manifest(path)
+    missing: list[str] = []
+    mismatches: list[tuple] = []
+    for f in m["files"]:
+        if f.get("dead"):
+            continue
+        if not os.path.exists(f["path"]):
+            missing.append(f["path"])
+            continue
+        n = pq.ParquetFile(f["path"]).metadata.num_rows
+        if n != f["rows"]:
+            mismatches.append((f["path"], f["rows"], n))
+    referenced: set[str] = set()
+    for p in _versioned_manifests(path).values():
+        with open(p) as fh:
+            referenced |= {x["path"] for x in json.load(fh)["files"]}
+    orphans = [os.path.join(path, name)
+               for name in sorted(os.listdir(path))
+               if name.endswith(".parquet")
+               and os.path.join(path, name) not in referenced]
+    return {"missing_files": missing, "row_mismatches": mismatches,
+            "orphan_files": orphans,
+            "ok": not (missing or mismatches or orphans)}
+
+
+def _check_constraint(batch, con: dict) -> None:
+    """One write-time data contract against one Arrow batch: notNull
+    and/or [min, max] on a column.  Raises ``ValueError`` on the first
+    violation — the task fails, the job aborts, nothing publishes."""
+    import pyarrow.compute as pc
+
+    col = con["col"]
+    try:
+        arr = batch.column(col)
+    except KeyError:
+        raise ValueError(
+            f"constraint column {col!r} absent from the written schema")
+    if con.get("notNull") and arr.null_count:
+        raise ValueError(
+            f"constraint violated: {col} contains {arr.null_count} "
+            "NULL value(s)")
+    lo, hi = con.get("min"), con.get("max")
+    if (lo is not None or hi is not None) and len(arr) > arr.null_count:
+        mm = pc.min_max(arr)
+        bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
+        if lo is not None and bmin < lo:
+            raise ValueError(
+                f"constraint violated: {col} value {bmin!r} < min {lo!r}")
+        if hi is not None and bmax > hi:
+            raise ValueError(
+                f"constraint violated: {col} value {bmax!r} > max {hi!r}")
+
+
 @dataclass
 class _FileCommit(WriterCommitMessage):
     tmp_path: str
@@ -841,6 +952,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._conflict = json.loads(ck) if ck else None
         if self._conflict is not None and overwrite:
             raise ValueError("conflictKeys requires append mode")
+        # constraints: write-time data contracts (JSON list of
+        # {"col", "notNull", "min", "max"}) evaluated VECTORIZED in
+        # the same pass that builds stats — a violating batch fails
+        # its task before the bad rows hit disk, the job aborts, and
+        # nothing publishes (Delta CHECK-constraint semantics in the
+        # simple column form)
+        craw = options.get("constraints")
+        self._constraints = json.loads(craw) if craw else []
         # per-commit id: makes every data-file name globally unique, so
         # concurrent writers (and a committed-then-retried version
         # claim) can never collide on a file the other published
@@ -875,8 +994,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         lo: dict[str, object] = {}
         hi: dict[str, object] = {}
         blooms: dict[str, object] = {}
+        failed = False
         try:
             for batch in iterator:
+                for con in self._constraints:
+                    _check_constraint(batch, con)
                 if writer is None:
                     writer = pq.ParquetWriter(tmp, batch.schema)
                 writer.write_batch(batch)
@@ -906,9 +1028,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                         blooms[col] |= bits
                     else:
                         blooms[col] = bits
+        except BaseException:
+            failed = True
+            raise
         finally:
             if writer is not None:
                 writer.close()
+            if failed and os.path.exists(tmp):
+                # a failed/constraint-violating task must not leave
+                # its staging file behind (it returns no commit
+                # message, so nothing else would remove it)
+                os.remove(tmp)
         if rows == 0:
             # empty partition: no file; the runtime requires a real
             # WriterCommitMessage (None is rejected), so send a
@@ -1037,8 +1167,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 files = prior + new_files
                 stale_files = []
                 stale_manifests = []
+            import time as _time
+
             manifest = {"schema": schema_json, "version": target,
-                        "files": files, "txn": txn}
+                        "files": files, "txn": txn,
+                        "committedAt": _time.time()}
             vpath = os.path.join(self._path, _manifest_file(target))
             # put-if-absent: write the snapshot fully to a private tmp,
             # then hard-link it to the versioned name — link fails
@@ -1186,7 +1319,7 @@ def _read_aligned(path: str, schema_json: str | None) -> Iterator:
 class ManifestReader(DataSourceReader):
     def __init__(self, options):
         path = _require_path(options)
-        self._manifest = load_manifest(path, _version_option(options))
+        self._manifest = load_manifest(path, resolve_version(path, options))
         self._schema_json = self._manifest["schema"]
         # tombstoned entries (replaced by a merge/compaction commit)
         # stay in the list for offset stability but hold no live rows
@@ -1480,12 +1613,15 @@ def _cdc_option(options) -> bool:
 class ManifestDataSource(DataSource):
     """``spark.read.format("graft_manifest").option("path", dir)``.
 
-    Options: ``path`` (required), ``versionAsOf`` (time travel),
+    Options: ``path`` (required), ``versionAsOf`` /
+    ``timestampAsOf`` (time travel by version or by commit time),
     ``statCols`` / ``bloomCols`` / ``txnAppId`` / ``txnVersion`` /
-    ``replacePaths`` / ``conflictKeys`` (write side),
-    ``readChangeFeed`` + ``keyCols`` + ``startingVersion`` (CDC
-    streaming — ``readStream`` emits row-level changes per commit
-    instead of tailing raw files).
+    ``replacePaths`` / ``conflictKeys`` / ``constraints`` (write
+    side; ``constraints`` = JSON list of
+    ``{"col", "notNull", "min", "max"}`` write-time data contracts),
+    ``readChangeFeed`` + ``keyCols`` + ``startingVersion`` +
+    ``updatePreimages`` (CDC streaming — ``readStream`` emits
+    row-level changes per commit instead of tailing raw files).
     """
 
     @classmethod
@@ -1496,7 +1632,7 @@ class ManifestDataSource(DataSource):
         from pyspark.sql.types import LongType, StringType, StructField
 
         path = _require_path(self.options)
-        m = load_manifest(path, _version_option(self.options))
+        m = load_manifest(path, resolve_version(path, self.options))
         st = StructType.fromJson(json.loads(m["schema"]))
         if _cdc_option(self.options):
             st = StructType(st.fields

@@ -467,3 +467,97 @@ def test_cdc_agg_view_incremental_across_batches(spark, sf_dir, tmp_path):
     want[grp_of[3]] = (0, 0.0)              # retracted, group emptied
     want[grp_of[7]] = (2, 12.5)             # received the moved row
     assert second == want
+
+
+def test_timestamp_as_of_travels_by_commit_time(spark, sf_dir, tmp_path):
+    """timestampAsOf resolves the latest version committed at or
+    before the requested time; a time before the first commit errors;
+    versionAsOf+timestampAsOf together are refused."""
+    path = str(tmp_path / "tt")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    write_manifest_table(nat.filter("n_nationkey < 10").coalesce(1),
+                         path, ["n_nationkey"])  # v0
+    (nat.filter("n_nationkey >= 10").coalesce(1)
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())  # v1
+    t0 = load_manifest(path, 0)["committedAt"]
+    t1 = load_manifest(path, 1)["committedAt"]
+    assert t1 >= t0
+    register(spark)
+
+    def count_at(ts):
+        return (spark.read.format("graft_manifest").option("path", path)
+                .option("timestampAsOf", str(ts)).load().count())
+
+    assert count_at(t0) == 10           # exactly at v0's commit
+    assert count_at((t0 + t1) / 2) == 10 if t1 > t0 else True
+    assert count_at(t1 + 1) == 25       # after v1
+    with pytest.raises(Exception, match="committed at or before"):
+        count_at(t0 - 10)
+    with pytest.raises(Exception, match="not both"):
+        (spark.read.format("graft_manifest").option("path", path)
+         .option("timestampAsOf", str(t1))
+         .option("versionAsOf", "0").load().collect())
+
+
+def test_write_constraints_reject_bad_batches(spark, sf_dir, tmp_path):
+    """A constraint-violating write fails the job, publishes NOTHING
+    (no manifest version, no data files, no staging leftovers), and a
+    conforming write under the same constraints lands."""
+    path = str(tmp_path / "con")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])  # v0
+    v0 = load_manifest(path)["version"]
+    register(spark)
+    cons = json.dumps([{"col": "n_nationkey", "notNull": True,
+                        "min": 0, "max": 99}])
+    bad = spark.createDataFrame([(500, "TOOBIG")],
+                                "n_nationkey long, n_name string")
+    with pytest.raises(Exception, match="constraint violated"):
+        (bad.coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey")
+         .option("constraints", cons).save())
+    assert load_manifest(path)["version"] == v0
+    assert not [n for n in os.listdir(path) if n.endswith(".tmp")]
+    good = spark.createDataFrame([(50, "FINE")],
+                                 "n_nationkey long, n_name string")
+    (good.coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey")
+     .option("constraints", cons).save())
+    assert load_manifest(path)["version"] == v0 + 1
+    bad_null = spark.createDataFrame([(None, "NULLKEY")],
+                                     "n_nationkey long, n_name string")
+    with pytest.raises(Exception, match="NULL value"):
+        (bad_null.coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey")
+         .option("constraints", cons).save())
+
+
+def test_fsck_reports_integrity_violations(spark, sf_dir, tmp_path):
+    """fsck on a healthy table is clean; a deleted live file, a
+    truncated row count, and an unreferenced parquet are each
+    reported."""
+    import shutil
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        fsck_manifest,
+    )
+
+    path = str(tmp_path / "fsck")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    write_manifest_table(
+        nat.repartitionByRange(2, "n_nationkey"), path, ["n_nationkey"])
+    rep = fsck_manifest(path)
+    assert rep["ok"], rep
+    live = [f["path"] for f in load_manifest(path)["files"]
+            if not f.get("dead")]
+    orphan = os.path.join(path, "part-v9999-feedface-00000.parquet")
+    shutil.copy(live[0], orphan)
+    os.remove(live[1])
+    rep2 = fsck_manifest(path)
+    assert not rep2["ok"]
+    assert rep2["missing_files"] == [live[1]]
+    assert rep2["orphan_files"] == [orphan]
