@@ -179,6 +179,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "split_group_by_source": 5,
     "order_volume_anomalies": 5,
     "order_price_psi_drift": 5,
+    "manifest_delete_dv": 5,
 }
 
 

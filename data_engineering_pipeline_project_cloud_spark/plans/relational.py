@@ -1307,6 +1307,43 @@ def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ delete via deletion vectors
+    (sources/manifest_source.py:delete_vectors_from_manifest): every
+    13th order key is deleted from the orders manifest table as a
+    pure-metadata commit — per-file position bitmaps, NO data file
+    written or rewritten (the no-rewrite property and the
+    copy-on-write fallback cap are pytest-asserted in
+    tests/test_manifest_dv.py); readers mask the positions.  The face
+    aggregates the surviving state per status; the oracle is the same
+    aggregate under the inverse predicate on the raw table, so the
+    driver hash proves the masked read end-to-end."""
+    from ..sources.manifest_source import (
+        delete_vectors_from_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), path,
+            ["o_orderkey"])
+        delete_vectors_from_manifest(
+            orders.filter(F.col("o_orderkey") % 13 == 0)
+            .select("o_orderkey"), path, ["o_orderkey"], ["o_orderkey"])
+
+    path = scoped_scratch("manifest_dv_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    return (df.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE-style bin packing
     (sources/manifest_source.py:compact_manifest): nation arrives in
@@ -1625,6 +1662,15 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_price
         FROM orders
         WHERE o_orderkey % 7 <> 0
+        GROUP BY 1
+    """,
+    "manifest_delete_dv": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_orderkey % 13 <> 0
         GROUP BY 1
     """,
     "manifest_compaction": """
@@ -2291,6 +2337,7 @@ QUERIES = {
     "interval_overlap_validity": interval_overlap_validity,
     "manifest_merge_upsert": manifest_merge_upsert,
     "manifest_delete_rows": manifest_delete_rows,
+    "manifest_delete_dv": manifest_delete_dv,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
     "heavy_hitter_users": heavy_hitter_users,

@@ -198,6 +198,94 @@ def _bloom_maybe_contains(encoded: str, value: int) -> bool:
     return True
 
 
+# --- deletion vectors (merge-on-read DELETE) -------------------------
+#
+# A live file entry may carry a DELETION VECTOR: ``dv`` (base64
+# little-endian bitmap, bit i set ⇒ row i of the file is deleted),
+# ``dvRows`` (popcount — live rows = rows − dvRows) and ``dvGen`` (a
+# generation counter bumped by every DV change, the optimistic-
+# concurrency token that lets copy-on-write rewrites detect a racing
+# DV commit on a file they are about to replace).  This is the Delta
+# deletion-vector / Iceberg v2 position-delete design: a DELETE writes
+# O(deleted positions) of metadata instead of rewriting O(file) of
+# data; readers mask the positions; OPTIMIZE materializes the debt.
+
+
+def _dv_decode(encoded: str, n_rows: int):
+    """base64 bitmap → boolean numpy mask of length n_rows (True =
+    deleted).  Short bitmaps (written when the tail rows were all
+    live) zero-extend."""
+    import base64
+
+    import numpy as np
+
+    raw = np.frombuffer(base64.b64decode(encoded), dtype=np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")
+    if len(bits) < n_rows:
+        bits = np.pad(bits, (0, n_rows - len(bits)))
+    return bits[:n_rows].astype(bool)
+
+
+def _dv_encode(mask) -> str:
+    """boolean numpy mask → base64 little-endian bitmap."""
+    import base64
+
+    import numpy as np
+
+    return base64.b64encode(
+        np.packbits(mask.astype(np.uint8), bitorder="little").tobytes()
+    ).decode("ascii")
+
+
+def _dv_merge(entry: dict, positions) -> dict:
+    """Return a copy of a manifest file entry with ``positions``
+    (iterable of row indexes) added to its deletion vector — existing
+    deleted positions are preserved (bitmap OR), ``dvRows`` recounted,
+    ``dvGen`` bumped."""
+    import numpy as np
+
+    mask = (_dv_decode(entry["dv"], entry["rows"]) if entry.get("dv")
+            else np.zeros(entry["rows"], dtype=bool))
+    idx = np.asarray(list(positions), dtype=np.int64)
+    if len(idx) and (idx.min() < 0 or idx.max() >= entry["rows"]):
+        raise ValueError(
+            f"deletion-vector position out of range for {entry['path']} "
+            f"({entry['rows']} rows)")
+    mask[idx] = True
+    out = dict(entry)
+    out["dv"] = _dv_encode(mask)
+    out["dvRows"] = int(mask.sum())
+    out["dvGen"] = int(entry.get("dvGen", 0)) + 1
+    return out
+
+
+def _apply_dv(batches: Iterator, dv: str | None) -> Iterator:
+    """Mask an Arrow batch stream with a deletion vector: rows whose
+    global position bit is set are dropped.  ``dv=None`` streams
+    through untouched (zero cost on DV-free files)."""
+    if not dv:
+        yield from batches
+        return
+    import base64
+
+    import numpy as np
+    import pyarrow as pa
+
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(dv), dtype=np.uint8),
+        bitorder="little").astype(bool)  # decoded ONCE per file
+    off = 0
+    for batch in batches:
+        n = batch.num_rows
+        sl = bits[off:off + n]
+        if len(sl) < n:  # positions past the bitmap are live
+            sl = np.pad(sl, (0, n - len(sl)))
+        off += n
+        if sl.any():
+            batch = batch.filter(pa.array(~sl))
+        yield batch
+
+
 def _require_path(options) -> str:
     path = options.get("path")
     if not path:
@@ -497,6 +585,36 @@ def _conflicting_added_files(path: str, prev: dict,
     return out
 
 
+def _masked_spark_read(spark, st: StructType, entries: list[dict]):
+    """Read manifest file entries with the JVM parquet reader, applying
+    any deletion vectors: DV'd positions are excluded via an anti-join
+    of the hidden ``_metadata`` (file basename, row_index) against the
+    decoded position set — everything stays JVM-side except the
+    driver-built exclusion frame, which is bounded by the DV policy
+    cap (``delete_vectors_from_manifest`` falls back to copy-on-write
+    past it).  This is the read every copy-on-write rewrite
+    (MERGE/DELETE/OPTIMIZE) must use: reading the raw bytes of a DV'd
+    file would resurrect its deleted rows into the rewrite."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    paths = [f["path"] for f in entries]
+    base = spark.read.schema(st).parquet(*paths)
+    dead = [(os.path.basename(f["path"]), int(i))
+            for f in entries if f.get("dv")
+            for i in np.flatnonzero(_dv_decode(f["dv"], f["rows"]))]
+    if not dead:
+        return base
+    excl = spark.createDataFrame(dead, "__file string, __pos long")
+    tagged = base.withColumn(
+        "__file", F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1)
+    ).withColumn("__pos", F.col("_metadata.row_index"))
+    return (tagged.join(F.broadcast(excl), ["__file", "__pos"],
+                        "left_anti")
+            .select(*[f.name for f in st.fields]))
+
+
 def _table_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
@@ -560,9 +678,9 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
                                 bounds, keys_sorted)
     paths = [f["path"] for f in affected]
     if paths:
-        # an explicit schema makes the parquet reader NULL-fill columns
-        # an old file predates (schema-evolution alignment, JVM-side)
-        base = spark.read.schema(st).parquet(*paths)
+        # schema-evolution alignment + deletion-vector masking happen
+        # inside the read (raw bytes would resurrect DV-deleted rows)
+        base = _masked_spark_read(spark, st, affected)
         kept = base.join(
             F.broadcast(updates.select(*key_cols).distinct()),
             key_cols, "left_anti")
@@ -572,7 +690,9 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     w = (out.repartition(max(1, len(paths)))
          .write.format("graft_manifest").mode("append")
          .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths", json.dumps(paths)))
+         .option("replacePaths", json.dumps(paths))
+         .option("dvState", json.dumps(
+             {f["path"]: f.get("dvGen", 0) for f in affected})))
     if conflict is not None:
         w = w.option("conflictKeys", conflict)
     if txn is not None:
@@ -608,17 +728,134 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
         return m  # nothing could match: the table is untouched
     from pyspark.sql import functions as F
 
-    base = spark.read.schema(st).parquet(*paths)
+    base = _masked_spark_read(spark, st, affected)
     kept = base.join(F.broadcast(keys.select(*key_cols).distinct()),
                      key_cols, "left_anti")
     w = (kept.repartition(max(1, len(paths)))
          .write.format("graft_manifest").mode("append")
          .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths", json.dumps(paths)))
+         .option("replacePaths", json.dumps(paths))
+         .option("dvState", json.dumps(
+             {f["path"]: f.get("dvGen", 0) for f in affected})))
     if conflict is not None:
         w = w.option("conflictKeys", conflict)
     w.save()
     return load_manifest(path)
+
+
+def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
+                                 stat_cols: list[str],
+                                 max_dv_rows: int = 100_000) -> dict:
+    """MERGE-ON-READ delete (deletion vectors): instead of rewriting
+    every file that holds a doomed key (`delete_from_manifest`'s
+    copy-on-write), record the doomed ROW POSITIONS as per-file
+    bitmaps in the manifest — a pure-metadata commit, O(deleted
+    positions), no data file written or rewritten.  Readers mask the
+    positions (`_apply_dv`); time travel to pre-delete versions still
+    sees the rows; `compact_manifest` (OPTIMIZE) materializes the debt
+    by physically dropping masked rows and clearing the vectors.  This
+    is the Delta deletion-vector / Iceberg position-delete trade:
+    delete latency goes from O(affected data) to O(positions), read
+    cost gains a mask until the next OPTIMIZE.
+
+    Position discovery is one JVM-side scan of ONLY the candidate
+    files (stats + exact-key pruning), joined semi against the
+    broadcast key set, projecting the hidden ``_metadata`` file/row
+    position — no Python row work.  Positions collect to the driver
+    bounded by ``max_dv_rows``; a larger delete FALLS BACK to
+    copy-on-write automatically (a delete touching that many rows
+    should pay the rewrite, not bloat every future read's mask).
+
+    Concurrency: the commit is a driver-side CAS with the same
+    put-if-absent claim as the write path.  It fails with a
+    concurrent-modification error if a racing commit tombstoned or
+    re-vectored any file it marks, and with a serializable-conflict
+    error if a racing append added files that may contain its keys
+    (re-inserted key would otherwise survive the delete).  Conversely
+    every copy-on-write rewrite carries ``dvState`` and fails if THIS
+    commit lands first — no lost deletes in either order."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    spark = keys.sparkSession
+    register(spark)
+    m = load_manifest(path)
+    rv = m.get("version", 0)
+    st = _table_schema(m)
+    types = {f.name: f.dataType for f in st.fields}
+    keys = keys.select(*[F.col(c).cast(types[c]).alias(c)
+                         for c in key_cols]).distinct()
+    bounds, keys_sorted = _key_pruning_info(keys, key_cols)
+    affected = _files_possibly_containing(m["files"], key_cols, bounds,
+                                          keys_sorted)
+    if not affected:
+        return m  # nothing could match: the table is untouched
+    base = spark.read.schema(st).parquet(*[f["path"] for f in affected])
+    hits = (base.select(
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        .alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"), *key_cols)
+        .join(F.broadcast(keys), key_cols, "semi")
+        .select("__file", "__pos"))
+    rows = hits.limit(max_dv_rows + 1).collect()
+    if len(rows) > max_dv_rows:
+        # too many positions for a healthy mask: pay the rewrite
+        return delete_from_manifest(keys, path, key_cols, stat_cols)
+    if not rows:
+        return m
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r[0], []).append(r[1])
+    touched = {f["path"]: f.get("dvGen", 0) for f in affected
+               if os.path.basename(f["path"]) in by_file}
+    conflict = _conflict_option(rv, key_cols[0], bounds, keys_sorted)
+    commit_id = uuid.uuid4().hex
+    while True:
+        prev = load_manifest(path)
+        live = {f["path"]: f for f in prev["files"] if not f.get("dead")}
+        for p, gen in touched.items():
+            cur = live.get(p)
+            if cur is None or cur.get("dvGen", 0) != gen:
+                raise ValueError(
+                    "concurrent modification: file rewritten or "
+                    f"re-vectored since the delete was planned: {p}; "
+                    "re-run against the current table version")
+        if conflict is not None:
+            clash = _conflicting_added_files(path, prev,
+                                             json.loads(conflict))
+            if clash:
+                raise ValueError(
+                    "serializable conflict: concurrent commit(s) "
+                    "appended files that may contain this delete's "
+                    f"keys: {sorted(clash)}; re-run against the "
+                    "current table version")
+        target = prev.get("version", 0) + 1
+        files = [(_dv_merge(f, by_file[os.path.basename(f["path"])])
+                  if not f.get("dead") and f["path"] in touched
+                  else f) for f in prev["files"]]
+        manifest = {"schema": prev["schema"], "version": target,
+                    "files": files, "txn": dict(prev.get("txn", {})),
+                    "committedAt": _time.time()}
+        vpath = os.path.join(path, _manifest_file(target))
+        link_tmp = os.path.join(
+            path, f".{_manifest_file(target)}.{commit_id}.tmp")
+        with open(link_tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(link_tmp, vpath)
+        except FileExistsError:
+            os.remove(link_tmp)
+            continue  # lost the claim: re-read latest and re-validate
+        os.remove(link_tmp)
+        break
+    snaps = _versioned_manifests(path)
+    if snaps and max(snaps) == target:
+        tmp = os.path.join(path, f".{MANIFEST_NAME}.{commit_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return manifest
 
 
 def compact_manifest(spark, path: str, stat_cols: list[str],
@@ -633,17 +870,24 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
     register(spark)
     m = load_manifest(path)
     small = [f for f in m["files"]
-             if not f.get("dead") and f["rows"] < small_file_rows]
-    if len(small) < 2:
+             if not f.get("dead")
+             and (f["rows"] < small_file_rows or f.get("dv"))]
+    if len(small) < 2 and not any(f.get("dv") for f in small):
         return m
     paths = [f["path"] for f in small]
     st = _table_schema(m)
-    total = sum(f["rows"] for f in small)
+    total = sum(f["rows"] - f.get("dvRows", 0) for f in small)
     n_out = max(1, -(-total // small_file_rows))  # ceil
-    (spark.read.schema(st).parquet(*paths).repartition(n_out)
+    # files carrying a deletion vector compact regardless of size —
+    # OPTIMIZE is where DV debt materializes (rows physically dropped,
+    # vector cleared); the masked read keeps deleted rows out of the
+    # rewrite
+    (_masked_spark_read(spark, st, small).repartition(n_out)
      .write.format("graft_manifest").mode("append")
      .option("path", path).option("statCols", ",".join(stat_cols))
-     .option("replacePaths", json.dumps(paths)).save())
+     .option("replacePaths", json.dumps(paths))
+     .option("dvState", json.dumps(
+         {f["path"]: f.get("dvGen", 0) for f in small})).save())
     return load_manifest(path)
 
 
@@ -741,20 +985,31 @@ def manifest_changes_incremental(spark, path: str, from_version: int,
     m_from = load_manifest(path, from_version)
     m_to = load_manifest(path, to_version) if to_version is not None \
         else load_manifest(path)
-    live_from = {f["path"] for f in m_from["files"] if not f.get("dead")}
-    live_to = {f["path"] for f in m_to["files"] if not f.get("dead")}
-    old_paths = sorted(live_from - live_to)
-    new_paths = sorted(live_to - live_from)
+    # live identity = (path, dvGen): a deletion-vector commit changes
+    # a file's LIVE ROWS without moving its path, so a file whose
+    # vector advanced inside the window appears on BOTH sides — old
+    # side masked with the from-version vector, new side with the
+    # to-version vector; the surviving rows net out and only the newly
+    # masked rows emit (as deletes), exactly like a physical rewrite
+    live_from = {(f["path"], f.get("dvGen", 0)): f
+                 for f in m_from["files"] if not f.get("dead")}
+    live_to = {(f["path"], f.get("dvGen", 0)): f
+               for f in m_to["files"] if not f.get("dead")}
+    old_entries = [live_from[k] for k in sorted(live_from.keys() -
+                                                live_to.keys())]
+    new_entries = [live_to[k] for k in sorted(live_to.keys() -
+                                              live_from.keys())]
     st = _table_schema(m_to)
 
-    def side(paths: list[str]):
-        if not paths:
+    def side(entries: list[dict]):
+        if not entries:
             return spark.createDataFrame([], st)
         # explicit to-version schema: files from before an evolution
-        # boundary NULL-fill the columns they predate, JVM-side
-        return spark.read.schema(st).parquet(*paths)
+        # boundary NULL-fill the columns they predate, JVM-side;
+        # deletion vectors mask inside the read
+        return _masked_spark_read(spark, st, entries)
 
-    return _value_diff(side(old_paths), side(new_paths), key_cols)
+    return _value_diff(side(old_entries), side(new_entries), key_cols)
 
 
 def vacuum_manifest(path: str, keep_versions: int = 1,
@@ -830,13 +1085,16 @@ def fsck_manifest(path: str) -> dict:
     matching their manifest entries, and report data files NO retained
     snapshot references (vacuum debt from expired tombstones, or
     leftovers from crashed writers).  O(files) driver metadata — only
-    parquet footers are opened, never data pages.  Returns
-    ``{"missing_files", "row_mismatches", "orphan_files", "ok"}``."""
+    parquet footers are opened, never data pages.  Deletion vectors
+    are audited for internal consistency (popcount = ``dvRows``, no
+    bits past the row count).  Returns ``{"missing_files",
+    "row_mismatches", "orphan_files", "bad_dv", "ok"}``."""
     import pyarrow.parquet as pq
 
     m = load_manifest(path)
     missing: list[str] = []
     mismatches: list[tuple] = []
+    bad_dv: list[str] = []
     for f in m["files"]:
         if f.get("dead"):
             continue
@@ -846,6 +1104,19 @@ def fsck_manifest(path: str) -> dict:
         n = pq.ParquetFile(f["path"]).metadata.num_rows
         if n != f["rows"]:
             mismatches.append((f["path"], f["rows"], n))
+        if f.get("dv"):
+            import base64 as _b64
+
+            import numpy as np
+
+            bits = np.unpackbits(np.frombuffer(
+                _b64.b64decode(f["dv"]), dtype=np.uint8),
+                bitorder="little")
+            if (int(bits[:f["rows"]].sum()) != f.get("dvRows", -1)
+                    or bits[f["rows"]:].any()):
+                # popcount disagrees with dvRows, or bits are set past
+                # the file's row count — a corrupt vector
+                bad_dv.append(f["path"])
     referenced: set[str] = set()
     for p in _versioned_manifests(path).values():
         with open(p) as fh:
@@ -855,8 +1126,8 @@ def fsck_manifest(path: str) -> dict:
                if name.endswith(".parquet")
                and os.path.join(path, name) not in referenced]
     return {"missing_files": missing, "row_mismatches": mismatches,
-            "orphan_files": orphans,
-            "ok": not (missing or mismatches or orphans)}
+            "orphan_files": orphans, "bad_dv": bad_dv,
+            "ok": not (missing or mismatches or orphans or bad_dv)}
 
 
 def _check_constraint(batch, con: dict) -> None:
@@ -941,6 +1212,12 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # of them (write-write conflict detection, Delta-style).
         rp = options.get("replacepaths")
         self._replace = set(json.loads(rp)) if rp else set()
+        # dvState: {path: dvGen} of the replaced files AS READ by the
+        # rewrite's planner — commit fails if any file's deletion
+        # vector changed since (a racing DV delete whose positions the
+        # raw-read rewrite would silently resurrect)
+        dvs = options.get("dvstate")
+        self._dv_state = json.loads(dvs) if dvs else {}
         if self._replace and overwrite:
             raise ValueError("replacePaths requires append mode")
         # conflictKeys (append mode, keyed commits): the committing
@@ -1142,6 +1419,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                         fail("concurrent modification: files no longer "
                              f"live: {sorted(gone)}; re-run the merge "
                              "against the current table version")
+                    if self._dv_state:
+                        live_gen = {f["path"]: f.get("dvGen", 0)
+                                    for f in prior if not f.get("dead")}
+                        moved = sorted(
+                            p for p, g in self._dv_state.items()
+                            if live_gen.get(p, 0) != g)
+                        if moved:
+                            # a DV commit landed on a file this rewrite
+                            # read WITHOUT the new deletion vector —
+                            # committing would resurrect those rows
+                            fail("concurrent modification: deletion "
+                                 f"vector changed on {moved}; re-run "
+                                 "against the current table version")
                     prior = [dict(f, dead=True)
                              if f["path"] in self._replace else f
                              for f in prior]
@@ -1227,9 +1517,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, schema_json: str | None = None):
+    def __init__(self, path: str, schema_json: str | None = None,
+                 dv: str | None = None):
         self.path = path
         self.schema_json = schema_json
+        self.dv = dv
 
 
 def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
@@ -1335,7 +1627,7 @@ class ManifestReader(DataSourceReader):
         yield from filters
 
     def partitions(self):
-        return [_FilePartition(f["path"], self._schema_json)
+        return [_FilePartition(f["path"], self._schema_json, f.get("dv"))
                 for f in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -1344,7 +1636,9 @@ class ManifestReader(DataSourceReader):
             # runtime substitutes a single None partition — an empty
             # scan, not an error
             return
-        yield from _read_aligned(partition.path, partition.schema_json)
+        yield from _apply_dv(
+            _read_aligned(partition.path, partition.schema_json),
+            partition.dv)
 
 
 class ManifestStreamReader(DataSourceStreamReader):
@@ -1390,13 +1684,20 @@ class ManifestStreamReader(DataSourceStreamReader):
         # rewrites leak duplicates.
         m = self._manifest()
         files = m["files"][start["index"]:end["index"]]
-        return [_FilePartition(f["path"], m["schema"])
+        # a file's CURRENT deletion vector applies: a fresh consumer
+        # starting behind a DV commit should not receive rows already
+        # deleted (a consumer that read the file BEFORE the DV landed
+        # keeps them — DV deletes are never retracted by the raw tail,
+        # same as merge rewrites; the CDC stream emits them)
+        return [_FilePartition(f["path"], m["schema"], f.get("dv"))
                 for f in files if not f.get("dead")]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:
             return
-        yield from _read_aligned(partition.path, partition.schema_json)
+        yield from _apply_dv(
+            _read_aligned(partition.path, partition.schema_json),
+            partition.dv)
 
     def commit(self, end: dict) -> None:
         pass  # the manifest is the durable log; offsets checkpoint engine-side
@@ -1412,12 +1713,56 @@ class _CDCInsertPartition(InputPartition):
         self.version = version
 
 
+class _CDCDVPartition(InputPartition):
+    """One file's deletion-vector advance within one commit: the rows
+    at positions set in the new vector but not the old are exactly the
+    commit's deletes — emitted as pre-images by POSITION, no key join
+    needed (a DV commit cannot insert or update)."""
+
+    def __init__(self, path: str, schema_json: str, old_dv: str | None,
+                 new_dv: str, version: int):
+        self.path = path
+        self.schema_json = schema_json
+        self.old_dv = old_dv
+        self.new_dv = new_dv
+        self.version = version
+
+
+def _cdc_dv_batches(part: _CDCDVPartition) -> Iterator:
+    import numpy as np
+    import pyarrow as pa
+
+    off = 0
+    for batch in _read_aligned(part.path, part.schema_json):
+        n = batch.num_rows
+        new = _dv_decode(part.new_dv, off + n)[off:off + n]
+        if part.old_dv:
+            new &= ~_dv_decode(part.old_dv, off + n)[off:off + n]
+        off += n
+        if not new.any():
+            continue
+        hit = batch.filter(pa.array(new))
+        k = hit.num_rows
+        yield pa.RecordBatch.from_arrays(
+            list(hit.columns)
+            + [pa.repeat("delete", k), pa.repeat(part.version, k)],
+            schema=pa.schema(
+                list(hit.schema)
+                + [pa.field("change_type", pa.string()),
+                   pa.field("commit_version", pa.int64())]))
+
+
 class _CDCDiffPartition(InputPartition):
     def __init__(self, old_paths: list[str], new_paths: list[str],
                  schema_json: str, key_cols: list[str], version: int,
-                 preimages: bool = False):
+                 preimages: bool = False,
+                 old_dvs: list[str | None] | None = None):
         self.old_paths = old_paths
         self.new_paths = new_paths
+        # pre-image deletion vectors: rows a replaced file had ALREADY
+        # deleted (by an earlier DV commit) are not part of THIS
+        # commit's change set — unmasked they would re-emit as deletes
+        self.old_dvs = old_dvs or [None] * len(old_paths)
         self.schema_json = schema_json
         self.key_cols = key_cols
         self.version = version
@@ -1449,10 +1794,13 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
                 f"readChangeFeed cannot diff nested column {f.name!r}; "
                 "flat key/value columns only")
 
-    def read_all(paths: list[str]):
+    def read_all(paths: list[str], dvs: list[str | None] | None = None):
         tables = []
-        for p in paths:
-            batches = list(_read_aligned(p, part.schema_json))
+        for i, p in enumerate(paths):
+            batches = list(_apply_dv(
+                _read_aligned(p, part.schema_json),
+                dvs[i] if dvs else None))
+            batches = [b for b in batches if b.num_rows]
             if batches:
                 tables.append(pa.Table.from_batches(batches)
                               .select(target.names).cast(target))
@@ -1460,7 +1808,7 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
 
     keys = part.key_cols
     vals = [n for n in target.names if n not in keys]
-    old_t = (read_all(part.old_paths).select(keys + vals)
+    old_t = (read_all(part.old_paths, part.old_dvs).select(keys + vals)
              .rename_columns(keys + [f"__o_{c}" for c in vals]))
     old_t = old_t.append_column(
         "__in_old", pa.repeat(True, old_t.num_rows))
@@ -1561,19 +1909,28 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         prev_files = (load_manifest(self._path, v - 1)["files"]
                       if v > 0 else [])
         appended = cur["files"][len(prev_files):]
-        flipped = [pf["path"] for pf, cf in zip(prev_files, cur["files"])
-                   if not pf.get("dead") and cf.get("dead")]
+        flip_entries = [pf for pf, cf in zip(prev_files, cur["files"])
+                        if not pf.get("dead") and cf.get("dead")]
+        flipped = [pf["path"] for pf in flip_entries]
+        dv_moved = [
+            _CDCDVPartition(cf["path"], cur["schema"], pf.get("dv"),
+                            cf["dv"], v)
+            for pf, cf in zip(prev_files, cur["files"])
+            if not cf.get("dead")
+            and pf.get("dvGen", 0) != cf.get("dvGen", 0)]
         if not flipped:
-            return [_CDCInsertPartition(f["path"], cur["schema"], v)
-                    for f in appended if not f.get("dead")]
+            return dv_moved + [
+                _CDCInsertPartition(f["path"], cur["schema"], v)
+                for f in appended if not f.get("dead")]
         if not self._key_cols:
             raise ValueError(
                 f"manifest version {v} is a rewrite commit; "
                 "readChangeFeed needs option 'keyCols' to diff it")
-        return [_CDCDiffPartition(flipped,
-                                  [f["path"] for f in appended],
-                                  cur["schema"], self._key_cols, v,
-                                  preimages=self._preimages)]
+        return dv_moved + [_CDCDiffPartition(
+            flipped, [f["path"] for f in appended],
+            cur["schema"], self._key_cols, v,
+            preimages=self._preimages,
+            old_dvs=[pf.get("dv") for pf in flip_entries])]
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -1588,6 +1945,9 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             return  # empty range (e.g. a rewrite that emitted no rows)
         if isinstance(partition, _CDCDiffPartition):
             yield from _cdc_diff_batches(partition)
+            return
+        if isinstance(partition, _CDCDVPartition):
+            yield from _cdc_dv_batches(partition)
             return
         for batch in _read_aligned(partition.path, partition.schema_json):
             n = batch.num_rows
@@ -1616,9 +1976,12 @@ class ManifestDataSource(DataSource):
     Options: ``path`` (required), ``versionAsOf`` /
     ``timestampAsOf`` (time travel by version or by commit time),
     ``statCols`` / ``bloomCols`` / ``txnAppId`` / ``txnVersion`` /
-    ``replacePaths`` / ``conflictKeys`` / ``constraints`` (write
-    side; ``constraints`` = JSON list of
-    ``{"col", "notNull", "min", "max"}`` write-time data contracts),
+    ``replacePaths`` / ``conflictKeys`` / ``constraints`` /
+    ``dvState`` (write side; ``constraints`` = JSON list of
+    ``{"col", "notNull", "min", "max"}`` write-time data contracts;
+    ``dvState`` = the rewrite planner's {path: dvGen} view, failed on
+    mismatch so copy-on-write rewrites cannot resurrect a racing
+    deletion-vector commit's rows),
     ``readChangeFeed`` + ``keyCols`` + ``startingVersion`` +
     ``updatePreimages`` (CDC streaming — ``readStream`` emits
     row-level changes per commit instead of tailing raw files).

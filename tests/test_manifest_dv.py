@@ -1,0 +1,272 @@
+"""Deletion vectors (merge-on-read DELETE) for the manifest table
+(sources/manifest_source.py:delete_vectors_from_manifest): metadata-only
+deletes, masked reads, time travel, the copy-on-write fallback cap,
+OPTIMIZE materialization, CDC emission, changefeed parity, and the
+two-sided concurrency guards (dvState / touched-file CAS check).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.sources import load_table
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    compact_manifest,
+    delete_vectors_from_manifest,
+    fsck_manifest,
+    load_manifest,
+    manifest_changes,
+    manifest_changes_incremental,
+    merge_into_manifest,
+    register,
+    write_manifest_table,
+)
+
+
+@pytest.fixture()
+def dv_table(spark, sf_dir, tmp_path):
+    """nation as a 3-file manifest table (v0) with keys 0..24."""
+    path = str(tmp_path / "dv")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    write_manifest_table(
+        nat.repartitionByRange(3, "n_nationkey"), path, ["n_nationkey"])
+    register(spark)
+    return path
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals],
+                                 "n_nationkey long")
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("graft_manifest").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_dv_delete_is_metadata_only(spark, dv_table):
+    """A DV delete writes NO data file: the file set is byte-identical,
+    one new manifest version records the bitmaps, reads mask the rows,
+    time travel still sees them, and a second delete ORs in."""
+    m0 = load_manifest(dv_table)
+    files0 = sorted(f["path"] for f in m0["files"])
+    sizes0 = {p: os.path.getsize(p) for p in files0}
+    m1 = delete_vectors_from_manifest(
+        _keys(spark, [2, 3, 11]), dv_table,
+        ["n_nationkey"], ["n_nationkey"])
+    assert m1["version"] == m0["version"] + 1
+    assert sorted(f["path"] for f in m1["files"]) == files0
+    assert {p: os.path.getsize(p) for p in files0} == sizes0
+    assert sum(f.get("dvRows", 0) for f in m1["files"]) == 3
+    assert all(f.get("dvGen", 0) == 1 for f in m1["files"] if f.get("dv"))
+    got = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert got == set(range(25)) - {2, 3, 11}
+    # pre-delete snapshot unaffected
+    tt = _read(spark, dv_table, versionAsOf=m0["version"])
+    assert tt.count() == 25
+    # second delete ORs into the same vectors (no file change either)
+    m2 = delete_vectors_from_manifest(
+        _keys(spark, [3, 20]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    assert sorted(f["path"] for f in m2["files"]) == files0
+    got2 = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert got2 == set(range(25)) - {2, 3, 11, 20}
+    assert fsck_manifest(dv_table)["ok"]
+
+
+def test_dv_pushdown_filter_on_masked_table(spark, dv_table):
+    """Stats pruning composes with the mask: a pushed filter never
+    resurrects a deleted row, and a deleted key's file still prunes."""
+    delete_vectors_from_manifest(
+        _keys(spark, [5]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    assert _read(spark, dv_table).filter("n_nationkey = 5").count() == 0
+    assert _read(spark, dv_table).filter("n_nationkey = 6").count() == 1
+
+
+def test_dv_falls_back_to_copy_on_write_past_cap(spark, dv_table):
+    """max_dv_rows is the mask-health cap: a delete whose positions
+    exceed it rewrites files (delete_from_manifest) instead of
+    recording a giant vector — same final state, no dv entries."""
+    m0 = load_manifest(dv_table)
+    files0 = {f["path"] for f in m0["files"]}
+    m1 = delete_vectors_from_manifest(
+        _keys(spark, range(0, 20)), dv_table,
+        ["n_nationkey"], ["n_nationkey"], max_dv_rows=5)
+    # copy-on-write: replaced files tombstoned, new files appended
+    assert any(f.get("dead") for f in m1["files"])
+    assert {f["path"] for f in m1["files"]} != files0
+    assert not any(f.get("dv") for f in m1["files"])
+    got = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert got == set(range(20, 25))
+
+
+def test_dv_merge_does_not_resurrect(spark, dv_table):
+    """A MERGE whose rewrite scope includes DV'd files reads them
+    MASKED: deleted keys stay deleted through the rewrite, and the
+    rewritten files carry no vector."""
+    delete_vectors_from_manifest(
+        _keys(spark, [1, 2]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    merge_into_manifest(
+        spark.createDataFrame([(3, "PATCHED")],
+                              "n_nationkey long, n_name string"),
+        dv_table, ["n_nationkey"], ["n_nationkey"])
+    rows = {r["n_nationkey"]: r["n_name"]
+            for r in _read(spark, dv_table).collect()}
+    assert 1 not in rows and 2 not in rows
+    assert rows[3] == "PATCHED"
+    assert not any(f.get("dv") for f in load_manifest(dv_table)["files"]
+                   if not f.get("dead"))
+
+
+def test_dv_compaction_materializes(spark, dv_table):
+    """OPTIMIZE pays down DV debt: DV'd files compact regardless of
+    size, deleted rows are physically dropped, vectors cleared."""
+    delete_vectors_from_manifest(
+        _keys(spark, [0, 10, 24]), dv_table,
+        ["n_nationkey"], ["n_nationkey"])
+    m = compact_manifest(spark, dv_table, ["n_nationkey"], 1_000_000)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert not any(f.get("dv") for f in live)
+    assert sum(f["rows"] for f in live) == 22
+    got = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert got == set(range(25)) - {0, 10, 24}
+
+
+def test_dv_changefeed_full_and_incremental_agree(spark, dv_table):
+    """Both changefeed forms report a DV commit as plain deletes; the
+    incremental form reads ONLY the re-vectored file (both sides of
+    it), not the untouched files."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    v0 = load_manifest(dv_table)["version"]
+    delete_vectors_from_manifest(
+        _keys(spark, [4, 21]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    full = {(r["n_nationkey"], r["change_type"])
+            for r in manifest_changes(
+                spark, dv_table, v0, None, ["n_nationkey"]).collect()}
+    assert full == {(4, "delete"), (21, "delete")}
+
+    opened: list[str] = []
+    real = DataFrameReader.parquet
+
+    def spy(self, *paths):
+        opened.extend(paths)
+        return real(self, *paths)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(DataFrameReader, "parquet", spy):
+        inc = {(r["n_nationkey"], r["change_type"])
+               for r in manifest_changes_incremental(
+                   spark, dv_table, v0, None, ["n_nationkey"]).collect()}
+    assert inc == full
+    m = load_manifest(dv_table)
+    dv_paths = {f["path"] for f in m["files"] if f.get("dv")}
+    live = {f["path"] for f in m["files"] if not f.get("dead")}
+    assert set(opened) == dv_paths  # only re-vectored files opened
+    assert len(dv_paths) < len(live)
+
+
+def test_dv_cdc_stream_emits_position_deletes(spark, dv_table, tmp_path):
+    """The CDC stream turns a DV commit into delete rows (pre-images by
+    position — no key join), alongside the v0 inserts."""
+    delete_vectors_from_manifest(
+        _keys(spark, [7, 13]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("graft_manifest")
+         .option("path", dv_table).option("readChangeFeed", "true")
+         .option("keyCols", "n_nationkey").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    res = spark.read.parquet(out)
+    dels = {r["n_nationkey"]
+            for r in res.filter("change_type = 'delete'").collect()}
+    assert dels == {7, 13}
+    assert res.filter("change_type = 'insert'").count() == 25
+
+
+def test_dv_commit_fails_racing_rewrite(spark, dv_table, monkeypatch):
+    """A MERGE that tombstones a file between the DV delete's planning
+    read and its CAS claim fails the DV commit (touched-file check) —
+    the delete never lands on a stale file."""
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as ms
+
+    real = ms._files_possibly_containing
+    fired = {"done": False}
+
+    def race_then_plan(files, key_cols, bounds, keys_sorted):
+        out = real(files, key_cols, bounds, keys_sorted)
+        if not fired["done"]:
+            fired["done"] = True
+            merge_into_manifest(
+                spark.createDataFrame([(2, "RACER")],
+                                      "n_nationkey long, n_name string"),
+                dv_table, ["n_nationkey"], ["n_nationkey"])
+        return out
+
+    monkeypatch.setattr(ms, "_files_possibly_containing", race_then_plan)
+    with pytest.raises(Exception, match="concurrent modification"):
+        delete_vectors_from_manifest(
+            _keys(spark, [2]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    # the racer's merge is intact; key 2 was NOT deleted
+    rows = {r["n_nationkey"]: r["n_name"]
+            for r in _read(spark, dv_table).collect()}
+    assert rows[2] == "RACER"
+
+
+def test_rewrite_fails_racing_dv_commit(spark, dv_table, monkeypatch):
+    """The reverse race: a DV delete landing between a MERGE's planning
+    read and its commit fails the MERGE (dvState check) — the rewrite
+    cannot resurrect the freshly deleted rows."""
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as ms
+
+    real = ms._masked_spark_read
+    fired = {"done": False}
+
+    def race_then_read(spark_, st, entries):
+        if not fired["done"]:
+            fired["done"] = True
+            delete_vectors_from_manifest(
+                _keys(spark, [1]), dv_table,
+                ["n_nationkey"], ["n_nationkey"])
+        return real(spark_, st, entries)
+
+    monkeypatch.setattr(ms, "_masked_spark_read", race_then_read)
+    with pytest.raises(Exception, match="deletion vector changed"):
+        merge_into_manifest(
+            spark.createDataFrame([(0, "PATCHED")],
+                                  "n_nationkey long, n_name string"),
+            dv_table, ["n_nationkey"], ["n_nationkey"])
+    # the DV delete won: key 1 is gone, key 0 unpatched
+    rows = {r["n_nationkey"]: r["n_name"]
+            for r in _read(spark, dv_table).collect()}
+    assert 1 not in rows
+    assert rows[0] != "PATCHED"
+
+
+def test_fsck_flags_corrupt_dv(spark, dv_table):
+    """fsck reports a vector whose dvRows disagrees with its popcount."""
+    import json
+
+    delete_vectors_from_manifest(
+        _keys(spark, [3]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    m = load_manifest(dv_table)
+    vpath = [p for p in os.listdir(dv_table)
+             if p.startswith("manifest-v")][-1]
+    for f in m["files"]:
+        if f.get("dv"):
+            f["dvRows"] = f["dvRows"] + 1
+    full = os.path.join(dv_table, sorted(
+        p for p in os.listdir(dv_table) if p.startswith("manifest-v"))[-1])
+    with open(full, "w") as fh:
+        json.dump(m, fh)
+    rep = fsck_manifest(dv_table)
+    assert not rep["ok"] and rep["bad_dv"]
