@@ -476,6 +476,113 @@ def embedding_norms(emb: DataFrame, id_col: str = "vec_id",
     return emb.select(*cols)
 
 
+#: Gram/PCA quantization scale: embeddings are quantized to
+#: round(x·10⁶) BEFORE the sum, so the accumulated second-moment
+#: matrix is an EXACT integer in any engine (float sums are
+#: order-dependent; integer sums are not) — the same
+#: exact-arithmetic trick the OLS/PageRank faces use.
+GRAM_SCALE = 1_000_000
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Distributed EXACT second-moment (Gram) matrix of an embedding
+    column: ``G[i,j] = Σ_rows q_i·q_j`` over quantized components
+    (upper triangle, ``j ≥ i``) — the one-pass sufficient statistic
+    every offline embedding analysis (PCA, whitening, covariance
+    diagnostics) starts from.
+
+    100 TB shape: the double ``posexplode`` inflates rows by d²/2
+    INSIDE a stage, but partial aggregation collapses each task's
+    contribution to at most d² counters before the exchange — the
+    shuffle carries O(d² × partitions) rows regardless of corpus
+    size, and the result (d(d+1)/2 rows) is driver-bounded metadata.
+    Quantized integer sums make the matrix bit-identical across
+    engines and partitionings; the exact DECIMAL total casts to
+    DOUBLE deterministically (IEEE round-to-nearest in both)."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(GRAM_SCALE)))
+        .cast("long"))
+    a = emb.select(q.alias("q"))
+    b = a.select(F.posexplode("q").alias("i", "qi"), "q")
+    c = (b.select("i", "qi", F.posexplode("q").alias("j", "qj"))
+         .filter(F.col("j") >= F.col("i")))
+    return (c.groupBy("i", "j")
+            .agg(F.sum((F.col("qi") * F.col("qj"))
+                       .cast("decimal(38,0)")).alias("g"))
+            .select(F.col("i").cast("int").alias("i"),
+                    F.col("j").cast("int").alias("j"),
+                    F.col("g").cast("double").alias("gram")))
+
+
+def component_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact quantized per-dimension sums (the mean's numerator) —
+    the first-moment companion to ``gram_matrix``."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(float(GRAM_SCALE)))
+        .cast("long"))
+    return (emb.select(F.posexplode(q).alias("i", "qi"))
+            .groupBy("i")
+            .agg(F.sum(F.col("qi").cast("decimal(38,0)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.col("i").cast("int").alias("i"),
+                    F.col("s").cast("double").alias("s"),
+                    F.col("n").cast("long").alias("n")))
+
+
+def pca_project(emb: DataFrame, k: int = 2, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project every embedding onto its corpus's top-``k`` principal
+    components.  Split offline/online like the IVF/PQ family: the
+    distributed pass computes the EXACT quantized Gram matrix and
+    component sums (driver-bounded d² statistics — the only part that
+    scales with the corpus); the driver assembles the covariance,
+    eigendecomposes d×d with numpy (sign-fixed: each component's
+    largest-|·| entry is made positive, so the basis is deterministic),
+    and broadcasts the k×d loading matrix back as literals; the
+    projection is one JVM-side ``zip_with``/``aggregate`` pass per
+    component — no Python row work, no second shuffle.
+
+    The eigensolve is not ANSI-SQL-expressible, so the face is
+    rows-only; orthonormality, variance ordering and numpy parity are
+    pytest-asserted (tests/test_similarity.py)."""
+    import numpy as np
+
+    g_rows = gram_matrix(emb, vec_col).collect()
+    s_rows = component_sums(emb, vec_col).collect()
+    d = max(r["i"] for r in s_rows) + 1
+    n = s_rows[0]["n"]
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"], r["j"]] = r["gram"]
+        G[r["j"], r["i"]] = r["gram"]
+    m = np.array([r["s"] for r in sorted(s_rows, key=lambda r: r["i"])])
+    scale = float(GRAM_SCALE)
+    cov = (G - np.outer(m, m) / n) / ((n - 1) * scale * scale)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        w = vecs[:, idx]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        comps.append(w)
+    mean = m / (n * scale)
+    cols = [F.col(id_col)]
+    for ci, w in enumerate(comps, start=1):
+        wl = F.array(*[F.lit(float(x)) for x in w])
+        ml = F.array(*[F.lit(float(x)) for x in mean])
+        centered = F.zip_with(
+            F.col(vec_col), ml,
+            lambda x, mu: x.cast("double") - mu)
+        proj = F.aggregate(
+            F.zip_with(centered, wl, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+        cols.append(F.round(proj, 6).alias(f"pc{ci}"))
+    return emb.select(*cols)
+
+
 def pq_codebooks(emb: DataFrame, m: int = 4, k: int = 16, iters: int = 2,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> list[list[list[float]]]:

@@ -691,6 +691,24 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_norms(load_table(spark, sf_dir, "embeddings"))
 
 
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized second-moment (Gram) matrix of the embedding
+    corpus (operators/similarity.py:gram_matrix) — the one-pass
+    sufficient statistic PCA/whitening start from.  Integer-quantized
+    sums make it bit-identical across engines; the shuffle is
+    O(d² × partitions) regardless of corpus size."""
+    return sim.gram_matrix(load_table(spark, sf_dir, "embeddings"))
+
+
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection (operators/similarity.py:pca_project):
+    distributed exact Gram/mean statistics → driver d×d eigensolve →
+    broadcast loadings → one JVM-side projection pass.  Rows-only by
+    design (the eigensolve is not ANSI-SQL-expressible); orthonormality,
+    variance ordering and numpy parity are pytest-asserted."""
+    return sim.pca_project(load_table(spark, sf_dir, "embeddings"), k=2)
+
+
 def _minhash_sig_sql(where: str = "") -> str:
     # one md5 digest per shingle, sliced into two 60-bit halves — the
     # exact construction of operators/dedup.py:minhash_signatures
@@ -1810,6 +1828,20 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT * FROM ranked WHERE rank <= {TOPK}
     """,
+    "embedding_gram_matrix": """
+        WITH q AS (
+            SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> CAST(round(x * 1000000) AS BIGINT))
+                   AS qs
+            FROM embeddings
+        )
+        SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.j - 1 AS INT) AS j,
+               CAST(SUM(CAST(qs[a.i] AS HUGEINT) * qs[b.j]) AS DOUBLE)
+                   AS gram
+        FROM q, range(1, 65) a(i), range(1, 65) b(j)
+        WHERE b.j >= a.i
+        GROUP BY 1, 2
+    """,
     "embedding_norms": """
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
@@ -1838,6 +1870,8 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "embedding_norms": embedding_norms,
+    "embedding_gram_matrix": embedding_gram_matrix,
+    "embedding_pca_projection": embedding_pca_projection,
     "chunk_documents": chunk_documents,
     "pack_sequences": pack_sequences,
     "dataset_splits": dataset_splits,

@@ -180,6 +180,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "order_volume_anomalies": 5,
     "order_price_psi_drift": 5,
     "manifest_delete_dv": 5,
+    "embedding_gram_matrix": 5,
+    "embedding_pca_projection": 5,
 }
 
 

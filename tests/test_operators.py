@@ -782,7 +782,7 @@ def test_registry_round_declarations_consistent():
         "dedup_minhash_pairs", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
         "ann_ivf_topk", "ann_pq_topk", "hll_rollup_users",
         "approx_distinct_counts", "bpe_merge_table",
-        "bpe_compression_stats",
+        "bpe_compression_stats", "embedding_pca_projection",
     }, f"unexpected rows-only set: {sorted(q - o)}"
     assert set(registry._ADDED_IN_ROUND) <= q, \
         sorted(set(registry._ADDED_IN_ROUND) - q)

@@ -263,3 +263,61 @@ def test_prefix_filter_simjoin_matches_bruteforce(spark, sets, t):
             if j >= t:
                 want[(a, b)] = (inter, j)
     assert got == want
+
+
+def test_pca_projection_matches_numpy_and_is_orthonormal(spark, sf_dir):
+    """pca_project invariants: the distributed Gram/mean statistics
+    feed a deterministic eigensolve — the projection must match a
+    from-scratch numpy PCA on the collected corpus, pc1 variance ≥
+    pc2 variance, and the implied loadings orthonormal."""
+    import numpy as np
+
+    from data_engineering_pipeline_project_cloud_spark.operators import similarity as sim
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r["vec_id"]: (r["pc1"], r["pc2"])
+           for r in sim.pca_project(emb, k=2).collect()}
+    rows = sorted((r["vec_id"], r["embedding"]) for r in emb.collect())
+    X = np.array([np.round(np.asarray(v, dtype=np.float64)
+                           * sim.GRAM_SCALE)
+                  for _, v in rows]) / sim.GRAM_SCALE
+    # same quantization the operator applies, then plain PCA
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:2]
+    W = []
+    for idx in order:
+        w = vecs[:, idx]
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w = -w
+        W.append(w)
+    W = np.array(W)
+    assert np.allclose(W @ W.T, np.eye(2), atol=1e-9)
+    want = Xc @ W.T
+    got_arr = np.array([got[vid] for vid, _ in rows])
+    assert np.allclose(got_arr, want, atol=2e-4), \
+        np.abs(got_arr - want).max()
+    # variance ordering: the first component captures at least as much
+    assert got_arr[:, 0].var() >= got_arr[:, 1].var()
+
+
+def test_gram_matrix_exactness_tiny(spark):
+    """gram_matrix on a hand-computable corpus is exactly the integer
+    outer-product sum (upper triangle)."""
+    import numpy as np
+
+    from data_engineering_pipeline_project_cloud_spark.operators import similarity as sim
+
+    vecs = [[0.5, -0.25, 0.125], [1.0, 0.0, -0.5], [0.75, 0.5, 0.25]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    got = {(r["i"], r["j"]): r["gram"]
+           for r in sim.gram_matrix(emb).collect()}
+    Q = np.round(np.array(vecs, dtype=np.float64) * sim.GRAM_SCALE)
+    G = Q.T @ Q
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i, j)] == G[i, j], (i, j)
