@@ -321,6 +321,42 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
     )
 
 
+#: Feature-hashing dimensionality: 2^9 buckets keeps each doc's sparse
+#: vector human-inspectable in tests while exercising real collisions.
+FEATURE_HASH_DIM = 512
+
+
+def feature_hash_tf(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    dim: int = FEATURE_HASH_DIM) -> DataFrame:
+    """The hashing trick (Weinberger et al., "Feature Hashing for
+    Large Scale Multitask Learning", ICML 2009): fixed-dimension
+    term-frequency features with NO vocabulary pass — each token maps
+    to ``hash(token) mod dim`` and contributes ``±1`` (sign from an
+    independent hash bit, which keeps collision noise zero-mean).
+    Output is the sparse form ``(doc, bucket, tf)`` with exact-zero
+    cancellations dropped.
+
+    100 TB shape: one explode → one partial-aggregating groupBy; no
+    vocabulary state, no broadcast, bounded ``dim`` buckets per doc —
+    the featurizer that needs no second pass and no driver model.
+    Hashes are the portable md5 fold, so an ANSI engine reproduces
+    every bucket and sign exactly."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        .alias("token"))
+    bucket = F.pmod(portable_hash64(F.col("token"), salt="fh|"),
+                    F.lit(dim))
+    sign = (F.when(F.pmod(portable_hash64(F.col("token"), salt="fhs|"),
+                          F.lit(2)) == 1, 1).otherwise(-1))
+    return (toks.groupBy(F.col(id_col), bucket.alias("bucket"))
+            .agg(F.sum(sign).cast("long").alias("tf"))
+            .filter(F.col("tf") != 0)
+            .select(F.col(id_col), F.col("bucket").cast("long"),
+                    F.col("tf")))
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      top_bigram_max: float = 0.2,

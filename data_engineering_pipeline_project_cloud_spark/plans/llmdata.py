@@ -691,6 +691,14 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_norms(load_table(spark, sf_dir, "embeddings"))
 
 
+def feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick term-frequency features
+    (operators/textstats.py:feature_hash_tf): fixed-dimension sparse
+    TF vectors with no vocabulary pass — signed md5-fold buckets, so
+    the oracle reproduces every bucket, sign and cancellation."""
+    return tx.feature_hash_tf(_docs(spark, sf_dir))
+
+
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantized second-moment (Gram) matrix of the embedding
     corpus (operators/similarity.py:gram_matrix) — the one-pass
@@ -1828,6 +1836,28 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT * FROM ranked WHERE rank <= {TOPK}
     """,
+    "feature_hash_docs": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest({_TOKENS.replace('text', 'lower(text)')})
+                       AS token
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('fh|' || token), 1, 15))::BIGINT
+                       % 512 AS bucket,
+                   CASE WHEN ('0x' || substr(md5('fhs|' || token), 1, 15)
+                              )::BIGINT % 2 = 1
+                        THEN 1 ELSE -1 END AS sgn
+            FROM toks
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CAST(SUM(sgn) AS BIGINT) AS tf
+        FROM hashed
+        GROUP BY 1, 2
+        HAVING SUM(sgn) <> 0
+    """,
     "embedding_gram_matrix": """
         WITH q AS (
             SELECT list_transform(CAST(embedding AS DOUBLE[]),
@@ -1870,6 +1900,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_pq_topk": ann_pq_topk,
     "embedding_norms": embedding_norms,
+    "feature_hash_docs": feature_hash_docs,
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_pca_projection": embedding_pca_projection,
     "chunk_documents": chunk_documents,

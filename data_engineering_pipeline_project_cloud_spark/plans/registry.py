@@ -182,6 +182,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_delete_dv": 5,
     "embedding_gram_matrix": 5,
     "embedding_pca_projection": 5,
+    "feature_hash_docs": 5,
 }
 
 

@@ -788,3 +788,34 @@ def test_registry_round_declarations_consistent():
         sorted(set(registry._ADDED_IN_ROUND) - q)
     assert set(registry._OUTPUT_CHANGED_AFTER) <= q, \
         sorted(set(registry._OUTPUT_CHANGED_AFTER) - q)
+
+
+def test_feature_hash_tf_semantics(spark):
+    """Hashing-trick invariants on a hand-built corpus: same token →
+    same (bucket, sign) everywhere; a token repeated n times
+    contributes ±n in one bucket; sums over a doc's |tf| never exceed
+    its token count (collisions can only cancel, not inflate)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.textstats import (
+        FEATURE_HASH_DIM,
+        feature_hash_tf,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha alpha"), (2, "alpha beta"), (3, "beta beta")],
+        "doc_id long, text string")
+    out = feature_hash_tf(docs)
+    rows = [(r["doc_id"], r["bucket"], r["tf"]) for r in out.collect()]
+    by_doc = {}
+    for d, b, t in rows:
+        assert 0 <= b < FEATURE_HASH_DIM
+        by_doc.setdefault(d, {})[b] = t
+    # doc 1: one bucket, |tf| = 3 (same token, same sign)
+    assert len(by_doc[1]) == 1 and abs(next(iter(by_doc[1].values()))) == 3
+    # alpha's bucket/sign identical across docs 1 and 2
+    (b1, t1), = by_doc[1].items()
+    assert by_doc[2].get(b1) in (t1 // 3, t1 // 3 + by_doc[3].get(b1, 0))
+    # doc 3: beta twice → one bucket, |tf| = 2, consistent with doc 2
+    assert len(by_doc[3]) == 1 and abs(next(iter(by_doc[3].values()))) == 2
+    for d, buckets in by_doc.items():
+        assert sum(abs(t) for t in buckets.values()) <= \
+            {1: 3, 2: 2, 3: 2}[d]
