@@ -183,6 +183,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "embedding_gram_matrix": 5,
     "embedding_pca_projection": 5,
     "feature_hash_docs": 5,
+    "txn_group_consistent_view": 5,
 }
 
 

@@ -1344,6 +1344,62 @@ def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def txn_group_consistent_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table atomic commit group (sources/table_group.py): two
+    member tables — per-status and per-priority order count facts —
+    are seeded with a third of the orders, then ONE ``group_commit``
+    appends the remaining two-thirds to BOTH and flips the group
+    pointer in a single CAS.  The face reads both members THROUGH the
+    group's pinned consistent cut and unions their rollups; the oracle
+    recomputes both rollups over ALL orders — equality proves the
+    cross-table commit completed atomically and the pinned-version
+    reads resolve it.  All-or-nothing failure, group time travel,
+    rebase under racing group commits and isolation from out-of-band
+    writers are pytest-asserted (tests/test_table_group.py)."""
+    import os
+
+    from ..sources import table_group as tg
+    from ..sources.manifest_source import register, write_manifest_table
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"))
+        t1 = os.path.join(path, "by_status")
+        t2 = os.path.join(path, "by_priority")
+        seed = orders.filter(F.col("o_orderkey") % 3 == 0)
+        rest = orders.filter(F.col("o_orderkey") % 3 != 0)
+        write_manifest_table(
+            seed.select("o_orderkey", "status").coalesce(2), t1,
+            ["o_orderkey"])
+        write_manifest_table(
+            seed.select("o_orderkey", "priority").coalesce(2), t2,
+            ["o_orderkey"])
+        tg.create_group(os.path.join(path, "group"),
+                        {"by_status": t1, "by_priority": t2})
+        tg.group_commit(os.path.join(path, "group"), {
+            "by_status": (rest.select("o_orderkey", "status")
+                          .coalesce(2), ["o_orderkey"]),
+            "by_priority": (rest.select("o_orderkey", "priority")
+                            .coalesce(2), ["o_orderkey"])})
+
+    path = scoped_scratch("txn_group_orders", sf_dir, build)
+    gpath = os.path.join(path, "group")
+    a = (tg.read_group_table(spark, gpath, "by_status")
+         .groupBy(F.col("status").alias("k"))
+         .agg(F.count(F.lit(1)).cast("long").alias("total"))
+         .select(F.lit("status").alias("kind"), "k", "total"))
+    b = (tg.read_group_table(spark, gpath, "by_priority")
+         .groupBy(F.col("priority").alias("k"))
+         .agg(F.count(F.lit(1)).cast("long").alias("total"))
+         .select(F.lit("priority").alias("kind"), "k", "total"))
+    return a.unionByName(b)
+
+
 def manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE-style bin packing
     (sources/manifest_source.py:compact_manifest): nation arrives in
@@ -1663,6 +1719,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE o_orderkey % 7 <> 0
         GROUP BY 1
+    """,
+    "txn_group_consistent_view": """
+        SELECT 'status' AS kind, o_orderstatus AS k,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'priority' AS kind, o_orderpriority AS k,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM orders GROUP BY 2
     """,
     "manifest_delete_dv": """
         SELECT o_orderstatus AS status,
@@ -2338,6 +2403,7 @@ QUERIES = {
     "manifest_merge_upsert": manifest_merge_upsert,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_delete_dv": manifest_delete_dv,
+    "txn_group_consistent_view": txn_group_consistent_view,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,
     "heavy_hitter_users": heavy_hitter_users,

@@ -1,0 +1,208 @@
+"""Multi-table atomic commit groups over manifest tables.
+
+Single-table formats (Delta, Iceberg pre-REST-catalog, Hudi) make each
+TABLE's commit atomic but offer nothing across tables: a pipeline that
+updates ``orders_agg`` and ``items_agg`` from the same batch exposes a
+window where readers see one table's new version joined against the
+other's old one.  The catalog-level fix (Iceberg's multi-table
+transactions) pins a CONSISTENT CUT of table versions behind one
+atomically-swapped pointer.  This module implements that pattern with
+the same primitives as the manifest commit protocol itself:
+
+* A GROUP is a directory of immutable ``group-v{N}.json`` snapshots,
+  each pinning ``{table name → (manifest path, manifest version)}``.
+  The group pointer is claimed with the identical put-if-absent
+  hard-link CAS the table writer uses, so group commits serialize and
+  rebase exactly like table commits.
+* ``group_commit`` writes each member table through the NORMAL
+  manifest append path first (each table commit is individually
+  atomic and concurrency-safe), tagging every write with a
+  transaction id (``txnAppId``), then resolves the exact version each
+  tagged commit claimed and publishes ONE group snapshot pinning all
+  of them.  Readers that resolve tables through the group
+  (``read_group_table``) therefore see ALL of a group commit's writes
+  or NONE — a crash or failure between table writes leaves the new
+  table versions unreferenced by any group snapshot (readable via
+  time travel, invisible through the group), the multi-table analog
+  of a rolled-back transaction.
+* Snapshots are immutable → group-level TIME TRAVEL for free:
+  ``versionAsOf`` on the group re-materializes a historical
+  consistent cut across every member.
+
+100 TB shape: the group snapshot is O(tables) driver metadata; data
+movement is entirely the member tables' own commit protocol.  The CAS
+assumes atomic create-if-absent exactly as the table writer does
+(POSIX link here, conditional PUT on an object store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+
+from .manifest_source import _versioned_manifests, load_manifest
+
+_G_RE = re.compile(r"group-v(\d{8})\.json")
+
+
+def _group_file(version: int) -> str:
+    return f"group-v{version:08d}.json"
+
+
+def _group_snapshots(path: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        m = _G_RE.fullmatch(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(path, name)
+    return out
+
+
+def load_group(path: str, version: int | None = None) -> dict:
+    """The group snapshot dict: ``{"version", "tables": {name:
+    {"path", "version"}}, "committedAt"}``.  ``version=None`` →
+    latest; an explicit version time-travels the whole cut and raises
+    if that snapshot was never written."""
+    snaps = _group_snapshots(path)
+    if version is not None:
+        p = snaps.get(version)
+        if p is None:
+            raise ValueError(
+                f"group version {version} is not available under {path} "
+                f"(have {sorted(snaps)})")
+        with open(p) as fh:
+            return json.load(fh)
+    if not snaps:
+        raise FileNotFoundError(f"no group snapshots under {path}")
+    with open(snaps[max(snaps)]) as fh:
+        return json.load(fh)
+
+
+def _publish(path: str, group: dict) -> bool:
+    """Put-if-absent claim of ``group-v{N}`` — True on success, False
+    if another committer claimed that version first (caller rebases)."""
+    os.makedirs(path, exist_ok=True)
+    vpath = os.path.join(path, _group_file(group["version"]))
+    tmp = os.path.join(
+        path, f".{_group_file(group['version'])}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(group, fh)
+    try:
+        os.link(tmp, vpath)
+    except FileExistsError:
+        os.remove(tmp)
+        return False
+    os.remove(tmp)
+    return True
+
+
+def create_group(path: str, tables: dict[str, str]) -> dict:
+    """Initialize a group over existing manifest tables, pinning each
+    member's CURRENT latest version as the consistent cut v0."""
+    import time as _time
+
+    pinned = {}
+    for name, tpath in tables.items():
+        m = load_manifest(tpath)
+        pinned[name] = {"path": tpath, "version": m.get("version", 0)}
+    group = {"version": 0, "tables": pinned, "committedAt": _time.time()}
+    if not _publish(path, group):
+        raise ValueError(f"group already initialized under {path}")
+    return group
+
+
+def _version_of_txn(tpath: str, app_id: str, txn_version: int) -> int:
+    """The manifest version whose commit recorded ``(app_id,
+    txn_version)`` — resolved by walking versions DOWN from latest to
+    the first snapshot carrying the watermark (its writer's claim).
+    O(new versions) driver metadata; concurrent commits after ours
+    only ADD later versions, which still carry the watermark."""
+    snaps = _versioned_manifests(tpath)
+    hit = None
+    for v in sorted(snaps, reverse=True):
+        m = load_manifest(tpath, v)
+        done = m.get("txn", {}).get(app_id)
+        if done is not None and int(done) >= txn_version:
+            hit = v
+        else:
+            break  # versions below never saw the txn
+    if hit is None:
+        raise ValueError(
+            f"transaction {app_id}:{txn_version} not found in {tpath}")
+    return hit
+
+
+def group_commit(path: str, writes: dict[str, tuple],
+                 txn_id: str | None = None) -> dict:
+    """Atomically-visible multi-table append: ``writes`` maps member
+    table names to ``(DataFrame, stat_cols)``.  Each table is written
+    through the normal manifest append commit (individually atomic,
+    conflict-checked, idempotent under replay via the txn watermark);
+    the group snapshot then pins the EXACT versions those commits
+    claimed and is published with one CAS — readers through the group
+    flip from none-of-it to all-of-it in one pointer swap.
+
+    Failure between table writes publishes NO group snapshot: the
+    orphan table versions stay time-travelable but invisible through
+    the group (rolled-back-transaction semantics).  A lost group CAS
+    rebases: the pinned table versions are still the txn's own commits,
+    so the retry re-publishes the same cut at the next group version.
+
+    ``txn_id`` makes the whole group commit IDEMPOTENT under retry:
+    re-running with the same id re-drives every member write through
+    the manifest writer's (app, version) replay detection — members
+    whose orphan commit already landed append NOTHING, the version
+    resolution finds the original commit, and the group publish picks
+    up where the crash left off (exactly-once across the group, the
+    same contract the streaming foreachBatch sink has per table)."""
+    import time as _time
+
+    prev = load_group(path)
+    if txn_id is None:
+        txn_id = f"grp-{uuid.uuid4().hex}"
+    pinned = dict(prev["tables"])
+    for name, (df, stat_cols) in writes.items():
+        if name not in pinned:
+            raise ValueError(f"table {name!r} is not a group member "
+                             f"(have {sorted(pinned)})")
+        tpath = pinned[name]["path"]
+        (df.write.format("graft_manifest").mode("append")
+         .option("path", tpath)
+         .option("statCols", ",".join(stat_cols))
+         .option("txnAppId", txn_id).option("txnVersion", "1").save())
+        pinned[name] = {"path": tpath,
+                        "version": _version_of_txn(tpath, txn_id, 1)}
+    while True:
+        latest = load_group(path)
+        # rebase: carry forward OTHER tables' pins from the current
+        # latest (a concurrent group commit may have advanced them);
+        # our own writes keep the exact versions our txn claimed
+        merged = dict(latest["tables"])
+        for name in writes:
+            merged[name] = pinned[name]
+        group = {"version": latest["version"] + 1, "tables": merged,
+                 "committedAt": _time.time()}
+        if _publish(path, group):
+            return group
+
+
+def read_group_table(spark, path: str, name: str,
+                     version: int | None = None):
+    """Read one member table AT THE GROUP'S PINNED VERSION — the
+    consistent-cut read.  Two calls against the same group version can
+    never observe a half-published multi-table commit, no matter what
+    lands in between."""
+    g = load_group(path, version)
+    t = g["tables"].get(name)
+    if t is None:
+        raise ValueError(f"{name!r} is not in group {path} "
+                         f"(have {sorted(g['tables'])})")
+    return (spark.read.format("graft_manifest")
+            .option("path", t["path"])
+            .option("versionAsOf", str(t["version"])).load())

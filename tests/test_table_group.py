@@ -1,0 +1,124 @@
+"""Multi-table atomic commit groups (sources/table_group.py):
+all-or-nothing cross-table visibility, group time travel, rebase under
+concurrent group commits, and isolation from out-of-band writers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.sources import load_table
+from data_engineering_pipeline_project_cloud_spark.sources import table_group as tg
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    load_manifest,
+    register,
+    write_manifest_table,
+)
+
+
+@pytest.fixture()
+def group(spark, sf_dir, tmp_path):
+    """Two member tables seeded with nation keys < 10, group at v0."""
+    register(spark)
+    t1 = str(tmp_path / "t1")
+    t2 = str(tmp_path / "t2")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    write_manifest_table(nat.filter("n_nationkey < 10").coalesce(1),
+                         t1, ["n_nationkey"])
+    write_manifest_table(nat.filter("n_nationkey < 10").coalesce(1),
+                         t2, ["n_nationkey"])
+    gpath = str(tmp_path / "grp")
+    tg.create_group(gpath, {"a": t1, "b": t2})
+    return gpath, t1, t2, nat
+
+
+def _counts(spark, gpath, version=None):
+    return {n: tg.read_group_table(spark, gpath, n, version).count()
+            for n in ("a", "b")}
+
+
+def test_group_commit_is_all_or_nothing(spark, group, monkeypatch):
+    """A failure after table A's write but before the group publish
+    leaves the GROUP cut unchanged: A's new table version exists
+    (time-travelable orphan) but neither member advances through the
+    group — rolled-back-transaction semantics."""
+    gpath, t1, t2, nat = group
+    batch = nat.filter("n_nationkey >= 10").coalesce(1)
+
+    real = tg._version_of_txn
+    calls = {"n": 0}
+
+    def fail_second(tpath, app_id, txn_version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before group publish")
+        return real(tpath, app_id, txn_version)
+
+    monkeypatch.setattr(tg, "_version_of_txn", fail_second)
+    with pytest.raises(RuntimeError, match="injected"):
+        tg.group_commit(gpath, {"a": (batch, ["n_nationkey"]),
+                                "b": (batch, ["n_nationkey"])},
+                        txn_id="grp-retry-test")
+    assert tg.load_group(gpath)["version"] == 0
+    assert _counts(spark, gpath) == {"a": 10, "b": 10}
+    # the orphan commits DID land on the tables, just unreferenced
+    assert load_manifest(t1)["version"] == 1
+    monkeypatch.setattr(tg, "_version_of_txn", real)
+    # retry with the SAME txn id: the orphan appends replay as no-ops
+    # (manifest (app, version) watermark), the resolution finds the
+    # original commits, and the cut flips both members exactly once
+    tg.group_commit(gpath, {"a": (batch, ["n_nationkey"]),
+                            "b": (batch, ["n_nationkey"])},
+                    txn_id="grp-retry-test")
+    assert _counts(spark, gpath) == {"a": 25, "b": 25}
+    assert load_manifest(t1)["version"] == 1  # no duplicate append
+
+
+def test_group_time_travel_reproduces_cut(spark, group):
+    gpath, t1, t2, nat = group
+    batch = nat.filter("n_nationkey >= 10").coalesce(1)
+    g1 = tg.group_commit(gpath, {"a": (batch, ["n_nationkey"]),
+                                 "b": (batch, ["n_nationkey"])})
+    assert g1["version"] == 1
+    assert _counts(spark, gpath) == {"a": 25, "b": 25}
+    assert _counts(spark, gpath, version=0) == {"a": 10, "b": 10}
+
+
+def test_group_isolated_from_out_of_band_writes(spark, group):
+    """A direct (non-group) append to a member advances the TABLE but
+    not the group cut: group readers keep the pinned version until the
+    next group commit re-pins."""
+    gpath, t1, t2, nat = group
+    (nat.filter("n_nationkey >= 20").coalesce(1)
+     .write.format("graft_manifest").mode("append")
+     .option("path", t1).option("statCols", "n_nationkey").save())
+    assert load_manifest(t1)["version"] == 1
+    assert _counts(spark, gpath) == {"a": 10, "b": 10}
+
+
+def test_concurrent_group_commits_rebase(spark, group, monkeypatch):
+    """A group CAS lost to a racing committer rebases and lands at the
+    next version; the final cut carries BOTH commits' writes (each to
+    its own member)."""
+    gpath, t1, t2, nat = group
+    real = tg._publish
+    fired = {"done": False}
+
+    def race_then_publish(path, g):
+        if not fired["done"]:
+            fired["done"] = True
+            # a competing group commit claims this version first
+            tg.group_commit(gpath, {"b": (
+                nat.filter("n_nationkey >= 20").coalesce(1),
+                ["n_nationkey"])})
+        return real(path, g)
+
+    monkeypatch.setattr(tg, "_publish", race_then_publish)
+    tg.group_commit(gpath, {"a": (
+        nat.filter("n_nationkey >= 10").coalesce(1), ["n_nationkey"])})
+    g = tg.load_group(gpath)
+    assert g["version"] == 2
+    got = _counts(spark, gpath)
+    assert got == {"a": 25, "b": 15}  # racer's b-write AND our a-write
