@@ -540,6 +540,57 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(PMI_TOPK))
 
 
+#: Jelinek-Mercer interpolation weight on the bigram term.
+BIGRAM_LM_LAMBDA = 0.7
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated BIGRAM language-model scoring — the next step up
+    from ``lm_unigram_scores``: each document's mean negative log
+    probability under ``p(w|v) = λ·c(vw)/c(v·) + (1−λ)·c(w)/N``
+    (Jelinek-Mercer smoothing; the backoff means unseen bigrams cost
+    the unigram rate instead of −∞).  Context counts come from the
+    bigram table's own margin, so probabilities sum to 1 per context
+    by construction.
+
+    Scale shape: bigrams come from an index transform over each doc's
+    token array (PMI's no-self-join idiom) and collapse immediately
+    to (doc, prev, cur, k) grain; the model tables are corpus-vocab
+    grain; scoring is two vocab joins + one broadcast total — token
+    instances are never joined row-by-row."""
+    d = _docs(spark, sf_dir)
+    t = F.split(F.trim(F.lower("text")), r"\s+")
+    toks = scoped_persist(d.select("doc_id", t.alias("t")))
+    uni = scoped_persist(
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw")))
+    total = uni.agg(F.sum("cw").cast("long").alias("n"))
+    n = F.size("t")
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(F.col("t"), i).alias("a"),
+                           F.element_at(F.col("t"), i + 1).alias("b"))
+    )).otherwise(F.array())
+    doc_bi = scoped_persist(
+        toks.select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.a").alias("prev"),
+                 F.col("p.b").alias("cur"))
+        .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    bi = doc_bi.groupBy("prev", "cur").agg(
+        F.sum("k").cast("long").alias("cab"))
+    ctx = bi.groupBy("prev").agg(F.sum("cab").cast("long").alias("cprev"))
+    lam = BIGRAM_LM_LAMBDA
+    joined = (doc_bi.join(bi, ["prev", "cur"]).join(ctx, "prev")
+              .join(uni.select(F.col("w").alias("cur"), "cw"), "cur")
+              .crossJoin(F.broadcast(total)))
+    p = (F.lit(lam) * (F.col("cab").cast("double") / F.col("cprev"))
+         + F.lit(1 - lam) * (F.col("cw").cast("double") / F.col("n")))
+    nll = -F.sum(F.col("k") * F.log(p)) / F.sum("k")
+    return (joined.groupBy("doc_id")
+            .agg(F.sum("k").cast("long").alias("n_bigrams"),
+                 F.round(nll, 6).alias("avg_neg_logp")))
+
+
 EVAL_MOD = 50            # every 50th doc plays the held-out benchmark
 CONTAM_FLAG_T = 0.5
 TFIDF_K = 3
@@ -1836,6 +1887,45 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT * FROM ranked WHERE rank <= {TOPK}
     """,
+    "bigram_lm_scores": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   {_TOKENS.replace('text', 'lower(text)')} AS t
+            FROM documents
+        ),
+        db AS (
+            SELECT doc_id, t[i] AS prev, t[i + 1] AS cur,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+                  FROM toks)
+            GROUP BY 1, 2, 3
+        ),
+        bi AS (
+            SELECT prev, cur, CAST(SUM(k) AS BIGINT) AS cab
+            FROM db GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT prev, CAST(SUM(cab) AS BIGINT) AS cprev
+            FROM bi GROUP BY 1
+        ),
+        unic AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n FROM unic)
+        SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+               round(-SUM(k * ln({BIGRAM_LM_LAMBDA}
+                                 * (CAST(cab AS DOUBLE) / cprev)
+                                 + {1 - BIGRAM_LM_LAMBDA}
+                                 * (CAST(cw AS DOUBLE) / n)))
+                     / SUM(k), 6) AS avg_neg_logp
+        FROM db
+        JOIN bi USING (prev, cur)
+        JOIN ctx USING (prev)
+        JOIN unic ON unic.w = db.cur
+        CROSS JOIN tot
+        GROUP BY 1
+    """,
     "feature_hash_docs": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -1901,6 +1991,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "embedding_norms": embedding_norms,
     "feature_hash_docs": feature_hash_docs,
+    "bigram_lm_scores": bigram_lm_scores,
     "embedding_gram_matrix": embedding_gram_matrix,
     "embedding_pca_projection": embedding_pca_projection,
     "chunk_documents": chunk_documents,

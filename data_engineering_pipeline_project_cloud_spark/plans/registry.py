@@ -184,6 +184,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "embedding_pca_projection": 5,
     "feature_hash_docs": 5,
     "txn_group_consistent_view": 5,
+    "order_volume_acf": 5,
+    "bigram_lm_scores": 5,
 }
 
 

@@ -494,6 +494,64 @@ def order_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(ok, F.abs(z) > ANOM_Z).alias("is_anomaly")))
 
 
+#: ACF lags reported for the daily order series.
+ACF_MAX_LAG = 10
+
+
+def order_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily order-count series at
+    lags 1..ACF_MAX_LAG — the seasonality/persistence diagnostic run
+    before fitting any forecast model (a weekly cycle shows as a
+    lag-7 peak).  Exactness idiom: with integer counts, both the
+    numerator and denominator of
+    ``acf(k) = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)²`` expand into pure
+    INTEGER sufficient statistics when scaled by n²::
+
+        num·n² = n²·C_k − n·S·(A_k + B_k) + (n−k)·S²
+        den·n² = n²·Q − n·S²
+
+    (S = Σx, Q = Σx², C_k = Σ x_t·x_{t+k}, A_k/B_k the lagged pair
+    margins) — so both engines compute identical doubles from one
+    exact-integer division.  Scale shape: the day-grain aggregate is
+    the only corpus-sized pass; the K-lag window and the final K-row
+    arithmetic run on the tiny daily series."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w = Window.orderBy("d")  # day-grain series: tiny, single partition
+    lagged = daily.select(
+        "n", *[F.lead("n", k).over(w).alias(f"l{k}")
+               for k in range(1, ACF_MAX_LAG + 1)])
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(dec).alias("cnt"),
+            F.sum("n").cast(dec).alias("s"),
+            F.sum(F.col("n") * F.col("n")).cast(dec).alias("q")]
+    for k in range(1, ACF_MAX_LAG + 1):
+        lk = F.col(f"l{k}")
+        aggs += [
+            F.sum(F.col("n") * lk).cast(dec).alias(f"c{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("n"))).cast(dec)
+            .alias(f"a{k}"),
+            F.sum(lk).cast(dec).alias(f"b{k}")]
+    t = lagged.agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(k).cast("int").alias("lag"),
+            ((F.col("cnt") * F.col("cnt") * F.col(f"c{k}")
+              - F.col("cnt") * F.col("s")
+              * (F.col(f"a{k}") + F.col(f"b{k}"))
+              + (F.col("cnt") - k) * F.col("s") * F.col("s"))
+             .cast("double")).alias("num"),
+            ((F.col("cnt") * F.col("cnt") * F.col("q")
+              - F.col("cnt") * F.col("s") * F.col("s"))
+             .cast("double")).alias("den"))
+        for k in range(1, ACF_MAX_LAG + 1)])
+    return (t.select(F.explode(rows).alias("r"))
+            .select(F.col("r.lag").alias("lag"),
+                    F.round(F.col("r.num") / F.col("r.den"), 6)
+                    .alias("acf")))
+
+
 def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME join against an SCD Type-2 dimension (the
     feature-store primitive): each event is enriched with the status
@@ -534,6 +592,38 @@ def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "order_volume_acf": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        seq AS (
+            SELECT n, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS HUGEINT) AS cnt,
+                   CAST(SUM(n) AS HUGEINT) AS s,
+                   CAST(SUM(n * n) AS HUGEINT) AS q
+            FROM seq
+        ),
+        agg AS (
+            SELECT l.k,
+                   CAST(SUM(CAST(a.n AS HUGEINT) * b.n) AS HUGEINT) AS ck,
+                   CAST(SUM(a.n) AS HUGEINT) AS ak,
+                   CAST(SUM(b.n) AS HUGEINT) AS bk
+            FROM range(1, {ACF_MAX_LAG + 1}) l(k)
+            CROSS JOIN seq a
+            JOIN seq b ON b.rn = a.rn + l.k
+            GROUP BY 1
+        )
+        SELECT CAST(k AS INT) AS lag,
+               round(CAST(cnt * cnt * ck - cnt * s * (ak + bk)
+                          + (cnt - k) * s * s AS DOUBLE)
+                     / CAST(cnt * cnt * q - cnt * s * s AS DOUBLE),
+                     6) AS acf
+        FROM agg, tot
+    """,
     "order_volume_anomalies": f"""
         WITH daily AS (
             SELECT o_orderpriority AS priority,
@@ -917,4 +1007,5 @@ QUERIES = {
     "asof_events_orders_tolerance": asof_events_orders_tolerance,
     "events_scd2_status": events_scd2_status,
     "order_volume_anomalies": order_volume_anomalies,
+    "order_volume_acf": order_volume_acf,
 }
