@@ -83,3 +83,68 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str,
             .groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .cast("long").alias("est_count")))
+
+
+# --- portable HyperLogLog ---------------------------------------------
+#
+# The Datasketches HLL face (plans/relational.py:hll_rollup_users) is
+# rows-only by nature: its register layout is engine-specific.  This
+# variant rebuilds HLL from first principles on the portable md5 fold,
+# so EVERY register value — and therefore the estimate double — is
+# reproducible in any ANSI engine: the sketch family's oracle gap,
+# closed.  Exactness discipline: the harmonic denominator Σ2^(−M_j) is
+# summed as the INTEGER Σ2^(55−M_j) (≤ 64·2^55 < 2^63), so no
+# order-dependent float accumulation exists anywhere in the estimate.
+
+HLL_BUCKETS = 64          # m = 2^6 registers
+HLL_W_BITS = 54           # 60-bit hash − 6 bucket bits
+#: alpha_m · m² · 2^55 precomputed in ONE Python double so both engines
+#: divide the identical literal by the identical integer.
+HLL_EST_NUM = (0.7213 / (1 + 1.079 / HLL_BUCKETS)) \
+    * HLL_BUCKETS * HLL_BUCKETS * float(1 << (HLL_W_BITS + 1))
+
+
+def hll_portable_registers(df: DataFrame, key_col: str,
+                           group_cols: list[str]) -> DataFrame:
+    """Per-group HLL registers ``(group…, bucket, m)``: bucket = low 6
+    hash bits, m = max over keys of (leading-zero count of the
+    remaining 54 bits) + 1.  Registers MERGE by elementwise max —
+    the same partial-agg/rollup algebra as counters."""
+    h = portable_hash64(F.col(key_col).cast("string"), salt="hll|")
+    w = F.shiftright(h, 6)
+    rho = (F.when(w > 0,
+                  F.lit(HLL_W_BITS + 1) - F.length(F.conv(w, 10, 2)))
+           .otherwise(F.lit(HLL_W_BITS + 1)))
+    return (df.select(*group_cols, h.bitwiseAND(F.lit(63)).alias("bucket"),
+                      rho.alias("rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("rho").cast("int").alias("m")))
+
+
+def hll_portable_estimate(regs: DataFrame,
+                          group_cols: list[str]) -> DataFrame:
+    """Registers → distinct-count estimate per group, with the
+    standard small-range correction (E ≤ 2.5m and empty registers →
+    linear counting m·ln(m/V)).  Missing buckets count as register 0
+    — the group frame is completed against the full bucket range
+    first, so a group seen in few buckets estimates correctly."""
+    spark = regs.sparkSession
+    groups = regs.select(*group_cols).distinct()
+    buckets = spark.range(HLL_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket"))
+    full = groups.crossJoin(F.broadcast(buckets))
+    filled = (full.join(regs, [*group_cols, "bucket"], "left")
+              .select(*group_cols, "bucket",
+                      F.coalesce(F.col("m"), F.lit(0)).alias("m")))
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                  f"CAST({HLL_W_BITS + 1} - m AS INT))")
+    agg = (filled.groupBy(*group_cols)
+           .agg(F.sum(term).cast("long").alias("s"),
+                F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+                .cast("long").alias("v")))
+    e_raw = F.lit(HLL_EST_NUM) / F.col("s").cast("double")
+    est = F.when((e_raw <= 2.5 * HLL_BUCKETS) & (F.col("v") > 0),
+                 F.lit(float(HLL_BUCKETS))
+                 * F.log(F.lit(float(HLL_BUCKETS))
+                         / F.col("v").cast("double"))).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_count"))

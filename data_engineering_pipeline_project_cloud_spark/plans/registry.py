@@ -186,6 +186,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "txn_group_consistent_view": 5,
     "order_volume_acf": 5,
     "bigram_lm_scores": 5,
+    "portable_hll_users": 5,
 }
 
 

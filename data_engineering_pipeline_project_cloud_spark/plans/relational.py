@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..caching import scoped_persist
 from ..functions import money, portable_hash64
 from ..operators import relational as rel
+from ..operators.sketches import HLL_EST_NUM
 from ..sources import load_table
 
 
@@ -568,6 +569,35 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.hll_sketch_estimate("u").cast("long")
                        .alias("est_users")))
     return by_type.unionByName(unioned)
+
+
+def portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-reproducible HyperLogLog
+    (operators/sketches.py:hll_portable_registers/_estimate): distinct
+    users per event type + the register-MERGED ``__ALL__`` rollup,
+    from first-principles HLL on the portable md5 fold — unlike the
+    Datasketches face (``hll_rollup_users``, rows-only by nature),
+    every register and estimate here is bit-identical in the oracle,
+    so the driver hash-checks an actual probabilistic sketch.  The
+    harmonic denominator is summed as an exact integer (Σ2^(55−M)),
+    eliminating float-order effects; the ≤ standard-error accuracy vs
+    exact distincts is pytest-asserted."""
+    from ..operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type",
+                                                    "user_id")
+    regs = scoped_persist(
+        hll_portable_registers(ev, "user_id", ["event_type"]))
+    all_regs = (regs.groupBy("bucket")
+                .agg(F.max("m").cast("int").alias("m"))
+                .select(F.lit("__ALL__").alias("event_type"), "bucket",
+                        "m"))
+    return hll_portable_estimate(
+        regs.unionByName(all_regs), ["event_type"]
+    ).select("event_type", F.col("est_count").alias("est_users"))
 
 
 def _format_copy(spark: SparkSession, sf_dir: str, table: str, fmt: str,
@@ -1720,6 +1750,51 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o_orderkey % 7 <> 0
         GROUP BY 1
     """,
+    "portable_hll_users": (lambda num: f"""
+        WITH base AS (
+            SELECT event_type,
+                   ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)),
+                                   1, 15))::BIGINT AS h
+            FROM events
+        ),
+        rho AS (
+            SELECT event_type, h & 63 AS bucket,
+                   CASE WHEN (h >> 6) > 0
+                        THEN 55 - length(ltrim(bin(h >> 6), '0'))
+                        ELSE 55 END AS r
+            FROM base
+        ),
+        regs AS (
+            SELECT event_type, bucket, MAX(r) AS m
+            FROM rho GROUP BY 1, 2
+        ),
+        r2 AS (
+            SELECT * FROM regs
+            UNION ALL
+            SELECT '__ALL__' AS event_type, bucket, MAX(m) AS m
+            FROM regs GROUP BY 2
+        ),
+        filled AS (
+            SELECT f.event_type, f.bucket, COALESCE(r2.m, 0) AS m
+            FROM (SELECT t.event_type, b.bucket
+                  FROM (SELECT DISTINCT event_type FROM r2) t,
+                       range(0, 64) b(bucket)) f
+            LEFT JOIN r2 ON r2.event_type = f.event_type
+                        AND r2.bucket = f.bucket
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s,
+                   CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v
+            FROM filled GROUP BY 1
+        )
+        SELECT event_type,
+               round(CASE WHEN {num!r} / s <= 160.0 AND v > 0
+                          THEN 64.0 * ln(64.0 / v)
+                          ELSE {num!r} / s END, 4) AS est_users
+        FROM agg
+    """)(HLL_EST_NUM),
     "txn_group_consistent_view": """
         SELECT 'status' AS kind, o_orderstatus AS k,
                CAST(COUNT(*) AS BIGINT) AS total
@@ -2415,6 +2490,7 @@ QUERIES = {
     "manifest_schema_evolution": manifest_schema_evolution,
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,
+    "portable_hll_users": portable_hll_users,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,

@@ -819,3 +819,35 @@ def test_feature_hash_tf_semantics(spark):
     for d, buckets in by_doc.items():
         assert sum(abs(t) for t in buckets.values()) <= \
             {1: 3, 2: 2, 3: 2}[d]
+
+
+def test_portable_hll_accuracy_and_merge_algebra(spark, sf_dir):
+    """The portable HLL estimate lands within ~2 standard errors
+    (1.04/√64 ≈ 13%) of the exact distinct count per group, and
+    register MERGE (elementwise max over groups) equals the sketch
+    built directly over the union — the rollup algebra."""
+    from data_engineering_pipeline_project_cloud_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id")
+    regs = hll_portable_registers(ev, "user_id", ["event_type"])
+    est = {r["event_type"]: r["est_count"]
+           for r in hll_portable_estimate(
+               regs, ["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(0.30 * n, 3.0), (t, est[t], n)
+    # merge algebra: max-merged per-type registers == direct sketch
+    merged = (regs.groupBy("bucket").agg(F.max("m").cast("int").alias("m"))
+              .withColumn("g", F.lit("ALL")))
+    direct = hll_portable_registers(
+        ev.withColumn("g", F.lit("ALL")), "user_id", ["g"])
+    a = {r["bucket"]: r["m"] for r in merged.collect()}
+    b = {r["bucket"]: r["m"] for r in direct.collect()}
+    assert a == b
