@@ -187,6 +187,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "order_volume_acf": 5,
     "bigram_lm_scores": 5,
     "portable_hll_users": 5,
+    "forecast_backtest_orders": 5,
+    "manifest_table_history": 5,
 }
 
 

@@ -1337,6 +1337,27 @@ def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE-HISTORY introspection
+    (sources/manifest_source.py:manifest_history) over the merged
+    orders table: one row per retained snapshot with its live-row
+    accounting — v0 is the initial load (|orders| rows), v1 the CDC
+    merge (+5 synthetic inserts, updates net zero).  The oracle
+    derives both row counts relationally, so the hash proves the
+    snapshot accounting agrees with the data the commits actually
+    wrote.  File-level history columns (file counts, DV debt,
+    commit stamps) are pytest-asserted — they depend on layout, not
+    on the data, so they have no relational oracle."""
+    from ..sources.manifest_source import manifest_history
+
+    path = _merge_orders_path(spark, sf_dir)
+    hist = manifest_history(path)
+    return spark.createDataFrame(
+        [(h["version"], h["n_live_rows"], h["n_dv_rows"])
+         for h in hist],
+        "version int, n_live_rows long, n_dv_rows long")
+
+
 def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE-ON-READ delete via deletion vectors
     (sources/manifest_source.py:delete_vectors_from_manifest): every
@@ -1803,6 +1824,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'priority' AS kind, o_orderpriority AS k,
                CAST(COUNT(*) AS BIGINT) AS total
         FROM orders GROUP BY 2
+    """,
+    "manifest_table_history": """
+        SELECT CAST(0 AS INT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_live_rows,
+               CAST(0 AS BIGINT) AS n_dv_rows
+        FROM orders
+        UNION ALL
+        SELECT CAST(1 AS INT), CAST(COUNT(*) + 5 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM orders
     """,
     "manifest_delete_dv": """
         SELECT o_orderstatus AS status,
@@ -2478,6 +2509,7 @@ QUERIES = {
     "manifest_merge_upsert": manifest_merge_upsert,
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_delete_dv": manifest_delete_dv,
+    "manifest_table_history": manifest_table_history,
     "txn_group_consistent_view": txn_group_consistent_view,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,

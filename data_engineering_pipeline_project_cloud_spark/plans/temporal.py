@@ -552,6 +552,55 @@ def order_volume_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("acf")))
 
 
+#: Seasonal-naive backtest horizon: forecast each day with the value
+#: one season (week) earlier.
+BACKTEST_SEASON_DAYS = 7
+
+
+def forecast_backtest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin BACKTEST of the seasonal-naive forecaster
+    (ŷ_t = y_{t−7}) on the daily order-count series per priority — the
+    evaluation harness any forecasting pipeline needs before trusting
+    a model: every day that has a same-weekday predecessor is scored,
+    and the per-priority error profile is reported as MAE, bias,
+    weighted MAPE (Σ|e|/Σy — the ratio-of-sums form keeps it
+    exact-integer, unlike per-term MAPE whose float sum is
+    order-dependent) and RMSE.  All four metrics reduce to integer
+    sufficient statistics (Σ|e|, Σe, Σe², Σy, n) → one deterministic
+    double division each.  Scale shape: the day-grain aggregate is the
+    only corpus pass; the forecast 'join' is the daily series against
+    itself shifted one season — day-grain rows, negligible."""
+    from ..caching import scoped_persist
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderpriority").alias("priority"),
+                       F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("long").alias("y")))
+    daily = scoped_persist(daily)
+    lag = daily.select(
+        "priority",
+        F.date_add("d", BACKTEST_SEASON_DAYS).alias("d"),
+        F.col("y").alias("yhat"))
+    j = daily.join(lag, ["priority", "d"])
+    e = F.col("y") - F.col("yhat")
+    agg = (j.groupBy("priority")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_evals"),
+                F.sum(F.abs(e)).cast("long").alias("sae"),
+                F.sum(e).cast("long").alias("se"),
+                F.sum(e * e).cast("long").alias("sse"),
+                F.sum("y").cast("long").alias("sy")))
+    return agg.select(
+        "priority", "n_evals",
+        F.round(F.col("sae").cast("double") / F.col("n_evals"), 6)
+        .alias("mae"),
+        F.round(F.col("se").cast("double") / F.col("n_evals"), 6)
+        .alias("bias"),
+        F.round(F.col("sae").cast("double") / F.col("sy"), 6)
+        .alias("wmape"),
+        F.round(F.sqrt(F.col("sse").cast("double") / F.col("n_evals")),
+                6).alias("rmse"))
+
+
 def events_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POINT-IN-TIME join against an SCD Type-2 dimension (the
     feature-store primitive): each event is enriched with the status
@@ -623,6 +672,35 @@ ORACLE_SQL: dict[str, str] = {
                      / CAST(cnt * cnt * q - cnt * s * s AS DOUBLE),
                      6) AS acf
         FROM agg, tot
+    """,
+    "forecast_backtest_orders": f"""
+        WITH daily AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(o_orderdate AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM orders GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT a.priority, a.y, b.y AS yhat
+            FROM daily a
+            JOIN daily b ON b.priority = a.priority
+                        AND b.d = a.d - INTERVAL {BACKTEST_SEASON_DAYS} DAYS
+        ),
+        agg AS (
+            SELECT priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_evals,
+                   CAST(SUM(ABS(y - yhat)) AS BIGINT) AS sae,
+                   CAST(SUM(y - yhat) AS BIGINT) AS se,
+                   CAST(SUM((y - yhat) * (y - yhat)) AS BIGINT) AS sse,
+                   CAST(SUM(y) AS BIGINT) AS sy
+            FROM j GROUP BY 1
+        )
+        SELECT priority, n_evals,
+               round(CAST(sae AS DOUBLE) / n_evals, 6) AS mae,
+               round(CAST(se AS DOUBLE) / n_evals, 6) AS bias,
+               round(CAST(sae AS DOUBLE) / sy, 6) AS wmape,
+               round(sqrt(CAST(sse AS DOUBLE) / n_evals), 6) AS rmse
+        FROM agg
     """,
     "order_volume_anomalies": f"""
         WITH daily AS (
@@ -1008,4 +1086,5 @@ QUERIES = {
     "events_scd2_status": events_scd2_status,
     "order_volume_anomalies": order_volume_anomalies,
     "order_volume_acf": order_volume_acf,
+    "forecast_backtest_orders": forecast_backtest_orders,
 }

@@ -1079,6 +1079,29 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
             "removed_manifests": removed_manifests}
 
 
+def manifest_history(path: str) -> list[dict]:
+    """Table-format introspection (the DESCRIBE HISTORY / snapshots
+    system table): one row per retained snapshot with its file and
+    row accounting — total entries, live files, live rows (net of
+    deletion vectors), DV-masked rows, and the commit-time stamp.
+    O(versions × manifest) driver metadata; no data file is opened."""
+    out = []
+    for v, p in sorted(_versioned_manifests(path).items()):
+        with open(p) as fh:
+            m = json.load(fh)
+        live = [f for f in m["files"] if not f.get("dead")]
+        out.append({
+            "version": v,
+            "n_files": len(m["files"]),
+            "n_live_files": len(live),
+            "n_live_rows": sum(f["rows"] - f.get("dvRows", 0)
+                               for f in live),
+            "n_dv_rows": sum(f.get("dvRows", 0) for f in live),
+            "committed_at": m.get("committedAt"),
+        })
+    return out
+
+
 def fsck_manifest(path: str) -> dict:
     """Offline integrity audit (the table-format FSCK): verify the
     LATEST snapshot's live files all exist with footer row counts

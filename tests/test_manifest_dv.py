@@ -270,3 +270,27 @@ def test_fsck_flags_corrupt_dv(spark, dv_table):
         json.dump(m, fh)
     rep = fsck_manifest(dv_table)
     assert not rep["ok"] and rep["bad_dv"]
+
+
+def test_manifest_history_accounting(spark, dv_table):
+    """manifest_history reports per-snapshot file/row accounting:
+    the initial load, a DV delete (live rows down, DV debt up, file
+    set unchanged), and a compaction (debt cleared, files shrink)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        manifest_history,
+    )
+
+    delete_vectors_from_manifest(
+        _keys(spark, [1, 2, 3]), dv_table,
+        ["n_nationkey"], ["n_nationkey"])
+    compact_manifest(spark, dv_table, ["n_nationkey"], 1_000_000)
+    hist = manifest_history(dv_table)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    v0, v1, v2 = hist
+    assert (v0["n_live_rows"], v0["n_dv_rows"]) == (25, 0)
+    assert (v1["n_live_rows"], v1["n_dv_rows"]) == (22, 3)
+    assert v1["n_live_files"] == v0["n_live_files"]  # metadata-only
+    assert (v2["n_live_rows"], v2["n_dv_rows"]) == (22, 0)
+    assert v2["n_live_files"] < v1["n_live_files"] \
+        or v2["n_files"] > v1["n_files"]  # compaction rewrote layout
+    assert all(h["committed_at"] is not None for h in hist[1:])
