@@ -52,3 +52,43 @@ def stream_click_purchase_join(events: DataFrame) -> DataFrame:
                         - epoch_seconds("click_ts"), 6)
                 .alias("lag_seconds"))
     )
+
+
+def stream_click_purchase_left_outer(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream join — the semantically hardest join
+    mode Structured Streaming supports.  Matched pairs emit as soon as
+    both sides arrive (inner-join behavior); an UNMATCHED click emits
+    EXACTLY ONCE with NULL purchase columns, but only after the
+    watermark passes the end of its match window — the engine must be
+    able to prove no future purchase can match before releasing the
+    NULL row (Spark SS programming guide, outer joins with watermark).
+    A consequence every consumer must know: unmatched rows inside the
+    final watermark gap are withheld until later input advances the
+    watermark — tested by driving two batches through a checkpoint in
+    tests/test_streaming.py.  State stays bounded by watermark + the
+    1-hour range, same as the inner form."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", WATERMARK)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter")
+        .select("click_id", "user_id", "click_ts", "purchase_id",
+                "purchase_ts")
+    )

@@ -244,3 +244,82 @@ def test_stateful_lifetime_matches_batch(spark, sf_dir, events_stream,
         final.columns, [tuple(r) for r in final.collect()],
         batch.columns, [tuple(r) for r in batch.collect()])
     assert not problems, "; ".join(problems)
+
+
+def test_stream_left_outer_join_emits_null_after_watermark(
+        spark, tmp_path):
+    """Outer-join watermark semantics, driven batch by batch: an
+    unmatched click must NOT emit while the watermark could still
+    admit a matching purchase, and MUST emit exactly once with NULL
+    purchase columns after later input pushes the watermark past its
+    match window.  Matched pairs emit like the inner join."""
+    import datetime as dt
+    import os
+
+    from data_engineering_pipeline_project_cloud_spark.streaming.joins import (
+        stream_click_purchase_left_outer,
+    )
+
+    def ev(eid, ts, uid, etype):
+        return (eid, dt.datetime.fromisoformat(ts), uid, etype, 1.0)
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+
+    def add_batch(name, rows):
+        (spark.createDataFrame(rows, schema).coalesce(1)
+         .write.mode("overwrite").parquet(str(tmp_path / "stage")))
+        part = [f for f in os.listdir(str(tmp_path / "stage"))
+                if f.endswith(".parquet")][0]
+        os.rename(os.path.join(str(tmp_path / "stage"), part),
+                  os.path.join(src, name + ".parquet"))
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_click_purchase_left_outer(stream)
+             .writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        if not any(f.endswith(".parquet") for f in os.listdir(sink)):
+            return spark.createDataFrame(
+                [], "click_id long, user_id long, click_ts timestamp, "
+                    "purchase_id long, purchase_ts timestamp")
+        return spark.read.parquet(sink)
+
+    # batch 1: u1 click+purchase (match), u2 click (never matched)
+    add_batch("b1", [
+        ev(1, "2024-01-01T10:00:00", 1, "click"),
+        ev(2, "2024-01-01T10:30:00", 1, "purchase"),
+        ev(3, "2024-01-01T10:00:00", 2, "click"),
+    ])
+    out1 = run_once()
+    got1 = {(r["click_id"], r["purchase_id"]) for r in out1.collect()}
+    # the u2 NULL row must be withheld: watermark (max_ts - 2h) has
+    # not passed 10:00 + 1h yet
+    assert (3, None) not in got1
+    # batch 2: far-future events advance the watermark past the
+    # window.  BOTH sides must advance — the global watermark is the
+    # MIN across the two withWatermark nodes (multipleWatermarkPolicy
+    # default), so a far-future click alone leaves the purchase
+    # watermark (and therefore the global one) stuck: the first
+    # operational caveat every outer-join consumer must know.  The
+    # second: the watermark updates at END of the batch that read the
+    # new max event time, and under availableNow restarts the flush
+    # needs a subsequent DATA batch — so batch 3 delivers the NULL.
+    add_batch("b2", [ev(4, "2024-01-02T12:00:00", 3, "click"),
+                     ev(5, "2024-01-02T12:00:00", 3, "purchase")])
+    run_once()
+    add_batch("b3", [ev(6, "2024-01-03T12:00:00", 4, "click"),
+                     ev(7, "2024-01-03T12:00:00", 4, "purchase")])
+    out3 = run_once()
+    rows = [(r["click_id"], r["purchase_id"]) for r in out3.collect()]
+    assert rows.count((1, 2)) == 1      # matched pair, exactly once
+    assert rows.count((4, 5)) == 1      # batch-2 pair matched inline
+    assert rows.count((3, None)) == 1   # unmatched click, NULL emit
+    assert not any(c is None for c, _ in rows)
