@@ -866,7 +866,87 @@ _PR_ITER_SQL = """
         )"""
 
 
+#: BFS exploration cap: the co-supply graph is small-world, so six
+#: hops reach everything reachable; the cap also bounds the oracle's
+#: recursive CTE on cyclic graphs.
+BFS_MAX_HOPS = 6
+
+
+def bfs_supplier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the minimum-id supplier over the
+    co-supply graph — the reachability/radius primitive the graph
+    family lacked next to PageRank, triangles and k-core.  Classic
+    distributed frontier expansion: per hop, join the frontier with
+    the (hub-capped, both-direction) edge list, anti-join out already
+    visited vertices, stamp the hop number — each vertex is therefore
+    labeled with its MINIMUM distance the first time it is seen, and
+    the loop stops at ``BFS_MAX_HOPS`` (or earlier when the frontier
+    empties).  ``localCheckpoint`` truncates the per-iteration lineage
+    exactly like the PageRank loop.  O(edges) work per hop; the
+    frontier/visited sets shuffle on the vertex key only.  The oracle
+    is a recursive CTE over the identical edge list with the same hop
+    cap — exact integer distances, bit-for-bit."""
+    from ..caching import scoped_persist
+
+    ps = (load_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("p"),
+                  F.col("l_suppkey").cast("long").alias("s"))
+          .distinct())
+    pairs = scoped_persist(_cosupply_pairs(ps))
+    edges = scoped_persist(
+        pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(pairs.select(F.col("v").alias("a"),
+                               F.col("u").alias("b"))))
+    seed = pairs.agg(F.min("u").alias("s"))
+    dist = seed.select("s", F.lit(0).cast("int").alias("dist"))
+    dist = dist.localCheckpoint()
+    frontier = dist.select("s")
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (frontier.join(edges, frontier["s"] == edges["a"])
+               .select(F.col("b").alias("s")).distinct()
+               .join(dist.select("s"), "s", "left_anti")
+               .select("s", F.lit(hop).cast("int").alias("dist"))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("s")
+    return dist.select(F.col("s").alias("s_suppkey"), "dist")
+
+
 ORACLE_SQL: dict[str, str] = {
+    "bfs_supplier_distance": f"""
+        WITH RECURSIVE ps0 AS (
+            SELECT DISTINCT l_partkey AS p,
+                   CAST(l_suppkey AS BIGINT) AS s
+            FROM lineitem
+        ),
+        pok AS (
+            SELECT p FROM ps0 GROUP BY p HAVING COUNT(*) <= 256
+        ),
+        ps AS (
+            SELECT ps0.p, ps0.s FROM ps0 JOIN pok USING (p)
+        ),
+        pairs AS (
+            SELECT DISTINCT a.s AS u, b.s AS v
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+        ),
+        edges AS (
+            SELECT u AS a, v AS b FROM pairs
+            UNION ALL
+            SELECT v AS a, u AS b FROM pairs
+        ),
+        bfs(s, dist) AS (
+            SELECT MIN(u), 0 FROM pairs
+            UNION
+            SELECT e.b, bfs.dist + 1
+            FROM bfs JOIN edges e ON e.a = bfs.s
+            WHERE bfs.dist < {BFS_MAX_HOPS}
+        )
+        SELECT CAST(s AS BIGINT) AS s_suppkey,
+               CAST(MIN(dist) AS INT) AS dist
+        FROM bfs GROUP BY 1
+    """,
     "supplier_cosupply_triangles": """
         WITH ps0 AS (
             SELECT DISTINCT l_partkey AS p,
@@ -1311,6 +1391,7 @@ QUERIES = {
     "pagerank_part_supplier": pagerank_part_supplier,
     "kcore_part_supplier": kcore_part_supplier,
     "supplier_cosupply_triangles": supplier_cosupply_triangles,
+    "bfs_supplier_distance": bfs_supplier_distance,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_volume": q5_region_volume,

@@ -189,6 +189,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "portable_hll_users": 5,
     "forecast_backtest_orders": 5,
     "manifest_table_history": 5,
+    "bfs_supplier_distance": 5,
+    "benford_first_digit_orders": 5,
 }
 
 

@@ -1183,6 +1183,44 @@ def order_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"))
 
 
+#: Benford expected first-digit shares log10(1 + 1/d), precomputed in
+#: Python so BOTH engines consume identical double literals (no libm
+#: log10 in either plan).
+BENFORD_EXP = {d: __import__("math").log10(1 + 1 / d)
+               for d in range(1, 10)}
+
+
+def benford_first_digit_orders(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Benford's-law audit of the order-price population — the
+    classic fraud/data-entry anomaly screen: the observed first-digit
+    distribution vs the log10(1+1/d) expectation, with each digit's
+    chi-square contribution ``(obs − exp)²/exp``.  The first digit
+    comes from the DECIMAL's string form (no float log10 — a price at
+    a power-of-ten boundary must classify identically in both
+    engines); expected shares are Python-precomputed literals.  One
+    scan → 9-row aggregate; per-digit chi terms are reported instead
+    of their sum so no cross-row float accumulation exists."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_totalprice").cast("decimal(12,2)")
+                    .cast("string"), 1, 1).cast("int").alias("digit"))
+    agg = (o.groupBy("digit")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    total = agg.agg(F.sum("n_obs").cast("long").alias("n"))
+    exp_share = F.element_at(
+        F.array(*[F.lit(BENFORD_EXP[d]) for d in range(1, 10)]),
+        F.col("digit"))
+    j = agg.crossJoin(F.broadcast(total))
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    expn = exp_share * F.col("n")
+    return j.select(
+        "digit", "n_obs",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round((F.col("n_obs") - expn) * (F.col("n_obs") - expn)
+                / expn, 6).alias("chi_term"))
+
+
 #: Heavy-hitter support threshold as a fraction of the stream; must
 #: exceed 1/(HH_CAPACITY+1) for the Misra–Gries candidate set to be
 #: provably complete.
@@ -1771,6 +1809,27 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o_orderkey % 7 <> 0
         GROUP BY 1
     """,
+    "benford_first_digit_orders": (lambda exp: f"""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ),
+        agg AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM d GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM agg),
+        e(digit, sh) AS (VALUES {', '.join(
+            f'({dd}, CAST({exp[dd]!r} AS DOUBLE))'
+            for dd in range(1, 10))})
+        SELECT agg.digit, n_obs,
+               round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+               round(sh, 6) AS exp_share,
+               round((n_obs - sh * n) * (n_obs - sh * n) / (sh * n), 6)
+                   AS chi_term
+        FROM agg JOIN e ON e.digit = agg.digit CROSS JOIN tot
+    """)(BENFORD_EXP),
     "portable_hll_users": (lambda num: f"""
         WITH base AS (
             SELECT event_type,
@@ -2523,6 +2582,7 @@ QUERIES = {
     "interval_overlap_orders": interval_overlap_orders,
     "hll_rollup_users": hll_rollup_users,
     "portable_hll_users": portable_hll_users,
+    "benford_first_digit_orders": benford_first_digit_orders,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,
