@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..multimodal import (
     byte_stats,
+    cdc_chunks,
     extract_features,
     frame_sample,
     resize_media,
@@ -252,8 +253,21 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 
+def media_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of the binary payloads
+    (multimodal/media.py:cdc_chunks — Gear/FastCDC family): each blob
+    splits at content-derived boundaries into [16, 256]-byte chunks
+    identified by md5, the block-level-dedup primitive for mutated or
+    re-encoded media.  Rows-only by design (a 64-tap rolling hash is
+    not ANSI-SQL-expressible); determinism, exact reconstruction,
+    bound enforcement, insertion shift-invariance and cross-blob chunk
+    sharing are pytest-asserted (tests/test_multimodal.py)."""
+    return cdc_chunks(synthetic_media(spark, sf_dir))
+
+
 QUERIES = {
     "media_profile": media_profile,
+    "media_cdc_chunks": media_cdc_chunks,
     "media_byte_stats": media_byte_stats,
     "media_features": media_features,
     "media_frame_plan": media_frame_plan,

@@ -191,6 +191,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_table_history": 5,
     "bfs_supplier_distance": 5,
     "benford_first_digit_orders": 5,
+    "media_cdc_chunks": 5,
 }
 
 

@@ -132,3 +132,65 @@ def test_resize_deterministic_across_partitioning(spark, sf_dir):
     a = sorted(map(tuple, resize_media(media).collect()))
     b = sorted(map(tuple, resize_media(media.repartition(7)).collect()))
     assert a == b
+
+
+def test_cdc_chunks_reconstruct_and_bounds(spark, sf_dir):
+    """Chunks tile each payload exactly (contiguous offsets, lengths
+    sum to the blob), respect [min, max] bounds (only the final chunk
+    may undershoot min), and the hash identifies the bytes."""
+    import hashlib
+
+    from data_engineering_pipeline_project_cloud_spark.multimodal import (
+        cdc_chunks,
+        synthetic_media,
+    )
+    from data_engineering_pipeline_project_cloud_spark.multimodal.media import (
+        CDC_MAX_LEN,
+        CDC_MIN_LEN,
+    )
+
+    media = synthetic_media(spark, sf_dir).limit(50)
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in media.collect()}
+    rows = cdc_chunks(media).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    assert set(by_media) == set(payloads)
+    for mid, chunks in by_media.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        pos = 0
+        for i, c in enumerate(chunks):
+            assert c["offset"] == pos
+            assert c["length"] <= CDC_MAX_LEN
+            if i < len(chunks) - 1:
+                assert c["length"] >= CDC_MIN_LEN
+            piece = payloads[mid][pos:pos + c["length"]]
+            assert hashlib.md5(piece).hexdigest() == c["chunk_hash"]
+            pos += c["length"]
+        assert pos == len(payloads[mid])
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """THE content-defined property: inserting bytes near the start
+    of a blob must leave most downstream chunk hashes intact
+    (boundaries resynchronize on content), where fixed-size chunking
+    would lose every block past the edit."""
+    import random
+
+    from data_engineering_pipeline_project_cloud_spark.multimodal import cdc_chunks
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(4096))
+    mutated = b"INSERTED!" + base
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(mutated))],
+        "media_id long, payload binary")
+    rows = cdc_chunks(df).collect()
+    h1 = [r["chunk_hash"] for r in rows if r["media_id"] == 1]
+    h2 = [r["chunk_hash"] for r in rows if r["media_id"] == 2]
+    shared = len(set(h1) & set(h2))
+    assert shared >= 0.8 * len(h1), (shared, len(h1))
+    # and the runs are deterministic
+    again = cdc_chunks(df).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

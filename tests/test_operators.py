@@ -783,6 +783,7 @@ def test_registry_round_declarations_consistent():
         "ann_ivf_topk", "ann_pq_topk", "hll_rollup_users",
         "approx_distinct_counts", "bpe_merge_table",
         "bpe_compression_stats", "embedding_pca_projection",
+        "media_cdc_chunks",
     }, f"unexpected rows-only set: {sorted(q - o)}"
     assert set(registry._ADDED_IN_ROUND) <= q, \
         sorted(set(registry._ADDED_IN_ROUND) - q)
