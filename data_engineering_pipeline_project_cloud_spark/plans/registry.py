@@ -192,6 +192,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "bfs_supplier_distance": 5,
     "benford_first_digit_orders": 5,
     "media_cdc_chunks": 5,
+    "manifest_replace_where": 5,
 }
 
 

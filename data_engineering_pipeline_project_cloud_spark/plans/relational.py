@@ -1375,6 +1375,56 @@ def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+REPLACE_WHERE_YEAR = 1995
+
+
+def manifest_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped atomic overwrite
+    (sources/manifest_source.py:overwrite_where — Delta's
+    ``replaceWhere``, the backfill primitive): the orders manifest
+    table is laid out range-clustered by year, then one commit
+    replaces EVERY 1995 row with a recomputed version (status →
+    'B', price +1) while touching only the files whose year stats
+    intersect 1995.  The face aggregates the final state per status;
+    the oracle recomputes it relationally from raw orders, proving
+    scope replacement + out-of-scope preservation end-to-end.  File
+    preservation, scope validation and the DV interplay are
+    pytest-asserted (tests/test_manifest_dv.py)."""
+    from ..sources.manifest_source import (
+        overwrite_where,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"))
+        write_manifest_table(
+            orders.repartitionByRange(6, "o_year", "o_orderkey"), path,
+            ["o_orderkey", "o_year"])
+        repl = (orders.filter(F.col("o_year") == REPLACE_WHERE_YEAR)
+                .select("o_orderkey", "o_year",
+                        F.lit("B").alias("status"),
+                        (F.col("total_price") + F.lit(1.0))
+                        .alias("total_price")))
+        overwrite_where(repl, path, "o_year", REPLACE_WHERE_YEAR,
+                        REPLACE_WHERE_YEAR, ["o_orderkey", "o_year"])
+
+    path = scoped_scratch("manifest_rw_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    return (df.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE-HISTORY introspection
     (sources/manifest_source.py:manifest_history) over the merged
@@ -1883,6 +1933,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT 'priority' AS kind, o_orderpriority AS k,
                CAST(COUNT(*) AS BIGINT) AS total
         FROM orders GROUP BY 2
+    """,
+    "manifest_replace_where": f"""
+        WITH final AS (
+            SELECT CASE WHEN year(o_orderdate) = {REPLACE_WHERE_YEAR}
+                        THEN 'B' ELSE o_orderstatus END AS status,
+                   CASE WHEN year(o_orderdate) = {REPLACE_WHERE_YEAR}
+                        THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                  AS DOUBLE) + 1.0
+                        ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                  AS DOUBLE) END AS total_price
+            FROM orders
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(total_price AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM final GROUP BY 1
     """,
     "manifest_table_history": """
         SELECT CAST(0 AS INT) AS version,
@@ -2569,6 +2635,7 @@ QUERIES = {
     "manifest_delete_rows": manifest_delete_rows,
     "manifest_delete_dv": manifest_delete_dv,
     "manifest_table_history": manifest_table_history,
+    "manifest_replace_where": manifest_replace_where,
     "txn_group_consistent_view": txn_group_consistent_view,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,

@@ -743,6 +743,69 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
     return load_manifest(path)
 
 
+def overwrite_where(df, path: str, scope_col: str, lo, hi,
+                    stat_cols: list[str]) -> dict:
+    """Predicate-scoped atomic overwrite (Delta's ``replaceWhere`` —
+    the BACKFILL primitive): in one tombstone commit, every existing
+    row with ``scope_col`` in ``[lo, hi]`` is replaced by ``df``'s
+    rows, and rows outside the scope are untouched.  ``df`` must fall
+    inside the scope (validated with one distributed count — a
+    backfill that writes outside its declared scope is a bug, same
+    contract Delta enforces).
+
+    100 TB shape: file pruning on the scope column's min/max stats
+    limits the rewrite to files that INTERSECT the range — a
+    month-partition backfill touches that month's files, not the
+    table.  Intersecting files are read masked (deletion vectors
+    honored) and their OUT-OF-SCOPE rows are carried into the rewrite;
+    the commit uses the same ``replacePaths`` + ``dvState`` protocol
+    as MERGE, so concurrent rewrites and DV commits on the scope
+    conflict instead of losing rows."""
+    spark = df.sparkSession
+    register(spark)
+    m = load_manifest(path)
+    st = _table_schema(m)
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+    outside = df.filter(
+        (F.col(scope_col) < F.lit(lo)) | (F.col(scope_col) > F.lit(hi))
+    ).limit(1).count()
+    if outside:
+        raise ValueError(
+            f"overwrite_where: replacement rows fall outside the "
+            f"declared scope {scope_col} in [{lo!r}, {hi!r}]")
+    affected = []
+    for f in m["files"]:
+        if f.get("dead"):
+            continue
+        s = f.get("stats", {}).get(scope_col)
+        if s is None:
+            affected.append(f)  # no stats: cannot prove disjoint
+            continue
+        try:
+            if s["max"] < lo or s["min"] > hi:
+                continue
+        except TypeError:
+            pass
+        affected.append(f)
+    paths = [f["path"] for f in affected]
+    if paths:
+        kept = _masked_spark_read(spark, st, affected).filter(
+            (F.col(scope_col) < F.lit(lo)) | (F.col(scope_col) > F.lit(hi)))
+        out = kept.unionByName(df)
+    else:
+        out = df
+    (out.repartition(max(1, len(paths)))
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", ",".join(stat_cols))
+     .option("replacePaths", json.dumps(paths))
+     .option("dvState", json.dumps(
+         {f["path"]: f.get("dvGen", 0) for f in affected})).save())
+    return load_manifest(path)
+
+
 def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
                                  stat_cols: list[str],
                                  max_dv_rows: int = 100_000) -> dict:

@@ -294,3 +294,57 @@ def test_manifest_history_accounting(spark, dv_table):
     assert v2["n_live_files"] < v1["n_live_files"] \
         or v2["n_files"] > v1["n_files"]  # compaction rewrote layout
     assert all(h["committed_at"] is not None for h in hist[1:])
+
+
+def test_overwrite_where_scoped_backfill(spark, dv_table):
+    """replaceWhere semantics: rows in [10, 19] are replaced, rows
+    outside survive untouched, files that cannot intersect the scope
+    keep their exact manifest entries, and a replacement row outside
+    the declared scope is refused."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        overwrite_where,
+    )
+
+    m0 = load_manifest(dv_table)
+    untouched_before = [f["path"] for f in m0["files"]
+                        if f["stats"]["n_nationkey"]["max"] < 10]
+    assert untouched_before
+    repl = spark.createDataFrame(
+        [(k, f"NEW{k}") for k in range(10, 20)],
+        "n_nationkey long, n_name string")
+    overwrite_where(repl, dv_table, "n_nationkey", 10, 19,
+                    ["n_nationkey"])
+    rows = {r["n_nationkey"]: r["n_name"]
+            for r in _read(spark, dv_table).collect()}
+    assert set(rows) == set(range(25))
+    for k in range(10, 20):
+        assert rows[k] == f"NEW{k}"
+    for k in list(range(0, 10)) + list(range(20, 25)):
+        assert not rows[k].startswith("NEW")
+    m1 = load_manifest(dv_table)
+    live1 = {f["path"] for f in m1["files"] if not f.get("dead")}
+    assert set(untouched_before) <= live1  # out-of-scope files kept
+    with pytest.raises(Exception, match="outside the declared scope"):
+        overwrite_where(
+            spark.createDataFrame([(50, "BAD")],
+                                  "n_nationkey long, n_name string"),
+            dv_table, "n_nationkey", 10, 19, ["n_nationkey"])
+
+
+def test_overwrite_where_honors_deletion_vectors(spark, dv_table):
+    """An out-of-scope row that was DV-deleted in an intersecting file
+    must NOT be resurrected by the scope rewrite (masked carry)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        overwrite_where,
+    )
+
+    delete_vectors_from_manifest(
+        _keys(spark, [9]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    repl = spark.createDataFrame(
+        [(k, f"NEW{k}") for k in range(10, 20)],
+        "n_nationkey long, n_name string")
+    overwrite_where(repl, dv_table, "n_nationkey", 10, 19,
+                    ["n_nationkey"])
+    keys = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert 9 not in keys
+    assert set(range(10, 20)) <= keys
