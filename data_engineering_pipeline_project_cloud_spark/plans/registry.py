@@ -193,6 +193,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "benford_first_digit_orders": 5,
     "media_cdc_chunks": 5,
     "manifest_replace_where": 5,
+    "streaming_dv_forget": 5,
 }
 
 

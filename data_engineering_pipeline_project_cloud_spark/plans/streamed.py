@@ -248,6 +248,57 @@ def streaming_manifest_upsert_view(spark: SparkSession,
                     "last_seen"))
 
 
+def streaming_dv_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RIGHT-TO-BE-FORGOTTEN: a stream of erasure requests
+    (every 9th customer key) is applied to the orders manifest table
+    micro-batch by micro-batch through pure-metadata deletion-vector
+    commits (streaming/sinks.py:dv_delete_writer) — no file rewrites,
+    txn-gated exactly-once per batch, O(pruned files + batch keys)
+    per request batch.  The face aggregates the surviving table; the
+    oracle applies the same erasure predicate relationally — equality
+    proves the whole stream of deletes landed exactly once."""
+    import os
+
+    from ..sources.manifest_source import register, write_manifest_table
+    from ..streaming.sinks import dv_delete_writer, run_foreach_batch
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        table = os.path.join(path, "table")
+        ckpt = os.path.join(path, "ckpt")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"))
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_custkey"), table,
+            ["o_custkey"])
+        # the erasure-request stream: every 9th customer, in 2 files
+        (orders.filter(F.col("o_custkey") % 9 == 0)
+         .select("o_custkey").distinct()
+         .repartition(2).write.mode("overwrite").parquet(src))
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_foreach_batch(
+            stream, dv_delete_writer(table, ["o_custkey"],
+                                     ["o_custkey"], "dvforget"),
+            ckpt)
+
+    path = scoped_scratch("manifest_dv_forget", sf_dir, build)
+    return (spark.read.format("graft_manifest")
+            .option("path", os.path.join(path, "table")).load()
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def _cdc_orders_path(spark: SparkSession, sf_dir: str) -> str:
     """A manifest table with a deterministic 3-commit history (v0 =
     conformed orders, v1 = CDC merge: every 10th key updated + 5
@@ -468,6 +519,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM range(5) AS t(i)
         WHERE (1000000000 + i) % 7 <> 0
     """,
+    "streaming_dv_forget": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_custkey % 9 <> 0
+        GROUP BY 1
+    """,
     "streaming_manifest_upsert_view": """
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -600,6 +660,7 @@ QUERIES = {
     "streaming_manifest_tail": streaming_manifest_tail,
     "streaming_manifest_sink": streaming_manifest_sink,
     "streaming_manifest_upsert_view": streaming_manifest_upsert_view,
+    "streaming_dv_forget": streaming_dv_forget,
     "streaming_manifest_cdc_feed": streaming_manifest_cdc_feed,
     "manifest_cdc_downstream_view": manifest_cdc_downstream_view,
     "cdc_incremental_agg_view": cdc_incremental_agg_view,

@@ -703,15 +703,21 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
 
 
 def delete_from_manifest(keys, path: str, key_cols: list[str],
-                         stat_cols: list[str]) -> dict:
+                         stat_cols: list[str],
+                         txn: tuple[str, int] | None = None) -> dict:
     """Copy-on-write DELETE by key: rewrite only the files that might
     hold a doomed key, dropping those rows (anti-join); same atomic
     tombstone commit and conflict detection as ``merge_into_manifest``.
     A delete that empties every affected file commits pure tombstones
-    (no new files)."""
+    (no new files).  ``txn=(app_id, version)`` makes the delete
+    idempotent per version (the streaming foreachBatch contract)."""
     spark = keys.sparkSession
     register(spark)
     m = load_manifest(path)
+    if txn is not None:
+        done = m.get("txn", {}).get(txn[0])
+        if done is not None and int(done) >= txn[1]:
+            return m  # replayed batch: the delete already landed
     st = _table_schema(m)
     from pyspark.sql import functions as F
 
@@ -739,6 +745,9 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
              {f["path"]: f.get("dvGen", 0) for f in affected})))
     if conflict is not None:
         w = w.option("conflictKeys", conflict)
+    if txn is not None:
+        w = (w.option("txnAppId", txn[0])
+             .option("txnVersion", str(txn[1])))
     w.save()
     return load_manifest(path)
 
@@ -808,7 +817,9 @@ def overwrite_where(df, path: str, scope_col: str, lo, hi,
 
 def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
                                  stat_cols: list[str],
-                                 max_dv_rows: int = 100_000) -> dict:
+                                 max_dv_rows: int = 100_000,
+                                 txn: tuple[str, int] | None = None
+                                 ) -> dict:
     """MERGE-ON-READ delete (deletion vectors): instead of rewriting
     every file that holds a doomed key (`delete_from_manifest`'s
     copy-on-write), record the doomed ROW POSITIONS as per-file
@@ -844,6 +855,10 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
     spark = keys.sparkSession
     register(spark)
     m = load_manifest(path)
+    if txn is not None:
+        done = m.get("txn", {}).get(txn[0])
+        if done is not None and int(done) >= txn[1]:
+            return m  # replayed batch: the delete already landed
     rv = m.get("version", 0)
     st = _table_schema(m)
     types = {f.name: f.dataType for f in st.fields}
@@ -864,7 +879,8 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
     rows = hits.limit(max_dv_rows + 1).collect()
     if len(rows) > max_dv_rows:
         # too many positions for a healthy mask: pay the rewrite
-        return delete_from_manifest(keys, path, key_cols, stat_cols)
+        return delete_from_manifest(keys, path, key_cols, stat_cols,
+                                    txn=txn)
     if not rows:
         return m
     by_file: dict[str, list[int]] = {}
@@ -876,6 +892,10 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
     commit_id = uuid.uuid4().hex
     while True:
         prev = load_manifest(path)
+        if txn is not None:
+            done = prev.get("txn", {}).get(txn[0])
+            if done is not None and int(done) >= txn[1]:
+                return prev  # concurrent replay already landed it
         live = {f["path"]: f for f in prev["files"] if not f.get("dead")}
         for p, gen in touched.items():
             cur = live.get(p)
@@ -897,8 +917,11 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
         files = [(_dv_merge(f, by_file[os.path.basename(f["path"])])
                   if not f.get("dead") and f["path"] in touched
                   else f) for f in prev["files"]]
+        txn_map = dict(prev.get("txn", {}))
+        if txn is not None:
+            txn_map[txn[0]] = txn[1]
         manifest = {"schema": prev["schema"], "version": target,
-                    "files": files, "txn": dict(prev.get("txn", {})),
+                    "files": files, "txn": txn_map,
                     "committedAt": _time.time()}
         vpath = os.path.join(path, _manifest_file(target))
         link_tmp = os.path.join(

@@ -267,3 +267,30 @@ def run_foreach_batch(df: DataFrame, writer: Callable[[DataFrame, int], None],
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def dv_delete_writer(path: str, key_cols: list[str],
+                     stat_cols: list[str],
+                     app_id: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback applying a STREAM OF DELETE KEYS to a
+    manifest table via deletion vectors — the right-to-be-forgotten
+    pipeline: each micro-batch of keys becomes one pure-metadata DV
+    commit (O(positions), no file rewritten; automatic copy-on-write
+    fallback past the mask cap), txn-gated per batch_id so replayed
+    batches no-op.  Per-batch cost is O(stats-pruned candidate files +
+    batch keys) — the erasure stream never rescans the table."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest_source import (
+            delete_vectors_from_manifest,
+            register,
+        )
+
+        register(batch.sparkSession)
+        keys = batch.select(*key_cols).distinct()
+        if keys.isEmpty():
+            return
+        delete_vectors_from_manifest(
+            keys, path, key_cols, stat_cols, txn=(app_id, batch_id))
+
+    return write

@@ -348,3 +348,25 @@ def test_overwrite_where_honors_deletion_vectors(spark, dv_table):
     keys = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
     assert 9 not in keys
     assert set(range(10, 20)) <= keys
+
+
+def test_dv_delete_txn_replay_is_noop(spark, dv_table):
+    """The foreachBatch exactly-once contract for DV deletes: a replay
+    with the same (app, batch) watermark lands NOTHING — same version,
+    same vectors — and the next batch id proceeds normally."""
+    m1 = delete_vectors_from_manifest(
+        _keys(spark, [4]), dv_table, ["n_nationkey"], ["n_nationkey"],
+        txn=("eraser", 0))
+    v1 = m1["version"]
+    m2 = delete_vectors_from_manifest(
+        _keys(spark, [8]), dv_table, ["n_nationkey"], ["n_nationkey"],
+        txn=("eraser", 0))  # replayed batch id: must no-op
+    assert m2["version"] == v1
+    keys = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert 4 not in keys and 8 in keys
+    m3 = delete_vectors_from_manifest(
+        _keys(spark, [8]), dv_table, ["n_nationkey"], ["n_nationkey"],
+        txn=("eraser", 1))
+    assert m3["version"] == v1 + 1
+    keys3 = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert 8 not in keys3
