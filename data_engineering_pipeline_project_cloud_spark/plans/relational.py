@@ -1171,11 +1171,17 @@ def order_price_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("cur"), 1).otherwise(0))
                 .cast("long").alias("n_cur")))
     n_buckets = len(PSI_EDGES) + 1
-    w = Window.partitionBy()
+    # totals via a broadcast 1-row join, not an unpartitioned window:
+    # identical exact-integer arithmetic, but the plan stays
+    # window-free (no single-partition exchange even in the 8-row
+    # post-aggregate — plan hygiene at any scale)
+    totals = agg.agg(F.sum("n_ref").alias("t_ref"),
+                     F.sum("n_cur").alias("t_cur"))
+    agg = agg.crossJoin(F.broadcast(totals))
     p = ((F.col("n_ref") + PSI_SMOOTH)
-         / (F.sum("n_ref").over(w) + PSI_SMOOTH * n_buckets))
+         / (F.col("t_ref") + PSI_SMOOTH * n_buckets))
     q = ((F.col("n_cur") + PSI_SMOOTH)
-         / (F.sum("n_cur").over(w) + PSI_SMOOTH * n_buckets))
+         / (F.col("t_cur") + PSI_SMOOTH * n_buckets))
     return agg.select(
         "bucket", "n_ref", "n_cur",
         F.round(p, 6).alias("ref_share"),
