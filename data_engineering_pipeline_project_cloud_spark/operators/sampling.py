@@ -282,3 +282,31 @@ def fixed_k_per_stratum(docs: DataFrame, k: int, strata_col: str = "lang",
             .select(F.col(id_col).cast("long").alias(id_col),
                     F.col(strata_col),
                     F.col("sample_rank").cast("long").alias("sample_rank")))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
+                    k: int) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis, IPL 2006): each row draws a reproducible
+    uniform ``u ∈ (0, 1]`` from the portable hash of its id and is
+    ranked by ``ln(u)/w`` descending — the top-``k`` rows are then a
+    weight-proportional sample without replacement, with no RNG state
+    and no second pass over the weights (no normalization needed).
+    The same hash-not-rand discipline as every sampler here: retries
+    and re-runs select the SAME rows, and an ANSI engine reproduces
+    the draw.  Ranking uses the ROUNDED score with an id tie-break so
+    cross-engine last-ulp ln() differences cannot reorder the cut.
+
+    Scale shape: one scan computing a scalar per row, then a global
+    top-k (TakeOrderedAndProject — no full sort)."""
+    u = ((portable_hash64(F.col(id_col).cast("string"), salt="ws|")
+          + F.lit(1)).cast("double") / F.lit(float(1 << 60)))
+    # + 0.0 canonicalizes IEEE negative zero: round(-1e-7, 6) is -0.0
+    # in some engines and 0.0 in others, and the driver hashes the
+    # string form
+    score = (F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+             + F.lit(0.0))
+    return (df.select(F.col(id_col), F.col(weight_col),
+                      score.alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

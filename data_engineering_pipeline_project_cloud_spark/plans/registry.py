@@ -194,6 +194,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "media_cdc_chunks": 5,
     "manifest_replace_where": 5,
     "streaming_dv_forget": 5,
+    "weighted_sample_orders": 5,
 }
 
 

@@ -571,6 +571,27 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(unioned)
 
 
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement
+    (operators/sampling.py:weighted_sample — Efraimidis–Spirakis):
+    100 orders drawn with probability proportional to their total
+    price, deterministically from the portable hash (no RNG state, so
+    retries/re-runs/oracles select the same rows).  One scan + one
+    global top-k; the weight-proportional inclusion property is
+    pytest-asserted."""
+    from ..operators.sampling import weighted_sample
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+        .alias("total_price"))
+    return weighted_sample(o, "total_price", "o_orderkey",
+                           WEIGHTED_SAMPLE_K)
+
+
 def portable_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-engine-reproducible HyperLogLog
     (operators/sketches.py:hll_portable_registers/_estimate): distinct
@@ -1865,6 +1886,23 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o_orderkey % 7 <> 0
         GROUP BY 1
     """,
+    "weighted_sample_orders": f"""
+        WITH scored AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total_price,
+                   round(ln((('0x' || substr(md5('ws|'
+                                || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                              )::BIGINT + 1)
+                            / CAST({float(1 << 60)!r} AS DOUBLE))
+                         / CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                AS DOUBLE), 6) + 0.0 AS score
+            FROM orders
+        )
+        SELECT * FROM scored
+        ORDER BY score DESC, o_orderkey ASC
+        LIMIT {WEIGHTED_SAMPLE_K}
+    """,
     "benford_first_digit_orders": (lambda exp: f"""
         WITH d AS (
             SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
@@ -2656,6 +2694,7 @@ QUERIES = {
     "hll_rollup_users": hll_rollup_users,
     "portable_hll_users": portable_hll_users,
     "benford_first_digit_orders": benford_first_digit_orders,
+    "weighted_sample_orders": weighted_sample_orders,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,

@@ -852,3 +852,24 @@ def test_portable_hll_accuracy_and_merge_algebra(spark, sf_dir):
     a = {r["bucket"]: r["m"] for r in merged.collect()}
     b = {r["bucket"]: r["m"] for r in direct.collect()}
     assert a == b
+
+
+def test_weighted_sample_is_weight_proportional(spark, sf_dir):
+    """Efraimidis-Spirakis inclusion property: sampling orders with
+    probability proportional to price must pull the sample's mean
+    price well above the corpus mean, deterministically."""
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        weighted_sample,
+    )
+    from data_engineering_pipeline_project_cloud_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("w"))
+    s = weighted_sample(o, "w", "o_orderkey", 100)
+    rows = s.collect()
+    again = weighted_sample(o, "w", "o_orderkey", 100).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    sample_mean = sum(r["w"] for r in rows) / len(rows)
+    corpus_mean = o.agg(F.avg("w")).collect()[0][0]
+    assert sample_mean > 1.2 * corpus_mean, (sample_mean, corpus_mean)
