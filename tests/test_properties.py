@@ -437,3 +437,41 @@ def test_interval_overlap_residual_side_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # both residual branches broadcast their LONG side
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(dels=st.lists(st.sets(st.integers(0, 24), max_size=12),
+                     min_size=1, max_size=3))
+def test_dv_delete_sequences_match_filter(spark, tmp_path_factory, dels):
+    """Property: ANY sequence of deletion-vector deletes leaves the
+    table equal to filtering the union of deleted keys — bitmaps OR
+    correctly across commits, masks compose with reads, and fsck
+    stays clean."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_vectors_from_manifest,
+        fsck_manifest,
+        register,
+        write_manifest_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    register(spark)
+    path = str(tmp_path_factory.mktemp("dvprop") / "t")
+    base = spark.range(25).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    write_manifest_table(base.repartitionByRange(3, "k"), path, ["k"])
+    doomed: set[int] = set()
+    for keys in dels:
+        if not keys:
+            continue
+        delete_vectors_from_manifest(
+            spark.createDataFrame([(int(k),) for k in keys], "k long"),
+            path, ["k"], ["k"])
+        doomed |= keys
+        got = {r["k"] for r in
+               (spark.read.format("graft_manifest")
+                .option("path", path).load().collect())}
+        assert got == set(range(25)) - doomed
+    assert fsck_manifest(path)["ok"]
