@@ -621,7 +621,8 @@ def _table_schema(manifest: dict) -> StructType:
 
 def merge_into_manifest(updates, path: str, key_cols: list[str],
                         stat_cols: list[str],
-                        txn: tuple[str, int] | None = None) -> dict:
+                        txn: tuple[str, int] | None = None,
+                        delete_keys=None) -> dict:
     """Copy-on-write MERGE (upsert by key) into a manifest table: rows
     of ``updates`` REPLACE same-key rows, new keys INSERT.  ``updates``
     must be key-grain (one row per key — run latest-state dedup
@@ -656,6 +657,13 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     (the streaming foreachBatch contract): an already-recorded version
     returns without planning any work, and the commit protocol
     re-checks under the CAS claim.
+
+    ``delete_keys`` (a key-columns DataFrame) adds MERGE's delete
+    clause IN THE SAME ATOMIC COMMIT: rows with those keys are dropped
+    from the rewrite alongside the upserts, so a CDC batch carrying
+    inserts, updates AND deletes lands as ONE version — readers never
+    observe the merged-but-not-yet-deleted intermediate state a
+    two-commit apply would expose.
     """
     spark = updates.sparkSession
     register(spark)
@@ -671,7 +679,14 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     # must never implicitly evolve the table
     updates = updates.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
-    bounds, keys_sorted = _key_pruning_info(updates, key_cols)
+    types = {f.name: f.dataType for f in st.fields}
+    touched_keys = updates.select(*key_cols)
+    if delete_keys is not None:
+        delete_keys = delete_keys.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in key_cols])
+        touched_keys = touched_keys.unionByName(delete_keys)
+    touched_keys = touched_keys.distinct()
+    bounds, keys_sorted = _key_pruning_info(touched_keys, key_cols)
     affected = _files_possibly_containing(m["files"], key_cols, bounds,
                                           keys_sorted)
     conflict = _conflict_option(m.get("version", 0), key_cols[0],
@@ -679,11 +694,12 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     paths = [f["path"] for f in affected]
     if paths:
         # schema-evolution alignment + deletion-vector masking happen
-        # inside the read (raw bytes would resurrect DV-deleted rows)
+        # inside the read (raw bytes would resurrect DV-deleted rows);
+        # the anti-join drops upserted AND deleted keys in one pass —
+        # upserted keys re-enter from `updates`, deleted ones don't
         base = _masked_spark_read(spark, st, affected)
-        kept = base.join(
-            F.broadcast(updates.select(*key_cols).distinct()),
-            key_cols, "left_anti")
+        kept = base.join(F.broadcast(touched_keys), key_cols,
+                         "left_anti")
         out = kept.unionByName(updates)
     else:
         out = updates

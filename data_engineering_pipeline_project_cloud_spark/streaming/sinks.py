@@ -150,15 +150,16 @@ def cdc_apply_writer(path: str, key_cols: list[str],
     A catch-up batch can carry SEVERAL commits' changes for one key
     (insert at v0, update at v1, delete at v2), so the writer first
     collapses to the latest change per key (max ``commit_version``),
-    then MERGEs the surviving post-images and DELETEs the deleted
-    keys.  Exactly-once: the merge is txn-gated per batch_id (a
-    replayed batch no-ops inside the commit protocol); the delete is
-    naturally idempotent (absent keys plan no file rewrites).
+    then applies the surviving post-images AND the deleted keys in ONE
+    atomic MERGE commit (``merge_into_manifest(..., delete_keys=…)``)
+    — readers see each batch's upserts and deletes together or not at
+    all, and the table history advances one version per batch.
+    Exactly-once: the combined commit is txn-gated per batch_id (a
+    replayed batch no-ops inside the commit protocol).
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
         from ..sources.manifest_source import (
-            delete_from_manifest,
             load_manifest,
             merge_into_manifest,
             register,
@@ -179,16 +180,16 @@ def cdc_apply_writer(path: str, key_cols: list[str],
         except FileNotFoundError:
             exists = False
         if not exists:
+            # first batch creates the table (deletes cannot match)
             (ups.write.format("graft_manifest").mode("append")
              .option("path", path)
              .option("statCols", ",".join(stat_cols))
              .option("txnAppId", app_id)
              .option("txnVersion", str(batch_id)).save())
-        elif ups.take(1):
+        elif ups.take(1) or dels.take(1):
             merge_into_manifest(ups, path, key_cols, stat_cols,
-                                txn=(app_id, batch_id))
-        if dels.take(1):
-            delete_from_manifest(dels, path, key_cols, stat_cols)
+                                txn=(app_id, batch_id),
+                                delete_keys=dels)
 
     return write
 

@@ -370,3 +370,28 @@ def test_dv_delete_txn_replay_is_noop(spark, dv_table):
     assert m3["version"] == v1 + 1
     keys3 = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
     assert 8 not in keys3
+
+
+def test_merge_with_delete_clause_is_one_commit(spark, dv_table):
+    """MERGE's delete clause: upserts + deletes land in ONE atomic
+    version — no merged-but-not-yet-deleted intermediate state exists
+    in the history."""
+    v0 = load_manifest(dv_table)["version"]
+    ups = spark.createDataFrame(
+        [(3, "PATCHED"), (30, "BRANDNEW")],
+        "n_nationkey long, n_name string")
+    dels = _keys(spark, [7, 8])
+    merge_into_manifest(ups, dv_table, ["n_nationkey"],
+                        ["n_nationkey"], delete_keys=dels)
+    m = load_manifest(dv_table)
+    assert m["version"] == v0 + 1  # exactly one commit
+    rows = {r["n_nationkey"]: r["n_name"]
+            for r in _read(spark, dv_table).collect()}
+    assert rows[3] == "PATCHED" and rows[30] == "BRANDNEW"
+    assert 7 not in rows and 8 not in rows
+    assert len(rows) == 25 + 1 - 2
+    # the pre-merge snapshot has neither the upsert nor the deletes
+    pre = {r["n_nationkey"]: r["n_name"]
+           for r in _read(spark, dv_table, versionAsOf=v0).collect()}
+    assert 7 in pre and 8 in pre and 30 not in pre
+    assert pre[3] != "PATCHED"
