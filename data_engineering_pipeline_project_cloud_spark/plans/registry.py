@@ -195,6 +195,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_replace_where": 5,
     "streaming_dv_forget": 5,
     "weighted_sample_orders": 5,
+    "column_profile_orders": 5,
 }
 
 

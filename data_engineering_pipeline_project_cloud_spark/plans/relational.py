@@ -571,6 +571,45 @@ def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return by_type.unionByName(unioned)
 
 
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style COLUMN PROFILER: one row per profiled column with
+    completeness (nulls), cardinality (exact distinct — the oracle
+    needs exactness; at 100 TB swap in approx_count_distinct) and the
+    min/max rendered through TYPE-STABLE string forms (BIGINT /
+    DECIMAL / date-formatted — never raw double→string, whose
+    exponent formatting is engine-specific).  One pass per column
+    family over the table; the profile output is O(columns) driver
+    metadata."""
+    o = load_table(spark, sf_dir, "orders")
+    ident = (lambda c: c.cast("string"))
+    cols = [
+        # (name, typed expr — min/max happen on the TYPE, not its
+        #  string form — , string renderer for the aggregated bound)
+        ("o_orderkey", F.col("o_orderkey").cast("long"), ident),
+        ("o_custkey", F.col("o_custkey").cast("long"), ident),
+        ("o_orderstatus", F.col("o_orderstatus"), ident),
+        ("o_orderpriority", F.col("o_orderpriority"), ident),
+        ("o_totalprice", F.col("o_totalprice").cast("decimal(12,2)"),
+         ident),
+        ("o_orderdate", F.col("o_orderdate").cast("date"),
+         lambda c: F.date_format(c, "yyyy-MM-dd")),
+    ]
+    profiles = []
+    for name, expr, render in cols:
+        profiles.append(o.select(expr.alias("v")).agg(
+            F.lit(name).alias("column"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_null"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+            render(F.min("v")).alias("min_value"),
+            render(F.max("v")).alias("max_value")))
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 WEIGHTED_SAMPLE_K = 100
 
 
@@ -1886,6 +1925,55 @@ ORACLE_SQL: dict[str, str] = {
         WHERE o_orderkey % 7 <> 0
         GROUP BY 1
     """,
+    "column_profile_orders": """
+        SELECT 'o_orderkey' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(MIN(CAST(o_orderkey AS BIGINT)) AS VARCHAR)
+                   AS min_value,
+               CAST(MAX(CAST(o_orderkey AS BIGINT)) AS VARCHAR)
+                   AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(MIN(CAST(o_custkey AS BIGINT)) AS VARCHAR),
+               CAST(MAX(CAST(o_custkey AS BIGINT)) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS BIGINT),
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR),
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT),
+               strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d'),
+               strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+        FROM orders
+    """,
     "weighted_sample_orders": f"""
         WITH scored AS (
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -2695,6 +2783,7 @@ QUERIES = {
     "portable_hll_users": portable_hll_users,
     "benford_first_digit_orders": benford_first_digit_orders,
     "weighted_sample_orders": weighted_sample_orders,
+    "column_profile_orders": column_profile_orders,
     "zorder_layout_orders": zorder_layout_orders,
     "bucketed_join_nation_counts": bucketed_join_nation_counts,
     "data_quality_report": data_quality_report,
