@@ -498,7 +498,12 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     size, and the result (d(d+1)/2 rows) is driver-bounded metadata.
     Quantized integer sums make the matrix bit-identical across
     engines and partitionings; the exact DECIMAL total casts to
-    DOUBLE deterministically (IEEE round-to-nearest in both)."""
+    DOUBLE deterministically (IEEE round-to-nearest in both).  The
+    in-stage d²/2 row inflation streams through the partial aggregate
+    without materializing, which is fine for embedding-sized d (≤ a
+    few hundred); for d ≳ 512 a block-wise Pandas-UDF accumulator
+    (one d×d numpy partial per batch) trades the inflation for Arrow
+    transfer — same exact integers, same merge algebra."""
     q = F.transform(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(float(GRAM_SCALE)))

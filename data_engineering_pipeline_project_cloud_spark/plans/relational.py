@@ -594,20 +594,33 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderdate", F.col("o_orderdate").cast("date"),
          lambda c: F.date_format(c, "yyyy-MM-dd")),
     ]
-    profiles = []
+    # ONE scan for the whole profile: all columns' metrics in a single
+    # aggregate (multiple exact distincts run through Spark's Expand —
+    # one pass over the data, not one scan per column), then the 1-row
+    # result unpivots to the per-column report
+    aggs = []
     for name, expr, render in cols:
-        profiles.append(o.select(expr.alias("v")).agg(
-            F.lit(name).alias("column"),
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
-            .cast("long").alias("n_null"),
-            F.countDistinct("v").cast("long").alias("n_distinct"),
-            render(F.min("v")).alias("min_value"),
-            render(F.max("v")).alias("max_value")))
-    out = profiles[0]
-    for p in profiles[1:]:
-        out = out.unionByName(p)
-    return out
+        v = expr
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"__n_{name}"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("long")
+            .alias(f"__null_{name}"),
+            F.countDistinct(v).cast("long").alias(f"__nd_{name}"),
+            render(F.min(v)).alias(f"__min_{name}"),
+            render(F.max(v)).alias(f"__max_{name}"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(name).alias("column"),
+                 F.col(f"__n_{name}").alias("n_rows"),
+                 F.col(f"__null_{name}").alias("n_null"),
+                 F.col(f"__nd_{name}").alias("n_distinct"),
+                 F.col(f"__min_{name}").alias("min_value"),
+                 F.col(f"__max_{name}").alias("max_value"))
+        for name, _, _ in cols])
+    return (one.select(F.explode(rows).alias("r"))
+            .select("r.column", "r.n_rows", "r.n_null", "r.n_distinct",
+                    "r.min_value", "r.max_value"))
 
 
 WEIGHTED_SAMPLE_K = 100
