@@ -196,6 +196,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "streaming_dv_forget": 5,
     "weighted_sample_orders": 5,
     "column_profile_orders": 5,
+    "manifest_drop_column": 5,
 }
 
 

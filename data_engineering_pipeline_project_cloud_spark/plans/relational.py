@@ -1504,6 +1504,41 @@ def manifest_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY column drop
+    (sources/manifest_source.py:drop_column_from_manifest): nation
+    lands with three columns, ``n_regionkey`` is dropped in one CAS
+    commit that touches NO data file (reads project the narrowed
+    schema), and a post-drop append proves the table keeps evolving.
+    Re-add refusal (the column-mapping resurrection hazard), pre-drop
+    time travel and the no-rewrite property are pytest-asserted
+    (tests/test_manifest_source.py)."""
+    from ..sources.manifest_source import (
+        drop_column_from_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("n_nationkey"),
+            "n_name",
+            F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+        drop_column_from_manifest(path, "n_regionkey")
+        (spark.createDataFrame([(100, "NEWLAND")],
+                               "n_nationkey long, n_name string")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey").save())
+
+    path = scoped_scratch("manifest_dropcol_nation", sf_dir, build)
+    return (spark.read.format("graft_manifest").option("path", path)
+            .load().select("n_nationkey", "n_name"))
+
+
 def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE-HISTORY introspection
     (sources/manifest_source.py:manifest_history) over the merged
@@ -2094,6 +2129,12 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(total_price AS DECIMAL(12,2))) AS DOUBLE)
                    AS sum_price
         FROM final GROUP BY 1
+    """,
+    "manifest_drop_column": """
+        SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        FROM nation
+        UNION ALL
+        SELECT 100, 'NEWLAND'
     """,
     "manifest_table_history": """
         SELECT CAST(0 AS INT) AS version,
@@ -2781,6 +2822,7 @@ QUERIES = {
     "manifest_delete_dv": manifest_delete_dv,
     "manifest_table_history": manifest_table_history,
     "manifest_replace_where": manifest_replace_where,
+    "manifest_drop_column": manifest_drop_column,
     "txn_group_consistent_view": txn_group_consistent_view,
     "manifest_compaction": manifest_compaction,
     "cms_user_event_counts": cms_user_event_counts,

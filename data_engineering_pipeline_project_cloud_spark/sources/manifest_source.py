@@ -346,17 +346,30 @@ def resolve_version(path: str, options) -> int | None:
     return best
 
 
-def _merged_schema_json(prior_json: str, new: StructType) -> str:
+def _merged_schema_json(prior_json: str, new: StructType,
+                        dropped: dict | None = None) -> str:
     """Append-time schema evolution: prior columns keep their position,
     genuinely new columns append.  A column present in both with a
     DIFFERENT type is refused — add-column is the only evolution this
-    format (like most) performs implicitly."""
+    format (like most) performs implicitly.  A name in ``dropped``
+    (previously removed by ``drop_column_from_manifest``) is refused
+    too: pre-drop data files still carry the old values under that
+    name, so without physical column mapping a re-add would RESURRECT
+    them into the new column."""
     prior = StructType.fromJson(json.loads(prior_json))
     by_name = {f.name: f for f in prior.fields}
     added = []
     for f in new.fields:
         p = by_name.get(f.name)
         if p is None:
+            if dropped and f.name in dropped:
+                raise ValueError(
+                    f"column {f.name!r} was dropped at version "
+                    f"{dropped[f.name]} and cannot be re-added by "
+                    "name: files from before the drop still hold its "
+                    "old values, which a by-name read would resurrect"
+                    " (physical column mapping is the format feature "
+                    "this would need)")
             added.append(f)
         elif p.dataType != f.dataType:
             raise ValueError(
@@ -938,7 +951,8 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
             txn_map[txn[0]] = txn[1]
         manifest = {"schema": prev["schema"], "version": target,
                     "files": files, "txn": txn_map,
-                    "committedAt": _time.time()}
+                    "committedAt": _time.time(),
+                    "droppedCols": dict(prev.get("droppedCols", {}))}
         vpath = os.path.join(path, _manifest_file(target))
         link_tmp = os.path.join(
             path, f".{_manifest_file(target)}.{commit_id}.tmp")
@@ -1179,6 +1193,59 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
             removed_files.append(full)
     return {"removed_files": removed_files,
             "removed_manifests": removed_manifests}
+
+
+def drop_column_from_manifest(path: str, col: str) -> dict:
+    """METADATA-ONLY column drop: one CAS commit replaces the manifest
+    schema with the schema minus ``col`` — no data file is touched
+    (reads project the manifest schema, so file columns it no longer
+    names are simply never materialized).  Time travel to pre-drop
+    versions still reads the column.  The dropped name is recorded in
+    ``droppedCols`` and a later append that re-introduces it is
+    REFUSED: pre-drop files still hold the old values under that name,
+    and a by-name read would resurrect them — lifting that refusal is
+    exactly what physical column mapping (Delta's columnMapping /
+    Iceberg field ids) exists for."""
+    commit_id = uuid.uuid4().hex
+    while True:
+        prev = load_manifest(path)
+        st = StructType.fromJson(json.loads(prev["schema"]))
+        names = [f.name for f in st.fields]
+        if col not in names:
+            raise ValueError(f"column {col!r} not in table schema "
+                             f"{names}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the table's only column")
+        target = prev.get("version", 0) + 1
+        dropped = dict(prev.get("droppedCols", {}))
+        dropped[col] = target
+        import time as _time
+
+        manifest = {
+            "schema": StructType(
+                [f for f in st.fields if f.name != col]).json(),
+            "version": target, "files": prev["files"],
+            "txn": dict(prev.get("txn", {})),
+            "committedAt": _time.time(), "droppedCols": dropped}
+        vpath = os.path.join(path, _manifest_file(target))
+        link_tmp = os.path.join(
+            path, f".{_manifest_file(target)}.{commit_id}.tmp")
+        with open(link_tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(link_tmp, vpath)
+        except FileExistsError:
+            os.remove(link_tmp)
+            continue  # lost the claim: re-read latest and re-derive
+        os.remove(link_tmp)
+        break
+    snaps = _versioned_manifests(path)
+    if snaps and max(snaps) == target:
+        tmp = os.path.join(path, f".{MANIFEST_NAME}.{commit_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return manifest
 
 
 def manifest_history(path: str) -> list[dict]:
@@ -1575,8 +1642,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                              "re-run the merge against the current "
                              "table version")
                 try:
-                    schema_json = _merged_schema_json(prev["schema"],
-                                                      self._schema)
+                    schema_json = _merged_schema_json(
+                        prev["schema"], self._schema,
+                        prev.get("droppedCols"))
                 except ValueError as exc:
                     fail(str(exc))
                 files = prior + new_files
@@ -1584,9 +1652,16 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 stale_manifests = []
             import time as _time
 
+            # drop-name registry carries forward on append (the
+            # re-add refusal must survive later commits); an
+            # overwrite replaces the table AND vacuums its files, so
+            # resurrection is impossible and the registry resets
+            dropped = ({} if (self._overwrite or prev is None)
+                       else dict(prev.get("droppedCols", {})))
             manifest = {"schema": schema_json, "version": target,
                         "files": files, "txn": txn,
-                        "committedAt": _time.time()}
+                        "committedAt": _time.time(),
+                        "droppedCols": dropped}
             vpath = os.path.join(self._path, _manifest_file(target))
             # put-if-absent: write the snapshot fully to a private tmp,
             # then hard-link it to the versioned name — link fails

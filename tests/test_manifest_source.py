@@ -771,3 +771,57 @@ def test_many_interleaved_writers_all_land(spark, sf_dir, tmp_path):
     for v in range(m0["version"], m0["version"] + 6):
         snap = load_manifest(path, v)
         assert len(snap["files"]) == len(m0["files"]) + (v - m0["version"])
+
+
+def test_drop_column_metadata_only_with_readd_refusal(
+        spark, sf_dir, tmp_path):
+    """Metadata-only DROP COLUMN: no data file changes, reads project
+    the narrowed schema, pre-drop time travel still sees the column,
+    post-drop appends work WITHOUT it, and re-adding the dropped name
+    is refused (resurrection hazard without column mapping)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+        load_manifest,
+    )
+
+    path = str(tmp_path / "dropc")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey"))
+    register(spark)
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+    files0 = sorted(f["path"] for f in load_manifest(path)["files"])
+    m1 = drop_column_from_manifest(path, "n_regionkey")
+    assert m1["version"] == 1
+    assert sorted(f["path"] for f in m1["files"]) == files0  # no rewrite
+    df = spark.read.format("graft_manifest").option("path", path).load()
+    assert df.columns == ["n_nationkey", "n_name"]
+    assert df.count() == 25
+    v0 = (spark.read.format("graft_manifest").option("path", path)
+          .option("versionAsOf", "0").load())
+    assert "n_regionkey" in v0.columns
+    assert v0.filter(F.col("n_regionkey").isNotNull()).count() == 25
+    # append under the narrowed schema works
+    (spark.createDataFrame([(100, "NEWLAND")],
+                           "n_nationkey long, n_name string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == 26
+    # the dropped-name registry survives the append; re-add refused
+    with pytest.raises(Exception, match="cannot be re-added"):
+        (spark.createDataFrame([(101, "X", 9)],
+                               "n_nationkey long, n_name string, "
+                               "n_regionkey long")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey").save())
+    # a different NEW column still evolves normally
+    (spark.createDataFrame([(102, "Y", "eu")],
+                           "n_nationkey long, n_name string, "
+                           "zone string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    final = (spark.read.format("graft_manifest").option("path", path)
+             .load())
+    assert set(final.columns) == {"n_nationkey", "n_name", "zone"}
+    assert final.count() == 27
