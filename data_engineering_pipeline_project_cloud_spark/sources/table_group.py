@@ -206,3 +206,42 @@ def read_group_table(spark, path: str, name: str,
     return (spark.read.format("graft_manifest")
             .option("path", t["path"])
             .option("versionAsOf", str(t["version"])).load())
+
+
+def vacuum_group(path: str, keep_groups: int = 1,
+                 min_age_seconds: float = 0.0) -> dict:
+    """Retention for a commit group AND its members, in the only safe
+    order: expire old group snapshots first (keep the newest
+    ``keep_groups``), then vacuum each member keeping every manifest
+    version a RETAINED group snapshot still pins — a member version
+    below every retained pin is unreachable through the group and
+    expires; a pinned version can never be vacuumed out from under a
+    group reader (the failure mode of running plain per-table vacuum
+    under a group: a member's keep-window slides past a pin and
+    consistent-cut reads start raising).  ``min_age_seconds`` passes
+    through as the members' in-flight-writer guard.  O(groups +
+    members × files) driver metadata."""
+    from .manifest_source import vacuum_manifest
+
+    snaps = _group_snapshots(path)
+    if not snaps:
+        raise FileNotFoundError(f"no group snapshots under {path}")
+    keep = sorted(snaps)[-max(1, keep_groups):]
+    removed_groups: list[str] = []
+    for v in sorted(snaps):
+        if v not in keep:
+            os.remove(snaps[v])
+            removed_groups.append(snaps[v])
+    pins: dict[str, list[int]] = {}
+    for v in keep:
+        for t in load_group(path, v)["tables"].values():
+            pins.setdefault(t["path"], []).append(t["version"])
+    members = {}
+    for tpath, pinned in pins.items():
+        floor = min(pinned)
+        versions = sorted(_versioned_manifests(tpath))
+        keep_n = max(1, len([v for v in versions if v >= floor]))
+        members[tpath] = vacuum_manifest(
+            tpath, keep_versions=keep_n,
+            min_age_seconds=min_age_seconds)
+    return {"removed_groups": removed_groups, "members": members}

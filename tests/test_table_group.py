@@ -122,3 +122,32 @@ def test_concurrent_group_commits_rebase(spark, group, monkeypatch):
     assert g["version"] == 2
     got = _counts(spark, gpath)
     assert got == {"a": 25, "b": 15}  # racer's b-write AND our a-write
+
+
+def test_vacuum_group_respects_pins(spark, group):
+    """Group-aware retention: expiring old group snapshots lets member
+    versions below every retained pin vacuum away, while every version
+    a retained group snapshot pins survives — consistent-cut reads
+    through the kept snapshots keep working after the sweep."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _versioned_manifests,
+    )
+
+    gpath, t1, t2, nat = group
+    tg.group_commit(gpath, {"a": (
+        nat.filter("n_nationkey >= 10").coalesce(1), ["n_nationkey"])})
+    tg.group_commit(gpath, {"b": (
+        nat.filter("n_nationkey >= 20").coalesce(1), ["n_nationkey"])})
+    assert tg.load_group(gpath)["version"] == 2
+    rep = tg.vacuum_group(gpath, keep_groups=2)
+    # group v0 expired; v1 and v2 retained
+    with pytest.raises(Exception, match="not available"):
+        tg.load_group(gpath, 0)
+    # v1 pins a@1, b@0; v2 pins a@1, b@1 → t1 keeps version 1 (floor),
+    # t2 keeps versions 0 and 1 (floor 0 — still pinned by v1)
+    assert min(_versioned_manifests(t1)) == 1
+    assert min(_versioned_manifests(t2)) == 0
+    # retained cuts still fully readable
+    assert _counts(spark, gpath, version=1) == {"a": 25, "b": 10}
+    assert _counts(spark, gpath, version=2) == {"a": 25, "b": 15}
+    assert rep["removed_groups"]
