@@ -395,3 +395,34 @@ def test_merge_with_delete_clause_is_one_commit(spark, dv_table):
            for r in _read(spark, dv_table, versionAsOf=v0).collect()}
     assert 7 in pre and 8 in pre and 30 not in pre
     assert pre[3] != "PATCHED"
+
+
+def test_concurrent_dv_commits_on_disjoint_files_both_land(
+        spark, dv_table, monkeypatch):
+    """Two DV deletes racing on DIFFERENT files both succeed: the
+    loser's CAS rebases onto the winner's snapshot (its touched file's
+    dvGen is unchanged there) and lands at the next version — no lost
+    deletes, no spurious conflict."""
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as ms
+
+    real = ms._files_possibly_containing
+    fired = {"done": False}
+
+    def race_then_plan(files, key_cols, bounds, keys_sorted):
+        out = real(files, key_cols, bounds, keys_sorted)
+        if not fired["done"]:
+            fired["done"] = True
+            # racer deletes key 20 (last range file) while we are
+            # planning a delete of key 2 (first range file)
+            delete_vectors_from_manifest(
+                _keys(spark, [20]), dv_table,
+                ["n_nationkey"], ["n_nationkey"])
+        return out
+
+    monkeypatch.setattr(ms, "_files_possibly_containing", race_then_plan)
+    delete_vectors_from_manifest(
+        _keys(spark, [2]), dv_table, ["n_nationkey"], ["n_nationkey"])
+    m = load_manifest(dv_table)
+    assert m["version"] == 2  # both commits landed
+    keys = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
+    assert keys == set(range(25)) - {2, 20}
