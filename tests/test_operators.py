@@ -873,3 +873,39 @@ def test_weighted_sample_is_weight_proportional(spark, sf_dir):
     sample_mean = sum(r["w"] for r in rows) / len(rows)
     corpus_mean = o.agg(F.avg("w")).collect()[0][0]
     assert sample_mean > 1.2 * corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_round5_plan_shapes(spark, sf_dir):
+    """Plan-shape regressions for the round-5 analytics faces: the
+    Gram matrix partial-aggregates BEFORE its exchange (the shuffle
+    carries d² counters, not exploded rows), the weighted sample is a
+    TakeOrderedAndProject (global top-k, no full sort), and the
+    one-pass column profiler contains a single table scan."""
+    from data_engineering_pipeline_project_cloud_spark.plans.llmdata import (
+        embedding_gram_matrix,
+    )
+    from data_engineering_pipeline_project_cloud_spark.plans.relational import (
+        column_profile_orders,
+        weighted_sample_orders,
+    )
+
+    gram = embedding_gram_matrix(spark, sf_dir)
+    plan = gram._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, \
+        "expected partial+final aggregate pair"
+    # the tree prints final agg, then the exchange, then the partial
+    # agg below it: an Exchange between two HashAggregates is the
+    # map-side-combine shape
+    final_agg = plan.index("HashAggregate")
+    exch = plan.index("Exchange")
+    assert final_agg < exch < plan.rindex("HashAggregate")
+
+    ws = weighted_sample_orders(spark, sf_dir)
+    wplan = ws._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in wplan
+    assert "Sort " not in wplan  # no global sort for a top-k
+
+    prof = column_profile_orders(spark, sf_dir)
+    pplan = prof._jdf.queryExecution().executedPlan().toString()
+    assert pplan.count("Scan parquet") == 1, \
+        "profiler must read the table once, not once per column"
