@@ -181,11 +181,20 @@ def group_commit(path: str, writes: dict[str, tuple],
     while True:
         latest = load_group(path)
         # rebase: carry forward OTHER tables' pins from the current
-        # latest (a concurrent group commit may have advanced them);
-        # our own writes keep the exact versions our txn claimed
+        # latest (a concurrent group commit may have advanced them).
+        # For tables WE wrote, pin monotonically — max(own commit,
+        # latest pin): a racing group commit may have appended a LATER
+        # version of the same table and already published it, and
+        # pinning our (older) version over it would hide that
+        # committed write from the group view (write skew on the
+        # pointer).  Manifest versions are an append-only log, so the
+        # later version contains both writes and max() loses nothing.
         merged = dict(latest["tables"])
         for name in writes:
-            merged[name] = pinned[name]
+            own = pinned[name]
+            cur = merged.get(name, own)
+            merged[name] = own if own["version"] >= cur["version"] \
+                else cur
         group = {"version": latest["version"] + 1, "tables": merged,
                  "committedAt": _time.time()}
         if _publish(path, group):

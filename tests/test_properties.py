@@ -475,3 +475,41 @@ def test_dv_delete_sequences_match_filter(spark, tmp_path_factory, dels):
                 .option("path", path).load().collect())}
         assert got == set(range(25)) - doomed
     assert fsck_manifest(path)["ok"]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lo=st.integers(0, 20), width=st.integers(0, 10),
+       repl_n=st.integers(0, 8))
+def test_overwrite_where_matches_bruteforce(spark, tmp_path_factory,
+                                            lo, width, repl_n):
+    """Property: for ANY scope [lo, hi] and any in-scope replacement
+    set, replaceWhere leaves the table equal to (rows outside scope) ∪
+    (replacement rows) — including empty replacements (scope purge)
+    and scopes that miss every file."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        overwrite_where,
+        register,
+        write_manifest_table,
+    )
+
+    register(spark)
+    hi = lo + width
+    path = str(tmp_path_factory.mktemp("rwprop") / "t")
+    base = spark.range(25).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    write_manifest_table(base.repartitionByRange(3, "k"), path, ["k"])
+    repl_keys = [lo + (i * max(1, width) // max(1, repl_n)) % (width + 1)
+                 for i in range(repl_n)]
+    repl_rows = sorted({(int(k), int(-k)) for k in repl_keys
+                        if lo <= k <= hi})
+    repl = spark.createDataFrame(repl_rows or [], "k long, v long")
+    overwrite_where(repl, path, "k", lo, hi, ["k"])
+    got = {(r["k"], r["v"]) for r in
+           (spark.read.format("graft_manifest")
+            .option("path", path).load().collect())}
+    want = {(k, 10 * k) for k in range(25) if k < lo or k > hi}
+    want |= set(repl_rows)
+    assert got == want

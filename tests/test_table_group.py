@@ -151,3 +151,35 @@ def test_vacuum_group_respects_pins(spark, group):
     assert _counts(spark, gpath, version=1) == {"a": 25, "b": 10}
     assert _counts(spark, gpath, version=2) == {"a": 25, "b": 15}
     assert rep["removed_groups"]
+
+
+def test_three_interleaved_group_commits_all_land(spark, group,
+                                                  monkeypatch):
+    """CAS stress for the group pointer: three group commits racing
+    through nested publish interleavings all land, versions serialize
+    1..3, and the final cut reflects every write."""
+    gpath, t1, t2, nat = group
+    real = tg._publish
+    depth = {"n": 0}
+
+    def nested_race(path, g):
+        depth["n"] += 1
+        if depth["n"] == 1:
+            tg.group_commit(gpath, {"b": (
+                nat.filter("n_nationkey >= 20").coalesce(1),
+                ["n_nationkey"])})
+        elif depth["n"] == 2:
+            tg.group_commit(gpath, {"a": (
+                nat.filter("(n_nationkey >= 10) AND (n_nationkey < 15)")
+                .coalesce(1), ["n_nationkey"])})
+        return real(path, g)
+
+    monkeypatch.setattr(tg, "_publish", nested_race)
+    tg.group_commit(gpath, {"a": (
+        nat.filter("n_nationkey >= 15").coalesce(1), ["n_nationkey"])})
+    g = tg.load_group(gpath)
+    assert g["version"] == 3
+    got = _counts(spark, gpath)
+    # a received [10,15) from racer-2 and [15,25) from ours: 10+15
+    # b received [20,25) from racer-1: 10+5
+    assert got == {"a": 25, "b": 15}
