@@ -825,3 +825,37 @@ def test_drop_column_metadata_only_with_readd_refusal(
              .load())
     assert set(final.columns) == {"n_nationkey", "n_name", "zone"}
     assert final.count() == 27
+
+
+def test_changefeed_across_drop_column(spark, sf_dir, tmp_path):
+    """The changefeed diffs on the TO-version schema: across a
+    drop-column boundary the dropped column is simply not compared —
+    the pure-metadata drop commit itself emits NO changes, and a
+    post-drop append emits inserts under the narrowed schema."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+        manifest_changes,
+        manifest_changes_incremental,
+    )
+
+    path = str(tmp_path / "cfdrop")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey"))
+    register(spark)
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])  # v0
+    drop_column_from_manifest(path, "n_regionkey")                # v1
+    (spark.createDataFrame([(100, "NEWLAND")],
+                           "n_nationkey long, n_name string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())  # v2
+    # the drop itself: zero changes
+    assert manifest_changes(
+        spark, path, 0, 1, ["n_nationkey"]).count() == 0
+    full = {(r["n_nationkey"], r["change_type"])
+            for r in manifest_changes(
+                spark, path, 0, None, ["n_nationkey"]).collect()}
+    inc = {(r["n_nationkey"], r["change_type"])
+           for r in manifest_changes_incremental(
+               spark, path, 0, None, ["n_nationkey"]).collect()}
+    assert full == inc == {(100, "insert")}
