@@ -1859,6 +1859,15 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def __init__(self, options):
         self._path = _require_path(options)
+        # the stream's schema is FIXED at query start (Spark cannot
+        # change a stream's schema mid-query); every batch aligns its
+        # files to THIS schema, not the manifest's latest — otherwise
+        # a schema-evolution commit mid-stream emits batches whose
+        # Arrow schema no longer matches the query's and the write
+        # task dies.  Pre-evolution files NULL-fill columns they
+        # predate; post-drop reads ignore columns the pinned schema
+        # no longer names — both via _read_aligned.
+        self._schema_json = load_manifest(self._path)["schema"]
 
     def _manifest(self) -> dict:
         return load_manifest(self._path)
@@ -1889,7 +1898,7 @@ class ManifestStreamReader(DataSourceStreamReader):
         # deleted (a consumer that read the file BEFORE the DV landed
         # keeps them — DV deletes are never retracted by the raw tail,
         # same as merge rewrites; the CDC stream emits them)
-        return [_FilePartition(f["path"], m["schema"], f.get("dv"))
+        return [_FilePartition(f["path"], self._schema_json, f.get("dv"))
                 for f in files if not f.get("dead")]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -2091,6 +2100,12 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         raw = options.get("keycols") or ""
         self._key_cols = [c for c in raw.split(",") if c]
         self._start = int(options.get("startingversion", 0))
+        # change feed in the LATEST schema (Delta CDF semantics), and
+        # FIXED for the stream's lifetime: partitions for versions
+        # from before an evolution boundary align their files to this
+        # schema instead of their own version's — the stream's
+        # declared schema cannot change mid-query
+        self._schema_json = load_manifest(self._path)["schema"]
         # updatePreimages: Delta-CDF-style update rows — each update
         # emits an update_preimage AND an update_postimage row instead
         # of a single post-image 'update' row (what retraction-based
@@ -2113,14 +2128,14 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                         if not pf.get("dead") and cf.get("dead")]
         flipped = [pf["path"] for pf in flip_entries]
         dv_moved = [
-            _CDCDVPartition(cf["path"], cur["schema"], pf.get("dv"),
+            _CDCDVPartition(cf["path"], self._schema_json, pf.get("dv"),
                             cf["dv"], v)
             for pf, cf in zip(prev_files, cur["files"])
             if not cf.get("dead")
             and pf.get("dvGen", 0) != cf.get("dvGen", 0)]
         if not flipped:
             return dv_moved + [
-                _CDCInsertPartition(f["path"], cur["schema"], v)
+                _CDCInsertPartition(f["path"], self._schema_json, v)
                 for f in appended if not f.get("dead")]
         if not self._key_cols:
             raise ValueError(
@@ -2128,7 +2143,7 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
                 "readChangeFeed needs option 'keyCols' to diff it")
         return dv_moved + [_CDCDiffPartition(
             flipped, [f["path"] for f in appended],
-            cur["schema"], self._key_cols, v,
+            self._schema_json, self._key_cols, v,
             preimages=self._preimages,
             old_dvs=[pf.get("dv") for pf in flip_entries])]
 

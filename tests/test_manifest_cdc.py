@@ -561,3 +561,52 @@ def test_fsck_reports_integrity_violations(spark, sf_dir, tmp_path):
     assert not rep2["ok"]
     assert rep2["missing_files"] == [live[1]]
     assert rep2["orphan_files"] == [orphan]
+
+
+def test_cdc_stream_across_schema_evolution_boundary(
+        spark, sf_dir, tmp_path):
+    """The CDC stream (and the raw tail) must survive a schema
+    evolution INSIDE the streamed window: the stream's schema is fixed
+    at query start, so partitions for pre-evolution versions align
+    their files to the LATEST schema (Delta-CDF semantics) — before
+    this was pinned, a drop/add commit mid-history made pre-boundary
+    batches emit a mismatched Arrow schema and killed the write task."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+    )
+
+    path = str(tmp_path / "evostream")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey"))
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])  # v0
+    drop_column_from_manifest(path, "n_regionkey")                # v1
+    (spark.createDataFrame([(100, "NEWLAND")],
+                           "n_nationkey long, n_name string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())  # v2
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("graft_manifest").option("path", path)
+         .option("readChangeFeed", "true")
+         .option("keyCols", "n_nationkey").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    res = spark.read.parquet(out)
+    assert set(res.columns) == {"n_nationkey", "n_name", "change_type",
+                                "commit_version"}
+    assert res.count() == 26  # 25 v0 inserts + 1 post-drop insert
+    assert res.filter("commit_version = 1").count() == 0  # pure metadata
+    # the raw tail crosses the same boundary in the latest schema
+    q2 = (spark.readStream.format("graft_manifest")
+          .option("path", path).load()
+          .writeStream.format("parquet")
+          .option("path", str(tmp_path / "out2"))
+          .option("checkpointLocation", str(tmp_path / "ckpt2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(180)
+    tail = spark.read.parquet(str(tmp_path / "out2"))
+    assert set(tail.columns) == {"n_nationkey", "n_name"}
+    assert tail.count() == 26
