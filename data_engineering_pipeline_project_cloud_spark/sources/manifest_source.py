@@ -370,7 +370,16 @@ def _merged_schema_json(prior_json: str, new: StructType,
                     "old values, which a by-name read would resurrect"
                     " (physical column mapping is the format feature "
                     "this would need)")
-            added.append(f)
+            # an ADDED column is NULL for every pre-existing file by
+            # definition, so it must be nullable in the table schema
+            # regardless of the writing frame's flag — carrying a
+            # non-nullable flag through (e.g. from spark.range) makes
+            # the NULL-filled Arrow batches violate the declared
+            # schema and crashes the vectorized reader
+            from pyspark.sql.types import StructField
+
+            added.append(StructField(f.name, f.dataType, True,
+                                     f.metadata))
         elif p.dataType != f.dataType:
             raise ValueError(
                 f"schema evolution cannot change column {f.name!r} from "
@@ -807,13 +816,18 @@ def overwrite_where(df, path: str, scope_col: str, lo, hi,
 
     df = df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+    # NULL scope counts as a violation: a row whose scope value is
+    # unknown cannot be proven in-scope, and three-valued logic would
+    # otherwise let it slip through a < / > check silently
     outside = df.filter(
-        (F.col(scope_col) < F.lit(lo)) | (F.col(scope_col) > F.lit(hi))
+        F.coalesce((F.col(scope_col) < F.lit(lo))
+                   | (F.col(scope_col) > F.lit(hi)), F.lit(True))
     ).limit(1).count()
     if outside:
         raise ValueError(
             f"overwrite_where: replacement rows fall outside the "
-            f"declared scope {scope_col} in [{lo!r}, {hi!r}]")
+            f"declared scope {scope_col} in [{lo!r}, {hi!r}] "
+            "(NULL scope values count as outside)")
     affected = []
     for f in m["files"]:
         if f.get("dead"):
@@ -830,8 +844,15 @@ def overwrite_where(df, path: str, scope_col: str, lo, hi,
         affected.append(f)
     paths = [f["path"] for f in affected]
     if paths:
+        # keep = NOT in scope, with NULL-scope rows KEPT: rows from
+        # files that predate the scope column (schema evolution) are
+        # not in any [lo, hi] and must survive the rewrite — a bare
+        # < / > disjunction evaluates NULL for them and a filter would
+        # silently destroy those rows
         kept = _masked_spark_read(spark, st, affected).filter(
-            (F.col(scope_col) < F.lit(lo)) | (F.col(scope_col) > F.lit(hi)))
+            F.col(scope_col).isNull()
+            | (F.col(scope_col) < F.lit(lo))
+            | (F.col(scope_col) > F.lit(hi)))
         out = kept.unionByName(df)
     else:
         out = df

@@ -426,3 +426,34 @@ def test_concurrent_dv_commits_on_disjoint_files_both_land(
     assert m["version"] == 2  # both commits landed
     keys = {r["n_nationkey"] for r in _read(spark, dv_table).collect()}
     assert keys == set(range(25)) - {2, 20}
+
+
+def test_overwrite_where_preserves_null_scope_rows(spark, tmp_path):
+    """Schema-evolution interplay: rows from files that predate the
+    scope column (NULL scope) are NOT in any [lo, hi] and must survive
+    the rewrite; a replacement row with NULL scope is refused."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        overwrite_where,
+    )
+
+    path = str(tmp_path / "rwnull")
+    write_manifest_table(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1),
+        path, ["k"])  # v0: no scope column yet
+    (spark.range(5, 10)
+     .select(F.col("id").alias("k"), F.col("id").cast("int").alias("yr"))
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k,yr").save())
+    register(spark)
+    overwrite_where(
+        spark.createDataFrame([(100, 6)], "k long, yr int"),
+        path, "yr", 6, 7, ["k", "yr"])
+    rows = {(r["k"], r["yr"]) for r in
+            (spark.read.format("graft_manifest")
+             .option("path", path).load().collect())}
+    assert rows == {(0, None), (1, None), (2, None), (3, None),
+                    (4, None), (5, 5), (8, 8), (9, 9), (100, 6)}
+    with pytest.raises(Exception, match="outside the declared scope"):
+        overwrite_where(
+            spark.createDataFrame([(101, None)], "k long, yr int"),
+            path, "yr", 6, 7, ["k", "yr"])
