@@ -62,27 +62,36 @@ SECONDARY = [
     "pmi_collocations",
 ]
 
+#: Passes per query.  Round 6 replaced the single-pass first-run
+#: methodology (r1-r5) with per-query MEDIAN-OF-3: a single pass
+#: cannot distinguish external host load from a code regression (the
+#: r5 +30% scare was host load on untouched code).  The median of
+#: three back-to-back passes suppresses one-off contention spikes in
+#: either direction; the raw passes are published alongside so a
+#: reader can audit the spread.
+PASSES = 3
+
 #: Methodology provenance recorded in the JSON so cross-round readers
 #: aren't misled (r3 verdict nit #3).
 NOTES = (
-    "ann_ivf_topk timings exclude the offline IVF codebook fit from r3 "
-    "onward (pre-fit in warmup as an index artifact; r2's 4.61s "
-    "included it); ann_pq_topk likewise excludes its offline PQ "
-    "codebook fit from r4 onward. secondary timings (added r4) are "
-    "not part of 'value' and include one-time scratch-layout builds "
-    "on first call (dominated by Python-worker cold start, not the "
-    "commit protocol: a warm manifest write of sf0.1 orders is "
-    "~0.75s). timings are single-pass first-runs and track EXTERNAL "
-    "host load ~linearly: three identical round-5 runs measured "
-    "20.4-21.6s total under outside-the-container load avg 3-11 on "
-    "the 32-core host, while warm re-runs of the same untouched "
-    "queries (e.g. master_table 1.7-1.9s vs the 2.0s r4 record) show "
-    "no code regression — compare totals across rounds only under "
-    "comparable host load."
+    "round 6 onward: per-query times are the MEDIAN of 3 back-to-back "
+    "passes (raws published under 'raw'); r1-r5 were single-pass "
+    "first-runs, so vs those rounds this reads slightly warm (pass 1 "
+    "still pays any one-time scratch-layout build and its raw is "
+    "visible in the spread). ann_ivf_topk timings exclude the offline "
+    "IVF codebook fit from r3 onward (pre-fit in warmup as an index "
+    "artifact; r2's 4.61s included it); ann_pq_topk likewise excludes "
+    "its offline PQ codebook fit from r4 onward. secondary timings "
+    "(added r4) are not part of 'value'. host load from outside the "
+    "container can still shift ALL passes of a window together — "
+    "compare medians across rounds, and check the raw spread before "
+    "believing a regression."
 )
 
 
 def main() -> None:
+    import statistics
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark("bench")
@@ -105,18 +114,24 @@ def main() -> None:
     llmdata.prefit_pq_codebooks(spark, sf_dir)
     spark.catalog.clearCache()
 
+    raw: dict[str, list[float]] = {}
+
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format(
-                "noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - t0, 3)
-            # the registry's scoped-release only drops the PREVIOUS
-            # query's persists at next-query start; clearing here keeps
-            # leftover blocks from pressuring the next measurement (r1
-            # methodology — timings are per-query, not amortized)
-            spark.catalog.clearCache()
+            passes = []
+            for _ in range(PASSES):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format(
+                    "noop").mode("overwrite").save()
+                passes.append(round(time.perf_counter() - t0, 3))
+                # the registry's scoped-release only drops the PREVIOUS
+                # query's persists at next-query start; clearing here
+                # keeps leftover blocks from pressuring the next
+                # measurement (timings are per-query, not amortized)
+                spark.catalog.clearCache()
+            raw[name] = passes
+            out[name] = round(statistics.median(passes), 3)
         return out
 
     timings = timed(HEADLINE)
@@ -128,6 +143,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "secondary": secondary,
+        "raw": raw,
         "notes": NOTES,
         "sf": sf,
     }))

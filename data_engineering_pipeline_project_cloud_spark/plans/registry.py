@@ -45,13 +45,17 @@ def _modules():
     return [temporal, streamed, media, llmdata, parity, analytics, relational]
 
 
-def _evidence() -> tuple[set[str], set[str]]:
+def _evidence() -> tuple[dict[str, int], set[str]]:
     """Scan the driver's ``CORRECTNESS_r*.json`` records (repo root) and
     classify every query ever checked by its LATEST row:
 
     * **settled** — hash-green (all three checks true) or rows-only by
       design (``err == "no_oracle"`` with a row count recorded).  Evidence
-      exists; re-checking wastes a budget-capped driver pass.
+      exists; re-checking wastes a budget-capped driver pass.  Returned
+      as ``{name: round of the latest trustworthy row}`` so the driver
+      window can ROTATE onto the stalest evidence once nothing is
+      never-checked or red (round-6 verdict item 8: r1 evidence is five
+      rounds old — refresh oldest first).
     * **red** — latest row has a hash/schema/row mismatch or a real error.
       Needs fresh evidence soon, but AFTER the never-checked queries.
 
@@ -59,7 +63,7 @@ def _evidence() -> tuple[set[str], set[str]]:
     keeps the driver consumption order pointed at current evidence no
     matter how many rounds have run.
     """
-    settled: set[str] = set()
+    settled: dict[str, int] = {}
     red: set[str] = set()
     root = Path(__file__).resolve().parents[2]
 
@@ -98,11 +102,11 @@ def _evidence() -> tuple[set[str], set[str]]:
                 and row.get("spark_rows") is not None
             )
             if green or rows_only:
-                settled.add(name)
+                settled[name] = rnd
                 red.discard(name)
             else:
                 red.add(name)
-                settled.discard(name)
+                settled.pop(name, None)
     return settled, red
 
 
@@ -224,10 +228,13 @@ def _prioritize(names) -> list[str]:
     evidence in any round run first (oldest _ADDED_IN_ROUND round
     first, module order within a round; evidence voided by
     _OUTPUT_CHANGED_AFTER counts as none), latest-red next, settled
-    (green or rows-only-by-design) last.  The driver's correctness
-    pass is budget-capped (~50 of 122 queries per round), so position
-    IS evidence: this order spends the budget where no trustworthy row
-    exists yet."""
+    (green or rows-only-by-design) last — STALEST EVIDENCE FIRST
+    within settled, so once the whole board is green the budget-capped
+    window rotates through the board refreshing the oldest rows
+    instead of re-checking the same module-order prefix every round.
+    The driver's correctness pass is budget-capped (~50 of 190+
+    queries per round), so position IS evidence: this order spends the
+    budget where the proof is weakest."""
     names = list(names)
     settled, red = _evidence()
     never = [n for n in names if n not in settled and n not in red]
@@ -237,7 +244,8 @@ def _prioritize(names) -> list[str]:
     never.sort(key=lambda n: (_ADDED_IN_ROUND.get(n, 0),
                               lead.get(n, len(lead))))
     red_l = [n for n in names if n in red]
-    settled_l = [n for n in names if n in settled]
+    settled_l = sorted((n for n in names if n in settled),
+                       key=lambda n: settled[n])  # stable: module order
     return never + red_l + settled_l
 
 

@@ -12,23 +12,37 @@ public APIs only:
   protocol: each task streams its Arrow batches to a write-ahead file
   and accumulates min/max in the same pass (stats cost no extra scan),
   returning them in its ``WriterCommitMessage``; the driver's
-  ``commit`` publishes data files first, then claims the next manifest
-  VERSION with an atomic put-if-absent (``os.link`` of a fully-written
-  temp file — the same primitive Delta's LogStore calls putIfAbsent).
-  Losing the claim means another writer landed that version first: the
-  committer re-reads the new latest manifest, REBASES (append: prior
-  file list = the winner's; overwrite: supersede the winner), and
-  retries at version+1 — optimistic concurrency, no lost updates,
-  no lock service.  ``abort`` removes the write-ahead files.
-* **Time travel** — every commit writes an immutable
-  ``manifest-v{N}.json`` snapshot; ``option("versionAsOf", N)`` reads
-  the table exactly as of version N.  Appends never delete anything,
-  so the whole append history stays readable; an ``overwrite`` eagerly
-  vacuums the superseded files *and* manifest snapshots (retention 0 —
-  the post-publish cleanup below), so the travel window restarts at the
-  last overwrite.  ``manifest.json`` is maintained as a latest-version
-  convenience pointer; version resolution is authoritative from the
-  immutable ``manifest-v*.json`` files.
+  ``commit`` publishes data files first, then claims the next version
+  with an atomic put-if-absent (pluggable ``ClaimBackend`` — POSIX
+  ``os.link`` locally, the same primitive Delta's LogStore calls
+  putIfAbsent; S3 conditional PUT / GCS generation-0 via
+  ``set_claim_backend``).  Losing the claim means another writer
+  landed that version first: the committer re-reads the new latest,
+  REBASES (append: on top of the winner; overwrite: supersede the
+  winner), and retries at version+1 — optimistic concurrency, no lost
+  updates, no lock service.  ``abort`` removes the write-ahead files.
+* **Log-structured metadata** (the Delta-log design): each commit
+  claims an immutable ``delta-v{N}.json`` holding ONLY its change set
+  — files added, paths tombstoned, deletion-vector advances, plus the
+  (small) schema/txn/drop-registry state — so commit cost is
+  O(commit delta), never O(table files).  Bloom-filter and
+  deletion-vector payload BYTES live in per-commit ``payload-*.json``
+  sidecars referenced by (file, key): written exactly once at
+  creation, never re-copied by later commits or checkpoints.  Every
+  ``CHECKPOINT_EVERY`` commits (and at vacuum's retention floor) the
+  full reconstructed state is materialized as
+  ``checkpoint-v{N}.parquet``, so a reader replays a bounded delta
+  tail: load nearest checkpoint/self-contained base, apply deltas
+  forward, memoize per (table, version) — versions are immutable, so
+  the cache can never serve a stale latest.  Pre-log-structured
+  tables (full ``manifest-v{N}.json`` snapshots, footers-onboarded
+  ``manifest.json``) remain readable as reconstruction bases.
+* **Time travel** — ``option("versionAsOf", N)`` reconstructs the
+  table exactly as of version N from the retained artifacts.  Appends
+  never delete anything, so the whole append history stays readable;
+  an ``overwrite`` eagerly vacuums the superseded files *and*
+  metadata (retention 0 — the post-publish cleanup below), so the
+  travel window restarts at the last overwrite.
 * **Schema evolution** — appending a DataFrame with NEW columns widens
   the manifest schema (add-column only; a changed type for an existing
   name is refused).  The read side aligns every file's Arrow batches
@@ -51,13 +65,16 @@ public APIs only:
   batches straight from the parquet file — no per-row Python.
 
 Scale notes: the manifest is metadata (bytes per file); a 100 TB table
-at 1 GB/file is ~100k manifest entries — a single JSON read on the
-driver, the same order as a table format's snapshot load.  The
+at 1 GB/file is ~100k entries — one parquet checkpoint + a ≤16-commit
+delta tail on the driver, the same order as a Delta snapshot load, and
+each COMMIT writes only its own change set (a 1-file append to that
+table is one small JSON, not 100k entries re-serialized).  The
 put-if-absent claim assumes the storage gives atomic create-if-absent
 (POSIX link here; S3 conditional PUT / a commit service in the cloud —
-the identical protocol Delta runs per object store).  Timestamp
-columns are deliberately excluded from stats (naive-vs-LTZ semantics
-differ between engines); prune on int/float/string columns.
+the identical protocol Delta runs per object store; pluggable via
+``set_claim_backend``).  Timestamp columns are deliberately excluded
+from stats (naive-vs-LTZ semantics differ between engines); prune on
+int/float/string columns.
 """
 
 from __future__ import annotations
@@ -86,53 +103,420 @@ from pyspark.sql.types import StructType
 
 MANIFEST_NAME = "manifest.json"
 
-_V_RE = re.compile(r"manifest-v(\d{8})\.json")
+_V_RE = re.compile(r"manifest-v(\d{8})\.json")        # legacy full snapshots
+_D_RE = re.compile(r"delta-v(\d{8})\.json")           # log-structured commits
+_C_RE = re.compile(r"checkpoint-v(\d{8})\.parquet")   # periodic full state
+
+#: A parquet CHECKPOINT of the full reconstructed state is written
+#: every this-many commits (plus at vacuum's retention floor), so
+#: state reconstruction replays a bounded delta tail — the Delta-log
+#: checkpointInterval design.  Commits themselves stay O(commit delta).
+CHECKPOINT_EVERY = 16
 
 
 def _manifest_file(version: int) -> str:
     return f"manifest-v{version:08d}.json"
 
 
-def _versioned_manifests(path: str) -> dict[int, str]:
-    """version → snapshot path, from the immutable manifest-v*.json files."""
-    out: dict[int, str] = {}
+def _delta_file(version: int) -> str:
+    return f"delta-v{version:08d}.json"
+
+
+def _checkpoint_file(version: int) -> str:
+    return f"checkpoint-v{version:08d}.parquet"
+
+
+def _sidecar_file(tag: str) -> str:
+    return f"payload-{tag}.json"
+
+
+class LocalFSClaimBackend:
+    """Atomic put-if-absent claims via POSIX hard links: the payload is
+    fully written to a private temp file, then ``os.link``ed to the
+    claim name — link fails atomically iff another writer holds the
+    name, and a reader can never observe a partial file.  This is the
+    exact primitive Delta's LogStore calls putIfAbsent; substituting an
+    object-store backend (S3 If-None-Match conditional PUT, GCS
+    generation-0 precondition — the reference's S3-first posture,
+    scripts/main.py:44-49) is ``set_claim_backend`` with an object
+    implementing this one method."""
+
+    def put_if_absent(self, directory: str, name: str,
+                      payload: str) -> bool:
+        os.makedirs(directory, exist_ok=True)
+        dest = os.path.join(directory, name)
+        tmp = os.path.join(directory, f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, dest)
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+        return True
+
+
+def _default_claim_backend():
+    """The process-local default: ``SPARK_GRAFT_CLAIM_BACKEND`` (an
+    importable ``pkg.mod:factory`` spec) if set, else local-FS links.
+    The env-var form is what makes the seam reach the DISTRIBUTED
+    write path too: ``ManifestArrowWriter.commit`` runs in PySpark's
+    data-source worker process, where module globals set by the
+    driver don't exist — but the environment does (ship it via
+    ``spark.executorEnv`` / session env like any object-store
+    credential)."""
+    spec = os.environ.get("SPARK_GRAFT_CLAIM_BACKEND")
+    if not spec:
+        return LocalFSClaimBackend()
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    factory = getattr(importlib.import_module(mod), attr)
+    return factory() if callable(factory) else factory
+
+
+_CLAIM_BACKEND = _default_claim_backend()
+
+
+def set_claim_backend(backend) -> object:
+    """Swap the put-if-absent claim backend (object with
+    ``put_if_absent(directory, name, payload) -> bool``) for THIS
+    process — covers every driver-side commit path (DV commits,
+    drop-column, vacuum checkpointing, table groups).  For the
+    distributed writer's commit (which runs in the data-source worker
+    process) set ``SPARK_GRAFT_CLAIM_BACKEND`` instead.  Returns the
+    previous backend so tests/deployments can restore it."""
+    global _CLAIM_BACKEND
+    old = _CLAIM_BACKEND
+    _CLAIM_BACKEND = backend
+    return old
+
+
+def _claim(directory: str, name: str, payload: str) -> bool:
+    return _CLAIM_BACKEND.put_if_absent(directory, name, payload)
+
+
+def _scan_artifacts(path: str) -> tuple[dict, dict, dict]:
+    """One listdir → {version: full path} maps for legacy snapshots,
+    delta records, and checkpoints."""
+    snaps: dict[int, str] = {}
+    deltas: dict[int, str] = {}
+    ckpts: dict[int, str] = {}
     try:
         names = os.listdir(path)
     except FileNotFoundError:
-        return out
+        return snaps, deltas, ckpts
     for name in names:
-        m = _V_RE.fullmatch(name)
-        if m:
-            out[int(m.group(1))] = os.path.join(path, name)
+        for rx, d in ((_V_RE, snaps), (_D_RE, deltas), (_C_RE, ckpts)):
+            m = rx.fullmatch(name)
+            if m:
+                d[int(m.group(1))] = os.path.join(path, name)
+                break
+    return snaps, deltas, ckpts
+
+
+def _versioned_manifests(path: str) -> dict[int, str]:
+    """version → LEGACY full-snapshot path (pre-log-structured tables
+    only; new commits write delta records instead)."""
+    return _scan_artifacts(path)[0]
+
+
+def _list_versions(path: str) -> set[int]:
+    """Every version some retained artifact (legacy snapshot, delta
+    record, or checkpoint) can anchor."""
+    snaps, deltas, ckpts = _scan_artifacts(path)
+    return set(snaps) | set(deltas) | set(ckpts)
+
+
+def _read_json(p: str) -> dict:
+    with open(p) as fh:
+        return json.load(fh)
+
+
+# --- reconstructed-state cache --------------------------------------
+#
+# Versions are immutable once claimed, so (table path, version) →
+# reconstructed state memoizes safely within a process; "latest" is
+# always re-resolved from a directory listing.  Entries are shared
+# between cached states (append-only list semantics), which is why
+# ``load_manifest`` hands out per-call copies.
+from collections import OrderedDict as _OrderedDict
+
+_STATE_CACHE: "_OrderedDict[tuple[str, int], dict]" = _OrderedDict()
+_STATE_CACHE_MAX = 64
+_SIDECAR_CACHE: "_OrderedDict[str, dict]" = _OrderedDict()
+_SIDECAR_CACHE_MAX = 128
+
+
+def _invalidate_caches(path: str | None = None,
+                       below_version: int | None = None) -> None:
+    """Drop memoized states (and sidecar payloads) — required after an
+    operation DELETES versioned artifacts (vacuum, overwrite cleanup)
+    so an explicit read of a vacuumed version raises instead of
+    serving a cached ghost.  ``path=None`` clears everything (tests
+    that rewrite artifact files in place)."""
+    if path is None:
+        _STATE_CACHE.clear()
+        _SIDECAR_CACHE.clear()
+        return
+    key_path = os.path.abspath(path)
+    for k in [k for k in _STATE_CACHE
+              if k[0] == key_path
+              and (below_version is None or k[1] < below_version)]:
+        del _STATE_CACHE[k]
+    prefix = os.path.join(key_path, "")
+    for k in [k for k in _SIDECAR_CACHE if k.startswith(prefix)]:
+        del _SIDECAR_CACHE[k]
+
+
+def _load_sidecar(path: str, name: str) -> dict:
+    full = os.path.abspath(os.path.join(path, name))
+    hit = _SIDECAR_CACHE.get(full)
+    if hit is not None:
+        _SIDECAR_CACHE.move_to_end(full)
+        return hit
+    try:
+        payload = _read_json(full)
+    except FileNotFoundError:
+        raise ValueError(
+            f"sidecar payload file missing: {full} (vacuumed while "
+            "still referenced, or a partially-deleted table)")
+    _SIDECAR_CACHE[full] = payload
+    while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
+        _SIDECAR_CACHE.popitem(last=False)
+    return payload
+
+
+def _resolve_entry(path: str, entry: dict) -> dict:
+    """Inline a file entry's sidecar-referenced payloads (bloom
+    filters, deletion vectors) so every downstream consumer keeps
+    seeing ``entry["bloom"]`` / ``entry["dv"]`` exactly as before the
+    log-structured layout.  The REFS stay on the entry: checkpoint
+    writes strip the resolved payloads and keep the refs, so payload
+    bytes are written exactly once, at creation."""
+    br, dr = entry.get("bloomRef"), entry.get("dvRef")
+    if not br and not dr:
+        return entry
+    e = dict(entry)
+    if br:
+        bloom = dict(e.get("bloom") or {})
+        for col, (sc, key) in br.items():
+            if col not in bloom:
+                bloom[col] = _load_sidecar(path, sc)[key]
+        e["bloom"] = bloom
+    if dr and "dv" not in e:
+        sc, key = dr
+        e["dv"] = _load_sidecar(path, sc)[key]
+    return e
+
+
+def _strip_payloads(entry: dict) -> dict:
+    """The checkpoint/delta form of an entry: payloads that live in a
+    sidecar are carried by reference only."""
+    e = dict(entry)
+    if e.get("bloomRef"):
+        e.pop("bloom", None)
+    if e.get("dvRef"):
+        e.pop("dv", None)
+    return e
+
+
+def _entry_sidecars(files) -> set[str]:
+    """Sidecar basenames referenced by any entry (live or tombstoned —
+    time travel and CDC pre-images still read a dead entry's payloads)."""
+    out: set[str] = set()
+    for f in files:
+        br = f.get("bloomRef")
+        if br:
+            out |= {sc for sc, _ in br.values()}
+        dr = f.get("dvRef")
+        if dr:
+            out.add(dr[0])
     return out
+
+
+def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
+    """Replay one commit's delta record onto the prior state.  The
+    file list keeps append-only positions: tombstones flip ``dead`` in
+    place, DV advances update in place, new files append — the same
+    invariants the full-snapshot writer maintained (streaming offsets
+    index into this list)."""
+    if delta.get("truncate") or base is None:
+        files: list[dict] = []
+    else:
+        files = list(base["files"])
+    tomb = set(delta.get("tombstone") or ())
+    dvup = delta.get("dvUpdate") or {}
+    if tomb or dvup:
+        out = []
+        for f in files:
+            if f["path"] in tomb and not f.get("dead"):
+                f = dict(f, dead=True)
+            u = dvup.get(f["path"])
+            if u is not None and not f.get("dead"):
+                f = dict(f)
+                f.pop("dv", None)
+                f.pop("dvRef", None)
+                f.update(u)
+                f = _resolve_entry(path, f)
+            out.append(f)
+        files = out
+    files += [_resolve_entry(path, e) for e in delta.get("add") or ()]
+    return {"schema": delta["schema"], "version": delta["version"],
+            "files": files, "txn": delta.get("txn", {}),
+            "committedAt": delta.get("committedAt"),
+            "droppedCols": delta.get("droppedCols", {})}
+
+
+def _write_checkpoint(path: str, state: dict) -> None:
+    """Materialize a full state as ``checkpoint-v{N}.parquet``: one
+    ``state`` row (schema/txn/droppedCols/committedAt) plus one
+    ``file`` row per entry, payloads by sidecar reference.  Written to
+    a temp name then atomically renamed; checkpoints are derived data
+    (identical content from any writer of the same version), so a
+    race on the rename is harmless."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    head = {k: state.get(k) for k in
+            ("schema", "version", "txn", "droppedCols", "committedAt")}
+    kinds = ["state"] + ["file"] * len(state["files"])
+    payloads = [json.dumps(head)] + [
+        json.dumps(_strip_payloads(f)) for f in state["files"]]
+    tbl = pa.table({"kind": kinds, "payload": payloads})
+    dest = os.path.join(path, _checkpoint_file(state["version"]))
+    tmp = f"{dest}.{uuid.uuid4().hex}.tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, dest)
+
+
+def _read_checkpoint(path: str, full: str) -> dict:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(full)
+    head: dict | None = None
+    files: list[dict] = []
+    for kind, payload in zip(tbl.column("kind").to_pylist(),
+                             tbl.column("payload").to_pylist()):
+        if kind == "state":
+            head = json.loads(payload)
+        else:
+            files.append(_resolve_entry(path, json.loads(payload)))
+    if head is None:
+        raise ValueError(f"corrupt checkpoint (no state row): {full}")
+    head["files"] = files
+    head.setdefault("txn", {})
+    head.setdefault("droppedCols", {})
+    return head
+
+
+def _load_state(path: str, version: int) -> dict:
+    """Reconstruct the table state at ``version``: walk back from the
+    requested version to the nearest self-contained base (a truncating
+    delta, a checkpoint, a legacy full snapshot, or a footers-onboarded
+    ``manifest.json``), then replay the delta tail forward.  Bounded by
+    CHECKPOINT_EVERY commits of replay; every intermediate version is
+    memoized, so a CDC reader walking consecutive versions pays the
+    reconstruction once."""
+    path = os.path.abspath(path)
+    key = (path, version)
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        _STATE_CACHE.move_to_end(key)
+        return hit
+    snaps, deltas, ckpts = _scan_artifacts(path)
+    chain: list[dict] = []
+    v = version
+    state: dict | None = None
+    while True:
+        cached = _STATE_CACHE.get((path, v))
+        if cached is not None:
+            state = cached
+            break
+        if v in snaps:
+            state = _read_json(snaps[v])
+            state.setdefault("txn", {})
+            state.setdefault("droppedCols", {})
+            break
+        if v in ckpts:
+            state = _read_checkpoint(path, ckpts[v])
+            break
+        if v in deltas:
+            d = _read_json(deltas[v])
+            chain.append(d)
+            if d.get("truncate") or v == 0:
+                state = None
+                break
+            v -= 1
+            continue
+        legacy = os.path.join(path, MANIFEST_NAME)
+        if os.path.exists(legacy):
+            mj = _read_json(legacy)
+            if mj.get("version", 0) == v and "files" in mj:
+                mj.setdefault("txn", {})
+                mj.setdefault("droppedCols", {})
+                state = mj
+                break
+        raise ValueError(
+            f"manifest version {version} is not available under {path} "
+            f"(have {sorted(_list_versions(path))}); it was never "
+            "written or was vacuumed by a later overwrite")
+    for d in reversed(chain):
+        state = _apply_delta(path, state, d)
+        _STATE_CACHE[(path, d["version"])] = state
+    assert state is not None
+    _STATE_CACHE[key] = state
+    _STATE_CACHE.move_to_end(key)
+    while len(_STATE_CACHE) > _STATE_CACHE_MAX:
+        _STATE_CACHE.popitem(last=False)
+    return state
+
+
+def _latest_version(path: str) -> int | None:
+    vs = _list_versions(path)
+    return max(vs) if vs else None
+
+
+def _commit_info(path: str, version: int) -> dict | None:
+    """The commit's own delta record (change set + commit metadata),
+    or None for legacy/checkpoint-only versions."""
+    full = os.path.join(path, _delta_file(version))
+    try:
+        return _read_json(full)
+    except FileNotFoundError:
+        return None
+
+
+def _commit_time(path: str, version: int) -> float:
+    info = _commit_info(path, version)
+    if info is not None:
+        return info.get("committedAt", 0.0) or 0.0
+    return _load_state(path, version).get("committedAt", 0.0) or 0.0
 
 
 def load_manifest(path: str, version: int | None = None) -> dict:
     """Resolve a manifest-table directory (or a direct ``*.json`` path)
-    to a manifest dict.  ``version=None`` → latest: the highest
-    ``manifest-v*.json`` snapshot, falling back to the legacy
-    ``manifest.json`` for tables written before versioned snapshots.
-    An explicit ``version`` reads that snapshot (time travel) and
+    to a manifest dict.  ``version=None`` → latest (highest retained
+    delta/checkpoint/legacy-snapshot version, falling back to the
+    legacy ``manifest.json`` for footers-onboarded tables).  An
+    explicit ``version`` reconstructs that state (time travel) and
     raises ``ValueError`` if it is not available (never written, or
-    vacuumed by a later overwrite)."""
+    vacuumed by a later overwrite).  Returns a per-call copy (fresh
+    top-level dict and entry dicts) so callers may annotate it without
+    poisoning the shared state cache."""
     if path.endswith(".json"):
-        with open(path) as fh:
-            return json.load(fh)
-    snaps = _versioned_manifests(path)
-    if version is not None:
-        p = snaps.get(version)
-        if p is None:
-            raise ValueError(
-                f"manifest version {version} is not available under {path} "
-                f"(have {sorted(snaps)}); it was never written or was "
-                f"vacuumed by a later overwrite")
-        with open(p) as fh:
-            return json.load(fh)
-    if snaps:
-        with open(snaps[max(snaps)]) as fh:
-            return json.load(fh)
-    with open(os.path.join(path, MANIFEST_NAME)) as fh:
-        return json.load(fh)
+        return _read_json(path)
+    if version is None:
+        version = _latest_version(path)
+        if version is None:
+            return _read_json(os.path.join(path, MANIFEST_NAME))
+    st = _load_state(path, version)
+    return {"schema": st["schema"], "version": st["version"],
+            "files": [dict(f) for f in st["files"]],
+            "txn": dict(st.get("txn") or {}),
+            "committedAt": st.get("committedAt"),
+            "droppedCols": dict(st.get("droppedCols") or {})}
 
 
 #: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
@@ -253,6 +637,7 @@ def _dv_merge(entry: dict, positions) -> dict:
             f"({entry['rows']} rows)")
     mask[idx] = True
     out = dict(entry)
+    out.pop("dvRef", None)  # the prior vector's sidecar ref is stale
     out["dv"] = _dv_encode(mask)
     out["dvRows"] = int(mask.sum())
     out["dvGen"] = int(entry.get("dvGen", 0)) + 1
@@ -332,12 +717,9 @@ def resolve_version(path: str, options) -> int | None:
     if v is not None:
         raise ValueError("set versionAsOf OR timestampAsOf, not both")
     want = _parse_ts(str(ts))
-    snaps = _versioned_manifests(path)
     best = None
-    for ver in sorted(snaps):
-        with open(snaps[ver]) as fh:
-            at = json.load(fh).get("committedAt", 0.0)
-        if at <= want:
+    for ver in sorted(_list_versions(path)):
+        if _commit_time(path, ver) <= want:
             best = ver
     if best is None:
         raise ValueError(
@@ -667,10 +1049,14 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     (stats range → exact-key bisect → bloom probe) — a racing plain
     append that inserted one of the merged keys fails THIS commit with
     a serializable-conflict error instead of silently leaving two rows
-    for the key.  Remaining caveat (documented, same as Delta under
-    WriteSerializable): two concurrent PLAIN appends inserting the
-    same key carry no key summary and are not cross-checked — keyed
-    views should insert through MERGE, not bare appends.
+    for the key.  Plain appends into a keyed view can opt into the
+    same protection with the writer's ``appendKeys`` option (round
+    6): each opted-in append derives a key summary from its own
+    files' stats and fails at CAS time on a possible intersection
+    with files appended since its planning snapshot.  Without the
+    option the Delta-WriteSerializable residual remains (two
+    concurrent bare appends of the same key are not cross-checked) —
+    keyed views should insert through MERGE or opt in.
 
     100 TB shape: work is O(affected files + updates), never a scan of
     the table; the anti-join broadcasts the (CDC-batch-sized) key set.
@@ -856,12 +1242,25 @@ def overwrite_where(df, path: str, scope_col: str, lo, hi,
         out = kept.unionByName(df)
     else:
         out = df
-    (out.repartition(max(1, len(paths)))
-     .write.format("graft_manifest").mode("append")
-     .option("path", path).option("statCols", ",".join(stat_cols))
-     .option("replacePaths", json.dumps(paths))
-     .option("dvState", json.dumps(
-         {f["path"]: f.get("dvGen", 0) for f in affected})).save())
+    w = (out.repartition(max(1, len(paths)))
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", ",".join(stat_cols))
+         .option("replacePaths", json.dumps(paths))
+         .option("dvState", json.dumps(
+             {f["path"]: f.get("dvGen", 0) for f in affected})))
+    # scope-range conflict summary (round-6 ADVICE): a plain append of
+    # in-scope rows that lands between this backfill's planning and
+    # its commit would otherwise SURVIVE the "replace every row in
+    # [lo, hi]" commit — the table would hold both the replacement
+    # rows and the racer's in-scope rows.  Carrying the scope as a
+    # (col, lo, hi, readVersion) key summary makes the commit fail at
+    # CAS time when post-snapshot appended files have stats
+    # intersecting the scope (same ladder as _conflicting_added_files).
+    conflict = _conflict_option(m.get("version", 0), scope_col,
+                                {scope_col: (lo, hi)}, None)
+    if conflict is not None:
+        w = w.option("conflictKeys", conflict)
+    w.save()
     return load_manifest(path)
 
 
@@ -926,6 +1325,21 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
         F.col("_metadata.row_index").alias("__pos"), *key_cols)
         .join(F.broadcast(keys), key_cols, "semi")
         .select("__file", "__pos"))
+    # mask positions EARLIER DV commits already deleted (round-6
+    # ADVICE): the discovery scan reads raw bytes, so without this
+    # anti-join a key deleted twice re-collects its dead positions,
+    # counts them against max_dv_rows, and repeated erasure batches
+    # over overlapping keys can spuriously force the copy-on-write
+    # fallback — paying a rewrite for rows that are already dead
+    import numpy as np
+
+    already = [(os.path.basename(f["path"]), int(i))
+               for f in affected if f.get("dv")
+               for i in np.flatnonzero(_dv_decode(f["dv"], f["rows"]))]
+    if already:
+        excl = spark.createDataFrame(already, "__file string, __pos long")
+        hits = hits.join(F.broadcast(excl), ["__file", "__pos"],
+                         "left_anti")
     rows = hits.limit(max_dv_rows + 1).collect()
     if len(rows) > max_dv_rows:
         # too many positions for a healthy mask: pay the rewrite
@@ -939,7 +1353,6 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
     touched = {f["path"]: f.get("dvGen", 0) for f in affected
                if os.path.basename(f["path"]) in by_file}
     conflict = _conflict_option(rv, key_cols[0], bounds, keys_sorted)
-    commit_id = uuid.uuid4().hex
     while True:
         prev = load_manifest(path)
         if txn is not None:
@@ -964,35 +1377,43 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
                     f"keys: {sorted(clash)}; re-run against the "
                     "current table version")
         target = prev.get("version", 0) + 1
-        files = [(_dv_merge(f, by_file[os.path.basename(f["path"])])
-                  if not f.get("dead") and f["path"] in touched
-                  else f) for f in prev["files"]]
+        # new vectors are a pure-metadata change: payload bytes go to
+        # one per-commit sidecar, the delta record carries {path →
+        # (dvRef, dvRows, dvGen)} — O(touched files), never the table
+        sidecar_name = _sidecar_file(uuid.uuid4().hex)
+        payloads: dict[str, str] = {}
+        dv_update: dict[str, dict] = {}
+        for f in prev["files"]:
+            if f.get("dead") or f["path"] not in touched:
+                continue
+            merged = _dv_merge(f, by_file[os.path.basename(f["path"])])
+            key = f"dv:{os.path.basename(f['path'])}:{merged['dvGen']}"
+            payloads[key] = merged["dv"]
+            dv_update[f["path"]] = {"dvRef": [sidecar_name, key],
+                                    "dvRows": merged["dvRows"],
+                                    "dvGen": merged["dvGen"]}
         txn_map = dict(prev.get("txn", {}))
         if txn is not None:
             txn_map[txn[0]] = txn[1]
-        manifest = {"schema": prev["schema"], "version": target,
-                    "files": files, "txn": txn_map,
-                    "committedAt": _time.time(),
-                    "droppedCols": dict(prev.get("droppedCols", {}))}
-        vpath = os.path.join(path, _manifest_file(target))
-        link_tmp = os.path.join(
-            path, f".{_manifest_file(target)}.{commit_id}.tmp")
-        with open(link_tmp, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(link_tmp, vpath)
-        except FileExistsError:
-            os.remove(link_tmp)
-            continue  # lost the claim: re-read latest and re-validate
-        os.remove(link_tmp)
-        break
-    snaps = _versioned_manifests(path)
-    if snaps and max(snaps) == target:
-        tmp = os.path.join(path, f".{MANIFEST_NAME}.{commit_id}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(path, MANIFEST_NAME))
-    return manifest
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": txn_map,
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "committedAt": _time.time(),
+                 "dvUpdate": dv_update}
+        if conflict is not None:
+            delta["keySummary"] = json.loads(conflict)
+        sidecar_full = os.path.join(path, sidecar_name)
+        with open(sidecar_full, "w") as fh:
+            json.dump(payloads, fh)
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+        os.remove(sidecar_full)  # lost the claim: re-read and re-plan
+    if target % CHECKPOINT_EVERY == 0:
+        import contextlib
+
+        with contextlib.suppress(OSError, ValueError):
+            _write_checkpoint(path, _load_state(path, target))
+    return load_manifest(path, target)
 
 
 def compact_manifest(spark, path: str, stat_cols: list[str],
@@ -1122,6 +1543,22 @@ def manifest_changes_incremental(spark, path: str, from_version: int,
     m_from = load_manifest(path, from_version)
     m_to = load_manifest(path, to_version) if to_version is not None \
         else load_manifest(path)
+    # append-only prefix invariant (round-6 ADVICE): the file-set-diff
+    # argument above assumes every commit EXTENDS the file list.  An
+    # overwrite inside the window (reachable when its cleanup was
+    # interrupted and pre-overwrite snapshots survive) breaks it —
+    # data file names are commit-unique, so the endpoint lists can
+    # only disagree positionally if history was rewritten; refuse
+    # rather than emit a garbled diff.
+    if len(m_to["files"]) < len(m_from["files"]) or any(
+            cf["path"] != pf["path"]
+            for pf, cf in zip(m_from["files"], m_to["files"])):
+        raise ValueError(
+            "non-append commit inside the changefeed window: version "
+            f"{m_to.get('version')} does not extend version "
+            f"{from_version}'s file list (an overwrite rewrote "
+            "history); diff from the overwrite version forward, or "
+            "re-seed from a snapshot read")
     # live identity = (path, dvGen): a deletion-vector commit changes
     # a file's LIVE ROWS without moving its path, so a file whose
     # vector advanced inside the window appears on BOTH sides — old
@@ -1150,48 +1587,83 @@ def manifest_changes_incremental(spark, path: str, from_version: int,
 
 
 def vacuum_manifest(path: str, keep_versions: int = 1,
-                    min_age_seconds: float = 0.0) -> dict:
-    """Retention cleanup: keep the newest ``keep_versions`` manifest
-    snapshots, delete older snapshots plus every data file no kept
-    snapshot references (merge/compaction tombstones past retention,
-    abandoned staging files from crashed writers).  The newest
-    snapshot is never touched, so readers of the current version are
-    unaffected; time travel contracts to the kept window — the same
-    trade VACUUM makes in any table format.  Pure O(files) driver
+                    min_age_seconds: float = 3600.0) -> dict:
+    """Retention cleanup over the log-structured metadata: keep the
+    newest ``keep_versions`` versions, delete the metadata artifacts
+    below the retention floor (legacy snapshots, delta records,
+    checkpoints), every data file no kept version reads live
+    (merge/compaction tombstones past retention, abandoned staging
+    files from crashed writers), and every payload sidecar no kept
+    version references.  Before anything below the floor is deleted,
+    the floor version is anchored with a parquet CHECKPOINT unless a
+    self-contained artifact (checkpoint, legacy snapshot, truncating
+    delta) already holds it — so every kept version stays
+    reconstructible from checkpoint + delta tail.  The newest version
+    is never touched; time travel contracts to the kept window — the
+    same trade VACUUM makes in any table format.  Pure O(files) driver
     metadata work.  Returns
     ``{"removed_files": [...], "removed_manifests": [...]}``.
 
     ``min_age_seconds`` is the in-flight-writer guard (the retention
-    check table formats run by default): a data/staging file younger
-    than the window is SKIPPED even when unreferenced, because it may
-    belong to a commit between data-file publish and manifest claim —
-    deleting it would destroy that in-flight commit.  The default 0
-    keeps vacuum deterministic for single-writer tests; any deployment
-    with concurrent writers should pass an age comfortably above the
-    longest commit (Delta's equivalent default is 7 days)."""
+    check table formats run by default): a data/staging/sidecar file
+    younger than the window is SKIPPED even when unreferenced, because
+    it may belong to a commit between file publish and delta claim —
+    deleting it would destroy that in-flight commit.  The default
+    (1 hour) keeps the guard ON unless explicitly disabled with 0 —
+    table formats default to a positive retention precisely because
+    callers don't think about racing writers (Delta's equivalent
+    default is 7 days)."""
     import time
 
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     cutoff = time.time() - min_age_seconds
-    snaps = _versioned_manifests(path)
-    if not snaps:
+    versions = sorted(_list_versions(path))
+    if not versions:
         return {"removed_files": [], "removed_manifests": []}
-    kept = sorted(snaps)[-keep_versions:]
-    # a file is protected iff some KEPT version reads it LIVE — an
-    # entry tombstoned in every kept snapshot is retention-expired
-    # even though its path still occupies its list position
+    kept = versions[-keep_versions:]
+    floor = kept[0]
+    snaps, deltas, ckpts = _scan_artifacts(path)
+    floor_selfcontained = floor in snaps or floor in ckpts
+    if not floor_selfcontained and floor in deltas:
+        floor_selfcontained = bool(
+            _read_json(deltas[floor]).get("truncate"))
+    if not floor_selfcontained:
+        _write_checkpoint(path, _load_state(path, floor))
+        ckpts[floor] = os.path.join(path, _checkpoint_file(floor))
+    # a data file is protected iff some KEPT version reads it LIVE —
+    # an entry tombstoned in every kept version is retention-expired
+    # even though its path still occupies its list position.  A
+    # sidecar is protected iff ANY kept version's entry (live or
+    # dead) references it.
     referenced: set[str] = set()
+    kept_sidecars: set[str] = set()
     for v in kept:
-        with open(snaps[v]) as fh:
-            m = json.load(fh)
-        referenced |= {f["path"] for f in m["files"] if not f.get("dead")}
+        st = _load_state(path, v)
+        referenced |= {f["path"] for f in st["files"]
+                       if not f.get("dead")}
+        kept_sidecars |= _entry_sidecars(st["files"])
     removed_files: list[str] = []
     removed_manifests: list[str] = []
+
+    def drop_artifact(p: str) -> None:
+        os.remove(p)
+        removed_manifests.append(p)
+
     for v, p in snaps.items():
         if v not in kept:
-            os.remove(p)
-            removed_manifests.append(p)
+            drop_artifact(p)
+    for v, p in ckpts.items():
+        if v < floor:
+            drop_artifact(p)
+    for v, p in deltas.items():
+        if v < floor:
+            drop_artifact(p)
+        elif v == floor and (floor in snaps or floor in ckpts):
+            # the floor's own delta is redundant once a self-contained
+            # artifact anchors it (and its base is gone anyway)
+            drop_artifact(p)
+
     def young(full: str) -> bool:
         if min_age_seconds <= 0:
             return False
@@ -1202,6 +1674,8 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
 
     for name in sorted(os.listdir(path)):
         full = os.path.join(path, name)
+        if _C_RE.fullmatch(name):
+            continue  # checkpoints are metadata, handled above
         if name.endswith(".parquet") and full not in referenced:
             if young(full):
                 continue  # possibly published-but-unclaimed: retained
@@ -1212,6 +1686,13 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
                 continue  # possibly a live writer's staging file
             os.remove(full)
             removed_files.append(full)
+        elif (name.startswith("payload-") and name.endswith(".json")
+                and name not in kept_sidecars):
+            if young(full):
+                continue  # possibly an in-flight commit's payloads
+            os.remove(full)
+            removed_files.append(full)
+    _invalidate_caches(path, below_version=floor)
     return {"removed_files": removed_files,
             "removed_manifests": removed_manifests}
 
@@ -1227,7 +1708,6 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
     and a by-name read would resurrect them — lifting that refusal is
     exactly what physical column mapping (Delta's columnMapping /
     Iceberg field ids) exists for."""
-    commit_id = uuid.uuid4().hex
     while True:
         prev = load_manifest(path)
         st = StructType.fromJson(json.loads(prev["schema"]))
@@ -1242,31 +1722,23 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
         dropped[col] = target
         import time as _time
 
-        manifest = {
+        # pure-metadata commit: the delta carries the narrowed schema
+        # and the drop registry; the file list is untouched (no add,
+        # no tombstone) — O(1) metadata regardless of table size
+        delta = {
+            "version": target,
             "schema": StructType(
                 [f for f in st.fields if f.name != col]).json(),
-            "version": target, "files": prev["files"],
             "txn": dict(prev.get("txn", {})),
             "committedAt": _time.time(), "droppedCols": dropped}
-        vpath = os.path.join(path, _manifest_file(target))
-        link_tmp = os.path.join(
-            path, f".{_manifest_file(target)}.{commit_id}.tmp")
-        with open(link_tmp, "w") as fh:
-            json.dump(manifest, fh)
-        try:
-            os.link(link_tmp, vpath)
-        except FileExistsError:
-            os.remove(link_tmp)
-            continue  # lost the claim: re-read latest and re-derive
-        os.remove(link_tmp)
-        break
-    snaps = _versioned_manifests(path)
-    if snaps and max(snaps) == target:
-        tmp = os.path.join(path, f".{MANIFEST_NAME}.{commit_id}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(path, MANIFEST_NAME))
-    return manifest
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    if target % CHECKPOINT_EVERY == 0:
+        import contextlib
+
+        with contextlib.suppress(OSError, ValueError):
+            _write_checkpoint(path, _load_state(path, target))
+    return load_manifest(path, target)
 
 
 def manifest_history(path: str) -> list[dict]:
@@ -1276,9 +1748,8 @@ def manifest_history(path: str) -> list[dict]:
     deletion vectors), DV-masked rows, and the commit-time stamp.
     O(versions × manifest) driver metadata; no data file is opened."""
     out = []
-    for v, p in sorted(_versioned_manifests(path).items()):
-        with open(p) as fh:
-            m = json.load(fh)
+    for v in sorted(_list_versions(path)):
+        m = _load_state(path, v)
         live = [f for f in m["files"] if not f.get("dead")]
         out.append({
             "version": v,
@@ -1304,10 +1775,17 @@ def fsck_manifest(path: str) -> dict:
     "row_mismatches", "orphan_files", "bad_dv", "ok"}``."""
     import pyarrow.parquet as pq
 
-    m = load_manifest(path)
     missing: list[str] = []
     mismatches: list[tuple] = []
     bad_dv: list[str] = []
+    try:
+        m = load_manifest(path)
+    except ValueError as exc:
+        # unreconstructible latest (e.g. a sidecar payload deleted
+        # while still referenced): report instead of raising — fsck's
+        # job is to SURFACE the damage
+        return {"missing_files": [str(exc)], "row_mismatches": [],
+                "orphan_files": [], "bad_dv": [], "ok": False}
     for f in m["files"]:
         if f.get("dead"):
             continue
@@ -1331,12 +1809,16 @@ def fsck_manifest(path: str) -> dict:
                 # the file's row count — a corrupt vector
                 bad_dv.append(f["path"])
     referenced: set[str] = set()
-    for p in _versioned_manifests(path).values():
-        with open(p) as fh:
-            referenced |= {x["path"] for x in json.load(fh)["files"]}
+    for v in sorted(_list_versions(path)):
+        try:
+            referenced |= {x["path"]
+                           for x in _load_state(path, v)["files"]}
+        except ValueError as exc:
+            missing.append(str(exc))
     orphans = [os.path.join(path, name)
                for name in sorted(os.listdir(path))
                if name.endswith(".parquet")
+               and not _C_RE.fullmatch(name)
                and os.path.join(path, name) not in referenced]
     return {"missing_files": missing, "row_mismatches": mismatches,
             "orphan_files": orphans, "bad_dv": bad_dv,
@@ -1442,6 +1924,30 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._conflict = json.loads(ck) if ck else None
         if self._conflict is not None and overwrite:
             raise ValueError("conflictKeys requires append mode")
+        # appendKeys (append mode, opt-in): key columns of a PLAIN
+        # append into a keyed view.  The commit derives a key summary
+        # from its own files' stats (read version = planning-time
+        # latest) and fails at CAS time if a racing commit appended
+        # files that may contain the same keys — closing the
+        # WriteSerializable residual where two concurrent plain
+        # appends insert the same key with no signal.  Both racing
+        # writers must opt in: whichever commits SECOND fails.  The
+        # first key column must be in statCols (detection reasons
+        # from its min/max stats; a bloomCols entry sharpens it).
+        akraw = options.get("appendkeys") or ""
+        self._append_keys = [c for c in akraw.split(",") if c]
+        if self._append_keys and overwrite:
+            raise ValueError("appendKeys requires append mode")
+        if self._append_keys and self._replace:
+            raise ValueError(
+                "appendKeys is for plain appends; keyed rewrites carry "
+                "conflictKeys")
+        if (self._append_keys
+                and self._append_keys[0] not in self._stat_cols):
+            raise ValueError(
+                f"appendKeys column {self._append_keys[0]!r} must be "
+                "in statCols — conflict detection reasons from its "
+                "per-file min/max stats")
         # constraints: write-time data contracts (JSON list of
         # {"col", "notNull", "min", "max"}) evaluated VECTORIZED in
         # the same pass that builds stats — a violating batch fails
@@ -1461,6 +1967,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 "version", 0) + 1
         except (FileNotFoundError, ValueError):
             self._name_version = 0
+        # the appendKeys conflict window starts at the table version
+        # visible when this write was planned
+        self._read_version = self._name_version - 1
 
     def write(self, iterator) -> WriterCommitMessage | None:
         import pyarrow as pa
@@ -1567,27 +2076,78 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             return
         for m in msgs:
             os.replace(m.tmp_path, m.final_path)
-        new_files = [
-            {"path": m.final_path, "rows": m.rows, "stats": m.stats,
-             **({"bloom": m.bloom} if getattr(m, "bloom", None) else {})}
-            for m in sorted(msgs, key=lambda m: m.final_path)]
+        # Bloom payloads go to ONE per-commit sidecar file; the commit
+        # record and every future checkpoint carry only references —
+        # payload bytes are written exactly once, at file creation,
+        # never re-copied by later commits (the log-structured
+        # metadata contract).
+        sidecar_name = _sidecar_file(uuid.uuid4().hex)
+        payloads: dict[str, str] = {}
+        new_files = []
+        for m in sorted(msgs, key=lambda m: m.final_path):
+            entry = {"path": m.final_path, "rows": m.rows,
+                     "stats": m.stats}
+            bloom = getattr(m, "bloom", None)
+            if bloom:
+                ref = {}
+                for col, enc in bloom.items():
+                    key = f"{os.path.basename(m.final_path)}:{col}"
+                    payloads[key] = enc
+                    ref[col] = [sidecar_name, key]
+                entry["bloomRef"] = ref
+            new_files.append(entry)
         os.makedirs(self._path, exist_ok=True)
+        sidecar_full = os.path.join(self._path, sidecar_name)
+        if payloads:
+            # fully written BEFORE the claim: the instant the delta
+            # record becomes visible, its references must resolve
+            with open(sidecar_full, "w") as fh:
+                json.dump(payloads, fh)
+
         # --- optimistic-concurrency CAS loop ---------------------------
-        # compose the next version from the CURRENT latest (not the
-        # planning-time state), claim its snapshot file atomically, and
-        # on conflict rebase + retry: concurrent appends both land,
-        # never a lost update
+        # compose the next version's DELTA RECORD from the CURRENT
+        # latest (not the planning-time state), claim
+        # ``delta-v{N}.json`` atomically, and on conflict rebase +
+        # retry: concurrent appends both land, never a lost update.
+        # The record is O(this commit's change set) — a 1-file append
+        # to a million-file table writes one small JSON, not the table
+        # metadata.
         stale_files: list[str] = []
-        stale_manifests: list[str] = []
+        stale_artifacts: list[str] = []
+        stale_sidecars: set[str] = set()
+        # appendKeys: derive this commit's key summary from its own
+        # files' stats — (col, lo, hi) over the first key column,
+        # windowed from the planning-time read version
+        append_summary = None
+        if self._append_keys:
+            col = self._append_keys[0]
+            lo = hi = None
+            for f in new_files:
+                s = f["stats"].get(col)
+                if s is None:
+                    continue
+                lo = s["min"] if lo is None else min(lo, s["min"])
+                hi = s["max"] if hi is None else max(hi, s["max"])
+            payload = {"readVersion": self._read_version, "col": col,
+                       "lo": lo, "hi": hi, "keys": None}
+            try:
+                append_summary = json.loads(json.dumps(payload))
+            except TypeError:
+                append_summary = None  # non-portable stats: no guard
+
+        def unpublish() -> None:
+            for f in new_files:
+                if os.path.exists(f["path"]):
+                    os.remove(f["path"])
+            if payloads and os.path.exists(sidecar_full):
+                os.remove(sidecar_full)
 
         def fail(msg: str) -> None:
             # every refusal path must unpublish this commit's data
             # files first — they were already renamed into place, and
             # raising without cleanup would leak orphan parquet into
             # the table directory until a vacuum
-            for f in new_files:
-                if os.path.exists(f["path"]):
-                    os.remove(f["path"])
+            unpublish()
             raise ValueError(msg)
 
         while True:
@@ -1596,23 +2156,26 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 # a concurrent replay of the same (app, batch) won the
                 # race — our published files belong to no manifest;
                 # remove them and no-op
-                for f in new_files:
-                    if os.path.exists(f["path"]):
-                        os.remove(f["path"])
+                unpublish()
                 return
             target = 0 if prev is None else prev.get("version", 0) + 1
             txn = dict((prev or {}).get("txn", {}))
             if self._txn_app is not None:
                 txn[self._txn_app] = self._txn_ver
-            if self._overwrite or prev is None:
+            truncate = bool(self._overwrite or prev is None)
+            tombstoned: list[str] = []
+            if truncate:
                 if self._replace:
                     fail("replacePaths requires an existing table")
-                files = list(new_files)
                 schema_json = self._schema_json
                 stale_files = [f["path"] for f in (prev or {}).get(
                     "files", [])]
-                stale_manifests = list(
-                    _versioned_manifests(self._path).values())
+                snaps, deltas, ckpts = _scan_artifacts(self._path)
+                stale_artifacts = (list(snaps.values())
+                                   + list(deltas.values())
+                                   + list(ckpts.values()))
+                stale_sidecars = (_entry_sidecars((prev or {}).get(
+                    "files", [])) - {sidecar_name})
             else:
                 # append: the manifest file list is an append-only log —
                 # prior entries keep their positions (the streaming
@@ -1645,9 +2208,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                             fail("concurrent modification: deletion "
                                  f"vector changed on {moved}; re-run "
                                  "against the current table version")
-                    prior = [dict(f, dead=True)
-                             if f["path"] in self._replace else f
-                             for f in prior]
+                    tombstoned = sorted(self._replace)
                 if self._conflict is not None:
                     clash = _conflicting_added_files(
                         self._path, prev, self._conflict)
@@ -1662,65 +2223,88 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                              f"this commit's keys: {sorted(clash)}; "
                              "re-run the merge against the current "
                              "table version")
+                if append_summary is not None:
+                    clash = _conflicting_added_files(
+                        self._path, prev, append_summary)
+                    if clash:
+                        # append-vs-append on a keyed view: a racing
+                        # commit since our planning snapshot appended
+                        # files whose key range may intersect ours —
+                        # committing on top could leave duplicate keys
+                        fail("serializable conflict (appendKeys): "
+                             "concurrent commit(s) appended files "
+                             "whose key range may intersect this "
+                             f"append's: {sorted(clash)}; re-run "
+                             "against the current table version")
                 try:
                     schema_json = _merged_schema_json(
                         prev["schema"], self._schema,
                         prev.get("droppedCols"))
                 except ValueError as exc:
                     fail(str(exc))
-                files = prior + new_files
                 stale_files = []
-                stale_manifests = []
+                stale_artifacts = []
+                stale_sidecars = set()
             import time as _time
 
             # drop-name registry carries forward on append (the
             # re-add refusal must survive later commits); an
             # overwrite replaces the table AND vacuums its files, so
             # resurrection is impossible and the registry resets
-            dropped = ({} if (self._overwrite or prev is None)
+            dropped = ({} if truncate
                        else dict(prev.get("droppedCols", {})))
-            manifest = {"schema": schema_json, "version": target,
-                        "files": files, "txn": txn,
-                        "committedAt": _time.time(),
-                        "droppedCols": dropped}
-            vpath = os.path.join(self._path, _manifest_file(target))
-            # put-if-absent: write the snapshot fully to a private tmp,
-            # then hard-link it to the versioned name — link fails
-            # atomically if another writer claimed this version, and a
-            # reader can never observe a partially written snapshot
-            link_tmp = os.path.join(
-                self._path, f".{_manifest_file(target)}.{self._commit_id}.tmp")
-            with open(link_tmp, "w") as fh:
-                json.dump(manifest, fh)
-            try:
-                os.link(link_tmp, vpath)
-            except FileExistsError:
-                os.remove(link_tmp)
-                continue  # lost the claim: re-read latest and rebase
-            os.remove(link_tmp)
+            delta = {"version": target, "schema": schema_json,
+                     "txn": txn, "droppedCols": dropped,
+                     "committedAt": _time.time(),
+                     "add": new_files}
+            if truncate:
+                delta["truncate"] = True
+            if tombstoned:
+                delta["tombstone"] = tombstoned
+            if self._conflict is not None:
+                delta["keySummary"] = self._conflict
+            elif append_summary is not None:
+                delta["keySummary"] = append_summary
+            # put-if-absent claim of delta-v{N}.json (backend-pluggable:
+            # POSIX link locally, conditional PUT on an object store) —
+            # losing the claim means another writer landed this version
+            # first; re-read latest and rebase
+            if not _claim(self._path, _delta_file(target),
+                          json.dumps(delta)):
+                continue
             break
         # --- post-publish conveniences (crash-safe to skip) ------------
-        # legacy latest pointer: only refresh if we are still the
-        # highest version (a concurrent writer may already be past us)
-        snaps = _versioned_manifests(self._path)
-        if snaps and max(snaps) == target:
-            tmp_manifest = os.path.join(
-                self._path, f".{MANIFEST_NAME}.{self._commit_id}.tmp")
-            with open(tmp_manifest, "w") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp_manifest, os.path.join(self._path, MANIFEST_NAME))
-        # overwrite vacuums the superseded version's files and manifest
-        # snapshots only AFTER the publish (retention 0; the time-travel
-        # window restarts at the last overwrite).  A crash anywhere
-        # above leaves the old version fully intact.
-        live = {f["path"] for f in manifest["files"]}
-        for path in stale_files:
-            if path not in live and os.path.exists(path):
-                os.remove(path)
-        for mpath in stale_manifests:
-            if os.path.basename(mpath) != _manifest_file(target) \
-                    and os.path.exists(mpath):
-                os.remove(mpath)
+        # periodic checkpoint: bound the delta-replay tail for readers;
+        # derived data, so best-effort (the next eligible commit or a
+        # vacuum writes it otherwise)
+        if target > 0 and target % CHECKPOINT_EVERY == 0:
+            import contextlib
+
+            with contextlib.suppress(OSError, ValueError):
+                _write_checkpoint(self._path,
+                                  _load_state(self._path, target))
+        # overwrite vacuums the superseded version's files, metadata
+        # artifacts, and now-unreferenced payload sidecars only AFTER
+        # the publish (retention 0; the time-travel window restarts at
+        # the last overwrite).  A crash anywhere above leaves the old
+        # version fully intact.
+        if truncate:
+            live = {f["path"] for f in new_files}
+            for path in stale_files:
+                if path not in live and os.path.exists(path):
+                    os.remove(path)
+            for apath in stale_artifacts:
+                if os.path.basename(apath) != _delta_file(target) \
+                        and os.path.exists(apath):
+                    os.remove(apath)
+            for sc in stale_sidecars:
+                full = os.path.join(self._path, sc)
+                if os.path.exists(full):
+                    os.remove(full)
+            legacy = os.path.join(self._path, MANIFEST_NAME)
+            if os.path.exists(legacy):
+                os.remove(legacy)
+            _invalidate_caches(self._path, below_version=target)
         # sweep THIS commit's dead staging files only (failed or
         # speculative attempts return no commit message, so nothing
         # else removes them).  Another writer's in-flight staging files
@@ -1876,10 +2460,24 @@ class ManifestStreamReader(DataSourceStreamReader):
     Requires append-mode writes: an overwrite rewrites history and
     invalidates outstanding offsets (same contract as any log-tailing
     source over a truncated log).
+
+    Rewrite commits FAIL the stream by default (round 6): a
+    merge/compaction commit appends its rewrite output past offsets
+    the stream already consumed, so tailing across it would RE-EMIT
+    every row it copied unchanged (and never emit its deletes) —
+    silent duplicates downstream.  The safe default is to raise,
+    pointing at the CDC stream (``readChangeFeed``); callers that
+    accept duplicate semantics opt in with
+    ``option("ignoreChanges", "true")`` — Delta's exact source
+    contract.  Pure deletion-vector commits stay allowed: they
+    re-emit nothing (newly-planned files are read through their
+    CURRENT vector; prior emissions are simply never retracted).
     """
 
     def __init__(self, options):
         self._path = _require_path(options)
+        self._ignore_changes = str(options.get("ignorechanges", "")
+                                   ).lower() in ("true", "1")
         # the stream's schema is FIXED at query start (Spark cannot
         # change a stream's schema mid-query); every batch aligns its
         # files to THIS schema, not the manifest's latest — otherwise
@@ -1894,31 +2492,74 @@ class ManifestStreamReader(DataSourceStreamReader):
         return load_manifest(self._path)
 
     def initialOffset(self) -> dict:
-        return {"index": 0}
+        return {"index": 0, "version": -1}
 
     def latestOffset(self) -> dict:
-        return {"index": len(self._manifest()["files"])}
+        m = self._manifest()
+        return {"index": len(m["files"]), "version": m.get("version", 0)}
+
+    def _guard_rewrites(self, m: dict, start_index: int,
+                        start_version: int, end_version: int) -> None:
+        """Raise if a commit in (start_version, end_version] tombstoned
+        a file at an index this stream ALREADY CONSUMED (< start_index)
+        — the duplicate-leak case — or truncated history outright.
+        Tombstones at indexes ≥ start_index are harmless: the dead
+        entry plans no partition, so only its replacement is read,
+        exactly once.  Commit change sets come from the delta records
+        (O(1) per commit); legacy full-snapshot versions diff the two
+        adjacent states."""
+        consumed = {f["path"]: i
+                    for i, f in enumerate(m["files"][:start_index])}
+
+        def refuse(v: int, what: str) -> None:
+            raise ValueError(
+                f"manifest version {v} is a {what} commit: tailing "
+                "past it would re-emit rows this stream already "
+                "consumed as duplicates (and never emit its deletes). "
+                "Use the change-data-feed stream "
+                "(option('readChangeFeed', 'true') with keyCols), or "
+                "accept duplicate semantics explicitly with "
+                "option('ignoreChanges', 'true')")
+
+        for v in range(start_version + 1, end_version + 1):
+            info = _commit_info(self._path, v)
+            if info is not None:
+                if info.get("truncate"):
+                    refuse(v, "history-truncating (overwrite)")
+                if any(p in consumed
+                       for p in info.get("tombstone") or ()):
+                    refuse(v, "rewrite (merge/delete/compaction)")
+                continue
+            # legacy version without a delta record: diff the states
+            try:
+                prev_f = _load_state(self._path, v - 1)["files"]
+                cur_f = _load_state(self._path, v)["files"]
+            except ValueError:
+                continue  # history below retention: nothing to check
+            if len(cur_f) < len(prev_f):
+                refuse(v, "history-truncating (overwrite)")
+            for pf, cf in zip(prev_f[:start_index], cur_f[:start_index]):
+                if not pf.get("dead") and cf.get("dead"):
+                    refuse(v, "rewrite (merge/delete/compaction)")
 
     def partitions(self, start: dict, end: dict):
         # offsets index into the RAW list (tombstones keep their
-        # positions); dead entries plan no partition.  Log-tailing
-        # caveat: a merge/compaction commit APPENDS its rewrite output
-        # past old offsets, so every row it copied unchanged from a
-        # replaced file IS RE-EMITTED downstream as a duplicate, and
-        # its deletes are never emitted — streaming a table that
-        # receives updates needs the CDC stream
-        # (``option("readChangeFeed", "true")`` →
-        # ManifestCDCStreamReader), which diffs each commit instead of
-        # tailing raw files.  This raw tail matches Delta's source
-        # under ignoreChanges: append-only tables stream exactly-once,
-        # rewrites leak duplicates.
+        # positions); dead entries plan no partition.  A rewrite
+        # commit behind already-consumed offsets fails the stream
+        # unless ignoreChanges opted into duplicate semantics — see
+        # the class docstring and _guard_rewrites.
         m = self._manifest()
-        files = m["files"][start["index"]:end["index"]]
+        s_i = start["index"]
+        s_v, e_v = start.get("version"), end.get("version")
+        if (s_i > 0 and not self._ignore_changes
+                and s_v is not None and e_v is not None and e_v > s_v):
+            self._guard_rewrites(m, s_i, s_v, e_v)
+        files = m["files"][s_i:end["index"]]
         # a file's CURRENT deletion vector applies: a fresh consumer
         # starting behind a DV commit should not receive rows already
         # deleted (a consumer that read the file BEFORE the DV landed
-        # keeps them — DV deletes are never retracted by the raw tail,
-        # same as merge rewrites; the CDC stream emits them)
+        # keeps them — DV deletes are never retracted by the raw tail;
+        # the CDC stream emits them)
         return [_FilePartition(f["path"], self._schema_json, f.get("dv"))
                 for f in files if not f.get("dead")]
 
@@ -2144,6 +2785,23 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         cur = load_manifest(self._path, v)
         prev_files = (load_manifest(self._path, v - 1)["files"]
                       if v > 0 else [])
+        # append-only prefix invariant (round-6 ADVICE): every commit
+        # must EXTEND the prior file list (tombstone/DV flips in
+        # place).  A non-append commit in the window — an overwrite
+        # that reset the list (reachable when its post-publish cleanup
+        # was interrupted, leaving pre-overwrite snapshots behind) —
+        # would mis-pair the positional zip below and emit a silently
+        # garbled change set; detect and refuse instead.
+        if len(cur["files"]) < len(prev_files) or any(
+                cf["path"] != pf["path"]
+                for pf, cf in zip(prev_files, cur["files"])):
+            raise ValueError(
+                f"non-append commit inside the CDC window: manifest "
+                f"version {v} does not extend version {v - 1}'s file "
+                "list (an overwrite rewrote history).  The change "
+                "feed cannot diff across it — restart the stream "
+                f"with startingVersion={v + 1} (or re-seed the "
+                "consumer from a snapshot read)")
         appended = cur["files"][len(prev_files):]
         flip_entries = [pf for pf, cf in zip(prev_files, cur["files"])
                         if not pf.get("dead") and cf.get("dead")]
@@ -2218,9 +2876,16 @@ class ManifestDataSource(DataSource):
     ``dvState`` = the rewrite planner's {path: dvGen} view, failed on
     mismatch so copy-on-write rewrites cannot resurrect a racing
     deletion-vector commit's rows),
+    ``appendKeys`` (opt-in append-vs-append serializable conflict
+    check for plain appends into keyed views — fails at CAS time on a
+    possible key intersection with commits since the planning
+    snapshot),
     ``readChangeFeed`` + ``keyCols`` + ``startingVersion`` +
     ``updatePreimages`` (CDC streaming — ``readStream`` emits
-    row-level changes per commit instead of tailing raw files).
+    row-level changes per commit instead of tailing raw files),
+    ``ignoreChanges`` (raw-tail streaming only: opt into Delta-style
+    duplicate semantics across rewrite commits instead of the
+    default fail-fast).
     """
 
     @classmethod

@@ -42,7 +42,7 @@ import os
 import re
 import uuid
 
-from .manifest_source import _versioned_manifests, load_manifest
+from .manifest_source import _claim, _list_versions, load_manifest
 
 _G_RE = re.compile(r"group-v(\d{8})\.json")
 
@@ -86,20 +86,10 @@ def load_group(path: str, version: int | None = None) -> dict:
 
 def _publish(path: str, group: dict) -> bool:
     """Put-if-absent claim of ``group-v{N}`` — True on success, False
-    if another committer claimed that version first (caller rebases)."""
-    os.makedirs(path, exist_ok=True)
-    vpath = os.path.join(path, _group_file(group["version"]))
-    tmp = os.path.join(
-        path, f".{_group_file(group['version'])}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(group, fh)
-    try:
-        os.link(tmp, vpath)
-    except FileExistsError:
-        os.remove(tmp)
-        return False
-    os.remove(tmp)
-    return True
+    if another committer claimed that version first (caller rebases).
+    Routed through the same pluggable claim backend as table commits
+    (POSIX link locally, conditional PUT on an object store)."""
+    return _claim(path, _group_file(group["version"]), json.dumps(group))
 
 
 def create_group(path: str, tables: dict[str, str]) -> dict:
@@ -111,7 +101,8 @@ def create_group(path: str, tables: dict[str, str]) -> dict:
     for name, tpath in tables.items():
         m = load_manifest(tpath)
         pinned[name] = {"path": tpath, "version": m.get("version", 0)}
-    group = {"version": 0, "tables": pinned, "committedAt": _time.time()}
+    group = {"version": 0, "tables": pinned, "txns": {},
+             "committedAt": _time.time()}
     if not _publish(path, group):
         raise ValueError(f"group already initialized under {path}")
     return group
@@ -123,7 +114,7 @@ def _version_of_txn(tpath: str, app_id: str, txn_version: int) -> int:
     the first snapshot carrying the watermark (its writer's claim).
     O(new versions) driver metadata; concurrent commits after ours
     only ADD later versions, which still carry the watermark."""
-    snaps = _versioned_manifests(tpath)
+    snaps = _list_versions(tpath)
     hit = None
     for v in sorted(snaps, reverse=True):
         m = load_manifest(tpath, v)
@@ -154,18 +145,36 @@ def group_commit(path: str, writes: dict[str, tuple],
     rebases: the pinned table versions are still the txn's own commits,
     so the retry re-publishes the same cut at the next group version.
 
-    ``txn_id`` makes the whole group commit IDEMPOTENT under retry:
-    re-running with the same id re-drives every member write through
-    the manifest writer's (app, version) replay detection — members
-    whose orphan commit already landed append NOTHING, the version
-    resolution finds the original commit, and the group publish picks
-    up where the crash left off (exactly-once across the group, the
-    same contract the streaming foreachBatch sink has per table)."""
+    ``txn_id`` makes the whole group commit IDEMPOTENT under retry of
+    a FAILED attempt: re-running with the same id re-drives every
+    member write through the manifest writer's (app, version) replay
+    detection — members whose orphan commit already landed append
+    NOTHING, the version resolution finds the original commit, and
+    the group publish picks up where the crash left off (exactly-once
+    across the group, the same contract the streaming foreachBatch
+    sink has per table).
+
+    Reusing a txn_id that a PUBLISHED group snapshot already consumed
+    is REFUSED (``ValueError`` naming the consuming group version):
+    under the old behavior the member appends silently no-op'd via
+    replay detection, version resolution pinned the FIRST commit's
+    cuts, and the second commit's data vanished with no error.  Each
+    snapshot records its consumed ids in ``txns`` (id → group
+    version), so the refusal also tells a crash-retrier that its
+    commit in fact landed."""
     import time as _time
 
     prev = load_group(path)
     if txn_id is None:
         txn_id = f"grp-{uuid.uuid4().hex}"
+    elif txn_id in prev.get("txns", {}):
+        raise ValueError(
+            f"txn_id {txn_id!r} was already consumed by group version "
+            f"{prev['txns'][txn_id]} — reusing it would silently drop "
+            "this commit's writes (member appends no-op via replay "
+            "detection and resolve to the FIRST commit's versions). "
+            "Pass a fresh txn_id; if this is a retry of a crashed "
+            "commit, it already published.")
     pinned = dict(prev["tables"])
     for name, (df, stat_cols) in writes.items():
         if name not in pinned:
@@ -195,8 +204,18 @@ def group_commit(path: str, writes: dict[str, tuple],
             cur = merged.get(name, own)
             merged[name] = own if own["version"] >= cur["version"] \
                 else cur
+        # consumed-txn registry carries forward and gains this commit's
+        # id — the reuse refusal above reads it; checked again here so
+        # a concurrent commit racing with the SAME id cannot both land
+        txns = dict(latest.get("txns", {}))
+        if txn_id in txns:
+            raise ValueError(
+                f"txn_id {txn_id!r} was already consumed by group "
+                f"version {txns[txn_id]} — a racing commit with the "
+                "same id published first")
+        txns[txn_id] = latest["version"] + 1
         group = {"version": latest["version"] + 1, "tables": merged,
-                 "committedAt": _time.time()}
+                 "txns": txns, "committedAt": _time.time()}
         if _publish(path, group):
             return group
 
@@ -218,7 +237,7 @@ def read_group_table(spark, path: str, name: str,
 
 
 def vacuum_group(path: str, keep_groups: int = 1,
-                 min_age_seconds: float = 0.0) -> dict:
+                 min_age_seconds: float = 3600.0) -> dict:
     """Retention for a commit group AND its members, in the only safe
     order: expire old group snapshots first (keep the newest
     ``keep_groups``), then vacuum each member keeping every manifest
@@ -248,7 +267,7 @@ def vacuum_group(path: str, keep_groups: int = 1,
     members = {}
     for tpath, pinned in pins.items():
         floor = min(pinned)
-        versions = sorted(_versioned_manifests(tpath))
+        versions = sorted(_list_versions(tpath))
         keep_n = max(1, len([v for v in versions if v >= floor]))
         members[tpath] = vacuum_manifest(
             tpath, keep_versions=keep_n,

@@ -166,6 +166,21 @@ def cdc_apply_writer(path: str, key_cols: list[str],
         )
 
         register(batch.sparkSession)
+        # update_preimage rows share their commit_version with the
+        # matching update_postimage row — collapsing on version alone
+        # would pick between them NONDETERMINISTICALLY and could upsert
+        # the stale pre-image into the view.  This sink consumes
+        # post-image semantics; feed it an updatePreimages=true stream
+        # and the pre-image rows are rejected loudly instead of
+        # silently corrupting the view (retraction consumers belong on
+        # cdc_agg_delta_writer).
+        if not batch.filter(
+                F.col("change_type") == "update_preimage").isEmpty():
+            raise ValueError(
+                "cdc_apply_writer consumes post-image change streams; "
+                "got update_preimage rows (updatePreimages=true). "
+                "Drop the option, or use cdc_agg_delta_writer for "
+                "retraction-based consumers.")
         w = Window.partitionBy(*key_cols).orderBy(
             F.col("commit_version").desc())
         latest = (batch.withColumn("__rn", F.row_number().over(w))

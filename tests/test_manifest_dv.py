@@ -253,21 +253,33 @@ def test_rewrite_fails_racing_dv_commit(spark, dv_table, monkeypatch):
 
 
 def test_fsck_flags_corrupt_dv(spark, dv_table):
-    """fsck reports a vector whose dvRows disagrees with its popcount."""
+    """fsck reports a vector whose dvRows disagrees with its popcount —
+    corrupted in place in the commit's delta record (dvRows is commit
+    metadata; the bitmap itself lives in the payload sidecar)."""
     import json
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _invalidate_caches,
+    )
 
     delete_vectors_from_manifest(
         _keys(spark, [3]), dv_table, ["n_nationkey"], ["n_nationkey"])
-    m = load_manifest(dv_table)
-    vpath = [p for p in os.listdir(dv_table)
-             if p.startswith("manifest-v")][-1]
-    for f in m["files"]:
-        if f.get("dv"):
-            f["dvRows"] = f["dvRows"] + 1
-    full = os.path.join(dv_table, sorted(
-        p for p in os.listdir(dv_table) if p.startswith("manifest-v"))[-1])
-    with open(full, "w") as fh:
-        json.dump(m, fh)
+    deltas = sorted(p for p in os.listdir(dv_table)
+                    if p.startswith("delta-v"))
+    corrupted = False
+    for name in reversed(deltas):
+        full = os.path.join(dv_table, name)
+        with open(full) as fh:
+            d = json.load(fh)
+        if d.get("dvUpdate"):
+            for upd in d["dvUpdate"].values():
+                upd["dvRows"] = upd["dvRows"] + 1
+            with open(full, "w") as fh:
+                json.dump(d, fh)
+            corrupted = True
+            break
+    assert corrupted, "expected a DV commit's delta record"
+    _invalidate_caches()  # the test rewrote an immutable artifact
     rep = fsck_manifest(dv_table)
     assert not rep["ok"] and rep["bad_dv"]
 

@@ -130,7 +130,7 @@ def test_vacuum_group_respects_pins(spark, group):
     a retained group snapshot pins survives — consistent-cut reads
     through the kept snapshots keep working after the sweep."""
     from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
-        _versioned_manifests,
+        _list_versions,
     )
 
     gpath, t1, t2, nat = group
@@ -145,8 +145,8 @@ def test_vacuum_group_respects_pins(spark, group):
         tg.load_group(gpath, 0)
     # v1 pins a@1, b@0; v2 pins a@1, b@1 → t1 keeps version 1 (floor),
     # t2 keeps versions 0 and 1 (floor 0 — still pinned by v1)
-    assert min(_versioned_manifests(t1)) == 1
-    assert min(_versioned_manifests(t2)) == 0
+    assert min(_list_versions(t1)) == 1
+    assert min(_list_versions(t2)) == 0
     # retained cuts still fully readable
     assert _counts(spark, gpath, version=1) == {"a": 25, "b": 10}
     assert _counts(spark, gpath, version=2) == {"a": 25, "b": 15}
@@ -183,3 +183,21 @@ def test_three_interleaved_group_commits_all_land(spark, group,
     # a received [10,15) from racer-2 and [15,25) from ours: 10+15
     # b received [20,25) from racer-1: 10+5
     assert got == {"a": 25, "b": 15}
+
+
+def test_group_txn_id_reuse_refused(spark, group):
+    """Round-6 ADVICE: reusing a txn_id a PUBLISHED group snapshot
+    already consumed must fail loudly — under the old behavior the
+    member appends silently no-op'd via replay detection and the
+    group re-pinned the FIRST commit's cuts, losing the new writes."""
+    gpath, t1, t2, nat = group
+    b1 = nat.filter("n_nationkey >= 10").coalesce(1)
+    tg.group_commit(gpath, {"a": (b1, ["n_nationkey"])},
+                    txn_id="grp-once")
+    assert _counts(spark, gpath) == {"a": 25, "b": 10}
+    with pytest.raises(ValueError, match="already consumed"):
+        tg.group_commit(gpath, {"b": (b1, ["n_nationkey"])},
+                        txn_id="grp-once")
+    # the refused commit wrote nothing: member b and the cut unchanged
+    assert _counts(spark, gpath) == {"a": 25, "b": 10}
+    assert load_manifest(t2)["version"] == 0
