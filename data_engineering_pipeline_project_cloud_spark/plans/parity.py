@@ -349,6 +349,76 @@ def write_master(spark: SparkSession, sf_dir: str, out_path: str) -> None:
                     sort_within_by=["product_category", "seller_id"])
 
 
+def serve(spark: SparkSession, out_dir: str,
+          prefix: str = "mart") -> list[str]:
+    """BI SERVING face over the materialized mart — the analog of the
+    reference pointing Superset at the warehouse
+    (``docker-compose.yml:21-47``): register the written master table
+    and its core rollups as SQL views, so any SQL client attached to
+    this session — ``spark-sql``, a dashboard over the Thrift JDBC
+    server (``sbin/start-thriftserver.sh`` on this same app exposes
+    the session catalog over HiveServer2 wire protocol), or a Spark
+    Connect client — has named tables to query.  Month-partition
+    pruning and column pruning flow through the views to the parquet
+    scan, so a dashboard filter on ``order_purchase_month`` reads one
+    partition, not the mart.
+
+    Views registered (returned as a list):
+
+    * ``{prefix}_master`` — the partitioned/sorted master parquet.
+    * ``{prefix}_monthly_category_kpis`` — month × category: exact
+      DECIMAL-aggregated net revenue, item count, late-shipment count.
+    * ``{prefix}_seller_kpis`` — per seller nation: revenue, items,
+      distinct sellers.
+    """
+    spark.read.parquet(out_dir).createOrReplaceTempView(f"{prefix}_master")
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW {prefix}_monthly_category_kpis AS
+        SELECT order_purchase_month, product_category,
+               CAST(SUM(CAST(item_net_revenue AS DECIMAL(18,4))) AS DOUBLE)
+                   AS net_revenue,
+               COUNT(*) AS n_items,
+               CAST(SUM(CASE WHEN shipped_late_flag THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late
+        FROM {prefix}_master
+        GROUP BY order_purchase_month, product_category
+    """)
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY VIEW {prefix}_seller_kpis AS
+        SELECT seller_nation,
+               CAST(SUM(CAST(item_gross_revenue AS DECIMAL(18,4))) AS DOUBLE)
+                   AS gross_revenue,
+               COUNT(*) AS n_items,
+               COUNT(DISTINCT seller_id) AS n_sellers
+        FROM {prefix}_master
+        GROUP BY seller_nation
+    """)
+    return [f"{prefix}_master", f"{prefix}_monthly_category_kpis",
+            f"{prefix}_seller_kpis"]
+
+
+def serving_views_master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face for the serving path: materialize the mart once
+    per sf_dir (``write_master`` → partitioned parquet), register the
+    serving views, and answer the dashboard's headline question
+    THROUGH the view — proving mart write → catalog → SQL read
+    end-to-end.  The oracle recomputes the same rollup from the raw
+    tables (master SQL + the serving grain dedup), so the driver hash
+    certifies the whole serving loop, not just the query."""
+    import os
+
+    from .scratch import scoped_scratch
+
+    def build(path: str) -> None:
+        write_master(spark, sf_dir, os.path.join(path, "master"))
+
+    root = scoped_scratch("mart_serving", sf_dir, build)
+    serve(spark, os.path.join(root, "master"))
+    return spark.sql(
+        "SELECT order_purchase_month, product_category, net_revenue, "
+        "n_items, n_late FROM mart_monthly_category_kpis")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect = ANSI; same aliases, same decimal pins,
 # same final-projection DOUBLE casts as the Spark plans)
@@ -407,46 +477,9 @@ _REV_AGG_SQL = f"""
     FROM c_items GROUP BY order_id
 """
 
-ORACLE_SQL: dict[str, str] = {
-    "conform_orders": """
-        SELECT o_orderkey AS order_id,
-               o_custkey AS customer_id,
-               LOWER(TRIM(o_orderstatus)) AS order_status,
-               CAST(o_orderdate AS TIMESTAMP) AS order_purchase_ts,
-               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
-                   AS order_total_price,
-               UPPER(TRIM(o_orderpriority)) AS order_priority
-        FROM orders
-    """,
-    "conform_items": f"""
-        WITH c_items AS ({_CONFORM_ITEMS_SQL})
-        SELECT order_id, order_item_id, product_id, seller_id,
-               CAST(item_quantity AS DOUBLE) AS item_quantity,
-               CAST(item_price AS DOUBLE) AS item_price,
-               CAST(item_discount AS DOUBLE) AS item_discount,
-               CAST(item_freight AS DOUBLE) AS item_freight,
-               shipped_ts, payment_type, line_status
-        FROM c_items
-    """,
-    "pay_agg": _PAY_AGG_SQL,
-    "rev_agg": _REV_AGG_SQL,
-    "dim_locations": """
-        WITH src AS (
-            SELECT DISTINCT nation_key FROM (
-                SELECT c_nationkey AS nation_key FROM customer
-                UNION ALL SELECT s_nationkey FROM supplier
-                UNION ALL SELECT n_nationkey FROM nation
-            ) u WHERE nation_key IS NOT NULL
-        )
-        SELECT CAST(ROW_NUMBER() OVER (ORDER BY nation_key) - 1 AS BIGINT) AS location_id,
-               nation_key,
-               UPPER(TRIM(n_name)) AS nation_name,
-               UPPER(TRIM(r_name)) AS region_name
-        FROM src
-        LEFT JOIN nation ON nation_key = n_nationkey
-        LEFT JOIN region ON n_regionkey = r_regionkey
-    """,
-    "master_table": f"""
+#: The flagship master-table oracle, shared by the master face and
+#: the serving rollup (which wraps it with the serving-grain dedup).
+_MASTER_SQL = f"""
         WITH c_items AS ({_CONFORM_ITEMS_SQL}),
         c_orders AS (
             SELECT o_orderkey AS order_id,
@@ -511,6 +544,69 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN prod pr ON i.product_id = pr.product_id
         LEFT JOIN cust c ON o.customer_id = c.customer_id
         LEFT JOIN supp s ON i.seller_id = s.seller_id
+    """
+
+ORACLE_SQL: dict[str, str] = {
+    "conform_orders": """
+        SELECT o_orderkey AS order_id,
+               o_custkey AS customer_id,
+               LOWER(TRIM(o_orderstatus)) AS order_status,
+               CAST(o_orderdate AS TIMESTAMP) AS order_purchase_ts,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS order_total_price,
+               UPPER(TRIM(o_orderpriority)) AS order_priority
+        FROM orders
+    """,
+    "conform_items": f"""
+        WITH c_items AS ({_CONFORM_ITEMS_SQL})
+        SELECT order_id, order_item_id, product_id, seller_id,
+               CAST(item_quantity AS DOUBLE) AS item_quantity,
+               CAST(item_price AS DOUBLE) AS item_price,
+               CAST(item_discount AS DOUBLE) AS item_discount,
+               CAST(item_freight AS DOUBLE) AS item_freight,
+               shipped_ts, payment_type, line_status
+        FROM c_items
+    """,
+    "pay_agg": _PAY_AGG_SQL,
+    "rev_agg": _REV_AGG_SQL,
+    "dim_locations": """
+        WITH src AS (
+            SELECT DISTINCT nation_key FROM (
+                SELECT c_nationkey AS nation_key FROM customer
+                UNION ALL SELECT s_nationkey FROM supplier
+                UNION ALL SELECT n_nationkey FROM nation
+            ) u WHERE nation_key IS NOT NULL
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY nation_key) - 1 AS BIGINT) AS location_id,
+               nation_key,
+               UPPER(TRIM(n_name)) AS nation_name,
+               UPPER(TRIM(r_name)) AS region_name
+        FROM src
+        LEFT JOIN nation ON nation_key = n_nationkey
+        LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    "master_table": _MASTER_SQL,
+    "serving_views_master": f"""
+        WITH master AS ({_MASTER_SQL}),
+        dedup AS (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY order_id, order_item_id
+                       ORDER BY product_id, seller_id, item_price) AS rn
+            FROM master
+        ),
+        served AS (
+            SELECT *, strftime(order_purchase_ts, '%Y-%m')
+                       AS order_purchase_month
+            FROM dedup WHERE rn = 1
+        )
+        SELECT order_purchase_month, product_category,
+               CAST(SUM(CAST(item_net_revenue AS DECIMAL(18,4))) AS DOUBLE)
+                   AS net_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN shipped_late_flag THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_late
+        FROM served
+        GROUP BY order_purchase_month, product_category
     """,
 }
 
@@ -521,4 +617,5 @@ QUERIES = {
     "rev_agg": rev_agg,
     "dim_locations": dim_locations,
     "master_table": master_table,
+    "serving_views_master": serving_views_master,
 }

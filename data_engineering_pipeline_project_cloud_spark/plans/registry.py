@@ -201,6 +201,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "weighted_sample_orders": 5,
     "column_profile_orders": 5,
     "manifest_drop_column": 5,
+    "serving_views_master": 6,
 }
 
 

@@ -110,3 +110,42 @@ def test_order_grain_aggs_single_exchange(spark, sf_dir):
             .toString()
         n = len(re.findall(r"\bExchange hash", plan))
         assert n == 1, f"{fn.__name__}: {n} exchanges\n{plan}"
+
+
+def test_serve_registers_views_over_written_mart(spark, sf_dir, tmp_path):
+    """Round-6 serving face: serve() registers SQL views over the
+    write_master output, the rollup views answer through the catalog,
+    and their numbers equal a direct DataFrame aggregate over the same
+    parquet — the mart write → catalog → SQL read loop a BI tool
+    (Thrift JDBC / Spark Connect client) would drive."""
+    from data_engineering_pipeline_project_cloud_spark.plans.parity import serve
+
+    out = str(tmp_path / "master")
+    write_master(spark, sf_dir, out)
+    views = serve(spark, out, prefix="tm")
+    assert views == ["tm_master", "tm_monthly_category_kpis",
+                     "tm_seller_kpis"]
+    back = spark.read.parquet(out)
+    # master view is the table itself
+    assert spark.table("tm_master").count() == back.count()
+    # rollup view vs direct aggregate over the same parquet
+    via_view = {(r["order_purchase_month"], r["product_category"]):
+                (r["net_revenue"], r["n_items"], r["n_late"])
+                for r in spark.sql(
+                    "SELECT * FROM tm_monthly_category_kpis").collect()}
+    direct = {(r["order_purchase_month"], r["product_category"]):
+              (r["net_revenue"], r["n_items"], r["n_late"])
+              for r in back.groupBy("order_purchase_month",
+                                    "product_category")
+              .agg(F.sum(F.col("item_net_revenue").cast("decimal(18,4)"))
+                   .cast("double").alias("net_revenue"),
+                   F.count(F.lit(1)).alias("n_items"),
+                   F.sum(F.when(F.col("shipped_late_flag"), 1)
+                         .otherwise(0)).cast("long").alias("n_late"))
+              .collect()}
+    assert via_view == direct
+    # a dashboard month filter prunes to that month's partition
+    plan = (spark.sql("SELECT COUNT(*) FROM tm_master "
+                      "WHERE order_purchase_month = '1995-03'")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "order_purchase_month" in plan
