@@ -4,6 +4,16 @@ point (``scripts/pipeline.py:4-18``), plus query execution.
     python -m data_engineering_pipeline_project_cloud_spark pipeline --sf-dir DIR --out DIR
     python -m data_engineering_pipeline_project_cloud_spark query NAME --sf-dir DIR [-n 20]
     python -m data_engineering_pipeline_project_cloud_spark list
+    python -m data_engineering_pipeline_project_cloud_spark serve --sf-dir DIR --out DIR [--sql Q | --stdin]
+
+``serve`` is the BI entry (the reference's Superset-over-warehouse
+role, ``docker-compose.yml:21-47``): materialize the mart, register
+the serving views (plans/parity.py:serve), then either run one SQL
+statement (``--sql``), answer SQL statements line-by-line from stdin
+(``--stdin`` — what the compose serving container runs), or print the
+registered view names and exit.  For a real dashboard, point the
+Thrift JDBC server or a Spark Connect client at the same session —
+the views are session-scoped SQL tables.
 """
 
 from __future__ import annotations
@@ -28,6 +38,16 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registry queries")
 
+    sp = sub.add_parser("serve", help="materialize the mart and serve "
+                                      "it as SQL views")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--sql", help="run one SQL statement against the "
+                                  "served views and print the rows")
+    sp.add_argument("--stdin", action="store_true",
+                    help="answer SQL statements line-by-line from stdin")
+    sp.add_argument("-n", type=int, default=20, help="rows to show")
+
     args = p.parse_args(argv)
 
     from .plans import all_oracle_sql, all_queries
@@ -46,6 +66,27 @@ def main(argv: list[str] | None = None) -> int:
 
         report = run_pipeline(spark, args.sf_dir, args.out)
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "serve":
+        from .plans.parity import serve, write_master
+
+        write_master(spark, args.sf_dir, args.out)
+        views = serve(spark, args.out)
+        if args.sql:
+            spark.sql(args.sql).show(args.n, truncate=False)
+        elif args.stdin:
+            print(f"serving views: {', '.join(views)}", flush=True)
+            for line in sys.stdin:
+                stmt = line.strip().rstrip(";")
+                if not stmt:
+                    continue
+                try:
+                    spark.sql(stmt).show(args.n, truncate=False)
+                except Exception as exc:  # keep the console alive
+                    print(f"error: {exc}", file=sys.stderr, flush=True)
+        else:
+            print(json.dumps({"views": views}))
         return 0
 
     qs = all_queries()

@@ -5,6 +5,8 @@ strict-schema CSV ingest path (S1).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -55,3 +57,24 @@ def test_read_csv_strict_schema(spark, tmp_path):
     amounts = (df.select(F.col("amount").cast("decimal(12,2)").alias("a"))
                .orderBy(F.col("a").asc_nulls_last()).collect())
     assert str(amounts[0]["a"]) == "3.25"
+
+
+def test_cli_serve_registers_views_and_answers_sql(
+        spark, sf_dir, tmp_path, capsys):
+    """The `serve` CLI (deploy/docker-compose.yml's serving service):
+    materialize the mart, register the views, answer a SQL statement —
+    the containerized BI entry driven end-to-end in-process."""
+    from data_engineering_pipeline_project_cloud_spark.__main__ import main
+
+    out = str(tmp_path / "mart")
+    rc = main(["serve", "--sf-dir", sf_dir, "--out", out])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["views"] == ["mart_master", "mart_monthly_category_kpis",
+                            "mart_seller_kpis"]
+    rc = main(["serve", "--sf-dir", sf_dir, "--out", out, "--sql",
+               "SELECT COUNT(*) AS n FROM mart_master"])
+    assert rc == 0
+    shown = capsys.readouterr().out
+    n = spark.read.parquet(out).count()
+    assert str(n) in shown
