@@ -1439,13 +1439,20 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
     # files carrying a deletion vector compact regardless of size —
     # OPTIMIZE is where DV debt materializes (rows physically dropped,
     # vector cleared); the masked read keeps deleted rows out of the
-    # rewrite
-    (_masked_spark_read(spark, st, small).repartition(n_out)
-     .write.format("graft_manifest").mode("append")
-     .option("path", path).option("statCols", ",".join(stat_cols))
-     .option("replacePaths", json.dumps(paths))
-     .option("dvState", json.dumps(
-         {f["path"]: f.get("dvGen", 0) for f in small})).save())
+    # rewrite.  Bloom columns carry through: a compaction that dropped
+    # the inputs' bloom filters would silently disable point-lookup
+    # skipping on the rewritten files (round 6).
+    bloom_cols = sorted({c for f in small
+                         for c in (f.get("bloom") or {})})
+    w = (_masked_spark_read(spark, st, small).repartition(n_out)
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", ",".join(stat_cols))
+         .option("replacePaths", json.dumps(paths))
+         .option("dvState", json.dumps(
+             {f["path"]: f.get("dvGen", 0) for f in small})))
+    if bloom_cols:
+        w = w.option("bloomCols", ",".join(bloom_cols))
+    w.save()
     return load_manifest(path)
 
 
@@ -1633,16 +1640,18 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
         ckpts[floor] = os.path.join(path, _checkpoint_file(floor))
     # a data file is protected iff some KEPT version reads it LIVE —
     # an entry tombstoned in every kept version is retention-expired
-    # even though its path still occupies its list position.  A
-    # sidecar is protected iff ANY kept version's entry (live or
-    # dead) references it.
+    # even though its path still occupies its list position.  Sidecars
+    # follow the same rule (an entry dead in every kept version has
+    # its data file deleted here too, so its payloads protect
+    # nothing; CDC within the kept window reads pre-images from the
+    # version where the entry was still live, which is itself kept).
     referenced: set[str] = set()
     kept_sidecars: set[str] = set()
     for v in kept:
         st = _load_state(path, v)
-        referenced |= {f["path"] for f in st["files"]
-                       if not f.get("dead")}
-        kept_sidecars |= _entry_sidecars(st["files"])
+        live_entries = [f for f in st["files"] if not f.get("dead")]
+        referenced |= {f["path"] for f in live_entries}
+        kept_sidecars |= _entry_sidecars(live_entries)
     removed_files: list[str] = []
     removed_manifests: list[str] = []
 

@@ -292,3 +292,40 @@ def test_claim_backend_is_pluggable_and_rebases_on_conflict(
     got = (spark.read.format("graft_manifest").option("path", path)
            .load())
     assert "extra" not in got.columns and got.count() == 25
+
+
+def test_compaction_preserves_bloom_columns(spark, sf_dir, tmp_path):
+    """OPTIMIZE on a bloom-indexed table rebuilds blooms for the
+    rewritten files (in a fresh sidecar) instead of silently dropping
+    point-lookup skipping — and vacuum then expires the superseded
+    inputs' sidecar while sparing the live one."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        compact_manifest,
+    )
+
+    path = str(tmp_path / "cb")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    register(spark)
+    for lo, hi in ((0, 12), (12, 25)):
+        (nat.filter(f"n_nationkey >= {lo} AND n_nationkey < {hi}")
+         .coalesce(1)
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey")
+         .option("bloomCols", "n_nationkey").save())
+    m = compact_manifest(spark, path, ["n_nationkey"],
+                         small_file_rows=100)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert live and all("n_nationkey" in (f.get("bloom") or {})
+                        for f in live)
+    # read path still correct post-compaction
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == 25
+    # vacuum: the inputs' sidecars expire, the live files' survive
+    before = {n for n in os.listdir(path) if n.startswith("payload-")}
+    vacuum_manifest(path, keep_versions=1, min_age_seconds=0)
+    after = {n for n in os.listdir(path) if n.startswith("payload-")}
+    assert after and after < before
+    m2 = load_manifest(path)
+    assert all("n_nationkey" in (f.get("bloom") or {})
+               for f in m2["files"] if not f.get("dead"))
