@@ -684,17 +684,22 @@ def test_map_side_text_ops_no_exchange(spark, sf_dir):
 
 def test_registry_priority_never_oldest_first(monkeypatch):
     """Driver-window ordering: never-checked queries run before any
-    with evidence, and among never-checked the OLDEST additions come
+    with evidence, among never-checked the OLDEST additions come
     first so a new round's queries cannot starve the long-unproven
-    tail of a budget-capped driver pass."""
+    tail of a budget-capped driver pass, and among settled queries the
+    STALEST evidence round comes first (round-6 rotation: with a fully
+    green board, the window refreshes the oldest rows instead of
+    re-checking the same module-order prefix)."""
     from data_engineering_pipeline_project_cloud_spark.plans import registry
 
-    monkeypatch.setattr(registry, "_evidence",
-                        lambda: ({"settled"}, {"red"}))
+    monkeypatch.setattr(
+        registry, "_evidence",
+        lambda: ({"settled_r4": 4, "settled_r2": 2}, {"red"}))
     monkeypatch.setattr(registry, "_ADDED_IN_ROUND", {"new3": 3})
     order = registry._prioritize(
-        ["new3", "old_a", "red", "settled", "old_b"])
-    assert order == ["old_a", "old_b", "new3", "red", "settled"]
+        ["new3", "old_a", "red", "settled_r4", "settled_r2", "old_b"])
+    assert order == ["old_a", "old_b", "new3", "red",
+                     "settled_r2", "settled_r4"]
 
 
 def test_partition_pruning_plan_and_values(spark, sf_dir):
