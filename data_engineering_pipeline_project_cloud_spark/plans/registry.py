@@ -202,6 +202,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "column_profile_orders": 5,
     "manifest_drop_column": 5,
     "serving_views_master": 6,
+    "manifest_zorder_scan": 6,
 }
 
 

@@ -1039,6 +1039,50 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering as a registry face (round 6): orders are
+    first laid out single-column (range by customer), then rewritten
+    along a Morton curve over (customer, price) with
+    ``zorder_manifest`` — after which every file covers a bounded
+    rectangle in (customer, price) space and a selective predicate on
+    EITHER column prunes most files via the ordinary min/max stats.
+    The face answers a narrow PRICE-band rollup through the z-layout;
+    the oracle is the same rollup over the raw table, so the driver
+    hash proves the curve rewrite moved rows without changing them.
+    File-level skipping on both axes is asserted in
+    tests/test_manifest_zorder.py."""
+    from ..sources.manifest_source import (
+        register,
+        write_manifest_table,
+        zorder_manifest,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("total_price"))
+        stat_cols = ["o_custkey", "total_price", "o_orderkey"]
+        write_manifest_table(
+            orders.repartitionByRange(8, "o_custkey"), path, stat_cols)
+        n = orders.count()
+        zorder_manifest(spark, path, ["o_custkey", "total_price"],
+                        stat_cols, target_rows=max(1, -(-n // 8)))
+
+    tmp = scoped_scratch("manifest_zorder_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    return (df.filter((F.col("total_price") >= 10000.0)
+                      & (F.col("total_price") < 50000.0))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.countDistinct("o_custkey").cast("long")
+                 .alias("n_customers"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reads (``versionAsOf``) over the versioned manifest
     table: orders land in TWO commits — version 0 holds the years
@@ -1829,6 +1873,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE year(o_orderdate) >= 1997
         GROUP BY 1
+    """,
+    "manifest_zorder_scan": """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE CAST(o_totalprice AS DOUBLE) >= 10000.0
+          AND CAST(o_totalprice AS DOUBLE) < 50000.0
+        GROUP BY o_orderpriority
     """,
     "xml_roundtrip_supplier": """
         SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
@@ -2815,6 +2870,7 @@ QUERIES = {
     "fuzzy_match_nations": fuzzy_match_nations,
     "conform_quarantine_orders": conform_quarantine_orders,
     "manifest_pruned_scan": manifest_pruned_scan,
+    "manifest_zorder_scan": manifest_zorder_scan,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,
     "manifest_merge_upsert": manifest_merge_upsert,

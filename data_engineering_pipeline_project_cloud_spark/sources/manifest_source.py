@@ -94,9 +94,11 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -1456,6 +1458,105 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
     return load_manifest(path)
 
 
+def zorder_manifest(spark, path: str, zorder_cols: list[str],
+                    stat_cols: list[str], target_rows: int,
+                    bloom_cols: list[str] | None = None,
+                    bits: int = 8) -> dict:
+    """OPTIMIZE ZORDER: rewrite the table's live files so rows are
+    clustered along a Z-ORDER (Morton) curve over ``zorder_cols`` —
+    the multi-column data-skipping layout (Delta's OPTIMIZE ZORDER
+    BY).  A range/sort layout on column A gives each file a tight
+    A-range but arbitrary B-ranges, so predicates on B prune nothing;
+    interleaving the bit representations of A and B gives every file
+    a bounded rectangle in (A, B) space, so selective predicates on
+    EITHER column (or both) skip most files via the ordinary min/max
+    stats — no new read-side machinery needed.
+
+    Mechanism, all JVM-side (one pass + one range shuffle):
+
+    1. per z-column, quantize to a ``bits``-bit bucket with
+       ``width_bucket`` over the column's GLOBAL min/max taken from
+       the manifest stats (zero extra scans).  Linear buckets trade
+       skew-robustness for a scan-free build; heavily skewed columns
+       get fewer effective buckets (Delta's RangePartitionId variant
+       ranks instead — at the cost of a quantile pass; same read-side
+       contract either way).  NULLs map to bucket 0.
+    2. interleave the bucket bits into one LONG z-value (unrolled
+       shift/or expressions, whole-stage-codegen friendly),
+    3. ``repartitionByRange`` + ``sortWithinPartitions`` on z, so each
+       output file covers a compact curve segment,
+    4. commit through the same atomic ``replacePaths`` + ``dvState``
+       tombstone protocol as compaction (deletion vectors materialize,
+       time travel to the pre-layout version keeps working, racing
+       commits conflict instead of resurrecting rows).
+
+    ``zorder_cols`` must be numeric/date-free stat columns with
+    recorded min/max (they are re-declared in ``stat_cols`` so the
+    rewritten files carry the stats pruning reads).  Returns the new
+    manifest."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    if not live:
+        return m
+    if len(zorder_cols) < 1:
+        raise ValueError("zorder_manifest needs at least one column")
+    bounds: dict[str, tuple] = {}
+    for c in zorder_cols:
+        lo = hi = None
+        for f in live:
+            s = f.get("stats", {}).get(c)
+            if s is None:
+                raise ValueError(
+                    f"z-order column {c!r} has no stats on "
+                    f"{f['path']} — it must be in the table's statCols")
+            lo = s["min"] if lo is None else min(lo, s["min"])
+            hi = s["max"] if hi is None else max(hi, s["max"])
+        if not isinstance(lo, (int, float)) or isinstance(lo, bool):
+            raise ValueError(
+                f"z-order column {c!r} must be numeric (stats are "
+                f"{type(lo).__name__})")
+        bounds[c] = (lo, hi if hi > lo else lo + 1)
+    st = _table_schema(m)
+    base = _masked_spark_read(spark, st, live)
+    n_buckets = 1 << bits
+    ncols = len(zorder_cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(zorder_cols):
+        lo, hi = bounds[c]
+        bucket = (
+            F.coalesce(
+                F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)),
+                               F.lit(float(hi)), F.lit(n_buckets)),
+                F.lit(1)) - F.lit(1)
+        ).cast("long")
+        # clamp: width_bucket sends v == hi (and above) to n_buckets+1
+        bucket = F.least(F.greatest(bucket, F.lit(0)),
+                         F.lit(n_buckets - 1))
+        for bit in range(bits):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                bit * ncols + i))
+    total = sum(f["rows"] - f.get("dvRows", 0) for f in live)
+    n_out = max(1, -(-total // target_rows))  # ceil
+    out = (base.withColumn("__z", z)
+           .repartitionByRange(n_out, F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z"))
+    w = (out.write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", ",".join(stat_cols))
+         .option("replacePaths",
+                 json.dumps([f["path"] for f in live]))
+         .option("dvState", json.dumps(
+             {f["path"]: f.get("dvGen", 0) for f in live})))
+    if bloom_cols:
+        w = w.option("bloomCols", ",".join(bloom_cols))
+    w.save()
+    return load_manifest(path)
+
+
 def manifest_changes(spark, path: str, from_version: int,
                      to_version: int | None, key_cols: list[str]):
     """Row-level CHANGEFEED between two snapshots (the CDC-read analog
@@ -2338,38 +2439,74 @@ class _FilePartition(InputPartition):
         self.dv = dv
 
 
+def _is_probe_int(v) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
 def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
     """False only when some pushed filter PROVABLY excludes every row
-    of the file: stat range disjoint from the predicate, or an
-    ``EqualTo`` integer literal whose bloom probes all miss (a bloom
-    has no false negatives, so this is exact exclusion).  Missing
-    stats/bloom for a column → the file survives."""
+    of the file: stat range disjoint from the predicate, an
+    ``EqualTo``/``In`` integer literal set whose bloom probes all miss
+    (a bloom has no false negatives, so this is exact exclusion), an
+    ``In`` list every element of which falls outside the stat range,
+    or a ``StringStartsWith`` prefix whose half-open range
+    ``[prefix, prefix⁺)`` is disjoint from the stat range.  Missing
+    stats/bloom for a column, or incomparable literal/stat types →
+    the file survives (never prune on doubt)."""
     if bloom:
         for f in filters:
-            if not isinstance(f, EqualTo):
+            vals = None
+            if isinstance(f, EqualTo):
+                vals = [f.value]
+            elif isinstance(f, In):
+                vals = list(f.value)
+            if not vals:
                 continue
             attr = getattr(f, "attribute", None)
             if attr is None or len(attr) != 1:
                 continue
             enc = bloom.get(attr[0])
-            if (enc is not None and isinstance(f.value, int)
-                    and not isinstance(f.value, bool)
-                    and not _bloom_maybe_contains(enc, f.value)):
+            # only prune when EVERY listed value is bloom-probeable —
+            # a partial probe over a mixed-type list could drop a file
+            # holding one of the unprobed values
+            if (enc is not None and all(_is_probe_int(v) for v in vals)
+                    and not any(_bloom_maybe_contains(enc, v)
+                                for v in vals)):
                 return False
     for f in filters:
         if not isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                              LessThan, LessThanOrEqual)):
-            continue  # IsNotNull/In/string matchers etc: no pruning
+                              LessThan, LessThanOrEqual, In,
+                              StringStartsWith)):
+            continue  # IsNotNull/Contains/EndsWith etc: no pruning
         attr = getattr(f, "attribute", None)
         if attr is None or len(attr) != 1:
             continue
         s = stats.get(attr[0])
         if s is None:
             continue
-        v = f.value
+        v = getattr(f, "value", None)
         try:
             if isinstance(f, EqualTo):
                 if v < s["min"] or v > s["max"]:
+                    return False
+            elif isinstance(f, In):
+                vals = list(v)
+                if vals and all(x < s["min"] or x > s["max"]
+                                for x in vals):
+                    return False
+            elif isinstance(f, StringStartsWith):
+                # rows matching prefix p lie in [p, p⁺) where p⁺ is p
+                # with its last character incremented; prune when the
+                # file's string range cannot intersect it
+                if not isinstance(v, str) or not v:
+                    continue
+                if not (isinstance(s["min"], str)
+                        and isinstance(s["max"], str)):
+                    continue
+                if s["max"] < v:
+                    return False
+                upper = v[:-1] + chr(ord(v[-1]) + 1)
+                if ord(v[-1]) < 0x10FFFF and s["min"] >= upper:
                     return False
             elif isinstance(f, GreaterThan):
                 if s["max"] <= v:

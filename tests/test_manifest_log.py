@@ -329,3 +329,52 @@ def test_compaction_preserves_bloom_columns(spark, sf_dir, tmp_path):
     m2 = load_manifest(path)
     assert all("n_nationkey" in (f.get("bloom") or {})
                for f in m2["files"] if not f.get("dead"))
+
+
+def test_checkpoint_across_schema_evolution_and_drop(
+        spark, sf_dir, tmp_path):
+    """Evolution × checkpoint interplay (the seam class that bit in
+    round 5): an add-column commit and a metadata-only drop inside the
+    checkpointed window must survive reconstruction from checkpoint +
+    tail — latest reads carry the evolved schema, pre-evolution time
+    travel carries the old one, and the droppedCols re-add refusal
+    survives a checkpoint + vacuum."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+    )
+
+    path = str(tmp_path / "evock")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    register(spark)
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])  # v0
+    for i in range(CHECKPOINT_EVERY - 3):
+        _one_row_append(spark, path, 1100 + i)
+    # add-column evolution just before the checkpoint boundary
+    (spark.createDataFrame([(7000, "evo", 1.5)],
+                           "n_nationkey int, n_name string, score double")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    for i in range(4):  # crosses the CHECKPOINT_EVERY boundary
+        _one_row_append(spark, path, 1200 + i)
+    assert os.path.exists(
+        os.path.join(path, _checkpoint_file(CHECKPOINT_EVERY)))
+    df = (spark.read.format("graft_manifest").option("path", path)
+          .load())
+    assert "score" in df.columns
+    assert df.filter("score IS NOT NULL").count() == 1
+    assert df.count() == 25 + (CHECKPOINT_EVERY - 3) + 1 + 4
+    # pre-evolution travel: the old schema, reconstructed via the tail
+    pre = (spark.read.format("graft_manifest").option("path", path)
+           .option("versionAsOf", "3").load())
+    assert "score" not in pre.columns and pre.count() == 28
+    # drop + vacuum past a checkpoint: the refusal registry survives
+    drop_column_from_manifest(path, "score")
+    vacuum_manifest(path, keep_versions=1, min_age_seconds=0)
+    assert "score" not in (spark.read.format("graft_manifest")
+                           .option("path", path).load().columns)
+    with pytest.raises(Exception, match="cannot be re-added"):
+        (spark.createDataFrame([(7001, "x", 2.0)],
+                               "n_nationkey int, n_name string, score double")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey").save())

@@ -859,3 +859,37 @@ def test_changefeed_across_drop_column(spark, sf_dir, tmp_path):
            for r in manifest_changes_incremental(
                spark, path, 0, None, ["n_nationkey"]).collect()}
     assert full == inc == {(100, "insert")}
+
+
+def test_in_list_and_prefix_pruning():
+    """Round-6 skipping extensions: IN-lists prune when every element
+    misses the stat range (and when every integer element misses the
+    bloom); StringStartsWith prunes when [prefix, prefix+) cannot
+    intersect the string stat range.  Doubt (mixed types, empty list,
+    non-string stats) always survives."""
+    from pyspark.sql.datasource import In
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _bloom_bits_from_numpy,
+        _bloom_encode,
+    )
+
+    stats = {"y": {"min": 10, "max": 20},
+             "s": {"min": "apple", "max": "cherry"}}
+    assert not _file_survives(stats, [In(("y",), (1, 2, 99))])
+    assert _file_survives(stats, [In(("y",), (1, 15))])
+    assert _file_survives(stats, [In(("y",), ())])
+    assert _file_survives(stats, [In(("y",), (1, "x"))])  # mixed: doubt
+    assert not _file_survives(stats, [StringStartsWith(("s",), "d")])
+    assert not _file_survives(stats, [StringStartsWith(("s",), "aa")])
+    assert _file_survives(stats, [StringStartsWith(("s",), "b")])
+    assert _file_survives(stats, [StringStartsWith(("s",), "apple")])
+    # int stats + string prefix: incomparable, never prune
+    assert _file_survives(stats, [StringStartsWith(("y",), "1")])
+    # bloom-backed IN: every probed value absent -> exact exclusion
+    import numpy as np
+
+    enc = _bloom_encode(_bloom_bits_from_numpy(np.array([10, 15, 20])))
+    bloom = {"y": enc}
+    assert _file_survives(stats, [In(("y",), (15, 999))], bloom)
+    assert not _file_survives(stats, [In(("y",), (11, 17))], bloom)

@@ -1,0 +1,104 @@
+"""Z-order clustering (round 6): the layout rewrite must (a) preserve
+contents exactly, (b) give every file a bounded rectangle in z-space
+so min/max stats prune on EITHER z column, and (c) go through the
+atomic tombstone protocol (time travel to the pre-layout version).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+from data_engineering_pipeline_project_cloud_spark.sources import load_table
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    ManifestReader,
+    load_manifest,
+    register,
+    write_manifest_table,
+    zorder_manifest,
+)
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_dir, tmp_path_factory):
+    """The same orders projection in two layouts: range by customer
+    only, and z-ordered by (customer, price)."""
+    base = tmp_path_factory.mktemp("zorder")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("total_price"))
+    stat_cols = ["o_custkey", "total_price", "o_orderkey"]
+    register(spark)
+    linear = str(base / "linear")
+    write_manifest_table(orders.repartitionByRange(8, "o_custkey"),
+                         linear, stat_cols)
+    z = str(base / "z")
+    write_manifest_table(orders.repartitionByRange(8, "o_custkey"),
+                         z, stat_cols)
+    n = orders.count()
+    # 16 output files = 4 curve-prefix bits = a 4x4 grid: each axis
+    # gets two split levels, so a sub-quartile band must skip files
+    zorder_manifest(spark, z, ["o_custkey", "total_price"], stat_cols,
+                    target_rows=max(1, -(-n // 16)))
+    return linear, z, orders
+
+
+def _survivors(path: str, filters) -> tuple[int, int]:
+    rd = ManifestReader({"path": path})
+    total = len(rd.partitions())
+    list(rd.pushFilters(filters))
+    return len(rd.partitions()), total
+
+
+def test_zorder_preserves_contents_and_history(spark, layouts):
+    linear, z, orders = layouts
+    got = (spark.read.format("graft_manifest").option("path", z).load())
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, orders.collect()))
+    # the rewrite is one tombstone commit: v0 (pre-layout) still travels
+    m = load_manifest(z)
+    assert m["version"] == 1
+    pre = (spark.read.format("graft_manifest").option("path", z)
+           .option("versionAsOf", "0").load())
+    assert pre.count() == got.count()
+
+
+def test_zorder_prunes_on_both_axes(spark, layouts):
+    """The point of the curve: a narrow band on EITHER z column skips
+    most files of the z-layout, while the single-column layout only
+    skips on its own partition column."""
+    linear, z, orders = layouts
+    lo, hi = 10000.0, 30000.0
+    price_band = [GreaterThanOrEqual(("total_price",), lo),
+                  LessThan(("total_price",), hi)]
+    ck = orders.agg(F.max("o_custkey")).collect()[0][0]
+    # a band inside the second quartile of the customer domain —
+    # aligned to the curve's split levels, so it cannot straddle the
+    # top-level split the way a band across 50% would
+    cust_band = [GreaterThanOrEqual(("o_custkey",), int(ck * 0.30)),
+                 LessThan(("o_custkey",), int(ck * 0.42))]
+
+    z_price, z_total = _survivors(z, price_band)
+    lin_price, lin_total = _survivors(linear, price_band)
+    assert lin_price == lin_total, \
+        "price predicate should prune nothing on the customer layout"
+    assert z_price <= z_total // 2, (
+        f"z-layout should skip most files on the price axis "
+        f"({z_price}/{z_total} survived)")
+
+    z_cust, _ = _survivors(z, cust_band)
+    assert z_cust <= z_total // 2, (
+        f"z-layout should skip most files on the customer axis "
+        f"({z_cust}/{z_total} survived)")
+
+
+def test_zorder_requires_stats_on_z_columns(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "nostats")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    register(spark)
+    write_manifest_table(orders.coalesce(2), path, ["o_orderkey"])
+    with pytest.raises(ValueError, match="statCols"):
+        zorder_manifest(spark, path, ["o_custkey"], ["o_orderkey"],
+                        target_rows=1000)
