@@ -56,6 +56,75 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", gram_chars: int = 8,
+                        window: int = 4) -> DataFrame:
+    """WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): hash every ``gram_chars``-length character window of
+    the document, then select the MINIMUM hash of each ``window``
+    consecutive hashes.  The winnowing guarantee: any substring match
+    of length ≥ ``gram_chars + window − 1`` between two documents
+    yields at least one SHARED selected fingerprint — which makes the
+    selected set the scalable stand-in for suffix-array substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022: exact duplicated SPANS, not just
+    whole-document near-dups).
+
+    All HOF array arithmetic over the string — no per-row Python, no
+    token explode before selection; output is the exploded DISTINCT
+    ``(doc_id, fp)`` set, ~len/window rows per document (the density
+    bound winnowing guarantees).  Hashes are the portable md5 fold,
+    so an ANSI engine reproduces every selected print exactly."""
+    text = F.col(text_col)
+    n = F.greatest(F.length(text) - F.lit(gram_chars - 1), F.lit(1))
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: portable_hash64(text.substr(i, F.lit(gram_chars)),
+                                      salt="wf|")).alias("__hs"))
+    n_win = F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
+    selected = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda j: F.array_min(F.slice(F.col("__hs"), j, window))))
+    return (hashed.select(F.col(id_col),
+                          F.explode(selected).alias("fp"))
+            .distinct())
+
+
+def duplicate_span_pairs(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", gram_chars: int = 8,
+                         window: int = 4, min_shared: int = 2,
+                         max_bucket: int = 32) -> DataFrame:
+    """Cross-document duplicated-SPAN detection over winnowed
+    fingerprints: documents sharing ``min_shared`` selected prints
+    share (with the winnowing guarantee per print) duplicated
+    substrings of ≥ ``gram_chars + window − 1`` characters — the
+    copy-paste/boilerplate relation document-level near-dup misses.
+
+    Shape at 100 TB: fingerprints whose posting list exceeds
+    ``max_bucket`` documents are DROPPED before pairing (ubiquitous
+    boilerplate would otherwise explode the join quadratically — the
+    same cap discipline as the LSH band join), so pair generation is
+    Σ bounded-bucket² work, never an all-pairs product.  Output:
+    ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``."""
+    fps = winnow_fingerprints(docs, text_col, id_col, gram_chars,
+                              window)
+    sized = (fps.groupBy("fp")
+             .agg(F.count(F.lit(1)).alias("__n"))
+             .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+             .select("fp"))
+    ok = fps.join(sized, "fp")
+    a = ok.select(F.col("fp"), F.col(id_col).alias("doc_a"))
+    b = ok.select(F.col("fp"), F.col(id_col).alias("doc_b"))
+    return (a.join(b, "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared))
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 8,
                        shingle_n: int = 3,

@@ -59,6 +59,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_docs(spark, sf_dir))
 
 
+def duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection (round 6): winnowed fingerprints
+    (SIGMOD'03 winnowing — min hash per sliding window of rolling
+    char-8-gram hashes) joined across documents, pairs sharing ≥2
+    selected prints — the scalable approximation of suffix-array
+    substring dedup (Lee et al., ACL 2022).  Ubiquitous-print buckets
+    are capped before pairing (operators/dedup.py:
+    duplicate_span_pairs), so the join is bounded-bucket², never
+    all-pairs.  The oracle replays the identical selection + pairing
+    relationally (portable md5 prints).  Parameters are tuned to this
+    corpus (short small-vocabulary docs): 16-char grams / window 8 →
+    the guarantee covers shared spans ≥ 23 chars, ≥ 4 shared prints
+    required."""
+    return dd.duplicate_span_pairs(_docs(spark, sf_dir),
+                                   gram_chars=16, window=8,
+                                   min_shared=4, max_bucket=16)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_signatures(_docs(spark, sf_dir),
                                  num_hashes=MINHASHES)
@@ -1256,6 +1274,34 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS n_copies
         FROM documents GROUP BY 1
     """,
+    "duplicate_span_pairs": f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(text) - 15, 1)),
+                       i -> {_H.format(x="'wf|' || substr(text, i, 16)")}
+                   ) AS hs
+            FROM documents
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(hs) - 7, 1)),
+                           j -> list_min(hs[j:j+7]))) AS fp
+                FROM hs)
+        ),
+        keep AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING COUNT(*) BETWEEN 2 AND 16
+        ),
+        ok AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 4
+    """,
     "source_mix_summary": f"""
         WITH per_src AS (
             SELECT source,
@@ -2017,6 +2063,7 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_exact": dedup_exact,
+    "duplicate_span_pairs": duplicate_span_pairs,
     "minhash_signatures": minhash_signatures,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "text_stats": text_stats,

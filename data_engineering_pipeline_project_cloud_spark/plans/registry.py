@@ -203,6 +203,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_drop_column": 5,
     "serving_views_master": 6,
     "manifest_zorder_scan": 6,
+    "duplicate_span_pairs": 6,
 }
 
 

@@ -914,3 +914,61 @@ def test_round5_plan_shapes(spark, sf_dir):
     pplan = prof._jdf.queryExecution().executedPlan().toString()
     assert pplan.count("Scan parquet") == 1, \
         "profiler must read the table once, not once per column"
+
+
+def test_winnowing_guarantee_and_span_pairs(spark):
+    """The SIGMOD'03 winnowing guarantee: two documents sharing a
+    substring of length >= gram_chars + window - 1 share at least one
+    SELECTED fingerprint — so duplicate_span_pairs finds the pair,
+    while documents with no such span don't appear."""
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        duplicate_span_pairs,
+        winnow_fingerprints,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma delta"),
+         (2, "omega " + shared + " epsilon zeta eta theta iota"),
+         (3, "completely different content with nothing in common qq"),
+         (4, "another unrelated string zz yy xx ww vv uu tt ss rr")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(docs, gram_chars=8, window=4)
+    by_doc = {r["doc_id"] for r in fps.collect()}
+    assert by_doc == {1, 2, 3, 4}
+    f1 = {r["fp"] for r in fps.filter("doc_id = 1").collect()}
+    f2 = {r["fp"] for r in fps.filter("doc_id = 2").collect()}
+    assert f1 & f2, "shared 51-char span must share a selected print"
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in duplicate_span_pairs(
+                 docs, gram_chars=8, window=4, min_shared=1,
+                 max_bucket=32).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p or 4 in p for p in pairs), pairs
+    # density bound: winnowing selects ~1 print per window position,
+    # never more than the number of gram positions
+    n1 = fps.filter("doc_id = 1").count()
+    doc1_len = len("alpha beta " + shared + " gamma delta")
+    assert 1 <= n1 <= doc1_len - 8 + 1
+
+
+def test_span_pairs_bucket_cap_drops_boilerplate(spark):
+    """A fingerprint present in MORE than max_bucket documents is
+    boilerplate and must not generate pairs (the quadratic-blowup
+    guard, same discipline as the LSH band join)."""
+    from data_engineering_pipeline_project_cloud_spark.operators.dedup import (
+        duplicate_span_pairs,
+    )
+
+    boiler = "this exact boilerplate sentence appears everywhere here"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(10)],
+        "doc_id long, text string")
+    pairs = duplicate_span_pairs(docs, gram_chars=8, window=4,
+                                 min_shared=1, max_bucket=3)
+    assert pairs.count() == 0, \
+        "prints shared by >3 docs must be dropped before pairing"
+    # raising the cap past the corpus size restores the quadratic set
+    full = duplicate_span_pairs(docs, gram_chars=8, window=4,
+                                min_shared=1, max_bucket=10)
+    assert full.count() == 45
