@@ -2433,10 +2433,88 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
 class _FilePartition(InputPartition):
     def __init__(self, path: str, schema_json: str | None = None,
-                 dv: str | None = None):
+                 dv: str | None = None,
+                 rg_filters: list[tuple] | None = None):
         self.path = path
         self.schema_json = schema_json
         self.dv = dv
+        # serialized pushed predicates for ROW-GROUP pruning inside
+        # the file: [(kind, column, literal), ...]
+        self.rg_filters = rg_filters
+
+
+#: Pushed-filter kinds serializable for executor-side row-group
+#: pruning (plain tuples — InputPartitions are pickled to workers).
+_RG_KINDS = {EqualTo: "eq", GreaterThan: "gt", GreaterThanOrEqual: "ge",
+             LessThan: "lt", LessThanOrEqual: "le"}
+
+
+def _serialize_rg_filters(filters) -> list[tuple] | None:
+    out = []
+    for f in filters:
+        kind = _RG_KINDS.get(type(f))
+        attr = getattr(f, "attribute", None)
+        if kind is None or attr is None or len(attr) != 1:
+            continue
+        v = f.value
+        if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+            continue  # only footer-stat-comparable literal types
+        out.append((kind, attr[0], v))
+    return out or None
+
+
+def _rg_survives(stats: dict, rg_filters: list[tuple]) -> bool:
+    """Row-group twin of ``_file_survives`` over footer statistics:
+    False only when a pushed predicate provably excludes every row of
+    the group; missing/incomparable stats survive."""
+    for kind, col, v in rg_filters:
+        s = stats.get(col)
+        if s is None:
+            continue
+        try:
+            if ((kind == "eq" and (v < s["min"] or v > s["max"]))
+                    or (kind == "gt" and s["max"] <= v)
+                    or (kind == "ge" and s["max"] < v)
+                    or (kind == "lt" and s["min"] >= v)
+                    or (kind == "le" and s["min"] > v)):
+                return False
+        except TypeError:
+            continue
+    return True
+
+
+def _surviving_row_groups(pf, rg_filters: list[tuple]) -> list[int] | None:
+    """Indexes of row groups a pushed-filter set cannot exclude, from
+    the parquet FOOTER only (no data pages).  None = read everything
+    (single group, or nothing pruned — skip the selection overhead).
+    Timestamp/decimal stats are ignored (naive-vs-LTZ and scale
+    semantics differ between engines — same exclusion rule as the
+    manifest's file stats)."""
+    md = pf.metadata
+    if md.num_row_groups <= 1:
+        return None
+    cols = {c for _, c, _ in rg_filters}
+    name_idx = {md.schema.column(i).name: i
+                for i in range(len(md.schema))
+                if md.schema.column(i).name in cols}
+    keep = []
+    for rg in range(md.num_row_groups):
+        stats = {}
+        for col, i in name_idx.items():
+            s = md.row_group(rg).column(i).statistics
+            if s is None or not s.has_min_max:
+                continue
+            if (isinstance(s.min, bool)
+                    or not isinstance(s.min, (int, float, str, bytes))):
+                continue
+            lo = s.min.decode("utf-8", "replace") \
+                if isinstance(s.min, bytes) else s.min
+            hi = s.max.decode("utf-8", "replace") \
+                if isinstance(s.max, bytes) else s.max
+            stats[col] = {"min": lo, "max": hi}
+        if _rg_survives(stats, rg_filters):
+            keep.append(rg)
+    return None if len(keep) == md.num_row_groups else keep
 
 
 def _is_probe_int(v) -> bool:
@@ -2526,27 +2604,45 @@ def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
     return True
 
 
-def _read_aligned(path: str, schema_json: str | None) -> Iterator:
+def _read_aligned(path: str, schema_json: str | None,
+                  rg_filters: list[tuple] | None = None) -> Iterator:
     """Yield a parquet file's Arrow batches aligned to the manifest
     schema: columns the file predates (schema evolution) are
     NULL-filled, column order is normalized.  A file already matching
     the manifest schema streams through untouched — the alignment path
-    costs nothing on non-evolved tables."""
+    costs nothing on non-evolved tables.
+
+    ``rg_filters`` (round 6): pushed predicates applied to ROW-GROUP
+    footer stats before any data page is read — the second level of
+    skipping below the manifest's file stats (a selective predicate on
+    a sorted/z-ordered multi-group file reads only the intersecting
+    groups).  Strictly an IO optimization: Spark re-applies every
+    pushed filter row-wise, so a survived group's non-matching rows
+    are still filtered."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
+    rgs = _surviving_row_groups(pf, rg_filters) if rg_filters else None
+
+    def batches():
+        if rgs is None:
+            yield from pf.iter_batches()
+        elif rgs:
+            yield from pf.iter_batches(row_groups=rgs)
+        # rgs == []: every group excluded — nothing to read
+
     if schema_json is None:
-        yield from pf.iter_batches()
+        yield from batches()
         return
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
     if pf.schema_arrow.names == list(target.names):
-        yield from pf.iter_batches()
+        yield from batches()
         return
     have = set(pf.schema_arrow.names)
-    for batch in pf.iter_batches():
+    for batch in batches():
         arrays = []
         for f in target:
             if f.name in have:
@@ -2570,15 +2666,25 @@ class ManifestReader(DataSourceReader):
                        if not f.get("dead")]
 
     def pushFilters(self, filters):
+        filters = list(filters)
         self._files = [f for f in self._files
                        if _file_survives(f["stats"], filters,
                                          f.get("bloom"))]
+        # carried to the partitions for the second skipping level
+        # (row-group footer stats inside each surviving file)
+        self._rg_filters = _serialize_rg_filters(filters)
         # declare everything unsupported: Spark re-applies all filters
         # row-wise, so pruning can never change results — only IO
         yield from filters
 
     def partitions(self):
-        return [_FilePartition(f["path"], self._schema_json, f.get("dv"))
+        # row-group pruning is disabled on DV-carrying files: deletion
+        # vector positions are FILE-absolute, and skipping groups
+        # would shift the mask offsets onto the wrong rows
+        return [_FilePartition(
+                    f["path"], self._schema_json, f.get("dv"),
+                    None if f.get("dv") else getattr(
+                        self, "_rg_filters", None))
                 for f in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -2588,7 +2694,8 @@ class ManifestReader(DataSourceReader):
             # scan, not an error
             return
         yield from _apply_dv(
-            _read_aligned(partition.path, partition.schema_json),
+            _read_aligned(partition.path, partition.schema_json,
+                          partition.rg_filters),
             partition.dv)
 
 

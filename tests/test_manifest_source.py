@@ -893,3 +893,51 @@ def test_in_list_and_prefix_pruning():
     bloom = {"y": enc}
     assert _file_survives(stats, [In(("y",), (15, 999))], bloom)
     assert not _file_survives(stats, [In(("y",), (11, 17))], bloom)
+
+
+def test_row_group_pruning_within_files(spark, sf_dir, tmp_path):
+    """Round-6 second-level skipping: pushed predicates prune ROW
+    GROUPS inside a surviving file from footer stats alone — a
+    selective predicate on a sorted multi-group file reads only the
+    intersecting groups, and the end-to-end scan still equals the
+    plain filtered read (Spark re-applies the filters row-wise)."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _read_aligned,
+    )
+
+    path = str(tmp_path / "rg")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        orders = (load_table(spark, sf_dir, "orders")
+                  .select("o_orderkey", "o_custkey")
+                  .coalesce(1).sortWithinPartitions("o_orderkey"))
+        m = write_manifest_table(orders, path, ["o_orderkey"])
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       prev)
+    (entry,) = m["files"]
+    pf = pq.ParquetFile(entry["path"])
+    assert pf.metadata.num_row_groups > 3, \
+        "fixture needs a multi-group file"
+    total = pf.metadata.num_rows
+    cutoff = entry["stats"]["o_orderkey"]["min"] + 1
+    pruned_rows = sum(
+        b.num_rows for b in _read_aligned(
+            entry["path"], None, [("le", "o_orderkey", cutoff)]))
+    match = (spark.read.parquet(entry["path"])
+             .filter(F.col("o_orderkey") <= cutoff).count())
+    assert match <= pruned_rows < total, (pruned_rows, total, match)
+    # end-to-end equality through the registered source
+    register(spark)
+    got = (spark.read.format("graft_manifest").option("path", path)
+           .load().filter(F.col("o_orderkey") <= cutoff).count())
+    assert got == match
+    # a predicate beyond the domain reads nothing at the group level
+    none_rows = sum(
+        b.num_rows for b in _read_aligned(
+            entry["path"], None,
+            [("gt", "o_orderkey", entry["stats"]["o_orderkey"]["max"])]))
+    assert none_rows == 0
