@@ -204,6 +204,9 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "serving_views_master": 6,
     "manifest_zorder_scan": 6,
     "duplicate_span_pairs": 6,
+    "manifest_restore_version": 6,
+    "manifest_shallow_clone": 6,
+    "runtime_filter_pruned_join": 6,
 }
 
 

@@ -1736,6 +1736,155 @@ def manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_regionkey").cast("long").alias("n_regionkey")))
 
 
+def manifest_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE ... TO VERSION AS OF
+    (sources/manifest_source.py:restore_manifest — Delta RESTORE /
+    Iceberg rollback; the reference's full-reload posture,
+    scripts/main.py, has no undo): the orders manifest takes three
+    commits — v0 holds the pre-1998 years, v1 appends the rest, v2
+    DV-deletes every 11th key — then RESTORE to v0 rolls the LATEST
+    state back as commit v3 with ZERO data movement (tombstones the
+    appended files, clears the deletion vectors; O(changed files)
+    metadata).  The face aggregates the restored latest per year; the
+    oracle recomputes the same aggregate from the raw table under the
+    v0 predicate, so the driver hash proves the rollback surfaced
+    exactly the original snapshot — appends undone, DV masks cleared.
+    Metadata-only/no-rewrite, dvGen CAS safety, and the tail stream's
+    fail-fast on the restore commit are pytest-asserted in
+    tests/test_manifest_restore_clone.py."""
+    from ..sources.manifest_source import (
+        delete_vectors_from_manifest,
+        register,
+        restore_manifest,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.filter(F.col("order_year") < TT_SPLIT_YEAR)
+            .repartitionByRange(2, "order_year"), path,
+            ["order_year", "o_orderkey"])
+        (orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
+         .repartitionByRange(2, "order_year")
+         .write.format("graft_manifest").mode("append")
+         .option("path", path)
+         .option("statCols", "order_year,o_orderkey").save())
+        delete_vectors_from_manifest(
+            orders.filter(F.col("o_orderkey") % 11 == 0)
+            .select("o_orderkey"), path, ["o_orderkey"],
+            ["order_year", "o_orderkey"])
+        restore_manifest(path, 0)
+
+    tmp = scoped_scratch("manifest_restore_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    return (df.groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sources/manifest_source.py:clone_manifest — the
+    Delta `CREATE TABLE ... SHALLOW CLONE` contract): the clone's v0
+    commit references the source's data files with zero bytes copied,
+    after which the two tables evolve independently.  The build clones
+    the full orders manifest, then mutates the SOURCE hard — DV-deletes
+    every 13th key and compacts the layout — and the face reads the
+    CLONE: the oracle is the plain full-table aggregate, so the driver
+    hash proves the clone still serves the exact pre-mutation snapshot
+    (source tombstones/DVs never leak through shared file paths).
+    Zero-copy, both-direction write independence, DV-sidecar carry,
+    and the deep-clone (`copy_data=True`) variant are pytest-asserted
+    in tests/test_manifest_restore_clone.py."""
+    import os as _os
+
+    from ..sources.manifest_source import (
+        clone_manifest,
+        compact_manifest,
+        delete_vectors_from_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        src = _os.path.join(root, "src")
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), src,
+            ["o_orderkey"])
+        clone_manifest(src, _os.path.join(root, "clone"))
+        delete_vectors_from_manifest(
+            orders.filter(F.col("o_orderkey") % 13 == 0)
+            .select("o_orderkey"), src, ["o_orderkey"], ["o_orderkey"])
+        compact_manifest(spark, src, ["o_orderkey"], 10**9)
+
+    root = scoped_scratch("manifest_clone_orders", sf_dir, build)
+    df = (spark.read.format("graft_manifest")
+          .option("path", _os.path.join(root, "clone")).load())
+    return (df.groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def runtime_filter_pruned_join(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Dynamic-file-pruning join
+    (sources/manifest_source.py:read_with_runtime_filter): the dim
+    side's join keys (customers of one nation) are collected — the
+    same bounded driver state a broadcast join's build side already
+    holds — and pushed into the manifest fact scan as an IN-list, so
+    file-level range+bloom skipping and row-group pruning run BEFORE
+    the join instead of after a full scan.  This is Spark's DPP /
+    runtime-filter behavior, staged explicitly because Catalyst hands
+    Python data sources no runtime filters.  The oracle is the plain
+    join on the raw tables, so the driver hash proves the pruned path
+    is semantically free; the file-count reduction and the
+    key-cap fallback are pytest-asserted in
+    tests/test_manifest_source.py."""
+    from ..sources.manifest_source import (
+        read_with_runtime_filter,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_totalprice").cast("double").alias("total_price"))
+        write_manifest_table(
+            orders.repartitionByRange(8, "o_custkey"), path,
+            ["o_custkey", "o_orderkey"])
+
+    path = scoped_scratch("manifest_rf_orders", sf_dir, build)
+    dim = (load_table(spark, sf_dir, "customer")
+           .filter(F.col("c_nationkey") == 5)
+           .select(F.col("c_custkey").cast("long").alias("c_custkey"),
+                   "c_mktsegment"))
+    fact = read_with_runtime_filter(spark, path, "o_custkey",
+                                    dim.select("c_custkey"))
+    return (fact.join(F.broadcast(dim),
+                      fact["o_custkey"] == dim["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 IOV_MAX_BINS = 8
 
 
@@ -2208,6 +2357,32 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_price
         FROM orders
         WHERE o_orderkey % 13 <> 0
+        GROUP BY 1
+    """,
+    "manifest_restore_version": """
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE YEAR(o_orderdate) < 1998
+        GROUP BY 1
+    """,
+    "manifest_shallow_clone": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        GROUP BY 1
+    """,
+    "runtime_filter_pruned_join": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_nationkey = 5
         GROUP BY 1
     """,
     "manifest_compaction": """
@@ -2881,6 +3056,9 @@ QUERIES = {
     "manifest_drop_column": manifest_drop_column,
     "txn_group_consistent_view": txn_group_consistent_view,
     "manifest_compaction": manifest_compaction,
+    "manifest_restore_version": manifest_restore_version,
+    "manifest_shallow_clone": manifest_shallow_clone,
+    "runtime_filter_pruned_join": runtime_filter_pruned_join,
     "cms_user_event_counts": cms_user_event_counts,
     "heavy_hitter_users": heavy_hitter_users,
     "order_price_psi_drift": order_price_psi_drift,

@@ -1851,6 +1851,198 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
     return load_manifest(path, target)
 
 
+def _maybe_checkpoint(path: str, target: int) -> None:
+    if target % CHECKPOINT_EVERY == 0:
+        import contextlib
+
+        with contextlib.suppress(OSError, ValueError):
+            _write_checkpoint(path, _load_state(path, target))
+
+
+def restore_manifest(path: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — roll the table's LATEST
+    state back to an earlier snapshot as a NEW commit, keeping history
+    (Delta RESTORE / Iceberg rollback semantics; the reference's
+    full-overwrite reload posture, scripts/main.py, has no undo at
+    all).  Zero data movement: the commit tombstones live files the
+    target version doesn't have, re-appends (by reference) target-live
+    files that were since removed, and resets any surviving file's
+    deletion-vector state to the target's — O(changed files) metadata,
+    never a byte of parquet rewritten.
+
+    Invariants preserved:
+    - Append-only file-list positions (tombstones flip in place,
+      re-adds append), so streaming offsets stay valid; the raw tail
+      source fail-fasts on the tombstones exactly as it does for
+      compaction unless ``ignoreChanges`` opts in.
+    - ``txn`` replay watermarks carry FORWARD from the pre-restore
+      state (never from the target version): an idempotent writer
+      replaying a since-restored commit must still no-op, else restore
+      would silently double-apply it.
+    - Payloads travel by sidecar reference (write-once discipline);
+      vacuum keeps sidecars referenced by any retained version.
+
+    Requires ``version`` to still be reconstructible (inside the
+    vacuum retention window) — ``_load_state`` raises otherwise.
+    Restoring to the current version is a no-op and returns it.
+    """
+    import time as _time
+
+    while True:
+        prev = load_manifest(path)
+        if version == prev.get("version", 0):
+            return prev
+        old = _load_state(path, version)
+        cur_live = {f["path"]: f for f in prev["files"]
+                    if not f.get("dead")}
+        old_live = {f["path"]: f for f in old["files"]
+                    if not f.get("dead")}
+        missing = [p for p in old_live
+                   if p not in cur_live and not os.path.exists(p)]
+        if missing:
+            raise ValueError(
+                f"cannot restore {path} to version {version}: "
+                f"{len(missing)} data file(s) it references were "
+                f"physically removed (first: {missing[0]}); restore "
+                "is only possible inside the vacuum retention window")
+        tombstone = sorted(p for p in cur_live if p not in old_live)
+        add = [_strip_payloads(old_live[p])
+               for p in old_live if p not in cur_live]
+        dv_update: dict[str, dict] = {}
+        for p, oldf in old_live.items():
+            curf = cur_live.get(p)
+            if curf is None:
+                continue
+            if (oldf.get("dvGen", 0) != curf.get("dvGen", 0)
+                    or oldf.get("dvRows", 0) != curf.get("dvRows", 0)):
+                u = {"dvRows": oldf.get("dvRows", 0),
+                     # bump PAST both generations: a DV writer that
+                     # planned against either the pre-restore or the
+                     # target snapshot must fail its dvState CAS and
+                     # re-plan against the restored state
+                     "dvGen": max(oldf.get("dvGen", 0),
+                                  curf.get("dvGen", 0)) + 1}
+                stripped = _strip_payloads(oldf)
+                if stripped.get("dvRef"):
+                    u["dvRef"] = stripped["dvRef"]
+                elif oldf.get("dv"):
+                    u["dv"] = oldf["dv"]
+                dv_update[p] = u
+        target = prev.get("version", 0) + 1
+        delta = {
+            "version": target,
+            "schema": old["schema"],
+            "txn": dict(prev.get("txn", {})),
+            "droppedCols": dict(old.get("droppedCols", {})),
+            "committedAt": _time.time(),
+            "restoredFrom": version,
+        }
+        if tombstone:
+            delta["tombstone"] = tombstone
+        if add:
+            delta["add"] = add
+        if dv_update:
+            delta["dvUpdate"] = dv_update
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
+def clone_manifest(src: str, dst: str, version: int | None = None,
+                   copy_data: bool = False) -> dict:
+    """SHALLOW CLONE: publish ``dst`` as a new manifest table whose
+    version-0 commit references the SOURCE's data files at ``version``
+    (default latest) — zero data copied, O(live files) metadata, the
+    Delta `CREATE TABLE ... SHALLOW CLONE` contract.  Writes to the
+    clone (appends, deletes, merges, restores) never touch the source
+    and vice versa; only VACUUM on the source can invalidate a shallow
+    clone's referenced files (the same caveat Delta documents), which
+    ``fsck_manifest`` on the clone detects.  ``copy_data=True`` makes
+    it a DEEP clone: data files are hard-linked when possible (same
+    filesystem — still zero bytes) else copied, making the clone
+    immune to source vacuum.
+
+    Payload sidecars (bloom/DV) are always copied into the clone —
+    they are metadata-sized, and a clone whose *metadata* depends on
+    another table's directory would break the write-once/ownership
+    discipline.  ``txn`` watermarks carry over so an idempotent
+    exactly-once writer replaying into the clone no-ops instead of
+    double-appending.
+    """
+    import shutil
+    import time as _time
+
+    state = load_manifest(os.path.abspath(src), version)
+    if _list_versions(dst) or os.path.exists(
+            os.path.join(dst, MANIFEST_NAME)):
+        raise ValueError(f"clone destination {dst} is already a "
+                         "manifest table")
+    os.makedirs(dst, exist_ok=True)
+    live = [f for f in state["files"] if not f.get("dead")]
+    for sc in sorted(_entry_sidecars(live)):
+        shutil.copyfile(os.path.join(os.path.abspath(src), sc),
+                        os.path.join(dst, sc))
+    add = []
+    for f in live:
+        e = _strip_payloads(f)
+        if copy_data:
+            target = os.path.join(os.path.abspath(dst),
+                                  os.path.basename(e["path"]))
+            try:
+                os.link(e["path"], target)
+            except OSError:
+                shutil.copyfile(e["path"], target)
+            e = dict(e, path=target)
+        add.append(e)
+    delta = {
+        "version": 0,
+        "truncate": True,
+        "schema": state["schema"],
+        "txn": dict(state.get("txn") or {}),
+        "droppedCols": dict(state.get("droppedCols") or {}),
+        "committedAt": _time.time(),
+        "clonedFrom": {"path": os.path.abspath(src),
+                       "version": state["version"],
+                       "shallow": not copy_data},
+        "add": add,
+    }
+    if not _claim(dst, _delta_file(0), json.dumps(delta)):
+        raise ValueError(f"clone destination {dst} is already a "
+                         "manifest table (racing clone committed v0)")
+    return load_manifest(dst, 0)
+
+
+def read_with_runtime_filter(spark, path: str, key_col: str, keys_df,
+                             max_keys: int = 65536):
+    """Dynamic-file-pruning analog for manifest scans: collect the dim
+    side's DISTINCT join keys (bounded by ``max_keys``) and push them
+    into the fact scan as an IN-list predicate, so file-level
+    range/bloom skipping — and Spark's row-wise re-application — run
+    BEFORE the join executes.  This is what Spark's dynamic partition
+    pruning / runtime filters do for partitioned/v2 sources; the
+    Python data source gets no runtime filters from Catalyst, so the
+    engine stages the collect explicitly (the same bounded
+    driver-state shape as a broadcast join's build side).
+
+    Falls back to the unfiltered scan when the key set exceeds
+    ``max_keys``: an IN-list that large prunes little, bloats every
+    task's predicate, and risks driver memory — the plain shuffled
+    join is the right plan there.
+    """
+    df = (spark.read.format("graft_manifest").option("path", path)
+          .load())
+    rows = (keys_df.distinct().limit(max_keys + 1).collect())
+    if len(rows) > max_keys:
+        return df
+    from pyspark.sql import functions as _F
+
+    keys = [r[0] for r in rows if r[0] is not None]
+    if not keys:
+        return df.limit(0)
+    return df.filter(_F.col(key_col).isin(keys))
+
+
 def manifest_history(path: str) -> list[dict]:
     """Table-format introspection (the DESCRIBE HISTORY / snapshots
     system table): one row per retained snapshot with its file and

@@ -1,0 +1,216 @@
+"""RESTORE (roll the table back to an earlier version as a new
+commit) and SHALLOW/DEEP CLONE (publish a new table referencing the
+source's files) — the two snapshot-management ops table formats ship
+on top of versioned metadata (Delta RESTORE / CREATE TABLE SHALLOW
+CLONE; the reference's full-reload posture, scripts/main.py, has
+neither).  Both are metadata-only: these tests pin zero-data-movement
+alongside content correctness.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.sources import load_table
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    clone_manifest,
+    delete_vectors_from_manifest,
+    load_manifest,
+    register,
+    restore_manifest,
+    write_manifest_table,
+)
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.year("o_orderdate").cast("int").alias("order_year"))
+
+
+def _read(spark, path, **opts):
+    r = spark.read.format("graft_manifest").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+@pytest.fixture()
+def table(spark, sf_dir, tmp_path):
+    """v0 = years < 1998 (2 files), v1 = append the rest (2 files)."""
+    register(spark)
+    path = str(tmp_path / "restore_orders")
+    orders = _orders(spark, sf_dir)
+    write_manifest_table(
+        orders.filter(F.col("order_year") < 1998)
+        .repartitionByRange(2, "order_year"), path,
+        ["order_year", "o_orderkey"])
+    (orders.filter(F.col("order_year") >= 1998)
+     .repartitionByRange(2, "order_year")
+     .write.format("graft_manifest").mode("append").option("path", path)
+     .option("statCols", "order_year,o_orderkey").save())
+    return path
+
+
+def test_restore_rolls_back_appends(spark, sf_dir, table):
+    pre = _read(spark, table, versionAsOf=0)
+    pre_rows = pre.count()
+    full_rows = _read(spark, table).count()
+    assert full_rows > pre_rows
+
+    m = restore_manifest(table, 0)
+    assert m["version"] == 2
+    got = _read(spark, table)
+    assert got.count() == pre_rows
+    assert (got.exceptAll(pre).isEmpty()
+            and pre.exceptAll(got).isEmpty())
+    # history is kept: the rolled-back state is still time-travelable
+    assert _read(spark, table, versionAsOf=1).count() == full_rows
+    # and restore of the restore goes forward again
+    restore_manifest(table, 1)
+    assert _read(spark, table).count() == full_rows
+
+
+def test_restore_is_metadata_only_and_o_changed(table):
+    before = set(glob.glob(os.path.join(table, "*.parquet")))
+    m0 = load_manifest(table, 0)
+    m1 = load_manifest(table)
+    appended = len([f for f in m1["files"] if not f.get("dead")]) - len(
+        [f for f in m0["files"] if not f.get("dead")])
+    restore_manifest(table, 0)
+    assert set(glob.glob(os.path.join(table, "*.parquet"))) == before, \
+        "restore must not write or remove any data file"
+    delta = json.load(open(os.path.join(
+        table, "delta-v%08d.json" % 2)))
+    assert delta.get("restoredFrom") == 0
+    # O(changed files): only the appended files are tombstoned,
+    # nothing is re-added, no DV churn
+    assert len(delta.get("tombstone") or ()) == appended
+    assert not delta.get("add")
+    assert not delta.get("dvUpdate")
+
+
+def test_restore_to_current_is_noop(table):
+    v = load_manifest(table)["version"]
+    assert restore_manifest(table, v)["version"] == v
+
+
+def test_restore_undoes_dv_delete_and_bumps_gen(spark, sf_dir, table):
+    doomed = (_read(spark, table).select("o_orderkey").limit(7))
+    delete_vectors_from_manifest(doomed, table, ["o_orderkey"],
+                                 ["order_year", "o_orderkey"])
+    v_del = load_manifest(table)["version"]
+    n_masked = _read(spark, table).count()
+    m = restore_manifest(table, v_del - 1)
+    got = _read(spark, table)
+    assert got.count() == n_masked + 7, "DV rollback restores the rows"
+    # every surviving file's dvGen moved PAST both snapshots' gens so
+    # any in-flight DV planner fails its CAS instead of mis-applying
+    for f in m["files"]:
+        if f.get("dead"):
+            continue
+        assert not f.get("dv"), "restored state must carry no mask"
+    # re-deleting afterwards still works (gen bump did not wedge DVs)
+    delete_vectors_from_manifest(doomed, table, ["o_orderkey"],
+                                 ["order_year", "o_orderkey"])
+    assert _read(spark, table).count() == n_masked
+
+
+def test_restore_re_adds_compacted_away_files(spark, sf_dir, table):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        compact_manifest,
+    )
+
+    v_pre = load_manifest(table)["version"]
+    rows = _read(spark, table).count()
+    compact_manifest(spark, table, ["order_year", "o_orderkey"],
+                     small_file_rows=10**9)
+    assert load_manifest(table)["version"] == v_pre + 1
+    m = restore_manifest(table, v_pre)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert len(live) == 4, "pre-compaction layout is live again"
+    assert _read(spark, table).count() == rows
+
+
+def test_tail_stream_fail_fasts_on_restore(spark, sf_dir, table, tmp_path):
+    # consume the whole table, then restore (a rewrite commit behind
+    # the consumed offset) — the raw tail must refuse to continue
+    out0 = str(tmp_path / "out0")
+    ck = str(tmp_path / "ck")
+    (spark.readStream.format("graft_manifest").option("path", table)
+     .load().writeStream.format("parquet").option("path", out0)
+     .option("checkpointLocation", ck).trigger(availableNow=True)
+     .start().awaitTermination())
+    restore_manifest(table, 0)
+    q = (spark.readStream.format("graft_manifest").option("path", table)
+         .load().writeStream.format("noop")
+         .option("checkpointLocation", ck).trigger(availableNow=True)
+         .start())
+    with pytest.raises(Exception, match="re-emit|rewrite|ignoreChanges"):
+        q.awaitTermination()
+
+
+def test_shallow_clone_content_and_independence(spark, sf_dir, table,
+                                                tmp_path):
+    dst = str(tmp_path / "clone")
+    m = clone_manifest(table, dst)
+    assert m["version"] == 0
+    src_df = _read(spark, table)
+    got = _read(spark, dst)
+    assert (got.exceptAll(src_df).isEmpty()
+            and src_df.exceptAll(got).isEmpty())
+    # zero copy: the clone dir holds no parquet data files
+    assert not glob.glob(os.path.join(dst, "*.parquet"))
+
+    # writes diverge independently in both directions
+    extra = _orders(spark, sf_dir).limit(5)
+    (extra.write.format("graft_manifest").mode("append")
+     .option("path", dst)
+     .option("statCols", "order_year,o_orderkey").save())
+    assert _read(spark, dst).count() == src_df.count() + 5
+    assert _read(spark, table).count() == src_df.count()
+    (extra.write.format("graft_manifest").mode("append")
+     .option("path", table)
+     .option("statCols", "order_year,o_orderkey").save())
+    assert _read(spark, dst).count() == src_df.count() + 5
+
+
+def test_clone_at_version_and_nonempty_dst_refused(spark, sf_dir, table,
+                                                   tmp_path):
+    dst = str(tmp_path / "clone_v0")
+    clone_manifest(table, dst, version=0)
+    v0_rows = _read(spark, table, versionAsOf=0).count()
+    assert _read(spark, dst).count() == v0_rows
+    delta = json.load(open(os.path.join(dst, "delta-v%08d.json" % 0)))
+    assert delta["clonedFrom"]["version"] == 0
+    assert delta["clonedFrom"]["shallow"] is True
+    with pytest.raises(ValueError, match="already a manifest table"):
+        clone_manifest(table, dst)
+
+
+def test_clone_carries_deletion_vectors(spark, sf_dir, table, tmp_path):
+    doomed = _read(spark, table).select("o_orderkey").limit(9)
+    delete_vectors_from_manifest(doomed, table, ["o_orderkey"],
+                                 ["order_year", "o_orderkey"])
+    masked = _read(spark, table).count()
+    dst = str(tmp_path / "clone_dv")
+    clone_manifest(table, dst)
+    assert _read(spark, dst).count() == masked, \
+        "clone must mask the source's deleted positions (DV sidecar)"
+
+
+def test_deep_clone_survives_source_removal(spark, sf_dir, table,
+                                            tmp_path):
+    import shutil
+
+    dst = str(tmp_path / "deep")
+    clone_manifest(table, dst, copy_data=True)
+    rows = _read(spark, table).count()
+    shutil.rmtree(table)
+    assert _read(spark, dst).count() == rows

@@ -941,3 +941,46 @@ def test_row_group_pruning_within_files(spark, sf_dir, tmp_path):
             entry["path"], None,
             [("gt", "o_orderkey", entry["stats"]["o_orderkey"]["max"])]))
     assert none_rows == 0
+
+
+def test_runtime_filter_scan_prunes_and_caps(spark, sf_dir, tmp_path):
+    """DPP-analog (round 6): the dim side's collected keys push an
+    IN-list into the manifest fact scan — files outside the key set
+    are never opened, results equal the plain filter, and a key set
+    over the cap falls back to the unfiltered scan instead of
+    building a monster predicate."""
+    from pyspark.sql.datasource import In
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_with_runtime_filter,
+    )
+
+    register(spark)
+    path = str(tmp_path / "rf")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"))
+    m = write_manifest_table(
+        orders.repartitionByRange(8, "o_custkey"), path,
+        ["o_custkey", "o_orderkey"])
+    dim = (load_table(spark, sf_dir, "customer")
+           .filter(F.col("c_nationkey") == 5)
+           .select(F.col("c_custkey").cast("long")))
+    keys = [r[0] for r in dim.collect()]
+    got = read_with_runtime_filter(spark, path, "o_custkey", dim)
+    exp = orders.filter(F.col("o_custkey").isin(keys))
+    assert got.count() == exp.count() > 0
+    assert got.exceptAll(exp).isEmpty() and exp.exceptAll(got).isEmpty()
+    # the pushed IN-list prunes files (two low keys live in one range)
+    rd = ManifestReader({"path": path})
+    assert len(rd.partitions()) == len(m["files"])
+    list(rd.pushFilters([In(("o_custkey",), tuple(sorted(keys)[:2]))]))
+    assert len(rd.partitions()) < len(m["files"])
+    # over the cap → plain scan (no predicate, full row count)
+    capped = read_with_runtime_filter(spark, path, "o_custkey", dim,
+                                      max_keys=1)
+    assert capped.count() == orders.count()
+    # empty dim side → empty scan, not a full one
+    empty = read_with_runtime_filter(
+        spark, path, "o_custkey", dim.filter(F.lit(False)))
+    assert empty.count() == 0
