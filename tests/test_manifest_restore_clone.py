@@ -214,3 +214,52 @@ def test_deep_clone_survives_source_removal(spark, sf_dir, table,
     rows = _read(spark, table).count()
     shutil.rmtree(table)
     assert _read(spark, dst).count() == rows
+
+
+def test_restore_across_drop_column(spark, sf_dir, tmp_path):
+    """Restore to a pre-DROP-COLUMN version resurrects the wide schema
+    and its values; restore forward again re-narrows."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "dropcol")
+    orders = _orders(spark, sf_dir)
+    write_manifest_table(orders.coalesce(1), path,
+                         ["order_year", "o_orderkey"])
+    drop_column_from_manifest(path, "total_price")
+    assert "total_price" not in _read(spark, path).columns
+    m = restore_manifest(path, 0)
+    assert m["version"] == 2
+    got = _read(spark, path)
+    assert "total_price" in got.columns
+    assert got.filter(F.col("total_price").isNull()).count() == 0
+    restore_manifest(path, 1)
+    assert "total_price" not in _read(spark, path).columns
+
+
+def test_clone_of_schema_evolved_table(spark, sf_dir, tmp_path):
+    """Cloning a table whose old files predate an added column keeps
+    the NULL-fill alignment working through the clone's manifest."""
+    register(spark)
+    src = str(tmp_path / "evo_src")
+    dst = str(tmp_path / "evo_clone")
+    nat = load_table(spark, sf_dir, "nation")
+    write_manifest_table(
+        nat.filter(F.col("n_nationkey") < 20)
+        .select("n_nationkey", "n_name").coalesce(1), src,
+        ["n_nationkey"])
+    (nat.filter(F.col("n_nationkey") >= 20)
+     .select("n_nationkey", "n_name", "n_regionkey").coalesce(1)
+     .write.format("graft_manifest").mode("append").option("path", src)
+     .option("statCols", "n_nationkey").save())
+    clone_manifest(src, dst)
+    got = _read(spark, dst)
+    assert "n_regionkey" in got.columns
+    assert got.count() == nat.count()
+    # pre-evolution files NULL-fill; post-evolution rows keep values
+    assert (got.filter(F.col("n_nationkey") < 20)
+            .filter(F.col("n_regionkey").isNotNull()).count() == 0)
+    assert (got.filter(F.col("n_nationkey") >= 20)
+            .filter(F.col("n_regionkey").isNull()).count() == 0)
