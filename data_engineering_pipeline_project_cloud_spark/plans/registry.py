@@ -207,6 +207,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_restore_version": 6,
     "manifest_shallow_clone": 6,
     "runtime_filter_pruned_join": 6,
+    "manifest_rename_column": 6,
 }
 
 

@@ -1837,6 +1837,57 @@ def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY RENAME COLUMN via epoch column mapping
+    (sources/manifest_source.py:rename_column_in_manifest — the Delta
+    columnMapping / Iceberg field-id analog): v0 writes orders with the
+    column named ``price``, v1 renames it to ``total_price`` touching
+    no data file, v2 appends post-rename rows that physically carry the
+    NEW name.  The face filters and aggregates THROUGH the renamed
+    column over the mixed-epoch file set — pre-rename files map
+    physical→logical at read, post-rename files pass through, and
+    stats-based file skipping keys on the logical name.  The oracle is
+    the same filter+rollup on the raw table, so the driver hash proves
+    the mapping end-to-end.  Zero-rewrite, pruning, rewrites (merge/
+    DV/compaction), CDC-across-rename, mid-stream rename, clone/
+    restore carry, and the refusal matrix are pytest-asserted in
+    tests/test_manifest_rename.py."""
+    from ..sources.manifest_source import (
+        register,
+        rename_column_in_manifest,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.filter(F.col("order_year") < TT_SPLIT_YEAR)
+            .repartitionByRange(2, "order_year"), path,
+            ["order_year", "o_orderkey", "price"])
+        rename_column_in_manifest(path, "price", "total_price")
+        (orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
+         .withColumnRenamed("price", "total_price")
+         .repartitionByRange(2, "order_year")
+         .write.format("graft_manifest").mode("append")
+         .option("path", path)
+         .option("statCols", "order_year,o_orderkey,total_price")
+         .save())
+
+    tmp = scoped_scratch("manifest_rename_orders", sf_dir, build)
+    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    return (df.filter(F.col("total_price") < 100000.0)
+            .groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def runtime_filter_pruned_join(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Dynamic-file-pruning join
@@ -2374,6 +2425,15 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
                    AS sum_price
         FROM orders
+        GROUP BY 1
+    """,
+    "manifest_rename_column": """
+        SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE CAST(o_totalprice AS DOUBLE) < 100000.0
         GROUP BY 1
     """,
     "runtime_filter_pruned_join": """
@@ -3058,6 +3118,7 @@ QUERIES = {
     "manifest_compaction": manifest_compaction,
     "manifest_restore_version": manifest_restore_version,
     "manifest_shallow_clone": manifest_shallow_clone,
+    "manifest_rename_column": manifest_rename_column,
     "runtime_filter_pruned_join": runtime_filter_pruned_join,
     "cms_user_event_counts": cms_user_event_counts,
     "heavy_hitter_users": heavy_hitter_users,

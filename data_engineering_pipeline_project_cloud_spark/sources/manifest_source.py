@@ -101,7 +101,7 @@ from pyspark.sql.datasource import (
     StringStartsWith,
     WriterCommitMessage,
 )
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 MANIFEST_NAME = "manifest.json"
 
@@ -365,10 +365,17 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             out.append(f)
         files = out
     files += [_resolve_entry(path, e) for e in delta.get("add") or ()]
+    if "renames" in delta:
+        renames = delta["renames"]
+    elif delta.get("truncate") or base is None:
+        renames = []
+    else:
+        renames = base.get("renames", [])
     return {"schema": delta["schema"], "version": delta["version"],
             "files": files, "txn": delta.get("txn", {}),
             "committedAt": delta.get("committedAt"),
-            "droppedCols": delta.get("droppedCols", {})}
+            "droppedCols": delta.get("droppedCols", {}),
+            "renames": renames}
 
 
 def _write_checkpoint(path: str, state: dict) -> None:
@@ -382,7 +389,8 @@ def _write_checkpoint(path: str, state: dict) -> None:
     import pyarrow.parquet as pq
 
     head = {k: state.get(k) for k in
-            ("schema", "version", "txn", "droppedCols", "committedAt")}
+            ("schema", "version", "txn", "droppedCols", "committedAt",
+             "renames")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -410,6 +418,8 @@ def _read_checkpoint(path: str, full: str) -> dict:
     head["files"] = files
     head.setdefault("txn", {})
     head.setdefault("droppedCols", {})
+    if head.get("renames") is None:
+        head["renames"] = []
     return head
 
 
@@ -440,6 +450,7 @@ def _load_state(path: str, version: int) -> dict:
             state = _read_json(snaps[v])
             state.setdefault("txn", {})
             state.setdefault("droppedCols", {})
+            state.setdefault("renames", [])
             break
         if v in ckpts:
             state = _read_checkpoint(path, ckpts[v])
@@ -458,6 +469,7 @@ def _load_state(path: str, version: int) -> dict:
             if mj.get("version", 0) == v and "files" in mj:
                 mj.setdefault("txn", {})
                 mj.setdefault("droppedCols", {})
+                mj.setdefault("renames", [])
                 state = mj
                 break
         raise ValueError(
@@ -497,6 +509,116 @@ def _commit_time(path: str, version: int) -> float:
     return _load_state(path, version).get("committedAt", 0.0) or 0.0
 
 
+def _rename_map(entry: dict, renames: list[dict]) -> dict | None:
+    """PHYSICAL→LOGICAL column-name map for one file entry under a
+    version's cumulative rename history (epoch-based column mapping:
+    a rename is metadata-only, so a file keeps the name that was
+    current when it was written).  A file participates in exactly the
+    renames committed AFTER it was added (``addedAt``; absent =
+    predates every rename — entries written before this feature, or
+    carried into a clone).  Renames chain: a→b then b→c maps a
+    pre-everything file's physical ``a`` to ``c``, while a file
+    written between the two maps its physical ``b`` to ``c``.
+    Returns None when no rename touches the file (the overwhelmingly
+    common case — zero overhead off the feature)."""
+    if not renames:
+        return None
+    added = entry.get("addedAt", -1)
+    m: dict[str, str] = {}
+    for r in renames:
+        if added >= r["at"]:
+            continue
+        srcs = [p for p, cur in m.items() if cur == r["from"]]
+        if srcs:
+            for p in srcs:
+                m[p] = r["to"]
+        else:
+            m[r["from"]] = r["to"]
+    return m or None
+
+
+def _rename_map_pinned(entry: dict, renames: list[dict],
+                       pin: int) -> dict | None:
+    """Physical→logical map targeting the names AS OF version ``pin``
+    (a pinned stream schema / a CDC version walk) rather than the
+    latest.  Forward-maps the renames the file predates, then
+    reverse-maps renames committed after the pin — so a file written
+    under a LATER name still aligns to the pinned schema instead of
+    NULL-filling (the rename twin of the round-5 mid-stream
+    schema-evolution fix)."""
+    if not renames:
+        return None
+    base = _rename_map(entry, renames) or {}
+    post = [r for r in renames if r["at"] > pin]
+    if not base and not post:
+        return None
+    cand = (set(base) | {r["from"] for r in renames}
+            | {r["to"] for r in renames})
+    out = {}
+    for p in cand:
+        cur = base.get(p, p)
+        for r in reversed(post):
+            if cur == r["to"]:
+                cur = r["from"]
+        if cur != p:
+            out[p] = cur
+    return out or None
+
+
+def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
+    """METADATA-ONLY column rename (Delta columnMapping / Iceberg
+    field-id rename analog, epoch-based): one CAS commit replaces
+    ``old`` with ``new`` in the table schema and appends a rename
+    record; no data file is touched.  Files keep their written-time
+    physical names — every read path maps physical→logical per file
+    via ``_rename_map`` (entries stamp ``addedAt`` at commit, so a
+    later file that legitimately re-introduces the OLD name as a new
+    column is left alone).  Time travel to pre-rename versions reads
+    the old name; stats/bloom skipping and copy-on-write rewrites see
+    translated keys via ``load_manifest``'s per-call annotation.
+
+    Renaming TO a previously DROPPED name is refused for the same
+    resurrection hazard as re-adding it: pre-drop files still hold the
+    dropped column's values under that physical name, and the rename
+    would surface them into the new column."""
+    while True:
+        prev = load_manifest(path)
+        st = StructType.fromJson(json.loads(prev["schema"]))
+        names = [f.name for f in st.fields]
+        if old not in names:
+            raise ValueError(f"column {old!r} not in table schema "
+                             f"{names}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists in the "
+                             f"table schema {names}")
+        dropped = dict(prev.get("droppedCols", {}))
+        if new in dropped:
+            raise ValueError(
+                f"column {new!r} was dropped at version "
+                f"{dropped[new]} and cannot be the target of a "
+                "rename: files from before the drop still hold its "
+                "old values under that physical name")
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        fields = [f if f.name != old else StructField(
+            new, f.dataType, f.nullable, f.metadata)
+            for f in st.fields]
+        renames = list(prev.get("renames") or [])
+        renames.append({"from": old, "to": new, "at": target})
+        delta = {
+            "version": target,
+            "schema": StructType(fields).json(),
+            "txn": dict(prev.get("txn", {})),
+            "droppedCols": dropped,
+            "renames": renames,
+            "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def load_manifest(path: str, version: int | None = None) -> dict:
     """Resolve a manifest-table directory (or a direct ``*.json`` path)
     to a manifest dict.  ``version=None`` → latest (highest retained
@@ -514,11 +636,33 @@ def load_manifest(path: str, version: int | None = None) -> dict:
         if version is None:
             return _read_json(os.path.join(path, MANIFEST_NAME))
     st = _load_state(path, version)
+    renames = list(st.get("renames") or [])
+    files = []
+    for f in st["files"]:
+        e = dict(f)
+        rmap = _rename_map(e, renames)
+        if rmap:
+            # surface stats/bloom under the LOGICAL names this version
+            # reads, so every stats consumer (pruning, merge planning,
+            # z-order bounds) keys by the schema it sees; the map
+            # itself rides along for the physical read paths.  The
+            # annotation lives only on this per-call copy — commit
+            # paths that re-persist entries (restore/clone) read the
+            # RAW state, so physical keys are what's stored.
+            if e.get("stats"):
+                e["stats"] = {rmap.get(k, k): v
+                              for k, v in e["stats"].items()}
+            if e.get("bloom"):
+                e["bloom"] = {rmap.get(k, k): v
+                              for k, v in e["bloom"].items()}
+            e["_rename"] = rmap
+        files.append(e)
     return {"schema": st["schema"], "version": st["version"],
-            "files": [dict(f) for f in st["files"]],
+            "files": files,
             "txn": dict(st.get("txn") or {}),
             "committedAt": st.get("committedAt"),
-            "droppedCols": dict(st.get("droppedCols") or {})}
+            "droppedCols": dict(st.get("droppedCols") or {}),
+            "renames": renames}
 
 
 #: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
@@ -993,14 +1137,52 @@ def _conflicting_added_files(path: str, prev: dict,
 
 def _masked_spark_read(spark, st: StructType, entries: list[dict]):
     """Read manifest file entries with the JVM parquet reader, applying
-    any deletion vectors: DV'd positions are excluded via an anti-join
-    of the hidden ``_metadata`` (file basename, row_index) against the
-    decoded position set — everything stays JVM-side except the
-    driver-built exclusion frame, which is bounded by the DV policy
-    cap (``delete_vectors_from_manifest`` falls back to copy-on-write
-    past it).  This is the read every copy-on-write rewrite
-    (MERGE/DELETE/OPTIMIZE) must use: reading the raw bytes of a DV'd
-    file would resurrect its deleted rows into the rewrite."""
+    any deletion vectors and per-file RENAME mappings.  This is the
+    read every copy-on-write rewrite (MERGE/DELETE/OPTIMIZE) must use:
+    reading the raw bytes of a DV'd file would resurrect its deleted
+    rows into the rewrite, and reading a renamed file by its LOGICAL
+    name would silently NULL the column (Spark's parquet reader
+    matches by name).  Entries are grouped by their physical→logical
+    map (``_rename`` annotation from ``load_manifest``); each group is
+    read under its PHYSICAL schema then aliased back — one extra scan
+    node per rename epoch present, zero off the feature."""
+    groups: dict[tuple, list[dict]] = {}
+    for f in entries:
+        key = tuple(sorted((f.get("_rename") or {}).items()))
+        groups.setdefault(key, []).append(f)
+    if len(groups) == 1:
+        key, grp = next(iter(groups.items()))
+        if not key:
+            return _masked_spark_read_one(spark, st, grp)
+    from pyspark.sql import functions as F
+
+    parts = []
+    for key, grp in groups.items():
+        rmap = dict(key)
+        inv = {lg: ph for ph, lg in rmap.items()}
+        phys = StructType([
+            StructField(inv.get(f.name, f.name), f.dataType,
+                        f.nullable, f.metadata) for f in st.fields])
+        base = _masked_spark_read_one(spark, phys, grp)
+        if rmap:
+            base = base.select(*[
+                F.col(inv.get(f.name, f.name)).alias(f.name)
+                for f in st.fields])
+        parts.append(base)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _masked_spark_read_one(spark, st: StructType, entries: list[dict]):
+    """One rename-homogeneous group of entries: JVM parquet read with
+    DV positions excluded via an anti-join of the hidden ``_metadata``
+    (file basename, row_index) against the decoded position set —
+    everything stays JVM-side except the driver-built exclusion frame,
+    which is bounded by the DV policy cap
+    (``delete_vectors_from_manifest`` falls back to copy-on-write past
+    it)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -1320,13 +1502,32 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
                                           keys_sorted)
     if not affected:
         return m  # nothing could match: the table is untouched
-    base = spark.read.schema(st).parquet(*[f["path"] for f in affected])
-    hits = (base.select(
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
-        .alias("__file"),
-        F.col("_metadata.row_index").alias("__pos"), *key_cols)
-        .join(F.broadcast(keys), key_cols, "semi")
-        .select("__file", "__pos"))
+    # discovery reads raw bytes, so files predating a RENAME must be
+    # scanned under their PHYSICAL key-column names (grouped per
+    # rename epoch; a by-logical-name read would NULL the column and
+    # silently miss every doomed position in those files)
+    groups: dict[tuple, list[dict]] = {}
+    for f in affected:
+        gk = tuple(sorted((f.get("_rename") or {}).items()))
+        groups.setdefault(gk, []).append(f)
+    hit_parts = []
+    for gk, grp in groups.items():
+        inv = {lg: ph for ph, lg in dict(gk).items()}
+        phys = StructType([
+            StructField(inv.get(f.name, f.name), f.dataType,
+                        f.nullable, f.metadata) for f in st.fields])
+        base = spark.read.schema(phys).parquet(
+            *[f["path"] for f in grp])
+        hit_parts.append(base.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            .alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+            *[F.col(inv.get(c, c)).alias(c) for c in key_cols]))
+    base = hit_parts[0]
+    for p in hit_parts[1:]:
+        base = base.unionAll(p)
+    hits = (base.join(F.broadcast(keys), key_cols, "semi")
+            .select("__file", "__pos"))
     # mask positions EARLIER DV commits already deleted (round-6
     # ADVICE): the discovery scan reads raw bytes, so without this
     # anti-join a key deleted twice re-collects its dead positions,
@@ -1677,8 +1878,14 @@ def manifest_changes_incremental(spark, path: str, from_version: int,
                  for f in m_from["files"] if not f.get("dead")}
     live_to = {(f["path"], f.get("dvGen", 0)): f
                for f in m_to["files"] if not f.get("dead")}
-    old_entries = [live_from[k] for k in sorted(live_from.keys() -
-                                                live_to.keys())]
+    # the diff runs in the TO version's schema, so every file — both
+    # sides — maps physical→TO-logical names (a rename inside the
+    # window would otherwise leave from-side entries keyed to the OLD
+    # name and silently NULL the renamed column in the pre-images)
+    to_renames = m_to.get("renames") or []
+    old_entries = [dict(live_from[k],
+                        _rename=_rename_map(live_from[k], to_renames))
+                   for k in sorted(live_from.keys() - live_to.keys())]
     new_entries = [live_to[k] for k in sorted(live_to.keys() -
                                               live_from.keys())]
     st = _table_schema(m_to)
@@ -1934,6 +2141,9 @@ def restore_manifest(path: str, version: int) -> dict:
             "schema": old["schema"],
             "txn": dict(prev.get("txn", {})),
             "droppedCols": dict(old.get("droppedCols", {})),
+            # rename history rolls back WITH the schema (same version
+            # axis, so re-added entries' addedAt stays consistent)
+            "renames": list(old.get("renames") or []),
             "committedAt": _time.time(),
             "restoredFrom": version,
         }
@@ -1970,10 +2180,16 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
     exactly-once writer replaying into the clone no-ops instead of
     double-appending.
     """
+    import bisect
     import shutil
     import time as _time
 
-    state = load_manifest(os.path.abspath(src), version)
+    src_abs = os.path.abspath(src)
+    v = version if version is not None else _latest_version(src_abs)
+    if v is None:
+        state = load_manifest(src_abs)  # legacy manifest.json table
+    else:
+        state = _load_state(src_abs, v)
     if _list_versions(dst) or os.path.exists(
             os.path.join(dst, MANIFEST_NAME)):
         raise ValueError(f"clone destination {dst} is already a "
@@ -1981,11 +2197,32 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
     os.makedirs(dst, exist_ok=True)
     live = [f for f in state["files"] if not f.get("dead")]
     for sc in sorted(_entry_sidecars(live)):
-        shutil.copyfile(os.path.join(os.path.abspath(src), sc),
+        shutil.copyfile(os.path.join(src_abs, sc),
                         os.path.join(dst, sc))
+    # Rename history carries over with its epochs REBASED onto a
+    # negative axis (commit order preserved): the clone's own version
+    # numbering restarts at 0, so keeping source version numbers would
+    # let a future clone commit (addedAt = small int) sort BEFORE a
+    # carried rename and wrongly inherit its mapping.  Negative epochs
+    # can never collide with real clone versions.
+    renames = list(state.get("renames") or [])
+    ats = sorted({r["at"] for r in renames})
+    rebased = [dict(r, at=ats.index(r["at"]) - len(ats))
+               for r in renames]
+
+    def _epoch(added: int | None) -> int:
+        if added is None:
+            return -len(ats) - 1
+        return bisect.bisect_right(ats, added) - len(ats) - 1
+
     add = []
     for f in live:
         e = _strip_payloads(f)
+        e.pop("_rename", None)
+        if ats:
+            e["addedAt"] = _epoch(f.get("addedAt"))
+        else:
+            e.pop("addedAt", None)
         if copy_data:
             target = os.path.join(os.path.abspath(dst),
                                   os.path.basename(e["path"]))
@@ -2001,8 +2238,9 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "schema": state["schema"],
         "txn": dict(state.get("txn") or {}),
         "droppedCols": dict(state.get("droppedCols") or {}),
+        "renames": rebased,
         "committedAt": _time.time(),
-        "clonedFrom": {"path": os.path.abspath(src),
+        "clonedFrom": {"path": src_abs,
                        "version": state["version"],
                        "shallow": not copy_data},
         "add": add,
@@ -2552,11 +2790,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             # drop-name registry carries forward on append (the
             # re-add refusal must survive later commits); an
             # overwrite replaces the table AND vacuums its files, so
-            # resurrection is impossible and the registry resets
+            # resurrection is impossible and the registry resets.
+            # Rename history follows the same rule, and every new
+            # entry stamps the version that added it (addedAt) — the
+            # epoch column mapping (_rename_map) keys on it
             dropped = ({} if truncate
                        else dict(prev.get("droppedCols", {})))
+            renames = ([] if truncate
+                       else list(prev.get("renames") or []))
+            for f in new_files:
+                f["addedAt"] = target
             delta = {"version": target, "schema": schema_json,
                      "txn": txn, "droppedCols": dropped,
+                     "renames": renames,
                      "committedAt": _time.time(),
                      "add": new_files}
             if truncate:
@@ -2626,13 +2872,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 class _FilePartition(InputPartition):
     def __init__(self, path: str, schema_json: str | None = None,
                  dv: str | None = None,
-                 rg_filters: list[tuple] | None = None):
+                 rg_filters: list[tuple] | None = None,
+                 rename: dict | None = None):
         self.path = path
         self.schema_json = schema_json
         self.dv = dv
         # serialized pushed predicates for ROW-GROUP pruning inside
-        # the file: [(kind, column, literal), ...]
+        # the file: [(kind, column, literal), ...] — column names are
+        # PHYSICAL (pre-translated against ``rename``), because they
+        # compare against the parquet footer
         self.rg_filters = rg_filters
+        # physical→logical column map for files that predate a
+        # metadata-only RENAME COLUMN (epoch column mapping)
+        self.rename = rename
 
 
 #: Pushed-filter kinds serializable for executor-side row-group
@@ -2797,7 +3049,8 @@ def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
 
 
 def _read_aligned(path: str, schema_json: str | None,
-                  rg_filters: list[tuple] | None = None) -> Iterator:
+                  rg_filters: list[tuple] | None = None,
+                  rename: dict | None = None) -> Iterator:
     """Yield a parquet file's Arrow batches aligned to the manifest
     schema: columns the file predates (schema evolution) are
     NULL-filled, column order is normalized.  A file already matching
@@ -2810,19 +3063,35 @@ def _read_aligned(path: str, schema_json: str | None,
     a sorted/z-ordered multi-group file reads only the intersecting
     groups).  Strictly an IO optimization: Spark re-applies every
     pushed filter row-wise, so a survived group's non-matching rows
-    are still filtered."""
+    are still filtered.  Filter column names are PHYSICAL.
+
+    ``rename`` (round 6): physical→logical name map for files written
+    before a metadata-only RENAME COLUMN — the file's columns are
+    viewed under their logical names before alignment (a zero-copy
+    schema swap, no array is touched)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     rgs = _surviving_row_groups(pf, rg_filters) if rg_filters else None
+    names = list(pf.schema_arrow.names)
+    if rename:
+        names = [rename.get(n, n) for n in names]
 
     def batches():
-        if rgs is None:
-            yield from pf.iter_batches()
-        elif rgs:
-            yield from pf.iter_batches(row_groups=rgs)
-        # rgs == []: every group excluded — nothing to read
+        it = (pf.iter_batches() if rgs is None
+              else iter(()) if not rgs
+              else pf.iter_batches(row_groups=rgs))
+        if not rename:
+            yield from it
+            return
+        for b in it:
+            # zero-copy: same arrays under the logical names
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns),
+                schema=pa.schema(
+                    [f.with_name(n)
+                     for f, n in zip(b.schema, names)]))
 
     if schema_json is None:
         yield from batches()
@@ -2830,15 +3099,16 @@ def _read_aligned(path: str, schema_json: str | None,
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
-    if pf.schema_arrow.names == list(target.names):
+    if names == list(target.names):
         yield from batches()
         return
-    have = set(pf.schema_arrow.names)
+    idx = {n: i for i, n in enumerate(names)}
     for batch in batches():
         arrays = []
         for f in target:
-            if f.name in have:
-                col = batch.column(f.name)
+            i = idx.get(f.name)
+            if i is not None:
+                col = batch.column(i)
                 if col.type != f.type:
                     col = col.cast(f.type)
                 arrays.append(col)
@@ -2873,11 +3143,22 @@ class ManifestReader(DataSourceReader):
         # row-group pruning is disabled on DV-carrying files: deletion
         # vector positions are FILE-absolute, and skipping groups
         # would shift the mask offsets onto the wrong rows
-        return [_FilePartition(
-                    f["path"], self._schema_json, f.get("dv"),
-                    None if f.get("dv") else getattr(
-                        self, "_rg_filters", None))
-                for f in self._files]
+        rg = getattr(self, "_rg_filters", None)
+        out = []
+        for f in self._files:
+            rmap = f.get("_rename")
+            frg = None
+            if rg and not f.get("dv"):
+                if rmap:
+                    # footer stats key by PHYSICAL names: translate
+                    # the pushed logical columns back per file
+                    inv = {lg: ph for ph, lg in rmap.items()}
+                    frg = [(k, inv.get(c, c), v) for k, c, v in rg]
+                else:
+                    frg = rg
+            out.append(_FilePartition(f["path"], self._schema_json,
+                                      f.get("dv"), frg, rmap))
+        return out
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:
@@ -2887,7 +3168,7 @@ class ManifestReader(DataSourceReader):
             return
         yield from _apply_dv(
             _read_aligned(partition.path, partition.schema_json,
-                          partition.rg_filters),
+                          partition.rg_filters, partition.rename),
             partition.dv)
 
 
@@ -2930,8 +3211,12 @@ class ManifestStreamReader(DataSourceStreamReader):
         # Arrow schema no longer matches the query's and the write
         # task dies.  Pre-evolution files NULL-fill columns they
         # predate; post-drop reads ignore columns the pinned schema
-        # no longer names — both via _read_aligned.
-        self._schema_json = load_manifest(self._path)["schema"]
+        # no longer names — both via _read_aligned.  Renames align via
+        # _rename_map_pinned against the PIN version, so files written
+        # under a later name still surface under the pinned one.
+        _pin = load_manifest(self._path)
+        self._schema_json = _pin["schema"]
+        self._pin_version = _pin.get("version", 0)
 
     def _manifest(self) -> dict:
         return load_manifest(self._path)
@@ -3005,14 +3290,18 @@ class ManifestStreamReader(DataSourceStreamReader):
         # deleted (a consumer that read the file BEFORE the DV landed
         # keeps them — DV deletes are never retracted by the raw tail;
         # the CDC stream emits them)
-        return [_FilePartition(f["path"], self._schema_json, f.get("dv"))
+        renames = m.get("renames") or []
+        return [_FilePartition(f["path"], self._schema_json, f.get("dv"),
+                               rename=_rename_map_pinned(
+                                   f, renames, self._pin_version))
                 for f in files if not f.get("dead")]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:
             return
         yield from _apply_dv(
-            _read_aligned(partition.path, partition.schema_json),
+            _read_aligned(partition.path, partition.schema_json,
+                          rename=partition.rename),
             partition.dv)
 
     def commit(self, end: dict) -> None:
@@ -3023,10 +3312,12 @@ class ManifestStreamReader(DataSourceStreamReader):
 
 
 class _CDCInsertPartition(InputPartition):
-    def __init__(self, path: str, schema_json: str, version: int):
+    def __init__(self, path: str, schema_json: str, version: int,
+                 rename: dict | None = None):
         self.path = path
         self.schema_json = schema_json
         self.version = version
+        self.rename = rename
 
 
 class _CDCDVPartition(InputPartition):
@@ -3036,12 +3327,14 @@ class _CDCDVPartition(InputPartition):
     needed (a DV commit cannot insert or update)."""
 
     def __init__(self, path: str, schema_json: str, old_dv: str | None,
-                 new_dv: str, version: int):
+                 new_dv: str, version: int,
+                 rename: dict | None = None):
         self.path = path
         self.schema_json = schema_json
         self.old_dv = old_dv
         self.new_dv = new_dv
         self.version = version
+        self.rename = rename
 
 
 def _cdc_dv_batches(part: _CDCDVPartition) -> Iterator:
@@ -3049,7 +3342,8 @@ def _cdc_dv_batches(part: _CDCDVPartition) -> Iterator:
     import pyarrow as pa
 
     off = 0
-    for batch in _read_aligned(part.path, part.schema_json):
+    for batch in _read_aligned(part.path, part.schema_json,
+                               rename=part.rename):
         n = batch.num_rows
         new = _dv_decode(part.new_dv, off + n)[off:off + n]
         if part.old_dv:
@@ -3072,13 +3366,18 @@ class _CDCDiffPartition(InputPartition):
     def __init__(self, old_paths: list[str], new_paths: list[str],
                  schema_json: str, key_cols: list[str], version: int,
                  preimages: bool = False,
-                 old_dvs: list[str | None] | None = None):
+                 old_dvs: list[str | None] | None = None,
+                 old_renames: list[dict | None] | None = None,
+                 new_renames: list[dict | None] | None = None):
         self.old_paths = old_paths
         self.new_paths = new_paths
         # pre-image deletion vectors: rows a replaced file had ALREADY
         # deleted (by an earlier DV commit) are not part of THIS
         # commit's change set — unmasked they would re-emit as deletes
         self.old_dvs = old_dvs or [None] * len(old_paths)
+        # per-file physical→logical maps (column-mapping renames)
+        self.old_renames = old_renames or [None] * len(old_paths)
+        self.new_renames = new_renames or [None] * len(new_paths)
         self.schema_json = schema_json
         self.key_cols = key_cols
         self.version = version
@@ -3110,11 +3409,13 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
                 f"readChangeFeed cannot diff nested column {f.name!r}; "
                 "flat key/value columns only")
 
-    def read_all(paths: list[str], dvs: list[str | None] | None = None):
+    def read_all(paths: list[str], dvs: list[str | None] | None = None,
+                 renames: list[dict | None] | None = None):
         tables = []
         for i, p in enumerate(paths):
             batches = list(_apply_dv(
-                _read_aligned(p, part.schema_json),
+                _read_aligned(p, part.schema_json,
+                              rename=renames[i] if renames else None),
                 dvs[i] if dvs else None))
             batches = [b for b in batches if b.num_rows]
             if batches:
@@ -3124,11 +3425,13 @@ def _cdc_diff_batches(part: _CDCDiffPartition) -> Iterator:
 
     keys = part.key_cols
     vals = [n for n in target.names if n not in keys]
-    old_t = (read_all(part.old_paths, part.old_dvs).select(keys + vals)
+    old_t = (read_all(part.old_paths, part.old_dvs, part.old_renames)
+             .select(keys + vals)
              .rename_columns(keys + [f"__o_{c}" for c in vals]))
     old_t = old_t.append_column(
         "__in_old", pa.repeat(True, old_t.num_rows))
-    new_t = (read_all(part.new_paths).select(keys + vals)
+    new_t = (read_all(part.new_paths, renames=part.new_renames)
+             .select(keys + vals)
              .rename_columns(keys + [f"__n_{c}" for c in vals]))
     new_t = new_t.append_column(
         "__in_new", pa.repeat(True, new_t.num_rows))
@@ -3211,8 +3514,13 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         # FIXED for the stream's lifetime: partitions for versions
         # from before an evolution boundary align their files to this
         # schema instead of their own version's — the stream's
-        # declared schema cannot change mid-query
-        self._schema_json = load_manifest(self._path)["schema"]
+        # declared schema cannot change mid-query.  Rename history is
+        # pinned alongside: every file maps physical→pinned-logical
+        # via _rename_map, version-independently (the map keys on the
+        # FILE's addedAt epoch, not the walked version)
+        _pin = load_manifest(self._path)
+        self._schema_json = _pin["schema"]
+        self._pin_renames = _pin.get("renames") or []
         # updatePreimages: Delta-CDF-style update rows — each update
         # emits an update_preimage AND an update_postimage row instead
         # of a single post-image 'update' row (what retraction-based
@@ -3251,15 +3559,17 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         flip_entries = [pf for pf, cf in zip(prev_files, cur["files"])
                         if not pf.get("dead") and cf.get("dead")]
         flipped = [pf["path"] for pf in flip_entries]
+        rmap = lambda f: _rename_map(f, self._pin_renames)  # noqa: E731
         dv_moved = [
             _CDCDVPartition(cf["path"], self._schema_json, pf.get("dv"),
-                            cf["dv"], v)
+                            cf["dv"], v, rename=rmap(cf))
             for pf, cf in zip(prev_files, cur["files"])
             if not cf.get("dead")
             and pf.get("dvGen", 0) != cf.get("dvGen", 0)]
         if not flipped:
             return dv_moved + [
-                _CDCInsertPartition(f["path"], self._schema_json, v)
+                _CDCInsertPartition(f["path"], self._schema_json, v,
+                                    rename=rmap(f))
                 for f in appended if not f.get("dead")]
         if not self._key_cols:
             raise ValueError(
@@ -3269,7 +3579,9 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             flipped, [f["path"] for f in appended],
             self._schema_json, self._key_cols, v,
             preimages=self._preimages,
-            old_dvs=[pf.get("dv") for pf in flip_entries])]
+            old_dvs=[pf.get("dv") for pf in flip_entries],
+            old_renames=[rmap(pf) for pf in flip_entries],
+            new_renames=[rmap(f) for f in appended])]
 
     def partitions(self, start: dict, end: dict):
         parts = []
@@ -3288,7 +3600,8 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         if isinstance(partition, _CDCDVPartition):
             yield from _cdc_dv_batches(partition)
             return
-        for batch in _read_aligned(partition.path, partition.schema_json):
+        for batch in _read_aligned(partition.path, partition.schema_json,
+                                   rename=partition.rename):
             n = batch.num_rows
             yield pa.RecordBatch.from_arrays(
                 list(batch.columns)
