@@ -132,6 +132,14 @@ def _sidecar_file(tag: str) -> str:
     return f"payload-{tag}.json"
 
 
+#: Reserved rename-target prefix: a retroactive "masked" rename
+#: record points a dropped column's pre-drop physical name at a name
+#: the schema can never contain, which is how RE-ADDING a dropped
+#: name keeps the old files' values out of the new column (epoch
+#: column mapping).  Writers refuse user columns under this prefix.
+_MASKED_PREFIX = "__graft_masked:"
+
+
 class LocalFSClaimBackend:
     """Atomic put-if-absent claims via POSIX hard links: the payload is
     fully written to a private temp file, then ``os.link``ed to the
@@ -532,9 +540,15 @@ def _rename_map(entry: dict, renames: list[dict]) -> dict | None:
         if srcs:
             for p in srcs:
                 m[p] = r["to"]
-        else:
+        elif r["from"] not in m:
+            # a physical name already mapped AWAY (m[from] exists with
+            # another target) no longer surfaces as `from`; this later
+            # rename refers to a RE-INTRODUCED column this file cannot
+            # contain — touching the mapping would mis-route the
+            # file's original column
             m[r["from"]] = r["to"]
-    return m or None
+    # drop identity entries (a rename chain that circled back)
+    return {p: name for p, name in m.items() if p != name} or None
 
 
 def _rename_map_pinned(entry: dict, renames: list[dict],
@@ -577,10 +591,12 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
     the old name; stats/bloom skipping and copy-on-write rewrites see
     translated keys via ``load_manifest``'s per-call annotation.
 
-    Renaming TO a previously DROPPED name is refused for the same
-    resurrection hazard as re-adding it: pre-drop files still hold the
-    dropped column's values under that physical name, and the rename
-    would surface them into the new column."""
+    Renaming ONTO a previously DROPPED name works by masking first: a
+    retroactive rename record points the pre-drop physical name at a
+    reserved never-in-schema target, effective at the DROP version —
+    the renamed column starts NULL in pre-drop files instead of
+    resurrecting their values (the same epoch lift the writer applies
+    when a dropped name is re-ADDED by append)."""
     while True:
         prev = load_manifest(path)
         st = StructType.fromJson(json.loads(prev["schema"]))
@@ -591,13 +607,11 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
         if new in names:
             raise ValueError(f"column {new!r} already exists in the "
                              f"table schema {names}")
-        dropped = dict(prev.get("droppedCols", {}))
-        if new in dropped:
+        if new.startswith(_MASKED_PREFIX):
             raise ValueError(
-                f"column {new!r} was dropped at version "
-                f"{dropped[new]} and cannot be the target of a "
-                "rename: files from before the drop still hold its "
-                "old values under that physical name")
+                f"rename target under the reserved prefix "
+                f"{_MASKED_PREFIX!r} is not allowed")
+        dropped = dict(prev.get("droppedCols", {}))
         target = prev.get("version", 0) + 1
         import time as _time
 
@@ -605,6 +619,15 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             new, f.dataType, f.nullable, f.metadata)
             for f in st.fields]
         renames = list(prev.get("renames") or [])
+        dv_ver = dropped.pop(new, None)
+        if dv_ver is not None:
+            # renaming ONTO a previously dropped name: mask the old
+            # values first (retroactive record effective at the drop
+            # version), exactly like re-adding the name by append —
+            # pre-drop files' physical column never surfaces again
+            renames.append({"from": new,
+                            "to": f"{_MASKED_PREFIX}{new}@v{dv_ver}",
+                            "at": dv_ver})
         renames.append({"from": old, "to": new, "at": target})
         delta = {
             "version": target,
@@ -2020,11 +2043,13 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
     (reads project the manifest schema, so file columns it no longer
     names are simply never materialized).  Time travel to pre-drop
     versions still reads the column.  The dropped name is recorded in
-    ``droppedCols`` and a later append that re-introduces it is
-    REFUSED: pre-drop files still hold the old values under that name,
-    and a by-name read would resurrect them — lifting that refusal is
-    exactly what physical column mapping (Delta's columnMapping /
-    Iceberg field ids) exists for."""
+    ``droppedCols``; a later append (or rename) that re-introduces it
+    is SAFE since round 6's epoch column mapping — the writer lifts
+    the old refusal by first committing a retroactive MASKED rename
+    record (pre-drop files' physical name → a reserved
+    never-in-schema target, effective at the drop version), so the
+    re-added column starts NULL in pre-drop files instead of
+    resurrecting their old values."""
     while True:
         prev = load_manifest(path)
         st = StructType.fromJson(json.loads(prev["schema"]))
@@ -2433,6 +2458,12 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._bloom_cols = [c for c in braw.split(",") if c]
         self._schema = schema
         self._schema_json = schema.json()
+        bad = [f.name for f in schema.fields
+               if f.name.startswith(_MASKED_PREFIX)]
+        if bad:
+            raise ValueError(
+                f"column names under the reserved prefix "
+                f"{_MASKED_PREFIX!r} cannot be written: {bad}")
         self._overwrite = overwrite
         self._txn_app = options.get("txnappid")
         tv = options.get("txnversion")
@@ -2776,19 +2807,12 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                              "whose key range may intersect this "
                              f"append's: {sorted(clash)}; re-run "
                              "against the current table version")
-                try:
-                    schema_json = _merged_schema_json(
-                        prev["schema"], self._schema,
-                        prev.get("droppedCols"))
-                except ValueError as exc:
-                    fail(str(exc))
                 stale_files = []
                 stale_artifacts = []
                 stale_sidecars = set()
             import time as _time
 
-            # drop-name registry carries forward on append (the
-            # re-add refusal must survive later commits); an
+            # drop-name registry carries forward on append; an
             # overwrite replaces the table AND vacuums its files, so
             # resurrection is impossible and the registry resets.
             # Rename history follows the same rule, and every new
@@ -2798,6 +2822,29 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                        else dict(prev.get("droppedCols", {})))
             renames = ([] if truncate
                        else list(prev.get("renames") or []))
+            # RE-ADD of a previously dropped name (epoch lift of the
+            # old refusal): a retroactive MASKED rename record — from
+            # the dropped name to a reserved never-in-schema target,
+            # effective at the DROP version — hides the old values in
+            # every file that predates the drop, so the re-added
+            # column starts NULL there instead of resurrecting them.
+            # Files appended between drop and re-add cannot carry the
+            # name (the schema didn't have it), so the retroactive
+            # epoch is exact.
+            if not truncate and dropped:
+                for f2 in self._schema.fields:
+                    dv_ver = dropped.pop(f2.name, None)
+                    if dv_ver is not None:
+                        renames.append(
+                            {"from": f2.name,
+                             "to": f"{_MASKED_PREFIX}{f2.name}@v{dv_ver}",
+                             "at": dv_ver})
+            if not truncate:
+                try:
+                    schema_json = _merged_schema_json(
+                        prev["schema"], self._schema, dropped)
+                except ValueError as exc:
+                    fail(str(exc))
             for f in new_files:
                 f["addedAt"] = target
             delta = {"version": target, "schema": schema_json,

@@ -368,13 +368,18 @@ def test_checkpoint_across_schema_evolution_and_drop(
     pre = (spark.read.format("graft_manifest").option("path", path)
            .option("versionAsOf", "3").load())
     assert "score" not in pre.columns and pre.count() == 28
-    # drop + vacuum past a checkpoint: the refusal registry survives
+    # drop + vacuum past a checkpoint: the drop registry survives and
+    # a re-add through it stays masked (no resurrection)
     drop_column_from_manifest(path, "score")
     vacuum_manifest(path, keep_versions=1, min_age_seconds=0)
     assert "score" not in (spark.read.format("graft_manifest")
                            .option("path", path).load().columns)
-    with pytest.raises(Exception, match="cannot be re-added"):
-        (spark.createDataFrame([(7001, "x", 2.0)],
-                               "n_nationkey int, n_name string, score double")
-         .coalesce(1).write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", "n_nationkey").save())
+    (spark.createDataFrame([(7001, "x", 2.0)],
+                           "n_nationkey int, n_name string, score double")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    readd = (spark.read.format("graft_manifest").option("path", path)
+             .load())
+    got = readd.filter(F.col("score").isNotNull()).collect()
+    assert len(got) == 1 and got[0]["score"] == 2.0, \
+        "pre-drop 'score' values must stay masked after the re-add"

@@ -269,6 +269,46 @@ def test_rename_refusal_matrix(spark, sf_dir, tmp_path):
         rename_column_in_manifest(path, "nope", "x")
     with pytest.raises(ValueError, match="already exists"):
         rename_column_in_manifest(path, "n_name", "n_regionkey")
+    with pytest.raises(ValueError, match="reserved prefix"):
+        rename_column_in_manifest(path, "n_name",
+                                  "__graft_masked:oops")
+    # renaming ONTO a dropped name is LIFTED by epoch masking: the
+    # pre-drop n_regionkey values never surface under the rename
     drop_column_from_manifest(path, "n_regionkey")
-    with pytest.raises(ValueError, match="dropped at version"):
-        rename_column_in_manifest(path, "n_name", "n_regionkey")
+    rename_column_in_manifest(path, "n_nationkey", "n_regionkey")
+    df = _read(spark, path)
+    assert set(df.columns) == {"n_regionkey", "n_name"}
+    # the renamed column carries the ORIGINAL n_nationkey values
+    assert df.filter(F.col("n_regionkey") > 4).count() == 20, \
+        "values must come from n_nationkey, not the dropped column"
+
+
+def test_double_drop_readd_cycle(spark, sf_dir, tmp_path):
+    """Drop → re-add → drop → re-add of the SAME name: each era's
+    values stay isolated to its own epoch (two masked records)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "cycle")
+
+    def add(key, score):
+        (spark.createDataFrame([(key, float(score))],
+                               "k long, score double")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "k").save())
+
+    add(1, 10.0)                       # v0: era-1 score
+    drop_column_from_manifest(path, "score")
+    add(2, 20.0)                       # re-add: era-2 score
+    drop_column_from_manifest(path, "score")
+    add(3, 30.0)                       # re-add again: era-3 score
+    df = _read(spark, path).orderBy("k")
+    rows = {r["k"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 30.0}
+    # every era still time travels intact
+    v0 = _read(spark, path, versionAsOf=0)
+    assert v0.collect()[0]["score"] == 10.0
+    v2 = _read(spark, path, versionAsOf=2).orderBy("k")
+    assert [r["score"] for r in v2.collect()] == [None, 20.0]

@@ -773,12 +773,14 @@ def test_many_interleaved_writers_all_land(spark, sf_dir, tmp_path):
         assert len(snap["files"]) == len(m0["files"]) + (v - m0["version"])
 
 
-def test_drop_column_metadata_only_with_readd_refusal(
+def test_drop_column_metadata_only_with_safe_readd(
         spark, sf_dir, tmp_path):
     """Metadata-only DROP COLUMN: no data file changes, reads project
     the narrowed schema, pre-drop time travel still sees the column,
     post-drop appends work WITHOUT it, and re-adding the dropped name
-    is refused (resurrection hazard without column mapping)."""
+    is SAFE via the epoch masking record (round 6): pre-drop files
+    show NULL for the re-added column instead of resurrecting their
+    old values."""
     from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
         drop_column_from_manifest,
         load_manifest,
@@ -808,13 +810,24 @@ def test_drop_column_metadata_only_with_readd_refusal(
      .option("path", path).option("statCols", "n_nationkey").save())
     assert (spark.read.format("graft_manifest").option("path", path)
             .load().count()) == 26
-    # the dropped-name registry survives the append; re-add refused
-    with pytest.raises(Exception, match="cannot be re-added"):
-        (spark.createDataFrame([(101, "X", 9)],
-                               "n_nationkey long, n_name string, "
-                               "n_regionkey long")
-         .coalesce(1).write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", "n_nationkey").save())
+    # re-adding the dropped name is SAFE: the masked rename record
+    # keeps pre-drop values out of the new column
+    (spark.createDataFrame([(101, "X", 9)],
+                           "n_nationkey long, n_name string, "
+                           "n_regionkey long")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    readd = (spark.read.format("graft_manifest").option("path", path)
+             .load())
+    assert readd.count() == 27
+    assert (readd.filter(F.col("n_regionkey").isNotNull())
+            .count() == 1), "old files must NOT resurrect their values"
+    assert readd.filter(
+        F.col("n_nationkey") == 101).collect()[0]["n_regionkey"] == 9
+    # pre-drop time travel STILL shows the original values
+    v0 = (spark.read.format("graft_manifest").option("path", path)
+          .option("versionAsOf", "0").load())
+    assert v0.filter(F.col("n_regionkey").isNotNull()).count() == 25
     # a different NEW column still evolves normally
     (spark.createDataFrame([(102, "Y", "eu")],
                            "n_nationkey long, n_name string, "
@@ -823,8 +836,9 @@ def test_drop_column_metadata_only_with_readd_refusal(
      .option("path", path).option("statCols", "n_nationkey").save())
     final = (spark.read.format("graft_manifest").option("path", path)
              .load())
-    assert set(final.columns) == {"n_nationkey", "n_name", "zone"}
-    assert final.count() == 27
+    assert set(final.columns) == {"n_nationkey", "n_name",
+                                  "n_regionkey", "zone"}
+    assert final.count() == 28
 
 
 def test_changefeed_across_drop_column(spark, sf_dir, tmp_path):
