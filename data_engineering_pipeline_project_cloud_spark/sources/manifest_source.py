@@ -2822,6 +2822,21 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                        else dict(prev.get("droppedCols", {})))
             renames = ([] if truncate
                        else list(prev.get("renames") or []))
+            # concurrent-rename guard: a rename that landed AFTER this
+            # write was planned may have renamed away a column this
+            # frame still carries — merging the schemas would silently
+            # re-introduce the old name as a separate NEW column
+            # (split-brain: the writer meant the renamed column).
+            # Fail; the caller re-plans under the current schema.
+            if not truncate:
+                mine = {f2.name for f2 in self._schema.fields}
+                late = sorted({r["from"] for r in renames
+                               if r["at"] > self._read_version
+                               and r["from"] in mine})
+                if late:
+                    fail(f"concurrent rename: column(s) {late} were "
+                         "renamed after this write was planned; "
+                         "re-run against the current table schema")
             # RE-ADD of a previously dropped name (epoch lift of the
             # old refusal): a retroactive MASKED rename record — from
             # the dropped name to a reserved never-in-schema target,

@@ -312,3 +312,63 @@ def test_double_drop_readd_cycle(spark, sf_dir, tmp_path):
     assert v0.collect()[0]["score"] == 10.0
     v2 = _read(spark, path, versionAsOf=2).orderBy("k")
     assert [r["score"] for r in v2.collect()] == [None, 20.0]
+
+
+def test_append_racing_rename_fails_with_replan_hint(spark, sf_dir,
+                                                     tmp_path):
+    """An append PLANNED under the old name whose commit claims AFTER
+    a rename landed must fail (re-plan), not silently re-introduce the
+    old name as a separate new column.  Driven in-process: the writer
+    is constructed (planning snapshot) before the rename and its
+    commit runs after, exactly the interleaving the worker would see."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestArrowWriter,
+        _FileCommit,
+    )
+
+    register(spark)
+    path = str(tmp_path / "race")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"),
+        "n_name")
+    write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
+
+    old_schema = StructType([StructField("n_nationkey", LongType()),
+                             StructField("n_name", StringType())])
+    w = ManifestArrowWriter({"path": path,
+                             "statcols": "n_nationkey"},
+                            old_schema, overwrite=False)  # plans at v0
+    rename_column_in_manifest(path, "n_name", "nation_name")  # v1 lands
+
+    # stage one data file the way write() would have
+    staged = os.path.join(path, ".race.parquet.tmp")
+    final = os.path.join(path, "race-data.parquet")
+    pq.write_table(pa.table({"n_nationkey": [900], "n_name": ["Z"]}),
+                   staged)
+    msg = _FileCommit(tmp_path=staged, final_path=final, rows=1,
+                      stats={"n_nationkey": {"min": 900, "max": 900}})
+    with pytest.raises(ValueError, match="concurrent rename"):
+        w.commit([msg])
+    # the refused commit unpublished its data file — no orphans
+    m = load_manifest(path)
+    live = {os.path.basename(f["path"]) for f in m["files"]}
+    on_disk = {os.path.basename(p)
+               for p in glob.glob(os.path.join(path, "*.parquet"))}
+    assert on_disk == live
+    # re-planned append under the NEW name lands cleanly
+    (nat.limit(2).coalesce(1)
+     .withColumnRenamed("n_name", "nation_name")
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "n_nationkey").save())
+    df = _read(spark, path)
+    assert df.count() == 27
+    assert df.filter(F.col("nation_name").isNull()).count() == 0
