@@ -263,3 +263,24 @@ def test_clone_of_schema_evolved_table(spark, sf_dir, tmp_path):
             .filter(F.col("n_regionkey").isNotNull()).count() == 0)
     assert (got.filter(F.col("n_nationkey") >= 20)
             .filter(F.col("n_regionkey").isNull()).count() == 0)
+
+
+def test_vacuum_after_restore_keeps_restored_data(spark, sf_dir, table):
+    """Retention cleanup after a rollback: vacuum at keep_versions=1
+    deletes the files only the rolled-back era referenced, keeps every
+    file the restored state reads (including re-referenced sidecars),
+    and the table stays byte-equal."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        vacuum_manifest,
+    )
+
+    pre = _read(spark, table, versionAsOf=0)
+    rows = pre.count()
+    restore_manifest(table, 0)
+    res = vacuum_manifest(table, keep_versions=1, min_age_seconds=0)
+    # the appended (now tombstoned) files are retention-expired
+    assert len(res["removed_files"]) >= 2
+    got = _read(spark, table)
+    assert got.count() == rows
+    assert (got.exceptAll(pre).isEmpty()
+            and pre.exceptAll(got).isEmpty())
