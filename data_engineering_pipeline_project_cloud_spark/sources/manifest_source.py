@@ -373,17 +373,19 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             out.append(f)
         files = out
     files += [_resolve_entry(path, e) for e in delta.get("add") or ()]
-    if "renames" in delta:
-        renames = delta["renames"]
-    elif delta.get("truncate") or base is None:
-        renames = []
-    else:
-        renames = base.get("renames", [])
+    def carried(key: str) -> list:
+        if key in delta:
+            return delta[key]
+        if delta.get("truncate") or base is None:
+            return []
+        return base.get(key, [])
+
     return {"schema": delta["schema"], "version": delta["version"],
             "files": files, "txn": delta.get("txn", {}),
             "committedAt": delta.get("committedAt"),
             "droppedCols": delta.get("droppedCols", {}),
-            "renames": renames}
+            "renames": carried("renames"),
+            "constraints": carried("constraints")}
 
 
 def _write_checkpoint(path: str, state: dict) -> None:
@@ -398,7 +400,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
 
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
-             "renames")}
+             "renames", "constraints")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -426,8 +428,9 @@ def _read_checkpoint(path: str, full: str) -> dict:
     head["files"] = files
     head.setdefault("txn", {})
     head.setdefault("droppedCols", {})
-    if head.get("renames") is None:
-        head["renames"] = []
+    for key in ("renames", "constraints"):
+        if head.get(key) is None:
+            head[key] = []
     return head
 
 
@@ -459,6 +462,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("txn", {})
             state.setdefault("droppedCols", {})
             state.setdefault("renames", [])
+            state.setdefault("constraints", [])
             break
         if v in ckpts:
             state = _read_checkpoint(path, ckpts[v])
@@ -478,6 +482,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("txn", {})
                 mj.setdefault("droppedCols", {})
                 mj.setdefault("renames", [])
+                mj.setdefault("constraints", [])
                 state = mj
                 break
         raise ValueError(
@@ -549,6 +554,71 @@ def _rename_map(entry: dict, renames: list[dict]) -> dict | None:
             m[r["from"]] = r["to"]
     # drop identity entries (a rename chain that circled back)
     return {p: name for p, name in m.items() if p != name} or None
+
+
+def add_table_constraint(path: str, con: dict) -> dict:
+    """PERSISTED write-time data contract (Delta `ALTER TABLE ... ADD
+    CONSTRAINT` semantics): one metadata commit records the constraint
+    in table state, and EVERY future write — any writer, any process —
+    enforces it executor-side against each Arrow batch before a byte
+    publishes (`_check_constraint`).  Shape: ``{"col": name,
+    "notNull": bool?, "min": v?, "max": v?}``; at least one rule.
+    Existing data is validated lazily by the caller (run a count under
+    the violated predicate first, as Delta requires) — the commit
+    itself is O(1) metadata.  A write planned before the constraint
+    landed FAILS at commit time with a re-plan hint rather than
+    publishing unvalidated rows."""
+    if not con.get("col"):
+        raise ValueError("constraint needs a 'col'")
+    if not (con.get("notNull") or con.get("min") is not None
+            or con.get("max") is not None):
+        raise ValueError("constraint needs notNull and/or min/max")
+    while True:
+        prev = load_manifest(path)
+        st = StructType.fromJson(json.loads(prev["schema"]))
+        if con["col"] not in [f.name for f in st.fields]:
+            raise ValueError(f"constraint column {con['col']!r} not in "
+                             "table schema")
+        cons = list(prev.get("constraints") or [])
+        if any(c["col"] == con["col"] and c == con for c in cons):
+            return prev  # idempotent
+        cons.append(dict(con))
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": cons,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
+def drop_table_constraint(path: str, col: str) -> dict:
+    """Remove every persisted constraint on ``col`` (metadata commit)."""
+    while True:
+        prev = load_manifest(path)
+        cons = [c for c in (prev.get("constraints") or [])
+                if c["col"] != col]
+        if len(cons) == len(prev.get("constraints") or []):
+            raise ValueError(f"no constraint on column {col!r}")
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": cons,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
 
 
 def _rename_map_pinned(entry: dict, renames: list[dict],
@@ -635,6 +705,9 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             "txn": dict(prev.get("txn", {})),
             "droppedCols": dropped,
             "renames": renames,
+            # persisted constraints follow the column to its new name
+            "constraints": [dict(c, col=new) if c["col"] == old else c
+                            for c in (prev.get("constraints") or [])],
             "committedAt": _time.time()}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
@@ -685,7 +758,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "txn": dict(st.get("txn") or {}),
             "committedAt": st.get("committedAt"),
             "droppedCols": dict(st.get("droppedCols") or {}),
-            "renames": renames}
+            "renames": renames,
+            "constraints": list(st.get("constraints") or [])}
 
 
 #: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
@@ -2059,6 +2133,10 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
                              f"{names}")
         if len(names) == 1:
             raise ValueError("cannot drop the table's only column")
+        if any(c["col"] == col for c in (prev.get("constraints") or [])):
+            raise ValueError(
+                f"column {col!r} has a persisted constraint; drop the "
+                "constraint first (drop_table_constraint)")
         target = prev.get("version", 0) + 1
         dropped = dict(prev.get("droppedCols", {}))
         dropped[col] = target
@@ -2166,9 +2244,11 @@ def restore_manifest(path: str, version: int) -> dict:
             "schema": old["schema"],
             "txn": dict(prev.get("txn", {})),
             "droppedCols": dict(old.get("droppedCols", {})),
-            # rename history rolls back WITH the schema (same version
-            # axis, so re-added entries' addedAt stays consistent)
+            # rename history and constraints roll back WITH the schema
+            # (same version axis, so re-added entries' addedAt stays
+            # consistent)
             "renames": list(old.get("renames") or []),
+            "constraints": list(old.get("constraints") or []),
             "committedAt": _time.time(),
             "restoredFrom": version,
         }
@@ -2264,6 +2344,7 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "txn": dict(state.get("txn") or {}),
         "droppedCols": dict(state.get("droppedCols") or {}),
         "renames": rebased,
+        "constraints": list(state.get("constraints") or []),
         "committedAt": _time.time(),
         "clonedFrom": {"path": src_abs,
                        "version": state["version"],
@@ -2534,10 +2615,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # version hint for file-name provenance only — the real commit
         # version is claimed atomically at commit time
         try:
-            self._name_version = load_manifest(self._path).get(
-                "version", 0) + 1
+            _m = load_manifest(self._path)
+            self._name_version = _m.get("version", 0) + 1
+            self._table_constraints = list(_m.get("constraints") or [])
         except (FileNotFoundError, ValueError):
             self._name_version = 0
+            self._table_constraints = []
+        # persisted table constraints enforce on every append-path
+        # write (an overwrite REPLACES the table, constraints and all)
+        if not overwrite:
+            self._constraints = (list(self._constraints)
+                                 + self._table_constraints)
         # the appendKeys conflict window starts at the table version
         # visible when this write was planned
         self._read_version = self._name_version - 1
@@ -2837,6 +2925,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     fail(f"concurrent rename: column(s) {late} were "
                          "renamed after this write was planned; "
                          "re-run against the current table schema")
+                # constraint set changed since planning: this write's
+                # batches were validated against the OLD set — a new
+                # constraint would publish unvalidated rows
+                if (prev.get("constraints") or []) != \
+                        self._table_constraints:
+                    fail("table constraints changed after this write "
+                         "was planned; re-run so the new contract is "
+                         "enforced on its rows")
             # RE-ADD of a previously dropped name (epoch lift of the
             # old refusal): a retroactive MASKED rename record — from
             # the dropped name to a reserved never-in-schema target,
@@ -2865,6 +2961,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             delta = {"version": target, "schema": schema_json,
                      "txn": txn, "droppedCols": dropped,
                      "renames": renames,
+                     "constraints": ([] if truncate
+                                     else self._table_constraints),
                      "committedAt": _time.time(),
                      "add": new_files}
             if truncate:
