@@ -10,9 +10,7 @@ import glob
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
-from data_engineering_pipeline_project_cloud_spark.sources import load_table
 from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
     add_table_constraint,
     clone_manifest,
