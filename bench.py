@@ -60,6 +60,13 @@ SECONDARY = [
     "streaming_manifest_sink",
     "streaming_manifest_upsert_view",
     "pmi_collocations",
+    # round-6 snapshot/scan ops (first timed in r6; pass-1 raws carry
+    # their one-time scratch builds, medians reflect the steady state)
+    "manifest_restore_version",
+    "manifest_shallow_clone",
+    "manifest_rename_column",
+    "runtime_filter_pruned_join",
+    "manifest_zorder_scan",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

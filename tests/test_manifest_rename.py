@@ -372,3 +372,80 @@ def test_append_racing_rename_fails_with_replan_hint(spark, sf_dir,
     df = _read(spark, path)
     assert df.count() == 27
     assert df.filter(F.col("nation_name").isNull()).count() == 0
+
+
+def test_rename_map_soundness_property():
+    """Property: for ANY rename history and file epoch, the mapping
+    (a) matches a straightforward per-column simulation of the name's
+    evolution, and (b) never routes two distinct physical names the
+    file can actually hold onto the same logical name."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _rename_map,
+    )
+
+    cols = list("abcde")
+
+    @st.composite
+    def histories(draw):
+        """A VALID rename history: maintains a live schema name set,
+        renames only live names onto free names (what the commit-time
+        validation enforces)."""
+        live = set(draw(st.sets(st.sampled_from(cols), min_size=1)))
+        renames = []
+        at = 0
+        for _ in range(draw(st.integers(0, 8))):
+            at += draw(st.integers(1, 3))
+            frees = sorted(set(cols) - live)
+            lives = sorted(live)
+            if not frees or not lives:
+                break
+            src = draw(st.sampled_from(lives))
+            dst = draw(st.sampled_from(frees))
+            renames.append({"from": src, "to": dst, "at": at})
+            live.discard(src)
+            live.add(dst)
+        return renames
+
+    @settings(max_examples=300, deadline=None)
+    @given(histories(), st.integers(-1, 30))
+    def check(renames, epoch):
+        m = _rename_map({"addedAt": epoch}, renames) or {}
+        # (a) simulate each physical name the file could hold: a name
+        # is physically plausible iff it was a live schema name at the
+        # file's epoch; its logical name today = chase renames forward
+        def live_names_at(e):
+            # replay history to find the schema name set at epoch e
+            names = None
+            # reconstruct initial live set: names never a 'to' before
+            # their first appearance... simpler: replay from the union
+            # of all froms/tos minus those created later
+            created = {r["to"]: r["at"] for r in renames}
+            gone = {}
+            for r in renames:
+                gone.setdefault(r["from"], r["at"])
+            out = set()
+            for n in set(cols):
+                born = created.get(n, -10**9)
+                died = gone.get(n, 10**9)
+                if died > born:  # existed in between
+                    if born <= e < died:
+                        out.add(n)
+            return out
+
+        for p in live_names_at(epoch):
+            cur = p
+            for r in renames:
+                if r["at"] > epoch and cur == r["from"]:
+                    cur = r["to"]
+            assert m.get(p, p) == cur, (p, cur, m, renames, epoch)
+        # (b) no two plausible physical names collide logically
+        seen = {}
+        for p in live_names_at(epoch):
+            tgt = m.get(p, p)
+            assert tgt not in seen, (p, seen[tgt], tgt, renames, epoch)
+            seen[tgt] = p
+
+    check()
