@@ -2409,6 +2409,70 @@ def manifest_history(path: str) -> list[dict]:
     return out
 
 
+def manifest_operations(path: str) -> list[dict]:
+    """DESCRIBE HISTORY with OPERATION labels: one row per retained
+    version, the operation inferred from the commit's delta record —
+    pure driver metadata, no data file opened.  Legacy versions
+    without a delta record (full snapshots) label as ``WRITE``.
+
+    Labels: CLONE, RESTORE(of=N), OVERWRITE, RENAME COLUMN(from→to),
+    DROP COLUMN(col), ADD/DROP CONSTRAINT(col), DELETE (DV),
+    REWRITE (merge/delete/optimize), WRITE (append), TXN (metadata
+    watermark only)."""
+    prev_state: dict | None = None
+    out = []
+    for v in sorted(_list_versions(path)):
+        info = _commit_info(path, v)
+        st = _load_state(path, v)
+        op, detail = "WRITE", None
+        if info is None:
+            op = "WRITE"  # legacy snapshot-only version
+        elif info.get("clonedFrom"):
+            op = "CLONE"
+            detail = info["clonedFrom"]
+        elif info.get("restoredFrom") is not None:
+            op = "RESTORE"
+            detail = {"of": info["restoredFrom"]}
+        elif info.get("truncate"):
+            op = "CREATE" if v == 0 else "OVERWRITE"
+        elif info.get("tombstone") and info.get("add"):
+            op = "REWRITE"
+        elif info.get("tombstone") or info.get("dvUpdate"):
+            op = "DELETE (DV)" if info.get("dvUpdate") else "REWRITE"
+        elif info.get("add"):
+            op = "WRITE"
+        else:
+            # pure-metadata commit: diff against the prior state
+            pr = prev_state or {}
+            pre_ren = pr.get("renames") or []
+            cur_ren = st.get("renames") or []
+            pre_dropped = pr.get("droppedCols") or {}
+            cur_dropped = st.get("droppedCols") or {}
+            pre_cons = pr.get("constraints") or []
+            cur_cons = st.get("constraints") or []
+            if len(cur_ren) > len(pre_ren):
+                r = cur_ren[-1]
+                op = "RENAME COLUMN"
+                detail = {"from": r["from"], "to": r["to"]}
+            elif len(cur_dropped) > len(pre_dropped):
+                op = "DROP COLUMN"
+                detail = {"col": next(iter(
+                    set(cur_dropped) - set(pre_dropped)))}
+            elif len(cur_cons) > len(pre_cons):
+                op = "ADD CONSTRAINT"
+                detail = cur_cons[-1]
+            elif len(cur_cons) < len(pre_cons):
+                op = "DROP CONSTRAINT"
+                gone = [c for c in pre_cons if c not in cur_cons]
+                detail = {"col": gone[0]["col"]} if gone else None
+            else:
+                op = "TXN"
+        out.append({"version": v, "operation": op, "detail": detail,
+                    "committed_at": st.get("committedAt")})
+        prev_state = st
+    return out
+
+
 def fsck_manifest(path: str) -> dict:
     """Offline integrity audit (the table-format FSCK): verify the
     LATEST snapshot's live files all exist with footer row counts

@@ -149,3 +149,52 @@ def test_add_drop_validation(spark, sf_dir, table):
     v = load_manifest(table)["version"]
     add_table_constraint(table, {"col": "v", "min": 0.0, "max": 100.0})
     assert load_manifest(table)["version"] == v
+
+
+def test_manifest_operations_labels(spark, sf_dir, tmp_path):
+    """DESCRIBE HISTORY operation labels across one of everything."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        clone_manifest,
+        compact_manifest,
+        delete_vectors_from_manifest,
+        drop_column_from_manifest,
+        manifest_operations,
+        rename_column_in_manifest,
+        restore_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "ops")
+    write_manifest_table(
+        spark.createDataFrame([(i, float(i), "x") for i in range(40)],
+                              "k long, v double, tag string")
+        .coalesce(2), path, ["k"])                      # v0 WRITE
+    _append(spark.createDataFrame([(100, 1.0, "y")],
+                                  "k long, v double, tag string"),
+            path)                                       # v1 WRITE
+    rename_column_in_manifest(path, "v", "value")       # v2 RENAME
+    add_table_constraint(path, {"col": "k", "notNull": True})  # v3 ADD
+    drop_table_constraint(path, "k")                    # v4 DROP CONS
+    drop_column_from_manifest(path, "tag")              # v5 DROP COL
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(3,)], "k long"), path, ["k"],
+        ["k"])                                          # v6 DELETE (DV)
+    compact_manifest(spark, path, ["k"], 10**9)         # v7 REWRITE
+    restore_manifest(path, 5)                           # v8 RESTORE
+    ops = {o["version"]: o["operation"]
+           for o in manifest_operations(path)}
+    assert ops[0] == "CREATE" and ops[1] == "WRITE"
+    assert ops[2] == "RENAME COLUMN"
+    assert ops[3] == "ADD CONSTRAINT"
+    assert ops[4] == "DROP CONSTRAINT"
+    assert ops[5] == "DROP COLUMN"
+    assert ops[6] == "DELETE (DV)"
+    assert ops[7] == "REWRITE"
+    assert ops[8] == "RESTORE"
+    labeled = {o["version"]: o for o in manifest_operations(path)}
+    assert labeled[2]["detail"] == {"from": "v", "to": "value"}
+    assert labeled[8]["detail"] == {"of": 5}
+    # clone labels v0 of the new table
+    dst = str(tmp_path / "ops_clone")
+    clone_manifest(path, dst)
+    assert manifest_operations(dst)[0]["operation"] == "CLONE"
