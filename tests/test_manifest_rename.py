@@ -449,3 +449,34 @@ def test_rename_map_soundness_property():
             seen[tgt] = p
 
     check()
+
+
+def test_clone_of_clone_with_renames(spark, sf_dir, table, tmp_path):
+    """Rename epochs survive two levels of clone rebase: carried
+    entries keep mapping, files written in the first clone stay
+    unmapped, and a rename INSIDE the first clone composes."""
+    c1 = str(tmp_path / "c1")
+    clone_manifest(table, c1)
+    # write into clone-1 under the current name, then rename there
+    extra = load_table(spark, sf_dir, "orders").limit(3).select(
+        (F.col("o_orderkey").cast("long") + 40_000_000)
+        .alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.year("o_orderdate").cast("int").alias("yr"))
+    (extra.write.format("graft_manifest").mode("append")
+     .option("path", c1).option("statCols", "o_orderkey").save())
+    rename_column_in_manifest(c1, "total_price", "tp_c1")
+    c2 = str(tmp_path / "c2")
+    clone_manifest(c1, c2)
+    df = _read(spark, c2)
+    n = load_table(spark, sf_dir, "orders").count()
+    assert df.count() == n + 3
+    assert "tp_c1" in df.columns
+    assert df.filter(F.col("tp_c1").isNull()).count() == 0, \
+        "both rename epochs must survive the double rebase"
+    got = df.agg(F.sum(F.col("tp_c1").cast("decimal(18,2)"))
+                 ).collect()[0][0]
+    exp = (_read(spark, c1)
+           .agg(F.sum(F.col("tp_c1").cast("decimal(18,2)")))
+           .collect()[0][0])
+    assert got == exp
