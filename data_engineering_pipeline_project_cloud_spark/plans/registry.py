@@ -208,6 +208,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_shallow_clone": 6,
     "runtime_filter_pruned_join": 6,
     "manifest_rename_column": 6,
+    "manifest_operation_history": 6,
 }
 
 

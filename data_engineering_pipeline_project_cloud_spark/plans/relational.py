@@ -1888,6 +1888,61 @@ def manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_operation_history(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY operation labels as a registry face
+    (sources/manifest_source.py:manifest_operations): a scratch table
+    takes one commit of every kind — create, append, rename column,
+    add/drop constraint, drop column, DV delete, compaction rewrite,
+    restore — and the face returns the (version, operation) rows the
+    introspection derives from the delta records alone.  The oracle is
+    the literal expected sequence, so the driver hash proves the
+    engine labels its own commit history correctly (the operation
+    column is pure metadata — deterministic given the build).  Label
+    details (rename from/to, restore target, clone source) are
+    pytest-asserted in tests/test_manifest_constraints.py."""
+    from ..sources.manifest_source import (
+        add_table_constraint,
+        compact_manifest,
+        delete_vectors_from_manifest,
+        drop_column_from_manifest,
+        drop_table_constraint,
+        manifest_operations,
+        register,
+        rename_column_in_manifest,
+        restore_manifest,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        nat = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.col("n_name").alias("name"),
+            F.col("n_regionkey").cast("long").alias("r"))
+        write_manifest_table(nat.coalesce(2), path, ["k"])     # v0
+        (nat.limit(2).withColumn("k", F.col("k") + 100)
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "k").save())  # v1
+        rename_column_in_manifest(path, "name", "nation_name")  # v2
+        add_table_constraint(path, {"col": "k", "notNull": True})  # v3
+        drop_table_constraint(path, "k")                         # v4
+        drop_column_from_manifest(path, "r")                     # v5
+        delete_vectors_from_manifest(
+            spark.createDataFrame([(3,)], "k long"), path, ["k"],
+            ["k"])                                               # v6
+        compact_manifest(spark, path, ["k"], 10**9)              # v7
+        restore_manifest(path, 5)                                # v8
+
+    tmp = scoped_scratch("manifest_ops_nation", sf_dir, build)
+    rows = [(o["version"], o["operation"])
+            for o in manifest_operations(tmp)]
+    return (spark.createDataFrame(rows, "version long, operation string")
+            .orderBy("version"))
+
+
 def runtime_filter_pruned_join(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Dynamic-file-pruning join
@@ -2435,6 +2490,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE CAST(o_totalprice AS DOUBLE) < 100000.0
         GROUP BY 1
+    """,
+    "manifest_operation_history": """
+        SELECT CAST(v AS BIGINT) AS version, op AS operation
+        FROM (VALUES (0, 'CREATE'), (1, 'WRITE'),
+                     (2, 'RENAME COLUMN'), (3, 'ADD CONSTRAINT'),
+                     (4, 'DROP CONSTRAINT'), (5, 'DROP COLUMN'),
+                     (6, 'DELETE (DV)'), (7, 'REWRITE'),
+                     (8, 'RESTORE')) AS t(v, op)
+        ORDER BY 1
     """,
     "runtime_filter_pruned_join": """
         SELECT c_mktsegment,
@@ -3119,6 +3183,7 @@ QUERIES = {
     "manifest_restore_version": manifest_restore_version,
     "manifest_shallow_clone": manifest_shallow_clone,
     "manifest_rename_column": manifest_rename_column,
+    "manifest_operation_history": manifest_operation_history,
     "runtime_filter_pruned_join": runtime_filter_pruned_join,
     "cms_user_event_counts": cms_user_event_counts,
     "heavy_hitter_users": heavy_hitter_users,
