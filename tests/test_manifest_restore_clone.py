@@ -284,3 +284,57 @@ def test_vacuum_after_restore_keeps_restored_data(spark, sf_dir, table):
     assert got.count() == rows
     assert (got.exceptAll(pre).isEmpty()
             and pre.exceptAll(got).isEmpty())
+
+
+def test_restore_racing_append_restore_wins(spark, sf_dir, table):
+    """Documented semantic: RESTORE means 'make the latest state equal
+    version N'.  An append that lands between the restore's planning
+    read and its claim is REBASED OVER — the restore tombstones it,
+    exactly as it tombstones any other post-target file (the rows
+    remain time-travelable at their own version)."""
+    import json as _json
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        LocalFSClaimBackend,
+        _delta_file,
+        _invalidate_caches,
+        set_claim_backend,
+    )
+
+    v0_rows = _read(spark, table, versionAsOf=0).count()
+    next_v = load_manifest(table)["version"] + 1
+
+    class _AppendOnce:
+        def __init__(self, inner):
+            self.inner = inner
+            self.raced = False
+
+        def put_if_absent(self, directory, name, payload):
+            if not self.raced and name == _delta_file(next_v):
+                self.raced = True
+                # the "other writer": a competing metadata append-era
+                # commit wins the contested version
+                d = _json.loads(payload)
+                competing = dict(d, restoredFrom=None, tombstone=None,
+                                 add=None, dvUpdate=None,
+                                 txn={"racer": 1})
+                competing = {k: v for k, v in competing.items()
+                             if v is not None}
+                self.inner.put_if_absent(directory, name,
+                                         _json.dumps(competing))
+                _invalidate_caches()
+                return False
+            return self.inner.put_if_absent(directory, name, payload)
+
+        def __getattr__(self, a):
+            return getattr(self.inner, a)
+
+    old = set_claim_backend(_AppendOnce(LocalFSClaimBackend()))
+    try:
+        m = restore_manifest(table, 0)
+    finally:
+        set_claim_backend(old)
+    assert m["version"] == next_v + 1, "restore rebased past the racer"
+    assert _read(spark, table).count() == v0_rows
+    # the racer's commit is intact underneath
+    assert load_manifest(table, next_v)["txn"].get("racer") == 1
