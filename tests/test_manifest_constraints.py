@@ -198,3 +198,18 @@ def test_manifest_operations_labels(spark, sf_dir, tmp_path):
     dst = str(tmp_path / "ops_clone")
     clone_manifest(path, dst)
     assert manifest_operations(dst)[0]["operation"] == "CLONE"
+
+
+def test_overwrite_labels_as_overwrite(spark, sf_dir, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        manifest_operations,
+    )
+
+    register(spark)
+    path = str(tmp_path / "ovw")
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    write_manifest_table(df.coalesce(1), path, ["k"])
+    (df.coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k").save())
+    ops = manifest_operations(path)
+    assert ops[-1]["operation"] == "OVERWRITE"
