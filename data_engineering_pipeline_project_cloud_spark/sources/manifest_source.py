@@ -298,13 +298,22 @@ def _load_sidecar(path: str, name: str) -> dict:
     return payload
 
 
-def _resolve_entry(path: str, entry: dict) -> dict:
+def _resolve_entry(path: str, entry: dict, tolerant: bool = False) -> dict:
     """Inline a file entry's sidecar-referenced payloads (bloom
     filters, deletion vectors) so every downstream consumer keeps
     seeing ``entry["bloom"]`` / ``entry["dv"]`` exactly as before the
     log-structured layout.  The REFS stay on the entry: checkpoint
     writes strip the resolved payloads and keep the refs, so payload
-    bytes are written exactly once, at creation."""
+    bytes are written exactly once, at creation.
+
+    ``tolerant=True`` (used for DEAD entries during state
+    reconstruction) leaves a payload unresolved instead of raising
+    when its sidecar file is gone: vacuum expires the sidecars of
+    entries dead in every kept version, and reconstruction from
+    checkpoint + delta tail in a fresh process must not fail on those
+    — nothing reads a dead entry's bloom/DV (live reads skip dead
+    entries; CDC pre-images within the kept window come from versions
+    where the entry was still live, whose sidecars vacuum protects)."""
     br, dr = entry.get("bloomRef"), entry.get("dvRef")
     if not br and not dr:
         return entry
@@ -313,11 +322,20 @@ def _resolve_entry(path: str, entry: dict) -> dict:
         bloom = dict(e.get("bloom") or {})
         for col, (sc, key) in br.items():
             if col not in bloom:
-                bloom[col] = _load_sidecar(path, sc)[key]
+                try:
+                    bloom[col] = _load_sidecar(path, sc)[key]
+                except ValueError:
+                    if not tolerant:
+                        raise
+                    continue
         e["bloom"] = bloom
     if dr and "dv" not in e:
         sc, key = dr
-        e["dv"] = _load_sidecar(path, sc)[key]
+        try:
+            e["dv"] = _load_sidecar(path, sc)[key]
+        except ValueError:
+            if not tolerant:
+                raise
     return e
 
 
@@ -422,7 +440,9 @@ def _read_checkpoint(path: str, full: str) -> dict:
         if kind == "state":
             head = json.loads(payload)
         else:
-            files.append(_resolve_entry(path, json.loads(payload)))
+            e = json.loads(payload)
+            files.append(
+                _resolve_entry(path, e, tolerant=bool(e.get("dead"))))
     if head is None:
         raise ValueError(f"corrupt checkpoint (no state row): {full}")
     head["files"] = files
@@ -2056,6 +2076,10 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
         st = _load_state(path, v)
         live_entries = [f for f in st["files"] if not f.get("dead")]
         referenced |= {f["path"] for f in live_entries}
+        # live entries only: an entry dead in every kept version has
+        # its payloads expired too — reconstruction tolerates the gap
+        # (_resolve_entry(tolerant=) on dead entries), so the kept
+        # window stays readable from a fresh process
         kept_sidecars |= _entry_sidecars(live_entries)
     removed_files: list[str] = []
     removed_manifests: list[str] = []
@@ -3251,9 +3275,13 @@ def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
                     continue
                 if s["max"] < v:
                     return False
-                upper = v[:-1] + chr(ord(v[-1]) + 1)
-                if ord(v[-1]) < 0x10FFFF and s["min"] >= upper:
-                    return False
+                # guard BEFORE building p⁺: a prefix ending in
+                # U+10FFFF has no incrementable last char (chr() would
+                # raise) — its upper bound is unbounded, skip the prune
+                if ord(v[-1]) < 0x10FFFF:
+                    upper = v[:-1] + chr(ord(v[-1]) + 1)
+                    if s["min"] >= upper:
+                        return False
             elif isinstance(f, GreaterThan):
                 if s["max"] <= v:
                     return False

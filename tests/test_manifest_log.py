@@ -383,3 +383,48 @@ def test_checkpoint_across_schema_evolution_and_drop(
     got = readd.filter(F.col("score").isNotNull()).collect()
     assert len(got) == 1 and got[0]["score"] == 2.0, \
         "pre-drop 'score' values must stay masked after the re-add"
+
+
+def test_vacuum_dead_sidecar_expiry_keeps_table_readable(
+        spark, sf_dir, tmp_path):
+    """A bloom-indexed file tombstoned in every kept version has its
+    payload sidecar expired by vacuum — and the table must STAY
+    readable from a fresh process: reconstruction resolves dead
+    entries' payload refs tolerantly instead of raising 'sidecar
+    payload file missing' (the floor checkpoint still carries the
+    dead entry with its bloomRef)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _invalidate_caches,
+        delete_from_manifest,
+    )
+
+    path = str(tmp_path / "vdead")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"), "n_name")
+    register(spark)
+    for lo, hi in ((0, 12), (12, 25)):  # v0, v1: bloom-indexed files
+        (nat.filter(f"n_nationkey >= {lo} AND n_nationkey < {hi}")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey")
+         .option("bloomCols", "n_nationkey").save())
+    doomed = spark.range(0, 12).select(
+        F.col("id").cast("int").alias("n_nationkey"))
+    delete_from_manifest(doomed, path, ["n_nationkey"],
+                         ["n_nationkey"])          # v2: tombstones file A
+    _one_row_append(spark, path, 99)               # v3
+    sidecars_before = {n for n in os.listdir(path)
+                       if n.startswith("payload-")}
+    vacuum_manifest(path, keep_versions=2, min_age_seconds=0)
+    sidecars_after = {n for n in os.listdir(path)
+                      if n.startswith("payload-")}
+    # the dead-everywhere file's bloom sidecar really expired
+    assert sidecars_after < sidecars_before
+    # fresh process: no state cache masking the reconstruction path
+    _invalidate_caches()
+    m = load_manifest(path)  # must not raise
+    assert any(f.get("dead") for f in m["files"])
+    got = (spark.read.format("graft_manifest").option("path", path)
+           .load())
+    assert got.count() == 14  # 13 survivors + the v3 append
+    # bloom skipping on the LIVE file still works after expiry
+    assert got.filter("n_nationkey = 13").count() == 1

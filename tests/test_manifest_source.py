@@ -100,6 +100,22 @@ def test_never_prunes_on_doubt():
     assert _file_survives(stats, [EqualTo(("y",), "not-an-int")])
 
 
+def test_prefix_prune_survives_max_codepoint_prefix():
+    """A StartsWith prefix ending in U+10FFFF has no incrementable
+    last character — the prune must be SKIPPED (file survives), not
+    crash the whole scan with chr() out of range."""
+    prefix = "b\U0010FFFF"
+    # max >= prefix forces the upper-bound branch the old code
+    # crashed in; the file must survive (prune skipped, not wrong)
+    assert _file_survives({"y": {"min": "a", "max": "z"}},
+                          [StringStartsWith(("y",), prefix)])
+    assert _file_survives({"y": {"min": "c", "max": "d"}},
+                          [StringStartsWith(("y",), prefix)])
+    # the other prune direction still works: every row < prefix
+    assert not _file_survives({"y": {"min": "a", "max": "b"}},
+                              [StringStartsWith(("y",), prefix)])
+
+
 def test_registry_face_oracle_shape(spark, sf_dir):
     from data_engineering_pipeline_project_cloud_spark.plans.relational import (
         manifest_pruned_scan,
