@@ -1277,13 +1277,23 @@ def _masked_spark_read(spark, st: StructType, entries: list[dict]):
     for key, grp in groups.items():
         rmap = dict(key)
         inv = {lg: ph for ph, lg in rmap.items()}
+        # a logical name that is a rename SOURCE here (its physical
+        # column is mapped elsewhere — e.g. masked away by a
+        # drop+re-add epoch) did not exist when these files were
+        # written: it must NULL-fill, never be read under its own
+        # physical name (that would resurrect the pre-drop values)
+        nulled = {f.name for f in st.fields
+                  if f.name not in inv and f.name in rmap}
         phys = StructType([
             StructField(inv.get(f.name, f.name), f.dataType,
-                        f.nullable, f.metadata) for f in st.fields])
+                        f.nullable, f.metadata) for f in st.fields
+            if f.name not in nulled])
         base = _masked_spark_read_one(spark, phys, grp)
         if rmap:
             base = base.select(*[
-                F.col(inv.get(f.name, f.name)).alias(f.name)
+                F.lit(None).cast(f.dataType).alias(f.name)
+                if f.name in nulled
+                else F.col(inv.get(f.name, f.name)).alias(f.name)
                 for f in st.fields])
         parts.append(base)
     out = parts[0]

@@ -480,3 +480,37 @@ def test_clone_of_clone_with_renames(spark, sf_dir, table, tmp_path):
            .agg(F.sum(F.col("tp_c1").cast("decimal(18,2)")))
            .collect()[0][0])
     assert got == exp
+
+
+def test_merge_rewrite_does_not_resurrect_dropped_values(
+        spark, tmp_path):
+    """Copy-on-write rewrites go through the JVM masked read
+    (_masked_spark_read); on a drop+re-add table the re-added logical
+    column is a MASKED-rename source for pre-drop files — the rewrite
+    must NULL-fill it, not read the file's old physical values back
+    into the new column (resurrection through the maintenance path,
+    even though plain scans masked correctly)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_column_from_manifest,
+    )
+
+    path = str(tmp_path / "readd")
+    register(spark)
+    (spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                           "k int, name string, score double")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    drop_column_from_manifest(path, "score")
+    (spark.createDataFrame([(3, "c", 99.0)],
+                           "k int, name string, score double")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    # the merge rewrites the pre-drop file (carrying row k=1 through
+    # the masked read) — k=1's score must stay NULL
+    upd = spark.createDataFrame([(2, "B2", None)],
+                                "k int, name string, score double")
+    merge_into_manifest(upd, path, ["k"], ["k"])
+    got = sorted(tuple(r) for r in
+                 (spark.read.format("graft_manifest")
+                  .option("path", path).load().collect()))
+    assert got == [(1, "a", None), (2, "B2", None), (3, "c", 99.0)]
