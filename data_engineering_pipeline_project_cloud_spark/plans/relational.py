@@ -17,6 +17,7 @@ from ..functions import money, portable_hash64
 from ..operators import relational as rel
 from ..operators.sketches import HLL_EST_NUM
 from ..sources import load_table
+from ..sources.manifest_source import read_manifest
 
 
 def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,7 +1032,8 @@ def manifest_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             path, ["order_year", "o_orderkey"])
 
     tmp = scoped_scratch("manifest_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    df = read_manifest(spark, tmp,
+                       filters=[("order_year", ">=", MANIFEST_MIN_YEAR)])
     return (df.filter(F.col("order_year") >= MANIFEST_MIN_YEAR)
             .groupBy("order_year")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
@@ -1072,7 +1074,9 @@ def manifest_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         stat_cols, target_rows=max(1, -(-n // 8)))
 
     tmp = scoped_scratch("manifest_zorder_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    df = read_manifest(spark, tmp,
+                       filters=[("total_price", ">=", 10000.0),
+                                ("total_price", "<", 50000.0)])
     return (df.filter((F.col("total_price") >= 10000.0)
                       & (F.col("total_price") < 50000.0))
             .groupBy("o_orderpriority")
@@ -1114,8 +1118,7 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("statCols", "order_year,o_orderkey").save())
 
     tmp = scoped_scratch("manifest_tt_orders", sf_dir, build)
-    v0 = (spark.read.format("graft_manifest").option("path", tmp)
-          .option("versionAsOf", "0").load())
+    v0 = read_manifest(spark, tmp, version=0)
     return (v0.groupBy("order_year")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -1146,7 +1149,7 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("path", path).option("statCols", "n_nationkey").save())
 
     tmp = scoped_scratch("manifest_se_nation", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    df = read_manifest(spark, tmp)
     # present the null-filled column COALESCEd to a sentinel: a nullable
     # numeric in driver-facing output round-trips through float frames
     # ('0' vs '0.0' — the round-1 serialization trap); the -1 rows are
@@ -1215,7 +1218,8 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = scoped_scratch("manifest_bloom_orders", sf_dir, build)
     key = (load_table(spark, sf_dir, "orders")
            .agg(F.max("o_orderkey")).collect()[0][0])
-    return (spark.read.format("graft_manifest").option("path", path).load()
+    return (read_manifest(spark, path,
+                          filters=[("o_orderkey", "=", int(key))])
             .filter(F.col("o_orderkey") == int(key))
             .select("o_orderkey", "status", "total_price"))
 
@@ -1395,7 +1399,7 @@ def manifest_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the merged state relationally from the raw
     table, so the driver hash proves MERGE semantics end-to-end."""
     path = _merge_orders_path(spark, sf_dir)
-    return (spark.read.format("graft_manifest").option("path", path).load()
+    return (read_manifest(spark, path)
             .select("o_orderkey", "status", "total_price"))
 
 
@@ -1491,7 +1495,7 @@ def manifest_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey"), path, ["o_orderkey"], ["o_orderkey"])
 
     path = scoped_scratch("manifest_delete_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", path).load()
+    df = read_manifest(spark, path)
     return (df.groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -1541,7 +1545,7 @@ def manifest_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                         REPLACE_WHERE_YEAR, ["o_orderkey", "o_year"])
 
     path = scoped_scratch("manifest_rw_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", path).load()
+    df = read_manifest(spark, path)
     return (df.groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -1579,8 +1583,8 @@ def manifest_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("path", path).option("statCols", "n_nationkey").save())
 
     path = scoped_scratch("manifest_dropcol_nation", sf_dir, build)
-    return (spark.read.format("graft_manifest").option("path", path)
-            .load().select("n_nationkey", "n_name"))
+    return (read_manifest(spark, path)
+            .select("n_nationkey", "n_name"))
 
 
 def manifest_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1634,7 +1638,7 @@ def manifest_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey"), path, ["o_orderkey"], ["o_orderkey"])
 
     path = scoped_scratch("manifest_dv_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", path).load()
+    df = read_manifest(spark, path)
     return (df.groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -1730,7 +1734,7 @@ def manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_manifest(spark, path, ["n_nationkey"], 1_000_000)
 
     path = scoped_scratch("manifest_compact_nation", sf_dir, build)
-    return (spark.read.format("graft_manifest").option("path", path).load()
+    return (read_manifest(spark, path)
             .select(F.col("n_nationkey").cast("long").alias("n_nationkey"),
                     "n_name",
                     F.col("n_regionkey").cast("long").alias("n_regionkey")))
@@ -1783,7 +1787,7 @@ def manifest_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         restore_manifest(path, 0)
 
     tmp = scoped_scratch("manifest_restore_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    df = read_manifest(spark, tmp)
     return (df.groupBy("order_year")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -1829,8 +1833,7 @@ def manifest_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         compact_manifest(spark, src, ["o_orderkey"], 10**9)
 
     root = scoped_scratch("manifest_clone_orders", sf_dir, build)
-    df = (spark.read.format("graft_manifest")
-          .option("path", _os.path.join(root, "clone")).load())
+    df = read_manifest(spark, _os.path.join(root, "clone"))
     return (df.groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -1880,7 +1883,8 @@ def manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
          .save())
 
     tmp = scoped_scratch("manifest_rename_orders", sf_dir, build)
-    df = spark.read.format("graft_manifest").option("path", tmp).load()
+    df = read_manifest(spark, tmp,
+                       filters=[("total_price", "<", 100000.0)])
     return (df.filter(F.col("total_price") < 100000.0)
             .groupBy("order_year")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),

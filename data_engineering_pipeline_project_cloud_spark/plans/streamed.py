@@ -25,6 +25,7 @@ from ..streaming import (
 from ..streaming import stream_dedup_events
 from ..streaming.joins import stream_click_purchase_join
 from ..sources import load_table
+from ..sources.manifest_source import read_manifest
 
 
 def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
@@ -194,8 +195,7 @@ def streaming_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = scoped_scratch("manifest_sink_events", sf_dir, build)
-    return (spark.read.format("graft_manifest")
-            .option("path", os.path.join(path, "table")).load()
+    return (read_manifest(spark, os.path.join(path, "table"))
             .select(F.col("event_id").cast("long").alias("event_id"),
                     F.col("user_id").cast("long").alias("user_id"),
                     "event_type", "value"))
@@ -241,8 +241,7 @@ def streaming_manifest_upsert_view(spark: SparkSession,
     import os
 
     path = scoped_scratch("manifest_upsert_view", sf_dir, build)
-    return (spark.read.format("graft_manifest")
-            .option("path", os.path.join(path, "table")).load()
+    return (read_manifest(spark, os.path.join(path, "table"))
             .select("user_id", "n_events",
                     F.col("total_value").cast("double").alias("total_value"),
                     "last_seen"))
@@ -291,8 +290,7 @@ def streaming_dv_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ckpt)
 
     path = scoped_scratch("manifest_dv_forget", sf_dir, build)
-    return (spark.read.format("graft_manifest")
-            .option("path", os.path.join(path, "table")).load()
+    return (read_manifest(spark, os.path.join(path, "table"))
             .groupBy("status")
             .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
                  F.sum(F.col("total_price").cast("decimal(12,2)"))
@@ -339,8 +337,8 @@ def _cdc_orders_path(spark: SparkSession, sf_dir: str) -> str:
             (F.col("id").cast("double") + F.lit(0.5)).alias("total_price"))
         merge_into_manifest(updates.unionByName(inserts), src,
                             ["o_orderkey"], ["o_orderkey"])  # v1
-        doomed = (spark.read.format("graft_manifest").option("path", src)
-                  .load().filter(F.col("o_orderkey") % 7 == 0)
+        doomed = (read_manifest(spark, src)
+                  .filter(F.col("o_orderkey") % 7 == 0)
                   .select("o_orderkey"))
         delete_from_manifest(doomed, src, ["o_orderkey"],
                              ["o_orderkey"])  # v2
@@ -414,8 +412,7 @@ def manifest_cdc_downstream_view(spark: SparkSession,
     import os
 
     path = _cdc_orders_path(spark, sf_dir)
-    return (spark.read.format("graft_manifest")
-            .option("path", os.path.join(path, "table")).load()
+    return (read_manifest(spark, os.path.join(path, "table"))
             .select("o_orderkey", "status",
                     F.col("total_price").cast("double")
                     .alias("total_price")))
@@ -435,8 +432,7 @@ def cdc_incremental_agg_view(spark: SparkSession,
     import os
 
     path = _cdc_orders_path(spark, sf_dir)
-    return (spark.read.format("graft_manifest")
-            .option("path", os.path.join(path, "agg")).load()
+    return (read_manifest(spark, os.path.join(path, "agg"))
             .select("status",
                     F.col("n_rows").alias("n_orders"),
                     F.col("sum_value").cast("double").alias("sum_price")))

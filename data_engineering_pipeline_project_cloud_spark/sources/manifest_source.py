@@ -1334,6 +1334,78 @@ def _table_schema(manifest: dict) -> StructType:
     return StructType.fromJson(json.loads(manifest["schema"]))
 
 
+#: read_manifest filter ops → the DataSource filter classes
+#: _file_survives already understands (shared stats/bloom pruning).
+_READ_FILTER_OPS = {
+    "=": lambda c, v: EqualTo((c,), v),
+    ">": lambda c, v: GreaterThan((c,), v),
+    ">=": lambda c, v: GreaterThanOrEqual((c,), v),
+    "<": lambda c, v: LessThan((c,), v),
+    "<=": lambda c, v: LessThanOrEqual((c,), v),
+    "in": lambda c, v: In((c,), tuple(v)),
+    "startswith": lambda c, v: StringStartsWith((c,), v),
+}
+
+
+def read_manifest(spark, path: str, version: int | None = None,
+                  timestamp: str | None = None,
+                  filters: list[tuple] | None = None):
+    """Batch-scan PLANNER for manifest tables — the JVM-native fast
+    path.  Resolves the snapshot, prunes the file list driver-side
+    (manifest min/max stats + bloom filters when ``filters`` are
+    given), and plans the read as a plain
+    ``spark.read.schema(st).parquet(<surviving files>)`` so the scan
+    runs in Spark's vectorized parquet reader inside whole-stage
+    codegen — no Python workers on the hot path.  Files that need
+    row-level work the plain scan can't express — a deletion-vector
+    mask or a rename/drop-epoch column mapping — are read through
+    ``_masked_spark_read`` (also JVM: physical-schema read +
+    ``_metadata`` anti-join) and unioned in; schema-evolution
+    NULL-fill needs nothing at all (an explicit-schema parquet read
+    NULL-fills absent columns natively, and the manifest refuses type
+    changes).  The Python Arrow DataSource
+    (``spark.read.format("graft_manifest")``) remains the streaming
+    source and the option-driven fallback; both paths read the same
+    snapshot under the same masks, so results are identical.
+
+    ``filters``: optional ``[(col, op, value), ...]`` with ``op`` in
+    ``=, >, >=, <, <=, in, startswith`` — manifest-level FILE pruning
+    only.  The caller still applies the row-level ``.filter``, which
+    Catalyst pushes into the parquet scan for row-group skipping; at
+    100 TB this is the standard two-level story: manifest stats cut
+    the file list in O(files) driver metadata, footer stats cut row
+    groups executor-side, and neither changes results because Spark
+    re-applies every predicate row-wise."""
+    opts: dict = {}
+    if version is not None:
+        opts["versionasof"] = str(version)
+    if timestamp is not None:
+        opts["timestampasof"] = timestamp
+    m = load_manifest(path, resolve_version(path, opts))
+    st = _table_schema(m)
+    live = [f for f in m["files"] if not f.get("dead")]
+    if filters:
+        dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
+        live = [f for f in live
+                if _file_survives(f.get("stats") or {}, dsf,
+                                  f.get("bloom"))]
+    clean = [f for f in live
+             if not f.get("dv") and not f.get("_rename")]
+    special = [f for f in live if f.get("dv") or f.get("_rename")]
+    parts = []
+    if clean:
+        parts.append(spark.read.schema(st)
+                     .parquet(*[f["path"] for f in clean]))
+    if special:
+        parts.append(_masked_spark_read(spark, st, special))
+    if not parts:
+        return spark.createDataFrame([], st)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def merge_into_manifest(updates, path: str, key_cols: list[str],
                         stat_cols: list[str],
                         txn: tuple[str, int] | None = None,
@@ -2407,18 +2479,35 @@ def read_with_runtime_filter(spark, path: str, key_col: str, keys_df,
     ``max_keys``: an IN-list that large prunes little, bloats every
     task's predicate, and risks driver memory — the plain shuffled
     join is the right plan there.
+
+    ``keys_df`` is either a SINGLE-column frame (used as-is, any
+    name — dim-side key names legitimately differ from ``key_col``,
+    the fact-side name) or a wider frame that carries ``key_col`` BY
+    NAME; a wider frame without it is refused.  Taking "the first
+    column" positionally silently pruned on the wrong values when a
+    caller passed a wider frame.
     """
-    df = (spark.read.format("graft_manifest").option("path", path)
-          .load())
-    rows = (keys_df.distinct().limit(max_keys + 1).collect())
+    if len(keys_df.columns) == 1:
+        key_src = keys_df.columns[0]
+    elif key_col in keys_df.columns:
+        key_src = key_col
+    else:
+        raise ValueError(
+            f"runtime-filter keys_df has {len(keys_df.columns)} "
+            f"columns and none is named {key_col!r} "
+            f"(has {keys_df.columns}); pass the key column by name")
+    rows = (keys_df.select(key_src).distinct()
+            .limit(max_keys + 1).collect())
     if len(rows) > max_keys:
-        return df
+        return read_manifest(spark, path)
     from pyspark.sql import functions as _F
 
     keys = [r[0] for r in rows if r[0] is not None]
     if not keys:
-        return df.limit(0)
-    return df.filter(_F.col(key_col).isin(keys))
+        return read_manifest(spark, path).limit(0)
+    return (read_manifest(spark, path,
+                          filters=[(key_col, "in", keys)])
+            .filter(_F.col(key_col).isin(keys)))
 
 
 def manifest_history(path: str) -> list[dict]:

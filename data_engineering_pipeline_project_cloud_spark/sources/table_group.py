@@ -231,9 +231,9 @@ def read_group_table(spark, path: str, name: str,
     if t is None:
         raise ValueError(f"{name!r} is not in group {path} "
                          f"(have {sorted(g['tables'])})")
-    return (spark.read.format("graft_manifest")
-            .option("path", t["path"])
-            .option("versionAsOf", str(t["version"])).load())
+    from .manifest_source import read_manifest
+
+    return read_manifest(spark, t["path"], version=int(t["version"]))
 
 
 def vacuum_group(path: str, keep_groups: int = 1,

@@ -1014,3 +1014,89 @@ def test_runtime_filter_scan_prunes_and_caps(spark, sf_dir, tmp_path):
     empty = read_with_runtime_filter(
         spark, path, "o_custkey", dim.filter(F.lit(False)))
     assert empty.count() == 0
+
+
+def test_runtime_filter_keys_by_name_in_wide_frame(
+        spark, sf_dir, tmp_path):
+    """A multi-column keys_df must contribute the column named
+    key_col — never positionally the first column (which silently
+    pruned on the wrong values); a wide frame without the named
+    column is refused outright."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_with_runtime_filter,
+    )
+
+    register(spark)
+    path = str(tmp_path / "rfw")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"))
+    write_manifest_table(
+        orders.repartitionByRange(4, "o_custkey"), path,
+        ["o_custkey", "o_orderkey"])
+    # wide frame whose FIRST column is the WRONG one
+    dim = (load_table(spark, sf_dir, "customer")
+           .filter(F.col("c_nationkey") == 5)
+           .select(F.col("c_nationkey").cast("long").alias("noise"),
+                   F.col("c_custkey").cast("long").alias("o_custkey")))
+    keys = [r["o_custkey"] for r in dim.collect()]
+    got = read_with_runtime_filter(spark, path, "o_custkey", dim)
+    exp = orders.filter(F.col("o_custkey").isin(keys))
+    assert got.count() == exp.count() > 0
+    # wide frame without the named key column: refused
+    with pytest.raises(ValueError, match="pass the key column by name"):
+        read_with_runtime_filter(
+            spark, path, "o_custkey",
+            dim.select(F.col("noise"), F.col("o_custkey").alias("x")))
+
+
+def test_read_manifest_fast_path_parity_and_plan(
+        spark, sf_dir, tmp_path):
+    """read_manifest (the JVM-native planner): a clean table plans as
+    a plain vectorized parquet FileScan (no Python source in the
+    plan); DV'd, renamed, evolved and drop+re-add tables return
+    exactly what the Python Arrow source returns; manifest-level
+    filters prune the file list without changing results."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_vectors_from_manifest,
+        drop_column_from_manifest,
+        read_manifest,
+        rename_column_in_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "fp")
+    (spark.createDataFrame(
+        [(i, f"r{i}", float(i)) for i in range(20)],
+        "k int, name string, score double")
+     .repartitionByRange(4, "k")
+     .write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    df = read_manifest(spark, path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan and "BatchEvalPython" not in plan
+    assert df.count() == 20
+    # manifest-level pruning: filters cut the planned file list
+    pruned = read_manifest(spark, path, filters=[("k", ">=", 15)])
+    assert len(pruned.inputFiles()) < len(df.inputFiles())
+    assert pruned.filter("k >= 15").count() == 5
+    # evolution + DV + rename + drop/re-add: parity vs python source
+    (spark.createDataFrame([(100, "x", 1.0, "new")],
+                           "k int, name string, score double, tag string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(3,)], "k int"), path, ["k"], ["k"])
+    rename_column_in_manifest(path, "name", "label")
+    drop_column_from_manifest(path, "score")
+    (spark.createDataFrame([(200, "y", 7.0)],
+                           "k int, label string, score double")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    fast = sorted(map(tuple, read_manifest(spark, path).collect()))
+    slow = sorted(map(tuple,
+                      spark.read.format("graft_manifest")
+                      .option("path", path).load().collect()))
+    assert fast == slow
+    # time travel through the planner
+    assert read_manifest(spark, path, version=0).count() == 20
