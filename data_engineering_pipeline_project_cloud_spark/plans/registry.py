@@ -119,6 +119,9 @@ def _evidence() -> tuple[dict[str, int], set[str]]:
 #: so the r1 green row for minhash_signatures is void.
 _OUTPUT_CHANGED_AFTER: dict[str, int] = {
     "minhash_signatures": 2,
+    # r7: ann_pq_topk became IVF-PQ (probed-cell ADC scan) — the
+    # shortlist, and so the rows-only row counts, can differ
+    "ann_pq_topk": 6,
 }
 
 
