@@ -67,6 +67,11 @@ SECONDARY = [
     "manifest_rename_column",
     "runtime_filter_pruned_join",
     "manifest_zorder_scan",
+    # round-7 additions: partition-value pruning, type widening,
+    # tri-clause merge
+    "manifest_partitioned_scan",
+    "manifest_widen_column",
+    "manifest_merge_tri_clause",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

@@ -212,6 +212,9 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "runtime_filter_pruned_join": 6,
     "manifest_rename_column": 6,
     "manifest_operation_history": 6,
+    "manifest_widen_column": 7,
+    "manifest_merge_tri_clause": 7,
+    "manifest_partitioned_scan": 7,
 }
 
 

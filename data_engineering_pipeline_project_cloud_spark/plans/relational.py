@@ -1892,6 +1892,139 @@ def manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+TRI_SYNC_YEAR = 1996    # tri-clause merge: source = years >= this
+TRI_STALE_YEAR = 1994   # tri-clause merge: unmatched rows < this die
+
+
+def manifest_merge_tri_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full tri-clause MERGE (round 7 —
+    sources/manifest_source.py:merge_into_manifest
+    ``not_matched_by_source``): one atomic commit applies WHEN MATCHED
+    UPDATE (recent orders re-synced with a new status), WHEN NOT
+    MATCHED INSERT (none here — covered by ``manifest_merge_upsert``)
+    AND **WHEN NOT MATCHED BY SOURCE DELETE** (rows older than
+    TRI_STALE_YEAR that the source extract no longer carries are
+    retired).  The face aggregates the post-merge table; the oracle
+    recomputes the tri-clause result relationally from the raw table,
+    so the driver hash proves all three clauses landed as one
+    snapshot."""
+    import os as _os
+
+    from ..sources.manifest_source import (
+        merge_into_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        path = _os.path.join(root, "table")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.lower(F.trim(F.col("o_orderstatus"))).alias("status"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.repartitionByRange(6, "o_orderkey"), path,
+            ["o_orderkey", "order_year"])
+        source = (orders.filter(F.col("order_year") >= TRI_SYNC_YEAR)
+                  .withColumn("status", F.lit("synced")))
+        merge_into_manifest(
+            source, path, ["o_orderkey"], ["o_orderkey", "order_year"],
+            not_matched_by_source=f"order_year < {TRI_STALE_YEAR}")
+
+    root = scoped_scratch("manifest_tri_orders", sf_dir, build)
+    df = read_manifest(spark, _os.path.join(root, "table"))
+    return (df.groupBy("order_year", "status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+WIDEN_SPLIT_YEAR = 1996  # manifest_widen_column: int commits before it
+
+
+def manifest_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING schema evolution as a registry face (round 7 —
+    sources/manifest_source.py:_merged_schema_json / _WIDENINGS, the
+    Delta/Iceberg widening surface): orders land in an INT-keyed
+    commit (years before WIDEN_SPLIT_YEAR), then an append whose key
+    column is BIGINT widens the table schema in place — pre-widen
+    files upcast losslessly at read (natively in the JVM vectorized
+    reader; via the Arrow cast on the Python source).  The face
+    aggregates ACROSS the widen boundary with an exact BIGINT key sum,
+    so the oracle (the same rollup over the raw table) proves the
+    upcast changed no value.  Refuse-on-narrowing and time travel
+    across the widen are pytest-asserted in
+    tests/test_manifest_source.py."""
+    from ..sources.manifest_source import register, write_manifest_table
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.filter(F.col("order_year") < WIDEN_SPLIT_YEAR)
+            .repartitionByRange(2, "order_year"), path,
+            ["order_year", "o_orderkey"])
+        (orders.filter(F.col("order_year") >= WIDEN_SPLIT_YEAR)
+         .withColumn("o_orderkey", F.col("o_orderkey").cast("long"))
+         .repartitionByRange(2, "order_year")
+         .write.format("graft_manifest").mode("append")
+         .option("path", path)
+         .option("statCols", "order_year,o_orderkey").save())
+
+    tmp = scoped_scratch("manifest_widen_orders", sf_dir, build)
+    df = read_manifest(spark, tmp)
+    return (df.groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("o_orderkey")).cast("long").alias("sum_key"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
+def manifest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-CLASS PARTITION COLUMNS (round 7 —
+    sources/manifest_source.py:ManifestArrowWriter ``partitionCols`` +
+    ``_partition_survives``): the writer splits every task's data so
+    each file holds EXACTLY ONE order_year, records the value on the
+    manifest entry, and reads prune on those values BEFORE consulting
+    file stats — the Delta/Iceberg partition layout the reference's
+    date index implies (transform-complex-full.py:216).  The oracle is
+    the plain year rollup over the raw table; file-list-level pruning
+    is pytest-asserted in tests/test_manifest_source.py."""
+    from ..sources.manifest_source import register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        (orders.repartition(4, "o_orderkey")
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "o_orderkey")
+         .option("partitionCols", "order_year").save())
+
+    tmp = scoped_scratch("manifest_part_orders", sf_dir, build)
+    df = read_manifest(spark, tmp,
+                       filters=[("order_year", ">=", MANIFEST_MIN_YEAR)])
+    return (df.filter(F.col("order_year") >= MANIFEST_MIN_YEAR)
+            .groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def manifest_operation_history(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY operation labels as a registry face
@@ -2131,6 +2264,45 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_price
         FROM orders
         WHERE year(o_orderdate) >= 1997
+        GROUP BY 1
+    """,
+    "manifest_merge_tri_clause": """
+        WITH t AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   lower(trim(o_orderstatus)) AS status,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+                   CAST(year(o_orderdate) AS INT) AS order_year
+            FROM orders
+        ), merged AS (
+            SELECT o_orderkey, 'synced' AS status, total_price,
+                   order_year
+            FROM t WHERE order_year >= 1996
+            UNION ALL
+            SELECT * FROM t
+            WHERE order_year < 1996 AND NOT (order_year < 1994)
+        )
+        SELECT order_year, status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(total_price) AS DOUBLE) AS sum_price
+        FROM merged
+        GROUP BY 1, 2
+    """,
+    "manifest_partitioned_scan": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE year(o_orderdate) >= 1997
+        GROUP BY 1
+    """,
+    "manifest_widen_column": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
         GROUP BY 1
     """,
     "manifest_zorder_scan": """
@@ -3174,6 +3346,9 @@ QUERIES = {
     "conform_quarantine_orders": conform_quarantine_orders,
     "manifest_pruned_scan": manifest_pruned_scan,
     "manifest_zorder_scan": manifest_zorder_scan,
+    "manifest_widen_column": manifest_widen_column,
+    "manifest_merge_tri_clause": manifest_merge_tri_clause,
+    "manifest_partitioned_scan": manifest_partitioned_scan,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,
     "manifest_merge_upsert": manifest_merge_upsert,

@@ -991,46 +991,82 @@ def resolve_version(path: str, options) -> int | None:
     return best
 
 
+#: Safe implicit type WIDENINGS (old → new): every old value is
+#: exactly representable in the new type, so reading an old file
+#: under the widened schema is a lossless upcast — Spark's vectorized
+#: parquet reader performs it natively given the wider requested
+#: schema, and the Arrow alignment path casts.  The Delta/Iceberg
+#: widening matrix; notably float→long or double→float are NOT here.
+_WIDENINGS = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _widens(frm, to) -> bool:
+    return (frm.simpleString(), to.simpleString()) in _WIDENINGS
+
+
 def _merged_schema_json(prior_json: str, new: StructType,
                         dropped: dict | None = None) -> str:
     """Append-time schema evolution: prior columns keep their position,
-    genuinely new columns append.  A column present in both with a
-    DIFFERENT type is refused — add-column is the only evolution this
-    format (like most) performs implicitly.  A name in ``dropped``
-    (previously removed by ``drop_column_from_manifest``) is refused
-    too: pre-drop data files still carry the old values under that
-    name, so without physical column mapping a re-add would RESURRECT
-    them into the new column."""
+    genuinely new columns append, and a column whose incoming type
+    safely WIDENS the prior one (int→bigint, float→double, …
+    ``_WIDENINGS``) widens the table schema in place — pre-widen files
+    upcast losslessly at read (round 7, the Delta/Iceberg type-widening
+    surface).  An incoming column NARROWER than the table's (appending
+    int data into a bigint column) is accepted without changing the
+    schema — its file upcasts at read like any pre-widen file.  Any
+    other type change is refused.  A name in ``dropped`` (previously
+    removed by ``drop_column_from_manifest``) is refused too: pre-drop
+    data files still carry the old values under that name, so without
+    physical column mapping a re-add would RESURRECT them into the new
+    column (the writer masks them via a retroactive rename instead)."""
+    from pyspark.sql.types import StructField
+
     prior = StructType.fromJson(json.loads(prior_json))
-    by_name = {f.name: f for f in prior.fields}
+    by_name = {f.name: f for f in new.fields}
+    merged = []
+    for p in prior.fields:
+        f = by_name.get(p.name)
+        if f is None or p.dataType == f.dataType:
+            merged.append(p)
+        elif _widens(p.dataType, f.dataType):
+            # widen in place: position, nullability, metadata kept
+            merged.append(StructField(p.name, f.dataType, p.nullable,
+                                      p.metadata))
+        elif _widens(f.dataType, p.dataType):
+            merged.append(p)  # narrower data upcasts at read
+        else:
+            raise ValueError(
+                f"schema evolution cannot change column {p.name!r} "
+                f"from {p.dataType.simpleString()} to "
+                f"{f.dataType.simpleString()} — only add-column and "
+                "safe type widening (int→bigint, float→double, …) "
+                "are implicit")
+    prior_names = {f.name for f in prior.fields}
     added = []
     for f in new.fields:
-        p = by_name.get(f.name)
-        if p is None:
-            if dropped and f.name in dropped:
-                raise ValueError(
-                    f"column {f.name!r} was dropped at version "
-                    f"{dropped[f.name]} and cannot be re-added by "
-                    "name: files from before the drop still hold its "
-                    "old values, which a by-name read would resurrect"
-                    " (physical column mapping is the format feature "
-                    "this would need)")
-            # an ADDED column is NULL for every pre-existing file by
-            # definition, so it must be nullable in the table schema
-            # regardless of the writing frame's flag — carrying a
-            # non-nullable flag through (e.g. from spark.range) makes
-            # the NULL-filled Arrow batches violate the declared
-            # schema and crashes the vectorized reader
-            from pyspark.sql.types import StructField
-
-            added.append(StructField(f.name, f.dataType, True,
-                                     f.metadata))
-        elif p.dataType != f.dataType:
+        if f.name in prior_names:
+            continue
+        if dropped and f.name in dropped:
             raise ValueError(
-                f"schema evolution cannot change column {f.name!r} from "
-                f"{p.dataType.simpleString()} to {f.dataType.simpleString()}"
-                " — add-column is the only implicit evolution")
-    return StructType(prior.fields + added).json()
+                f"column {f.name!r} was dropped at version "
+                f"{dropped[f.name]} and cannot be re-added by "
+                "name: files from before the drop still hold its "
+                "old values, which a by-name read would resurrect"
+                " (physical column mapping is the format feature "
+                "this would need)")
+        # an ADDED column is NULL for every pre-existing file by
+        # definition, so it must be nullable in the table schema
+        # regardless of the writing frame's flag — carrying a
+        # non-nullable flag through (e.g. from spark.range) makes
+        # the NULL-filled Arrow batches violate the declared
+        # schema and crashes the vectorized reader
+        added.append(StructField(f.name, f.dataType, True, f.metadata))
+    return StructType(merged + added).json()
 
 
 def write_manifest_table(df, path: str, stat_cols: list[str]) -> dict:
@@ -1387,8 +1423,9 @@ def read_manifest(spark, path: str, version: int | None = None,
     if filters:
         dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
         live = [f for f in live
-                if _file_survives(f.get("stats") or {}, dsf,
-                                  f.get("bloom"))]
+                if _partition_survives(f.get("partition"), dsf)
+                and _file_survives(f.get("stats") or {}, dsf,
+                                   f.get("bloom"))]
     clean = [f for f in live
              if not f.get("dv") and not f.get("_rename")]
     special = [f for f in live if f.get("dv") or f.get("_rename")]
@@ -1409,7 +1446,8 @@ def read_manifest(spark, path: str, version: int | None = None,
 def merge_into_manifest(updates, path: str, key_cols: list[str],
                         stat_cols: list[str],
                         txn: tuple[str, int] | None = None,
-                        delete_keys=None) -> dict:
+                        delete_keys=None,
+                        not_matched_by_source: str | None = None) -> dict:
     """Copy-on-write MERGE (upsert by key) into a manifest table: rows
     of ``updates`` REPLACE same-key rows, new keys INSERT.  ``updates``
     must be key-grain (one row per key — run latest-state dedup
@@ -1455,6 +1493,19 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     inserts, updates AND deletes lands as ONE version — readers never
     observe the merged-but-not-yet-deleted intermediate state a
     two-commit apply would expose.
+
+    ``not_matched_by_source`` (round 7) completes the Delta tri-clause
+    surface — WHEN NOT MATCHED BY SOURCE THEN DELETE: a SQL boolean
+    expression over the TABLE's columns (``"true"`` for
+    unconditional); target rows whose key is absent from ``updates``
+    (and from ``delete_keys``) AND that satisfy the expression are
+    deleted in the same atomic commit.  This is the snapshot-sync
+    clause (drop rows that vanished from the source extract, retire
+    stale partitions).  Scale note: unlike the key-pruned clauses,
+    this one must EXAMINE every live file — any row anywhere might be
+    unmatched — so the rewrite covers the whole table; bound it with
+    a selective expression and expect the cost of a full rewrite,
+    exactly as Delta documents for the same clause.
     """
     spark = updates.sparkSession
     register(spark)
@@ -1478,8 +1529,13 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
         touched_keys = touched_keys.unionByName(delete_keys)
     touched_keys = touched_keys.distinct()
     bounds, keys_sorted = _key_pruning_info(touched_keys, key_cols)
-    affected = _files_possibly_containing(m["files"], key_cols, bounds,
-                                          keys_sorted)
+    if not_matched_by_source is None:
+        affected = _files_possibly_containing(m["files"], key_cols,
+                                              bounds, keys_sorted)
+    else:
+        # the BY SOURCE clause can delete a row in ANY file: key
+        # pruning does not apply — every live file is rewritten
+        affected = [f for f in m["files"] if not f.get("dead")]
     conflict = _conflict_option(m.get("version", 0), key_cols[0],
                                 bounds, keys_sorted)
     paths = [f["path"] for f in affected]
@@ -1491,6 +1547,16 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
         base = _masked_spark_read(spark, st, affected)
         kept = base.join(F.broadcast(touched_keys), key_cols,
                          "left_anti")
+        if not_matched_by_source is not None:
+            # after the anti-join every surviving row's key is absent
+            # from the source (and from delete_keys, which are
+            # deleted regardless), i.e. ALL survivors are NOT MATCHED
+            # BY SOURCE — the clause reduces to one filter.  A NULL
+            # condition keeps the row (SQL: a non-TRUE WHEN does not
+            # fire), matching Delta's clause semantics.
+            kept = kept.filter(
+                ~F.coalesce(F.expr(not_matched_by_source),
+                            F.lit(False)))
         out = kept.unionByName(updates)
     else:
         out = updates
@@ -2693,6 +2759,27 @@ class _FileCommit(WriterCommitMessage):
     rows: int
     stats: dict = field(default_factory=dict)
     bloom: dict = field(default_factory=dict)
+    partition: dict | None = None
+
+
+@dataclass
+class _MultiCommit(WriterCommitMessage):
+    """One task's commit message when partitionCols splits its data
+    into several files (one per partition-value combo)."""
+    commits: list = field(default_factory=list)
+    rows: int = 1  # sentinel: never filtered by the rows>0 guard
+
+
+def _flatten_commits(messages) -> list:
+    out = []
+    for m in messages:
+        if m is None:
+            continue
+        if isinstance(m, _MultiCommit):
+            out.extend(m.commits)
+        else:
+            out.append(m)
+    return out
 
 
 class ManifestArrowWriter(DataSourceArrowWriter):
@@ -2724,6 +2811,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # (file, column), built vectorized in the same write pass
         braw = options.get("bloomcols") or ""
         self._bloom_cols = [c for c in braw.split(",") if c]
+        # partitionCols (round 7): first-class partition columns —
+        # each task splits its data so every written file holds
+        # EXACTLY ONE value combo, recorded on the manifest entry
+        # (and mirrored into the file's stats as min=max), so reads
+        # prune on partition values before ever consulting stats.
+        # The Delta/Iceberg partition layout, flat-file edition.
+        praw = options.get("partitioncols") or ""
+        self._partition_cols = [c for c in praw.split(",") if c]
+        missing_p = [c for c in self._partition_cols
+                     if c not in {f.name for f in schema.fields}]
+        if missing_p:
+            raise ValueError(
+                f"partitionCols not in the written schema: {missing_p}")
         self._schema = schema
         self._schema_json = schema.json()
         bad = [f.name for f in schema.fields
@@ -2825,78 +2925,134 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
         ctx = TaskContext.get()
         os.makedirs(self._path, exist_ok=True)
-        name = (f"part-v{self._name_version:04d}-{self._commit_id}"
-                f"-{ctx.partitionId():05d}.parquet")
-        final = os.path.join(self._path, name)
-        # attempt-unique staging name: a speculative/zombie attempt of
-        # the same partition must never stream into the same tmp file
-        # (the Hadoop commit-protocol rule); only the attempt whose
-        # commit message Spark accepts gets published
-        tmp = os.path.join(self._path,
-                           f".{name}.{ctx.taskAttemptId()}.tmp")
-        writer = None
-        rows = 0
-        lo: dict[str, object] = {}
-        hi: dict[str, object] = {}
-        blooms: dict[str, object] = {}
+        pcols = self._partition_cols
+        # one output per partition-value combo (a single unnamed combo
+        # without partitionCols — the pre-r7 one-file-per-task path)
+        outs: dict[tuple, dict] = {}
+
+        def out_for(combo: tuple, values: dict | None) -> dict:
+            o = outs.get(combo)
+            if o is not None:
+                return o
+            suffix = f"-s{len(outs):03d}" if pcols else ""
+            name = (f"part-v{self._name_version:04d}-{self._commit_id}"
+                    f"-{ctx.partitionId():05d}{suffix}.parquet")
+            # attempt-unique staging name: a speculative/zombie
+            # attempt of the same partition must never stream into
+            # the same tmp file (the Hadoop commit-protocol rule);
+            # only the attempt whose commit message Spark accepts
+            # gets published
+            o = {"writer": None, "rows": 0, "lo": {}, "hi": {},
+                 "blooms": {}, "partition": values,
+                 "final": os.path.join(self._path, name),
+                 "tmp": os.path.join(
+                     self._path, f".{name}.{ctx.taskAttemptId()}.tmp")}
+            outs[combo] = o
+            return o
+
+        def split(batch):
+            if not pcols:
+                yield (), None, batch
+                return
+            key_tbl = pa.table({c: batch.column(c) for c in pcols})
+            for combo in key_tbl.group_by(pcols).aggregate([]).to_pylist():
+                for c, v in combo.items():
+                    if not isinstance(v, (int, str, bool, float,
+                                          type(None))):
+                        raise ValueError(
+                            f"partition column {c!r} has non-portable "
+                            f"value type {type(v).__name__}; use "
+                            "int/string/bool/double partition values")
+                mask = None
+                for c in pcols:
+                    v = combo[c]
+                    m = (pc.is_null(batch.column(c)) if v is None
+                         else pc.equal(batch.column(c), pa.scalar(
+                             v, batch.column(c).type)))
+                    mask = m if mask is None else pc.and_(mask, m)
+                yield (tuple(sorted(combo.items())), combo,
+                       batch.filter(mask))
+
+        def feed(o: dict, batch) -> None:
+            if o["writer"] is None:
+                o["writer"] = pq.ParquetWriter(o["tmp"], batch.schema)
+            o["writer"].write_batch(batch)
+            o["rows"] += batch.num_rows
+            lo, hi, blooms = o["lo"], o["hi"], o["blooms"]
+            stat_cols = set(self._stat_cols) | set(pcols)
+            for col in stat_cols:
+                try:
+                    mm = pc.min_max(batch.column(col))
+                    bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
+                except (KeyError, TypeError, pa.ArrowInvalid,
+                        pa.ArrowNotImplementedError):
+                    continue  # absent or unstatable column
+                if bmin is None:
+                    continue
+                lo[col] = bmin if col not in lo else min(lo[col], bmin)
+                hi[col] = bmax if col not in hi else max(hi[col], bmax)
+            for col in self._bloom_cols:
+                try:
+                    arr = (batch.column(col).drop_null()
+                           .to_numpy(zero_copy_only=False))
+                    if arr.dtype.kind not in ("i", "u") or not len(arr):
+                        continue
+                    bits = _bloom_bits_from_numpy(arr)
+                except (KeyError, TypeError, ValueError,
+                        pa.ArrowInvalid):
+                    continue  # absent or non-integer column
+                if col in blooms:
+                    blooms[col] |= bits
+                else:
+                    blooms[col] = bits
+
         failed = False
         try:
             for batch in iterator:
                 for con in self._constraints:
                     _check_constraint(batch, con)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, batch.schema)
-                writer.write_batch(batch)
-                rows += batch.num_rows
-                for col in self._stat_cols:
-                    try:
-                        mm = pc.min_max(batch.column(col))
-                        bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
-                    except (KeyError, TypeError, pa.ArrowInvalid,
-                            pa.ArrowNotImplementedError):
-                        continue  # absent or unstatable column
-                    if bmin is None:
-                        continue
-                    lo[col] = bmin if col not in lo else min(lo[col], bmin)
-                    hi[col] = bmax if col not in hi else max(hi[col], bmax)
-                for col in self._bloom_cols:
-                    try:
-                        arr = (batch.column(col).drop_null()
-                               .to_numpy(zero_copy_only=False))
-                        if arr.dtype.kind not in ("i", "u") or not len(arr):
-                            continue
-                        bits = _bloom_bits_from_numpy(arr)
-                    except (KeyError, TypeError, ValueError,
-                            pa.ArrowInvalid):
-                        continue  # absent or non-integer column
-                    if col in blooms:
-                        blooms[col] |= bits
-                    else:
-                        blooms[col] = bits
+                for combo, values, sub in split(batch):
+                    if sub.num_rows:
+                        feed(out_for(combo, values), sub)
         except BaseException:
             failed = True
             raise
         finally:
-            if writer is not None:
-                writer.close()
-            if failed and os.path.exists(tmp):
+            for o in outs.values():
+                if o["writer"] is not None:
+                    o["writer"].close()
+            if failed:
                 # a failed/constraint-violating task must not leave
-                # its staging file behind (it returns no commit
-                # message, so nothing else would remove it)
-                os.remove(tmp)
-        if rows == 0:
-            # empty partition: no file; the runtime requires a real
-            # WriterCommitMessage (None is rejected), so send a
-            # zero-row sentinel that commit/abort skip.  If the
-            # iterator yielded only zero-row batches the staging file
-            # was still created — remove it, nothing will publish it.
-            if writer is not None and os.path.exists(tmp):
-                os.remove(tmp)
+                # staging files behind (it returns no commit message,
+                # so nothing else would remove them)
+                for o in outs.values():
+                    if os.path.exists(o["tmp"]):
+                        os.remove(o["tmp"])
+
+        commits = []
+        for combo in sorted(outs):
+            o = outs[combo]
+            if o["rows"] == 0:
+                # only zero-row batches reached this output: the
+                # staging file (if created) publishes nothing
+                if o["writer"] is not None and os.path.exists(o["tmp"]):
+                    os.remove(o["tmp"])
+                continue
+            commits.append(_FileCommit(
+                tmp_path=o["tmp"], final_path=o["final"], rows=o["rows"],
+                stats={c: {"min": o["lo"][c], "max": o["hi"][c]}
+                       for c in o["lo"]},
+                bloom={c: _bloom_encode(b)
+                       for c, b in o["blooms"].items()},
+                partition=o["partition"]))
+        if not commits:
+            # empty task: the runtime requires a real
+            # WriterCommitMessage (None is rejected) — send a
+            # zero-row sentinel that commit/abort skip
             return _FileCommit(tmp_path="", final_path="", rows=0)
-        stats = {c: {"min": lo[c], "max": hi[c]} for c in lo}
-        bloom = {c: _bloom_encode(b) for c, b in blooms.items()}
-        return _FileCommit(tmp_path=tmp, final_path=final, rows=rows,
-                           stats=stats, bloom=bloom)
+        if not pcols:
+            return commits[0]
+        return _MultiCommit(commits=commits)
 
     def _latest(self) -> dict | None:
         try:
@@ -2911,7 +3067,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         return done is not None and int(done) >= self._txn_ver
 
     def commit(self, messages) -> None:
-        msgs = [m for m in messages if m is not None and m.rows > 0]
+        msgs = [m for m in _flatten_commits(messages) if m.rows > 0]
         # idempotent transactional replay (exactly-once streaming): if
         # this (appId, version) watermark is already in the manifest,
         # the whole commit is a no-op — drop the staged files
@@ -2933,6 +3089,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         for m in sorted(msgs, key=lambda m: m.final_path):
             entry = {"path": m.final_path, "rows": m.rows,
                      "stats": m.stats}
+            if getattr(m, "partition", None):
+                entry["partition"] = m.partition
             bloom = getattr(m, "bloom", None)
             if bloom:
                 ref = {}
@@ -3211,8 +3369,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 os.remove(os.path.join(self._path, name))
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and m.rows > 0 and os.path.exists(m.tmp_path):
+        for m in _flatten_commits(messages):
+            if m.rows > 0 and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
 
 
@@ -3310,6 +3468,61 @@ def _surviving_row_groups(pf, rg_filters: list[tuple]) -> list[int] | None:
 
 def _is_probe_int(v) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _partition_survives(part: dict | None, filters) -> bool:
+    """Exact-value pruning on FIRST-CLASS partition values (round 7) —
+    evaluated BEFORE file stats: every row of a partitioned file
+    shares the entry's value combo, so a predicate the combo fails
+    skips the file without consulting stats or blooms.  Never prunes
+    on doubt: mismatched/incomparable literal types fall through to
+    the stats pass (which keeps them too)."""
+    if not part:
+        return True
+    for f in filters:
+        if not isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                              LessThan, LessThanOrEqual, In,
+                              StringStartsWith)):
+            continue
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1 or attr[0] not in part:
+            continue
+        v = part[attr[0]]
+        if v is None:
+            return False  # comparisons/IN never match a NULL value
+        lit = getattr(f, "value", None)
+
+        def comparable(a, b) -> bool:
+            both_num = (isinstance(a, (int, float))
+                        and not isinstance(a, bool)
+                        and isinstance(b, (int, float))
+                        and not isinstance(b, bool))
+            return both_num or type(a) is type(b)
+
+        try:
+            if isinstance(f, EqualTo):
+                if comparable(v, lit) and v != lit:
+                    return False
+            elif isinstance(f, In):
+                vals = [x for x in lit if comparable(v, x)]
+                if len(vals) == len(list(lit)) and v not in vals:
+                    return False
+            elif isinstance(f, StringStartsWith):
+                if (isinstance(v, str) and isinstance(lit, str)
+                        and not v.startswith(lit)):
+                    return False
+            elif comparable(v, lit):
+                if isinstance(f, GreaterThan) and v <= lit:
+                    return False
+                if isinstance(f, GreaterThanOrEqual) and v < lit:
+                    return False
+                if isinstance(f, LessThan) and v >= lit:
+                    return False
+                if isinstance(f, LessThanOrEqual) and v > lit:
+                    return False
+        except TypeError:
+            continue  # incomparable: never prune on doubt
+    return True
 
 
 def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
@@ -3450,7 +3663,12 @@ def _read_aligned(path: str, schema_json: str | None,
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
-    if names == list(target.names):
+    if (names == list(target.names)
+            and list(pf.schema_arrow.types) == list(target.types)):
+        # names AND types match: stream untouched.  A name-only check
+        # would let a pre-widen file (int32 under a now-bigint schema)
+        # stream mistyped batches into the query — type widening
+        # (round 7) routes those through the alignment cast below.
         yield from batches()
         return
     idx = {n: i for i, n in enumerate(names)}
@@ -3481,8 +3699,10 @@ class ManifestReader(DataSourceReader):
     def pushFilters(self, filters):
         filters = list(filters)
         self._files = [f for f in self._files
-                       if _file_survives(f["stats"], filters,
-                                         f.get("bloom"))]
+                       if _partition_survives(f.get("partition"),
+                                              filters)
+                       and _file_survives(f["stats"], filters,
+                                          f.get("bloom"))]
         # carried to the partitions for the second skipping level
         # (row-group footer stats inside each surviving file)
         self._rg_filters = _serialize_rg_filters(filters)

@@ -1100,3 +1100,143 @@ def test_read_manifest_fast_path_parity_and_plan(
     assert fast == slow
     # time travel through the planner
     assert read_manifest(spark, path, version=0).count() == 20
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """int→bigint / float→double appends widen the table schema in
+    place; pre-widen files upcast losslessly on BOTH read paths;
+    narrower follow-up appends keep the widened schema; time travel
+    below the widen shows the original types; any non-widening type
+    change is refused."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "widen")
+    (spark.createDataFrame([(1, 1.5), (2, 2.5)], "k int, x float")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    (spark.createDataFrame([(3_000_000_000, 9.25)], "k long, x double")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    fast = read_manifest(spark, path)
+    assert dict(fast.dtypes) == {"k": "bigint", "x": "double"}
+    want = [(1, 1.5), (2, 2.5), (3_000_000_000, 9.25)]
+    assert sorted(map(tuple, fast.collect())) == want
+    slow = (spark.read.format("graft_manifest").option("path", path)
+            .load())
+    assert dict(slow.dtypes) == {"k": "bigint", "x": "double"}
+    assert sorted(map(tuple, slow.collect())) == want
+    # narrower append: accepted, schema unchanged
+    (spark.createDataFrame([(7, 0.5)], "k int, x float")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    after = read_manifest(spark, path)
+    assert dict(after.dtypes) == {"k": "bigint", "x": "double"}
+    assert after.count() == 4
+    # time travel below the widen: original narrow types
+    v0 = read_manifest(spark, path, version=0)
+    assert dict(v0.dtypes) == {"k": "int", "x": "float"}
+    assert v0.count() == 2
+    # non-widening change refused (string, and double→float narrow
+    # of a column whose data may not fit)
+    with pytest.raises(Exception, match="cannot change column"):
+        (spark.createDataFrame([("s", 1.0)], "k string, x double")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "k").save())
+
+
+def test_merge_not_matched_by_source_clause(spark, tmp_path):
+    """Tri-clause MERGE: matched keys update, new keys insert, and
+    target rows absent from the source that satisfy the BY SOURCE
+    condition are deleted — all in ONE commit (version bumps once).  A
+    NULL condition keeps the row (a non-TRUE WHEN never fires)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        merge_into_manifest,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "tri")
+    (spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 5)],
+        "k long, v string, age int")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    v_before = load_manifest(path)["version"]
+    src = spark.createDataFrame([(2, "B", 21), (9, "new", 1)],
+                                "k long, v string, age int")
+    merge_into_manifest(src, path, ["k"], ["k"],
+                        not_matched_by_source="age > 7")
+    got = sorted((r["k"], r["v"]) for r in
+                 read_manifest(spark, path).collect())
+    # k=1 (age 10 > 7, unmatched) deleted; k=3 NULL condition kept;
+    # k=4 (age 5) kept; k=2 updated; k=9 inserted
+    assert got == [(2, "B"), (3, "c"), (4, "d"), (9, "new")]
+    assert load_manifest(path)["version"] == v_before + 1
+
+
+def test_partition_columns_first_class(spark, sf_dir, tmp_path):
+    """partitionCols: every written file holds exactly one
+    partition-value combo (recorded on its entry), reads prune on the
+    values BEFORE stats at the file-list level, and copy-on-write
+    maintenance over a partitioned table stays correct."""
+    from pyspark.sql.datasource import GreaterThan, In
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _partition_survives,
+        merge_into_manifest,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_totalprice").cast("double").alias("total_price"),
+        F.year("o_orderdate").cast("int").alias("order_year"))
+    (orders.repartition(3, "o_orderkey")
+     .write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "o_orderkey")
+     .option("partitionCols", "order_year").save())
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    years = set()
+    for f in live:
+        part = f.get("partition")
+        assert part and set(part) == {"order_year"}
+        # the value combo is exact: stats agree min == max == value
+        s = f["stats"]["order_year"]
+        assert s["min"] == s["max"] == part["order_year"]
+        years.add(part["order_year"])
+    assert len(years) >= 3
+    # file-list pruning via the reader (partition check runs first)
+    rd = ManifestReader({"path": path})
+    total = len(rd.partitions())
+    y = max(years)
+    list(rd.pushFilters([EqualTo(("order_year",), y)]))
+    pruned = len(rd.partitions())
+    want = sum(1 for f in live if f["partition"]["order_year"] == y)
+    assert pruned == want < total
+    # the planner prunes the same way
+    df = read_manifest(spark, path, filters=[("order_year", "=", y)])
+    assert len(df.inputFiles()) == want
+    exp = orders.filter(F.col("order_year") == y)
+    assert df.count() == exp.count()
+    # never-prune-on-doubt for the partition check itself
+    assert _partition_survives({"y": 5}, [EqualTo(("y",), "not-an-int")])
+    assert not _partition_survives({"y": 5}, [EqualTo(("y",), 6)])
+    assert not _partition_survives({"y": None}, [GreaterThan(("y",), 1)])
+    assert _partition_survives({"y": 5}, [In(("y",), (5, 6))])
+    assert not _partition_survives({"y": 4}, [In(("y",), (5, 6))])
+    # merge across the partitioned layout: rewritten files lose their
+    # single-value guarantee but reads stay correct via stats
+    upd = orders.filter(F.col("order_year") == y).limit(5) \
+        .withColumn("total_price", F.lit(1.0))
+    merge_into_manifest(upd, path, ["o_orderkey"],
+                        ["o_orderkey", "order_year"])
+    got = read_manifest(spark, path)
+    assert got.count() == orders.count()
+    assert got.filter("total_price = 1.0").count() == 5
