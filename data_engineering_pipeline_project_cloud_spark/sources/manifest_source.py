@@ -1927,7 +1927,8 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
 def zorder_manifest(spark, path: str, zorder_cols: list[str],
                     stat_cols: list[str], target_rows: int,
                     bloom_cols: list[str] | None = None,
-                    bits: int = 8) -> dict:
+                    bits: int = 8,
+                    bucketing: str = "linear") -> dict:
     """OPTIMIZE ZORDER: rewrite the table's live files so rows are
     clustered along a Z-ORDER (Morton) curve over ``zorder_cols`` —
     the multi-column data-skipping layout (Delta's OPTIMIZE ZORDER
@@ -1959,7 +1960,19 @@ def zorder_manifest(spark, path: str, zorder_cols: list[str],
     ``zorder_cols`` must be numeric/date-free stat columns with
     recorded min/max (they are re-declared in ``stat_cols`` so the
     rewritten files carry the stats pruning reads).  Returns the new
-    manifest."""
+    manifest.
+
+    ``bucketing="quantile"`` (round 7) replaces the linear
+    quantization with RANK buckets at approximate quantile boundaries
+    (Delta's RangePartitionId variant): one extra distributed
+    ``approxQuantile`` pass buys skew-robust bucketing — under a
+    heavy-tailed key, linear buckets collapse most rows into one
+    bucket (files then span the whole dense region and a selective
+    predicate there prunes nothing), while quantile boundaries give
+    every bucket ~equal row mass and every file a tight dense-region
+    range.  The bucket expression is a codegen HOF count over the
+    ≤2^bits boundary literals — no Python, no join; the read-side
+    contract (ordinary min/max stats) is unchanged."""
     from pyspark.sql import functions as F
 
     register(spark)
@@ -1989,18 +2002,41 @@ def zorder_manifest(spark, path: str, zorder_cols: list[str],
     base = _masked_spark_read(spark, st, live)
     n_buckets = 1 << bits
     ncols = len(zorder_cols)
+    if bucketing not in ("linear", "quantile"):
+        raise ValueError(f"unknown bucketing {bucketing!r}: "
+                         "use 'linear' or 'quantile'")
+    qbounds: dict[str, list[float]] = {}
+    if bucketing == "quantile":
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        qs = base.approxQuantile(list(zorder_cols), probs, 0.001)
+        for c, vals in zip(zorder_cols, qs):
+            # dedupe: a heavy hitter repeats across quantiles; the
+            # deduped list still gives it its own bucket edge
+            qbounds[c] = sorted(set(float(v) for v in vals))
     z = F.lit(0).cast("long")
     for i, c in enumerate(zorder_cols):
-        lo, hi = bounds[c]
-        bucket = (
-            F.coalesce(
-                F.width_bucket(F.col(c).cast("double"), F.lit(float(lo)),
-                               F.lit(float(hi)), F.lit(n_buckets)),
-                F.lit(1)) - F.lit(1)
-        ).cast("long")
-        # clamp: width_bucket sends v == hi (and above) to n_buckets+1
-        bucket = F.least(F.greatest(bucket, F.lit(0)),
-                         F.lit(n_buckets - 1))
+        if bucketing == "quantile":
+            bnds = F.array(*[F.lit(b) for b in qbounds[c]])
+            # rank bucket = #boundaries <= value (codegen HOF count);
+            # NULL comparisons drop out of the filter -> bucket 0
+            bucket = F.size(F.filter(
+                bnds, lambda b: b <= F.col(c).cast("double")
+            )).cast("long")
+            bucket = F.least(F.greatest(bucket, F.lit(0)),
+                             F.lit(n_buckets - 1))
+        else:
+            lo, hi = bounds[c]
+            bucket = (
+                F.coalesce(
+                    F.width_bucket(F.col(c).cast("double"),
+                                   F.lit(float(lo)),
+                                   F.lit(float(hi)), F.lit(n_buckets)),
+                    F.lit(1)) - F.lit(1)
+            ).cast("long")
+            # clamp: width_bucket sends v == hi (and above) to
+            # n_buckets+1
+            bucket = F.least(F.greatest(bucket, F.lit(0)),
+                             F.lit(n_buckets - 1))
         for bit in range(bits):
             z = z.bitwiseOR(F.shiftleft(
                 F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),

@@ -102,3 +102,43 @@ def test_zorder_requires_stats_on_z_columns(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="statCols"):
         zorder_manifest(spark, path, ["o_custkey"], ["o_orderkey"],
                         target_rows=1000)
+
+
+def test_quantile_bucketing_skips_under_skew(spark, tmp_path):
+    """Exponentially-spaced key: linear buckets collapse the dense
+    low end into one bucket (files there span the whole dense region
+    — a selective predicate prunes nothing), while quantile buckets
+    give the dense region its own boundaries and the same predicate
+    skips most files.  Content parity holds for both layouts."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+        register,
+        write_manifest_table,
+        zorder_manifest,
+    )
+
+    register(spark)
+    rows = [(i, 2 ** (i % 20), float(i % 7)) for i in range(4000)]
+    want = sorted(rows)
+
+    def build(mode: str, path: str) -> int:
+        df = spark.createDataFrame(rows, "k int, a long, b double")
+        write_manifest_table(df.repartition(4), path, ["k", "a", "b"])
+        zorder_manifest(spark, path, ["a", "b"], ["k", "a", "b"],
+                        target_rows=250, bucketing=mode)
+        scan = read_manifest(spark, path,
+                             filters=[("a", "<=", 32)])
+        got = sorted(map(tuple, read_manifest(spark, path).collect()))
+        assert got == want, f"{mode} layout changed the data"
+        return len(scan.inputFiles())
+
+    lin = build("linear", str(tmp_path / "lin"))
+    qnt = build("quantile", str(tmp_path / "qnt"))
+    # the dense-region predicate (a <= 32 covers 6 of 20 exponents)
+    # must open strictly fewer files under quantile bucketing
+    assert qnt < lin, (qnt, lin)
+    # refusal on a bogus mode
+    with pytest.raises(ValueError, match="unknown bucketing"):
+        zorder_manifest(spark, str(tmp_path / "lin"), ["a"],
+                        ["k", "a", "b"], target_rows=250,
+                        bucketing="nope")
