@@ -1240,3 +1240,44 @@ def test_partition_columns_first_class(spark, sf_dir, tmp_path):
     got = read_manifest(spark, path)
     assert got.count() == orders.count()
     assert got.filter("total_price = 1.0").count() == 5
+
+
+def test_partition_evolution_widen_dv_interplay(spark, tmp_path):
+    """Seam probe (the class that has bitten before): ONE append that
+    simultaneously add-column evolves, type-widens the key, and is
+    partition-split must compose with partition pruning and a later
+    DV delete — and the fast planner must agree with the Python
+    source row-for-row."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_vectors_from_manifest,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "pe")
+    (spark.createDataFrame(
+        [(i, 1990 + i % 3, float(i)) for i in range(30)],
+        "k int, year int, x double")
+     .repartition(2).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionCols", "year").save())
+    (spark.createDataFrame([(10**12, 1993, 9.0, "t")],
+                           "k long, year int, x double, tag string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k")
+     .option("partitionCols", "year").save())
+    df = read_manifest(spark, path)
+    assert dict(df.dtypes) == {"k": "bigint", "year": "int",
+                               "x": "double", "tag": "string"}
+    assert df.count() == 31
+    assert df.filter("tag IS NULL").count() == 30
+    pr = read_manifest(spark, path, filters=[("year", "=", 1993)])
+    assert len(pr.inputFiles()) == 1 and pr.count() == 1
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(3,)], "k int"), path, ["k"], ["k"])
+    assert read_manifest(spark, path).count() == 30
+    fast = sorted(map(tuple, read_manifest(spark, path).collect()))
+    slow = sorted(map(tuple,
+                      spark.read.format("graft_manifest")
+                      .option("path", path).load().collect()))
+    assert fast == slow
