@@ -72,6 +72,7 @@ SECONDARY = [
     "manifest_partitioned_scan",
     "manifest_widen_column",
     "manifest_merge_tri_clause",
+    "manifest_dynamic_partition_overwrite",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

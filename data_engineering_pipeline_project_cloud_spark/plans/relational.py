@@ -2025,6 +2025,56 @@ def manifest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+DPO_YEAR = 1997  # manifest_dynamic_partition_overwrite backfill target
+
+
+def manifest_dynamic_partition_overwrite(spark: SparkSession,
+                                         sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE (round 7 — writer option
+    ``partitionOverwrite=dynamic``, Spark's dynamic
+    partitionOverwriteMode / Hive INSERT OVERWRITE as one atomic
+    manifest commit): orders land partitioned by year, then a backfill
+    re-writes ONLY the DPO_YEAR partition (prices re-stated with a
+    flat +1.00 adjustment — exact in decimal, so the oracle can't
+    diverge on rounding) — the commit tombstones exactly that partition's
+    files and appends the replacement, other partitions untouched,
+    time travel below it intact (pytest).  The oracle recomputes the
+    blended table relationally from the raw orders."""
+    from ..sources.manifest_source import register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        (orders.repartition(3, "o_orderkey")
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "o_orderkey")
+         .option("partitionCols", "order_year").save())
+        backfill = (orders.filter(F.col("order_year") == DPO_YEAR)
+                    .withColumn("total_price",
+                                (F.col("total_price")
+                                 .cast("decimal(12,2)")
+                                 + F.lit(1).cast("decimal(12,2)"))
+                                .cast("decimal(12,2)").cast("double")))
+        (backfill.repartition(2, "o_orderkey")
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "o_orderkey")
+         .option("partitionCols", "order_year")
+         .option("partitionOverwrite", "dynamic").save())
+
+    tmp = scoped_scratch("manifest_dpo_orders", sf_dir, build)
+    df = read_manifest(spark, tmp)
+    return (df.groupBy("order_year")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def manifest_operation_history(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY operation labels as a registry face
@@ -2286,6 +2336,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(SUM(total_price) AS DOUBLE) AS sum_price
         FROM merged
         GROUP BY 1, 2
+    """,
+    "manifest_dynamic_partition_overwrite": """
+        WITH t AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+                   CAST(year(o_orderdate) AS INT) AS order_year
+            FROM orders
+        ), blended AS (
+            SELECT o_orderkey,
+                   CAST(CAST(total_price + CAST(1 AS DECIMAL(12,2))
+                             AS DECIMAL(12,2)) AS DOUBLE) AS total_price,
+                   order_year
+            FROM t WHERE order_year = 1997
+            UNION ALL
+            SELECT o_orderkey, CAST(total_price AS DOUBLE), order_year
+            FROM t WHERE order_year <> 1997
+        )
+        SELECT order_year,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(total_price AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM blended
+        GROUP BY 1
     """,
     "manifest_partitioned_scan": """
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -3349,6 +3422,7 @@ QUERIES = {
     "manifest_widen_column": manifest_widen_column,
     "manifest_merge_tri_clause": manifest_merge_tri_clause,
     "manifest_partitioned_scan": manifest_partitioned_scan,
+    "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,
     "manifest_merge_upsert": manifest_merge_upsert,

@@ -2860,6 +2860,29 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         if missing_p:
             raise ValueError(
                 f"partitionCols not in the written schema: {missing_p}")
+        # partitionOverwrite=dynamic (round 7, append mode +
+        # partitionCols): the commit tombstones every live file whose
+        # partition combo appears in THIS commit's output — Spark's
+        # dynamic partitionOverwriteMode / Hive INSERT OVERWRITE
+        # semantics, atomically.  Tombstones are computed against the
+        # CAS-time latest state, so the result is last-writer-wins
+        # PER PARTITION: a racing append into an overwritten combo
+        # that lands before this commit is replaced (the overwrite
+        # declares the partition's new content); one landing after
+        # survives.
+        po = str(options.get("partitionoverwrite", "")).lower()
+        if po and po not in ("dynamic",):
+            raise ValueError(
+                f"unknown partitionOverwrite mode {po!r} (only "
+                "'dynamic')")
+        self._dyn_partition_overwrite = po == "dynamic"
+        if self._dyn_partition_overwrite and not self._partition_cols:
+            raise ValueError(
+                "partitionOverwrite=dynamic requires partitionCols")
+        if self._dyn_partition_overwrite and overwrite:
+            raise ValueError(
+                "partitionOverwrite=dynamic is an append-mode option "
+                "(full overwrite already replaces the table)")
         self._schema = schema
         self._schema_json = schema.json()
         bad = [f.name for f in schema.fields
@@ -2890,6 +2913,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._dv_state = json.loads(dvs) if dvs else {}
         if self._replace and overwrite:
             raise ValueError("replacePaths requires append mode")
+        if self._replace and str(options.get(
+                "partitionoverwrite", "")).lower() == "dynamic":
+            raise ValueError(
+                "replacePaths and partitionOverwrite=dynamic are "
+                "mutually exclusive commit protocols")
         # conflictKeys (append mode, keyed commits): the committing
         # MERGE/DELETE's read version + key summary — commit() checks
         # files OTHER commits appended after that version against it
@@ -3249,6 +3277,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                                  f"vector changed on {moved}; re-run "
                                  "against the current table version")
                     tombstoned = sorted(self._replace)
+                if self._dyn_partition_overwrite:
+                    combos = {tuple(sorted(m.partition.items()))
+                              for m in msgs if m.partition}
+                    tombstoned = sorted(set(tombstoned) | {
+                        f["path"] for f in prior
+                        if not f.get("dead") and f.get("partition")
+                        and tuple(sorted(f["partition"].items()))
+                        in combos})
                 if self._conflict is not None:
                     clash = _conflicting_added_files(
                         self._path, prev, self._conflict)

@@ -1281,3 +1281,49 @@ def test_partition_evolution_widen_dv_interplay(spark, tmp_path):
                       spark.read.format("graft_manifest")
                       .option("path", path).load().collect()))
     assert fast == slow
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partitionOverwrite=dynamic: one atomic commit replaces exactly
+    the partitions present in the written data — other partitions
+    untouched, time travel below intact, refusals for the invalid
+    option combinations."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "dpo")
+    (spark.createDataFrame(
+        [(i, 1990 + i % 3, f"old{i}") for i in range(30)],
+        "k int, year int, v string")
+     .repartition(2).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionCols", "year").save())
+    v0 = load_manifest(path)["version"]
+    (spark.createDataFrame([(100, 1991, "new")],
+                           "k int, year int, v string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k")
+     .option("partitionCols", "year")
+     .option("partitionOverwrite", "dynamic").save())
+    df = read_manifest(spark, path)
+    assert df.count() == 21  # 10+10 kept + 1 replacement
+    assert sorted(map(tuple, df.filter("year=1991").collect())) == [
+        (100, 1991, "new")]
+    assert df.filter("year=1990").count() == 10
+    assert load_manifest(path)["version"] == v0 + 1  # one commit
+    assert read_manifest(spark, path, version=v0).count() == 30
+    # refusals: needs partitionCols; append-mode only
+    with pytest.raises(Exception, match="requires partitionCols"):
+        (spark.createDataFrame([(1, "x")], "k int, v string")
+         .write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "k")
+         .option("partitionOverwrite", "dynamic").save())
+    with pytest.raises(Exception, match="append-mode"):
+        (spark.createDataFrame([(1, 1990, "x")],
+                               "k int, year int, v string")
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "k")
+         .option("partitionCols", "year")
+         .option("partitionOverwrite", "dynamic").save())
