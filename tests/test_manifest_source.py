@@ -1327,3 +1327,61 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
          .option("path", path).option("statCols", "k")
          .option("partitionCols", "year")
          .option("partitionOverwrite", "dynamic").save())
+
+
+def test_dynamic_partition_overwrite_race_is_last_writer_wins(
+        spark, tmp_path):
+    """Tombstones for partitionOverwrite=dynamic are computed at
+    CAS time against the then-latest state: a racing write into the
+    overwritten partition that lands FIRST is replaced (the overwrite
+    declares the partition's content) — no duplicates, one commit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestArrowWriter,
+        _FileCommit,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "dporace")
+    (spark.createDataFrame([(1, 1990, "base"), (2, 1991, "base")],
+                           "k int, year int, v string")
+     .coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionCols", "year").save())
+    # writer A plans its dynamic overwrite of year=1991 NOW (v0)
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    st = StructType([StructField("k", IntegerType()),
+                     StructField("year", IntegerType()),
+                     StructField("v", StringType())])
+    wa = ManifestArrowWriter(
+        {"path": path, "statcols": "k", "partitioncols": "year",
+         "partitionoverwrite": "dynamic"}, st, overwrite=False)
+    # a racing append lands a NEW 1991 file in between (v1)
+    (spark.createDataFrame([(7, 1991, "racer")],
+                           "k int, year int, v string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k")
+     .option("partitionCols", "year").save())
+    # A commits: its CAS-time tombstones must cover the racer's file
+    staged = os.path.join(path, ".a.tmp")
+    pq.write_table(
+        pa.table({"k": pa.array([100], pa.int32()),
+                  "year": pa.array([1991], pa.int32()),
+                  "v": pa.array(["overwrite"], pa.string())}), staged)
+    final = os.path.join(path, "part-v9999-race-00000.parquet")
+    wa.commit([_FileCommit(
+        tmp_path=staged, final_path=final, rows=1,
+        stats={"k": {"min": 100, "max": 100},
+               "year": {"min": 1991, "max": 1991}},
+        partition={"year": 1991})])
+    got = sorted(map(tuple, read_manifest(spark, path).collect()))
+    assert got == [(1, 1990, "base"), (100, 1991, "overwrite")]
