@@ -258,8 +258,9 @@ def cdc_agg_delta_writer(path: str, group_cols: list[str],
              .option("txnAppId", app_id)
              .option("txnVersion", str(batch_id)).save())
             return
-        cur = (spark.read.format("graft_manifest")
-               .option("path", path).load())
+        from ..sources.manifest_source import read_manifest
+
+        cur = read_manifest(spark, path)
         upd = (delta.join(cur, group_cols, "left")
                .select(*group_cols,
                        (F.coalesce(F.col("n_rows"), F.lit(0))
