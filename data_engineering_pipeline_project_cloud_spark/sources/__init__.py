@@ -18,6 +18,17 @@ __all__ = [
     "read_csv_strict",
     "read_csv_with_badrecords",
     "read_jdbc",
+    "read_manifest",
     "write_jdbc",
     "write_overwrite",
 ]
+
+
+def read_manifest(*args, **kwargs):
+    """Public alias for the manifest table planner
+    (:func:`.manifest_source.read_manifest`) — imported lazily so
+    `sources` stays importable without the pyspark datasource extras.
+    """
+    from .manifest_source import read_manifest as _rm
+
+    return _rm(*args, **kwargs)

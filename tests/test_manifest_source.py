@@ -1385,3 +1385,30 @@ def test_dynamic_partition_overwrite_race_is_last_writer_wins(
         partition={"year": 1991})])
     got = sorted(map(tuple, read_manifest(spark, path).collect()))
     assert got == [(1, 1990, "base"), (100, 1991, "overwrite")]
+
+
+def test_read_manifest_timestamp_travel(spark, tmp_path):
+    """The planner's timestampAsOf resolves to the latest version
+    committed at or before the stamp — same contract as the option
+    on the Python source — and refuses version+timestamp together."""
+    import time as _time
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "tt")
+    (spark.createDataFrame([(1, "a")], "k int, v string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    between = _time.time()
+    _time.sleep(1.1)
+    (spark.createDataFrame([(2, "b")], "k int, v string")
+     .coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    assert read_manifest(spark, path).count() == 2
+    assert read_manifest(spark, path,
+                         timestamp=str(between)).count() == 1
+    with pytest.raises(ValueError, match="not both"):
+        read_manifest(spark, path, version=0, timestamp=str(between))
