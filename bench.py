@@ -73,6 +73,7 @@ SECONDARY = [
     "manifest_widen_column",
     "manifest_merge_tri_clause",
     "manifest_dynamic_partition_overwrite",
+    "manifest_hidden_partition_scan",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

@@ -216,6 +216,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_merge_tri_clause": 7,
     "manifest_partitioned_scan": 7,
     "manifest_dynamic_partition_overwrite": 7,
+    "manifest_hidden_partition_scan": 7,
 }
 
 

@@ -2025,6 +2025,51 @@ def manifest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def manifest_hidden_partition_scan(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """HIDDEN GENERATED PARTITIONS (round 7 —
+    sources/manifest_source.py ``partitionGen`` +
+    ``_derived_partition_filters``): Iceberg-style partition
+    transforms.  Events land split by ``date(ts)`` computed AT WRITE
+    TIME — the partition column exists in no data file and no read
+    schema — and the scan prunes files from the predicate users
+    actually write (``ts >= cut``) by implying the partition-value
+    bound from the source-column filter.  At 100 TB this is the
+    layout that makes time-range queries O(touched days), with none
+    of the query-rewrite tax a visible partition column imposes
+    (the reference's date-indexed master table,
+    transform-complex-full.py:216, hand-maintains that column).  The
+    oracle recomputes the rollup from the raw events table;
+    file-level pruning is pytest-asserted
+    (tests/test_manifest_source.py::test_hidden_generated_partitions).
+    """
+    import datetime
+
+    from ..sources.manifest_source import read_manifest, register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "ts", "event_type",
+            F.col("value").cast("double").alias("value"))
+        (ev.repartition(4)
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "event_id")
+         .option("partitionGen", "event_date=date(ts)").save())
+
+    tmp = scoped_scratch("manifest_hidden_part_events", sf_dir, build)
+    cut = datetime.datetime(2024, 1, 15)
+    df = read_manifest(spark, tmp, filters=[("ts", ">=", cut)])
+    return (df.filter(F.col("ts") >= F.lit(cut))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_value")))
+
+
 DPO_YEAR = 1997  # manifest_dynamic_partition_overwrite backfill target
 
 
@@ -2367,6 +2412,15 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_price
         FROM orders
         WHERE year(o_orderdate) >= 1997
+        GROUP BY 1
+    """,
+    "manifest_hidden_partition_scan": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY 1
     """,
     "manifest_widen_column": """
@@ -3422,6 +3476,7 @@ QUERIES = {
     "manifest_widen_column": manifest_widen_column,
     "manifest_merge_tri_clause": manifest_merge_tri_clause,
     "manifest_partitioned_scan": manifest_partitioned_scan,
+    "manifest_hidden_partition_scan": manifest_hidden_partition_scan,
     "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,

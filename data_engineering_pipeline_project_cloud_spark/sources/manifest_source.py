@@ -403,7 +403,8 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             "committedAt": delta.get("committedAt"),
             "droppedCols": delta.get("droppedCols", {}),
             "renames": carried("renames"),
-            "constraints": carried("constraints")}
+            "constraints": carried("constraints"),
+            "partitionGen": carried("partitionGen")}
 
 
 def _write_checkpoint(path: str, state: dict) -> None:
@@ -418,7 +419,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
 
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
-             "renames", "constraints")}
+             "renames", "constraints", "partitionGen")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -448,7 +449,7 @@ def _read_checkpoint(path: str, full: str) -> dict:
     head["files"] = files
     head.setdefault("txn", {})
     head.setdefault("droppedCols", {})
-    for key in ("renames", "constraints"):
+    for key in ("renames", "constraints", "partitionGen"):
         if head.get(key) is None:
             head[key] = []
     return head
@@ -483,6 +484,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("droppedCols", {})
             state.setdefault("renames", [])
             state.setdefault("constraints", [])
+            state.setdefault("partitionGen", [])
             break
         if v in ckpts:
             state = _read_checkpoint(path, ckpts[v])
@@ -503,6 +505,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("droppedCols", {})
                 mj.setdefault("renames", [])
                 mj.setdefault("constraints", [])
+                mj.setdefault("partitionGen", [])
                 state = mj
                 break
         raise ValueError(
@@ -779,7 +782,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "committedAt": st.get("committedAt"),
             "droppedCols": dict(st.get("droppedCols") or {}),
             "renames": renames,
-            "constraints": list(st.get("constraints") or [])}
+            "constraints": list(st.get("constraints") or []),
+            "partitionGen": list(st.get("partitionGen") or [])}
 
 
 #: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
@@ -1422,8 +1426,13 @@ def read_manifest(spark, path: str, version: int | None = None,
     live = [f for f in m["files"] if not f.get("dead")]
     if filters:
         dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
+        # hidden-partition pruning: filters on a generated partition's
+        # SOURCE column imply filters on the stored partition value
+        # (partition dict only — the generated name exists in no file)
+        psf = dsf + _derived_partition_filters(
+            dsf, m.get("partitionGen"))
         live = [f for f in live
-                if _partition_survives(f.get("partition"), dsf)
+                if _partition_survives(f.get("partition"), psf)
                 and _file_survives(f.get("stats") or {}, dsf,
                                    f.get("bloom"))]
     clean = [f for f in live
@@ -2457,6 +2466,7 @@ def restore_manifest(path: str, version: int) -> dict:
             # consistent)
             "renames": list(old.get("renames") or []),
             "constraints": list(old.get("constraints") or []),
+            "partitionGen": list(old.get("partitionGen") or []),
             "committedAt": _time.time(),
             "restoredFrom": version,
         }
@@ -2553,6 +2563,7 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "droppedCols": dict(state.get("droppedCols") or {}),
         "renames": rebased,
         "constraints": list(state.get("constraints") or []),
+        "partitionGen": list(state.get("partitionGen") or []),
         "committedAt": _time.time(),
         "clonedFrom": {"path": src_abs,
                        "version": state["version"],
@@ -2860,6 +2871,20 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         if missing_p:
             raise ValueError(
                 f"partitionCols not in the written schema: {missing_p}")
+        # partitionGen (round 7): HIDDEN generated partition columns —
+        # Iceberg-style partition transforms (date/year/month/hour of
+        # a timestamp, bucket(N) of an integer key).  The generated
+        # value is computed vectorized at write time, recorded ONLY on
+        # the manifest entry (never written into data files), and the
+        # spec persists in table state: appends INHERIT it (hidden
+        # partitioning is table metadata — users don't re-declare it
+        # per write), and reads prune from predicates on the SOURCE
+        # column via _derived_partition_filters.  An explicit spec on
+        # an append must match the table's (partition-spec evolution
+        # is a deliberate non-feature: mixed layouts silently halve
+        # pruning); an overwrite replaces table and spec together.
+        self._partition_gen = _parse_partition_gen(
+            options.get("partitiongen") or "")
         # partitionOverwrite=dynamic (round 7, append mode +
         # partitionCols): the commit tombstones every live file whose
         # partition combo appears in THIS commit's output — Spark's
@@ -2876,9 +2901,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 f"unknown partitionOverwrite mode {po!r} (only "
                 "'dynamic')")
         self._dyn_partition_overwrite = po == "dynamic"
-        if self._dyn_partition_overwrite and not self._partition_cols:
-            raise ValueError(
-                "partitionOverwrite=dynamic requires partitionCols")
+        # (the "requires partition columns" check runs below, after
+        # the table's hidden partitionGen spec may have been inherited)
         if self._dyn_partition_overwrite and overwrite:
             raise ValueError(
                 "partitionOverwrite=dynamic is an append-mode option "
@@ -2969,9 +2993,44 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             _m = load_manifest(self._path)
             self._name_version = _m.get("version", 0) + 1
             self._table_constraints = list(_m.get("constraints") or [])
+            self._table_partition_gen = list(
+                _m.get("partitionGen") or [])
         except (FileNotFoundError, ValueError):
             self._name_version = 0
             self._table_constraints = []
+            self._table_partition_gen = []
+        # hidden partitioning is TABLE metadata: appends inherit the
+        # persisted spec; an explicit spec that disagrees is refused
+        # (a mixed-spec layout would silently halve pruning)
+        if not overwrite:
+            if not self._partition_gen:
+                self._partition_gen = list(self._table_partition_gen)
+            elif (self._table_partition_gen
+                    and self._partition_gen != self._table_partition_gen):
+                raise ValueError(
+                    "partitionGen differs from the table's persisted "
+                    f"spec {self._table_partition_gen}; appends inherit "
+                    "it — overwrite the table to change partitioning")
+        _snames = {f.name for f in schema.fields}
+        for g in self._partition_gen:
+            if g["src"] not in _snames:
+                raise ValueError(
+                    f"partitionGen source column {g['src']!r} not in "
+                    "the written schema")
+            if g["name"] in _snames:
+                raise ValueError(
+                    f"partitionGen name {g['name']!r} collides with a "
+                    "data column (generated partitions are hidden — "
+                    "pick a name outside the schema)")
+            if g["name"] in self._partition_cols:
+                raise ValueError(
+                    f"partitionGen name {g['name']!r} collides with "
+                    "partitionCols")
+        if self._dyn_partition_overwrite and not (
+                self._partition_cols or self._partition_gen):
+            raise ValueError(
+                "partitionOverwrite=dynamic requires partitionCols "
+                "or partitionGen")
         # persisted table constraints enforce on every append-path
         # write (an overwrite REPLACES the table, constraints and all)
         if not overwrite:
@@ -2990,15 +3049,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         ctx = TaskContext.get()
         os.makedirs(self._path, exist_ok=True)
         pcols = self._partition_cols
+        gens = self._partition_gen
+        parted = bool(pcols or gens)
         # one output per partition-value combo (a single unnamed combo
-        # without partitionCols — the pre-r7 one-file-per-task path)
+        # without partition columns — the pre-r7 one-file-per-task path)
         outs: dict[tuple, dict] = {}
 
         def out_for(combo: tuple, values: dict | None) -> dict:
             o = outs.get(combo)
             if o is not None:
                 return o
-            suffix = f"-s{len(outs):03d}" if pcols else ""
+            suffix = f"-s{len(outs):03d}" if parted else ""
             name = (f"part-v{self._name_version:04d}-{self._commit_id}"
                     f"-{ctx.partitionId():05d}{suffix}.parquet")
             # attempt-unique staging name: a speculative/zombie
@@ -3015,11 +3076,21 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             return o
 
         def split(batch):
-            if not pcols:
+            if not parted:
                 yield (), None, batch
                 return
-            key_tbl = pa.table({c: batch.column(c) for c in pcols})
-            for combo in key_tbl.group_by(pcols).aggregate([]).to_pylist():
+            # generated values are computed on the side and NEVER
+            # appended to the written batch — hidden partitioning
+            gen_arrays = {g["name"]: _gen_array(g, batch.column(g["src"]))
+                          for g in gens}
+
+            def colref(c):
+                a = gen_arrays.get(c)
+                return a if a is not None else batch.column(c)
+
+            allp = pcols + [g["name"] for g in gens]
+            key_tbl = pa.table({c: colref(c) for c in allp})
+            for combo in key_tbl.group_by(allp).aggregate([]).to_pylist():
                 for c, v in combo.items():
                     if not isinstance(v, (int, str, bool, float,
                                           type(None))):
@@ -3028,11 +3099,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                             f"value type {type(v).__name__}; use "
                             "int/string/bool/double partition values")
                 mask = None
-                for c in pcols:
+                for c in allp:
                     v = combo[c]
-                    m = (pc.is_null(batch.column(c)) if v is None
-                         else pc.equal(batch.column(c), pa.scalar(
-                             v, batch.column(c).type)))
+                    col = colref(c)
+                    m = (pc.is_null(col) if v is None
+                         else pc.equal(col, pa.scalar(v, col.type)))
                     mask = m if mask is None else pc.and_(mask, m)
                 yield (tuple(sorted(combo.items())), combo,
                        batch.filter(mask))
@@ -3114,7 +3185,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             # WriterCommitMessage (None is rejected) — send a
             # zero-row sentinel that commit/abort skip
             return _FileCommit(tmp_path="", final_path="", rows=0)
-        if not pcols:
+        if not parted:
             return commits[0]
         return _MultiCommit(commits=commits)
 
@@ -3350,6 +3421,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     fail("table constraints changed after this write "
                          "was planned; re-run so the new contract is "
                          "enforced on its rows")
+                # a hidden-partition spec that changed since planning
+                # means this commit's files were split (or not split)
+                # under the wrong layout — committing would mix specs.
+                # prev == [] with ours non-empty is the legal case: an
+                # append ESTABLISHING the spec on an unpartitioned
+                # table.
+                prev_gen = prev.get("partitionGen") or []
+                if prev_gen and prev_gen != self._partition_gen:
+                    fail("table partitionGen spec changed after this "
+                         "write was planned; re-run under the current "
+                         "spec")
             # RE-ADD of a previously dropped name (epoch lift of the
             # old refusal): a retroactive MASKED rename record — from
             # the dropped name to a reserved never-in-schema target,
@@ -3380,6 +3462,10 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                      "renames": renames,
                      "constraints": ([] if truncate
                                      else self._table_constraints),
+                     # explicit on every writer commit: an overwrite
+                     # REPLACES the spec (possibly with []), an append
+                     # re-asserts the inherited/established one
+                     "partitionGen": self._partition_gen,
                      "committedAt": _time.time(),
                      "add": new_files}
             if truncate:
@@ -3540,6 +3626,160 @@ def _surviving_row_groups(pf, rg_filters: list[tuple]) -> list[int] | None:
 
 def _is_probe_int(v) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
+
+
+_GEN_TRANSFORMS = ("date", "year", "month", "hour", "bucket")
+#: transforms that are MONOTONE NON-DECREASING maps of their source
+#: (date/"YYYY-MM"/"YYYY-MM-DD HH" strings sort chronologically; year
+#: is an int) — range predicates on the source imply range predicates
+#: on the generated value.  bucket is equality-only.
+_GEN_MONOTONE = ("date", "year", "month", "hour")
+_NOGEN = object()  # sentinel: literal not transformable → no pruning
+
+
+def _parse_partition_gen(raw: str) -> list[dict]:
+    """Parse the writer's ``partitionGen`` option:
+    ``"name=transform(src)"`` entries, comma-separated; bucket takes
+    ``"name=bucket(N,src)"``.  Returns the spec list stored in table
+    state: ``{"name", "src", "transform"[, "n"]}``."""
+    import re
+
+    out = []
+    # split on commas at paren depth 0 only — bucket(N,col) has one
+    items = [s.strip() for s in re.split(r",(?![^(]*\))", raw)
+             if s.strip()]
+    for item in items:
+        m = re.fullmatch(
+            r"(\w+)\s*=\s*(date|year|month|hour)\(\s*(\w+)\s*\)", item)
+        if m:
+            out.append({"name": m.group(1), "src": m.group(3),
+                        "transform": m.group(2)})
+            continue
+        m = re.fullmatch(
+            r"(\w+)\s*=\s*bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)", item)
+        if m:
+            n = int(m.group(2))
+            if n < 1:
+                raise ValueError(f"bucket modulus must be >= 1: {item!r}")
+            out.append({"name": m.group(1), "src": m.group(3),
+                        "transform": "bucket", "n": n})
+            continue
+        raise ValueError(
+            f"unparsable partitionGen entry {item!r}; expected "
+            "name=date|year|month|hour(col) or name=bucket(N,col)")
+    names = [g["name"] for g in out]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate partitionGen names: {names}")
+    return out
+
+
+def _gen_array(g: dict, arr):
+    """Vectorized generated-partition values for one Arrow column
+    (write path).  Timestamp transforms format the stored value's wall
+    clock — under the engine's pinned UTC session (session.py) that is
+    the same convention ``_gen_literal`` applies to pushed read-side
+    literals, so write-side values and derived read filters can never
+    disagree.  NULL source → NULL partition value."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = g["transform"]
+    if t == "date":
+        return pc.strftime(arr, format="%Y-%m-%d")
+    if t == "year":
+        return pc.cast(pc.year(arr), pa.int64())
+    if t == "month":
+        return pc.strftime(arr, format="%Y-%m")
+    if t == "hour":
+        return pc.strftime(arr, format="%Y-%m-%d %H")
+    if t == "bucket":
+        n = g["n"]
+        a64 = pc.cast(arr, pa.int64())
+        filled = pc.fill_null(a64, 0).to_numpy(zero_copy_only=False)
+        mod = filled % np.int64(n)  # numpy %: non-negative for n > 0
+        mask = pc.is_null(a64).to_numpy(zero_copy_only=False)
+        return pa.array(mod, mask=mask)
+    raise ValueError(f"unknown partitionGen transform {t!r}")
+
+
+def _gen_literal(g: dict, v):
+    """Apply a generated-partition transform to a pushed filter
+    LITERAL (driver side), mirroring ``_gen_array``'s conventions.
+    Returns ``_NOGEN`` when the literal's type can't be transformed
+    faithfully — the caller then derives no filter (never prune on
+    doubt).  tz-aware datetimes normalize to UTC first (the pinned
+    session timezone, so pushed timestamp literals and stored values
+    share a wall clock)."""
+    import datetime as _dt
+
+    t = g["transform"]
+    if t == "bucket":
+        if isinstance(v, bool) or not isinstance(v, int):
+            return _NOGEN
+        return v % g["n"]
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    elif not isinstance(v, _dt.date):
+        return _NOGEN
+    if t == "date":
+        return v.strftime("%Y-%m-%d")
+    if t == "year":
+        return v.year
+    if t == "month":
+        return v.strftime("%Y-%m")
+    if t == "hour":
+        if not isinstance(v, _dt.datetime):
+            return _NOGEN  # a bare date has no hour
+        return v.strftime("%Y-%m-%d %H")
+    return _NOGEN
+
+
+def _derived_partition_filters(filters, gen_spec) -> list:
+    """HIDDEN-PARTITION pruning (Iceberg-style partition transforms):
+    map pushed filters on a generated partition's SOURCE column to
+    filters on the generated value, so scans prune files from
+    predicates users actually write (``ts >= X``) without the
+    partition column ever existing in the data.  Monotone transforms
+    imply range filters (strict bounds widen to inclusive — T is
+    non-strict monotone, so rows with src > X may share T(X));
+    bucket implies equality/IN only.  The derived filters feed ONLY
+    ``_partition_survives`` — they reference names absent from data
+    files, so they must never reach row-group or row-level
+    evaluation (Spark re-applies the ORIGINAL predicates row-wise,
+    keeping results exact even when nothing prunes)."""
+    out: list = []
+    by_src: dict[str, list[dict]] = {}
+    for g in gen_spec or []:
+        by_src.setdefault(g["src"], []).append(g)
+    if not by_src:
+        return out
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if attr is None or len(attr) != 1 or attr[0] not in by_src:
+            continue
+        for g in by_src[attr[0]]:
+            name = (g["name"],)
+            mono = g["transform"] in _GEN_MONOTONE
+            if isinstance(f, EqualTo):
+                tv = _gen_literal(g, f.value)
+                if tv is not _NOGEN:
+                    out.append(EqualTo(name, tv))
+            elif isinstance(f, In):
+                tvs = [_gen_literal(g, x) for x in f.value]
+                if tvs and all(x is not _NOGEN for x in tvs):
+                    out.append(In(name, tuple(tvs)))
+            elif mono and isinstance(f, (GreaterThan,
+                                         GreaterThanOrEqual)):
+                tv = _gen_literal(g, f.value)
+                if tv is not _NOGEN:
+                    out.append(GreaterThanOrEqual(name, tv))
+            elif mono and isinstance(f, (LessThan, LessThanOrEqual)):
+                tv = _gen_literal(g, f.value)
+                if tv is not _NOGEN:
+                    out.append(LessThanOrEqual(name, tv))
+    return out
 
 
 def _partition_survives(part: dict | None, filters) -> bool:
@@ -3770,9 +4010,15 @@ class ManifestReader(DataSourceReader):
 
     def pushFilters(self, filters):
         filters = list(filters)
+        # hidden-partition pruning: derived filters target generated
+        # names that exist only in entries' partition dicts — they
+        # feed _partition_survives alone, never file stats or
+        # row-group evaluation (the generated column is in no file)
+        part_filters = filters + _derived_partition_filters(
+            filters, self._manifest.get("partitionGen"))
         self._files = [f for f in self._files
                        if _partition_survives(f.get("partition"),
-                                              filters)
+                                              part_filters)
                        and _file_survives(f["stats"], filters,
                                           f.get("bloom"))]
         # carried to the partitions for the second skipping level

@@ -1412,3 +1412,225 @@ def test_read_manifest_timestamp_travel(spark, tmp_path):
                          timestamp=str(between)).count() == 1
     with pytest.raises(ValueError, match="not both"):
         read_manifest(spark, path, version=0, timestamp=str(between))
+
+
+def test_hidden_generated_partitions(spark, tmp_path):
+    """partitionGen (Iceberg-style hidden partitioning): the writer
+    computes date(ts) per row, splits files on it, and records the
+    value ONLY on the manifest entry — the generated column exists in
+    no data file and no read schema.  Predicates on the SOURCE column
+    prune at the file-list level via filter implication; appends
+    inherit the persisted spec; a conflicting explicit spec and a
+    schema-colliding name are refused."""
+    import datetime
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "gen")
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(i, base + datetime.timedelta(hours=6 * i), float(i))
+            for i in range(40)]  # 10 distinct dates
+    df = spark.createDataFrame(rows, "k long, ts timestamp, x double")
+    (df.repartition(2).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionGen", "event_date=date(ts)").save())
+    m = load_manifest(path)
+    assert m["partitionGen"] == [
+        {"name": "event_date", "src": "ts", "transform": "date"}]
+    live = [f for f in m["files"] if not f.get("dead")]
+    dates = sorted({f["partition"]["event_date"] for f in live})
+    assert len(dates) == 10
+    # hidden: the generated name is in no read schema
+    out = read_manifest(spark, path)
+    assert "event_date" not in out.columns
+    assert out.count() == 40
+    # file-level pruning from a predicate on the SOURCE column
+    cut = datetime.datetime(2024, 1, 6)
+    rd = ManifestReader({"path": path})
+    total = len(rd.partitions())
+    list(rd.pushFilters([GreaterThanOrEqual(("ts",), cut)]))
+    kept = len(rd.partitions())
+    want = sum(1 for f in live
+               if f["partition"]["event_date"] >= "2024-01-06")
+    assert kept == want < total
+    # the fast planner prunes identically and values match the raw df
+    pr = read_manifest(spark, path, filters=[("ts", ">=", cut)])
+    assert len(pr.inputFiles()) == want
+    assert (pr.filter(F.col("ts") >= F.lit(cut)).count()
+            == df.filter(F.col("ts") >= F.lit(cut)).count())
+    # append WITHOUT the option inherits the table spec
+    extra = spark.createDataFrame(
+        [(99, datetime.datetime(2024, 2, 1, 12), 9.0)],
+        "k long, ts timestamp, x double")
+    (extra.coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).save())
+    m2 = load_manifest(path)
+    newest = [f for f in m2["files"]
+              if f.get("addedAt") == m2["version"]]
+    assert newest and all(
+        f["partition"]["event_date"] == "2024-02-01" for f in newest)
+    # explicit spec that disagrees with the table's is refused
+    with pytest.raises(Exception, match="partitionGen"):
+        (extra.write.format("graft_manifest").mode("append")
+         .option("path", path)
+         .option("partitionGen", "event_month=month(ts)").save())
+    # a generated name colliding with a data column is refused
+    with pytest.raises(Exception, match="collides"):
+        (df.write.format("graft_manifest").mode("overwrite")
+         .option("path", str(tmp_path / "bad"))
+         .option("partitionGen", "x=date(ts)").save())
+
+
+def test_generated_partition_bucket_and_literal_edges(spark, tmp_path):
+    """bucket(N, key) hidden partitioning prunes equality lookups to
+    one bucket; the literal-transform layer never prunes on doubt
+    (untransformable literals derive nothing) and widens strict range
+    bounds to inclusive so boundary rows always survive."""
+    import datetime
+
+    from pyspark.sql.datasource import GreaterThan, In
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _NOGEN,
+        _derived_partition_filters,
+        _gen_literal,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "bk")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(64)], "k long, name string")
+    (df.repartition(2).write.format("graft_manifest").mode("overwrite")
+     .option("path", path)
+     .option("partitionGen", "kb=bucket(8,k)").save())
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert {f["partition"]["kb"] for f in live} == set(range(8))
+    pr = read_manifest(spark, path, filters=[("k", "=", 13)])
+    assert len(pr.inputFiles()) == sum(
+        1 for f in live if f["partition"]["kb"] == 13 % 8)
+    assert pr.filter("k = 13").count() == 1
+    # IN-lists map bucket-wise; a single untransformable element
+    # cancels the whole derivation (never prune on doubt)
+    spec = m["partitionGen"]
+    d = _derived_partition_filters([In(("k",), (3, 11))], spec)
+    assert len(d) == 1 and set(d[0].value) == {3}
+    assert _derived_partition_filters(
+        [In(("k",), (3, "not-an-int"))], spec) == []
+    # bucket never derives from range predicates (not monotone)
+    assert _derived_partition_filters(
+        [GreaterThan(("k",), 5)], spec) == []
+    # monotone transforms widen strict bounds to inclusive: ts >
+    # mid-day D still keeps date D (rows later the same day match)
+    gd = {"name": "d", "src": "ts", "transform": "date"}
+    dd = _derived_partition_filters(
+        [GreaterThan(("ts",), datetime.datetime(2024, 3, 5, 12))], [gd])
+    assert len(dd) == 1 and isinstance(dd[0], GreaterThanOrEqual)
+    assert dd[0].value == "2024-03-05"
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _partition_survives,
+    )
+    assert _partition_survives({"d": "2024-03-05"}, dd)
+    # literal edges: hour of a bare date / string timestamps / bool
+    # buckets are untransformable
+    gh = {"name": "h", "src": "ts", "transform": "hour"}
+    assert _gen_literal(gh, datetime.date(2024, 3, 5)) is _NOGEN
+    assert _gen_literal(gd, "2024-03-05") is _NOGEN
+    gb = {"name": "b", "src": "k", "transform": "bucket", "n": 4}
+    assert _gen_literal(gb, True) is _NOGEN
+    assert _gen_literal(gb, -5) == 3  # python %: non-negative
+
+
+def test_generated_partition_spec_survives_metadata_commits(
+        spark, tmp_path):
+    """The partitionGen spec is TABLE STATE: it rides through
+    metadata-only commits (constraints), restore, clone, and dynamic
+    partition overwrite keyed on generated values alone."""
+    import datetime
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_table_constraint,
+        clone_manifest,
+        read_manifest,
+        restore_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "meta")
+    mk = lambda d, n: spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, d, i % 24), float(i))
+         for i in range(n)], "k long, ts timestamp, x double")
+    (mk(1, 6).write.format("graft_manifest").mode("overwrite")
+     .option("path", path)
+     .option("partitionGen", "d=date(ts)").save())
+    spec = load_manifest(path)["partitionGen"]
+    add_table_constraint(path, {"col": "k", "notNull": True})
+    assert load_manifest(path)["partitionGen"] == spec
+    # dynamic partition overwrite keyed on the HIDDEN value alone:
+    # re-state day 1 with half the rows — only that date's files go
+    (mk(2, 4).write.format("graft_manifest").mode("append")
+     .option("path", path).save())
+    (mk(1, 3).write.format("graft_manifest").mode("append")
+     .option("path", path)
+     .option("partitionOverwrite", "dynamic").save())
+    got = read_manifest(spark, path)
+    assert got.filter(F.to_date("ts") == "2024-01-01").count() == 3
+    assert got.filter(F.to_date("ts") == "2024-01-02").count() == 4
+    # restore to the pre-overwrite version: spec intact, data back
+    v = load_manifest(path)["version"]
+    restore_manifest(path, v - 1)
+    m = load_manifest(path)
+    assert m["partitionGen"] == spec
+    assert read_manifest(spark, path).filter(
+        F.to_date("ts") == "2024-01-01").count() == 6
+    # clone carries the spec, and appends into the clone inherit it
+    dst = str(tmp_path / "meta_clone")
+    clone_manifest(path, dst)
+    assert load_manifest(dst)["partitionGen"] == spec
+    (mk(3, 2).write.format("graft_manifest").mode("append")
+     .option("path", dst).save())
+    md = load_manifest(dst)
+    newest = [f for f in md["files"] if f.get("addedAt") == md["version"]]
+    assert newest and all(
+        f["partition"]["d"] == "2024-01-03" for f in newest)
+
+
+def test_compaction_preserves_hidden_partitioning(spark, tmp_path):
+    """OPTIMIZE over a partitionGen table re-splits its output by the
+    inherited spec: compaction rewrites flow through the same writer,
+    so the hidden layout (and its pruning) survives maintenance — no
+    combo-merging regression."""
+    import datetime
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        compact_manifest,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "cg")
+    for d in (1, 2):
+        df = spark.createDataFrame(
+            [(i, datetime.datetime(2024, 1, d, i % 24), float(i))
+             for i in range(5)], "k long, ts timestamp, x double")
+        (df.coalesce(1).write.format("graft_manifest")
+         .mode("overwrite" if d == 1 else "append")
+         .option("path", path).option("statCols", "k")
+         .option("partitionGen", "d=date(ts)"
+                 if d == 1 else "").save())
+    compact_manifest(spark, path, ["k"], small_file_rows=100)
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert all(f.get("partition") and "d" in f["partition"]
+               for f in live)
+    assert {f["partition"]["d"] for f in live} == {
+        "2024-01-01", "2024-01-02"}
+    pr = read_manifest(
+        spark, path,
+        filters=[("ts", ">=", datetime.datetime(2024, 1, 2))])
+    assert len(pr.inputFiles()) < len(live)
+    assert pr.filter("ts >= timestamp'2024-01-02'").count() == 5
