@@ -2025,6 +2025,26 @@ def manifest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_price")))
 
 
+def _hidden_part_events_scratch(spark: SparkSession, sf_dir: str) -> str:
+    """Shared scratch: the events table written as a graft_manifest
+    table hidden-partitioned by ``event_date=date(ts)`` (built once
+    per sf_dir; read by the hidden-partition scan and the files-
+    metadata faces)."""
+    from .scratch import scoped_scratch
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "ts", "event_type",
+            F.col("value").cast("double").alias("value"))
+        (ev.repartition(4)
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "event_id")
+         .option("partitionGen", "event_date=date(ts)").save())
+
+    return scoped_scratch("manifest_hidden_part_events", sf_dir, build)
+
+
 def manifest_hidden_partition_scan(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """HIDDEN GENERATED PARTITIONS (round 7 —
@@ -2046,21 +2066,9 @@ def manifest_hidden_partition_scan(spark: SparkSession,
     import datetime
 
     from ..sources.manifest_source import read_manifest, register
-    from .scratch import scoped_scratch
 
     register(spark)
-
-    def build(path: str) -> None:
-        ev = load_table(spark, sf_dir, "events").select(
-            F.col("event_id").cast("long").alias("event_id"),
-            "ts", "event_type",
-            F.col("value").cast("double").alias("value"))
-        (ev.repartition(4)
-         .write.format("graft_manifest").mode("overwrite")
-         .option("path", path).option("statCols", "event_id")
-         .option("partitionGen", "event_date=date(ts)").save())
-
-    tmp = scoped_scratch("manifest_hidden_part_events", sf_dir, build)
+    tmp = _hidden_part_events_scratch(spark, sf_dir)
     cut = datetime.datetime(2024, 1, 15)
     df = read_manifest(spark, tmp, filters=[("ts", ">=", cut)])
     return (df.filter(F.col("ts") >= F.lit(cut))
@@ -2068,6 +2076,32 @@ def manifest_hidden_partition_scan(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
                  F.sum(F.col("value").cast("decimal(12,2)"))
                  .cast("double").alias("sum_value")))
+
+
+def manifest_files_metadata(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """FILES METADATA TABLE (round 7 —
+    sources/manifest_source.py:manifest_files; Delta DESCRIBE DETAIL
+    files / Iceberg ``.files`` analog): one row per live manifest
+    entry with committed/dead/live row counts, bytes, and partition
+    values — the audit surface operators read before OPTIMIZE/VACUUM.
+    The face proves the bookkeeping is EXACT, not approximate: summing
+    ``live_rows`` per hidden partition value must reproduce a fresh
+    ``COUNT(*)`` per day over the raw events — the oracle recomputes
+    that independently in DuckDB.  O(files) driver metadata, no data
+    scan (the one deliberately driver-side surface: a 100 TB table at
+    1 GB/file is ~100k metadata rows, the same order every table
+    format's DESCRIBE DETAIL materializes)."""
+    from ..sources.manifest_source import manifest_files, register
+
+    register(spark)
+    tmp = _hidden_part_events_scratch(spark, sf_dir)
+    files = manifest_files(spark, tmp)
+    return (files
+            .withColumn("event_date", F.get_json_object(
+                "partition_json", "$.event_date"))
+            .groupBy("event_date")
+            .agg(F.sum("live_rows").cast("long").alias("n_rows")))
 
 
 DPO_YEAR = 1997  # manifest_dynamic_partition_overwrite backfill target
@@ -2421,6 +2455,12 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_value
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+    """,
+    "manifest_files_metadata": """
+        SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events
         GROUP BY 1
     """,
     "manifest_widen_column": """
@@ -3477,6 +3517,7 @@ QUERIES = {
     "manifest_merge_tri_clause": manifest_merge_tri_clause,
     "manifest_partitioned_scan": manifest_partitioned_scan,
     "manifest_hidden_partition_scan": manifest_hidden_partition_scan,
+    "manifest_files_metadata": manifest_files_metadata,
     "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,

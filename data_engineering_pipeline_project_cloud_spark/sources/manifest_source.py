@@ -1452,6 +1452,49 @@ def read_manifest(spark, path: str, version: int | None = None,
     return out
 
 
+def manifest_files(spark, path: str, version: int | None = None):
+    """METADATA TABLE (Delta ``DESCRIBE DETAIL`` files / Iceberg
+    ``.files`` analog): one row per LIVE manifest entry of the
+    resolved snapshot — file path, committed row count, deletion-
+    vector dead-row count, live rows, on-disk bytes, the version that
+    added it, and the partition values (first-class AND hidden
+    generated) as a JSON string.  This is the audit face operators
+    reach for before OPTIMIZE/VACUUM decisions: the entry-level
+    metadata IS the table's bookkeeping, so ``SUM(live_rows)`` per
+    partition must equal a fresh aggregate of the data — the
+    registry face's oracle proves exactly that.  O(files) driver
+    metadata, no data scan; the byte sizes come from the filesystem
+    entries the manifest already owns."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    m = load_manifest(path, version)
+    rows = []
+    for f in m["files"]:
+        if f.get("dead"):
+            continue
+        dv_rows = int(f.get("dvRows", 0))
+        try:
+            size = os.path.getsize(f["path"])
+        except OSError:
+            size = None
+        rows.append((os.path.basename(f["path"]), int(f["rows"]),
+                     dv_rows, int(f["rows"]) - dv_rows, size,
+                     int(f.get("addedAt", 0)),
+                     json.dumps(f.get("partition"), sort_keys=True)
+                     if f.get("partition") else None))
+    schema = StructType([
+        StructField("file_name", StringType()),
+        StructField("committed_rows", LongType()),
+        StructField("dv_dead_rows", LongType()),
+        StructField("live_rows", LongType()),
+        StructField("size_bytes", LongType()),
+        StructField("added_at_version", LongType()),
+        StructField("partition_json", StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def merge_into_manifest(updates, path: str, key_cols: list[str],
                         stat_cols: list[str],
                         txn: tuple[str, int] | None = None,
@@ -2212,7 +2255,8 @@ def manifest_changes_incremental(spark, path: str, from_version: int,
 
 
 def vacuum_manifest(path: str, keep_versions: int = 1,
-                    min_age_seconds: float = 3600.0) -> dict:
+                    min_age_seconds: float = 3600.0,
+                    dry_run: bool = False) -> dict:
     """Retention cleanup over the log-structured metadata: keep the
     newest ``keep_versions`` versions, delete the metadata artifacts
     below the retention floor (legacy snapshots, delta records,
@@ -2237,7 +2281,13 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
     (1 hour) keeps the guard ON unless explicitly disabled with 0 —
     table formats default to a positive retention precisely because
     callers don't think about racing writers (Delta's equivalent
-    default is 7 days)."""
+    default is 7 days).
+
+    ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report exactly
+    what a real run would delete — same floor, same age guard — but
+    touch NOTHING: no deletions, no floor checkpoint, no cache
+    invalidation.  The audit step before an irreversible retention
+    cut."""
     import time
 
     if keep_versions < 1:
@@ -2254,7 +2304,11 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
         floor_selfcontained = bool(
             _read_json(deltas[floor]).get("truncate"))
     if not floor_selfcontained:
-        _write_checkpoint(path, _load_state(path, floor))
+        if not dry_run:
+            _write_checkpoint(path, _load_state(path, floor))
+        # registered even on dry_run so the report matches a real
+        # run (which drops the floor delta once a checkpoint anchors
+        # it); nothing below drops the floor checkpoint itself
         ckpts[floor] = os.path.join(path, _checkpoint_file(floor))
     # a data file is protected iff some KEPT version reads it LIVE —
     # an entry tombstoned in every kept version is retention-expired
@@ -2278,7 +2332,8 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
     removed_manifests: list[str] = []
 
     def drop_artifact(p: str) -> None:
-        os.remove(p)
+        if not dry_run:
+            os.remove(p)
         removed_manifests.append(p)
 
     for v, p in snaps.items():
@@ -2310,20 +2365,24 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
         if name.endswith(".parquet") and full not in referenced:
             if young(full):
                 continue  # possibly published-but-unclaimed: retained
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             removed_files.append(full)
         elif name.startswith(".") and name.endswith(".tmp"):
             if young(full):
                 continue  # possibly a live writer's staging file
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             removed_files.append(full)
         elif (name.startswith("payload-") and name.endswith(".json")
                 and name not in kept_sidecars):
             if young(full):
                 continue  # possibly an in-flight commit's payloads
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             removed_files.append(full)
-    _invalidate_caches(path, below_version=floor)
+    if not dry_run:
+        _invalidate_caches(path, below_version=floor)
     return {"removed_files": removed_files,
             "removed_manifests": removed_manifests}
 

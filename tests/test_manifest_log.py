@@ -428,3 +428,29 @@ def test_vacuum_dead_sidecar_expiry_keeps_table_readable(
     assert got.count() == 14  # 13 survivors + the v3 append
     # bloom skipping on the LIVE file still works after expiry
     assert got.filter("n_nationkey = 13").count() == 1
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, sf_dir, tmp_path):
+    """VACUUM DRY RUN: reports exactly the set a real run removes —
+    same floor, same age guard — while touching nothing (no
+    deletions, no floor checkpoint, no cache invalidation)."""
+    path = str(tmp_path / "vdr")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    register(spark)
+    for lo, hi in ((0, 9), (9, 17), (17, 25)):
+        (nat.filter(f"n_nationkey >= {lo} AND n_nationkey < {hi}")
+         .coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "n_nationkey").save())
+    before = sorted(os.listdir(path))
+    dry = vacuum_manifest(path, keep_versions=1, min_age_seconds=0,
+                          dry_run=True)
+    assert sorted(os.listdir(path)) == before  # nothing touched
+    assert dry["removed_manifests"]  # v0/v1 metadata is past retention
+    real = vacuum_manifest(path, keep_versions=1, min_age_seconds=0)
+    assert sorted(real["removed_files"]) == sorted(dry["removed_files"])
+    assert sorted(real["removed_manifests"]) == sorted(
+        dry["removed_manifests"])
+    # table still fully readable after the real run
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == 25

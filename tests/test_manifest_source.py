@@ -1634,3 +1634,40 @@ def test_compaction_preserves_hidden_partitioning(spark, tmp_path):
         filters=[("ts", ">=", datetime.datetime(2024, 1, 2))])
     assert len(pr.inputFiles()) < len(live)
     assert pr.filter("ts >= timestamp'2024-01-02'").count() == 5
+
+
+def test_manifest_files_metadata_tracks_dv_and_partitions(
+        spark, tmp_path):
+    """manifest_files (DESCRIBE DETAIL files analog): live_rows
+    reflects deletion vectors exactly, partition values surface as
+    JSON, and dead entries never appear."""
+    import datetime
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_vectors_from_manifest,
+        manifest_files,
+    )
+
+    register(spark)
+    path = str(tmp_path / "fm")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i % 2), float(i))
+         for i in range(10)], "k long, ts timestamp, x double")
+    (df.coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionGen", "d=date(ts)").save())
+    rows = {r["partition_json"]: r for r in
+            manifest_files(spark, path).collect()}
+    assert set(rows) == {'{"d": "2024-01-01"}', '{"d": "2024-01-02"}'}
+    assert all(r["live_rows"] == r["committed_rows"] == 5
+               and r["dv_dead_rows"] == 0
+               and r["size_bytes"] > 0 for r in rows.values())
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(0,), (2,)], "k long"),
+        path, ["k"], ["k"])
+    got = manifest_files(spark, path).collect()
+    # k=0 and k=2 are both even → day 1's file lost exactly 2 rows
+    by_part = {r["partition_json"]: r for r in got}
+    d1 = by_part['{"d": "2024-01-01"}']
+    assert d1["dv_dead_rows"] == 2 and d1["live_rows"] == 3
+    assert sum(r["live_rows"] for r in got) == 8
