@@ -4135,6 +4135,11 @@ class ManifestStreamReader(DataSourceStreamReader):
     invalidates outstanding offsets (same contract as any log-tailing
     source over a truncated log).
 
+    Rate limiting (round 7): ``maxFilesPerTrigger`` /
+    ``maxRowsPerTrigger`` cap what one micro-batch admits (whole
+    files, ≥1 per batch for progress; Delta's source options) — the
+    bounded-backfill knob for tailing a large table from offset 0.
+
     Rewrite commits FAIL the stream by default (round 6): a
     merge/compaction commit appends its rewrite output past offsets
     the stream already consumed, so tailing across it would RE-EMIT
@@ -4152,6 +4157,28 @@ class ManifestStreamReader(DataSourceStreamReader):
         self._path = _require_path(options)
         self._ignore_changes = str(options.get("ignorechanges", "")
                                    ).lower() in ("true", "1")
+        # rate limiting (Delta's maxFilesPerTrigger / the rows analog):
+        # cap how much of the tail one micro-batch admits, so a
+        # backfill over a large table drains in bounded batches
+        # instead of one giant catch-up batch that spills or OOMs the
+        # sink.  0/absent = unbounded.  The cap is applied in
+        # latestOffset against a cursor tracking the last declared
+        # batch end; the ENGINE's offsets stay authoritative —
+        # partitions() re-syncs the cursor from them on every plan,
+        # and on restart Spark replays the checkpoint's last batch
+        # through partitions() BEFORE the first latestOffset poll
+        # (AcceptsLatestSeenOffset; traced and pinned by
+        # tests/test_stream_rate_limit.py), so the cursor can never
+        # regress an offset below what the checkpoint committed.  An
+        # unknown cursor therefore means a genuinely FRESH query,
+        # where the tail starts at index 0 — the cap applies from the
+        # very first micro-batch of a backfill.
+        self._max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        self._max_rows = int(options.get("maxrowspertrigger", 0) or 0)
+        if self._max_files < 0 or self._max_rows < 0:
+            raise ValueError("maxFilesPerTrigger/maxRowsPerTrigger "
+                             "must be >= 0")
+        self._cursor: int | None = None
         # the stream's schema is FIXED at query start (Spark cannot
         # change a stream's schema mid-query); every batch aligns its
         # files to THIS schema, not the manifest's latest — otherwise
@@ -4169,12 +4196,61 @@ class ManifestStreamReader(DataSourceStreamReader):
     def _manifest(self) -> dict:
         return load_manifest(self._path)
 
+    def _trace(self, *args) -> None:
+        p = os.environ.get("SPARK_GRAFT_TRACE")
+        if p:
+            with open(p, "a") as fh:
+                print(*args, file=fh, flush=True)
+
     def initialOffset(self) -> dict:
+        self._trace("initialOffset")
+        self._cursor = 0
         return {"index": 0, "version": -1}
+
+    def _admit(self, files: list, cur: int, end: int) -> int:
+        """Rate-limited batch end: walk LIVE entries from ``cur``,
+        admitting whole files until the files/rows budget is spent —
+        always at least one live file (progress guarantee), dead
+        slots are free (they plan no partition).  Returns the new
+        end index."""
+        live_n = rows = 0
+        cap = cur
+        for i in range(cur, end):
+            f = files[i]
+            if f.get("dead"):
+                cap = i + 1
+                continue
+            if live_n > 0 and (
+                    (self._max_files and live_n + 1 > self._max_files)
+                    or (self._max_rows
+                        and rows + f["rows"] > self._max_rows)):
+                break
+            live_n += 1
+            rows += f["rows"]
+            cap = i + 1
+            if ((self._max_files and live_n >= self._max_files)
+                    or (self._max_rows and rows >= self._max_rows)):
+                break
+        return cap
 
     def latestOffset(self) -> dict:
         m = self._manifest()
-        return {"index": len(m["files"]), "version": m.get("version", 0)}
+        end = len(m["files"])
+        # unknown cursor = fresh query (restarts replay the last
+        # checkpointed batch through partitions() first, which syncs
+        # it) — the tail starts at 0
+        cur = self._cursor if self._cursor is not None else 0
+        self._trace("latestOffset cur", cur, "max", self._max_files,
+                    self._max_rows, "files", end)
+        if end > cur and (self._max_files or self._max_rows):
+            end = self._admit(m["files"], cur, end)
+        self._cursor = end
+        # the version stays the manifest's LATEST even when the index
+        # is capped: _guard_rewrites keys refusals on tombstones at
+        # already-consumed indexes, which is version-range-monotone —
+        # scanning a wider commit range can only catch the hazard
+        # earlier, never miss it
+        return {"index": end, "version": m.get("version", 0)}
 
     def _guard_rewrites(self, m: dict, start_index: int,
                         start_version: int, end_version: int) -> None:
@@ -4228,6 +4304,10 @@ class ManifestStreamReader(DataSourceStreamReader):
         # the class docstring and _guard_rewrites.
         m = self._manifest()
         s_i = start["index"]
+        self._trace("partitions", start, end)
+        # re-sync the rate-limit cursor from the ENGINE's offsets —
+        # authoritative across batch replays and restarts
+        self._cursor = end["index"]
         s_v, e_v = start.get("version"), end.get("version")
         if (s_i > 0 and not self._ignore_changes
                 and s_v is not None and e_v is not None and e_v > s_v):

@@ -1,0 +1,109 @@
+"""Manifest tail-stream rate limiting (maxFilesPerTrigger /
+maxRowsPerTrigger): bounded micro-batches with whole-file admission, a
+>=1-file progress guarantee, capping active from the FIRST batch of a
+fresh backfill, and restart safety (the engine's checkpoint replay
+re-syncs the cursor before the first poll — offsets never regress).
+
+Uses processingTime triggers: availableNow snapshots ONE latestOffset
+as its end target, so a capped availableNow run deliberately processes
+just that first capped batch — the cap is a continuous-stream pacing
+knob, which these tests drive with a polling drain loop.
+"""
+
+from __future__ import annotations
+
+import time
+
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import register
+
+
+def _append_files(spark, path: str, start_file: int, n_files: int,
+                  rows_per_file: int = 5) -> None:
+    register(spark)
+    for j in range(start_file, start_file + n_files):
+        df = spark.createDataFrame(
+            [(j * rows_per_file + i, float(i))
+             for i in range(rows_per_file)], "k long, x double")
+        (df.coalesce(1).write.format("graft_manifest").mode("append")
+         .option("path", path).option("statCols", "k").save())
+
+
+def _drain(spark, path: str, ckpt: str, want_rows: int,
+           **opts) -> list[int]:
+    """Run the tail stream under a fast processingTime trigger until
+    ``want_rows`` accumulate (or timeout); return per-batch row counts
+    (foreachBatch runs driver-side: list capture works)."""
+    sizes: list[int] = []
+    reader = spark.readStream.format("graft_manifest").option(
+        "path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (reader.load().writeStream
+         .foreachBatch(lambda df, _: sizes.append(df.count()))
+         .option("checkpointLocation", ckpt)
+         .trigger(processingTime="250 milliseconds").start())
+    deadline = time.time() + 90
+    while time.time() < deadline and sum(sizes) < want_rows:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    return [s for s in sizes if s > 0]
+
+
+def test_max_files_per_trigger_bounds_each_microbatch(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _append_files(spark, path, 0, 4)
+    sizes = _drain(spark, path, str(tmp_path / "ck"), 20,
+                   maxFilesPerTrigger="1")
+    assert sum(sizes) == 20          # everything drains exactly once
+    assert max(sizes) <= 5           # never more than one file's rows
+    assert len(sizes) >= 4           # one batch per file — from batch 1
+
+
+def test_max_rows_per_trigger_admits_whole_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _append_files(spark, path, 0, 4)
+    # budget of 10 rows = exactly two 5-row files per batch
+    sizes = _drain(spark, path, str(tmp_path / "ck"), 20,
+                   maxRowsPerTrigger="10")
+    assert sum(sizes) == 20
+    assert max(sizes) <= 10
+    # a budget SMALLER than one file still makes progress (>=1 file)
+    sizes2 = _drain(spark, path, str(tmp_path / "ck2"), 20,
+                    maxRowsPerTrigger="3")
+    assert sum(sizes2) == 20 and max(sizes2) <= 5
+
+
+def test_rate_limited_restart_never_rewinds_or_duplicates(
+        spark, tmp_path):
+    """The hazard a rate-limited Python source must not have: a
+    restarted query whose first capped poll computes an offset behind
+    the checkpoint.  Spark replays the checkpoint's last batch through
+    partitions() before polling, which re-syncs the cursor — pinned
+    here by draining uncapped, appending more files, then restarting
+    WITH a cap on the same checkpoint: no duplicates, no loss."""
+    path = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ck")
+    _append_files(spark, path, 0, 4)
+    # phase 1: uncapped availableNow — checkpoint commits index 4
+    q = (spark.readStream.format("graft_manifest").option("path", path)
+         .load().writeStream.format("parquet").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 20
+    _append_files(spark, path, 4, 2)
+    # phase 2: restart the SAME checkpoint with a 1-file cap
+    q2 = (spark.readStream.format("graft_manifest").option("path", path)
+          .option("maxFilesPerTrigger", "1").load()
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(processingTime="250 milliseconds").start())
+    deadline = time.time() + 90
+    while (time.time() < deadline
+           and spark.read.parquet(sink).count() < 30):
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(30)
+    got = sorted(r["k"] for r in spark.read.parquet(sink).collect())
+    assert got == list(range(30))  # complete, exactly once
