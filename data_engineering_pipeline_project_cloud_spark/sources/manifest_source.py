@@ -4555,12 +4555,33 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
         # incremental aggregate consumers need)
         self._preimages = str(options.get("updatepreimages", "")
                               ).lower() in ("true", "1")
+        # maxCommitsPerTrigger: cap how many COMMITS one micro-batch
+        # diffs, so a CDC backfill over a long history drains in
+        # bounded batches (the version-axis analog of the tail
+        # reader's maxFilesPerTrigger; same cursor discipline — the
+        # engine's offsets re-sync it in partitions(), and Spark's
+        # restart replay of the checkpoint's last batch runs before
+        # the first poll, so a capped restart never regresses).
+        self._max_commits = int(
+            options.get("maxcommitspertrigger", 0) or 0)
+        if self._max_commits < 0:
+            raise ValueError("maxCommitsPerTrigger must be >= 0")
+        self._cursor: int | None = None
 
     def initialOffset(self) -> dict:
+        self._cursor = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
-        return {"version": load_manifest(self._path).get("version", 0) + 1}
+        end = load_manifest(self._path).get("version", 0) + 1
+        # unknown cursor = fresh query (restarts replay the last
+        # checkpointed batch through partitions() first): the walk
+        # starts at startingVersion
+        cur = self._cursor if self._cursor is not None else self._start
+        if self._max_commits and end > cur:
+            end = min(end, cur + self._max_commits)
+        self._cursor = max(cur, end)
+        return {"version": end}
 
     def _version_partitions(self, v: int) -> list:
         cur = load_manifest(self._path, v)
@@ -4612,6 +4633,8 @@ class ManifestCDCStreamReader(DataSourceStreamReader):
             new_renames=[rmap(f) for f in appended])]
 
     def partitions(self, start: dict, end: dict):
+        # engine offsets are authoritative for the rate-limit cursor
+        self._cursor = end["version"]
         parts = []
         for v in range(start["version"], end["version"]):
             parts.extend(self._version_partitions(v))

@@ -107,3 +107,31 @@ def test_rate_limited_restart_never_rewinds_or_duplicates(
     q2.awaitTermination(30)
     got = sorted(r["k"] for r in spark.read.parquet(sink).collect())
     assert got == list(range(30))  # complete, exactly once
+
+
+def test_cdc_max_commits_per_trigger(spark, tmp_path):
+    """maxCommitsPerTrigger on the change feed: a CDC backfill over a
+    multi-commit history drains one commit per micro-batch (capped
+    from batch 1 of a fresh stream) and still emits every change
+    exactly once."""
+    path = str(tmp_path / "t")
+    _append_files(spark, path, 0, 4)
+    versions: list[list[int]] = []
+    q = (spark.readStream.format("graft_manifest").option("path", path)
+         .option("readChangeFeed", "true").option("keyCols", "k")
+         .option("maxCommitsPerTrigger", "1").load()
+         .writeStream.foreachBatch(lambda df, _: versions.append(
+             [r["commit_version"] for r in df.collect()]))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="250 milliseconds").start())
+    deadline = time.time() + 90
+    while (time.time() < deadline
+           and sum(len(v) for v in versions) < 20):
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+    batches = [v for v in versions if v]
+    assert sum(len(v) for v in batches) == 20
+    # each micro-batch carries exactly one commit's changes
+    assert all(len(set(v)) == 1 for v in batches)
+    assert sorted(v[0] for v in batches) == [0, 1, 2, 3]
