@@ -404,7 +404,8 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             "droppedCols": delta.get("droppedCols", {}),
             "renames": carried("renames"),
             "constraints": carried("constraints"),
-            "partitionGen": carried("partitionGen")}
+            "partitionGen": carried("partitionGen"),
+            "clusterBy": carried("clusterBy")}
 
 
 def _write_checkpoint(path: str, state: dict) -> None:
@@ -419,7 +420,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
 
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
-             "renames", "constraints", "partitionGen")}
+             "renames", "constraints", "partitionGen", "clusterBy")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -449,7 +450,8 @@ def _read_checkpoint(path: str, full: str) -> dict:
     head["files"] = files
     head.setdefault("txn", {})
     head.setdefault("droppedCols", {})
-    for key in ("renames", "constraints", "partitionGen"):
+    for key in ("renames", "constraints", "partitionGen",
+                "clusterBy"):
         if head.get(key) is None:
             head[key] = []
     return head
@@ -485,6 +487,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("renames", [])
             state.setdefault("constraints", [])
             state.setdefault("partitionGen", [])
+            state.setdefault("clusterBy", [])
             break
         if v in ckpts:
             state = _read_checkpoint(path, ckpts[v])
@@ -506,6 +509,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("renames", [])
                 mj.setdefault("constraints", [])
                 mj.setdefault("partitionGen", [])
+                mj.setdefault("clusterBy", [])
                 state = mj
                 break
         raise ValueError(
@@ -783,7 +787,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "droppedCols": dict(st.get("droppedCols") or {}),
             "renames": renames,
             "constraints": list(st.get("constraints") or []),
-            "partitionGen": list(st.get("partitionGen") or [])}
+            "partitionGen": list(st.get("partitionGen") or []),
+            "clusterBy": list(st.get("clusterBy") or [])}
 
 
 #: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
@@ -2111,6 +2116,68 @@ def zorder_manifest(spark, path: str, zorder_cols: list[str],
     return load_manifest(path)
 
 
+def set_cluster_by(path: str, cols: list[str]) -> dict:
+    """Persist CLUSTERING COLUMNS as table state (Delta liquid
+    clustering's ``CLUSTER BY`` /  ``ALTER TABLE ... CLUSTER BY``
+    analog): one metadata commit records which columns this table's
+    layout should cluster on, and ``optimize_manifest`` reads it —
+    so every maintenance run, from any process, applies the SAME
+    layout policy without re-stating it (the drift a fleet of
+    hand-invoked z-orders accumulates).  ``cols=[]`` clears it
+    (``ALTER TABLE ... CLUSTER BY NONE``).  Appends inherit it,
+    restore/clone carry it, an overwrite resets it — identical
+    lifecycle to constraints and the hidden-partition spec."""
+    while True:
+        prev = load_manifest(path)
+        st = StructType.fromJson(json.loads(prev["schema"]))
+        names = {f.name for f in st.fields}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"clusterBy column(s) {missing} not in table schema")
+        if list(prev.get("clusterBy") or []) == list(cols):
+            return prev  # idempotent
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "partitionGen": list(prev.get("partitionGen") or []),
+                 "clusterBy": list(cols),
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
+def optimize_manifest(spark, path: str, target_rows: int,
+                      bits: int = 8,
+                      bucketing: str = "linear") -> dict:
+    """ONE-CALL OPTIMIZE, policy from table state: with persisted
+    clustering columns (``set_cluster_by``) the table re-lays out
+    along the z-order curve over them (``zorder_manifest``), otherwise
+    it bin-packs small files (``compact_manifest``).  Stat columns
+    are preserved from what the live entries already track (plus the
+    clustering columns), so a maintenance job needs to know NOTHING
+    about the table but its path — the operational contract of
+    Delta's ``OPTIMIZE`` against a liquid-clustered vs plain table."""
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    stat_cols = sorted({c for f in live for c in (f.get("stats") or {})})
+    cluster = list(m.get("clusterBy") or [])
+    if cluster:
+        return zorder_manifest(
+            spark, path, cluster,
+            sorted(set(stat_cols) | set(cluster)), target_rows,
+            bits=bits, bucketing=bucketing)
+    return compact_manifest(spark, path, stat_cols,
+                            small_file_rows=target_rows)
+
+
 def manifest_changes(spark, path: str, from_version: int,
                      to_version: int | None, key_cols: list[str]):
     """Row-level CHANGEFEED between two snapshots (the CDC-read analog
@@ -2526,6 +2593,7 @@ def restore_manifest(path: str, version: int) -> dict:
             "renames": list(old.get("renames") or []),
             "constraints": list(old.get("constraints") or []),
             "partitionGen": list(old.get("partitionGen") or []),
+            "clusterBy": list(old.get("clusterBy") or []),
             "committedAt": _time.time(),
             "restoredFrom": version,
         }
@@ -2623,6 +2691,7 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "renames": rebased,
         "constraints": list(state.get("constraints") or []),
         "partitionGen": list(state.get("partitionGen") or []),
+        "clusterBy": list(state.get("clusterBy") or []),
         "committedAt": _time.time(),
         "clonedFrom": {"path": src_abs,
                        "version": state["version"],

@@ -142,3 +142,62 @@ def test_quantile_bucketing_skips_under_skew(spark, tmp_path):
         zorder_manifest(spark, str(tmp_path / "lin"), ["a"],
                         ["k", "a", "b"], target_rows=250,
                         bucketing="nope")
+
+
+def test_cluster_by_drives_optimize(spark, tmp_path):
+    """set_cluster_by persists clustering columns as table state;
+    optimize_manifest reads the policy: clustered tables re-lay out
+    along the z-curve (both-axis file skipping), plain tables
+    bin-pack.  The spec survives restore and appends; an unknown
+    column is refused; CLUSTER BY NONE clears it."""
+    import pytest
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestReader,
+        load_manifest,
+        optimize_manifest,
+        read_manifest,
+        register,
+        restore_manifest,
+        set_cluster_by,
+    )
+
+    register(spark)
+    path = str(tmp_path / "cb")
+    n = 32 * 32
+    df = spark.createDataFrame(
+        [(i % 32, i // 32, float(i)) for i in range(n)],
+        "a int, b int, x double")
+    (df.repartition(8).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "a,b").save())
+    with pytest.raises(Exception, match="not in table schema"):
+        set_cluster_by(path, ["nope"])
+    set_cluster_by(path, ["a", "b"])
+    assert load_manifest(path)["clusterBy"] == ["a", "b"]
+    m = optimize_manifest(spark, path, target_rows=128)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert len(live) >= 4
+    # z-layout: a selective predicate on EITHER axis skips most files
+    rd = ManifestReader({"path": path})
+    total = len(rd.partitions())
+    from pyspark.sql.datasource import EqualTo
+    for col in ("a", "b"):
+        rd2 = ManifestReader({"path": path})
+        list(rd2.pushFilters([EqualTo((col,), 3)]))
+        assert len(rd2.partitions()) < total
+    # content parity
+    got = read_manifest(spark, path)
+    assert got.count() == n
+    assert got.agg({"x": "sum"}).first()[0] == sum(
+        float(i) for i in range(n))
+    # the spec survives restore (metadata rolls back with the schema)
+    v = load_manifest(path)["version"]
+    restore_manifest(path, v - 1)
+    assert load_manifest(path)["clusterBy"] == ["a", "b"]
+    # CLUSTER BY NONE → optimize falls back to bin packing
+    set_cluster_by(path, [])
+    assert load_manifest(path)["clusterBy"] == []
+    m2 = optimize_manifest(spark, path, target_rows=10**6)
+    live2 = [f for f in m2["files"] if not f.get("dead")]
+    assert len(live2) == 1  # all files packed into one
+    assert read_manifest(spark, path).count() == n
