@@ -218,6 +218,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_dynamic_partition_overwrite": 7,
     "manifest_hidden_partition_scan": 7,
     "manifest_files_metadata": 7,
+    "manifest_string_bloom_lookup": 7,
 }
 
 

@@ -1224,6 +1224,43 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "status", "total_price"))
 
 
+def manifest_string_bloom_lookup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """STRING bloom-filter point lookup (round 7 —
+    sources/manifest_source.py ``_string_hash64_numpy``): suppliers
+    land hash-partitioned on the integer key, s_name carries NO
+    min/max stats (statCols covers only the key), so only the
+    per-file string bloom — a stable 64-bit prefix hash feeding the
+    same bit array as integer blooms — can turn an ``s_name = K``
+    lookup into opening ~one file.  Doc-id point lookups on a string
+    key are the 100 TB case this exists for.  Oracle: the plain
+    lookup on the raw table; file-count pruning and the
+    kind-mismatch safety (an int literal never probes a string
+    bloom) are pytest-asserted."""
+    from ..sources.manifest_source import register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        sup = load_table(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("acctbal"))
+        (sup.repartition(6, "s_suppkey")
+         .write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "s_suppkey")
+         .option("bloomCols", "s_name").save())
+
+    path = scoped_scratch("manifest_sbloom_supplier", sf_dir, build)
+    name = (load_table(spark, sf_dir, "supplier")
+            .agg(F.max("s_name")).collect()[0][0])
+    return (read_manifest(spark, path,
+                          filters=[("s_name", "=", str(name))])
+            .filter(F.col("s_name") == name)
+            .select("s_suppkey", "s_name", "acctbal"))
+
+
 SIMJOIN_T = 0.17
 
 
@@ -2457,6 +2494,12 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         GROUP BY 1
     """,
+    "manifest_string_bloom_lookup": """
+        SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+               CAST(s_acctbal AS DOUBLE) AS acctbal
+        FROM supplier
+        WHERE s_name = (SELECT max(s_name) FROM supplier)
+    """,
     "manifest_files_metadata": """
         SELECT strftime(ts, '%Y-%m-%d') AS event_date,
                CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -3518,6 +3561,7 @@ QUERIES = {
     "manifest_partitioned_scan": manifest_partitioned_scan,
     "manifest_hidden_partition_scan": manifest_hidden_partition_scan,
     "manifest_files_metadata": manifest_files_metadata,
+    "manifest_string_bloom_lookup": manifest_string_bloom_lookup,
     "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,
     "manifest_time_travel": manifest_time_travel,
     "interval_overlap_validity": interval_overlap_validity,

@@ -832,21 +832,90 @@ def _bloom_bits_from_numpy(arr) -> "object":
     return bits
 
 
-def _bloom_encode(bits) -> str:
+#: string blooms hash the first _BLOOM_STR_PREFIX UTF-8 bytes (plus
+#: the length) — truncation only ever causes extra COLLISIONS, and a
+#: bloom collision is a false positive (file kept), never a false
+#: negative, so correctness is unaffected; pruning just weakens for
+#: keys sharing a long common prefix.
+_BLOOM_STR_PREFIX = 32
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def _string_hash64_scalar(s: str) -> int:
+    """Stable 64-bit hash of a string — FNV-1a over the first
+    _BLOOM_STR_PREFIX UTF-8 bytes zero-padded, folded with the byte
+    length.  MUST stay bit-identical to _string_hash64_numpy (reader
+    probes vs writer bits)."""
+    b = s.encode("utf-8")[:_BLOOM_STR_PREFIX]
+    b = b + b"\x00" * (_BLOOM_STR_PREFIX - len(b))
+    h = _FNV_OFFSET
+    for j in range(0, _BLOOM_STR_PREFIX, 8):
+        w = int.from_bytes(b[j:j + 8], "little")
+        h = (h ^ w) * _FNV_PRIME & _MASK64
+    return (h ^ len(s.encode("utf-8"))) & _MASK64
+
+
+def _string_hash64_numpy(arr) -> "object":
+    """Vectorized twin of _string_hash64_scalar for an Arrow string
+    array WITHOUT nulls: O(prefix) numpy passes over the raw offset +
+    data buffers — no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    if arr.type == pa.large_string():
+        off_dt = np.int64
+    else:
+        off_dt = np.int32
+    n = len(arr)
+    off = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+        arr.offset: arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = off[:-1].astype(np.int64)
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    mat = np.zeros((n, _BLOOM_STR_PREFIX), np.uint8)
+    for i in range(_BLOOM_STR_PREFIX):
+        mask = lens > i
+        if not mask.any():
+            break
+        mat[mask, i] = data[starts[mask] + i]
+    words = mat.view("<u8")  # (n, _BLOOM_STR_PREFIX // 8)
+    h = np.full(n, np.uint64(_FNV_OFFSET), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(_BLOOM_STR_PREFIX // 8):
+            h = (h ^ words[:, j]) * np.uint64(_FNV_PRIME)
+        h = h ^ lens.astype(np.uint64)
+    return h
+
+
+def _bloom_encode(bits, kind: str = "int") -> str:
     import base64
 
     # explicit little-endian words: _bloom_maybe_contains indexes the
     # decoded bytes assuming LE bit layout, so a manifest written on a
     # big-endian host must serialize identically (native order there
     # would flip every word and turn pruning into false negatives —
-    # i.e. silently dropped rows)
-    return base64.b64encode(bits.astype("<u8").tobytes()).decode("ascii")
+    # i.e. silently dropped rows).  String blooms carry an "s!"
+    # prefix: probes must hash the literal the same way the writer
+    # hashed the values, and a KIND MISMATCH (int literal vs string
+    # bloom or vice versa) must never exclude.
+    enc = base64.b64encode(bits.astype("<u8").tobytes()).decode("ascii")
+    return f"s!{enc}" if kind == "str" else enc
 
 
-def _bloom_maybe_contains(encoded: str, value: int) -> bool:
-    """False ONLY when the bloom proves the value absent."""
+def _bloom_maybe_contains(encoded: str, value) -> bool:
+    """False ONLY when the bloom proves the value absent.  Kind
+    mismatch between the stored bloom and the probe literal returns
+    True (can't prove absence from differently-hashed bits)."""
     import base64
 
+    if encoded.startswith("s!"):
+        if not isinstance(value, str):
+            return True
+        value = _string_hash64_scalar(value)
+        encoded = encoded[2:]
+    elif not _is_probe_int(value):
+        return True
     raw = base64.b64decode(encoded)
     for i in _bloom_indexes_scalar(value):
         if not (raw[i // 8] >> (i % 8)) & 1:
@@ -1286,12 +1355,14 @@ def _conflicting_added_files(path: str, prev: dict,
             if not hit:
                 continue
             enc = f.get("bloom", {}).get(col)
-            int_keys = [k for k in keys_sorted
-                        if isinstance(k, int) and not isinstance(k, bool)]
+            probeable = [k for k in keys_sorted
+                         if (isinstance(k, int)
+                             and not isinstance(k, bool))
+                         or isinstance(k, str)]
             if (enc is not None and len(keys_sorted) <= 1024
-                    and len(int_keys) == len(keys_sorted)
+                    and len(probeable) == len(keys_sorted)
                     and not any(_bloom_maybe_contains(enc, k)
-                                for k in int_keys)):
+                                for k in probeable)):
                 continue
         out.append(f["path"])
     return out
@@ -3256,18 +3327,30 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 hi[col] = bmax if col not in hi else max(hi[col], bmax)
             for col in self._bloom_cols:
                 try:
-                    arr = (batch.column(col).drop_null()
-                           .to_numpy(zero_copy_only=False))
-                    if arr.dtype.kind not in ("i", "u") or not len(arr):
+                    col_arr = batch.column(col).drop_null()
+                    if not len(col_arr):
                         continue
-                    bits = _bloom_bits_from_numpy(arr)
+                    if (pa.types.is_string(col_arr.type)
+                            or pa.types.is_large_string(col_arr.type)):
+                        # string blooms (round 7): stable 64-bit
+                        # prefix hash, then the same bit machinery —
+                        # point-lookup skipping on string keys
+                        kind = "str"
+                        bits = _bloom_bits_from_numpy(
+                            _string_hash64_numpy(col_arr))
+                    else:
+                        arr = col_arr.to_numpy(zero_copy_only=False)
+                        if arr.dtype.kind not in ("i", "u"):
+                            continue
+                        kind = "int"
+                        bits = _bloom_bits_from_numpy(arr)
                 except (KeyError, TypeError, ValueError,
                         pa.ArrowInvalid):
-                    continue  # absent or non-integer column
+                    continue  # absent or unbloomable column
                 if col in blooms:
-                    blooms[col] |= bits
+                    blooms[col] = (kind, blooms[col][1] | bits)
                 else:
-                    blooms[col] = bits
+                    blooms[col] = (kind, bits)
 
         failed = False
         try:
@@ -3305,8 +3388,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 tmp_path=o["tmp"], final_path=o["final"], rows=o["rows"],
                 stats={c: {"min": o["lo"][c], "max": o["hi"][c]}
                        for c in o["lo"]},
-                bloom={c: _bloom_encode(b)
-                       for c, b in o["blooms"].items()},
+                bloom={c: _bloom_encode(b, k)
+                       for c, (k, b) in o["blooms"].items()},
                 partition=o["partition"]))
         if not commits:
             # empty task: the runtime requires a real
@@ -3988,10 +4071,12 @@ def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
             if attr is None or len(attr) != 1:
                 continue
             enc = bloom.get(attr[0])
-            # only prune when EVERY listed value is bloom-probeable —
-            # a partial probe over a mixed-type list could drop a file
-            # holding one of the unprobed values
-            if (enc is not None and all(_is_probe_int(v) for v in vals)
+            # prune only when EVERY listed value is provably absent;
+            # _bloom_maybe_contains returns True on a kind mismatch
+            # (int literal vs string bloom or vice versa), so a
+            # mixed-type list can never drop a file holding one of
+            # the unprobeable values
+            if (enc is not None and vals
                     and not any(_bloom_maybe_contains(enc, v)
                                 for v in vals)):
                 return False

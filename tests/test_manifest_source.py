@@ -1671,3 +1671,63 @@ def test_manifest_files_metadata_tracks_dv_and_partitions(
     d1 = by_part['{"d": "2024-01-01"}']
     assert d1["dv_dead_rows"] == 2 and d1["live_rows"] == 3
     assert sum(r["live_rows"] for r in got) == 8
+
+
+def test_string_bloom_point_lookup(spark, tmp_path):
+    """String bloom filters: a stable 64-bit prefix hash (scalar and
+    vectorized builders bit-identical, offsets and large_string
+    handled) feeds the same bloom bit array as integer keys — string
+    point lookups open ~one file, and a kind-mismatched literal (int
+    probe on a string bloom, string probe on an int bloom) can never
+    exclude a file."""
+    import pyarrow as pa
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _bloom_maybe_contains,
+        _string_hash64_numpy,
+        _string_hash64_scalar,
+        read_manifest,
+    )
+
+    vals = ["", "a", "Supplier#000000001", "x" * 31, "y" * 32,
+            "z" * 100, "üñïçødé-Ω", "prefix" + "p" * 40]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(vals, typ)
+        hv = _string_hash64_numpy(arr)
+        assert all(int(hv[i]) == _string_hash64_scalar(v)
+                   for i, v in enumerate(vals))
+        sl = arr.slice(2, 4)  # non-zero offset path
+        hv2 = _string_hash64_numpy(sl)
+        assert all(int(hv2[i]) == _string_hash64_scalar(v)
+                   for i, v in enumerate(vals[2:6]))
+
+    register(spark)
+    path = str(tmp_path / "sb")
+    df = spark.createDataFrame(
+        [(i, f"doc-{i:06d}", float(i)) for i in range(120)],
+        "k long, doc_id string, x double")
+    (df.repartition(6, "k").write.format("graft_manifest")
+     .mode("overwrite").option("path", path)
+     .option("statCols", "k").option("bloomCols", "doc_id").save())
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert all((f.get("bloom") or {}).get("doc_id", "").startswith("s!")
+               for f in live)
+    # doc_id has no stats (statCols covers only k): the bloom alone
+    # must prune the file list for a string point lookup
+    target = "doc-000042"
+    kept = [f for f in live
+            if _file_survives(f["stats"], [EqualTo(("doc_id",), target)],
+                              f.get("bloom"))]
+    assert 0 < len(kept) < len(live)
+    got = read_manifest(spark, path,
+                        filters=[("doc_id", "=", target)])
+    assert got.filter(F.col("doc_id") == target).count() == 1
+    # kind mismatch never excludes
+    enc = (live[0].get("bloom") or {})["doc_id"]
+    assert _bloom_maybe_contains(enc, 42)        # int on string bloom
+    assert _bloom_maybe_contains("AAAA", "x")    # str on int bloom
+    kept2 = [f for f in live
+             if _file_survives(f["stats"], [EqualTo(("doc_id",), 42)],
+                               f.get("bloom"))]
+    assert len(kept2) == len(live)
