@@ -3182,6 +3182,16 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # simple column form)
         craw = options.get("constraints")
         self._constraints = json.loads(craw) if craw else []
+        # maxRowsPerFile (Spark's spark.sql.files.maxRecordsPerFile /
+        # Delta's maxRecordsPerFile analog): roll to a fresh data file
+        # once a task's output reaches the cap — the 100 TB file-size
+        # discipline (a 10 GB task must not publish a 10 GB file;
+        # scans, rewrites and skipping all work at file grain).
+        # Rolling happens at Arrow-batch granularity, so a file may
+        # overshoot by at most one batch.
+        self._max_rows_file = int(options.get("maxrowsperfile", 0) or 0)
+        if self._max_rows_file < 0:
+            raise ValueError("maxRowsPerFile must be >= 0")
         # per-commit id: makes every data-file name globally unique, so
         # concurrent writers (and a committed-then-retried version
         # claim) can never collide on a file the other published
@@ -3250,15 +3260,22 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         pcols = self._partition_cols
         gens = self._partition_gen
         parted = bool(pcols or gens)
+        rolling = self._max_rows_file > 0
         # one output per partition-value combo (a single unnamed combo
-        # without partition columns — the pre-r7 one-file-per-task path)
+        # without partition columns — the pre-r7 one-file-per-task
+        # path); maxRowsPerFile ROLLS a full output to `sealed` and a
+        # fresh file takes its place, so the suffix counter is
+        # monotone per task, never len(outs)
         outs: dict[tuple, dict] = {}
+        sealed: list[dict] = []
+        nseq = [0]
 
         def out_for(combo: tuple, values: dict | None) -> dict:
             o = outs.get(combo)
             if o is not None:
                 return o
-            suffix = f"-s{len(outs):03d}" if parted else ""
+            suffix = (f"-s{nseq[0]:03d}" if (parted or rolling) else "")
+            nseq[0] += 1
             name = (f"part-v{self._name_version:04d}-{self._commit_id}"
                     f"-{ctx.partitionId():05d}{suffix}.parquet")
             # attempt-unique staging name: a speculative/zombie
@@ -3358,8 +3375,27 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 for con in self._constraints:
                     _check_constraint(batch, con)
                 for combo, values, sub in split(batch):
+                    if not sub.num_rows:
+                        continue
+                    o = out_for(combo, values)
+                    # exact maxRowsPerFile (Spark's maxRecordsPerFile
+                    # semantics): zero-copy slice the batch at the
+                    # cap boundary, seal the full file, and keep
+                    # feeding the remainder into fresh files
+                    while (rolling and o["rows"] + sub.num_rows
+                            >= self._max_rows_file):
+                        take = self._max_rows_file - o["rows"]
+                        feed(o, sub.slice(0, take))
+                        o["writer"].close()
+                        o["writer"] = None
+                        sealed.append(o)
+                        del outs[combo]
+                        sub = sub.slice(take)
+                        if not sub.num_rows:
+                            break
+                        o = out_for(combo, values)
                     if sub.num_rows:
-                        feed(out_for(combo, values), sub)
+                        feed(o, sub)
         except BaseException:
             failed = True
             raise
@@ -3371,17 +3407,17 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 # a failed/constraint-violating task must not leave
                 # staging files behind (it returns no commit message,
                 # so nothing else would remove them)
-                for o in outs.values():
+                for o in list(outs.values()) + sealed:
                     if os.path.exists(o["tmp"]):
                         os.remove(o["tmp"])
 
         commits = []
-        for combo in sorted(outs):
-            o = outs[combo]
+        for o in sorted(sealed + list(outs.values()),
+                        key=lambda o: o["final"]):
             if o["rows"] == 0:
                 # only zero-row batches reached this output: the
                 # staging file (if created) publishes nothing
-                if o["writer"] is not None and os.path.exists(o["tmp"]):
+                if os.path.exists(o["tmp"]):
                     os.remove(o["tmp"])
                 continue
             commits.append(_FileCommit(
@@ -3396,7 +3432,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             # WriterCommitMessage (None is rejected) — send a
             # zero-row sentinel that commit/abort skip
             return _FileCommit(tmp_path="", final_path="", rows=0)
-        if not parted:
+        if not parted and not rolling:
             return commits[0]
         return _MultiCommit(commits=commits)
 

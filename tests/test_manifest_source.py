@@ -1731,3 +1731,48 @@ def test_string_bloom_point_lookup(spark, tmp_path):
              if _file_survives(f["stats"], [EqualTo(("doc_id",), 42)],
                                f.get("bloom"))]
     assert len(kept2) == len(live)
+
+
+def test_max_rows_per_file_rolls_exactly(spark, tmp_path):
+    """maxRowsPerFile: a task's output rolls to fresh files at exactly
+    the cap (zero-copy batch slicing — Spark's maxRecordsPerFile
+    semantics), per partition combo, with correct per-file stats and
+    a readable, exact table."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "roll")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, x double")
+    (df.coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("maxRowsPerFile", "30").save())
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert sorted(f["rows"] for f in live) == [10, 30, 30, 30]
+    # per-file stats describe exactly that file's slice
+    spans = sorted((f["stats"]["k"]["min"], f["stats"]["k"]["max"])
+                   for f in live)
+    assert spans == [(0, 29), (30, 59), (60, 89), (90, 99)]
+    got = read_manifest(spark, path)
+    assert got.count() == 100
+    assert got.select(F.sum("k")).first()[0] == sum(range(100))
+    # composes with partition combos: the cap applies per combo
+    path2 = str(tmp_path / "roll2")
+    df2 = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(40)],
+        "k long, p int, x double")
+    (df2.coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path2).option("statCols", "k")
+     .option("partitionCols", "p")
+     .option("maxRowsPerFile", "8").save())
+    m2 = load_manifest(path2)
+    by_p: dict[int, list[int]] = {}
+    for f in m2["files"]:
+        if not f.get("dead"):
+            by_p.setdefault(f["partition"]["p"], []).append(f["rows"])
+    assert {p: sorted(rows) for p, rows in by_p.items()} == {
+        0: [4, 8, 8], 1: [4, 8, 8]}
+    assert read_manifest(spark, path2).count() == 40
