@@ -3875,12 +3875,14 @@ def _is_probe_int(v) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
 
 
-_GEN_TRANSFORMS = ("date", "year", "month", "hour", "bucket")
+_GEN_TRANSFORMS = ("date", "year", "month", "hour", "bucket",
+                   "truncate")
 #: transforms that are MONOTONE NON-DECREASING maps of their source
 #: (date/"YYYY-MM"/"YYYY-MM-DD HH" strings sort chronologically; year
-#: is an int) — range predicates on the source imply range predicates
-#: on the generated value.  bucket is equality-only.
-_GEN_MONOTONE = ("date", "year", "month", "hour")
+#: is an int; a string PREFIX sorts like the string) — range
+#: predicates on the source imply range predicates on the generated
+#: value.  bucket is equality-only.
+_GEN_MONOTONE = ("date", "year", "month", "hour", "truncate")
 _NOGEN = object()  # sentinel: literal not transformable → no pruning
 
 
@@ -3903,17 +3905,20 @@ def _parse_partition_gen(raw: str) -> list[dict]:
                         "transform": m.group(2)})
             continue
         m = re.fullmatch(
-            r"(\w+)\s*=\s*bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)", item)
+            r"(\w+)\s*=\s*(bucket|truncate)\(\s*(\d+)\s*,\s*(\w+)\s*\)",
+            item)
         if m:
-            n = int(m.group(2))
+            n = int(m.group(3))
             if n < 1:
-                raise ValueError(f"bucket modulus must be >= 1: {item!r}")
-            out.append({"name": m.group(1), "src": m.group(3),
-                        "transform": "bucket", "n": n})
+                raise ValueError(
+                    f"{m.group(2)} width must be >= 1: {item!r}")
+            out.append({"name": m.group(1), "src": m.group(4),
+                        "transform": m.group(2), "n": n})
             continue
         raise ValueError(
             f"unparsable partitionGen entry {item!r}; expected "
-            "name=date|year|month|hour(col) or name=bucket(N,col)")
+            "name=date|year|month|hour(col), name=bucket(N,col), or "
+            "name=truncate(N,col)")
     names = [g["name"] for g in out]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate partitionGen names: {names}")
@@ -3947,6 +3952,11 @@ def _gen_array(g: dict, arr):
         mod = filled % np.int64(n)  # numpy %: non-negative for n > 0
         mask = pc.is_null(a64).to_numpy(zero_copy_only=False)
         return pa.array(mod, mask=mask)
+    if t == "truncate":
+        # Iceberg's truncate transform for strings: the first n
+        # CHARACTERS — a monotone prefix, so range and startswith
+        # predicates on the source imply partition bounds
+        return pc.utf8_slice_codeunits(arr, 0, g["n"])
     raise ValueError(f"unknown partitionGen transform {t!r}")
 
 
@@ -3965,6 +3975,8 @@ def _gen_literal(g: dict, v):
         if isinstance(v, bool) or not isinstance(v, int):
             return _NOGEN
         return v % g["n"]
+    if t == "truncate":
+        return v[:g["n"]] if isinstance(v, str) else _NOGEN
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -4026,6 +4038,17 @@ def _derived_partition_filters(filters, gen_spec) -> list:
                 tv = _gen_literal(g, f.value)
                 if tv is not _NOGEN:
                     out.append(LessThanOrEqual(name, tv))
+            elif (g["transform"] == "truncate"
+                    and isinstance(f, StringStartsWith)
+                    and isinstance(f.value, str) and f.value):
+                p = f.value
+                if len(p) >= g["n"]:
+                    # the prefix covers the whole truncation width:
+                    # every matching row's partition value IS p[:n]
+                    out.append(EqualTo(name, p[:g["n"]]))
+                else:
+                    # shorter prefix: partition values start with it
+                    out.append(StringStartsWith(name, p))
     return out
 
 

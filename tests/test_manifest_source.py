@@ -1776,3 +1776,59 @@ def test_max_rows_per_file_rolls_exactly(spark, tmp_path):
     assert {p: sorted(rows) for p, rows in by_p.items()} == {
         0: [4, 8, 8], 1: [4, 8, 8]}
     assert read_manifest(spark, path2).count() == 40
+
+
+def test_truncate_transform_hidden_partitioning(spark, tmp_path):
+    """truncate(N, col) generated partitions (Iceberg's truncate
+    transform): a monotone string-prefix — equality, ranges AND
+    startswith predicates on the source column all imply partition
+    bounds; codepoint (not byte) slicing matches Python's s[:n] for
+    non-ASCII."""
+    from pyspark.sql.datasource import GreaterThanOrEqual as GE
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _derived_partition_filters,
+        _gen_literal,
+        read_manifest,
+    )
+
+    register(spark)
+    path = str(tmp_path / "tr")
+    df = spark.createDataFrame(
+        [(i, f"{g}{i:04d}") for i in range(60)
+         for g in (chr(ord('a') + i % 5),)], "k long, name string")
+    (df.repartition(3).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionGen", "name4=truncate(1,name)").save())
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert {f["partition"]["name4"] for f in live} == set("abcde")
+    # equality on the source prunes to one prefix's files
+    pr = read_manifest(spark, path, filters=[("name", "=", "c0002")])
+    opened = {os.path.basename(p) for p in pr.inputFiles()}
+    assert {f["partition"]["name4"] for f in live
+            if os.path.basename(f["path"]) in opened} == {"c"}
+    assert pr.filter(F.col("name") == "c0002").count() == 1
+    # startswith: shorter-than-width prefix → startswith on the value;
+    # width-covering prefix → equality
+    spec = m["partitionGen"]
+    d1 = _derived_partition_filters(
+        [StringStartsWith(("name",), "c00")], spec)
+    assert len(d1) == 1 and isinstance(d1[0], EqualTo) \
+        and d1[0].value == "c"
+    wide = [{"name": "p", "src": "name", "transform": "truncate",
+             "n": 4}]
+    d2 = _derived_partition_filters(
+        [StringStartsWith(("name",), "c0")], wide)
+    assert len(d2) == 1 and isinstance(d2[0], StringStartsWith) \
+        and d2[0].value == "c0"
+    # range bounds map through the prefix
+    d3 = _derived_partition_filters([GE(("name",), "c5")], spec)
+    assert len(d3) == 1 and d3[0].value == "c"
+    # unicode literal truncation is codepoint-exact
+    g = {"name": "p", "src": "s", "transform": "truncate", "n": 3}
+    assert _gen_literal(g, "日本語テキスト") == "日本語"
+    startswith_scan = read_manifest(
+        spark, path, filters=[("name", "startswith", "d")])
+    assert (startswith_scan.filter(F.col("name").startswith("d")).count()
+            == 12)
