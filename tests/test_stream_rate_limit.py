@@ -135,3 +135,51 @@ def test_cdc_max_commits_per_trigger(spark, tmp_path):
     # each micro-batch carries exactly one commit's changes
     assert all(len(set(v)) == 1 for v in batches)
     assert sorted(v[0] for v in batches) == [0, 1, 2, 3]
+
+
+def test_streaming_sink_inherits_hidden_partitioning(spark, tmp_path):
+    """Hidden partitioning is TABLE state, so the exactly-once
+    streaming sink inherits it with zero sink-side configuration:
+    micro-batch appends land split per generated partition value,
+    and time-range scans over the streamed table prune files."""
+    import datetime
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        read_manifest,
+    )
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        manifest_append_writer,
+        run_foreach_batch,
+    )
+
+    register(spark)
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i % 3, i % 24), float(i))
+         for i in range(30)], "k long, ts timestamp, x double")
+    # establish the table + spec with a seed batch write
+    (df.limit(0).write.format("graft_manifest").mode("overwrite")
+     .option("path", table).option("statCols", "k")
+     .option("partitionGen", "d=date(ts)").save())
+    df.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    run_foreach_batch(
+        stream, manifest_append_writer(table, ["k"], "hpsink"), ckpt)
+    m = load_manifest(table)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert live and all(
+        f.get("partition") and "d" in f["partition"] for f in live)
+    assert {f["partition"]["d"] for f in live} == {
+        "2024-01-01", "2024-01-02", "2024-01-03"}
+    pr = read_manifest(
+        spark, table,
+        filters=[("ts", ">=", datetime.datetime(2024, 1, 3))])
+    assert len(pr.inputFiles()) < len(live)
+    got = pr.filter("ts >= timestamp'2024-01-03'")
+    assert got.count() == 10
+    assert read_manifest(spark, table).count() == 30
