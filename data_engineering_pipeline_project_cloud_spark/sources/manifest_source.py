@@ -4391,6 +4391,24 @@ class ManifestStreamReader(DataSourceStreamReader):
         if self._max_files < 0 or self._max_rows < 0:
             raise ValueError("maxFilesPerTrigger/maxRowsPerTrigger "
                              "must be >= 0")
+        # startingVersion (Delta's raw-stream option): begin the tail
+        # at the files APPENDED BY that version — the initial offset
+        # is the file-list length as of version-1, so history before
+        # it is never emitted.  Offsets index the append-only list,
+        # so this is an O(1) metadata resolution at stream start.
+        sv = options.get("startingversion")
+        self._start_index = 0
+        self._start_version = -1
+        if sv is not None:
+            v = int(sv)
+            if v > 0:
+                self._start_index = len(
+                    _load_state(self._path, v - 1)["files"])
+                # the baseline version rides in the initial offset so
+                # the rewrite guard scans only commits >= the starting
+                # version — skipping PAST an old rewrite is exactly
+                # what startingVersion is for
+                self._start_version = v - 1
         self._cursor: int | None = None
         # the stream's schema is FIXED at query start (Spark cannot
         # change a stream's schema mid-query); every batch aligns its
@@ -4417,8 +4435,9 @@ class ManifestStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         self._trace("initialOffset")
-        self._cursor = 0
-        return {"index": 0, "version": -1}
+        self._cursor = self._start_index
+        return {"index": self._start_index,
+                "version": self._start_version}
 
     def _admit(self, files: list, cur: int, end: int) -> int:
         """Rate-limited batch end: walk LIVE entries from ``cur``,
@@ -4451,8 +4470,9 @@ class ManifestStreamReader(DataSourceStreamReader):
         end = len(m["files"])
         # unknown cursor = fresh query (restarts replay the last
         # checkpointed batch through partitions() first, which syncs
-        # it) — the tail starts at 0
-        cur = self._cursor if self._cursor is not None else 0
+        # it) — the tail starts at the resolved starting index
+        cur = (self._cursor if self._cursor is not None
+               else self._start_index)
         self._trace("latestOffset cur", cur, "max", self._max_files,
                     self._max_rows, "files", end)
         if end > cur and (self._max_files or self._max_rows):

@@ -183,3 +183,47 @@ def test_streaming_sink_inherits_hidden_partitioning(spark, tmp_path):
     got = pr.filter("ts >= timestamp'2024-01-03'")
     assert got.count() == 10
     assert read_manifest(spark, table).count() == 30
+
+
+def test_starting_version_skips_history_and_old_rewrites(
+        spark, tmp_path):
+    """startingVersion on the raw tail (Delta's option): the stream
+    begins at the files appended by that version — earlier history
+    (a fresh plain stream would emit the whole current snapshot) is
+    never emitted, rewrites BEFORE the start never guard, and a
+    rewrite AFTER the starting version still fails fast."""
+    import pytest
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        compact_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    _append_files(spark, path, 0, 2)              # v0, v1
+    compact_manifest(spark, path, ["k"], 100)     # v2: rewrite
+    _append_files(spark, path, 2, 2)              # v3, v4
+
+    def drain(ckpt: str, **opts):
+        rows: list[int] = []
+        reader = spark.readStream.format("graft_manifest").option(
+            "path", path)
+        for kk, vv in opts.items():
+            reader = reader.option(kk, vv)
+        q = (reader.load().writeStream
+             .foreachBatch(lambda df, _: rows.extend(
+                 r["k"] for r in df.collect()))
+             .option("checkpointLocation", str(tmp_path / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return sorted(rows)
+
+    # a fresh plain stream emits the whole current snapshot (the v2
+    # rewrite is BEFORE anything it consumed: no duplicate hazard)
+    assert drain("ck_plain") == list(range(20))
+    # startingVersion=3 skips history AND the old rewrite
+    assert drain("ck_sv", startingVersion="3") == list(range(10, 20))
+    # a rewrite AFTER the starting version still fails fast
+    compact_manifest(spark, path, ["k"], 100)     # v5: rewrite
+    _append_files(spark, path, 4, 1)              # v6
+    with pytest.raises(Exception, match="rewrite|ignoreChanges"):
+        drain("ck_sv2", startingVersion="3")
