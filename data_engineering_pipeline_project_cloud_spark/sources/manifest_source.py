@@ -1571,6 +1571,44 @@ def manifest_files(spark, path: str, version: int | None = None):
     return spark.createDataFrame(rows, schema)
 
 
+def describe_manifest(path: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL (Delta's table-level summary): one dict with
+    the resolved version, commit time, live file count, live rows
+    (DV-adjusted), on-disk bytes, and the table's layout/contract
+    metadata — partition spec (first-class column names + generated
+    transforms), clustering columns, constraints, schema field names,
+    and the retained version range.  Pure O(files) driver metadata —
+    the operational at-a-glance read before any maintenance
+    decision."""
+    m = load_manifest(path, version)
+    live = [f for f in m["files"] if not f.get("dead")]
+    size = 0
+    for f in live:
+        try:
+            size += os.path.getsize(f["path"])
+        except OSError:
+            pass
+    versions = sorted(_list_versions(path))
+    pcols = sorted({c for f in live for c in (f.get("partition") or {})})
+    gen = list(m.get("partitionGen") or [])
+    gen_names = {g["name"] for g in gen}
+    return {
+        "version": m.get("version", 0),
+        "committedAt": m.get("committedAt"),
+        "numFiles": len(live),
+        "numRows": sum(f["rows"] - int(f.get("dvRows", 0))
+                       for f in live),
+        "sizeBytes": size,
+        "partitionColumns": [c for c in pcols if c not in gen_names],
+        "partitionGen": gen,
+        "clusterBy": list(m.get("clusterBy") or []),
+        "constraints": list(m.get("constraints") or []),
+        "schemaFields": [f.name for f in _table_schema(m).fields],
+        "retainedVersions": (versions[0], versions[-1]) if versions
+        else None,
+    }
+
+
 def merge_into_manifest(updates, path: str, key_cols: list[str],
                         stat_cols: list[str],
                         txn: tuple[str, int] | None = None,

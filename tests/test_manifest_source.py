@@ -1832,3 +1832,42 @@ def test_truncate_transform_hidden_partitioning(spark, tmp_path):
         spark, path, filters=[("name", "startswith", "d")])
     assert (startswith_scan.filter(F.col("name").startswith("d")).count()
             == 12)
+
+
+def test_describe_manifest_detail(spark, tmp_path):
+    """describe_manifest (DESCRIBE DETAIL): version, DV-adjusted live
+    rows, bytes, partition/clustering/constraint metadata, and the
+    retained version range — the at-a-glance operational summary."""
+    import datetime
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        delete_vectors_from_manifest,
+        describe_manifest,
+        set_cluster_by,
+    )
+
+    register(spark)
+    path = str(tmp_path / "dd")
+    df = spark.createDataFrame(
+        [(i, datetime.datetime(2024, 1, 1 + i % 2), float(i))
+         for i in range(10)], "k long, ts timestamp, x double")
+    (df.coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k")
+     .option("partitionGen", "d=date(ts)").save())
+    set_cluster_by(path, ["k"])
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(0,), (2,)], "k long"),
+        path, ["k"], ["k"])
+    d = describe_manifest(path)
+    assert d["numFiles"] == 2 and d["numRows"] == 8
+    assert d["sizeBytes"] > 0
+    assert d["partitionColumns"] == []  # d is generated, not stored
+    assert d["partitionGen"] == [
+        {"name": "d", "src": "ts", "transform": "date"}]
+    assert d["clusterBy"] == ["k"]
+    assert d["schemaFields"] == ["k", "ts", "x"]
+    lo, hi = d["retainedVersions"]
+    assert (lo, hi) == (0, d["version"]) and d["version"] == 2
+    # time travel: the pre-DV version reports the full row count
+    d0 = describe_manifest(path, version=0)
+    assert d0["numRows"] == 10 and d0["clusterBy"] == []
