@@ -13,22 +13,39 @@ from .catalog import (
 __all__ = [
     "TABLES",
     "assert_unique_key",
+    "describe_manifest",
     "load_table",
     "load_tables",
+    "manifest_files",
+    "optimize_manifest",
     "read_csv_strict",
     "read_csv_with_badrecords",
     "read_jdbc",
     "read_manifest",
+    "set_cluster_by",
+    "vacuum_manifest",
     "write_jdbc",
     "write_overwrite",
 ]
 
 
-def read_manifest(*args, **kwargs):
-    """Public alias for the manifest table planner
-    (:func:`.manifest_source.read_manifest`) — imported lazily so
-    `sources` stays importable without the pyspark datasource extras.
-    """
-    from .manifest_source import read_manifest as _rm
+def _lazy(name: str):
+    # manifest-source helpers re-exported lazily so `sources` stays
+    # importable without the pyspark datasource extras
+    def call(*args, **kwargs):
+        from . import manifest_source as ms
 
-    return _rm(*args, **kwargs)
+        return getattr(ms, name)(*args, **kwargs)
+
+    call.__name__ = name
+    call.__doc__ = (f"Public alias for manifest_source.{name} "
+                    "(lazy import).")
+    return call
+
+
+read_manifest = _lazy("read_manifest")
+describe_manifest = _lazy("describe_manifest")
+manifest_files = _lazy("manifest_files")
+optimize_manifest = _lazy("optimize_manifest")
+set_cluster_by = _lazy("set_cluster_by")
+vacuum_manifest = _lazy("vacuum_manifest")
