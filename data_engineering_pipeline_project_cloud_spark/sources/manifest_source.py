@@ -2051,18 +2051,33 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
 
 
 def compact_manifest(spark, path: str, stat_cols: list[str],
-                     small_file_rows: int) -> dict:
+                     small_file_rows: int,
+                     partition_where: dict | None = None) -> dict:
     """OPTIMIZE-style bin packing: rewrite the live files smaller than
     ``small_file_rows`` into ~target-sized files, in one atomic
     tombstone commit.  Contents are untouched (the compaction face's
     oracle proves it); only the layout changes — the small-file debt a
     streaming sink accumulates (one file per micro-batch partition) is
     exactly what this pays down.  Skips when fewer than two small
-    files exist."""
+    files exist.
+
+    ``partition_where`` (Delta's ``OPTIMIZE ... WHERE``): restrict
+    candidates to files whose partition values (first-class OR hidden
+    generated) match every given ``{name: value}`` pair — at 100 TB
+    maintenance runs per-partition (yesterday's ingest), never over
+    the whole table.  Files without partition values never match a
+    non-empty predicate."""
     register(spark)
     m = load_manifest(path)
+
+    def in_scope(f: dict) -> bool:
+        if not partition_where:
+            return True
+        part = f.get("partition") or {}
+        return all(part.get(k) == v for k, v in partition_where.items())
+
     small = [f for f in m["files"]
-             if not f.get("dead")
+             if not f.get("dead") and in_scope(f)
              and (f["rows"] < small_file_rows or f.get("dv"))]
     if len(small) < 2 and not any(f.get("dv") for f in small):
         return m
@@ -2265,7 +2280,8 @@ def set_cluster_by(path: str, cols: list[str]) -> dict:
 
 def optimize_manifest(spark, path: str, target_rows: int,
                       bits: int = 8,
-                      bucketing: str = "linear") -> dict:
+                      bucketing: str = "linear",
+                      partition_where: dict | None = None) -> dict:
     """ONE-CALL OPTIMIZE, policy from table state: with persisted
     clustering columns (``set_cluster_by``) the table re-lays out
     along the z-order curve over them (``zorder_manifest``), otherwise
@@ -2278,13 +2294,21 @@ def optimize_manifest(spark, path: str, target_rows: int,
     live = [f for f in m["files"] if not f.get("dead")]
     stat_cols = sorted({c for f in live for c in (f.get("stats") or {})})
     cluster = list(m.get("clusterBy") or [])
+    if cluster and partition_where:
+        raise ValueError(
+            "partition-scoped OPTIMIZE is bin-packing only: a z-order "
+            "over one partition's files would interleave against "
+            "partition-local bounds and not compose with the table's "
+            "clustered layout — run the full zorder, or clear "
+            "clusterBy for scoped compaction")
     if cluster:
         return zorder_manifest(
             spark, path, cluster,
             sorted(set(stat_cols) | set(cluster)), target_rows,
             bits=bits, bucketing=bucketing)
     return compact_manifest(spark, path, stat_cols,
-                            small_file_rows=target_rows)
+                            small_file_rows=target_rows,
+                            partition_where=partition_where)
 
 
 def manifest_changes(spark, path: str, from_version: int,

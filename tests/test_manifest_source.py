@@ -1871,3 +1871,57 @@ def test_describe_manifest_detail(spark, tmp_path):
     # time travel: the pre-DV version reports the full row count
     d0 = describe_manifest(path, version=0)
     assert d0["numRows"] == 10 and d0["clusterBy"] == []
+
+
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE ... WHERE: compaction restricted to one partition's
+    files — other partitions' small-file debt is untouched, the
+    rewrite flows through the writer (hidden partitioning re-splits
+    the output), and a clustered table refuses the scoped form."""
+    import datetime
+
+    import pytest
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        optimize_manifest,
+        read_manifest,
+        set_cluster_by,
+    )
+
+    register(spark)
+    path = str(tmp_path / "po")
+    # 3 micro-appends per day → small-file debt in both partitions
+    for j in range(3):
+        df = spark.createDataFrame(
+            [(j * 10 + i, datetime.datetime(2024, 1, 1 + i % 2),
+              float(i)) for i in range(10)],
+            "k long, ts timestamp, x double")
+        (df.coalesce(1).write.format("graft_manifest")
+         .mode("overwrite" if j == 0 else "append")
+         .option("path", path).option("statCols", "k")
+         .option("partitionGen", "d=date(ts)" if j == 0 else "")
+         .save())
+    m0 = load_manifest(path)
+    day2_before = [f["path"] for f in m0["files"]
+                   if not f.get("dead")
+                   and f["partition"]["d"] == "2024-01-02"]
+    assert len(day2_before) == 3
+    optimize_manifest(spark, path, target_rows=1000,
+                      partition_where={"d": "2024-01-01"})
+    m1 = load_manifest(path)
+    live = [f for f in m1["files"] if not f.get("dead")]
+    by_day: dict[str, int] = {}
+    for f in live:
+        by_day[f["partition"]["d"]] = by_day.get(
+            f["partition"]["d"], 0) + 1
+    assert by_day["2024-01-01"] == 1        # compacted
+    assert by_day["2024-01-02"] == 3        # untouched
+    assert sorted(f["path"] for f in live
+                  if f["partition"]["d"] == "2024-01-02") \
+        == sorted(day2_before)
+    assert read_manifest(spark, path).count() == 30
+    # clustered tables refuse the scoped form
+    set_cluster_by(path, ["k"])
+    with pytest.raises(ValueError, match="bin-packing only"):
+        optimize_manifest(spark, path, target_rows=1000,
+                          partition_where={"d": "2024-01-02"})
