@@ -23,6 +23,7 @@ __all__ = [
     "read_jdbc",
     "read_manifest",
     "set_cluster_by",
+    "set_table_properties",
     "vacuum_manifest",
     "write_jdbc",
     "write_overwrite",
@@ -48,4 +49,5 @@ describe_manifest = _lazy("describe_manifest")
 manifest_files = _lazy("manifest_files")
 optimize_manifest = _lazy("optimize_manifest")
 set_cluster_by = _lazy("set_cluster_by")
+set_table_properties = _lazy("set_table_properties")
 vacuum_manifest = _lazy("vacuum_manifest")

@@ -405,7 +405,11 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             "renames": carried("renames"),
             "constraints": carried("constraints"),
             "partitionGen": carried("partitionGen"),
-            "clusterBy": carried("clusterBy")}
+            "clusterBy": carried("clusterBy"),
+            "properties": (delta["properties"] if "properties" in delta
+                           else {} if (delta.get("truncate")
+                                       or base is None)
+                           else base.get("properties", {}))}
 
 
 def _write_checkpoint(path: str, state: dict) -> None:
@@ -420,7 +424,8 @@ def _write_checkpoint(path: str, state: dict) -> None:
 
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
-             "renames", "constraints", "partitionGen", "clusterBy")}
+             "renames", "constraints", "partitionGen", "clusterBy",
+             "properties")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -454,6 +459,8 @@ def _read_checkpoint(path: str, full: str) -> dict:
                 "clusterBy"):
         if head.get(key) is None:
             head[key] = []
+    if head.get("properties") is None:
+        head["properties"] = {}
     return head
 
 
@@ -488,6 +495,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("constraints", [])
             state.setdefault("partitionGen", [])
             state.setdefault("clusterBy", [])
+            state.setdefault("properties", {})
             break
         if v in ckpts:
             state = _read_checkpoint(path, ckpts[v])
@@ -510,6 +518,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("constraints", [])
                 mj.setdefault("partitionGen", [])
                 mj.setdefault("clusterBy", [])
+                mj.setdefault("properties", {})
                 state = mj
                 break
         raise ValueError(
@@ -788,7 +797,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "renames": renames,
             "constraints": list(st.get("constraints") or []),
             "partitionGen": list(st.get("partitionGen") or []),
-            "clusterBy": list(st.get("clusterBy") or [])}
+            "clusterBy": list(st.get("clusterBy") or []),
+            "properties": dict(st.get("properties") or {})}
 
 
 #: Bloom parameters: 1024 bits / 3 probes ≈ 1% false positives at
@@ -1603,6 +1613,7 @@ def describe_manifest(path: str, version: int | None = None) -> dict:
         "partitionGen": gen,
         "clusterBy": list(m.get("clusterBy") or []),
         "constraints": list(m.get("constraints") or []),
+        "properties": dict(m.get("properties") or {}),
         "schemaFields": [f.name for f in _table_schema(m).fields],
         "retainedVersions": (versions[0], versions[-1]) if versions
         else None,
@@ -2278,6 +2289,62 @@ def set_cluster_by(path: str, cols: list[str]) -> dict:
     return load_manifest(path, target)
 
 
+#: table properties the engine itself consults (anything else is
+#: carried verbatim for the user, Delta-TBLPROPERTIES style)
+_ENGINE_PROPS = {
+    # default writer file-rolling cap when the maxRowsPerFile option
+    # is absent — the per-table file-size policy (Delta's
+    # delta.targetFileSize, row-count edition)
+    "targetFileRows",
+}
+
+
+def set_table_properties(path: str, props: dict) -> dict:
+    """Persist TABLE PROPERTIES (Delta ``TBLPROPERTIES`` analog): one
+    metadata commit merges ``props`` into the table's property map;
+    a ``None`` value UNSETS the key.  Values must be JSON scalars.
+    Engine-consulted keys (``targetFileRows``) change writer defaults
+    for every future write from any process — policy in table state,
+    not in job configs; unknown keys are carried verbatim for the
+    user.  Appends inherit, restore/clone carry, overwrite resets —
+    the same lifecycle as constraints/clusterBy/partitionGen."""
+    for k, v in props.items():
+        if v is not None and not isinstance(v, (str, int, float, bool)):
+            raise ValueError(
+                f"table property {k!r} must be a JSON scalar or None "
+                f"(got {type(v).__name__})")
+    if "targetFileRows" in props and props["targetFileRows"] is not None:
+        if int(props["targetFileRows"]) < 1:
+            raise ValueError("targetFileRows must be >= 1")
+    while True:
+        prev = load_manifest(path)
+        cur = dict(prev.get("properties") or {})
+        nxt = dict(cur)
+        for k, v in props.items():
+            if v is None:
+                nxt.pop(k, None)
+            else:
+                nxt[k] = v
+        if nxt == cur:
+            return prev  # idempotent
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "partitionGen": list(prev.get("partitionGen") or []),
+                 "clusterBy": list(prev.get("clusterBy") or []),
+                 "properties": nxt,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def optimize_manifest(spark, path: str, target_rows: int,
                       bits: int = 8,
                       bucketing: str = "linear",
@@ -2727,6 +2794,7 @@ def restore_manifest(path: str, version: int) -> dict:
             "constraints": list(old.get("constraints") or []),
             "partitionGen": list(old.get("partitionGen") or []),
             "clusterBy": list(old.get("clusterBy") or []),
+            "properties": dict(old.get("properties") or {}),
             "committedAt": _time.time(),
             "restoredFrom": version,
         }
@@ -2825,6 +2893,7 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "constraints": list(state.get("constraints") or []),
         "partitionGen": list(state.get("partitionGen") or []),
         "clusterBy": list(state.get("clusterBy") or []),
+        "properties": dict(state.get("properties") or {}),
         "committedAt": _time.time(),
         "clonedFrom": {"path": src_abs,
                        "version": state["version"],
@@ -3266,10 +3335,20 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             self._table_constraints = list(_m.get("constraints") or [])
             self._table_partition_gen = list(
                 _m.get("partitionGen") or [])
+            _props = dict(_m.get("properties") or {})
         except (FileNotFoundError, ValueError):
             self._name_version = 0
             self._table_constraints = []
             self._table_partition_gen = []
+            _props = {}
+        # persisted file-size policy: the table's targetFileRows
+        # property is the rolling default for every append from any
+        # process; the explicit maxRowsPerFile option wins, and an
+        # overwrite follows only its own option (it replaces the
+        # table, properties included)
+        if (not self._max_rows_file and not overwrite
+                and _props.get("targetFileRows")):
+            self._max_rows_file = int(_props["targetFileRows"])
         # hidden partitioning is TABLE metadata: appends inherit the
         # persisted spec; an explicit spec that disagrees is refused
         # (a mixed-spec layout would silently halve pruning)

@@ -1925,3 +1925,56 @@ def test_partition_scoped_optimize(spark, tmp_path):
     with pytest.raises(ValueError, match="bin-packing only"):
         optimize_manifest(spark, path, target_rows=1000,
                           partition_where={"d": "2024-01-02"})
+
+
+def test_table_properties_drive_writer_defaults(spark, tmp_path):
+    """TBLPROPERTIES: set_table_properties persists a property map in
+    table state (appends inherit, restore carries, None unsets), and
+    the engine consults targetFileRows as the default writer rolling
+    cap — per-table file-size policy with zero writer configuration;
+    an explicit maxRowsPerFile option wins."""
+    import pytest
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        describe_manifest,
+        read_manifest,
+        restore_manifest,
+        set_table_properties,
+    )
+
+    register(spark)
+    path = str(tmp_path / "tp")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, x double")
+    (df.coalesce(1).write.format("graft_manifest").mode("overwrite")
+     .option("path", path).option("statCols", "k").save())
+    with pytest.raises(ValueError, match="JSON scalar"):
+        set_table_properties(path, {"bad": [1, 2]})
+    set_table_properties(path, {"targetFileRows": 20,
+                                "owner": "pipeline-team"})
+    assert describe_manifest(path)["properties"] == {
+        "targetFileRows": 20, "owner": "pipeline-team"}
+    # an append with NO option rolls at the table's policy
+    (df.coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k").save())
+    m = load_manifest(path)
+    newest = sorted(f["rows"] for f in m["files"]
+                    if f.get("addedAt") == m["version"])
+    assert newest == [10, 20, 20]
+    # explicit option wins over the property
+    (df.coalesce(1).write.format("graft_manifest").mode("append")
+     .option("path", path).option("statCols", "k")
+     .option("maxRowsPerFile", "25").save())
+    m2 = load_manifest(path)
+    newest2 = sorted(f["rows"] for f in m2["files"]
+                     if f.get("addedAt") == m2["version"])
+    assert newest2 == [25, 25]
+    # unset removes the key; restore carries the map of its target
+    set_table_properties(path, {"owner": None})
+    assert describe_manifest(path)["properties"] == {
+        "targetFileRows": 20}
+    v = load_manifest(path)["version"]
+    restore_manifest(path, v - 1)
+    assert describe_manifest(path)["properties"]["owner"] == \
+        "pipeline-team"
+    assert read_manifest(spark, path).count() == 150
