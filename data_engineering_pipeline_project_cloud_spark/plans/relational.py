@@ -17,7 +17,7 @@ from ..functions import money, portable_hash64
 from ..operators import relational as rel
 from ..operators.sketches import HLL_EST_NUM
 from ..sources import load_table
-from ..sources.manifest_source import read_manifest
+from ..sources.manifest_source import read_manifest, write_frame
 
 
 def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1111,11 +1111,10 @@ def manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("order_year") < TT_SPLIT_YEAR)
             .repartitionByRange(2, "order_year"), path,
             ["order_year", "o_orderkey"])
-        (orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
-         .repartitionByRange(2, "order_year")
-         .write.format("graft_manifest").mode("append")
-         .option("path", path)
-         .option("statCols", "order_year,o_orderkey").save())
+        write_frame(
+            orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
+            .repartitionByRange(2, "order_year"), path, "append",
+            statCols="order_year,o_orderkey")
 
     tmp = scoped_scratch("manifest_tt_orders", sf_dir, build)
     v0 = read_manifest(spark, tmp, version=0)
@@ -1143,10 +1142,11 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_manifest_table(
             nat.select("n_nationkey", "n_name").coalesce(1), path,
             ["n_nationkey"])
-        (nat.select("n_nationkey", "n_name",
-                    F.col("n_regionkey").cast("long").alias("n_regionkey"))
-         .coalesce(1).write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", "n_nationkey").save())
+        write_frame(
+            nat.select("n_nationkey", "n_name",
+                       F.col("n_regionkey").cast("long")
+                       .alias("n_regionkey")).coalesce(1),
+            path, "append", statCols="n_nationkey")
 
     tmp = scoped_scratch("manifest_se_nation", sf_dir, build)
     df = read_manifest(spark, tmp)
@@ -1210,10 +1210,9 @@ def manifest_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(path: str) -> None:
         orders = _orders_manifest_frame(spark, sf_dir)
-        (orders.repartition(6, "o_orderkey")
-         .write.format("graft_manifest").mode("overwrite")
-         .option("path", path).option("statCols", "o_orderkey")
-         .option("bloomCols", "o_orderkey").save())
+        write_frame(orders.repartition(6, "o_orderkey"), path,
+                    "overwrite", statCols="o_orderkey",
+                    bloomCols="o_orderkey")
 
     path = scoped_scratch("manifest_bloom_orders", sf_dir, build)
     key = (load_table(spark, sf_dir, "orders")
@@ -1247,10 +1246,9 @@ def manifest_string_bloom_lookup(spark: SparkSession,
             F.col("s_suppkey").cast("long").alias("s_suppkey"),
             "s_name",
             F.col("s_acctbal").cast("double").alias("acctbal"))
-        (sup.repartition(6, "s_suppkey")
-         .write.format("graft_manifest").mode("overwrite")
-         .option("path", path).option("statCols", "s_suppkey")
-         .option("bloomCols", "s_name").save())
+        write_frame(sup.repartition(6, "s_suppkey"), path,
+                    "overwrite", statCols="s_suppkey",
+                    bloomCols="s_name")
 
     path = scoped_scratch("manifest_sbloom_supplier", sf_dir, build)
     name = (load_table(spark, sf_dir, "supplier")
@@ -1614,10 +1612,10 @@ def manifest_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey").cast("long").alias("n_regionkey"))
         write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
         drop_column_from_manifest(path, "n_regionkey")
-        (spark.createDataFrame([(100, "NEWLAND")],
-                               "n_nationkey long, n_name string")
-         .coalesce(1).write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", "n_nationkey").save())
+        write_frame(
+            spark.createDataFrame([(100, "NEWLAND")],
+                                  "n_nationkey long, n_name string")
+            .coalesce(1), path, "append", statCols="n_nationkey")
 
     path = scoped_scratch("manifest_dropcol_nation", sf_dir, build)
     return (read_manifest(spark, path)
@@ -1763,11 +1761,10 @@ def manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             nat.filter(F.col("n_nationkey") < 7).coalesce(1), path,
             ["n_nationkey"])
         for lo, hi in [(7, 14), (14, 20), (20, 26)]:
-            (nat.filter((F.col("n_nationkey") >= lo)
-                        & (F.col("n_nationkey") < hi)).coalesce(1)
-             .write.format("graft_manifest").mode("append")
-             .option("path", path).option("statCols", "n_nationkey")
-             .save())
+            write_frame(
+                nat.filter((F.col("n_nationkey") >= lo)
+                           & (F.col("n_nationkey") < hi)).coalesce(1),
+                path, "append", statCols="n_nationkey")
         compact_manifest(spark, path, ["n_nationkey"], 1_000_000)
 
     path = scoped_scratch("manifest_compact_nation", sf_dir, build)
@@ -1812,11 +1809,10 @@ def manifest_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("order_year") < TT_SPLIT_YEAR)
             .repartitionByRange(2, "order_year"), path,
             ["order_year", "o_orderkey"])
-        (orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
-         .repartitionByRange(2, "order_year")
-         .write.format("graft_manifest").mode("append")
-         .option("path", path)
-         .option("statCols", "order_year,o_orderkey").save())
+        write_frame(
+            orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
+            .repartitionByRange(2, "order_year"), path, "append",
+            statCols="order_year,o_orderkey")
         delete_vectors_from_manifest(
             orders.filter(F.col("o_orderkey") % 11 == 0)
             .select("o_orderkey"), path, ["o_orderkey"],
@@ -1911,13 +1907,11 @@ def manifest_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartitionByRange(2, "order_year"), path,
             ["order_year", "o_orderkey", "price"])
         rename_column_in_manifest(path, "price", "total_price")
-        (orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
-         .withColumnRenamed("price", "total_price")
-         .repartitionByRange(2, "order_year")
-         .write.format("graft_manifest").mode("append")
-         .option("path", path)
-         .option("statCols", "order_year,o_orderkey,total_price")
-         .save())
+        write_frame(
+            orders.filter(F.col("order_year") >= TT_SPLIT_YEAR)
+            .withColumnRenamed("price", "total_price")
+            .repartitionByRange(2, "order_year"), path, "append",
+            statCols="order_year,o_orderkey,total_price")
 
     tmp = scoped_scratch("manifest_rename_orders", sf_dir, build)
     df = read_manifest(spark, tmp,
@@ -2011,12 +2005,11 @@ def manifest_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("order_year") < WIDEN_SPLIT_YEAR)
             .repartitionByRange(2, "order_year"), path,
             ["order_year", "o_orderkey"])
-        (orders.filter(F.col("order_year") >= WIDEN_SPLIT_YEAR)
-         .withColumn("o_orderkey", F.col("o_orderkey").cast("long"))
-         .repartitionByRange(2, "order_year")
-         .write.format("graft_manifest").mode("append")
-         .option("path", path)
-         .option("statCols", "order_year,o_orderkey").save())
+        write_frame(
+            orders.filter(F.col("order_year") >= WIDEN_SPLIT_YEAR)
+            .withColumn("o_orderkey", F.col("o_orderkey").cast("long"))
+            .repartitionByRange(2, "order_year"), path, "append",
+            statCols="order_year,o_orderkey")
 
     tmp = scoped_scratch("manifest_widen_orders", sf_dir, build)
     df = read_manifest(spark, tmp)
@@ -2047,10 +2040,9 @@ def manifest_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             F.col("o_totalprice").cast("double").alias("total_price"),
             F.year("o_orderdate").cast("int").alias("order_year"))
-        (orders.repartition(4, "o_orderkey")
-         .write.format("graft_manifest").mode("overwrite")
-         .option("path", path).option("statCols", "o_orderkey")
-         .option("partitionCols", "order_year").save())
+        write_frame(orders.repartition(4, "o_orderkey"), path,
+                    "overwrite", statCols="o_orderkey",
+                    partitionCols="order_year")
 
     tmp = scoped_scratch("manifest_part_orders", sf_dir, build)
     df = read_manifest(spark, tmp,
@@ -2074,10 +2066,9 @@ def _hidden_part_events_scratch(spark: SparkSession, sf_dir: str) -> str:
             F.col("event_id").cast("long").alias("event_id"),
             "ts", "event_type",
             F.col("value").cast("double").alias("value"))
-        (ev.repartition(4)
-         .write.format("graft_manifest").mode("overwrite")
-         .option("path", path).option("statCols", "event_id")
-         .option("partitionGen", "event_date=date(ts)").save())
+        write_frame(ev.repartition(4), path, "overwrite",
+                    statCols="event_id",
+                    partitionGen="event_date=date(ts)")
 
     return scoped_scratch("manifest_hidden_part_events", sf_dir, build)
 
@@ -2167,21 +2158,19 @@ def manifest_dynamic_partition_overwrite(spark: SparkSession,
             F.col("o_totalprice").cast("decimal(12,2)").cast("double")
             .alias("total_price"),
             F.year("o_orderdate").cast("int").alias("order_year"))
-        (orders.repartition(3, "o_orderkey")
-         .write.format("graft_manifest").mode("overwrite")
-         .option("path", path).option("statCols", "o_orderkey")
-         .option("partitionCols", "order_year").save())
+        write_frame(orders.repartition(3, "o_orderkey"), path,
+                    "overwrite", statCols="o_orderkey",
+                    partitionCols="order_year")
         backfill = (orders.filter(F.col("order_year") == DPO_YEAR)
                     .withColumn("total_price",
                                 (F.col("total_price")
                                  .cast("decimal(12,2)")
                                  + F.lit(1).cast("decimal(12,2)"))
                                 .cast("decimal(12,2)").cast("double")))
-        (backfill.repartition(2, "o_orderkey")
-         .write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", "o_orderkey")
-         .option("partitionCols", "order_year")
-         .option("partitionOverwrite", "dynamic").save())
+        write_frame(backfill.repartition(2, "o_orderkey"), path,
+                    "append", statCols="o_orderkey",
+                    partitionCols="order_year",
+                    partitionOverwrite="dynamic")
 
     tmp = scoped_scratch("manifest_dpo_orders", sf_dir, build)
     df = read_manifest(spark, tmp)
@@ -2226,9 +2215,8 @@ def manifest_operation_history(spark: SparkSession,
             F.col("n_name").alias("name"),
             F.col("n_regionkey").cast("long").alias("r"))
         write_manifest_table(nat.coalesce(2), path, ["k"])     # v0
-        (nat.limit(2).withColumn("k", F.col("k") + 100)
-         .coalesce(1).write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", "k").save())  # v1
+        write_frame(nat.limit(2).withColumn("k", F.col("k") + 100)
+                    .coalesce(1), path, "append", statCols="k")  # v1
         rename_column_in_manifest(path, "name", "nation_name")  # v2
         add_table_constraint(path, {"col": "k", "notNull": True})  # v3
         drop_table_constraint(path, "k")                         # v4

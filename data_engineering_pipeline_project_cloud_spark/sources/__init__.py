@@ -25,6 +25,7 @@ __all__ = [
     "set_cluster_by",
     "set_table_properties",
     "vacuum_manifest",
+    "write_frame",
     "write_jdbc",
     "write_overwrite",
 ]
@@ -51,3 +52,4 @@ optimize_manifest = _lazy("optimize_manifest")
 set_cluster_by = _lazy("set_cluster_by")
 set_table_properties = _lazy("set_table_properties")
 vacuum_manifest = _lazy("vacuum_manifest")
+write_frame = _lazy("write_frame")

@@ -1162,11 +1162,11 @@ def write_manifest_table(df, path: str, stat_cols: list[str]) -> dict:
     protocol (``ManifestArrowWriter``): each task streams its Arrow
     batches to a write-ahead file and returns (path, rows, min/max) in
     its commit message; ``commit()`` on the driver publishes the files
-    then claims the next manifest version atomically.  Returns the
-    manifest dict."""
-    register(df.sparkSession)
-    (df.write.format("graft_manifest").mode("overwrite")
-     .option("path", path).option("statCols", ",".join(stat_cols)).save())
+    then claims the next manifest version atomically.  Round 8: the
+    data path is JVM-native (``write_frame``) — staged with Spark's
+    parquet writer, stats harvested from footers, same commit
+    protocol.  Returns the manifest dict."""
+    write_frame(df, path, "overwrite", statCols=",".join(stat_cols))
     return load_manifest(path)
 
 
@@ -1737,18 +1737,15 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
         out = kept.unionByName(updates)
     else:
         out = updates
-    w = (out.repartition(max(1, len(paths)))
-         .write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths", json.dumps(paths))
-         .option("dvState", json.dumps(
-             {f["path"]: f.get("dvGen", 0) for f in affected})))
-    if conflict is not None:
-        w = w.option("conflictKeys", conflict)
-    if txn is not None:
-        w = (w.option("txnAppId", txn[0])
-             .option("txnVersion", str(txn[1])))
-    w.save()
+    write_frame(
+        out.repartition(max(1, len(paths))), path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in affected}),
+        conflictKeys=conflict,
+        txnAppId=txn[0] if txn else None,
+        txnVersion=str(txn[1]) if txn else None)
     return load_manifest(path)
 
 
@@ -1787,18 +1784,15 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
     base = _masked_spark_read(spark, st, affected)
     kept = base.join(F.broadcast(keys.select(*key_cols).distinct()),
                      key_cols, "left_anti")
-    w = (kept.repartition(max(1, len(paths)))
-         .write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths", json.dumps(paths))
-         .option("dvState", json.dumps(
-             {f["path"]: f.get("dvGen", 0) for f in affected})))
-    if conflict is not None:
-        w = w.option("conflictKeys", conflict)
-    if txn is not None:
-        w = (w.option("txnAppId", txn[0])
-             .option("txnVersion", str(txn[1])))
-    w.save()
+    write_frame(
+        kept.repartition(max(1, len(paths))), path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in affected}),
+        conflictKeys=conflict,
+        txnAppId=txn[0] if txn else None,
+        txnVersion=str(txn[1]) if txn else None)
     return load_manifest(path)
 
 
@@ -1868,12 +1862,6 @@ def overwrite_where(df, path: str, scope_col: str, lo, hi,
         out = kept.unionByName(df)
     else:
         out = df
-    w = (out.repartition(max(1, len(paths)))
-         .write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths", json.dumps(paths))
-         .option("dvState", json.dumps(
-             {f["path"]: f.get("dvGen", 0) for f in affected})))
     # scope-range conflict summary (round-6 ADVICE): a plain append of
     # in-scope rows that lands between this backfill's planning and
     # its commit would otherwise SURVIVE the "replace every row in
@@ -1884,9 +1872,13 @@ def overwrite_where(df, path: str, scope_col: str, lo, hi,
     # intersecting the scope (same ladder as _conflicting_added_files).
     conflict = _conflict_option(m.get("version", 0), scope_col,
                                 {scope_col: (lo, hi)}, None)
-    if conflict is not None:
-        w = w.option("conflictKeys", conflict)
-    w.save()
+    write_frame(
+        out.repartition(max(1, len(paths))), path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in affected}),
+        conflictKeys=conflict)
     return load_manifest(path)
 
 
@@ -2104,15 +2096,14 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
     # skipping on the rewritten files (round 6).
     bloom_cols = sorted({c for f in small
                          for c in (f.get("bloom") or {})})
-    w = (_masked_spark_read(spark, st, small).repartition(n_out)
-         .write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths", json.dumps(paths))
-         .option("dvState", json.dumps(
-             {f["path"]: f.get("dvGen", 0) for f in small})))
-    if bloom_cols:
-        w = w.option("bloomCols", ",".join(bloom_cols))
-    w.save()
+    write_frame(
+        _masked_spark_read(spark, st, small).repartition(n_out), path,
+        "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in small}),
+        bloomCols=",".join(bloom_cols) if bloom_cols else None)
     return load_manifest(path)
 
 
@@ -2239,15 +2230,13 @@ def zorder_manifest(spark, path: str, zorder_cols: list[str],
            .repartitionByRange(n_out, F.col("__z"))
            .sortWithinPartitions("__z")
            .drop("__z"))
-    w = (out.write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("replacePaths",
-                 json.dumps([f["path"] for f in live]))
-         .option("dvState", json.dumps(
-             {f["path"]: f.get("dvGen", 0) for f in live})))
-    if bloom_cols:
-        w = w.option("bloomCols", ",".join(bloom_cols))
-    w.save()
+    write_frame(
+        out, path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps([f["path"] for f in live]),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in live}),
+        bloomCols=",".join(bloom_cols) if bloom_cols else None)
     return load_manifest(path)
 
 
@@ -2640,6 +2629,17 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
                 continue  # possibly a live writer's staging file
             if not dry_run:
                 os.remove(full)
+            removed_files.append(full)
+        elif name.startswith(".stage-") and os.path.isdir(full):
+            # a crashed NATIVE writer's staging directory (write_frame
+            # removes it on every success/failure path; only a hard
+            # process kill mid-commit leaves one)
+            if young(full):
+                continue  # possibly a live native writer's staging
+            if not dry_run:
+                import shutil
+
+                shutil.rmtree(full, ignore_errors=True)
             removed_files.append(full)
         elif (name.startswith("payload-") and name.endswith(".json")
                 and name not in kept_sidecars):
@@ -3918,6 +3918,345 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         for m in _flatten_commits(messages):
             if m.rows > 0 and os.path.exists(m.tmp_path):
                 os.remove(m.tmp_path)
+
+
+# ---------------------------------------------------------------------------
+# JVM-native write path (round 8) — the write-side twin of the round-7
+# JVM-native read path.  Data is staged with Spark's own parquet writer
+# (vectorized, whole-stage codegen upstream, zero JVM->Python Arrow
+# hops), per-file rows/min-max are harvested from the parquet FOOTERS
+# driver-side (metadata-only pyarrow reads), and the staged files are
+# published through the SAME commit protocol as the Python Arrow writer
+# (`ManifestArrowWriter.commit`: rename + CAS claim + every conflict
+# guard).  At 100 TB ingest this is the difference between streaming
+# every row through a Python worker and never leaving the JVM.
+# ---------------------------------------------------------------------------
+
+#: Staging prefix for partition-column DUPLICATES: `partitionBy` drops
+#: its columns from the data files, but the manifest read path scans
+#: raw files under the table schema — so the split key is a prefixed
+#: COPY and the original column stays in the file (a single-valued
+#: column RLE/dict-encodes to almost nothing).  Reads project the table
+#: schema, so the copy is never surfaced.
+_PB_PREFIX = "__graft_pb_"
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _gen_expr(g: dict):
+    """Spark Column mirroring ``_gen_array``'s transform semantics
+    (UTC-pinned session, session.py): the native write path computes
+    hidden generated-partition values JVM-side, so write-side values
+    and the read side's ``_gen_literal`` derivations keep agreeing."""
+    from pyspark.sql import functions as F
+
+    t, src = g["transform"], F.col(g["src"])
+    if t == "date":
+        return F.date_format(src, "yyyy-MM-dd")
+    if t == "year":
+        return F.year(src).cast("long")
+    if t == "month":
+        return F.date_format(src, "yyyy-MM")
+    if t == "hour":
+        return F.date_format(src, "yyyy-MM-dd HH")
+    if t == "bucket":
+        # pmod: non-negative for n > 0, NULL -> NULL — exactly the
+        # numpy `%` + null-mask convention of _gen_array
+        return F.pmod(src.cast("long"), F.lit(g["n"])).cast("long")
+    if t == "truncate":
+        return F.substring(src, 1, g["n"])
+    raise ValueError(f"unknown partitionGen transform {t!r}")
+
+
+def _part_caster(dt):
+    """String->value coercion for one partition column's Hive directory
+    component, or None when the type is outside the portable set the
+    Python writer enforces per batch."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return lambda s: s == "true"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType)):
+        return int
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return float
+    if isinstance(dt, T.StringType):
+        return lambda s: s
+    return None
+
+
+def _stage_partition(relpath: str, casters: dict) -> dict | None:
+    """Recover a staged file's partition-value combo from its Hive
+    directory components (``key=value``), unescaping and re-typing.
+    Returns None for an unpartitioned file."""
+    from urllib.parse import unquote
+
+    comps = relpath.split(os.sep)[:-1]
+    combo: dict = {}
+    for comp in comps:
+        k, _, v = comp.partition("=")
+        name, caster = casters[unquote(k)]
+        combo[name] = None if v == _HIVE_NULL else caster(unquote(v))
+    return combo or None
+
+
+def _json_primitive(v) -> bool:
+    return isinstance(v, (bool, int, float, str))
+
+
+def _footer_entry(fpath: str, want_stats: set, want_nulls: set):
+    """Metadata-only footer read of one staged file: (rows, stats,
+    null_counts).  Stats keep only JSON-portable min/max (int/float/
+    str/bool — timestamps are deliberately excluded from stats, same
+    policy as the Arrow writer); a row group without min/max voids the
+    column's stats for the file (never prune on doubt).  null_counts
+    are None when any row group omits them."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(fpath)
+    idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
+    stats: dict[str, dict] = {}
+    nulls: dict[str, int | None] = {}
+    for col in want_stats | want_nulls:
+        i = idx.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        nc = 0
+        ok_mm = ok_nc = True
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(i).statistics
+            if s is None:
+                ok_mm = ok_nc = False
+                break
+            if s.has_null_count:
+                nc += s.null_count
+            else:
+                ok_nc = False
+            if not s.has_min_max:
+                ok_mm = False
+                continue
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if col in want_nulls:
+            nulls[col] = nc if ok_nc else None
+        if (col in want_stats and ok_mm and lo is not None
+                and _json_primitive(lo) and _json_primitive(hi)):
+            stats[col] = {"min": lo, "max": hi}
+    return md.num_rows, stats, nulls
+
+
+def _apply_constraint_bounds(con: dict, n_null: int, lo, hi) -> None:
+    """`_check_constraint` semantics against aggregated bounds."""
+    col = con["col"]
+    if con.get("notNull") and n_null:
+        raise ValueError(
+            f"constraint violated: {col} contains {n_null} "
+            "NULL value(s)")
+    cl, ch = con.get("min"), con.get("max")
+    if (cl is not None or ch is not None) and lo is not None:
+        if cl is not None and lo < cl:
+            raise ValueError(
+                f"constraint violated: {col} value {lo!r} < min {cl!r}")
+        if ch is not None and hi > ch:
+            raise ValueError(
+                f"constraint violated: {col} value {hi!r} > max {ch!r}")
+
+
+def _verify_constraints_native(spark, schema: StructType,
+                               constraints: list[dict], entries: list,
+                               staged_paths: list[str]) -> None:
+    """Enforce write-time constraints on the staged files BEFORE
+    anything publishes.  Footer metadata decides alone whenever it can
+    (null_count for notNull, min/max for bounds — exact for these
+    constraint forms); a footer missing the needed statistics falls
+    back to ONE exact JVM aggregate over the staged files.  Raises the
+    same errors as `_check_constraint`; the staged data is discarded
+    by the caller, so nothing publishes — the Delta CHECK-constraint
+    contract."""
+    from pyspark.sql import functions as F
+
+    names = {f.name for f in schema.fields}
+    exact: list[dict] = []
+    for con in constraints:
+        col = con["col"]
+        if col not in names:
+            raise ValueError(
+                f"constraint column {col!r} absent from the written "
+                "schema")
+        total_null = 0
+        lo = hi = None
+        need_exact = False
+        for rows, stats, nulls in entries:
+            if rows == 0:
+                continue
+            nc = nulls.get(col)
+            if nc is None:
+                need_exact = True
+                break
+            total_null += nc
+            s = stats.get(col)
+            if s is None:
+                if nc < rows:  # values exist but no usable min/max
+                    need_exact = True
+                    break
+            else:
+                lo = s["min"] if lo is None else min(lo, s["min"])
+                hi = s["max"] if hi is None else max(hi, s["max"])
+        if need_exact:
+            exact.append(con)
+        else:
+            _apply_constraint_bounds(con, total_null, lo, hi)
+    if exact and staged_paths:
+        sdf = spark.read.schema(schema).parquet(*staged_paths)
+        aggs = []
+        for j, con in enumerate(exact):
+            c = con["col"]
+            aggs += [F.sum(F.col(c).isNull().cast("long"))
+                     .alias(f"__n{j}"),
+                     F.min(c).alias(f"__lo{j}"),
+                     F.max(c).alias(f"__hi{j}")]
+        row = sdf.agg(*aggs).collect()[0]
+        for j, con in enumerate(exact):
+            _apply_constraint_bounds(con, row[f"__n{j}"] or 0,
+                                     row[f"__lo{j}"], row[f"__hi{j}"])
+
+
+def _native_write(df, path: str, mode: str, opts: dict) -> None:
+    """Stage ``df`` with Spark's native parquet writer, harvest file
+    metadata from footers, and publish through
+    ``ManifestArrowWriter.commit`` with synthesized commit messages —
+    identical commit semantics (CAS loop, tombstones, txn idempotency,
+    conflict guards, dynamic partition overwrite), no Python in the
+    data path."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    overwrite = mode == "overwrite"
+    w = ManifestArrowWriter(opts, df.schema, overwrite)
+    pcols, gens = w._partition_cols, w._partition_gen
+    names = {f.name for f in df.schema.fields}
+    casters: dict[str, tuple] = {}
+    for c in pcols:
+        dt = df.schema[c].dataType
+        caster = _part_caster(dt)
+        if caster is None:
+            # the Python writer refuses these per batch; the schema
+            # decides up front here — same contract, earlier
+            raise ValueError(
+                f"partition column {c!r} has non-portable value type "
+                f"{dt.simpleString()}; use int/string/bool/double "
+                "partition values")
+        key = _PB_PREFIX + c
+        if key in names:
+            raise ValueError(
+                f"column name {key!r} is reserved for the native "
+                "write path's partition staging")
+        casters[key] = (c, caster)
+    staged = df
+    pb_keys: list[str] = []
+    for c in pcols:
+        staged = staged.withColumn(_PB_PREFIX + c, F.col(c))
+        pb_keys.append(_PB_PREFIX + c)
+    for g in gens:
+        staged = staged.withColumn(g["name"], _gen_expr(g))
+        pb_keys.append(g["name"])
+        casters[g["name"]] = (
+            g["name"],
+            int if g["transform"] in ("year", "bucket") else str)
+    os.makedirs(path, exist_ok=True)
+    stage_dir = os.path.join(path, f".stage-{w._commit_id}")
+    conf = spark.conf
+    prev_tt = conf.get("spark.sql.parquet.outputTimestampType")
+    try:
+        # microsecond timestamps, never INT96: the pyarrow-side
+        # readers (_read_aligned, DV masking, CDC diffs) align files
+        # to the table's Arrow schema at us resolution
+        conf.set("spark.sql.parquet.outputTimestampType",
+                 "TIMESTAMP_MICROS")
+        writer = staged.write.mode("overwrite")
+        if w._max_rows_file:
+            writer = writer.option("maxRecordsPerFile",
+                                   str(w._max_rows_file))
+        if pb_keys:
+            writer = writer.partitionBy(*pb_keys)
+        writer.parquet(stage_dir)
+    except BaseException:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        raise
+    finally:
+        conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
+    try:
+        rels = []
+        for root, _dirs, fnames in os.walk(stage_dir):
+            for n in fnames:
+                if n.endswith(".parquet") and not n.startswith((".",
+                                                                "_")):
+                    rels.append(os.path.relpath(os.path.join(root, n),
+                                                stage_dir))
+        rels.sort()
+        con_cols = {c["col"] for c in w._constraints}
+        want_stats = set(w._stat_cols) | set(pcols) | con_cols
+        keep_stats = set(w._stat_cols) | set(pcols)
+
+        def harvest(rel: str):
+            return _footer_entry(os.path.join(stage_dir, rel),
+                                 want_stats, con_cols)
+
+        if len(rels) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(min(16, len(rels))) as ex:
+                metas = list(ex.map(harvest, rels))
+        else:
+            metas = [harvest(r) for r in rels]
+        if w._constraints:
+            _verify_constraints_native(
+                spark, df.schema, w._constraints, metas,
+                [os.path.join(stage_dir, r)
+                 for r, (rows, _s, _n) in zip(rels, metas) if rows])
+        msgs = []
+        for seq, (rel, (rows, stats, _nulls)) in enumerate(
+                zip(rels, metas)):
+            if rows == 0:
+                continue
+            name = (f"part-v{w._name_version:04d}-{w._commit_id}"
+                    f"-{seq:05d}.parquet")
+            msgs.append(_FileCommit(
+                tmp_path=os.path.join(stage_dir, rel),
+                final_path=os.path.join(path, name), rows=rows,
+                stats={c: v for c, v in stats.items()
+                       if c in keep_stats},
+                bloom={},
+                partition=(_stage_partition(rel, casters)
+                           if pb_keys else None)))
+        w.commit(msgs)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def write_frame(df, path: str, mode: str = "append", **options) -> None:
+    """THE write entry for manifest tables: JVM-native staging + footer
+    stats + shared commit protocol whenever the requested options allow
+    it; transparent fallback to the Python Arrow writer for
+    ``bloomCols`` (bloom bits need the column VALUES, which footers
+    don't carry).  Option names mirror
+    ``.write.format("graft_manifest")`` (case-insensitive); None values
+    are dropped."""
+    opts = {str(k).lower(): v for k, v in options.items()
+            if v is not None}
+    opts["path"] = path
+    register(df.sparkSession)
+    if opts.get("bloomcols"):
+        writer = df.write.format("graft_manifest").mode(mode)
+        for k, v in opts.items():
+            writer = writer.option(k, v)
+        writer.save()
+        return
+    _native_write(df, path, mode, opts)
 
 
 class _FilePartition(InputPartition):

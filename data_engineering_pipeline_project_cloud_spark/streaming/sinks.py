@@ -84,13 +84,11 @@ def manifest_append_writer(path: str, stat_cols: list[str],
     """
 
     def write(batch: DataFrame, batch_id: int) -> None:
-        from ..sources.manifest_source import register
+        from ..sources.manifest_source import write_frame
 
-        register(batch.sparkSession)
-        (batch.write.format("graft_manifest").mode("append")
-         .option("path", path).option("statCols", ",".join(stat_cols))
-         .option("txnAppId", app_id).option("txnVersion", str(batch_id))
-         .save())
+        write_frame(batch, path, "append",
+                    statCols=",".join(stat_cols),
+                    txnAppId=app_id, txnVersion=str(batch_id))
 
     return write
 
@@ -118,6 +116,7 @@ def manifest_merge_writer(path: str, key_cols: list[str],
             load_manifest,
             merge_into_manifest,
             register,
+            write_frame,
         )
 
         register(batch.sparkSession)
@@ -125,11 +124,9 @@ def manifest_merge_writer(path: str, key_cols: list[str],
             load_manifest(path)
         except FileNotFoundError:
             # first batch creates the table (txn-stamped append)
-            (batch.write.format("graft_manifest").mode("append")
-             .option("path", path)
-             .option("statCols", ",".join(stat_cols))
-             .option("txnAppId", app_id)
-             .option("txnVersion", str(batch_id)).save())
+            write_frame(batch, path, "append",
+                        statCols=",".join(stat_cols),
+                        txnAppId=app_id, txnVersion=str(batch_id))
             return
         merge_into_manifest(batch, path, key_cols, stat_cols,
                             txn=(app_id, batch_id))
@@ -163,6 +160,7 @@ def cdc_apply_writer(path: str, key_cols: list[str],
             load_manifest,
             merge_into_manifest,
             register,
+            write_frame,
         )
 
         register(batch.sparkSession)
@@ -196,11 +194,9 @@ def cdc_apply_writer(path: str, key_cols: list[str],
             exists = False
         if not exists:
             # first batch creates the table (deletes cannot match)
-            (ups.write.format("graft_manifest").mode("append")
-             .option("path", path)
-             .option("statCols", ",".join(stat_cols))
-             .option("txnAppId", app_id)
-             .option("txnVersion", str(batch_id)).save())
+            write_frame(ups, path, "append",
+                        statCols=",".join(stat_cols),
+                        txnAppId=app_id, txnVersion=str(batch_id))
         elif ups.take(1) or dels.take(1):
             merge_into_manifest(ups, path, key_cols, stat_cols,
                                 txn=(app_id, batch_id),
@@ -249,14 +245,14 @@ def cdc_agg_delta_writer(path: str, group_cols: list[str],
         try:
             load_manifest(path)
         except FileNotFoundError:
-            (delta.select(*group_cols,
-                          F.col("__dn").alias("n_rows"),
-                          F.col("__ds").alias("sum_value"))
-             .write.format("graft_manifest").mode("append")
-             .option("path", path)
-             .option("statCols", ",".join(group_cols))
-             .option("txnAppId", app_id)
-             .option("txnVersion", str(batch_id)).save())
+            from ..sources.manifest_source import write_frame
+
+            write_frame(
+                delta.select(*group_cols,
+                             F.col("__dn").alias("n_rows"),
+                             F.col("__ds").alias("sum_value")),
+                path, "append", statCols=",".join(group_cols),
+                txnAppId=app_id, txnVersion=str(batch_id))
             return
         from ..sources.manifest_source import read_manifest
 

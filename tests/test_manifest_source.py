@@ -940,11 +940,17 @@ def test_row_group_pruning_within_files(spark, sf_dir, tmp_path):
     path = str(tmp_path / "rg")
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    register(spark)
     try:
         orders = (load_table(spark, sf_dir, "orders")
                   .select("o_orderkey", "o_custkey")
                   .coalesce(1).sortWithinPartitions("o_orderkey"))
-        m = write_manifest_table(orders, path, ["o_orderkey"])
+        # the PYTHON Arrow writer makes one row group per Arrow batch,
+        # which is what this fixture needs (the native write path
+        # rolls row groups at parquet.block.size — one group here)
+        (orders.write.format("graft_manifest").mode("overwrite")
+         .option("path", path).option("statCols", "o_orderkey").save())
+        m = load_manifest(path)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
                        prev)
