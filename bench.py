@@ -102,8 +102,40 @@ NOTES = (
     "(added r4) are not part of 'value'. host load from outside the "
     "container can still shift ALL passes of a window together — "
     "compare medians across rounds, and check the raw spread before "
-    "believing a regression."
+    "believing a regression. round 8 adds the instruments for exactly "
+    "that call: 'calibration' times a FIXED-SHAPE workload (pure-"
+    "codegen range/hash aggregate + sf0.001 parquet scan-agg; code "
+    "constant across rounds) before the headline window, before the "
+    "secondary window, and at the end — if calibration moved vs a "
+    "prior round, the window moved with the host, not the code — and "
+    "'loadavg' records os.getloadavg()[0] at the start of every pass "
+    "of every query, so a single contended pass is attributable."
 )
+
+
+def _calibration_pass(spark) -> dict[str, float]:
+    """One fixed-shape probe of the host: a pure-codegen aggregate
+    (CPU/scheduler speed, zero IO) and a small parquet scan-agg
+    (decode + page-cache path).  The workload never changes across
+    rounds, so cross-round drift in these numbers is the HOST, and a
+    query-face drift that tracks calibration is noise, not a plan
+    regression (r7 verdict: four untouched faces drifted 1.3-1.8x
+    with no code cause)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (spark.range(50_000_000)
+     .select(F.hash("id").cast("long").alias("h"))
+     .agg(F.sum("h"), F.count(F.lit(1)))
+     .write.format("noop").mode("overwrite").save())
+    cpu = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+     .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+     .write.format("noop").mode("overwrite").save())
+    scan = round(time.perf_counter() - t0, 3)
+    return {"codegen_agg_sec": cpu, "parquet_scan_sec": scan,
+            "loadavg_1m": round(os.getloadavg()[0], 2)}
 
 
 def main() -> None:
@@ -133,12 +165,15 @@ def main() -> None:
     spark.catalog.clearCache()
 
     raw: dict[str, list[float]] = {}
+    loadavg: dict[str, list[float]] = {}
 
     def timed(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             passes = []
+            las = []
             for _ in range(PASSES):
+                las.append(round(os.getloadavg()[0], 2))
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format(
                     "noop").mode("overwrite").save()
@@ -149,11 +184,16 @@ def main() -> None:
                 # measurement (timings are per-query, not amortized)
                 spark.catalog.clearCache()
             raw[name] = passes
+            loadavg[name] = las
             out[name] = round(statistics.median(passes), 3)
         return out
 
+    _calibration_pass(spark)  # discarded: pays the probe's own JIT
+    calibration = {"before_headline": _calibration_pass(spark)}
     timings = timed(HEADLINE)
+    calibration["before_secondary"] = _calibration_pass(spark)
     secondary = timed(SECONDARY)
+    calibration["after"] = _calibration_pass(spark)
 
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -162,6 +202,8 @@ def main() -> None:
         "queries": timings,
         "secondary": secondary,
         "raw": raw,
+        "calibration": calibration,
+        "loadavg": loadavg,
         "notes": NOTES,
         "sf": sf,
     }))
