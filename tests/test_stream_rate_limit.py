@@ -4,10 +4,14 @@ maxRowsPerTrigger): bounded micro-batches with whole-file admission, a
 fresh backfill, and restart safety (the engine's checkpoint replay
 re-syncs the cursor before the first poll — offsets never regress).
 
-Uses processingTime triggers: availableNow snapshots ONE latestOffset
-as its end target, so a capped availableNow run deliberately processes
-just that first capped batch — the cap is a continuous-stream pacing
-knob, which these tests drive with a polling drain loop.
+processingTime triggers exercise the cap directly (latestOffset is
+polled per batch).  For availableNow, Spark wraps a Python source in
+AvailableNowDataStreamWrapper, which calls latestOffset EXACTLY ONCE
+per run — so one capped run advances one capped step, and the full
+availableNow contract ("drain ALL available data in capped batches")
+is delivered by ``streaming.sinks.drain_available_now``, which loops
+capped availableNow runs on one checkpoint until no progress
+(asserted below, including kill-and-resume recovery mid-backfill).
 """
 
 from __future__ import annotations
@@ -227,3 +231,71 @@ def test_starting_version_skips_history_and_old_rewrites(
     _append_files(spark, path, 4, 1)              # v6
     with pytest.raises(Exception, match="rewrite|ignoreChanges"):
         drain("ck_sv2", startingVersion="3")
+
+
+def test_drain_available_now_caps_every_batch_and_drains_all(
+        spark, tmp_path):
+    """The availableNow backfill contract (round 8): a capped backfill
+    over a multi-file backlog drains EVERYTHING — in N>1 capped
+    batches, exactly once — instead of stopping after the first
+    capped batch (the Python-source wrapper limitation
+    drain_available_now exists to close)."""
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        drain_available_now,
+    )
+
+    path = str(tmp_path / "t")
+    _append_files(spark, path, 0, 5)
+    sizes: list[int] = []
+    rows: list[int] = []
+
+    def build():
+        return (spark.readStream.format("graft_manifest")
+                .option("path", path)
+                .option("maxFilesPerTrigger", "1").load())
+
+    def write(df, _bid):
+        got = [r["k"] for r in df.collect()]
+        if got:
+            sizes.append(len(got))
+            rows.extend(got)
+
+    runs = drain_available_now(build, write, str(tmp_path / "ck"))
+    assert runs == 5                      # one capped batch per file
+    assert sizes == [5, 5, 5, 5, 5]       # every batch capped at 1 file
+    assert sorted(rows) == list(range(25))  # full backlog, exactly once
+    # a second drain on the same checkpoint is a no-op (0 runs)
+    assert drain_available_now(build, write, str(tmp_path / "ck")) == 0
+    assert sorted(rows) == list(range(25))
+
+
+def test_drain_available_now_resumes_after_kill(spark, tmp_path):
+    """Kill-and-resume mid-backfill: a drain stopped after a bounded
+    number of runs picks up from the SAME checkpoint and finishes the
+    backlog with no duplicates and no loss — the recovery story a
+    capped backfill needs on a real cluster."""
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        drain_available_now,
+    )
+
+    path = str(tmp_path / "t")
+    _append_files(spark, path, 0, 6)
+    rows: list[int] = []
+
+    def build():
+        return (spark.readStream.format("graft_manifest")
+                .option("path", path)
+                .option("maxRowsPerTrigger", "10").load())
+
+    def write(df, _bid):
+        rows.extend(r["k"] for r in df.collect())
+
+    ckpt = str(tmp_path / "ck")
+    # "crash" after 2 of the 3 needed runs (max_runs bounds the loop)
+    first = drain_available_now(build, write, ckpt, max_runs=2)
+    assert first == 2
+    assert sorted(rows) == list(range(20))
+    # resume on the same checkpoint: the rest, exactly once
+    rest = drain_available_now(build, write, ckpt)
+    assert rest >= 1
+    assert sorted(rows) == list(range(30))
