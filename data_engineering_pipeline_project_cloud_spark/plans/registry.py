@@ -219,6 +219,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_hidden_partition_scan": 7,
     "manifest_files_metadata": 7,
     "manifest_string_bloom_lookup": 7,
+    "manifest_partition_evolution": 8,
 }
 
 

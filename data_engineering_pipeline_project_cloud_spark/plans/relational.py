@@ -2106,6 +2106,54 @@ def manifest_hidden_partition_scan(spark: SparkSession,
                  .cast("double").alias("sum_value")))
 
 
+def manifest_partition_evolution(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """FORWARD-ONLY PARTITION SPEC EVOLUTION (round 8 —
+    sources/manifest_source.py ``evolve_partition_spec`` +
+    ``_all_partition_specs``): a grown table re-partitions with ONE
+    metadata commit, Iceberg's spec-evolution contract.  Era 1 lands
+    month-partitioned, the spec evolves to day granularity, era 2
+    appends under the new spec — no data file rewritten.  A plain
+    ``ts >= cut`` predicate then prunes BOTH eras, each file under
+    the transforms of the spec it was written with (the archived
+    spec's month bound for era-1 files, the current date bound for
+    era-2).  The oracle recomputes the rollup from raw events;
+    mixed-era file pruning is pytest-asserted in
+    tests/test_partition_evolution.py."""
+    import datetime
+
+    from ..sources.manifest_source import (
+        evolve_partition_spec,
+        read_manifest,
+        register,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "ts", "event_type",
+            F.col("value").cast("double").alias("value"))
+        split = datetime.datetime(2024, 1, 15)
+        write_frame(ev.filter(F.col("ts") < split).repartition(4),
+                    path, "overwrite", statCols="event_id",
+                    partitionGen="ev_month=month(ts)")
+        evolve_partition_spec(path, "ev_day=date(ts)")
+        write_frame(ev.filter(F.col("ts") >= split).repartition(4),
+                    path, "append", statCols="event_id")
+
+    tmp = scoped_scratch("manifest_evo_events", sf_dir, build)
+    cut = datetime.datetime(2024, 1, 10)
+    df = read_manifest(spark, tmp, filters=[("ts", ">=", cut)])
+    return (df.filter(F.col("ts") >= F.lit(cut))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_value")))
+
+
 def manifest_files_metadata(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """FILES METADATA TABLE (round 7 —
@@ -2480,6 +2528,15 @@ ORACLE_SQL: dict[str, str] = {
                    AS sum_value
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+    """,
+    "manifest_partition_evolution": """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         GROUP BY 1
     """,
     "manifest_string_bloom_lookup": """
@@ -3548,6 +3605,7 @@ QUERIES = {
     "manifest_merge_tri_clause": manifest_merge_tri_clause,
     "manifest_partitioned_scan": manifest_partitioned_scan,
     "manifest_hidden_partition_scan": manifest_hidden_partition_scan,
+    "manifest_partition_evolution": manifest_partition_evolution,
     "manifest_files_metadata": manifest_files_metadata,
     "manifest_string_bloom_lookup": manifest_string_bloom_lookup,
     "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,

@@ -14,6 +14,7 @@ __all__ = [
     "TABLES",
     "assert_unique_key",
     "describe_manifest",
+    "evolve_partition_spec",
     "load_table",
     "load_tables",
     "manifest_files",
@@ -47,6 +48,7 @@ def _lazy(name: str):
 
 read_manifest = _lazy("read_manifest")
 describe_manifest = _lazy("describe_manifest")
+evolve_partition_spec = _lazy("evolve_partition_spec")
 manifest_files = _lazy("manifest_files")
 optimize_manifest = _lazy("optimize_manifest")
 set_cluster_by = _lazy("set_cluster_by")

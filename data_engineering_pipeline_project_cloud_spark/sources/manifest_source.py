@@ -405,6 +405,7 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             "renames": carried("renames"),
             "constraints": carried("constraints"),
             "partitionGen": carried("partitionGen"),
+            "partitionSpecs": carried("partitionSpecs"),
             "clusterBy": carried("clusterBy"),
             "properties": (delta["properties"] if "properties" in delta
                            else {} if (delta.get("truncate")
@@ -424,8 +425,8 @@ def _write_checkpoint(path: str, state: dict) -> None:
 
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
-             "renames", "constraints", "partitionGen", "clusterBy",
-             "properties")}
+             "renames", "constraints", "partitionGen", "partitionSpecs",
+             "clusterBy", "properties")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -462,7 +463,7 @@ def _read_checkpoint(path: str, full: str) -> dict:
     head.setdefault("txn", {})
     head.setdefault("droppedCols", {})
     for key in ("renames", "constraints", "partitionGen",
-                "clusterBy"):
+                "partitionSpecs", "clusterBy"):
         if head.get(key) is None:
             head[key] = []
     if head.get("properties") is None:
@@ -500,6 +501,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("renames", [])
             state.setdefault("constraints", [])
             state.setdefault("partitionGen", [])
+            state.setdefault("partitionSpecs", [])
             state.setdefault("clusterBy", [])
             state.setdefault("properties", {})
             break
@@ -523,6 +525,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("renames", [])
                 mj.setdefault("constraints", [])
                 mj.setdefault("partitionGen", [])
+                mj.setdefault("partitionSpecs", [])
                 mj.setdefault("clusterBy", [])
                 mj.setdefault("properties", {})
                 state = mj
@@ -790,6 +793,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
                 "renames": renames,
                 "constraints": list(st.get("constraints") or []),
                 "partitionGen": list(st.get("partitionGen") or []),
+                "partitionSpecs": [list(s) for s in
+                                   (st.get("partitionSpecs") or [])],
                 "clusterBy": list(st.get("clusterBy") or []),
                 "properties": dict(st.get("properties") or {})}
     files = []
@@ -820,6 +825,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "renames": renames,
             "constraints": list(st.get("constraints") or []),
             "partitionGen": list(st.get("partitionGen") or []),
+            "partitionSpecs": [list(s) for s in
+                               (st.get("partitionSpecs") or [])],
             "clusterBy": list(st.get("clusterBy") or []),
             "properties": dict(st.get("properties") or {})}
 
@@ -1537,9 +1544,11 @@ def read_manifest(spark, path: str, version: int | None = None,
         dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
         # hidden-partition pruning: filters on a generated partition's
         # SOURCE column imply filters on the stored partition value
-        # (partition dict only — the generated name exists in no file)
+        # (partition dict only — the generated name exists in no file).
+        # Derivation unions every spec era (round 8: spec evolution) —
+        # each file answers only for the names its era recorded.
         psf = dsf + _derived_partition_filters(
-            dsf, m.get("partitionGen"))
+            dsf, _all_partition_specs(m))
         live = [f for f in live
                 if _partition_survives(f.get("partition"), psf)
                 and _file_survives(f.get("stats") or {}, dsf,
@@ -1634,6 +1643,8 @@ def describe_manifest(path: str, version: int | None = None) -> dict:
         "sizeBytes": size,
         "partitionColumns": [c for c in pcols if c not in gen_names],
         "partitionGen": gen,
+        "partitionSpecs": [list(s) for s in
+                           (m.get("partitionSpecs") or [])],
         "clusterBy": list(m.get("clusterBy") or []),
         "constraints": list(m.get("constraints") or []),
         "properties": dict(m.get("properties") or {}),
@@ -2357,6 +2368,93 @@ def set_table_properties(path: str, props: dict) -> dict:
     return load_manifest(path, target)
 
 
+def evolve_partition_spec(path: str, gen: str) -> dict:
+    """FORWARD-ONLY PARTITION SPEC EVOLUTION (Iceberg's
+    ``ALTER TABLE ... REPLACE PARTITION FIELD`` semantics, round 8):
+    one metadata commit makes ``gen`` (the writer's ``partitionGen``
+    syntax; ``""`` = unpartitioned) the table's CURRENT hidden
+    partition spec and archives the previous spec in
+    ``partitionSpecs``.  NO data file is rewritten: files written
+    under an old spec keep their partition values and keep pruning
+    under their own era's transforms (read-side derivation unions
+    every spec the table has ever had — ``_all_partition_specs``),
+    while new appends split and prune under the new spec.  This lifts
+    the pre-round-8 refusal ("overwrite the table to change
+    partitioning") — a grown table re-partitions with a metadata
+    commit, exactly the Iceberg spec-evolution contract.
+
+    Safety rails: a generated NAME may never be reused with a
+    DIFFERENT definition (a derived filter on the name would
+    mis-prune the other era's files); names/sources are validated
+    against the current schema.  Writes planned under the old spec
+    fail at commit time (the existing partitionGen CAS guard) and
+    re-plan under the new one.
+    """
+    new_spec = _parse_partition_gen(gen)
+    while True:
+        prev = load_manifest(path)
+        cur = list(prev.get("partitionGen") or [])
+        if new_spec == cur:
+            return prev  # idempotent
+        st = _table_schema(prev)
+        names = {f.name for f in st.fields}
+        for g in new_spec:
+            if g["src"] not in names:
+                raise ValueError(
+                    f"partitionGen source column {g['src']!r} not in "
+                    "table schema")
+            if g["name"] in names:
+                raise ValueError(
+                    f"partitionGen name {g['name']!r} collides with a "
+                    "data column")
+        history = [list(s) for s in (prev.get("partitionSpecs") or [])]
+        seen: dict[str, dict] = {}
+        for spec in history + [cur]:
+            for g in spec:
+                seen[g["name"]] = g
+        for g in new_spec:
+            old = seen.get(g["name"])
+            if old is not None and old != g:
+                raise ValueError(
+                    f"partitionGen name {g['name']!r} was used by an "
+                    f"earlier spec as {old!r}; reusing a name with a "
+                    "different definition would mis-prune that era's "
+                    "files — pick a fresh name")
+        if cur and cur not in history:
+            history.append(cur)
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "partitionGen": new_spec,
+                 "partitionSpecs": history,
+                 "clusterBy": list(prev.get("clusterBy") or []),
+                 "properties": dict(prev.get("properties") or {}),
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
+def _all_partition_specs(manifest: dict) -> list[dict]:
+    """Union of the table's current and ARCHIVED hidden-partition
+    transforms (deduped) — read-side filter derivation covers every
+    era's files; ``_partition_survives`` skips names an entry's
+    partition dict doesn't carry, so each file prunes under exactly
+    the spec it was written with."""
+    out: list[dict] = list(manifest.get("partitionGen") or [])
+    for spec in manifest.get("partitionSpecs") or []:
+        for g in spec:
+            if g not in out:
+                out.append(g)
+    return out
+
+
 def optimize_manifest(spark, path: str, target_rows: int,
                       bits: int = 8,
                       bucketing: str = "linear",
@@ -2816,6 +2914,8 @@ def restore_manifest(path: str, version: int) -> dict:
             "renames": list(old.get("renames") or []),
             "constraints": list(old.get("constraints") or []),
             "partitionGen": list(old.get("partitionGen") or []),
+            "partitionSpecs": [list(s) for s in
+                               (old.get("partitionSpecs") or [])],
             "clusterBy": list(old.get("clusterBy") or []),
             "properties": dict(old.get("properties") or {}),
             "committedAt": _time.time(),
@@ -2915,6 +3015,8 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "renames": rebased,
         "constraints": list(state.get("constraints") or []),
         "partitionGen": list(state.get("partitionGen") or []),
+        "partitionSpecs": [list(s) for s in
+                           (state.get("partitionSpecs") or [])],
         "clusterBy": list(state.get("clusterBy") or []),
         "properties": dict(state.get("properties") or {}),
         "committedAt": _time.time(),
@@ -3054,6 +3156,11 @@ def manifest_operations(path: str) -> list[dict]:
                 op = "DROP CONSTRAINT"
                 gone = [c for c in pre_cons if c not in cur_cons]
                 detail = {"col": gone[0]["col"]} if gone else None
+            elif ((st.get("partitionGen") or [])
+                    != (pr.get("partitionGen") or [])):
+                op = "EVOLVE PARTITION SPEC"
+                detail = {"from": pr.get("partitionGen") or [],
+                          "to": st.get("partitionGen") or []}
             else:
                 op = "TXN"
         out.append({"version": v, "operation": op, "detail": detail,
@@ -4790,7 +4897,7 @@ class ManifestReader(DataSourceReader):
         # feed _partition_survives alone, never file stats or
         # row-group evaluation (the generated column is in no file)
         part_filters = filters + _derived_partition_filters(
-            filters, self._manifest.get("partitionGen"))
+            filters, _all_partition_specs(self._manifest))
         self._files = [f for f in self._files
                        if _partition_survives(f.get("partition"),
                                               part_filters)
