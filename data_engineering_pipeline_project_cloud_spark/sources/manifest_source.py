@@ -38,11 +38,11 @@ public APIs only:
   tables (full ``manifest-v{N}.json`` snapshots, footers-onboarded
   ``manifest.json``) remain readable as reconstruction bases.
 * **Time travel** — ``option("versionAsOf", N)`` reconstructs the
-  table exactly as of version N from the retained artifacts.  Appends
-  never delete anything, so the whole append history stays readable;
-  an ``overwrite`` eagerly vacuums the superseded files *and*
-  metadata (retention 0 — the post-publish cleanup below), so the
-  travel window restarts at the last overwrite.
+  table exactly as of version N from the retained artifacts.  No
+  commit deletes anything (round 8: overwrite included — superseded
+  versions stay readable, Delta semantics); the travel window is
+  governed solely by ``vacuum_manifest(keep_versions=N)``, which is
+  what bounds storage.
 * **Schema evolution** — appending a DataFrame with NEW columns widens
   the manifest schema (add-column only; a changed type for an existing
   name is refused).  The read side aligns every file's Arrow batches
@@ -3769,9 +3769,6 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # The record is O(this commit's change set) — a 1-file append
         # to a million-file table writes one small JSON, not the table
         # metadata.
-        stale_files: list[str] = []
-        stale_artifacts: list[str] = []
-        stale_sidecars: set[str] = set()
         # appendKeys: derive this commit's key summary from its own
         # files' stats — (col, lo, hi) over the first key column,
         # windowed from the planning-time read version
@@ -3825,14 +3822,6 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 if self._replace:
                     fail("replacePaths requires an existing table")
                 schema_json = self._schema_json
-                stale_files = [f["path"] for f in (prev or {}).get(
-                    "files", [])]
-                snaps, deltas, ckpts = _scan_artifacts(self._path)
-                stale_artifacts = (list(snaps.values())
-                                   + list(deltas.values())
-                                   + list(ckpts.values()))
-                stale_sidecars = (_entry_sidecars((prev or {}).get(
-                    "files", [])) - {sidecar_name})
             else:
                 # append: the manifest file list is an append-only log —
                 # prior entries keep their positions (the streaming
@@ -3901,9 +3890,6 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                              "whose key range may intersect this "
                              f"append's: {sorted(clash)}; re-run "
                              "against the current table version")
-                stale_files = []
-                stale_artifacts = []
-                stale_sidecars = set()
             import time as _time
 
             # drop-name registry carries forward on append; an
@@ -4012,28 +3998,16 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             with contextlib.suppress(OSError, ValueError):
                 _write_checkpoint(self._path,
                                   _load_state(self._path, target))
-        # overwrite vacuums the superseded version's files, metadata
-        # artifacts, and now-unreferenced payload sidecars only AFTER
-        # the publish (retention 0; the time-travel window restarts at
-        # the last overwrite).  A crash anywhere above leaves the old
-        # version fully intact.
-        if truncate:
-            live = {f["path"] for f in new_files}
-            for path in stale_files:
-                if path not in live and os.path.exists(path):
-                    os.remove(path)
-            for apath in stale_artifacts:
-                if os.path.basename(apath) != _delta_file(target) \
-                        and os.path.exists(apath):
-                    os.remove(apath)
-            for sc in stale_sidecars:
-                full = os.path.join(self._path, sc)
-                if os.path.exists(full):
-                    os.remove(full)
-            legacy = os.path.join(self._path, MANIFEST_NAME)
-            if os.path.exists(legacy):
-                os.remove(legacy)
-            _invalidate_caches(self._path, below_version=target)
+        # RETENTION-GOVERNED OVERWRITE (round 8, Delta semantics): the
+        # superseded version's data files, metadata artifacts, and
+        # payload sidecars are NOT deleted here — `versionAsOf` below
+        # the overwrite keeps working until `vacuum_manifest`'s
+        # keep_versions window expires it (VACUUM is what bounds
+        # storage, same as any table format).  Pre-round-8 behavior
+        # was an eager retention-0 sweep; lifting it also makes
+        # overwrite crash-safe by construction (nothing to clean) and
+        # stops an overwrite destroying files a shallow clone of an
+        # older version still references inside the retention window.
         # sweep THIS commit's dead staging files only (failed or
         # speculative attempts return no commit message, so nothing
         # else removes them).  Another writer's in-flight staging files

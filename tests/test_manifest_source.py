@@ -127,8 +127,9 @@ def test_registry_face_oracle_shape(spark, sf_dir):
 
 def test_writer_commit_protocol(spark, sf_dir, tmp_path):
     """Write path: empty partitions yield no file, no write-ahead tmp
-    files survive commit, and a second overwrite drops the first
-    version's files (no orphans outside the manifest)."""
+    files survive commit, and a second overwrite keeps the first
+    version's files readable (retention-governed, round 8) while the
+    LATEST read sees only the new layout."""
     path = str(tmp_path / "m1")
     nat = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name")
@@ -140,11 +141,15 @@ def test_writer_commit_protocol(spark, sf_dir, tmp_path):
     listed1 = {os.path.basename(f["path"]) for f in m1["files"]}
     assert listed1 == {n for n in names if n.endswith(".parquet")}
     assert sum(f["rows"] for f in m1["files"]) == 25
-    # overwrite with a different layout: old files must not linger
+    # overwrite with a different layout: the LATEST manifest lists
+    # only the new files; the superseded version's files stay on disk
+    # for time travel until a vacuum expires them
     m2 = write_manifest_table(nat.repartition(2, "n_nationkey"), path,
                               ["n_nationkey"])
     names2 = {n for n in os.listdir(path) if n.endswith(".parquet")}
-    assert names2 == {os.path.basename(f["path"]) for f in m2["files"]}
+    listed2 = {os.path.basename(f["path"]) for f in m2["files"]}
+    assert names2 == listed1 | listed2
+    assert listed1.isdisjoint(listed2)
     register(spark)
     got = (spark.read.format("graft_manifest").option("path", path)
            .load().count())
@@ -221,28 +226,52 @@ def test_stream_reads_only_appended_files(spark, sf_dir, tmp_path):
     assert total == 35, "second run must emit exactly the 10 appended rows"
 
 
-def test_overwrite_bumps_version_and_vacuums_after_publish(
-        spark, sf_dir, tmp_path):
-    """An overwrite of a live table must never reuse its file names
-    (the previous version's files survive until the new manifest is
-    published) and must leave no superseded files or staging tmps."""
-    import json
+def test_overwrite_is_retention_governed(spark, sf_dir, tmp_path):
+    """Round 8 (Delta semantics): an overwrite must never reuse live
+    file names, must leave no staging tmps — and the SUPERSEDED
+    version stays fully readable (`versionAsOf` below the overwrite)
+    until `vacuum_manifest`'s retention window expires it.  VACUUM is
+    what bounds storage: after keep_versions=1 with the age guard
+    off, exactly the latest version's files remain on disk."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        read_manifest,
+        vacuum_manifest,
+    )
 
     path = str(tmp_path / "m4")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     m1 = write_manifest_table(nat.coalesce(1), path, ["n_nationkey"])
     v1_names = {os.path.basename(f["path"]) for f in m1["files"]}
-    m2 = write_manifest_table(nat.coalesce(2), path, ["n_nationkey"])
+    m2 = write_manifest_table(
+        nat.filter(F.col("n_nationkey") < 10).coalesce(2), path,
+        ["n_nationkey"])
     on_disk = load_manifest(path)
     assert on_disk["version"] == m1.get("version", 0) + 1
     v2_names = {os.path.basename(f["path"]) for f in m2["files"]}
     assert v1_names.isdisjoint(v2_names), "overwrite reused live names"
     names = set(os.listdir(path))
     assert not any(n.endswith(".tmp") for n in names)
-    assert {n for n in names if n.endswith(".parquet")} == v2_names
+    # retention-governed: the superseded version's files REMAIN
+    assert {n for n in names if n.endswith(".parquet")} \
+        == v1_names | v2_names
     register(spark)
     assert (spark.read.format("graft_manifest").option("path", path)
-            .load().count()) == 25
+            .load().count()) == 10
+    # time travel BELOW the overwrite still works
+    v0 = read_manifest(spark, path, version=0)
+    assert v0.count() == 25
+    # VACUUM bounds storage: retention window = latest only
+    rep = vacuum_manifest(path, keep_versions=1, min_age_seconds=0)
+    assert {os.path.basename(p) for p in rep["removed_files"]} \
+        >= v1_names
+    names = set(os.listdir(path))
+    assert {n for n in names if n.endswith(".parquet")} == v2_names
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not available|vacuumed"):
+        read_manifest(spark, path, version=0).count()
+    assert (spark.read.format("graft_manifest").option("path", path)
+            .load().count()) == 10
 
 
 def test_fully_pruned_scan_returns_zero_rows(spark, manifest_dir):
