@@ -103,6 +103,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructField, StructType
 
+from . import table_fs as _tfs
+
 MANIFEST_NAME = "manifest.json"
 
 _V_RE = re.compile(r"manifest-v(\d{8})\.json")        # legacy full snapshots
@@ -203,7 +205,19 @@ def set_claim_backend(backend) -> object:
     return old
 
 
+def _canon(path: str) -> str:
+    """Cache-key form of a table path: abspath locally, identity for
+    object-store URLs (os.path.abspath would mangle the scheme)."""
+    return path if _tfs.is_remote(path) else os.path.abspath(path)
+
+
 def _claim(directory: str, name: str, payload: str) -> bool:
+    if (_tfs.is_remote(directory)
+            and isinstance(_CLAIM_BACKEND, LocalFSClaimBackend)):
+        # object-store table with the stock backend: the claim is an
+        # S3 conditional PUT of the record itself into the table
+        # prefix (an explicit set_claim_backend still overrides)
+        return _tfs.put_if_absent(directory, name, payload)
     return _CLAIM_BACKEND.put_if_absent(directory, name, payload)
 
 
@@ -214,7 +228,7 @@ def _scan_artifacts(path: str) -> tuple[dict, dict, dict]:
     deltas: dict[int, str] = {}
     ckpts: dict[int, str] = {}
     try:
-        names = os.listdir(path)
+        names = _tfs.listdir(path)
     except FileNotFoundError:
         return snaps, deltas, ckpts
     for name in names:
@@ -240,6 +254,8 @@ def _list_versions(path: str) -> set[int]:
 
 
 def _read_json(p: str) -> dict:
+    if _tfs.is_remote(p):
+        return json.loads(_tfs.read_text(p))
     with open(p) as fh:
         return json.load(fh)
 
@@ -270,7 +286,7 @@ def _invalidate_caches(path: str | None = None,
         _STATE_CACHE.clear()
         _SIDECAR_CACHE.clear()
         return
-    key_path = os.path.abspath(path)
+    key_path = _canon(path)
     for k in [k for k in _STATE_CACHE
               if k[0] == key_path
               and (below_version is None or k[1] < below_version)]:
@@ -281,7 +297,7 @@ def _invalidate_caches(path: str | None = None,
 
 
 def _load_sidecar(path: str, name: str) -> dict:
-    full = os.path.abspath(os.path.join(path, name))
+    full = _canon(os.path.join(path, name))
     hit = _SIDECAR_CACHE.get(full)
     if hit is not None:
         _SIDECAR_CACHE.move_to_end(full)
@@ -432,6 +448,11 @@ def _write_checkpoint(path: str, state: dict) -> None:
         json.dumps(_strip_payloads(f)) for f in state["files"]]
     tbl = pa.table({"kind": kinds, "payload": payloads})
     dest = os.path.join(path, _checkpoint_file(state["version"]))
+    if _tfs.is_remote(dest):
+        # derived data, identical bytes from any writer of the same
+        # version: a direct object write needs no tmp+rename
+        _tfs.write_parquet(tbl, dest)
+        return
     tmp = f"{dest}.{uuid.uuid4().hex}.tmp"
     pq.write_table(tbl, tmp)
     os.replace(tmp, dest)
@@ -440,7 +461,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
 def _read_checkpoint(path: str, full: str) -> dict:
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(full)
+    tbl = pq.read_table(_tfs.open_parquet_input(full))
     head: dict | None = None
     entry_payloads: list[str] = []
     for kind, payload in zip(tbl.column("kind").to_pylist(),
@@ -479,7 +500,7 @@ def _load_state(path: str, version: int) -> dict:
     CHECKPOINT_EVERY commits of replay; every intermediate version is
     memoized, so a CDC reader walking consecutive versions pays the
     reconstruction once."""
-    path = os.path.abspath(path)
+    path = _canon(path)
     key = (path, version)
     hit = _STATE_CACHE.get(key)
     if hit is not None:
@@ -517,7 +538,7 @@ def _load_state(path: str, version: int) -> dict:
             v -= 1
             continue
         legacy = os.path.join(path, MANIFEST_NAME)
-        if os.path.exists(legacy):
+        if _tfs.exists(legacy):
             mj = _read_json(legacy)
             if mj.get("version", 0) == v and "files" in mj:
                 mj.setdefault("txn", {})
@@ -1469,7 +1490,7 @@ def _masked_spark_read_one(spark, st: StructType, entries: list[dict]):
     import numpy as np
     from pyspark.sql import functions as F
 
-    paths = [f["path"] for f in entries]
+    paths = [_tfs.spark_path(f["path"]) for f in entries]
     base = spark.read.schema(st).parquet(*paths)
     dead = [(os.path.basename(f["path"]), int(i))
             for f in entries if f.get("dv")
@@ -1559,7 +1580,8 @@ def read_manifest(spark, path: str, version: int | None = None,
     parts = []
     if clean:
         parts.append(spark.read.schema(st)
-                     .parquet(*[f["path"] for f in clean]))
+                     .parquet(*[_tfs.spark_path(f["path"])
+                                for f in clean]))
     if special:
         parts.append(_masked_spark_read(spark, st, special))
     if not parts:
@@ -1627,7 +1649,7 @@ def describe_manifest(path: str, version: int | None = None) -> dict:
     size = 0
     for f in live:
         try:
-            size += os.path.getsize(f["path"])
+            size += _tfs.getsize(f["path"])
         except OSError:
             pass
     versions = sorted(_list_versions(path))
@@ -2074,11 +2096,10 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
         if conflict is not None:
             delta["keySummary"] = json.loads(conflict)
         sidecar_full = os.path.join(path, sidecar_name)
-        with open(sidecar_full, "w") as fh:
-            json.dump(payloads, fh)
+        _tfs.write_text(sidecar_full, json.dumps(payloads))
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
-        os.remove(sidecar_full)  # lost the claim: re-read and re-plan
+        _tfs.remove(sidecar_full)  # lost the claim: re-read and re-plan
     if target % CHECKPOINT_EVERY == 0:
         import contextlib
 
@@ -2710,7 +2731,7 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
 
     def drop_artifact(p: str) -> None:
         if not dry_run:
-            os.remove(p)
+            _tfs.remove(p)
         removed_manifests.append(p)
 
     for v, p in snaps.items():
@@ -2731,11 +2752,11 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
         if min_age_seconds <= 0:
             return False
         try:
-            return os.path.getmtime(full) > cutoff
+            return _tfs.getmtime(full) > cutoff
         except OSError:
             return True  # raced with its writer: certainly in flight
 
-    for name in sorted(os.listdir(path)):
+    for name in sorted(_tfs.listdir(path)):
         full = os.path.join(path, name)
         if _C_RE.fullmatch(name):
             continue  # checkpoints are metadata, handled above
@@ -2743,24 +2764,22 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
             if young(full):
                 continue  # possibly published-but-unclaimed: retained
             if not dry_run:
-                os.remove(full)
+                _tfs.remove(full)
             removed_files.append(full)
         elif name.startswith(".") and name.endswith(".tmp"):
             if young(full):
                 continue  # possibly a live writer's staging file
             if not dry_run:
-                os.remove(full)
+                _tfs.remove(full)
             removed_files.append(full)
-        elif name.startswith(".stage-") and os.path.isdir(full):
+        elif name.startswith(".stage-") and _tfs.isdir(full):
             # a crashed NATIVE writer's staging directory (write_frame
             # removes it on every success/failure path; only a hard
             # process kill mid-commit leaves one)
             if young(full):
                 continue  # possibly a live native writer's staging
             if not dry_run:
-                import shutil
-
-                shutil.rmtree(full, ignore_errors=True)
+                _tfs.rmtree(full)
             removed_files.append(full)
         elif (name.startswith("payload-") and name.endswith(".json")
                 and name not in kept_sidecars):
@@ -2872,7 +2891,7 @@ def restore_manifest(path: str, version: int) -> dict:
         old_live = {f["path"]: f for f in old["files"]
                     if not f.get("dead")}
         missing = [p for p in old_live
-                   if p not in cur_live and not os.path.exists(p)]
+                   if p not in cur_live and not _tfs.exists(p)]
         if missing:
             raise ValueError(
                 f"cannot restore {path} to version {version}: "
@@ -3726,11 +3745,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # the whole commit is a no-op — drop the staged files
         if self._txn_already_committed(self._latest()):
             for m in msgs:
-                if os.path.exists(m.tmp_path):
-                    os.remove(m.tmp_path)
+                if _tfs.exists(m.tmp_path):
+                    _tfs.remove(m.tmp_path)
             return
         for m in msgs:
-            os.replace(m.tmp_path, m.final_path)
+            _tfs.replace(m.tmp_path, m.final_path)
         # Bloom payloads go to ONE per-commit sidecar file; the commit
         # record and every future checkpoint carry only references —
         # payload bytes are written exactly once, at file creation,
@@ -3753,13 +3772,12 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     ref[col] = [sidecar_name, key]
                 entry["bloomRef"] = ref
             new_files.append(entry)
-        os.makedirs(self._path, exist_ok=True)
+        _tfs.makedirs(self._path)
         sidecar_full = os.path.join(self._path, sidecar_name)
         if payloads:
             # fully written BEFORE the claim: the instant the delta
             # record becomes visible, its references must resolve
-            with open(sidecar_full, "w") as fh:
-                json.dump(payloads, fh)
+            _tfs.write_text(sidecar_full, json.dumps(payloads))
 
         # --- optimistic-concurrency CAS loop ---------------------------
         # compose the next version's DELTA RECORD from the CURRENT
@@ -3791,10 +3809,10 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
         def unpublish() -> None:
             for f in new_files:
-                if os.path.exists(f["path"]):
-                    os.remove(f["path"])
-            if payloads and os.path.exists(sidecar_full):
-                os.remove(sidecar_full)
+                if _tfs.exists(f["path"]):
+                    _tfs.remove(f["path"])
+            if payloads and _tfs.exists(sidecar_full):
+                _tfs.remove(sidecar_full)
 
         def fail(msg: str) -> None:
             # every refusal path must unpublish this commit's data
@@ -4013,6 +4031,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         # else removes them).  Another writer's in-flight staging files
         # are NOT ours to touch — orphans from crashed writers linger
         # until a vacuum, like any lock-free table format.
+        if _tfs.is_remote(self._path):
+            return  # no local UDS staging to sweep for object-store tables
         for name in os.listdir(self._path):
             if (name.startswith(".") and name.endswith(".tmp")
                     and self._commit_id in name):
@@ -4020,8 +4040,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
 
     def abort(self, messages) -> None:
         for m in _flatten_commits(messages):
-            if m.rows > 0 and os.path.exists(m.tmp_path):
-                os.remove(m.tmp_path)
+            if m.rows > 0 and _tfs.exists(m.tmp_path):
+                _tfs.remove(m.tmp_path)
 
 
 # ---------------------------------------------------------------------------
@@ -4118,7 +4138,7 @@ def _footer_entry(fpath: str, want_stats: set, want_nulls: set):
     are None when any row group omits them."""
     import pyarrow.parquet as pq
 
-    md = pq.read_metadata(fpath)
+    md = pq.read_metadata(_tfs.open_parquet_input(fpath))
     idx = {md.schema.column(i).name: i for i in range(len(md.schema))}
     stats: dict[str, dict] = {}
     nulls: dict[str, int | None] = {}
@@ -4213,7 +4233,8 @@ def _verify_constraints_native(spark, schema: StructType,
         else:
             _apply_constraint_bounds(con, total_null, lo, hi)
     if exact and staged_paths:
-        sdf = spark.read.schema(schema).parquet(*staged_paths)
+        sdf = spark.read.schema(schema).parquet(
+            *[_tfs.spark_path(sp) for sp in staged_paths])
         aggs = []
         for j, con in enumerate(exact):
             c = con["col"]
@@ -4271,7 +4292,7 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
         casters[g["name"]] = (
             g["name"],
             int if g["transform"] in ("year", "bucket") else str)
-    os.makedirs(path, exist_ok=True)
+    _tfs.makedirs(path)
     stage_dir = os.path.join(path, f".stage-{w._commit_id}")
     conf = spark.conf
     prev_tt = conf.get("spark.sql.parquet.outputTimestampType")
@@ -4287,21 +4308,17 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
                                    str(w._max_rows_file))
         if pb_keys:
             writer = writer.partitionBy(*pb_keys)
-        writer.parquet(stage_dir)
+        writer.parquet(_tfs.spark_path(stage_dir))
     except BaseException:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        _tfs.rmtree(stage_dir)
         raise
     finally:
         conf.set("spark.sql.parquet.outputTimestampType", prev_tt)
     try:
-        rels = []
-        for root, _dirs, fnames in os.walk(stage_dir):
-            for n in fnames:
-                if n.endswith(".parquet") and not n.startswith((".",
-                                                                "_")):
-                    rels.append(os.path.relpath(os.path.join(root, n),
-                                                stage_dir))
-        rels.sort()
+        rels = sorted(
+            r for r in _tfs.walk_files(stage_dir)
+            if r.endswith(".parquet")
+            and not os.path.basename(r).startswith((".", "_")))
         con_cols = {c["col"] for c in w._constraints}
         want_stats = set(w._stat_cols) | set(pcols) | con_cols
         keep_stats = set(w._stat_cols) | set(pcols)
@@ -4339,7 +4356,7 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
                            if pb_keys else None)))
         w.commit(msgs)
     finally:
-        shutil.rmtree(stage_dir, ignore_errors=True)
+        _tfs.rmtree(stage_dir)
 
 
 def write_frame(df, path: str, mode: str = "append", **options) -> None:
@@ -4354,6 +4371,12 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
             if v is not None}
     opts["path"] = path
     register(df.sparkSession)
+    if opts.get("bloomcols") and _tfs.is_remote(path):
+        raise ValueError(
+            "bloomCols writes stream through the Python Arrow writer, "
+            "which is local-only; object-store tables take the "
+            "JVM-native path (drop bloomCols, or keep the table on a "
+            "cluster filesystem)")
     if opts.get("bloomcols"):
         writer = df.write.format("graft_manifest").mode(mode)
         for k, v in opts.items():
@@ -4804,7 +4827,7 @@ def _read_aligned(path: str, schema_json: str | None,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    pf = pq.ParquetFile(_tfs.open_parquet_input(path))
     rgs = _surviving_row_groups(pf, rg_filters) if rg_filters else None
     names = list(pf.schema_arrow.names)
     if rename:
@@ -5540,6 +5563,11 @@ class ManifestDataSource(DataSource):
 
     def writer(self, schema: StructType,
                overwrite: bool) -> ManifestArrowWriter:
+        if _tfs.is_remote(_require_path(self.options)):
+            raise ValueError(
+                "the Python Arrow writer stages on the local "
+                "filesystem; object-store tables write through "
+                "write_frame (JVM-native staging + footer stats)")
         return ManifestArrowWriter(self.options, schema, overwrite)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:

@@ -20,6 +20,26 @@ from data_engineering_pipeline_project_cloud_spark.sources import TABLES  # noqa
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Reserve a port and export the object-store env BEFORE any JVM
+# launches: Spark's Python workers inherit the executor JVM's
+# environment, which inherits THIS process's environment at session
+# creation — so the in-process fake S3 (tests/fake_s3.py, bound to
+# this port by tests/test_s3_table.py) is reachable from worker-side
+# table_fs too.  Everything uses setdefault: a real endpoint set by
+# the caller wins.
+import socket  # noqa: E402
+
+_sock = socket.socket()
+_sock.bind(("127.0.0.1", 0))
+FAKE_S3_PORT = _sock.getsockname()[1]
+_sock.close()
+os.environ.setdefault("SPARK_GRAFT_FAKE_S3_PORT", str(FAKE_S3_PORT))
+os.environ.setdefault("SPARK_GRAFT_S3_ENDPOINT",
+                      f"http://127.0.0.1:{os.environ['SPARK_GRAFT_FAKE_S3_PORT']}")
+os.environ.setdefault("AWS_ACCESS_KEY_ID", "graft-test")
+os.environ.setdefault("AWS_SECRET_ACCESS_KEY", "graft-test")
+os.environ.setdefault("AWS_REGION", "us-east-1")
+
 
 @pytest.fixture(scope="session")
 def spark():
