@@ -220,6 +220,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_files_metadata": 7,
     "manifest_string_bloom_lookup": 7,
     "manifest_partition_evolution": 8,
+    "manifest_merge_schema_evolution": 8,
+    "manifest_metadata_count": 8,
 }
 
 

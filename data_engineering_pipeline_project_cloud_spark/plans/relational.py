@@ -2154,6 +2154,82 @@ def manifest_partition_evolution(spark: SparkSession,
                  .cast("double").alias("sum_value")))
 
 
+def manifest_merge_schema_evolution(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """MERGE WITH SCHEMA EVOLUTION (round 8 —
+    sources/manifest_source.py:merge_into_manifest
+    ``schema_evolution=True``, Delta's ``withSchemaEvolution``): the
+    CDC batch carries a column the table lacks (``note``); one atomic
+    commit upserts the rows AND widens the table schema (add-column —
+    the same evolution contract appends follow).  Rewritten rows
+    null-fill nothing (they carry the value), rows in untouched files
+    null-fill at read time.  The oracle reconstructs the merged,
+    widened state relationally from the raw table."""
+    from ..sources.manifest_source import (
+        merge_into_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), path,
+            ["o_orderkey"])
+        updates = (orders.filter(F.col("o_orderkey") % 7 == 0)
+                   .select("o_orderkey", "status",
+                           (F.col("total_price") + F.lit(1.0))
+                           .alias("total_price"),
+                           F.lit("adjusted").alias("note")))
+        merge_into_manifest(updates, path, ["o_orderkey"],
+                            ["o_orderkey"], schema_evolution=True)
+
+    tmp = scoped_scratch("manifest_mse_orders", sf_dir, build)
+    return (read_manifest(spark, tmp)
+            .select("o_orderkey", "total_price",
+                    F.coalesce(F.col("note"), F.lit("-")).alias("note")))
+
+
+def manifest_metadata_count(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COUNT (round 8 —
+    sources/manifest_source.py:count_manifest): the snapshot's row
+    count folds from manifest entries (Σ rows − dvRows over live
+    files) — no data file opened, the OptimizeMetadataOnlyQuery /
+    Delta stats-count behavior.  The scratch table takes a
+    deletion-vector delete first, so the count proves DV-awareness:
+    masked rows subtract without a scan.  At 100 TB this is the
+    difference between a driver metadata fold and a full-table scan
+    for ``SELECT COUNT(*)``.  The oracle recomputes the count
+    relationally under the delete predicate."""
+    from ..sources.manifest_source import (
+        count_manifest,
+        delete_vectors_from_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), path,
+            ["o_orderkey"])
+        delete_vectors_from_manifest(
+            orders.filter(F.col("o_orderkey") % 13 == 0)
+            .select("o_orderkey"), path, ["o_orderkey"],
+            ["o_orderkey"])
+
+    tmp = scoped_scratch("manifest_count_orders", sf_dir, build)
+    n = count_manifest(tmp)
+    return spark.createDataFrame([(n,)], "n_rows long")
+
+
 def manifest_files_metadata(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """FILES METADATA TABLE (round 7 —
@@ -2538,6 +2614,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         GROUP BY 1
+    """,
+    "manifest_merge_schema_evolution": """
+        WITH ups AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) + 1.0 AS total_price,
+                   'adjusted' AS note
+            FROM orders WHERE o_orderkey % 7 = 0
+        )
+        SELECT o.o_orderkey,
+               CAST(COALESCE(u.total_price,
+                             CAST(o.o_totalprice AS DOUBLE))
+                    AS DOUBLE) AS total_price,
+               COALESCE(u.note, '-') AS note
+        FROM orders o LEFT JOIN ups u USING (o_orderkey)
+    """,
+    "manifest_metadata_count": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders WHERE o_orderkey % 13 <> 0
     """,
     "manifest_string_bloom_lookup": """
         SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
@@ -3606,6 +3700,8 @@ QUERIES = {
     "manifest_partitioned_scan": manifest_partitioned_scan,
     "manifest_hidden_partition_scan": manifest_hidden_partition_scan,
     "manifest_partition_evolution": manifest_partition_evolution,
+    "manifest_merge_schema_evolution": manifest_merge_schema_evolution,
+    "manifest_metadata_count": manifest_metadata_count,
     "manifest_files_metadata": manifest_files_metadata,
     "manifest_string_bloom_lookup": manifest_string_bloom_lookup,
     "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,

@@ -1676,11 +1676,25 @@ def describe_manifest(path: str, version: int | None = None) -> dict:
     }
 
 
+def count_manifest(path: str, version: int | None = None) -> int:
+    """METADATA-ONLY ``COUNT(*)`` of a snapshot: Σ(rows − dvRows) over
+    the live entries — no data file is opened.  This is the
+    metadata-only aggregate every table format answers from its
+    snapshot (Spark's OptimizeMetadataOnlyQuery / Delta's stats-based
+    count): at 100 TB a row count is a driver metadata fold, not a
+    scan.  Deletion vectors subtract exactly (``dvRows`` is the
+    popcount of the mask); tombstoned entries contribute nothing."""
+    m = load_manifest(path, version)
+    return sum(f["rows"] - int(f.get("dvRows", 0))
+               for f in m["files"] if not f.get("dead"))
+
+
 def merge_into_manifest(updates, path: str, key_cols: list[str],
                         stat_cols: list[str],
                         txn: tuple[str, int] | None = None,
                         delete_keys=None,
-                        not_matched_by_source: str | None = None) -> dict:
+                        not_matched_by_source: str | None = None,
+                        schema_evolution: bool = False) -> dict:
     """Copy-on-write MERGE (upsert by key) into a manifest table: rows
     of ``updates`` REPLACE same-key rows, new keys INSERT.  ``updates``
     must be key-grain (one row per key — run latest-state dedup
@@ -1739,6 +1753,13 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     unmatched — so the rewrite covers the whole table; bound it with
     a selective expression and expect the cost of a full rewrite,
     exactly as Delta documents for the same clause.
+
+    ``schema_evolution=True`` (round 8 — Delta's
+    ``withSchemaEvolution``): columns in ``updates`` that the table
+    lacks WIDEN the table schema in the same commit (add-column only,
+    the evolution contract appends already follow).  Rewritten rows
+    from affected files NULL-fill the new columns; untouched files
+    null-fill at read time.
     """
     spark = updates.sparkSession
     register(spark)
@@ -1750,10 +1771,33 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
     st = _table_schema(m)
     from pyspark.sql import functions as F
 
-    # conform the updates to the TABLE schema (order + types): a MERGE
-    # must never implicitly evolve the table
-    updates = updates.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in st.fields])
+    if not schema_evolution:
+        # conform the updates to the TABLE schema (order + types): a
+        # MERGE must never implicitly evolve the table
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in st.fields])
+    else:
+        # WITH SCHEMA EVOLUTION (Delta's withSchemaEvolution, round
+        # 8): NEW columns in the updates widen the table (add-column
+        # only — the commit's _merged_schema_json enforces the same
+        # evolution contract appends follow); existing columns still
+        # conform to the table's types.  Rewritten rows from affected
+        # files NULL-fill the new columns, untouched files null-fill
+        # at read time — exactly add-column semantics.
+        upd_fields = {f.name: f for f in updates.schema.fields}
+        new_fields = [f for f in updates.schema.fields
+                      if f.name not in {g.name for g in st.fields}]
+        updates = updates.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in st.fields if f.name in upd_fields],
+            *[F.col(f.name) for f in new_fields])
+        missing = [f.name for f in st.fields
+                   if f.name not in upd_fields]
+        if missing:
+            raise ValueError(
+                "schema-evolution MERGE updates must still carry "
+                f"every table column; missing: {missing}")
     types = {f.name: f.dataType for f in st.fields}
     touched_keys = updates.select(*key_cols)
     if delete_keys is not None:
@@ -1790,7 +1834,7 @@ def merge_into_manifest(updates, path: str, key_cols: list[str],
             kept = kept.filter(
                 ~F.coalesce(F.expr(not_matched_by_source),
                             F.lit(False)))
-        out = kept.unionByName(updates)
+        out = kept.unionByName(updates, allowMissingColumns=True)
     else:
         out = updates
     write_frame(

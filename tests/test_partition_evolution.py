@@ -169,3 +169,62 @@ def test_evolution_survives_checkpoint_restore_and_overwrite(
     write_frame(df.limit(3), path, "overwrite", statCols="id")
     m1 = load_manifest(path)
     assert m1["partitionGen"] == [] and m1["partitionSpecs"] == []
+
+
+def test_merge_schema_evolution_widens_table(spark, tmp_path):
+    """merge_into_manifest(schema_evolution=True): one atomic commit
+    upserts and ADDS the new column; untouched files null-fill at
+    read time; a non-evolution merge still refuses implicit widening
+    (extra columns are dropped by the conform step)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        merge_into_manifest,
+        read_manifest,
+        write_manifest_table,
+    )
+
+    register(spark)
+    path = str(tmp_path / "mse")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double")
+    write_manifest_table(base.repartitionByRange(4, "k"), path, ["k"])
+    ups = spark.createDataFrame(
+        [(3, 99.0, "x"), (25, 1.0, "y")], "k long, v double, tag string")
+    m = merge_into_manifest(ups, path, ["k"], ["k"],
+                            schema_evolution=True)
+    names = [f["name"] for f in
+             __import__("json").loads(m["schema"])["fields"]]
+    assert names == ["k", "v", "tag"]
+    out = {r["k"]: (r["v"], r["tag"])
+           for r in read_manifest(spark, path).collect()}
+    assert out[3] == (99.0, "x") and out[25] == (1.0, "y")
+    assert out[0] == (0.0, None), "untouched rows null-fill"
+    assert len(out) == 21
+    # without the flag, an extra column is dropped (no implicit
+    # evolution) and the schema stays put
+    ups2 = spark.createDataFrame([(4, 5.0, "z", 1)],
+                                 "k long, v double, tag string, extra int")
+    m2 = merge_into_manifest(ups2, path, ["k"], ["k"])
+    names2 = [f["name"] for f in
+              __import__("json").loads(m2["schema"])["fields"]]
+    assert names2 == ["k", "v", "tag"]
+
+
+def test_metadata_count_is_dv_and_travel_aware(spark, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        count_manifest,
+        delete_vectors_from_manifest,
+        read_manifest,
+        write_manifest_table,
+    )
+
+    register(spark)
+    path = str(tmp_path / "cnt")
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    write_manifest_table(df.repartitionByRange(4, "k"), path, ["k"])
+    assert count_manifest(path) == 100
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(i,) for i in range(0, 100, 10)],
+                              "k long"), path, ["k"], ["k"])
+    assert count_manifest(path) == 90
+    assert count_manifest(path) == read_manifest(spark, path).count()
+    assert count_manifest(path, version=0) == 100
