@@ -4292,6 +4292,83 @@ def _verify_constraints_native(spark, schema: StructType,
                                      row[f"__lo{j}"], row[f"__hi{j}"])
 
 
+def _native_blooms(spark, staged: list[str], bloom_cols: list[str],
+                   schema: StructType) -> dict[str, dict[str, str]]:
+    """Per-file bloom filters for NATIVELY staged files, without
+    streaming the data through Python row-wise: one Arrow-batched pass
+    reads ONLY the bloom columns (+ the hidden file identity), each
+    batch contributes a partial 1024-bit array built with the exact
+    writer-side mixers (`_bloom_bits_from_numpy` /
+    `_string_hash64_numpy` — reader probes must agree bit-for-bit),
+    and a JVM ``bit_or`` aggregation folds the partials to 16 longs
+    per (file, column).  Returns {file basename: {col: encoded}}."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    fields = {f.name: f for f in schema.fields}
+    use: list[tuple[str, str]] = []
+    for c in bloom_cols:
+        f = fields.get(c)
+        if f is None:
+            continue
+        if isinstance(f.dataType, T.StringType):
+            use.append((c, "str"))
+        elif isinstance(f.dataType, (T.ByteType, T.ShortType,
+                                     T.IntegerType, T.LongType)):
+            use.append((c, "int"))
+    if not use:
+        return {}
+    proj = StructType([fields[c] for c, _ in use])
+    sdf = (spark.read.schema(proj)
+           .parquet(*[_tfs.spark_path(p) for p in staged])
+           .select(F.col("_metadata.file_path").alias("__f"),
+                   *[c for c, _ in use]))
+    kinds = dict(use)
+
+    def partial(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, grp in pdf.groupby("__f"):
+                base = os.path.basename(str(fpath))
+                for c, kind in use:
+                    s = grp[c].dropna()
+                    if s.empty:
+                        continue
+                    if kind == "str":
+                        arr = pa.array(s.astype(str), type=pa.string())
+                        bits = _bloom_bits_from_numpy(
+                            _string_hash64_numpy(arr))
+                    else:
+                        bits = _bloom_bits_from_numpy(
+                            s.to_numpy(np.int64))
+                    for i, wd in enumerate(bits):
+                        v = int(wd)
+                        rows.append((base, c, i,
+                                     v - (1 << 64) if v >= 1 << 63
+                                     else v))
+            yield pd.DataFrame(
+                rows, columns=["__f", "col", "idx", "word"])
+
+    agg = (sdf.mapInPandas(
+               partial,
+               "__f string, col string, idx int, word long")
+           .groupBy("__f", "col", "idx")
+           .agg(F.bit_or("word").alias("w")).collect())
+    per: dict[tuple[str, str], list[int]] = {}
+    for r in agg:
+        per.setdefault((r["__f"], r["col"]),
+                       [0] * (_BLOOM_M // 64))[r["idx"]] = \
+            r["w"] & _MASK64
+    out: dict[str, dict[str, str]] = {}
+    for (base, c), words in per.items():
+        bits = np.array(words, dtype=np.uint64)
+        out.setdefault(base, {})[c] = _bloom_encode(bits, kinds[c])
+    return out
+
+
 def _native_write(df, path: str, mode: str, opts: dict) -> None:
     """Stage ``df`` with Spark's native parquet writer, harvest file
     metadata from footers, and publish through
@@ -4383,6 +4460,13 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
                 spark, df.schema, w._constraints, metas,
                 [os.path.join(stage_dir, r)
                  for r, (rows, _s, _n) in zip(rels, metas) if rows])
+        blooms: dict[str, dict[str, str]] = {}
+        if w._bloom_cols:
+            blooms = _native_blooms(
+                spark, [os.path.join(stage_dir, r)
+                        for r, (rows, _s, _n) in zip(rels, metas)
+                        if rows],
+                w._bloom_cols, df.schema)
         msgs = []
         for seq, (rel, (rows, stats, _nulls)) in enumerate(
                 zip(rels, metas)):
@@ -4395,7 +4479,7 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
                 final_path=os.path.join(path, name), rows=rows,
                 stats={c: v for c, v in stats.items()
                        if c in keep_stats},
-                bloom={},
+                bloom=blooms.get(os.path.basename(rel), {}),
                 partition=(_stage_partition(rel, casters)
                            if pb_keys else None)))
         w.commit(msgs)
@@ -4405,28 +4489,16 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
 
 def write_frame(df, path: str, mode: str = "append", **options) -> None:
     """THE write entry for manifest tables: JVM-native staging + footer
-    stats + shared commit protocol whenever the requested options allow
-    it; transparent fallback to the Python Arrow writer for
-    ``bloomCols`` (bloom bits need the column VALUES, which footers
-    don't carry).  Option names mirror
-    ``.write.format("graft_manifest")`` (case-insensitive); None values
-    are dropped."""
+    stats + shared commit protocol.  ``bloomCols`` writes stay native
+    too (round 8): bloom bits come from one extra Arrow-batched pass
+    over ONLY the bloom columns of the staged files
+    (``_native_blooms``), never from streaming the full rows through
+    Python.  Option names mirror ``.write.format("graft_manifest")``
+    (case-insensitive); None values are dropped."""
     opts = {str(k).lower(): v for k, v in options.items()
             if v is not None}
     opts["path"] = path
     register(df.sparkSession)
-    if opts.get("bloomcols") and _tfs.is_remote(path):
-        raise ValueError(
-            "bloomCols writes stream through the Python Arrow writer, "
-            "which is local-only; object-store tables take the "
-            "JVM-native path (drop bloomCols, or keep the table on a "
-            "cluster filesystem)")
-    if opts.get("bloomcols"):
-        writer = df.write.format("graft_manifest").mode(mode)
-        for k, v in opts.items():
-            writer = writer.option(k, v)
-        writer.save()
-        return
     _native_write(df, path, mode, opts)
 
 
