@@ -222,6 +222,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_partition_evolution": 8,
     "manifest_merge_schema_evolution": 8,
     "manifest_metadata_count": 8,
+    "manifest_incremental_optimize": 8,
 }
 
 

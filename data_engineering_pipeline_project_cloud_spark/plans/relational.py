@@ -2230,6 +2230,54 @@ def manifest_metadata_count(spark: SparkSession,
     return spark.createDataFrame([(n,)], "n_rows long")
 
 
+def manifest_incremental_optimize(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """INCREMENTAL LIQUID CLUSTERING (round 8 —
+    sources/manifest_source.py:optimize_manifest ``incremental=True``):
+    the steady-state maintenance loop of a clustered table.  Each
+    z-order rewrite stamps its output files with the layout signature
+    (``clusteredBy`` entry tag); an incremental OPTIMIZE clusters ONLY
+    files whose stamp differs — new appends since the last run — so
+    maintenance costs O(new data), never O(table), exactly Delta
+    liquid clustering's behavior (per-batch clustering, no global
+    re-sort).  The face: cluster, append, incrementally optimize, and
+    read a selective range rollup; the oracle recomputes it from the
+    raw table.  That already-clustered files keep their bytes (and the
+    steady-state run no-ops) is pytest-asserted in
+    tests/test_manifest_zorder.py."""
+    from ..sources.manifest_source import (
+        optimize_manifest,
+        register,
+        set_cluster_by,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        orders = _orders_manifest_frame(spark, sf_dir)
+        half = orders.agg(F.max("o_orderkey")).collect()[0][0] // 2
+        write_manifest_table(
+            orders.filter(F.col("o_orderkey") <= half).repartition(4),
+            path, ["o_orderkey"])
+        set_cluster_by(path, ["o_orderkey"])
+        optimize_manifest(spark, path, target_rows=100_000)
+        write_frame(
+            orders.filter(F.col("o_orderkey") > half).repartition(3),
+            path, "append", statCols="o_orderkey")
+        optimize_manifest(spark, path, target_rows=100_000,
+                          incremental=True)
+
+    tmp = scoped_scratch("manifest_incopt_orders", sf_dir, build)
+    df = read_manifest(spark, tmp, filters=[("o_orderkey", "<=", 64)])
+    return (df.filter(F.col("o_orderkey") <= 64)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum(F.col("total_price").cast("decimal(12,2)"))
+                 .cast("double").alias("sum_price")))
+
+
 def manifest_files_metadata(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """FILES METADATA TABLE (round 7 —
@@ -2632,6 +2680,15 @@ ORACLE_SQL: dict[str, str] = {
     "manifest_metadata_count": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM orders WHERE o_orderkey % 13 <> 0
+    """,
+    "manifest_incremental_optimize": """
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders
+        WHERE o_orderkey <= 64
+        GROUP BY 1
     """,
     "manifest_string_bloom_lookup": """
         SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
@@ -3702,6 +3759,7 @@ QUERIES = {
     "manifest_partition_evolution": manifest_partition_evolution,
     "manifest_merge_schema_evolution": manifest_merge_schema_evolution,
     "manifest_metadata_count": manifest_metadata_count,
+    "manifest_incremental_optimize": manifest_incremental_optimize,
     "manifest_files_metadata": manifest_files_metadata,
     "manifest_string_bloom_lookup": manifest_string_bloom_lookup,
     "manifest_dynamic_partition_overwrite": manifest_dynamic_partition_overwrite,

@@ -2206,11 +2206,21 @@ def compact_manifest(spark, path: str, stat_cols: list[str],
     return load_manifest(path)
 
 
+def _cluster_signature(zorder_cols: list[str], bits: int,
+                       bucketing: str) -> str:
+    """The layout identity an entry is stamped with when a z-order
+    rewrite produced it — incremental OPTIMIZE clusters only files
+    whose stamp differs (new appends, or files from an older
+    clustering policy)."""
+    return f"z:{','.join(zorder_cols)}|{bucketing}{bits}"
+
+
 def zorder_manifest(spark, path: str, zorder_cols: list[str],
                     stat_cols: list[str], target_rows: int,
                     bloom_cols: list[str] | None = None,
                     bits: int = 8,
-                    bucketing: str = "linear") -> dict:
+                    bucketing: str = "linear",
+                    entries: list[dict] | None = None) -> dict:
     """OPTIMIZE ZORDER: rewrite the table's live files so rows are
     clustered along a Z-ORDER (Morton) curve over ``zorder_cols`` —
     the multi-column data-skipping layout (Delta's OPTIMIZE ZORDER
@@ -2260,6 +2270,11 @@ def zorder_manifest(spark, path: str, zorder_cols: list[str],
     register(spark)
     m = load_manifest(path)
     live = [f for f in m["files"] if not f.get("dead")]
+    if entries is not None:
+        # incremental clustering (round 8): rewrite ONLY this subset;
+        # everything else keeps its files and its stamp
+        keys = {f["path"] for f in entries}
+        live = [f for f in live if f["path"] in keys]
     if not live:
         return m
     if len(zorder_cols) < 1:
@@ -2335,7 +2350,9 @@ def zorder_manifest(spark, path: str, zorder_cols: list[str],
         replacePaths=json.dumps([f["path"] for f in live]),
         dvState=json.dumps(
             {f["path"]: f.get("dvGen", 0) for f in live}),
-        bloomCols=",".join(bloom_cols) if bloom_cols else None)
+        bloomCols=",".join(bloom_cols) if bloom_cols else None,
+        entryTags=json.dumps({"clusteredBy": _cluster_signature(
+            zorder_cols, bits, bucketing)}))
     return load_manifest(path)
 
 
@@ -2523,7 +2540,8 @@ def _all_partition_specs(manifest: dict) -> list[dict]:
 def optimize_manifest(spark, path: str, target_rows: int,
                       bits: int = 8,
                       bucketing: str = "linear",
-                      partition_where: dict | None = None) -> dict:
+                      partition_where: dict | None = None,
+                      incremental: bool = False) -> dict:
     """ONE-CALL OPTIMIZE, policy from table state: with persisted
     clustering columns (``set_cluster_by``) the table re-lays out
     along the z-order curve over them (``zorder_manifest``), otherwise
@@ -2531,7 +2549,17 @@ def optimize_manifest(spark, path: str, target_rows: int,
     are preserved from what the live entries already track (plus the
     clustering columns), so a maintenance job needs to know NOTHING
     about the table but its path — the operational contract of
-    Delta's ``OPTIMIZE`` against a liquid-clustered vs plain table."""
+    Delta's ``OPTIMIZE`` against a liquid-clustered vs plain table.
+
+    ``incremental=True`` (round 8 — Delta liquid clustering's
+    steady-state behavior): cluster ONLY the live files whose
+    ``clusteredBy`` stamp differs from the current policy signature
+    (new appends since the last OPTIMIZE, or files laid out under an
+    older policy).  Already-clustered files keep their bytes — each
+    maintenance run costs O(new data), never O(table).  The result is
+    per-batch clustering (tight per-file rectangles inside each run's
+    output), not one global curve — the same trade liquid clustering
+    makes; run a non-incremental OPTIMIZE for a global re-layout."""
     m = load_manifest(path)
     live = [f for f in m["files"] if not f.get("dead")]
     stat_cols = sorted({c for f in live for c in (f.get("stats") or {})})
@@ -2544,10 +2572,17 @@ def optimize_manifest(spark, path: str, target_rows: int,
             "clustered layout — run the full zorder, or clear "
             "clusterBy for scoped compaction")
     if cluster:
+        entries = None
+        if incremental:
+            sig = _cluster_signature(cluster, bits, bucketing)
+            entries = [f for f in live
+                       if f.get("clusteredBy") != sig]
+            if not entries:
+                return m  # steady state: everything already clustered
         return zorder_manifest(
             spark, path, cluster,
             sorted(set(stat_cols) | set(cluster)), target_rows,
-            bits=bits, bucketing=bucketing)
+            bits=bits, bucketing=bucketing, entries=entries)
     return compact_manifest(spark, path, stat_cols,
                             small_file_rows=target_rows,
                             partition_where=partition_where)
@@ -3516,6 +3551,18 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._max_rows_file = int(options.get("maxrowsperfile", 0) or 0)
         if self._max_rows_file < 0:
             raise ValueError("maxRowsPerFile must be >= 0")
+        # entryTags (round 8): metadata key/values stamped onto every
+        # file entry this commit adds — layout provenance for
+        # maintenance (e.g. the z-order signature incremental OPTIMIZE
+        # keys on).  Reserved entry fields can never be overridden.
+        etraw = options.get("entrytags")
+        self._entry_tags = json.loads(etraw) if etraw else {}
+        bad_tags = set(self._entry_tags) & {
+            "path", "rows", "stats", "partition", "bloom", "bloomRef",
+            "dv", "dvRef", "dvRows", "dvGen", "dead", "addedAt"}
+        if bad_tags:
+            raise ValueError(
+                f"entryTags may not override entry fields: {bad_tags}")
         # per-commit id: makes every data-file name globally unique, so
         # concurrent writers (and a committed-then-retried version
         # claim) can never collide on a file the other published
@@ -3805,6 +3852,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         for m in sorted(msgs, key=lambda m: m.final_path):
             entry = {"path": m.final_path, "rows": m.rows,
                      "stats": m.stats}
+            if self._entry_tags:
+                entry.update(self._entry_tags)
             if getattr(m, "partition", None):
                 entry["partition"] = m.partition
             bloom = getattr(m, "bloom", None)

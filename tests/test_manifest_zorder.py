@@ -201,3 +201,57 @@ def test_cluster_by_drives_optimize(spark, tmp_path):
     live2 = [f for f in m2["files"] if not f.get("dead")]
     assert len(live2) == 1  # all files packed into one
     assert read_manifest(spark, path).count() == n
+
+
+def test_incremental_optimize_clusters_only_new_files(spark, tmp_path):
+    """Incremental liquid clustering (round 8): z-order rewrites stamp
+    their output with the layout signature; an incremental OPTIMIZE
+    rewrites ONLY unstamped/differently-stamped files (new appends),
+    already-clustered files keep their bytes, and the steady-state run
+    is a version-preserving no-op."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        optimize_manifest,
+        read_manifest,
+        register,
+        set_cluster_by,
+        write_frame,
+    )
+
+    register(spark)
+    path = str(tmp_path / "inc")
+    df = spark.createDataFrame(
+        [(i, i % 97, float(i)) for i in range(5000)],
+        "k long, g long, v double")
+    write_frame(df.filter("k < 3000").repartition(4), path,
+                "overwrite", statCols="k,g")
+    set_cluster_by(path, ["k", "g"])
+    optimize_manifest(spark, path, target_rows=1500)
+    era1 = {f["path"] for f in load_manifest(path)["files"]
+            if not f.get("dead")}
+    assert all(f.get("clusteredBy") == "z:k,g|linear8"
+               for f in load_manifest(path)["files"]
+               if not f.get("dead"))
+    write_frame(df.filter("k >= 3000").repartition(3), path, "append",
+                statCols="k,g")
+    optimize_manifest(spark, path, target_rows=1500, incremental=True)
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    # era-1 clustered files untouched; everything now stamped
+    assert era1 <= {f["path"] for f in live}
+    assert all(f.get("clusteredBy") for f in live)
+    # steady state: no-op, no new version
+    v = m["version"]
+    optimize_manifest(spark, path, target_rows=1500, incremental=True)
+    assert load_manifest(path)["version"] == v
+    # contents unchanged throughout
+    assert read_manifest(spark, path).count() == 5000
+    got = read_manifest(spark, path).agg(
+        {"v": "sum"}).collect()[0][0]
+    assert got == sum(float(i) for i in range(5000))
+    # a POLICY change (different bits) re-clusters everything
+    optimize_manifest(spark, path, target_rows=1500, incremental=True,
+                      bits=6)
+    live2 = [f for f in load_manifest(path)["files"]
+             if not f.get("dead")]
+    assert all(f.get("clusteredBy") == "z:k,g|linear6" for f in live2)
