@@ -4425,8 +4425,6 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
     identical commit semantics (CAS loop, tombstones, txn idempotency,
     conflict guards, dynamic partition overwrite), no Python in the
     data path."""
-    import shutil
-
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
