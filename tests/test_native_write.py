@@ -230,3 +230,32 @@ def test_native_timestamps_written_as_micros(spark, tmp_path):
     assert str(sch.field("ts").type).startswith("timestamp[us"), sch
     got = read_manifest(spark, path).collect()[0]["ts"]
     assert got.microsecond == 123456
+
+
+def test_native_partition_values_round_trip_adversarial(spark, tmp_path):
+    """Hive path escaping round-trip for the characters escapePathName
+    actually escapes ('=', '/', ':', '%', '#', '*', '?', quotes,
+    brackets) plus unicode and whitespace: every distinct string
+    partition value written through the native path must come back
+    byte-identical on the manifest entry AND filter correctly."""
+    register(spark)
+    path = str(tmp_path / "adv")
+    values = ["plain", "a=b", "a/b", "a:b", "100%", "q?x", "s t",
+              "dash-dot.", "héllo", "日本語", "x#y", "br[ack]et",
+              "st*ar", 'qu"ote', "ap'os", "{curly}", "c^aret",
+              "back\\slash"]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, p string")
+    write_frame(df, path, "overwrite", statCols="id",
+                partitionCols="p")
+    combos = {f["partition"]["p"]
+              for f in load_manifest(path)["files"]
+              if not f.get("dead")}
+    assert combos == set(values)
+    out = read_manifest(spark, path)
+    got = {(r["id"], r["p"]) for r in out.collect()}
+    assert got == {(i, v) for i, v in enumerate(values)}
+    # partition-value pruning on an escaped value
+    one = read_manifest(spark, path, filters=[("p", "=", "a=b")])
+    assert len(one.inputFiles()) == 1
+    assert one.filter(F.col("p") == "a=b").count() == 1
