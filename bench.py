@@ -74,6 +74,13 @@ SECONDARY = [
     "manifest_merge_tri_clause",
     "manifest_dynamic_partition_overwrite",
     "manifest_hidden_partition_scan",
+    # round-8 additions: spec evolution, schema-evolving merge,
+    # metadata-only count, incremental clustering (pass-1 raws carry
+    # their one-time scratch builds — i.e. the WRITE legs)
+    "manifest_partition_evolution",
+    "manifest_merge_schema_evolution",
+    "manifest_metadata_count",
+    "manifest_incremental_optimize",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

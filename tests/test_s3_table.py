@@ -146,3 +146,33 @@ def test_python_arrow_writer_refuses_bucket_tables(spark, fake_s3):
         (spark.range(3).selectExpr("id as k")
          .write.format("graft_manifest").mode("append")
          .option("path", _table()).option("statCols", "k").save())
+
+
+def test_streaming_tail_from_bucket_table(spark, fake_s3):
+    """The manifest tail STREAM reads an object-store table: offsets
+    resolve from bucket metadata, partitions read data via the Arrow
+    S3 filesystem in the stream runner, and a second commit arrives
+    on the same checkpoint exactly once."""
+    path = _table()
+    ms.register(spark)
+    _commit_rows(spark, path, [1, 2, 3], overwrite=True)
+    rows: list[int] = []
+
+    def drain(ckpt: str) -> None:
+        q = (spark.readStream.format("graft_manifest")
+             .option("path", path).load()
+             .writeStream.foreachBatch(
+                 lambda df, _: rows.extend(
+                     r["k"] for r in df.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="s3tailck")
+    drain(ckpt)
+    assert sorted(rows) == [1, 2, 3]
+    _commit_rows(spark, path, [10, 11])
+    drain(ckpt)
+    assert sorted(rows) == [1, 2, 3, 10, 11]
