@@ -1609,15 +1609,28 @@ def manifest_files(spark, path: str, version: int | None = None):
                                    StructType)
 
     m = load_manifest(path, version)
-    rows = []
-    for f in m["files"]:
-        if f.get("dead"):
-            continue
-        dv_rows = int(f.get("dvRows", 0))
+    live = [f for f in m["files"] if not f.get("dead")]
+
+    def _size(f: dict):
         try:
-            size = os.path.getsize(f["path"])
+            return _tfs.getsize(f["path"])
         except OSError:
-            size = None
+            return None
+
+    # stat() is IO, not CPU: thread the per-file size lookups (the
+    # same discipline as the native writer's footer harvest) so a
+    # 100k-entry audit is bounded by parallel round-trips, not a
+    # serial driver loop (r7 verdict nit)
+    if len(live) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(live))) as ex:
+            sizes = list(ex.map(_size, live))
+    else:
+        sizes = [_size(f) for f in live]
+    rows = []
+    for f, size in zip(live, sizes):
+        dv_rows = int(f.get("dvRows", 0))
         rows.append((os.path.basename(f["path"]), int(f["rows"]),
                      dv_rows, int(f["rows"]) - dv_rows, size,
                      int(f.get("addedAt", 0)),
