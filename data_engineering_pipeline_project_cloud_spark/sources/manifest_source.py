@@ -3069,21 +3069,25 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
     import shutil
     import time as _time
 
-    src_abs = os.path.abspath(src)
+    src_abs = _canon(src)
     v = version if version is not None else _latest_version(src_abs)
     if v is None:
         state = load_manifest(src_abs)  # legacy manifest.json table
     else:
         state = _load_state(src_abs, v)
-    if _list_versions(dst) or os.path.exists(
+    if _list_versions(dst) or _tfs.exists(
             os.path.join(dst, MANIFEST_NAME)):
         raise ValueError(f"clone destination {dst} is already a "
                          "manifest table")
-    os.makedirs(dst, exist_ok=True)
+    _tfs.makedirs(dst)
     live = [f for f in state["files"] if not f.get("dead")]
     for sc in sorted(_entry_sidecars(live)):
-        shutil.copyfile(os.path.join(src_abs, sc),
-                        os.path.join(dst, sc))
+        if _tfs.is_remote(src_abs) or _tfs.is_remote(dst):
+            _tfs.write_text(os.path.join(dst, sc),
+                            _tfs.read_text(os.path.join(src_abs, sc)))
+        else:
+            shutil.copyfile(os.path.join(src_abs, sc),
+                            os.path.join(dst, sc))
     # Rename history carries over with its epochs REBASED onto a
     # negative axis (commit order preserved): the clone's own version
     # numbering restarts at 0, so keeping source version numbers would
@@ -3109,12 +3113,15 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         else:
             e.pop("addedAt", None)
         if copy_data:
-            target = os.path.join(os.path.abspath(dst),
+            target = os.path.join(_canon(dst),
                                   os.path.basename(e["path"]))
-            try:
-                os.link(e["path"], target)
-            except OSError:
-                shutil.copyfile(e["path"], target)
+            if _tfs.is_remote(e["path"]) or _tfs.is_remote(target):
+                _tfs.write_bytes(target, _tfs.read_bytes(e["path"]))
+            else:
+                try:
+                    os.link(e["path"], target)
+                except OSError:
+                    shutil.copyfile(e["path"], target)
             e = dict(e, path=target)
         add.append(e)
     delta = {
@@ -3306,10 +3313,11 @@ def fsck_manifest(path: str) -> dict:
     for f in m["files"]:
         if f.get("dead"):
             continue
-        if not os.path.exists(f["path"]):
+        if not _tfs.exists(f["path"]):
             missing.append(f["path"])
             continue
-        n = pq.ParquetFile(f["path"]).metadata.num_rows
+        n = pq.ParquetFile(
+            _tfs.open_parquet_input(f["path"])).metadata.num_rows
         if n != f["rows"]:
             mismatches.append((f["path"], f["rows"], n))
         if f.get("dv"):
@@ -3333,7 +3341,7 @@ def fsck_manifest(path: str) -> dict:
         except ValueError as exc:
             missing.append(str(exc))
     orphans = [os.path.join(path, name)
-               for name in sorted(os.listdir(path))
+               for name in sorted(_tfs.listdir(path))
                if name.endswith(".parquet")
                and not _C_RE.fullmatch(name)
                and os.path.join(path, name) not in referenced]

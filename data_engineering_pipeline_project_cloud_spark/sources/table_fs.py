@@ -174,6 +174,15 @@ def read_text(path: str) -> str:
     return read_bytes(path).decode()
 
 
+def write_bytes(path: str, data: bytes) -> None:
+    if not is_remote(path):
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return
+    with _s3fs().open_output_stream(_key(path)) as fh:
+        fh.write(data)
+
+
 def write_text(path: str, data: str) -> None:
     """Direct (non-atomic) write — callers that need atomicity write a
     tmp name and ``replace``, or go through ``put_if_absent``."""

@@ -176,3 +176,40 @@ def test_streaming_tail_from_bucket_table(spark, fake_s3):
     _commit_rows(spark, path, [10, 11])
     drain(ckpt)
     assert sorted(rows) == [1, 2, 3, 10, 11]
+
+
+def test_fsck_and_shallow_clone_on_bucket_tables(spark, fake_s3):
+    """fsck audits a bucket table (footer row counts from the bucket,
+    orphan listing); a shallow clone of it into ANOTHER bucket prefix
+    references the source files zero-copy, reads independently, and a
+    deep clone copies the bytes."""
+    path = _table()
+    ms.register(spark)
+    _commit_rows(spark, path, [1, 2, 3], overwrite=True)
+    _commit_rows(spark, path, [10, 11])
+    rep = ms.fsck_manifest(path)
+    assert rep["ok"], rep
+    # orphan detection: drop an unreferenced object into the prefix
+    tfs.write_parquet(__import__("pyarrow").table({"k": [0]}),
+                      f"{path}/part-v9999-orphan-00000.parquet")
+    rep = ms.fsck_manifest(path)
+    assert not rep["ok"] and len(rep["orphan_files"]) == 1
+    tfs.remove(f"{path}/part-v9999-orphan-00000.parquet")
+    # shallow clone into a fresh prefix
+    dst = _table()
+    ms.clone_manifest(path, dst)
+    got = (spark.read.format("graft_manifest").option("path", dst)
+           .load())
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3, 10, 11]
+    prefix = dst.split("://", 1)[1]
+    assert not any(k.startswith(prefix) and k.endswith(".parquet")
+                   for k in fake_s3.objects), "shallow = zero copy"
+    # deep clone copies bytes into its own prefix
+    deep = _table()
+    ms.clone_manifest(path, deep, copy_data=True)
+    dprefix = deep.split("://", 1)[1]
+    assert sum(k.startswith(dprefix) and k.endswith(".parquet")
+               for k in fake_s3.objects) == 2
+    got2 = (spark.read.format("graft_manifest").option("path", deep)
+            .load())
+    assert sorted(r["k"] for r in got2.collect()) == [1, 2, 3, 10, 11]
