@@ -223,6 +223,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_merge_schema_evolution": 8,
     "manifest_metadata_count": 8,
     "manifest_incremental_optimize": 8,
+    "manifest_update_where": 8,
 }
 
 

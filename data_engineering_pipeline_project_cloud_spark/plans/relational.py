@@ -2193,6 +2193,56 @@ def manifest_merge_schema_evolution(spark: SparkSession,
                     F.coalesce(F.col("note"), F.lit("-")).alias("note")))
 
 
+UPDATE_CUT_YEAR = 1997  # manifest_update_where: audit scope upper bound
+
+
+def manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write ``UPDATE ... SET ... WHERE`` (round 8 —
+    sources/manifest_source.py:update_manifest, the Delta UPDATE
+    statement): finished orders up to UPDATE_CUT_YEAR take a 10%
+    markdown and an ``audited`` status in ONE atomic commit that
+    rewrites ONLY the files containing matches (two-phase: a
+    stats-pruned FIND scan tags matched rows with their source file
+    via ``_metadata``, then the affected files rewrite masked).  The
+    face returns the post-update rows; the oracle recomputes the
+    update relationally with CASE WHEN, so the driver hash proves
+    matched rows changed, unmatched rows survived byte-identical, and
+    no row was lost or duplicated by the rewrite."""
+    import os as _os
+
+    from ..sources.manifest_source import (
+        register,
+        update_manifest,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        path = _os.path.join(root, "table")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        write_manifest_table(
+            orders.repartitionByRange(5, "order_year"), path,
+            ["o_orderkey", "order_year"])
+        update_manifest(
+            spark, path,
+            {"total_price": "total_price * 0.9",
+             "status": "'audited'"},
+            f"status = 'F' AND order_year <= {UPDATE_CUT_YEAR}",
+            filters=[("order_year", "<=", UPDATE_CUT_YEAR)])
+
+    root = scoped_scratch("manifest_update_orders", sf_dir, build)
+    return (read_manifest(spark, _os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price",
+                    "order_year"))
+
+
 def manifest_metadata_count(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """METADATA-ONLY COUNT (round 8 —
@@ -2676,6 +2726,19 @@ ORACLE_SQL: dict[str, str] = {
                     AS DOUBLE) AS total_price,
                COALESCE(u.note, '-') AS note
         FROM orders o LEFT JOIN ups u USING (o_orderkey)
+    """,
+    "manifest_update_where": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CASE WHEN o_orderstatus = 'F'
+                         AND year(o_orderdate) <= 1997
+                    THEN 'audited' ELSE o_orderstatus END AS status,
+               CASE WHEN o_orderstatus = 'F'
+                         AND year(o_orderdate) <= 1997
+                    THEN CAST(o_totalprice AS DOUBLE) * 0.9
+                    ELSE CAST(o_totalprice AS DOUBLE) END
+                   AS total_price,
+               CAST(year(o_orderdate) AS INT) AS order_year
+        FROM orders
     """,
     "manifest_metadata_count": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
@@ -3758,6 +3821,7 @@ QUERIES = {
     "manifest_hidden_partition_scan": manifest_hidden_partition_scan,
     "manifest_partition_evolution": manifest_partition_evolution,
     "manifest_merge_schema_evolution": manifest_merge_schema_evolution,
+    "manifest_update_where": manifest_update_where,
     "manifest_metadata_count": manifest_metadata_count,
     "manifest_incremental_optimize": manifest_incremental_optimize,
     "manifest_files_metadata": manifest_files_metadata,

@@ -25,6 +25,7 @@ __all__ = [
     "read_manifest",
     "set_cluster_by",
     "set_table_properties",
+    "update_manifest",
     "vacuum_manifest",
     "write_frame",
     "write_jdbc",
@@ -53,5 +54,6 @@ manifest_files = _lazy("manifest_files")
 optimize_manifest = _lazy("optimize_manifest")
 set_cluster_by = _lazy("set_cluster_by")
 set_table_properties = _lazy("set_table_properties")
+update_manifest = _lazy("update_manifest")
 vacuum_manifest = _lazy("vacuum_manifest")
 write_frame = _lazy("write_frame")

@@ -1429,7 +1429,8 @@ def _conflicting_added_files(path: str, prev: dict,
     return out
 
 
-def _masked_spark_read(spark, st: StructType, entries: list[dict]):
+def _masked_spark_read(spark, st: StructType, entries: list[dict],
+                       tag_col: str | None = None):
     """Read manifest file entries with the JVM parquet reader, applying
     any deletion vectors and per-file RENAME mappings.  This is the
     read every copy-on-write rewrite (MERGE/DELETE/OPTIMIZE) must use:
@@ -1439,7 +1440,13 @@ def _masked_spark_read(spark, st: StructType, entries: list[dict]):
     matches by name).  Entries are grouped by their physical→logical
     map (``_rename`` annotation from ``load_manifest``); each group is
     read under its PHYSICAL schema then aliased back — one extra scan
-    node per rename epoch present, zero off the feature."""
+    node per rename epoch present, zero off the feature.
+
+    ``tag_col``: when set, an extra string column of that name carries
+    each row's source-file BASENAME (from the hidden ``_metadata``
+    struct, so it is free at scan time).  UPDATE planning uses it to
+    find which files contain predicate matches in one distributed
+    pass."""
     groups: dict[tuple, list[dict]] = {}
     for f in entries:
         key = tuple(sorted((f.get("_rename") or {}).items()))
@@ -1447,7 +1454,7 @@ def _masked_spark_read(spark, st: StructType, entries: list[dict]):
     if len(groups) == 1:
         key, grp = next(iter(groups.items()))
         if not key:
-            return _masked_spark_read_one(spark, st, grp)
+            return _masked_spark_read_one(spark, st, grp, tag_col)
     from pyspark.sql import functions as F
 
     parts = []
@@ -1465,13 +1472,14 @@ def _masked_spark_read(spark, st: StructType, entries: list[dict]):
             StructField(inv.get(f.name, f.name), f.dataType,
                         f.nullable, f.metadata) for f in st.fields
             if f.name not in nulled])
-        base = _masked_spark_read_one(spark, phys, grp)
+        base = _masked_spark_read_one(spark, phys, grp, tag_col)
         if rmap:
-            base = base.select(*[
+            base = base.select(*([
                 F.lit(None).cast(f.dataType).alias(f.name)
                 if f.name in nulled
                 else F.col(inv.get(f.name, f.name)).alias(f.name)
-                for f in st.fields])
+                for f in st.fields]
+                + ([F.col(tag_col)] if tag_col else [])))
         parts.append(base)
     out = parts[0]
     for p in parts[1:]:
@@ -1479,7 +1487,8 @@ def _masked_spark_read(spark, st: StructType, entries: list[dict]):
     return out
 
 
-def _masked_spark_read_one(spark, st: StructType, entries: list[dict]):
+def _masked_spark_read_one(spark, st: StructType, entries: list[dict],
+                           tag_col: str | None = None):
     """One rename-homogeneous group of entries: JVM parquet read with
     DV positions excluded via an anti-join of the hidden ``_metadata``
     (file basename, row_index) against the decoded position set —
@@ -1490,21 +1499,29 @@ def _masked_spark_read_one(spark, st: StructType, entries: list[dict]):
     import numpy as np
     from pyspark.sql import functions as F
 
+    def basename_col():
+        return F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1)
+
     paths = [_tfs.spark_path(f["path"]) for f in entries]
     base = spark.read.schema(st).parquet(*paths)
     dead = [(os.path.basename(f["path"]), int(i))
             for f in entries if f.get("dv")
             for i in np.flatnonzero(_dv_decode(f["dv"], f["rows"]))]
     if not dead:
+        if tag_col:
+            base = base.withColumn(tag_col, basename_col())
         return base
     excl = spark.createDataFrame(dead, "__file string, __pos long")
-    tagged = base.withColumn(
-        "__file", F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1)
-    ).withColumn("__pos", F.col("_metadata.row_index"))
+    tagged = base.withColumn("__file", basename_col()).withColumn(
+        "__pos", F.col("_metadata.row_index"))
+    keep = [f.name for f in st.fields]
+    if tag_col:
+        tagged = tagged.withColumn(tag_col, F.col("__file"))
+        keep = keep + [tag_col]
     return (tagged.join(F.broadcast(excl), ["__file", "__pos"],
                         "left_anti")
-            .select(*[f.name for f in st.fields]))
+            .select(*keep))
 
 
 def _table_schema(manifest: dict) -> StructType:
@@ -1906,6 +1923,100 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
         conflictKeys=conflict,
         txnAppId=txn[0] if txn else None,
         txnVersion=str(txn[1]) if txn else None)
+    return load_manifest(path)
+
+
+def update_manifest(spark, path: str, set_exprs: dict[str, str],
+                    where: str, stat_cols: list[str] | None = None,
+                    filters: list[tuple] | None = None) -> dict:
+    """Copy-on-write ``UPDATE <table> SET ... WHERE ...`` (the Delta
+    UPDATE statement): rewrite ONLY the files that contain at least
+    one row satisfying ``where``, replacing matched rows with the
+    ``set_exprs`` assignments and carrying unmatched rows through
+    unchanged — one atomic tombstone-plus-append commit
+    (``replacePaths`` + ``dvState``, same protocol as MERGE), so
+    readers see pre-update or post-update, never a mix, and a
+    concurrent rewrite or DV delete on an affected file fails this
+    commit instead of resurrecting rows.
+
+    ``set_exprs`` maps existing column names to SQL expressions
+    evaluated against the ORIGINAL row (standard UPDATE semantics:
+    ``{"a": "b", "b": "a"}`` swaps).  ``where`` is a SQL boolean; a
+    NULL predicate leaves the row unchanged (three-valued logic, same
+    as ANSI UPDATE).
+
+    Planning is two-phase, exactly Delta's shape:
+
+    1. FIND: one distributed scan of the candidate files evaluating
+       ``where`` and aggregating the DISTINCT source files of matched
+       rows (the hidden ``_metadata`` file tag — Catalyst prunes the
+       scan to the predicate's columns).  ``filters`` — the
+       ``read_manifest`` mini-language — prunes candidates to
+       stats-surviving files FIRST, so a selective update scans the
+       slice, not the table.  The collect is bounded by the number of
+       affected files, never rows.
+    2. REWRITE: the affected files are re-read masked (deletion
+       vectors honored, rename epochs mapped) and rewritten with the
+       assignments applied under ``where``.
+
+    Concurrency: file-granular (Delta UPDATE semantics) — a racing
+    append of rows matching ``where`` after this snapshot is not
+    updated (WriteSerializable residual, as Delta documents); racing
+    rewrites of the same files conflict at commit.
+
+    100 TB shape: cost is O(candidate-file scan) + O(affected-file
+    rewrite); an update guarded by partition/stats filters touches the
+    slice only, and the rewrite repartitions to the affected file
+    count so file sizes are preserved."""
+    register(spark)
+    m = load_manifest(path)
+    st = _table_schema(m)
+    names = {f.name for f in st.fields}
+    unknown = sorted(set(set_exprs) - names)
+    if unknown:
+        raise ValueError(f"UPDATE of unknown column(s): {unknown}")
+    if not set_exprs:
+        raise ValueError("UPDATE requires at least one assignment")
+    from pyspark.sql import functions as F
+
+    live = [f for f in m["files"] if not f.get("dead")]
+    if filters:
+        dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
+        psf = dsf + _derived_partition_filters(
+            dsf, _all_partition_specs(m))
+        live = [f for f in live
+                if _partition_survives(f.get("partition"), psf)
+                and _file_survives(f.get("stats") or {}, dsf,
+                                   f.get("bloom"))]
+    if not live:
+        return m
+    tag = "__graft_update_file"
+    if tag in names:
+        raise ValueError(f"column name {tag!r} is reserved")
+    cand = _masked_spark_read(spark, st, live, tag_col=tag)
+    hit = {r[0] for r in cand.filter(F.expr(where))
+           .select(tag).distinct().collect()}
+    affected = [f for f in live
+                if os.path.basename(f["path"]) in hit]
+    if not affected:
+        return m  # no row matches: the table is untouched
+    if stat_cols is None:
+        stat_cols = sorted({k for f in live
+                            for k in (f.get("stats") or {})})
+    cond = F.expr(where)
+    base = _masked_spark_read(spark, st, affected)
+    out = base.select(*[
+        (F.when(cond, F.expr(set_exprs[f.name]).cast(f.dataType))
+         .otherwise(F.col(f.name)).alias(f.name))
+        if f.name in set_exprs else F.col(f.name)
+        for f in st.fields])
+    paths = [f["path"] for f in affected]
+    write_frame(
+        out.repartition(max(1, len(paths))), path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in affected}))
     return load_manifest(path)
 
 

@@ -1,0 +1,121 @@
+"""Copy-on-write UPDATE ... SET ... WHERE
+(sources/manifest_source.py:update_manifest): matched rows take the
+assignments, unmatched rows survive byte-identical, only files
+containing matches are rewritten, deletion vectors and rename epochs
+are honored, and a no-match update commits nothing.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    delete_vectors_from_manifest,
+    load_manifest,
+    read_manifest,
+    register,
+    rename_column_in_manifest,
+    update_manifest,
+    write_manifest_table,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+        F.concat(F.lit("row"), F.col("id")).alias("name"))
+    write_manifest_table(df.repartitionByRange(5, "k"), path,
+                         ["k", "grp"])
+    return path
+
+
+def test_update_applies_assignments_under_where(spark, table):
+    update_manifest(spark, table,
+                    {"val": "val * 2", "name": "upper(name)"},
+                    "grp = 7")
+    rows = {r["k"]: (r["val"], r["name"])
+            for r in read_manifest(spark, table).collect()}
+    assert rows[7] == (7 * 1.5 * 2, "ROW7")
+    assert rows[17] == (17 * 1.5 * 2, "ROW17")
+    # unmatched rows byte-identical
+    assert rows[8] == (8 * 1.5, "row8")
+    assert len(rows) == 100
+
+
+def test_update_rewrites_only_matching_files(spark, table):
+    m0 = load_manifest(table)
+    files0 = {f["path"] for f in m0["files"] if not f.get("dead")}
+    # k = 50 lives in exactly one range-partitioned file
+    update_manifest(spark, table, {"name": "'hit'"}, "k = 50")
+    m1 = load_manifest(table)
+    live1 = {f["path"] for f in m1["files"] if not f.get("dead")}
+    untouched = files0 & live1
+    assert len(files0 - live1) == 1, "exactly one file rewritten"
+    assert len(untouched) == len(files0) - 1
+    # untouched entries are the SAME files (no data movement)
+    for f in m1["files"]:
+        if f["path"] in untouched:
+            assert os.path.exists(f["path"])
+
+
+def test_update_assignments_read_original_row(spark, table):
+    # {"k": "grp", "grp": "k"} must SWAP, not chain
+    update_manifest(spark, table, {"k": "grp", "grp": "k"}, "k = 42")
+    r = read_manifest(spark, table).filter(F.col("grp") == 42).collect()
+    assert len(r) == 1
+    assert r[0]["k"] == 2
+
+
+def test_no_match_update_commits_nothing(spark, table):
+    v0 = load_manifest(table)["version"]
+    update_manifest(spark, table, {"val": "0.0"}, "grp = 999")
+    assert load_manifest(table)["version"] == v0
+
+
+def test_update_honors_deletion_vectors_and_renames(spark, table):
+    delete_vectors_from_manifest(
+        spark.createDataFrame([(3,), (97,)], "k long"),
+        table, ["k"], ["k", "grp"])
+    rename_column_in_manifest(table, "val", "value")
+    update_manifest(spark, table, {"value": "value + 100"}, "grp = 3")
+    rows = {r["k"]: r["value"]
+            for r in read_manifest(spark, table).collect()}
+    # the DV-deleted row (k=3, grp=3) must NOT be resurrected by the
+    # rewrite of its file
+    assert 3 not in rows and 97 not in rows
+    assert rows[13] == 13 * 1.5 + 100
+    assert rows[14] == 14 * 1.5
+    assert len(rows) == 98
+
+
+def test_update_filters_prune_candidate_scan(spark, table):
+    # stats filters restrict the FIND scan; result is still exact
+    update_manifest(spark, table, {"name": "'pruned'"}, "k = 60",
+                    filters=[("k", ">=", 60), ("k", "<=", 60)])
+    r = read_manifest(spark, table).filter(F.col("k") == 60).collect()
+    assert r[0]["name"] == "pruned"
+
+
+def test_update_null_where_leaves_row(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, None), (2, 5)], "k long, flag int")
+    write_manifest_table(df, path, ["k"])
+    # three-valued logic: NULL predicate does not fire the assignment
+    update_manifest(spark, path, {"k": "k + 100"}, "flag > 1")
+    assert {r["k"] for r in read_manifest(spark, path).collect()} \
+        == {1, 102}
+
+
+def test_update_unknown_column_refused(spark, table):
+    with pytest.raises(ValueError, match="unknown column"):
+        update_manifest(spark, table, {"nope": "1"}, "true")
