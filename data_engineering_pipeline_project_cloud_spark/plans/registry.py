@@ -224,6 +224,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_metadata_count": 8,
     "manifest_incremental_optimize": 8,
     "manifest_update_where": 8,
+    "manifest_copy_into": 8,
 }
 
 

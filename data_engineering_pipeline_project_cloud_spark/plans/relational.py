@@ -2243,6 +2243,61 @@ def manifest_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "order_year"))
 
 
+def manifest_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO — idempotent file ingestion (round 8 —
+    sources/manifest_source.py:copy_into, Delta's ``COPY INTO``): a
+    landing directory of raw parquet drops is loaded with
+    ``copy_into`` THREE times — first run loads two files, an
+    immediate re-run (the scheduler-retry case) skips both, then a
+    late-arriving file lands and the third run loads ONLY it.  The
+    face returns the final table; the oracle is the plain orders
+    projection, so the driver hash proves every source row landed
+    EXACTLY ONCE across the re-runs — the registry skipped loaded
+    files instead of duplicating them, and missed none."""
+    import os as _os
+
+    from ..sources.manifest_source import copy_into, register
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        landing = _os.path.join(root, "landing")
+        table = _os.path.join(root, "table")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"),
+            F.year("o_orderdate").cast("int").alias("order_year"))
+        for name, cond in [
+                ("early.parquet", F.col("order_year") <= 1996),
+                ("mid.parquet", F.col("order_year").between(1997, 1998))]:
+            (orders.filter(cond).coalesce(1).write.mode("overwrite")
+             .parquet(_os.path.join(landing, "_t")))
+            import glob as _glob
+
+            part = _glob.glob(
+                _os.path.join(landing, "_t", "*.parquet"))[0]
+            _os.replace(part, _os.path.join(landing, name))
+        r1 = copy_into(spark, table, landing,
+                       stat_cols=["o_orderkey", "order_year"])
+        r2 = copy_into(spark, table, landing)  # retry: must no-op
+        assert r1["loadedFiles"] == 2 and r2["loadedFiles"] == 0
+        (orders.filter(F.col("order_year") >= 1999).coalesce(1)
+         .write.mode("overwrite").parquet(_os.path.join(landing, "_t")))
+        import glob as _glob
+        part = _glob.glob(_os.path.join(landing, "_t", "*.parquet"))[0]
+        _os.replace(part, _os.path.join(landing, "late.parquet"))
+        r3 = copy_into(spark, table, landing)  # only the late file
+        assert r3["loadedFiles"] == 1 and r3["skippedFiles"] == 2
+
+    root = scoped_scratch("manifest_copy_landing", sf_dir, build)
+    return (read_manifest(spark, _os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price",
+                    "order_year"))
+
+
 def manifest_metadata_count(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """METADATA-ONLY COUNT (round 8 —
@@ -2737,6 +2792,13 @@ ORACLE_SQL: dict[str, str] = {
                     THEN CAST(o_totalprice AS DOUBLE) * 0.9
                     ELSE CAST(o_totalprice AS DOUBLE) END
                    AS total_price,
+               CAST(year(o_orderdate) AS INT) AS order_year
+        FROM orders
+    """,
+    "manifest_copy_into": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
                CAST(year(o_orderdate) AS INT) AS order_year
         FROM orders
     """,
@@ -3822,6 +3884,7 @@ QUERIES = {
     "manifest_partition_evolution": manifest_partition_evolution,
     "manifest_merge_schema_evolution": manifest_merge_schema_evolution,
     "manifest_update_where": manifest_update_where,
+    "manifest_copy_into": manifest_copy_into,
     "manifest_metadata_count": manifest_metadata_count,
     "manifest_incremental_optimize": manifest_incremental_optimize,
     "manifest_files_metadata": manifest_files_metadata,

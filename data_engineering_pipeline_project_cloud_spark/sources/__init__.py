@@ -13,6 +13,7 @@ from .catalog import (
 __all__ = [
     "TABLES",
     "assert_unique_key",
+    "copy_into",
     "describe_manifest",
     "evolve_partition_spec",
     "load_table",
@@ -48,6 +49,7 @@ def _lazy(name: str):
 
 
 read_manifest = _lazy("read_manifest")
+copy_into = _lazy("copy_into")
 describe_manifest = _lazy("describe_manifest")
 evolve_partition_spec = _lazy("evolve_partition_spec")
 manifest_files = _lazy("manifest_files")

@@ -414,6 +414,13 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             return []
         return base.get(key, [])
 
+    # COPY INTO loaded-file registry: append-only across commits (an
+    # overwrite resets it with the table); each delta carries only ITS
+    # newly-loaded identities, the registry folds here — the same
+    # log-structured contract as the file list
+    prior_ci = ([] if (delta.get("truncate") or base is None)
+                else base.get("copyInto", []))
+    new_ci = delta.get("copyFiles") or []
     return {"schema": delta["schema"], "version": delta["version"],
             "files": files, "txn": delta.get("txn", {}),
             "committedAt": delta.get("committedAt"),
@@ -423,6 +430,8 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             "partitionGen": carried("partitionGen"),
             "partitionSpecs": carried("partitionSpecs"),
             "clusterBy": carried("clusterBy"),
+            "copyInto": (prior_ci + list(new_ci) if new_ci
+                         else prior_ci),
             "properties": (delta["properties"] if "properties" in delta
                            else {} if (delta.get("truncate")
                                        or base is None)
@@ -442,7 +451,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
              "renames", "constraints", "partitionGen", "partitionSpecs",
-             "clusterBy", "properties")}
+             "clusterBy", "copyInto", "properties")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -484,7 +493,7 @@ def _read_checkpoint(path: str, full: str) -> dict:
     head.setdefault("txn", {})
     head.setdefault("droppedCols", {})
     for key in ("renames", "constraints", "partitionGen",
-                "partitionSpecs", "clusterBy"):
+                "partitionSpecs", "clusterBy", "copyInto"):
         if head.get(key) is None:
             head[key] = []
     if head.get("properties") is None:
@@ -524,6 +533,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("partitionGen", [])
             state.setdefault("partitionSpecs", [])
             state.setdefault("clusterBy", [])
+            state.setdefault("copyInto", [])
             state.setdefault("properties", {})
             break
         if v in ckpts:
@@ -548,6 +558,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("partitionGen", [])
                 mj.setdefault("partitionSpecs", [])
                 mj.setdefault("clusterBy", [])
+                mj.setdefault("copyInto", [])
                 mj.setdefault("properties", {})
                 state = mj
                 break
@@ -817,6 +828,7 @@ def load_manifest(path: str, version: int | None = None) -> dict:
                 "partitionSpecs": [list(s) for s in
                                    (st.get("partitionSpecs") or [])],
                 "clusterBy": list(st.get("clusterBy") or []),
+                "copyInto": list(st.get("copyInto") or []),
                 "properties": dict(st.get("properties") or {})}
     files = []
     for f in st["files"]:
@@ -849,6 +861,7 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "partitionSpecs": [list(s) for s in
                                (st.get("partitionSpecs") or [])],
             "clusterBy": list(st.get("clusterBy") or []),
+            "copyInto": list(st.get("copyInto") or []),
             "properties": dict(st.get("properties") or {})}
 
 
@@ -2018,6 +2031,101 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
         dvState=json.dumps(
             {f["path"]: f.get("dvGen", 0) for f in affected}))
     return load_manifest(path)
+
+
+def copy_into(spark, path: str, source, source_format: str = "parquet",
+              stat_cols: list[str] | None = None,
+              reader_options: dict | None = None,
+              force: bool = False) -> dict:
+    """Idempotent file ingestion (Delta's ``COPY INTO``): load the
+    ``source`` files into the manifest table at ``path``, skipping
+    every file a previous ``copy_into`` already loaded — re-running
+    the same command after a partial failure, a scheduler retry, or a
+    cron double-fire ingests each source file EXACTLY ONCE.
+
+    The loaded-file registry (canonical source paths) lives in table
+    state (``copyInto``), appended in the SAME atomic commit as the
+    data (``copyFiles`` writer option), carried through checkpoints,
+    and reset by a full overwrite — so the exactly-once guarantee is
+    crash-consistent by construction: a crash before the commit leaves
+    the files unregistered AND their rows invisible; after it, both.
+    Two concurrent copies of the same file race at the CAS claim — the
+    loser fails with a conflict and its re-run skips the file.
+
+    ``source``: a directory, a glob, or an explicit list of files.
+    ``source_format``: any ``spark.read`` format (parquet/csv/json/
+    orc); ``reader_options`` pass through (e.g. ``{"header": "true"}``
+    for CSV).  If the table exists, rows conform to its schema (cast +
+    column order, the append contract); a CSV/JSON source into an
+    existing table also reads UNDER that schema, so types never
+    re-infer per batch.  ``force=True`` re-loads files even if
+    registered (Delta's ``FORCE = true`` — duplicates become the
+    caller's responsibility); newly-seen files still register.
+
+    100 TB shape: listing is driver metadata; data moves through the
+    JVM-native write path (``write_frame``); each incremental run
+    costs O(new files), never O(table).  Returns ``{"loadedFiles",
+    "skippedFiles", "version"}``."""
+    import glob as _glob
+
+    register(spark)
+    if isinstance(source, (list, tuple)):
+        cands = [os.path.abspath(p) for p in source]
+    elif os.path.isdir(source):
+        cands = sorted(
+            os.path.join(r, n)
+            for r, _dirs, names in os.walk(source) for n in names
+            if not n.startswith((".", "_")))
+        cands = [os.path.abspath(p) for p in cands]
+    else:
+        cands = sorted(os.path.abspath(p)
+                       for p in _glob.glob(source, recursive=True))
+    if not cands:
+        raise ValueError(f"COPY INTO source matched no files: {source!r}")
+    st = None
+    version = None
+    reg: set[str] = set()
+    try:
+        m = load_manifest(path)
+    except (FileNotFoundError, ValueError, OSError):
+        m = None  # first copy CREATES the table
+    if m is not None:
+        st = _table_schema(m)
+        version = m.get("version")
+        reg = set(m.get("copyInto") or [])
+    todo = [p for p in cands if force or p not in reg]
+    if not todo:
+        return {"loadedFiles": 0, "skippedFiles": len(cands),
+                "version": version}
+    reader = spark.read.format(source_format)
+    if reader_options:
+        reader = reader.options(**reader_options)
+    if st is not None and source_format in ("csv", "json"):
+        # text formats re-infer types per batch; pin the table schema
+        reader = reader.schema(st)
+    df = reader.load(todo)
+    if st is not None:
+        from pyspark.sql import functions as F
+
+        have = {f.name for f in df.schema.fields}
+        missing = [f.name for f in st.fields if f.name not in have]
+        if missing:
+            raise ValueError(
+                f"COPY INTO source lacks table column(s): {missing}")
+        df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
+                         for f in st.fields])
+    if stat_cols is None:
+        stat_cols = (sorted({k for f in m["files"]
+                             for k in (f.get("stats") or {})})
+                     if m is not None else [])
+    new_ids = [p for p in todo if p not in reg]
+    write_frame(
+        df, path, "append", statCols=",".join(stat_cols),
+        copyFiles=json.dumps(new_ids) if new_ids else None)
+    out = load_manifest(path)
+    return {"loadedFiles": len(todo),
+            "skippedFiles": len(cands) - len(todo),
+            "version": out.get("version")}
 
 
 def overwrite_where(df, path: str, scope_col: str, lo, hi,
@@ -3611,6 +3719,13 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         self._txn_ver = None if tv is None else int(tv)
         if (self._txn_app is None) != (self._txn_ver is None):
             raise ValueError("txnAppId and txnVersion must be set together")
+        # copyFiles (COPY INTO): source-file identities this commit
+        # loads.  Registered in the table's loaded-file registry
+        # (``copyInto`` state) in the SAME atomic commit as the data;
+        # commit() fails if a racing COPY INTO already registered one
+        # of them (exactly-once ingestion per source file)
+        cf = options.get("copyfiles")
+        self._copy_files = sorted(set(json.loads(cf))) if cf else []
         # replacePaths (append mode only): data files this commit
         # REWRITES — they are tombstoned in the same atomic commit that
         # appends the rewritten files (the copy-on-write half of
@@ -4060,6 +4175,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             if self._txn_app is not None:
                 txn[self._txn_app] = self._txn_ver
             truncate = bool(self._overwrite or prev is None)
+            if self._copy_files and not truncate:
+                # exactly-once source-file ingestion: a racing COPY
+                # INTO that registered one of this commit's source
+                # files since our planning snapshot means its rows are
+                # already in the table — committing would duplicate
+                # them.  Fail; the caller re-runs copy_into, which
+                # skips the now-registered file.
+                reg = set(prev.get("copyInto") or [])
+                dup = sorted(set(self._copy_files) & reg)
+                if dup:
+                    fail("COPY INTO conflict: source file(s) already "
+                         f"loaded by a concurrent copy: {dup}; re-run "
+                         "copy_into (it will skip them)")
             tombstoned: list[str] = []
             if truncate:
                 if self._replace:
@@ -4219,6 +4347,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 delta["truncate"] = True
             if tombstoned:
                 delta["tombstone"] = tombstoned
+            if self._copy_files:
+                delta["copyFiles"] = self._copy_files
             if self._conflict is not None:
                 delta["keySummary"] = self._conflict
             elif append_summary is not None:

@@ -1,0 +1,150 @@
+"""COPY INTO — idempotent file ingestion
+(sources/manifest_source.py:copy_into): each source file loads exactly
+once across re-runs, the loaded-file registry commits atomically with
+the data, survives checkpoints and fresh-process reloads, resets on
+overwrite, and a racing copy of the same file conflicts at commit.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    CHECKPOINT_EVERY,
+    _invalidate_caches,
+    copy_into,
+    load_manifest,
+    read_manifest,
+    register,
+    write_frame,
+)
+
+
+def _land(spark, src: str, name: str, lo: int, hi: int) -> str:
+    tmp = os.path.join(src, "_tmp")
+    (spark.range(lo, hi)
+     .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+     .coalesce(1).write.mode("overwrite").parquet(tmp))
+    part = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+    dest = os.path.join(src, name)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp)
+    return dest
+
+
+@pytest.fixture()
+def landing(spark, tmp_path):
+    register(spark)
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    _land(spark, src, "a.parquet", 0, 10)
+    _land(spark, src, "b.parquet", 10, 20)
+    return src, str(tmp_path / "table")
+
+
+def test_copy_into_is_idempotent(spark, landing):
+    src, tbl = landing
+    r1 = copy_into(spark, tbl, src, stat_cols=["k"])
+    assert r1["loadedFiles"] == 2
+    assert read_manifest(spark, tbl).count() == 20
+    # re-run: all skipped, no new version, no duplicate rows
+    r2 = copy_into(spark, tbl, src)
+    assert r2["loadedFiles"] == 0 and r2["skippedFiles"] == 2
+    assert r2["version"] == r1["version"]
+    assert read_manifest(spark, tbl).count() == 20
+
+
+def test_copy_into_loads_only_new_files(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    _land(spark, src, "c.parquet", 20, 25)
+    r = copy_into(spark, tbl, src)
+    assert r["loadedFiles"] == 1 and r["skippedFiles"] == 2
+    assert read_manifest(spark, tbl).count() == 25
+
+
+def test_registry_survives_fresh_process_and_checkpoint(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    # push the log across a checkpoint boundary with filler commits
+    filler = spark.range(1).select(F.col("id").alias("k"),
+                                   F.lit(0.0).alias("v"))
+    for _ in range(CHECKPOINT_EVERY + 1):
+        write_frame(filler, tbl, "append", statCols="k")
+    _invalidate_caches()  # fresh-process read: checkpoint + delta tail
+    assert len(load_manifest(tbl)["copyInto"]) == 2
+    r = copy_into(spark, tbl, src)
+    assert r["loadedFiles"] == 0 and r["skippedFiles"] == 2
+
+
+def test_racing_copy_of_same_file_conflicts(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    # simulate the loser of a race: a commit claiming an identity the
+    # registry already holds must fail (its rows would duplicate)
+    dup = os.path.join(src, "a.parquet")
+    df = spark.read.parquet(dup)
+    import json as _json
+    with pytest.raises(ValueError, match="COPY INTO conflict"):
+        write_frame(df, tbl, "append", statCols="k",
+                    copyFiles=_json.dumps([os.path.abspath(dup)]))
+    # the failed commit must not leave orphan rows
+    assert read_manifest(spark, tbl).count() == 20
+
+
+def test_force_reloads_without_reregistering(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    r = copy_into(spark, tbl, os.path.join(src, "a.parquet"),
+                  force=True)
+    assert r["loadedFiles"] == 1
+    assert read_manifest(spark, tbl).count() == 30  # duplicates: caller's call
+    assert len(load_manifest(tbl)["copyInto"]) == 2
+
+
+def test_overwrite_resets_registry(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    write_frame(spark.range(3).select(F.col("id").alias("k"),
+                                      F.lit(0.0).alias("v")),
+                tbl, "overwrite", statCols="k")
+    assert load_manifest(tbl)["copyInto"] == []
+    r = copy_into(spark, tbl, os.path.join(src, "a.parquet"))
+    assert r["loadedFiles"] == 1
+
+
+def test_csv_reads_under_table_schema(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    csvdir = os.path.join(os.path.dirname(src), "csv")
+    os.makedirs(csvdir)
+    with open(os.path.join(csvdir, "d.csv"), "w") as f:
+        f.write("k,v\n100,200.0\n")
+    r = copy_into(spark, tbl, csvdir, source_format="csv",
+                  reader_options={"header": "true"})
+    assert r["loadedFiles"] == 1
+    row = (read_manifest(spark, tbl)
+           .filter(F.col("k") == 100).collect())
+    assert row[0]["v"] == 200.0  # typed under the table schema
+
+
+def test_source_missing_columns_refused(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    baddir = os.path.join(os.path.dirname(src), "bad")
+    os.makedirs(baddir)
+    (spark.range(3).select(F.col("id").alias("k"))
+     .coalesce(1).write.mode("overwrite").parquet(baddir))
+    with pytest.raises(ValueError, match="lacks table column"):
+        copy_into(spark, tbl, os.path.join(baddir, "*.parquet"))
+
+
+def test_empty_source_refused(spark, landing):
+    src, tbl = landing
+    with pytest.raises(ValueError, match="matched no files"):
+        copy_into(spark, tbl, os.path.join(src, "*.nope"))
