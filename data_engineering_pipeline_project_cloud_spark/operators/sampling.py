@@ -310,3 +310,69 @@ def weighted_sample(df: DataFrame, weight_col: str, id_col: str,
                       score.alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def dsir_importance_weights(docs: DataFrame, target_cond: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            buckets: int = 4096,
+                            alpha: float = 0.5) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — Data
+    Selection via Importance Resampling): score every document by how
+    much it resembles a TARGET slice of the corpus (``target_cond``, a
+    SQL boolean over the doc frame, e.g. ``lang = 'en'``) relative to
+    the raw corpus, under hashed-n-gram bag-of-features unigram
+    models.  ``log_weight = Σ_f cnt_f · (ln p̂_target(f) − ln p̂_raw(f))``
+    with Laplace-``alpha`` smoothing over ``buckets`` hashed features
+    (unigrams + adjacent bigrams, the paper's construction).
+    High-weight documents are target-like; a downstream resampler
+    (``weighted_sample``) keeps them in proportion.
+
+    Hashing is the portable md5 fold so the weights are reproducible
+    in ANSI SQL; log sums round to 6 decimals (same cross-engine float
+    discipline as ``unigram_lm_scores``).
+
+    Scale shape: features explode once and collapse immediately to
+    (doc, bucket) counts; both model fits are one partial-aggregated
+    groupBy over that frame (bounded by ``buckets`` rows each — the
+    hashed-feature trick is exactly what makes DSIR O(corpus) with a
+    constant-size model); the bucket→log-ratio table broadcasts.  No
+    step holds raw text after tokenization.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    head = F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0)))
+    tail = F.slice(toks, F.lit(2), F.greatest(n - 1, F.lit(0)))
+    bigrams = F.zip_with(head, tail,
+                         lambda a, b: F.concat_ws(" ", a, b))
+    feats = docs.select(
+        F.col(id_col),
+        F.expr(target_cond).alias("__is_target"),
+        F.explode(F.concat(toks, bigrams)).alias("f"))
+    tf = scoped_persist(
+        feats.groupBy(id_col, "__is_target",
+                      F.pmod(portable_hash64(F.col("f")),
+                             F.lit(buckets)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    raw = tf.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
+    tgt = (tf.filter("__is_target")
+           .groupBy("bucket").agg(F.sum("cnt").alias("c_tgt")))
+    totals = (tf.agg(
+        F.sum("cnt").alias("n_raw"),
+        F.sum(F.when(F.col("__is_target"), F.col("cnt"))
+              .otherwise(F.lit(0))).alias("n_tgt")))
+    lam = (raw.join(tgt, "bucket", "left")
+           .crossJoin(F.broadcast(totals))
+           .select(
+               "bucket",
+               (F.log((F.coalesce(F.col("c_tgt"), F.lit(0))
+                       + F.lit(alpha))
+                      / (F.col("n_tgt") + F.lit(alpha * buckets)))
+                - F.log((F.col("c_raw") + F.lit(alpha))
+                        / (F.col("n_raw") + F.lit(alpha * buckets))))
+               .alias("lam")))
+    return (tf.join(F.broadcast(lam), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").cast("long").alias("n_feats"),
+                 (F.round(F.sum(F.col("cnt") * F.col("lam")), 6)
+                  + F.lit(0.0)).alias("log_weight")))

@@ -706,6 +706,24 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strat(_docs(spark, sf_dir), strata_col="lang")
 
 
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 0.5
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023 —
+    operators/sampling.py:dsir_importance_weights): per-document log
+    importance weight of the ``lang = 'en'`` target slice vs the raw
+    corpus under hashed-n-gram (unigram + bigram) bag-of-features
+    models — the scalable "pick documents that look like the target
+    domain" selector.  Hashed buckets + portable md5 make the weights
+    reproducible in ANSI SQL."""
+    from ..operators.sampling import dsir_importance_weights as dsir
+
+    return dsir(_docs(spark, sf_dir), "lang = 'en'",
+                buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA)
+
+
 TEMP_ALPHA = 0.5
 TOKEN_BUDGET = 8000
 
@@ -1642,6 +1660,48 @@ ORACLE_SQL: dict[str, str] = {
                CAST(tfidf AS DOUBLE) AS tfidf, CAST(rnk AS BIGINT) AS rank
         FROM rk WHERE rnk <= {TFIDF_K}
     """,
+    "dsir_importance_weights": f"""
+        WITH toks AS (
+            SELECT doc_id, lang = 'en' AS is_tgt,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, is_tgt, unnest(t) AS f FROM toks
+            UNION ALL
+            SELECT doc_id, is_tgt,
+                   unnest(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> concat_ws(' ', t[i], t[i + 1]))) AS f
+            FROM toks WHERE len(t) > 1
+        ),
+        tf AS (
+            SELECT doc_id, is_tgt,
+                   ({_H.format(x='f')} % {DSIR_BUCKETS}) AS bucket,
+                   COUNT(*) AS cnt
+            FROM feats GROUP BY 1, 2, 3
+        ),
+        raw AS (SELECT bucket, SUM(cnt) AS c_raw FROM tf GROUP BY 1),
+        tgt AS (SELECT bucket, SUM(cnt) AS c_tgt
+                FROM tf WHERE is_tgt GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS n_raw,
+                       SUM(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS n_tgt
+                FROM tf),
+        lam AS (
+            SELECT raw.bucket,
+                   ln((COALESCE(tgt.c_tgt, 0) + {DSIR_ALPHA})
+                      / (tot.n_tgt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                 - ln((raw.c_raw + {DSIR_ALPHA})
+                      / (tot.n_raw + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+                       AS lam
+            FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+        )
+        SELECT tf.doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_feats,
+               round(SUM(cnt * lam), 6) + 0.0 AS log_weight
+        FROM tf JOIN lam USING (bucket)
+        GROUP BY tf.doc_id
+    """,
     "stratified_sample": f"""
         WITH counts AS (
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
@@ -2094,6 +2154,7 @@ QUERIES = {
     "contamination_check": contamination_check,
     "cross_corpus_decontam": cross_corpus_decontam,
     "tfidf_top_terms": tfidf_top_terms,
+    "dsir_importance_weights": dsir_importance_weights,
     "stratified_sample": stratified_sample,
     "temperature_sample_by_lang": temperature_sample_by_lang,
     "quality_quantile_by_lang": quality_quantile_by_lang,

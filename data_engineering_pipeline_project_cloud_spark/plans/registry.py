@@ -225,6 +225,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_incremental_optimize": 8,
     "manifest_update_where": 8,
     "manifest_copy_into": 8,
+    "dsir_importance_weights": 8,
 }
 
 

@@ -972,3 +972,31 @@ def test_span_pairs_bucket_cap_drops_boilerplate(spark):
     full = duplicate_span_pairs(docs, gram_chars=8, window=4,
                                 min_shared=1, max_bucket=10)
     assert full.count() == 45
+
+
+def test_dsir_weights_separate_target_from_offtarget(spark):
+    from data_engineering_pipeline_project_cloud_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+    # target-language docs share a vocabulary, off-target docs another;
+    # mixed doc sits between
+    rows = (
+        [(i, "en", "alpha beta gamma delta epsilon zeta") for i in range(8)]
+        + [(i, "fr", "un deux trois quatre cinq six") for i in range(8, 16)]
+        + [(16, "fr", "alpha beta gamma un deux trois")])
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in
+           dsir_importance_weights(docs, "lang = 'en'",
+                                   buckets=512).collect()}
+    # n_feats = unigrams + bigrams = 2n - 1
+    assert out[0]["n_feats"] == 11
+    en = [out[i]["log_weight"] for i in range(8)]
+    fr = [out[i]["log_weight"] for i in range(8, 16)]
+    assert min(en) > max(fr), "target docs must outscore off-target"
+    assert max(fr) < out[16]["log_weight"] < min(en), \
+        "mixed doc sits between the pure corpora"
+    # deterministic across reruns
+    again = {r["doc_id"]: r["log_weight"] for r in
+             dsir_importance_weights(docs, "lang = 'en'",
+                                     buckets=512).collect()}
+    assert all(again[k] == out[k]["log_weight"] for k in again)
