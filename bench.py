@@ -81,6 +81,12 @@ SECONDARY = [
     "manifest_merge_schema_evolution",
     "manifest_metadata_count",
     "manifest_incremental_optimize",
+    # round-8 late additions: CoW UPDATE, idempotent COPY INTO, CHECK
+    # constraints (pass-1 raws carry the write legs), DSIR selection
+    "manifest_update_where",
+    "manifest_copy_into",
+    "manifest_check_constraint",
+    "dsir_importance_weights",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

@@ -226,6 +226,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_update_where": 8,
     "manifest_copy_into": 8,
     "dsir_importance_weights": 8,
+    "manifest_check_constraint": 8,
 }
 
 

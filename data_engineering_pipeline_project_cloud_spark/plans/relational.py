@@ -2298,6 +2298,52 @@ def manifest_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "order_year"))
 
 
+def manifest_check_constraint(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SQL CHECK constraints (round 8 —
+    sources/manifest_source.py:add_check_constraint, Delta's ``ALTER
+    TABLE ... ADD CONSTRAINT ... CHECK``): the table carries
+    ``CHECK (total_price > 0 AND status IN (...))``; a compliant
+    append lands, a violating one is REFUSED before anything publishes
+    (verified pre-commit over the staged files, staging discarded).
+    The face returns the final table; the oracle is the compliant
+    rows only — if enforcement leaked the bad batch (or rolled back
+    the good one) the hash breaks."""
+    import os as _os
+
+    from ..sources.manifest_source import (
+        add_check_constraint,
+        register,
+        write_frame,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        path = _os.path.join(root, "table")
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(3, "o_orderkey"), path, ["o_orderkey"])
+        add_check_constraint(
+            spark, path, "valid_order",
+            "total_price > 0 AND status IN ('F', 'O', 'P')")
+        write_frame(orders.filter(F.col("o_orderkey") % 2 == 1),
+                    path, "append", statCols="o_orderkey")
+        bad = orders.limit(5).withColumn("status", F.lit("??"))
+        try:
+            write_frame(bad, path, "append", statCols="o_orderkey")
+            raise AssertionError("violating append must be refused")
+        except ValueError:
+            pass  # refused pre-publish — the contract
+
+    root = scoped_scratch("manifest_check_orders", sf_dir, build)
+    return (read_manifest(spark, _os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price"))
+
+
 def manifest_metadata_count(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """METADATA-ONLY COUNT (round 8 —
@@ -2800,6 +2846,12 @@ ORACLE_SQL: dict[str, str] = {
                o_orderstatus AS status,
                CAST(o_totalprice AS DOUBLE) AS total_price,
                CAST(year(o_orderdate) AS INT) AS order_year
+        FROM orders
+    """,
+    "manifest_check_constraint": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS total_price
         FROM orders
     """,
     "manifest_metadata_count": """
@@ -3885,6 +3937,7 @@ QUERIES = {
     "manifest_merge_schema_evolution": manifest_merge_schema_evolution,
     "manifest_update_where": manifest_update_where,
     "manifest_copy_into": manifest_copy_into,
+    "manifest_check_constraint": manifest_check_constraint,
     "manifest_metadata_count": manifest_metadata_count,
     "manifest_incremental_optimize": manifest_incremental_optimize,
     "manifest_files_metadata": manifest_files_metadata,

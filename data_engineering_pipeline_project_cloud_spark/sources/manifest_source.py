@@ -675,12 +675,88 @@ def add_table_constraint(path: str, con: dict) -> dict:
     return load_manifest(path, target)
 
 
+def add_check_constraint(spark, path: str, name: str,
+                         expr: str) -> dict:
+    """PERSISTED CHECK constraint (Delta ``ALTER TABLE ... ADD
+    CONSTRAINT <name> CHECK (<expr>)``): an arbitrary SQL boolean over
+    the table's columns that every future write must satisfy — the
+    general form of the column-bounds contract
+    (``add_table_constraint``).  SQL CHECK semantics: a row violates
+    only when the predicate is FALSE (NULL passes).
+
+    Like Delta, the ADD itself validates EXISTING data first (one
+    distributed scan counting violations — an unsatisfiable contract
+    is refused, never recorded), then lands as an O(1) metadata
+    commit.  Enforcement runs in ``_verify_constraints_native``: one
+    exact JVM filter over each commit's staged files BEFORE anything
+    publishes; a violating write aborts with the constraint's name and
+    its staging is discarded.  A write planned before the constraint
+    landed fails at commit time with a re-plan hint (the same
+    constraint-set guard the bounds form uses).  The Python Arrow
+    DataSource write path cannot evaluate SQL executor-side and
+    REFUSES tables with CHECK constraints — ingest through
+    ``write_frame`` (the native path, which every engine entry point
+    already uses)."""
+    if not name or not expr:
+        raise ValueError("check constraint needs a name and an expr")
+    from pyspark.sql import functions as F
+
+    m = load_manifest(path)
+    st = _table_schema(m)
+    # analysis-time validation: unknown columns / bad SQL fail HERE,
+    # with Spark's own error, not inside some future write
+    spark.createDataFrame([], st).filter(F.expr(expr)).schema
+    existing = read_manifest(spark, path)
+    bad = existing.filter(
+        ~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"check constraint {name!r} is violated by existing rows; "
+            "fix the data first (Delta ADD CONSTRAINT contract)")
+    con = {"name": name, "check": expr}
+    while True:
+        prev = load_manifest(path)
+        cons = list(prev.get("constraints") or [])
+        if any(c == con for c in cons):
+            return prev  # idempotent
+        if any(c.get("name") == name for c in cons):
+            raise ValueError(
+                f"a different check constraint named {name!r} exists; "
+                "drop it first (drop_table_constraint)")
+        cons.append(dict(con))
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": cons,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
+def _check_mentions(cons: list[dict], col: str) -> list[str]:
+    """Names of CHECK constraints whose SQL mentions ``col`` as a
+    word — the conservative guard for rename/drop (no SQL parser;
+    a false positive refuses, never corrupts)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    return [c.get("name", "?") for c in cons
+            if c.get("check") and pat.search(c["check"])]
+
+
 def drop_table_constraint(path: str, col: str) -> dict:
-    """Remove every persisted constraint on ``col`` (metadata commit)."""
+    """Remove every persisted constraint on column ``col`` — or, for
+    CHECK constraints, the one NAMED ``col`` (metadata commit)."""
     while True:
         prev = load_manifest(path)
         cons = [c for c in (prev.get("constraints") or [])
-                if c["col"] != col]
+                if c.get("col") != col and c.get("name") != col]
         if len(cons) == len(prev.get("constraints") or []):
             raise ValueError(f"no constraint on column {col!r}")
         target = prev.get("version", 0) + 1
@@ -758,6 +834,15 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             raise ValueError(
                 f"rename target under the reserved prefix "
                 f"{_MASKED_PREFIX!r} is not allowed")
+        hit = _check_mentions(prev.get("constraints") or [], old)
+        if hit:
+            # a CHECK constraint's SQL references the name; renaming
+            # under it would silently un-enforce (or break) the
+            # contract — same refusal Delta applies
+            raise ValueError(
+                f"column {old!r} is referenced by check "
+                f"constraint(s) {hit}; drop them first "
+                "(drop_table_constraint)")
         dropped = dict(prev.get("droppedCols", {}))
         target = prev.get("version", 0) + 1
         import time as _time
@@ -783,7 +868,8 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             "droppedCols": dropped,
             "renames": renames,
             # persisted constraints follow the column to its new name
-            "constraints": [dict(c, col=new) if c["col"] == old else c
+            "constraints": [dict(c, col=new) if c.get("col") == old
+                            else c
                             for c in (prev.get("constraints") or [])],
             "committedAt": _time.time()}
         if _claim(path, _delta_file(target), json.dumps(delta)):
@@ -3127,10 +3213,17 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
                              f"{names}")
         if len(names) == 1:
             raise ValueError("cannot drop the table's only column")
-        if any(c["col"] == col for c in (prev.get("constraints") or [])):
+        if any(c.get("col") == col
+               for c in (prev.get("constraints") or [])):
             raise ValueError(
                 f"column {col!r} has a persisted constraint; drop the "
                 "constraint first (drop_table_constraint)")
+        hit = _check_mentions(prev.get("constraints") or [], col)
+        if hit:
+            raise ValueError(
+                f"column {col!r} is referenced by check "
+                f"constraint(s) {hit}; drop them first "
+                "(drop_table_constraint)")
         target = prev.get("version", 0) + 1
         dropped = dict(prev.get("droppedCols", {}))
         dropped[col] = target
@@ -3884,6 +3977,15 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         from pyspark import TaskContext
 
         ctx = TaskContext.get()
+        if any(c.get("check") for c in self._constraints):
+            # SQL CHECK constraints need a JVM expression evaluation
+            # per commit; this Arrow path sees raw Python batches and
+            # cannot honor them — refusing beats publishing
+            # unvalidated rows
+            raise ValueError(
+                "table has CHECK constraint(s); write through "
+                "write_frame (the native path verifies them before "
+                "publish)")
         os.makedirs(self._path, exist_ok=True)
         pcols = self._partition_cols
         gens = self._partition_gen
@@ -4558,7 +4660,10 @@ def _verify_constraints_native(spark, schema: StructType,
 
     names = {f.name for f in schema.fields}
     exact: list[dict] = []
+    checks = [c for c in constraints if c.get("check")]
     for con in constraints:
+        if con.get("check"):
+            continue  # SQL CHECK constraints verify in the scan below
         col = con["col"]
         if col not in names:
             raise ValueError(
@@ -4587,7 +4692,7 @@ def _verify_constraints_native(spark, schema: StructType,
             exact.append(con)
         else:
             _apply_constraint_bounds(con, total_null, lo, hi)
-    if exact and staged_paths:
+    if (exact or checks) and staged_paths:
         sdf = spark.read.schema(schema).parquet(
             *[_tfs.spark_path(sp) for sp in staged_paths])
         aggs = []
@@ -4597,10 +4702,27 @@ def _verify_constraints_native(spark, schema: StructType,
                      .alias(f"__n{j}"),
                      F.min(c).alias(f"__lo{j}"),
                      F.max(c).alias(f"__hi{j}")]
+        for j, con in enumerate(checks):
+            # SQL CHECK: a row violates only when the predicate is
+            # FALSE (NULL passes) — count violators per constraint in
+            # the SAME single scan as the exact bounds
+            try:
+                viol = ~F.coalesce(F.expr(con["check"]), F.lit(True))
+            except Exception as exc:  # analysis error: bad expr/column
+                raise ValueError(
+                    f"check constraint {con.get('name')!r} cannot be "
+                    f"evaluated against the written schema: {exc}")
+            aggs.append(F.sum(viol.cast("long")).alias(f"__c{j}"))
         row = sdf.agg(*aggs).collect()[0]
         for j, con in enumerate(exact):
             _apply_constraint_bounds(con, row[f"__n{j}"] or 0,
                                      row[f"__lo{j}"], row[f"__hi{j}"])
+        for j, con in enumerate(checks):
+            n_bad = row[f"__c{j}"] or 0
+            if n_bad:
+                raise ValueError(
+                    f"check constraint {con.get('name')!r} violated "
+                    f"by {n_bad} row(s): CHECK ({con['check']})")
 
 
 def _native_blooms(spark, staged: list[str], bloom_cols: list[str],
@@ -4749,7 +4871,7 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
             r for r in _tfs.walk_files(stage_dir)
             if r.endswith(".parquet")
             and not os.path.basename(r).startswith((".", "_")))
-        con_cols = {c["col"] for c in w._constraints}
+        con_cols = {c["col"] for c in w._constraints if c.get("col")}
         want_stats = set(w._stat_cols) | set(pcols) | con_cols
         keep_stats = set(w._stat_cols) | set(pcols)
 
