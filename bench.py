@@ -86,6 +86,7 @@ SECONDARY = [
     "manifest_update_where",
     "manifest_copy_into",
     "manifest_check_constraint",
+    "manifest_column_defaults",
     "dsir_importance_weights",
 ]
 

@@ -227,6 +227,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_copy_into": 8,
     "dsir_importance_weights": 8,
     "manifest_check_constraint": 8,
+    "manifest_column_defaults": 8,
 }
 
 

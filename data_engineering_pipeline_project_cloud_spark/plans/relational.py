@@ -2344,6 +2344,44 @@ def manifest_check_constraint(spark: SparkSession,
             .select("o_orderkey", "status", "total_price"))
 
 
+def manifest_column_defaults(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Column DEFAULT values (round 8 —
+    sources/manifest_source.py:set_column_default, Delta/ANSI ``SET
+    DEFAULT``): even-keyed orders land WITH their status, then the
+    table takes ``status DEFAULT 'backfilled'`` and the odd-keyed
+    orders append WITHOUT the column — the write fills the default.
+    The oracle recomputes the expected split relationally, so the hash
+    proves the default applied to exactly the omitting append and
+    nothing else (not retroactive, existing rows untouched)."""
+    import os as _os
+
+    from ..sources.manifest_source import (
+        register,
+        set_column_default,
+        write_frame,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        path = _os.path.join(root, "table")
+        orders = _orders_manifest_frame(spark, sf_dir)
+        write_manifest_table(
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(3, "o_orderkey"), path, ["o_orderkey"])
+        set_column_default(spark, path, "status", "'backfilled'")
+        write_frame(orders.filter(F.col("o_orderkey") % 2 == 1)
+                    .select("o_orderkey", "total_price"),
+                    path, "append", statCols="o_orderkey")
+
+    root = scoped_scratch("manifest_defaults_orders", sf_dir, build)
+    return (read_manifest(spark, _os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price"))
+
+
 def manifest_metadata_count(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """METADATA-ONLY COUNT (round 8 —
@@ -2851,6 +2889,13 @@ ORACLE_SQL: dict[str, str] = {
     "manifest_check_constraint": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                o_orderstatus AS status,
+               CAST(o_totalprice AS DOUBLE) AS total_price
+        FROM orders
+    """,
+    "manifest_column_defaults": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CASE WHEN o_orderkey % 2 = 1 THEN 'backfilled'
+                    ELSE o_orderstatus END AS status,
                CAST(o_totalprice AS DOUBLE) AS total_price
         FROM orders
     """,
@@ -3938,6 +3983,7 @@ QUERIES = {
     "manifest_update_where": manifest_update_where,
     "manifest_copy_into": manifest_copy_into,
     "manifest_check_constraint": manifest_check_constraint,
+    "manifest_column_defaults": manifest_column_defaults,
     "manifest_metadata_count": manifest_metadata_count,
     "manifest_incremental_optimize": manifest_incremental_optimize,
     "manifest_files_metadata": manifest_files_metadata,

@@ -432,6 +432,10 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
             "clusterBy": carried("clusterBy"),
             "copyInto": (prior_ci + list(new_ci) if new_ci
                          else prior_ci),
+            "columnDefaults": (
+                delta["columnDefaults"] if "columnDefaults" in delta
+                else {} if (delta.get("truncate") or base is None)
+                else base.get("columnDefaults", {})),
             "properties": (delta["properties"] if "properties" in delta
                            else {} if (delta.get("truncate")
                                        or base is None)
@@ -451,7 +455,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
              "renames", "constraints", "partitionGen", "partitionSpecs",
-             "clusterBy", "copyInto", "properties")}
+             "clusterBy", "copyInto", "columnDefaults", "properties")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -498,6 +502,8 @@ def _read_checkpoint(path: str, full: str) -> dict:
             head[key] = []
     if head.get("properties") is None:
         head["properties"] = {}
+    if head.get("columnDefaults") is None:
+        head["columnDefaults"] = {}
     return head
 
 
@@ -534,6 +540,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("partitionSpecs", [])
             state.setdefault("clusterBy", [])
             state.setdefault("copyInto", [])
+            state.setdefault("columnDefaults", {})
             state.setdefault("properties", {})
             break
         if v in ckpts:
@@ -559,6 +566,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("partitionSpecs", [])
                 mj.setdefault("clusterBy", [])
                 mj.setdefault("copyInto", [])
+                mj.setdefault("columnDefaults", {})
                 mj.setdefault("properties", {})
                 state = mj
                 break
@@ -739,6 +747,60 @@ def add_check_constraint(spark, path: str, name: str,
     return load_manifest(path, target)
 
 
+def set_column_default(spark, path: str, col: str,
+                       expr: str | None) -> dict:
+    """Column DEFAULT value (Delta/ANSI ``ALTER TABLE ... ALTER COLUMN
+    ... SET DEFAULT``): a column-free SQL expression recorded in table
+    state; every future APPEND through ``write_frame`` that OMITS the
+    column fills it with the default instead of NULL (a frame that
+    carries the column — even with explicit NULLs — is written as
+    given, the SQL INSERT contract).  Existing files are untouched:
+    rows written before the default read as they were stored, exactly
+    Delta's semantics (defaults are not retroactive).  ``expr=None``
+    drops the default.  Renames carry the default to the new name; a
+    dropped column takes its default with it; an overwrite resets the
+    table, defaults included."""
+    m = load_manifest(path)
+    st = _table_schema(m)
+    fields = {f.name: f for f in st.fields}
+    if col not in fields:
+        raise ValueError(f"column {col!r} not in table schema "
+                         f"{[f.name for f in st.fields]}")
+    if expr is not None:
+        from pyspark.sql import functions as F
+
+        # DEFAULT must be column-free (ANSI): analyzing against a
+        # zero-column frame rejects any column reference, and the cast
+        # proves type compatibility up front
+        spark.createDataFrame([()], StructType([])).select(
+            F.expr(expr).cast(fields[col].dataType)).schema
+    while True:
+        prev = load_manifest(path)
+        defaults = dict(prev.get("columnDefaults") or {})
+        if expr is None:
+            if col not in defaults:
+                raise ValueError(f"no default on column {col!r}")
+            del defaults[col]
+        else:
+            if defaults.get(col) == expr:
+                return prev  # idempotent
+            defaults[col] = expr
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "columnDefaults": defaults,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def _check_mentions(cons: list[dict], col: str) -> list[str]:
     """Names of CHECK constraints whose SQL mentions ``col`` as a
     word — the conservative guard for rename/drop (no SQL parser;
@@ -871,6 +933,10 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             "constraints": [dict(c, col=new) if c.get("col") == old
                             else c
                             for c in (prev.get("constraints") or [])],
+            # as does its DEFAULT (the expression is column-free)
+            "columnDefaults": {
+                (new if k == old else k): v
+                for k, v in (prev.get("columnDefaults") or {}).items()},
             "committedAt": _time.time()}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
@@ -915,6 +981,7 @@ def load_manifest(path: str, version: int | None = None) -> dict:
                                    (st.get("partitionSpecs") or [])],
                 "clusterBy": list(st.get("clusterBy") or []),
                 "copyInto": list(st.get("copyInto") or []),
+                "columnDefaults": dict(st.get("columnDefaults") or {}),
                 "properties": dict(st.get("properties") or {})}
     files = []
     for f in st["files"]:
@@ -948,6 +1015,7 @@ def load_manifest(path: str, version: int | None = None) -> dict:
                                (st.get("partitionSpecs") or [])],
             "clusterBy": list(st.get("clusterBy") or []),
             "copyInto": list(st.get("copyInto") or []),
+            "columnDefaults": dict(st.get("columnDefaults") or {}),
             "properties": dict(st.get("properties") or {})}
 
 
@@ -3237,6 +3305,10 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
             "schema": StructType(
                 [f for f in st.fields if f.name != col]).json(),
             "txn": dict(prev.get("txn", {})),
+            # a dropped column takes its DEFAULT with it
+            "columnDefaults": {
+                k: v for k, v in
+                (prev.get("columnDefaults") or {}).items() if k != col},
             "committedAt": _time.time(), "droppedCols": dropped}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
@@ -4930,6 +5002,25 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
             if v is not None}
     opts["path"] = path
     register(df.sparkSession)
+    if mode == "append":
+        # column DEFAULTs (set_column_default): an append that OMITS a
+        # defaulted column fills it here — one literal expression per
+        # missing column, evaluated in the same staging pass.  A frame
+        # that carries the column (even as NULL) is written as given.
+        try:
+            _m = load_manifest(path)
+        except (FileNotFoundError, ValueError, OSError):
+            _m = None
+        defaults = (_m.get("columnDefaults") or {}) if _m else {}
+        if defaults:
+            from pyspark.sql import functions as F
+
+            have = {f.name for f in df.schema.fields}
+            types = {f.name: f.dataType
+                     for f in _table_schema(_m).fields}
+            for c, ex in defaults.items():
+                if c not in have and c in types:
+                    df = df.withColumn(c, F.expr(ex).cast(types[c]))
     _native_write(df, path, mode, opts)
 
 
