@@ -87,6 +87,7 @@ SECONDARY = [
     "manifest_copy_into",
     "manifest_check_constraint",
     "manifest_column_defaults",
+    "manifest_generated_column",
     "dsir_importance_weights",
 ]
 

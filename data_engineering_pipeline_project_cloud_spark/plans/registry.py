@@ -228,6 +228,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "dsir_importance_weights": 8,
     "manifest_check_constraint": 8,
     "manifest_column_defaults": 8,
+    "manifest_generated_column": 8,
 }
 
 

@@ -2382,6 +2382,47 @@ def manifest_column_defaults(spark: SparkSession,
             .select("o_orderkey", "status", "total_price"))
 
 
+def manifest_generated_column(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """GENERATED columns (round 8 —
+    sources/manifest_source.py:add_generated_column, Delta's
+    ``GENERATED ALWAYS AS``): a price band derived from
+    ``total_price`` is declared generated with ``backfill=True``
+    (existing files rewrite computing it), then an append OMITTING the
+    column lands — the write computes it.  The oracle recomputes the
+    band relationally over the raw table, so the hash proves the
+    backfill, the write-time computation, and the enforcement all
+    produced the declared expression everywhere."""
+    import os as _os
+
+    from ..sources.manifest_source import (
+        add_generated_column,
+        register,
+        write_frame,
+        write_manifest_table,
+    )
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(root: str) -> None:
+        path = _os.path.join(root, "table")
+        orders = _orders_manifest_frame(spark, sf_dir).select(
+            "o_orderkey", "total_price")
+        write_manifest_table(
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+            .repartitionByRange(3, "o_orderkey"), path, ["o_orderkey"])
+        add_generated_column(
+            spark, path, "price_band",
+            "CAST(floor(total_price / 50000) AS INT)", backfill=True)
+        write_frame(orders.filter(F.col("o_orderkey") % 2 == 1),
+                    path, "append", statCols="o_orderkey")
+
+    root = scoped_scratch("manifest_gen_orders", sf_dir, build)
+    return (read_manifest(spark, _os.path.join(root, "table"))
+            .select("o_orderkey", "total_price", "price_band"))
+
+
 def manifest_metadata_count(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """METADATA-ONLY COUNT (round 8 —
@@ -2897,6 +2938,13 @@ ORACLE_SQL: dict[str, str] = {
                CASE WHEN o_orderkey % 2 = 1 THEN 'backfilled'
                     ELSE o_orderstatus END AS status,
                CAST(o_totalprice AS DOUBLE) AS total_price
+        FROM orders
+    """,
+    "manifest_generated_column": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000)
+                    AS INT) AS price_band
         FROM orders
     """,
     "manifest_metadata_count": """
@@ -3984,6 +4032,7 @@ QUERIES = {
     "manifest_copy_into": manifest_copy_into,
     "manifest_check_constraint": manifest_check_constraint,
     "manifest_column_defaults": manifest_column_defaults,
+    "manifest_generated_column": manifest_generated_column,
     "manifest_metadata_count": manifest_metadata_count,
     "manifest_incremental_optimize": manifest_incremental_optimize,
     "manifest_files_metadata": manifest_files_metadata,

@@ -436,6 +436,10 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
                 delta["columnDefaults"] if "columnDefaults" in delta
                 else {} if (delta.get("truncate") or base is None)
                 else base.get("columnDefaults", {})),
+            "generatedCols": (
+                delta["generatedCols"] if "generatedCols" in delta
+                else {} if (delta.get("truncate") or base is None)
+                else base.get("generatedCols", {})),
             "properties": (delta["properties"] if "properties" in delta
                            else {} if (delta.get("truncate")
                                        or base is None)
@@ -455,7 +459,8 @@ def _write_checkpoint(path: str, state: dict) -> None:
     head = {k: state.get(k) for k in
             ("schema", "version", "txn", "droppedCols", "committedAt",
              "renames", "constraints", "partitionGen", "partitionSpecs",
-             "clusterBy", "copyInto", "columnDefaults", "properties")}
+             "clusterBy", "copyInto", "columnDefaults",
+             "generatedCols", "properties")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -504,6 +509,8 @@ def _read_checkpoint(path: str, full: str) -> dict:
         head["properties"] = {}
     if head.get("columnDefaults") is None:
         head["columnDefaults"] = {}
+    if head.get("generatedCols") is None:
+        head["generatedCols"] = {}
     return head
 
 
@@ -541,6 +548,7 @@ def _load_state(path: str, version: int) -> dict:
             state.setdefault("clusterBy", [])
             state.setdefault("copyInto", [])
             state.setdefault("columnDefaults", {})
+            state.setdefault("generatedCols", {})
             state.setdefault("properties", {})
             break
         if v in ckpts:
@@ -567,6 +575,7 @@ def _load_state(path: str, version: int) -> dict:
                 mj.setdefault("clusterBy", [])
                 mj.setdefault("copyInto", [])
                 mj.setdefault("columnDefaults", {})
+                mj.setdefault("generatedCols", {})
                 mj.setdefault("properties", {})
                 state = mj
                 break
@@ -812,6 +821,153 @@ def _check_mentions(cons: list[dict], col: str) -> list[str]:
             if c.get("check") and pat.search(c["check"])]
 
 
+def _gen_mentions(gens: dict, col: str) -> list[str]:
+    """Generated columns whose expression mentions ``col`` as a word
+    (same conservative no-parser guard as ``_check_mentions``)."""
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    return sorted(n for n, ex in (gens or {}).items()
+                  if pat.search(ex))
+
+
+def add_generated_column(spark, path: str, name: str, expr: str,
+                         dtype: str | None = None,
+                         backfill: bool = False) -> dict:
+    """GENERATED column (Delta ``GENERATED ALWAYS AS (expr)``): a data
+    column whose value is DEFINED as a SQL expression over the row's
+    other columns, recorded in table state and enforced by every
+    write — an append that omits the column gets it COMPUTED; an
+    append (or UPDATE/MERGE rewrite) that carries it is VERIFIED
+    against the expression pre-publish (a synthetic
+    ``name <=> (expr)`` CHECK in the same staged-file scan), so a
+    stale or inconsistent generated value can never land.  The classic
+    use is a derived key kept honest by the engine (`order_year` from
+    `o_orderdate`, a bucketing hash, a normalized copy).
+
+    Three add paths, Delta-shaped:
+
+    * the column already exists in the schema → existing data is
+      VALIDATED against the expression (one scan; refused if any row
+      disagrees) and the declaration lands as O(1) metadata;
+    * the table has no live files → the column (``dtype`` required)
+      joins the schema in the same metadata commit;
+    * ``backfill=True`` → the declaration lands first, then every
+      live file rewrites computing the column (copy-on-write; cost of
+      a full rewrite, exactly what Delta makes you do by hand).
+      A crash between the two leaves pre-backfill files NULL-filled —
+      re-run with ``backfill=True`` to finish; the declaration itself
+      is already enforced for new writes.
+
+    Renaming or dropping a SOURCE column an expression mentions is
+    refused; dropping the generated column removes the declaration;
+    renames of the generated column carry the declaration (the
+    expression names only source columns)."""
+    from pyspark.sql import functions as F
+
+    if not name or not expr:
+        raise ValueError("generated column needs a name and an expr")
+    m = load_manifest(path)
+    st = _table_schema(m)
+    names = [f.name for f in st.fields]
+    live = [f for f in m["files"] if not f.get("dead")]
+    exists = name in names
+    # expression must analyze against the CURRENT schema (it may
+    # reference any data column except itself)
+    probe = StructType([f for f in st.fields if f.name != name])
+    typed = spark.createDataFrame([], probe).select(
+        F.expr(expr).alias(name))
+    out_type = (st[name].dataType if exists
+                else typed.schema[name].dataType if dtype is None
+                else spark.createDataFrame([], probe).select(
+                    F.expr(expr).cast(dtype).alias(name))
+                .schema[name].dataType)
+    if exists and not backfill:
+        bad = read_manifest(spark, path).filter(
+            ~F.col(name).eqNullSafe(F.expr(expr).cast(out_type))
+        ).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"generated column {name!r} disagrees with its "
+                f"expression on existing rows; fix the data first "
+                "(or pass backfill=True to recompute it everywhere)")
+    elif live and not exists and not backfill:
+        raise ValueError(
+            f"table has live files without column {name!r}; pass "
+            "backfill=True to rewrite them computing it, or declare "
+            "an existing column instead")
+    new_schema = (st if exists else StructType(
+        list(st.fields) + [StructField(name, out_type, True)]))
+    while True:
+        prev = load_manifest(path)
+        gens = dict(prev.get("generatedCols") or {})
+        if gens.get(name) == expr:
+            break  # idempotent re-declare (also the backfill re-run)
+        if name in gens:
+            raise ValueError(
+                f"a different expression is declared for {name!r}; "
+                "drop the column first")
+        gens[name] = expr
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": new_schema.json(),
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "generatedCols": gens,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            _maybe_checkpoint(path, target)
+            break
+    if backfill:
+        # rewrite EVERY live file recomputing the column — idempotent
+        # by construction, so a crash-interrupted backfill just
+        # re-runs (the declaration is already enforced on new writes)
+        cur = load_manifest(path)
+        cur_live = [f for f in cur["files"] if not f.get("dead")]
+        if cur_live:
+            cur_st = _table_schema(cur)
+            base = _masked_spark_read(spark, cur_st, cur_live)\
+                .withColumn(name, F.expr(expr).cast(out_type))
+            stat_cols = sorted({k for f in cur_live
+                                for k in (f.get("stats") or {})})
+            paths = [f["path"] for f in cur_live]
+            write_frame(
+                base.repartition(max(1, len(paths))), path, "append",
+                statCols=",".join(stat_cols),
+                replacePaths=json.dumps(paths),
+                dvState=json.dumps(
+                    {f["path"]: f.get("dvGen", 0) for f in cur_live}))
+    return load_manifest(path)
+
+
+def drop_generated_column_decl(path: str, name: str) -> dict:
+    """Remove a generated-column DECLARATION (the column itself stays,
+    now an ordinary writable column) — metadata commit."""
+    while True:
+        prev = load_manifest(path)
+        gens = dict(prev.get("generatedCols") or {})
+        if name not in gens:
+            raise ValueError(f"no generated declaration for {name!r}")
+        del gens[name]
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "generatedCols": gens,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def drop_table_constraint(path: str, col: str) -> dict:
     """Remove every persisted constraint on column ``col`` — or, for
     CHECK constraints, the one NAMED ``col`` (metadata commit)."""
@@ -905,6 +1061,12 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
                 f"column {old!r} is referenced by check "
                 f"constraint(s) {hit}; drop them first "
                 "(drop_table_constraint)")
+        ghit = _gen_mentions(prev.get("generatedCols"), old)
+        if ghit:
+            raise ValueError(
+                f"column {old!r} is a source of generated column(s) "
+                f"{ghit}; drop their declarations first "
+                "(drop_generated_column_decl)")
         dropped = dict(prev.get("droppedCols", {}))
         target = prev.get("version", 0) + 1
         import time as _time
@@ -937,6 +1099,11 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             "columnDefaults": {
                 (new if k == old else k): v
                 for k, v in (prev.get("columnDefaults") or {}).items()},
+            # a renamed GENERATED column keeps its declaration (the
+            # expression names only source columns, guarded above)
+            "generatedCols": {
+                (new if k == old else k): v
+                for k, v in (prev.get("generatedCols") or {}).items()},
             "committedAt": _time.time()}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
@@ -982,6 +1149,7 @@ def load_manifest(path: str, version: int | None = None) -> dict:
                 "clusterBy": list(st.get("clusterBy") or []),
                 "copyInto": list(st.get("copyInto") or []),
                 "columnDefaults": dict(st.get("columnDefaults") or {}),
+                "generatedCols": dict(st.get("generatedCols") or {}),
                 "properties": dict(st.get("properties") or {})}
     files = []
     for f in st["files"]:
@@ -1016,6 +1184,7 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "clusterBy": list(st.get("clusterBy") or []),
             "copyInto": list(st.get("copyInto") or []),
             "columnDefaults": dict(st.get("columnDefaults") or {}),
+            "generatedCols": dict(st.get("generatedCols") or {}),
             "properties": dict(st.get("properties") or {})}
 
 
@@ -3292,6 +3461,12 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
                 f"column {col!r} is referenced by check "
                 f"constraint(s) {hit}; drop them first "
                 "(drop_table_constraint)")
+        ghit = _gen_mentions(prev.get("generatedCols"), col)
+        if ghit:
+            raise ValueError(
+                f"column {col!r} is a source of generated column(s) "
+                f"{ghit}; drop their declarations first "
+                "(drop_generated_column_decl)")
         target = prev.get("version", 0) + 1
         dropped = dict(prev.get("droppedCols", {}))
         dropped[col] = target
@@ -3305,10 +3480,14 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
             "schema": StructType(
                 [f for f in st.fields if f.name != col]).json(),
             "txn": dict(prev.get("txn", {})),
-            # a dropped column takes its DEFAULT with it
+            # a dropped column takes its DEFAULT with it — and its
+            # generated-column declaration
             "columnDefaults": {
                 k: v for k, v in
                 (prev.get("columnDefaults") or {}).items() if k != col},
+            "generatedCols": {
+                k: v for k, v in
+                (prev.get("generatedCols") or {}).items() if k != col},
             "committedAt": _time.time(), "droppedCols": dropped}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
@@ -5012,15 +5191,36 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
         except (FileNotFoundError, ValueError, OSError):
             _m = None
         defaults = (_m.get("columnDefaults") or {}) if _m else {}
-        if defaults:
+        gens = (_m.get("generatedCols") or {}) if _m else {}
+        if defaults or gens:
             from pyspark.sql import functions as F
 
             have = {f.name for f in df.schema.fields}
             types = {f.name: f.dataType
                      for f in _table_schema(_m).fields}
             for c, ex in defaults.items():
-                if c not in have and c in types:
+                if c not in have and c in types and c not in gens:
                     df = df.withColumn(c, F.expr(ex).cast(types[c]))
+            # GENERATED columns (add_generated_column): omitted →
+            # COMPUTED from the row; supplied → VERIFIED pre-publish
+            # via a synthetic null-safe-equality CHECK in the same
+            # staged-file scan the table's CHECK constraints use
+            synth = []
+            for c, ex in gens.items():
+                if c not in types:
+                    continue
+                if c not in have:
+                    df = df.withColumn(
+                        c, F.expr(ex).cast(types[c]))
+                else:
+                    synth.append({
+                        "name": f"_generated_{c}",
+                        "check": f"{c} <=> (CAST(({ex}) AS "
+                                 f"{types[c].simpleString()}))"})
+            if synth:
+                extra = json.loads(opts["constraints"]) \
+                    if opts.get("constraints") else []
+                opts["constraints"] = json.dumps(extra + synth)
     _native_write(df, path, mode, opts)
 
 
