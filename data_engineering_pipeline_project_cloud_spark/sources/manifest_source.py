@@ -2035,6 +2035,9 @@ def describe_manifest(path: str, version: int | None = None) -> dict:
                            (m.get("partitionSpecs") or [])],
         "clusterBy": list(m.get("clusterBy") or []),
         "constraints": list(m.get("constraints") or []),
+        "columnDefaults": dict(m.get("columnDefaults") or {}),
+        "generatedCols": dict(m.get("generatedCols") or {}),
+        "numCopiedFiles": len(m.get("copyInto") or []),
         "properties": dict(m.get("properties") or {}),
         "schemaFields": [f.name for f in _table_schema(m).fields],
         "retainedVersions": (versions[0], versions[-1]) if versions
@@ -3812,7 +3815,11 @@ def manifest_operations(path: str) -> list[dict]:
         elif info.get("tombstone") or info.get("dvUpdate"):
             op = "DELETE (DV)" if info.get("dvUpdate") else "REWRITE"
         elif info.get("add"):
-            op = "WRITE"
+            if info.get("copyFiles"):
+                op = "COPY INTO"
+                detail = {"nFiles": len(info["copyFiles"])}
+            else:
+                op = "WRITE"
         else:
             # pure-metadata commit: diff against the prior state
             pr = prev_state or {}
@@ -3836,12 +3843,40 @@ def manifest_operations(path: str) -> list[dict]:
             elif len(cur_cons) < len(pre_cons):
                 op = "DROP CONSTRAINT"
                 gone = [c for c in pre_cons if c not in cur_cons]
-                detail = {"col": gone[0]["col"]} if gone else None
+                detail = ({"col": gone[0].get("col")
+                           or gone[0].get("name")} if gone else None)
             elif ((st.get("partitionGen") or [])
                     != (pr.get("partitionGen") or [])):
                 op = "EVOLVE PARTITION SPEC"
                 detail = {"from": pr.get("partitionGen") or [],
                           "to": st.get("partitionGen") or []}
+            elif ((st.get("columnDefaults") or {})
+                    != (pr.get("columnDefaults") or {})):
+                cur_d = st.get("columnDefaults") or {}
+                pre_d = pr.get("columnDefaults") or {}
+                op = ("SET DEFAULT" if len(cur_d) >= len(pre_d)
+                      else "UNSET DEFAULT")
+                changed = ({k for k in cur_d
+                            if pre_d.get(k) != cur_d[k]}
+                           or set(pre_d) - set(cur_d))
+                detail = {"col": sorted(changed)[0]} if changed else None
+            elif ((st.get("generatedCols") or {})
+                    != (pr.get("generatedCols") or {})):
+                cur_g = st.get("generatedCols") or {}
+                pre_g = pr.get("generatedCols") or {}
+                op = ("ADD GENERATED COLUMN"
+                      if len(cur_g) > len(pre_g)
+                      else "DROP GENERATED COLUMN")
+                changed = (set(cur_g) ^ set(pre_g))
+                detail = {"col": sorted(changed)[0]} if changed else None
+            elif ((st.get("clusterBy") or [])
+                    != (pr.get("clusterBy") or [])):
+                op = "CLUSTER BY"
+                detail = {"cols": st.get("clusterBy") or []}
+            elif ((st.get("properties") or {})
+                    != (pr.get("properties") or {})):
+                op = "SET TBLPROPERTIES"
+                detail = dict(st.get("properties") or {})
             else:
                 op = "TXN"
         out.append({"version": v, "operation": op, "detail": detail,

@@ -110,3 +110,43 @@ def test_drop_declaration_demotes_to_ordinary(spark, declared):
     assert r["v2"] == 123.0
     with pytest.raises(ValueError, match="no generated"):
         drop_generated_column_decl(declared, "v2")
+
+
+def test_history_labels_and_describe_surface_round8_ops(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_check_constraint,
+        copy_into,
+        describe_manifest,
+        drop_table_constraint,
+        manifest_operations,
+        set_column_default,
+    )
+    register(spark)
+    t = str(tmp_path / "hist")
+    write_manifest_table(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"), t, ["k"])
+    add_check_constraint(spark, t, "vpos", "v > 0")
+    set_column_default(spark, t, "v", "1.5")
+    add_generated_column(spark, t, "v2", "v * 2", backfill=True)
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    (spark.createDataFrame([(5, 1.0, 2.0)],
+                           "k long, v double, v2 double")
+     .coalesce(1).write.mode("overwrite").parquet(src + "/_t"))
+    shutil.move(glob.glob(src + "/_t/*.parquet")[0], src + "/x.parquet")
+    copy_into(spark, t, src + "/x.parquet")
+    set_column_default(spark, t, "v", None)
+    drop_generated_column_decl(t, "v2")
+    drop_table_constraint(t, "vpos")
+    labels = [o["operation"] for o in manifest_operations(t)]
+    for want in ("CREATE", "ADD CONSTRAINT", "SET DEFAULT",
+                 "ADD GENERATED COLUMN", "COPY INTO", "UNSET DEFAULT",
+                 "DROP GENERATED COLUMN", "DROP CONSTRAINT"):
+        assert want in labels, (want, labels)
+    d = describe_manifest(t)
+    assert d["numCopiedFiles"] == 1
+    assert d["columnDefaults"] == {} and d["generatedCols"] == {}
