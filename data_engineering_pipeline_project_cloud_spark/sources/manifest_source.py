@@ -3594,6 +3594,12 @@ def restore_manifest(path: str, version: int) -> dict:
             "partitionSpecs": [list(s) for s in
                                (old.get("partitionSpecs") or [])],
             "clusterBy": list(old.get("clusterBy") or []),
+            # DDL contracts roll back with the schema; the COPY INTO
+            # registry does NOT (a restore removes rows, but re-running
+            # the copy would duplicate-on-next-restore — keep the
+            # exactly-once memory of what was ever loaded)
+            "columnDefaults": dict(old.get("columnDefaults") or {}),
+            "generatedCols": dict(old.get("generatedCols") or {}),
             "properties": dict(old.get("properties") or {}),
             "committedAt": _time.time(),
             "restoredFrom": version,
@@ -3702,6 +3708,9 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "partitionSpecs": [list(s) for s in
                            (state.get("partitionSpecs") or [])],
         "clusterBy": list(state.get("clusterBy") or []),
+        "columnDefaults": dict(state.get("columnDefaults") or {}),
+        "generatedCols": dict(state.get("generatedCols") or {}),
+        "copyFiles": list(state.get("copyInto") or []),
         "properties": dict(state.get("properties") or {}),
         "committedAt": _time.time(),
         "clonedFrom": {"path": src_abs,

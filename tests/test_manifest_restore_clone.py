@@ -338,3 +338,60 @@ def test_restore_racing_append_restore_wins(spark, sf_dir, table):
     assert _read(spark, table).count() == v0_rows
     # the racer's commit is intact underneath
     assert load_manifest(table, next_v)["txn"].get("racer") == 1
+
+
+def test_clone_carries_round8_state_restore_keeps_registry(
+        spark, tmp_path):
+    import shutil
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_generated_column,
+        copy_into,
+        load_manifest,
+        read_manifest,
+        restore_manifest,
+        set_column_default,
+        write_frame,
+        write_manifest_table,
+    )
+    register(spark)
+    src_tbl = str(tmp_path / "src")
+    write_manifest_table(
+        spark.createDataFrame([(1, 10.0)], "k long, v double"),
+        src_tbl, ["k"])
+    set_column_default(spark, src_tbl, "v", "7.0")
+    add_generated_column(spark, src_tbl, "v2", "v * 2", backfill=True)
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    (spark.createDataFrame([(2, 1.0, 2.0)],
+                           "k long, v double, v2 double")
+     .coalesce(1).write.mode("overwrite").parquet(land + "/_t"))
+    shutil.move(glob.glob(land + "/_t/*.parquet")[0],
+                land + "/x.parquet")
+    copy_into(spark, src_tbl, land + "/x.parquet")
+    v_before_restore = load_manifest(src_tbl)["version"]
+
+    # CLONE: DDL contracts AND the COPY INTO registry travel with it
+    # (Databricks documents exactly this so incremental ingestion can
+    # continue on the clone)
+    dst = str(tmp_path / "dst")
+    clone_manifest(src_tbl, dst)
+    cm = load_manifest(dst)
+    assert cm["columnDefaults"] == {"v": "7.0"}
+    assert cm["generatedCols"] == {"v2": "v * 2"}
+    r = copy_into(spark, dst, land + "/x.parquet")
+    assert r["loadedFiles"] == 0 and r["skippedFiles"] == 1
+    # defaults + generation enforced on the clone
+    write_frame(spark.createDataFrame([(3,)], "k long"),
+                dst, "append", statCols="k")
+    row = read_manifest(spark, dst).filter("k = 3").collect()[0]
+    assert (row["v"], row["v2"]) == (7.0, 14.0)
+
+    # RESTORE: contracts roll back with the schema; the registry keeps
+    # the exactly-once memory (documented at the delta composition)
+    restore_manifest(src_tbl, 0)
+    rm = load_manifest(src_tbl)
+    assert rm["columnDefaults"] == {}
+    assert rm["generatedCols"] == {}
+    assert len(rm["copyInto"]) == 1
+    assert load_manifest(src_tbl)["version"] == v_before_restore + 1
