@@ -12,9 +12,14 @@ from .catalog import (
 
 __all__ = [
     "TABLES",
+    "add_check_constraint",
+    "add_generated_column",
+    "add_table_constraint",
     "assert_unique_key",
     "copy_into",
     "describe_manifest",
+    "drop_generated_column_decl",
+    "drop_table_constraint",
     "evolve_partition_spec",
     "load_table",
     "load_tables",
@@ -25,6 +30,7 @@ __all__ = [
     "read_jdbc",
     "read_manifest",
     "set_cluster_by",
+    "set_column_default",
     "set_table_properties",
     "update_manifest",
     "vacuum_manifest",
@@ -49,6 +55,12 @@ def _lazy(name: str):
 
 
 read_manifest = _lazy("read_manifest")
+add_check_constraint = _lazy("add_check_constraint")
+add_generated_column = _lazy("add_generated_column")
+add_table_constraint = _lazy("add_table_constraint")
+drop_generated_column_decl = _lazy("drop_generated_column_decl")
+drop_table_constraint = _lazy("drop_table_constraint")
+set_column_default = _lazy("set_column_default")
 copy_into = _lazy("copy_into")
 describe_manifest = _lazy("describe_manifest")
 evolve_partition_spec = _lazy("evolve_partition_spec")
