@@ -20,6 +20,7 @@ __all__ = [
     "describe_manifest",
     "drop_generated_column_decl",
     "drop_table_constraint",
+    "expire_copy_registry",
     "evolve_partition_spec",
     "load_table",
     "load_tables",
@@ -62,6 +63,7 @@ drop_generated_column_decl = _lazy("drop_generated_column_decl")
 drop_table_constraint = _lazy("drop_table_constraint")
 set_column_default = _lazy("set_column_default")
 copy_into = _lazy("copy_into")
+expire_copy_registry = _lazy("expire_copy_registry")
 describe_manifest = _lazy("describe_manifest")
 evolve_partition_spec = _lazy("evolve_partition_spec")
 manifest_files = _lazy("manifest_files")

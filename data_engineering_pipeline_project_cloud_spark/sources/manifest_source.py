@@ -417,10 +417,19 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
     # COPY INTO loaded-file registry: append-only across commits (an
     # overwrite resets it with the table); each delta carries only ITS
     # newly-loaded identities, the registry folds here — the same
-    # log-structured contract as the file list
-    prior_ci = ([] if (delta.get("truncate") or base is None)
-                else base.get("copyInto", []))
-    new_ci = delta.get("copyFiles") or []
+    # log-structured contract as the file list.  Entries are
+    # version-stamped {"id", "at"} so retention can expire old ones
+    # (expire_copy_registry); a "copyRegistry" delta key REPLACES the
+    # registry wholesale (the expiry commit).
+    if "copyRegistry" in delta:
+        prior_ci = list(delta["copyRegistry"])
+    elif delta.get("truncate") or base is None:
+        prior_ci = []
+    else:
+        prior_ci = base.get("copyInto", [])
+    new_ci = [{"id": i, "at": delta["version"]}
+              if not isinstance(i, dict) else i
+              for i in (delta.get("copyFiles") or [])]
     return {"schema": delta["schema"], "version": delta["version"],
             "files": files, "txn": delta.get("txn", {}),
             "committedAt": delta.get("committedAt"),
@@ -2359,6 +2368,48 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
     return load_manifest(path)
 
 
+def _copy_registry_ids(m: dict) -> set[str]:
+    """Loaded-file identities from a manifest's COPY INTO registry
+    (entries are version-stamped dicts; bare strings are the legacy
+    pre-stamp form)."""
+    return {e["id"] if isinstance(e, dict) else e
+            for e in (m.get("copyInto") or [])}
+
+
+def expire_copy_registry(path: str, keep_versions: int) -> dict:
+    """Retention for the COPY INTO loaded-file registry (the
+    Databricks load-history window): drop registry entries loaded
+    more than ``keep_versions`` table versions ago — one metadata
+    commit that REPLACES the registry (``copyRegistry`` delta key), so
+    checkpoints stop materializing identities nobody will re-present.
+    The documented trade-off (SCALE.md): an EXPIRED source file
+    re-ingests if it shows up again; size the window past the landing
+    zone's own retention and that can't happen."""
+    if keep_versions < 0:
+        raise ValueError("keep_versions must be >= 0")
+    while True:
+        prev = load_manifest(path)
+        cutoff = prev.get("version", 0) - keep_versions
+        kept = [e for e in (prev.get("copyInto") or [])
+                if isinstance(e, dict) and e.get("at", 0) >= cutoff]
+        if len(kept) == len(prev.get("copyInto") or []):
+            return prev  # nothing to expire
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "copyRegistry": kept,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def copy_into(spark, path: str, source, source_format: str = "parquet",
               stat_cols: list[str] | None = None,
               reader_options: dict | None = None,
@@ -2418,7 +2469,7 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     if m is not None:
         st = _table_schema(m)
         version = m.get("version")
-        reg = set(m.get("copyInto") or [])
+        reg = _copy_registry_ids(m)
     todo = [p for p in cands if force or p not in reg]
     if not todo:
         return {"loadedFiles": 0, "skippedFiles": len(cands),
@@ -4579,7 +4630,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 # already in the table — committing would duplicate
                 # them.  Fail; the caller re-runs copy_into, which
                 # skips the now-registered file.
-                reg = set(prev.get("copyInto") or [])
+                reg = _copy_registry_ids(prev)
                 dup = sorted(set(self._copy_files) & reg)
                 if dup:
                     fail("COPY INTO conflict: source file(s) already "

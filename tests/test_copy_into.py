@@ -148,3 +148,33 @@ def test_empty_source_refused(spark, landing):
     src, tbl = landing
     with pytest.raises(ValueError, match="matched no files"):
         copy_into(spark, tbl, os.path.join(src, "*.nope"))
+
+
+def test_registry_expiry_window(spark, landing):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        expire_copy_registry,
+    )
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])            # v0: a, b
+    _land(spark, src, "c.parquet", 20, 25)
+    copy_into(spark, tbl, src)                             # v1: c
+    # entries are version-stamped
+    m = load_manifest(tbl)
+    ats = sorted(e["at"] for e in m["copyInto"])
+    assert ats == [0, 0, 1]
+    # push the version forward, then expire the old window
+    filler = spark.createDataFrame([(0, 0.0)], "k long, v double")
+    for _ in range(4):
+        write_frame(filler, tbl, "append", statCols="k")   # v2..v5
+    expire_copy_registry(tbl, keep_versions=4)             # cutoff v1
+    m = load_manifest(tbl)
+    assert [e["at"] for e in m["copyInto"]] == [1]  # v0 loads expired
+    expire_copy_registry(tbl, keep_versions=3)             # cutoff v3
+    assert load_manifest(tbl)["copyInto"] == []
+    # expired files re-ingest if re-presented — THE documented trade-off
+    r = copy_into(spark, tbl, os.path.join(src, "a.parquet"))
+    assert r["loadedFiles"] == 1
+    # idempotent when nothing is old enough
+    v = load_manifest(tbl)["version"]
+    expire_copy_registry(tbl, keep_versions=100)
+    assert load_manifest(tbl)["version"] == v
