@@ -119,3 +119,27 @@ def test_update_null_where_leaves_row(spark, tmp_path):
 def test_update_unknown_column_refused(spark, table):
     with pytest.raises(ValueError, match="unknown column"):
         update_manifest(spark, table, {"nope": "1"}, "true")
+
+
+def test_update_preserves_hidden_partition_layout(spark, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        write_frame,
+    )
+    register(spark)
+    path = str(tmp_path / "hp")
+    df = spark.createDataFrame(
+        [(i, f"2024-0{1 + i % 3}-15 00:00:00", float(i))
+         for i in range(12)],
+        "k long, ts_s string, val double").select(
+        "k", F.col("ts_s").cast("timestamp").alias("ts"), "val")
+    write_frame(df, path, "append", statCols="k",
+                partitionGen="pm=month(ts)")
+    update_manifest(spark, path, {"val": "val + 100"}, "k = 4")
+    m = load_manifest(path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    # every rewritten file still carries its hidden partition value
+    assert all(f.get("partition") and "pm" in f["partition"]
+               for f in live), live
+    rows = {r["k"]: r["val"]
+            for r in read_manifest(spark, path).collect()}
+    assert rows[4] == 104.0 and rows[5] == 5.0 and len(rows) == 12
