@@ -361,7 +361,7 @@ def dsir_importance_weights(docs: DataFrame, target_cond: str,
         F.sum("cnt").alias("n_raw"),
         F.sum(F.when(F.col("__is_target"), F.col("cnt"))
               .otherwise(F.lit(0))).alias("n_tgt")))
-    lam = (raw.join(tgt, "bucket", "left")
+    lam = (raw.join(F.broadcast(tgt), "bucket", "left")
            .crossJoin(F.broadcast(totals))
            .select(
                "bucket",
