@@ -2430,6 +2430,10 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     loser fails with a conflict and its re-run skips the file.
 
     ``source``: a directory, a glob, or an explicit list of files.
+    Directory/glob listing is local-filesystem; for object-store
+    sources pass an explicit list of URIs (identities keep the URI
+    verbatim, and the read goes through whatever filesystem Spark has
+    configured for the scheme).
     ``source_format``: any ``spark.read`` format (parquet/csv/json/
     orc); ``reader_options`` pass through (e.g. ``{"header": "true"}``
     for CSV).  If the table exists, rows conform to its schema (cast +
@@ -2446,8 +2450,14 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     import glob as _glob
 
     register(spark)
+
+    def canon_src(p: str) -> str:
+        # object-store URIs are already canonical; abspath would
+        # mangle the scheme (s3://x -> /cwd/s3:/x)
+        return p if "://" in p else os.path.abspath(p)
+
     if isinstance(source, (list, tuple)):
-        cands = [os.path.abspath(p) for p in source]
+        cands = [canon_src(p) for p in source]
     elif os.path.isdir(source):
         cands = sorted(
             os.path.join(r, n)
