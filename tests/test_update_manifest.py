@@ -143,3 +143,46 @@ def test_update_preserves_hidden_partition_layout(spark, tmp_path):
     rows = {r["k"]: r["val"]
             for r in read_manifest(spark, path).collect()}
     assert rows[4] == 104.0 and rows[5] == 5.0 and len(rows) == 12
+
+
+@pytest.mark.parametrize("pred_kind", ["grp_eq", "val_gt", "conj"])
+def test_update_matches_python_reference_randomized(
+        spark, tmp_path_factory, pred_kind):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows_strategy = st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 3),
+                  st.one_of(st.none(), st.integers(-5, 5))),
+        min_size=1, max_size=12, unique_by=lambda r: r[0])
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(rows=rows_strategy, g=st.integers(0, 3),
+           v=st.integers(-5, 5))
+    def run(rows, g, v):
+        pred = {"grp_eq": f"grp = {g}",
+                "val_gt": f"val > {v}",
+                "conj": f"k % 2 = 0 AND grp = {g}"}[pred_kind]
+
+        def matches(k, grp, val):
+            if pred_kind == "grp_eq":
+                return grp == g
+            if pred_kind == "val_gt":
+                return val is not None and val > v
+            return k % 2 == 0 and grp == g
+
+        path = str(tmp_path_factory.mktemp("prop") / "t")
+        df = spark.createDataFrame(rows,
+                                   "k long, grp long, val long")
+        write_manifest_table(df.repartition(2), path, ["k"])
+        update_manifest(spark, path,
+                        {"val": "k * 10", "k": "k + 100"}, pred)
+        got = {(r["k"], r["grp"], r["val"])
+               for r in read_manifest(spark, path).collect()}
+        want = {((k + 100, grp, k * 10) if matches(k, grp, val)
+                 else (k, grp, val))
+                for k, grp, val in rows}
+        assert got == want
+
+    run()
