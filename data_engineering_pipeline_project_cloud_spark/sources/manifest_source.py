@@ -5327,6 +5327,40 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
                     if opts.get("constraints") else []
                 opts["constraints"] = json.dumps(extra + synth)
     _native_write(df, path, mode, opts)
+    # AUTO-COMPACT (Delta autoCompact analog, opt-in): when the table
+    # persists BOTH `autoCompact` (trigger: live small-file count) and
+    # `targetFileRows` (the size policy), a PLAIN append that leaves
+    # at least that many small files runs an inline bin-pack.  Only
+    # plain appends trigger (a rewrite carrying replacePaths IS
+    # maintenance — compaction's own commit must not recurse), and a
+    # failed compaction never fails the append (its data is already
+    # committed; the debt just waits for the next trigger).
+    if mode == "append" and "replacepaths" not in opts:
+        try:
+            m2 = load_manifest(path)
+            props = m2.get("properties") or {}
+            ac = int(props.get("autoCompact", 0) or 0)
+            tfr = int(props.get("targetFileRows", 0) or 0)
+        except (FileNotFoundError, ValueError, OSError):
+            ac = tfr = 0
+        if ac and tfr:
+            small_n = sum(
+                1 for f in m2["files"]
+                if not f.get("dead")
+                and (f["rows"] < tfr or f.get("dv")))
+            if small_n >= max(ac, 2):
+                stat_cols = sorted({k for f in m2["files"]
+                                    if not f.get("dead")
+                                    for k in (f.get("stats") or {})})
+                try:
+                    compact_manifest(df.sparkSession, path,
+                                     stat_cols, tfr)
+                except Exception as exc:  # append already durable
+                    import warnings
+
+                    warnings.warn(
+                        f"auto-compaction deferred: {exc}",
+                        stacklevel=2)
 
 
 class _FilePartition(InputPartition):
