@@ -732,16 +732,30 @@ def add_check_constraint(spark, path: str, name: str,
     # analysis-time validation: unknown columns / bad SQL fail HERE,
     # with Spark's own error, not inside some future write
     spark.createDataFrame([], st).filter(F.expr(expr)).schema
-    existing = read_manifest(spark, path)
-    bad = existing.filter(
-        ~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count()
-    if bad:
+    def violated() -> bool:
+        return bool(read_manifest(spark, path).filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))).limit(1).count())
+
+    if violated():
         raise ValueError(
             f"check constraint {name!r} is violated by existing rows; "
             "fix the data first (Delta ADD CONSTRAINT contract)")
+    checked_version = m.get("version", 0)
     con = {"name": name, "check": expr}
     while True:
         prev = load_manifest(path)
+        if prev.get("version", 0) != checked_version:
+            # the table moved since we validated (a write planned
+            # before this constraint existed may have landed) —
+            # re-validate against the CURRENT snapshot before
+            # recording, or the table would persist a CHECK its own
+            # data violates
+            if violated():
+                raise ValueError(
+                    f"check constraint {name!r} is violated by rows "
+                    "committed while it was being added; fix the "
+                    "data first")
+            checked_version = prev.get("version", 0)
         cons = list(prev.get("constraints") or [])
         if any(c == con for c in cons):
             return prev  # idempotent
@@ -891,11 +905,14 @@ def add_generated_column(spark, path: str, name: str, expr: str,
                 else spark.createDataFrame([], probe).select(
                     F.expr(expr).cast(dtype).alias(name))
                 .schema[name].dataType)
-    if exists and not backfill:
-        bad = read_manifest(spark, path).filter(
+    def _disagrees() -> bool:
+        return bool(read_manifest(spark, path).filter(
             ~F.col(name).eqNullSafe(F.expr(expr).cast(out_type))
-        ).limit(1).count()
-        if bad:
+        ).limit(1).count())
+
+    checked_version = m.get("version", 0)
+    if exists and not backfill:
+        if _disagrees():
             raise ValueError(
                 f"generated column {name!r} disagrees with its "
                 f"expression on existing rows; fix the data first "
@@ -905,10 +922,19 @@ def add_generated_column(spark, path: str, name: str, expr: str,
             f"table has live files without column {name!r}; pass "
             "backfill=True to rewrite them computing it, or declare "
             "an existing column instead")
-    new_schema = (st if exists else StructType(
-        list(st.fields) + [StructField(name, out_type, True)]))
     while True:
         prev = load_manifest(path)
+        if (exists and not backfill
+                and prev.get("version", 0) != checked_version):
+            # a write landed between validation and claim: re-check
+            # before recording the declaration (same TOCTOU guard as
+            # add_check_constraint)
+            if _disagrees():
+                raise ValueError(
+                    f"generated column {name!r} disagrees with rows "
+                    "committed while it was being declared; fix the "
+                    "data first")
+            checked_version = prev.get("version", 0)
         gens = dict(prev.get("generatedCols") or {})
         if gens.get(name) == expr:
             break  # idempotent re-declare (also the backfill re-run)
@@ -920,6 +946,17 @@ def add_generated_column(spark, path: str, name: str, expr: str,
         target = prev.get("version", 0) + 1
         import time as _time
 
+        # the schema the delta records derives from the CURRENT prev,
+        # not the entry snapshot: a CAS retry must not revert a
+        # concurrent schema commit (the lost-update every sibling
+        # metadata commit avoids by writing prev["schema"])
+        prev_st = StructType.fromJson(json.loads(prev["schema"]))
+        if name in {f.name for f in prev_st.fields}:
+            new_schema = prev_st
+        else:
+            new_schema = StructType(
+                list(prev_st.fields)
+                + [StructField(name, out_type, True)])
         delta = {"version": target, "schema": new_schema.json(),
                  "txn": dict(prev.get("txn", {})),
                  "droppedCols": dict(prev.get("droppedCols", {})),
@@ -943,12 +980,16 @@ def add_generated_column(spark, path: str, name: str, expr: str,
             stat_cols = sorted({k for f in cur_live
                                 for k in (f.get("stats") or {})})
             paths = [f["path"] for f in cur_live]
+            bloom_cols = sorted({c for f in cur_live
+                                 for c in (f.get("bloom") or {})})
             write_frame(
                 base.repartition(max(1, len(paths))), path, "append",
                 statCols=",".join(stat_cols),
                 replacePaths=json.dumps(paths),
                 dvState=json.dumps(
-                    {f["path"]: f.get("dvGen", 0) for f in cur_live}))
+                    {f["path"]: f.get("dvGen", 0) for f in cur_live}),
+                bloomCols=(",".join(bloom_cols) if bloom_cols
+                           else None))
     return load_manifest(path)
 
 
@@ -2359,12 +2400,18 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
         if f.name in set_exprs else F.col(f.name)
         for f in st.fields])
     paths = [f["path"] for f in affected]
+    # bloom filters carry through the rewrite — dropping them would
+    # silently disable point-lookup skipping on the rewritten files
+    # (same contract as compaction/z-order)
+    bloom_cols = sorted({c for f in affected
+                         for c in (f.get("bloom") or {})})
     write_frame(
         out.repartition(max(1, len(paths))), path, "append",
         statCols=",".join(stat_cols),
         replacePaths=json.dumps(paths),
         dvState=json.dumps(
-            {f["path"]: f.get("dvGen", 0) for f in affected}))
+            {f["path"]: f.get("dvGen", 0) for f in affected}),
+        bloomCols=",".join(bloom_cols) if bloom_cols else None)
     return load_manifest(path)
 
 
@@ -2487,9 +2534,20 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     reader = spark.read.format(source_format)
     if reader_options:
         reader = reader.options(**reader_options)
-    if st is not None and source_format in ("csv", "json"):
-        # text formats re-infer types per batch; pin the table schema
+    headered_csv = (source_format == "csv" and str(
+        (reader_options or {}).get("header", "")).lower()
+        in ("true", "1"))
+    if st is not None and source_format == "json":
+        # JSON matches fields by name natively; pinning the table
+        # schema stops per-batch type re-inference
         reader = reader.schema(st)
+    elif st is not None and source_format == "csv" and not headered_csv:
+        reader = reader.schema(st)  # headerless CSV: positional
+    # headered CSV reads its OWN column names (all strings, no
+    # inference — Spark's default) and the select below maps BY NAME
+    # with casts: an explicit schema would bind columns positionally
+    # and silently mis-assign a file whose column order differs from
+    # the table's (Delta's COPY INTO also resolves CSV by header name)
     df = reader.load(todo)
     if st is not None:
         from pyspark.sql import functions as F
@@ -3771,7 +3829,12 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "clusterBy": list(state.get("clusterBy") or []),
         "columnDefaults": dict(state.get("columnDefaults") or {}),
         "generatedCols": dict(state.get("generatedCols") or {}),
-        "copyFiles": list(state.get("copyInto") or []),
+        # registry identities carry over; version stamps REBASE to the
+        # clone's own axis (its v0) so expire_copy_registry's window
+        # counts clone versions, not the source's unrelated numbering
+        "copyFiles": [{"id": (e["id"] if isinstance(e, dict) else e),
+                       "at": 0}
+                      for e in (state.get("copyInto") or [])],
         "properties": dict(state.get("properties") or {}),
         "committedAt": _time.time(),
         "clonedFrom": {"path": src_abs,
@@ -3939,6 +4002,11 @@ def manifest_operations(path: str) -> list[dict]:
                       else "DROP GENERATED COLUMN")
                 changed = (set(cur_g) ^ set(pre_g))
                 detail = {"col": sorted(changed)[0]} if changed else None
+            elif (len(st.get("copyInto") or [])
+                    < len(pr.get("copyInto") or [])):
+                op = "EXPIRE COPY REGISTRY"
+                detail = {"expired": (len(pr.get("copyInto") or [])
+                                      - len(st.get("copyInto") or []))}
             elif ((st.get("clusterBy") or [])
                     != (pr.get("clusterBy") or [])):
                 op = "CLUSTER BY"
@@ -4268,13 +4336,18 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         try:
             _m = load_manifest(self._path)
             self._name_version = _m.get("version", 0) + 1
+            self._table_schema_json = _m.get("schema")
             self._table_constraints = list(_m.get("constraints") or [])
+            self._table_generated = dict(
+                _m.get("generatedCols") or {})
             self._table_partition_gen = list(
                 _m.get("partitionGen") or [])
             _props = dict(_m.get("properties") or {})
         except (FileNotFoundError, ValueError):
             self._name_version = 0
+            self._table_schema_json = None
             self._table_constraints = []
+            self._table_generated = {}
             self._table_partition_gen = []
             _props = {}
         # persisted file-size policy: the table's targetFileRows
@@ -4342,6 +4415,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 "table has CHECK constraint(s); write through "
                 "write_frame (the native path verifies them before "
                 "publish)")
+        if not self._overwrite and self._table_generated:
+            # same reasoning for GENERATED columns: this path can
+            # neither compute an omitted one nor verify a supplied
+            # one — silently publishing would desync the declaration
+            raise ValueError(
+                "table has generated column(s) "
+                f"{sorted(self._table_generated)}; write through "
+                "write_frame (the native path computes/verifies them)")
         os.makedirs(self._path, exist_ok=True)
         pcols = self._partition_cols
         gens = self._partition_gen
@@ -4754,6 +4835,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     fail("table constraints changed after this write "
                          "was planned; re-run so the new contract is "
                          "enforced on its rows")
+                # same for generated-column declarations: a column
+                # declared generated after this write was planned
+                # would publish NULL (or unverified) values for it
+                if (prev.get("generatedCols") or {}) != \
+                        self._table_generated:
+                    fail("table generated-column declarations changed "
+                         "after this write was planned; re-run so the "
+                         "column is computed/verified on its rows")
                 # a hidden-partition spec that changed since planning
                 # means this commit's files were split (or not split)
                 # under the wrong layout — committing would mix specs.
@@ -5243,8 +5332,23 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
         else:
             metas = [harvest(r) for r in rels]
         if w._constraints:
+            # verification reads the staged files under the WRITTEN
+            # schema augmented with any table columns this subset-
+            # schema append omits: the explicit-schema parquet read
+            # NULL-fills them, so a CHECK referencing an omitted
+            # column evaluates against NULL (which passes, ANSI CHECK)
+            # instead of failing analysis
+            ver_schema = df.schema
+            if w._table_schema_json and not overwrite:
+                have = {f.name for f in df.schema.fields}
+                extra = [f for f in StructType.fromJson(
+                    json.loads(w._table_schema_json)).fields
+                    if f.name not in have]
+                if extra:
+                    ver_schema = StructType(
+                        list(df.schema.fields) + extra)
             _verify_constraints_native(
-                spark, df.schema, w._constraints, metas,
+                spark, ver_schema, w._constraints, metas,
                 [os.path.join(stage_dir, r)
                  for r, (rows, _s, _n) in zip(rels, metas) if rows])
         blooms: dict[str, dict[str, str]] = {}

@@ -120,3 +120,16 @@ def test_duplicate_name_refused_same_definition_idempotent(spark, table):
     assert load_manifest(table)["version"] == v  # idempotent re-add
     with pytest.raises(ValueError, match="different check constraint"):
         add_check_constraint(spark, table, "amount_pos", "amount > 1")
+
+
+def test_subset_schema_append_null_passes_check(spark, table):
+    # CHECK references `cat`; an append omitting the column NULL-fills
+    # it, and NULL passes ANSI CHECK — accepted, not an analysis error
+    add_check_constraint(spark, table, "cat_known",
+                         "cat IN ('c0', 'c1', 'c2')")
+    write_frame(spark.createDataFrame([(500, 1.0)],
+                                      "k long, amount double"),
+                table, "append", statCols="k")
+    row = read_manifest(spark, table).filter(
+        F.col("k") == 500).collect()
+    assert len(row) == 1 and row[0]["cat"] is None

@@ -171,6 +171,11 @@ def test_registry_expiry_window(spark, landing):
     assert [e["at"] for e in m["copyInto"]] == [1]  # v0 loads expired
     expire_copy_registry(tbl, keep_versions=3)             # cutoff v3
     assert load_manifest(tbl)["copyInto"] == []
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        manifest_operations,
+    )
+    assert "EXPIRE COPY REGISTRY" in [
+        o["operation"] for o in manifest_operations(tbl)]
     # expired files re-ingest if re-presented — THE documented trade-off
     r = copy_into(spark, tbl, os.path.join(src, "a.parquet"))
     assert r["loadedFiles"] == 1
@@ -178,3 +183,20 @@ def test_registry_expiry_window(spark, landing):
     v = load_manifest(tbl)["version"]
     expire_copy_registry(tbl, keep_versions=100)
     assert load_manifest(tbl)["version"] == v
+
+
+def test_headered_csv_maps_columns_by_name(spark, landing):
+    src, tbl = landing
+    copy_into(spark, tbl, src, stat_cols=["k"])
+    csvdir = os.path.join(os.path.dirname(src), "csv_swapped")
+    os.makedirs(csvdir)
+    # column order DIFFERS from the table schema (v,k not k,v): a
+    # positional schema pin would silently mis-assign; header names
+    # must win
+    with open(os.path.join(csvdir, "s.csv"), "w") as f:
+        f.write("v,k\n200.5,100\n")
+    copy_into(spark, tbl, csvdir, source_format="csv",
+              reader_options={"header": "true"})
+    row = read_manifest(spark, tbl).filter(
+        F.col("k") == 100).collect()
+    assert len(row) == 1 and row[0]["v"] == 200.5

@@ -150,3 +150,12 @@ def test_history_labels_and_describe_surface_round8_ops(spark, tmp_path):
     d = describe_manifest(t)
     assert d["numCopiedFiles"] == 1
     assert d["columnDefaults"] == {} and d["generatedCols"] == {}
+
+
+def test_python_datasource_write_refused_on_generated_table(
+        spark, declared):
+    df = spark.createDataFrame([(50, 1.0, 2.0)],
+                               "k long, v double, v2 double")
+    with pytest.raises(Exception, match="write_frame"):
+        (df.write.format("graft_manifest").mode("append")
+         .option("path", declared).option("statCols", "k").save())

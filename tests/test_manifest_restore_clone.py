@@ -379,6 +379,9 @@ def test_clone_carries_round8_state_restore_keeps_registry(
     cm = load_manifest(dst)
     assert cm["columnDefaults"] == {"v": "7.0"}
     assert cm["generatedCols"] == {"v2": "v * 2"}
+    # registry stamps REBASE to the clone's own version axis (v0):
+    # expire_copy_registry must count clone versions, not the source's
+    assert all(e["at"] == 0 for e in cm["copyInto"])
     r = copy_into(spark, dst, land + "/x.parquet")
     assert r["loadedFiles"] == 0 and r["skippedFiles"] == 1
     # defaults + generation enforced on the clone

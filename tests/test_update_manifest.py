@@ -186,3 +186,20 @@ def test_update_matches_python_reference_randomized(
         assert got == want
 
     run()
+
+
+def test_update_carries_bloom_filters_through_rewrite(spark, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        write_frame,
+    )
+    register(spark)
+    path = str(tmp_path / "bloom")
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    write_frame(df.repartitionByRange(2, "k"), path, "append",
+                statCols="k", bloomCols="k")
+    update_manifest(spark, path, {"v": "v + 1"}, "k = 10")
+    live = [f for f in load_manifest(path)["files"]
+            if not f.get("dead")]
+    # every live file — including the rewritten one — keeps its bloom
+    assert all(f.get("bloom") or f.get("bloomRef") for f in live), live
