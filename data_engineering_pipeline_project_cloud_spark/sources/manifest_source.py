@@ -935,6 +935,16 @@ def add_generated_column(spark, path: str, name: str, expr: str,
                     "committed while it was being declared; fix the "
                     "data first")
             checked_version = prev.get("version", 0)
+        if (not exists and not backfill
+                and prev.get("version", 0) != checked_version):
+            # empty-table path: a racing append may have populated the
+            # table since the entry precondition — its files lack the
+            # column and would read NULL under the declaration
+            if any(not f.get("dead") for f in prev["files"]):
+                raise ValueError(
+                    f"table gained live files without column {name!r} "
+                    "while it was being declared; pass backfill=True")
+            checked_version = prev.get("version", 0)
         gens = dict(prev.get("generatedCols") or {})
         if gens.get(name) == expr:
             break  # idempotent re-declare (also the backfill re-run)
@@ -982,6 +992,7 @@ def add_generated_column(spark, path: str, name: str, expr: str,
             paths = [f["path"] for f in cur_live]
             bloom_cols = sorted({c for f in cur_live
                                  for c in (f.get("bloom") or {})})
+            pcols = _entry_partition_cols(cur, cur_live)
             write_frame(
                 base.repartition(max(1, len(paths))), path, "append",
                 statCols=",".join(stat_cols),
@@ -989,7 +1000,8 @@ def add_generated_column(spark, path: str, name: str, expr: str,
                 dvState=json.dumps(
                     {f["path"]: f.get("dvGen", 0) for f in cur_live}),
                 bloomCols=(",".join(bloom_cols) if bloom_cols
-                           else None))
+                           else None),
+                partitionCols=",".join(pcols) if pcols else None)
     return load_manifest(path)
 
 
@@ -2400,19 +2412,35 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
         if f.name in set_exprs else F.col(f.name)
         for f in st.fields])
     paths = [f["path"] for f in affected]
-    # bloom filters carry through the rewrite — dropping them would
-    # silently disable point-lookup skipping on the rewritten files
-    # (same contract as compaction/z-order)
+    # bloom filters and FIRST-CLASS partition values carry through the
+    # rewrite — dropping either would silently disable point-lookup /
+    # partition-value skipping on the rewritten files (same contract
+    # as compaction/z-order for blooms; partitionCols is option-only
+    # writer metadata, so it re-derives from the affected entries)
     bloom_cols = sorted({c for f in affected
                          for c in (f.get("bloom") or {})})
+    pcols = _entry_partition_cols(m, affected)
     write_frame(
         out.repartition(max(1, len(paths))), path, "append",
         statCols=",".join(stat_cols),
         replacePaths=json.dumps(paths),
         dvState=json.dumps(
             {f["path"]: f.get("dvGen", 0) for f in affected}),
-        bloomCols=",".join(bloom_cols) if bloom_cols else None)
+        bloomCols=",".join(bloom_cols) if bloom_cols else None,
+        partitionCols=",".join(pcols) if pcols else None)
     return load_manifest(path)
+
+
+def _entry_partition_cols(m: dict, files: list[dict]) -> list[str]:
+    """FIRST-CLASS partition columns of the given entries: the keys of
+    their recorded partition values minus the hidden generated names
+    (which the writer re-derives from the persisted spec on its own).
+    Rewrites pass these back as ``partitionCols`` so rewritten files
+    keep the one-combo-per-file layout and its value pruning."""
+    gen_names = {g["name"] for g in _all_partition_specs(m)}
+    return sorted({c for f in files
+                   for c in (f.get("partition") or {})
+                   if c not in gen_names})
 
 
 def _copy_registry_ids(m: dict) -> set[str]:
@@ -2437,8 +2465,12 @@ def expire_copy_registry(path: str, keep_versions: int) -> dict:
     while True:
         prev = load_manifest(path)
         cutoff = prev.get("version", 0) - keep_versions
-        kept = [e for e in (prev.get("copyInto") or [])
-                if isinstance(e, dict) and e.get("at", 0) >= cutoff]
+        # legacy bare-string entries (pre-stamp) count as loaded at
+        # version 0 — they expire WITH the window, never regardless
+        # of it
+        norm = [e if isinstance(e, dict) else {"id": e, "at": 0}
+                for e in (prev.get("copyInto") or [])]
+        kept = [e for e in norm if e.get("at", 0) >= cutoff]
         if len(kept) == len(prev.get("copyInto") or []):
             return prev  # nothing to expire
         target = prev.get("version", 0) + 1
@@ -2534,9 +2566,13 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     reader = spark.read.format(source_format)
     if reader_options:
         reader = reader.options(**reader_options)
-    headered_csv = (source_format == "csv" and str(
-        (reader_options or {}).get("header", "")).lower()
-        in ("true", "1"))
+    # Spark treats option KEYS case-insensitively; match that here or
+    # {'Header': 'true'} would silently fall back to positional binding
+    _ropts = {str(k).lower(): v for k, v in
+              (reader_options or {}).items()}
+    headered_csv = (source_format == "csv"
+                    and str(_ropts.get("header", "")).lower()
+                    in ("true", "1"))
     if st is not None and source_format == "json":
         # JSON matches fields by name natively; pinning the table
         # schema stops per-batch type re-inference
@@ -4340,6 +4376,13 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             self._table_constraints = list(_m.get("constraints") or [])
             self._table_generated = dict(
                 _m.get("generatedCols") or {})
+            # write_frame anchors the guard at ITS fill snapshot (the
+            # one the computed columns / synthetic checks came from);
+            # the init load is only the fallback for the raw
+            # DataSource path
+            _pg = options.get("plannedgenerated")
+            if _pg is not None:
+                self._table_generated = dict(json.loads(_pg))
             self._table_partition_gen = list(
                 _m.get("partitionGen") or [])
             _props = dict(_m.get("properties") or {})
@@ -5401,6 +5444,11 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
             _m = None
         defaults = (_m.get("columnDefaults") or {}) if _m else {}
         gens = (_m.get("generatedCols") or {}) if _m else {}
+        # anchor the writer's generated-column commit guard at THIS
+        # snapshot — the one the fills/synthetic checks derive from —
+        # so a declaration landing between here and writer init fails
+        # the commit instead of publishing unverified values
+        opts["plannedgenerated"] = json.dumps(gens)
         if defaults or gens:
             from pyspark.sql import functions as F
 
@@ -5440,13 +5488,20 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
     # failed compaction never fails the append (its data is already
     # committed; the debt just waits for the next trigger).
     if mode == "append" and "replacepaths" not in opts:
-        try:
-            m2 = load_manifest(path)
-            props = m2.get("properties") or {}
-            ac = int(props.get("autoCompact", 0) or 0)
-            tfr = int(props.get("targetFileRows", 0) or 0)
-        except (FileNotFoundError, ValueError, OSError):
-            ac = tfr = 0
+        # gate on the PRE-WRITE snapshot's properties first: tables
+        # that never opted in skip the post-commit reload entirely
+        # (no third manifest load per micro-batch on plain sinks)
+        props0 = (_m.get("properties") or {}) if _m else {}
+        ac = int(props0.get("autoCompact", 0) or 0)
+        tfr = int(props0.get("targetFileRows", 0) or 0)
+        if ac and tfr:
+            try:
+                m2 = load_manifest(path)
+                props = m2.get("properties") or {}
+                ac = int(props.get("autoCompact", 0) or 0)
+                tfr = int(props.get("targetFileRows", 0) or 0)
+            except (FileNotFoundError, ValueError, OSError):
+                ac = tfr = 0
         if ac and tfr:
             small_n = sum(
                 1 for f in m2["files"]

@@ -200,3 +200,12 @@ def test_headered_csv_maps_columns_by_name(spark, landing):
     row = read_manifest(spark, tbl).filter(
         F.col("k") == 100).collect()
     assert len(row) == 1 and row[0]["v"] == 200.5
+    # Spark option keys are case-insensitive; the name-mapping path
+    # must key off 'Header' too
+    with open(os.path.join(csvdir, "s2.csv"), "w") as f:
+        f.write("v,k\n300.5,101\n")
+    copy_into(spark, tbl, os.path.join(csvdir, "s2.csv"),
+              source_format="csv", reader_options={"Header": "true"})
+    row = read_manifest(spark, tbl).filter(
+        F.col("k") == 101).collect()
+    assert len(row) == 1 and row[0]["v"] == 300.5

@@ -203,3 +203,25 @@ def test_update_carries_bloom_filters_through_rewrite(spark, tmp_path):
             if not f.get("dead")]
     # every live file — including the rewritten one — keeps its bloom
     assert all(f.get("bloom") or f.get("bloomRef") for f in live), live
+
+
+def test_update_preserves_first_class_partition_values(spark, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        write_frame,
+    )
+    register(spark)
+    path = str(tmp_path / "fcp")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(12)],
+        "k long, region long, val double")
+    write_frame(df, path, "append", statCols="k",
+                partitionCols="region")
+    update_manifest(spark, path, {"val": "val + 100"}, "k = 4")
+    live = [f for f in load_manifest(path)["files"]
+            if not f.get("dead")]
+    # rewritten files keep their partition values (one combo per file)
+    assert all((f.get("partition") or {}).get("region") is not None
+               for f in live), live
+    rows = {r["k"]: r["val"]
+            for r in read_manifest(spark, path).collect()}
+    assert rows[4] == 104.0 and len(rows) == 12
