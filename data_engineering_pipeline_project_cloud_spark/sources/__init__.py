@@ -17,7 +17,9 @@ __all__ = [
     "add_table_constraint",
     "assert_unique_key",
     "copy_into",
+    "delete_where",
     "describe_manifest",
+    "drop_check_constraint",
     "drop_generated_column_decl",
     "drop_table_constraint",
     "expire_copy_registry",
@@ -59,6 +61,8 @@ read_manifest = _lazy("read_manifest")
 add_check_constraint = _lazy("add_check_constraint")
 add_generated_column = _lazy("add_generated_column")
 add_table_constraint = _lazy("add_table_constraint")
+delete_where = _lazy("delete_where")
+drop_check_constraint = _lazy("drop_check_constraint")
 drop_generated_column_decl = _lazy("drop_generated_column_decl")
 drop_table_constraint = _lazy("drop_table_constraint")
 set_column_default = _lazy("set_column_default")

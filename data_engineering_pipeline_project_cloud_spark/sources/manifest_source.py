@@ -1030,15 +1030,51 @@ def drop_generated_column_decl(path: str, name: str) -> dict:
     return load_manifest(path, target)
 
 
+def drop_check_constraint(path: str, name: str) -> dict:
+    """Remove the CHECK constraint NAMED ``name`` (Delta ``ALTER TABLE
+    ... DROP CONSTRAINT <name>``) — metadata commit.  Only CHECK
+    entries are candidates; column-bounds constraints are untouched
+    even when a column shares the name (use
+    ``drop_table_constraint`` for those)."""
+    return _drop_constraints(
+        path, name,
+        lambda c: bool(c.get("check")) and c.get("name") == name)
+
+
 def drop_table_constraint(path: str, col: str) -> dict:
     """Remove every persisted constraint on column ``col`` — or, for
-    CHECK constraints, the one NAMED ``col`` (metadata commit)."""
+    CHECK constraints, the one NAMED ``col`` (metadata commit).
+
+    When ``col`` matches entries in BOTH namespaces — a CHECK
+    constraint named after a column that also carries bounds
+    constraints — the call is REFUSED rather than silently dropping
+    two different contracts in one commit; drop the CHECK by name via
+    ``drop_check_constraint`` and re-run for the bounds."""
+    def doomed(c: dict) -> bool:
+        return c.get("col") == col or c.get("name") == col
+
+    prev = load_manifest(path)
+    hit = [c for c in (prev.get("constraints") or []) if doomed(c)]
+    bounds = [c for c in hit if not c.get("check")]
+    checks = [c for c in hit if c.get("check")]
+    if bounds and checks:
+        raise ValueError(
+            f"{col!r} names both a CHECK constraint and column-bounds "
+            f"constraint(s) — one call would drop both contracts. Use "
+            f"drop_check_constraint({col!r}) for the CHECK, then "
+            "re-run for the bounds.")
+    return _drop_constraints(path, col, doomed)
+
+
+def _drop_constraints(path: str, label: str, doomed) -> dict:
+    """CAS-retried metadata commit removing constraints matching
+    ``doomed`` (refused when nothing matches)."""
     while True:
         prev = load_manifest(path)
         cons = [c for c in (prev.get("constraints") or [])
-                if c.get("col") != col and c.get("name") != col]
+                if not doomed(c)]
         if len(cons) == len(prev.get("constraints") or []):
-            raise ValueError(f"no constraint on column {col!r}")
+            raise ValueError(f"no constraint on column {label!r}")
         target = prev.get("version", 0) + 1
         import time as _time
 
@@ -2406,11 +2442,39 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
                             for k in (f.get("stats") or {})})
     cond = F.expr(where)
     base = _masked_spark_read(spark, st, affected)
-    out = base.select(*[
+    assigned = [
         (F.when(cond, F.expr(set_exprs[f.name]).cast(f.dataType))
          .otherwise(F.col(f.name)).alias(f.name))
         if f.name in set_exprs else F.col(f.name)
-        for f in st.fields])
+        for f in st.fields]
+    # GENERATED columns whose sources this UPDATE touches are
+    # RECOMPUTED from the post-assignment row (Delta UPDATE
+    # semantics): without this, the rewrite would carry the stale
+    # stored value and write_frame's synthetic `<=>` verification
+    # would refuse the commit, making UPDATE unusable on such tables.
+    # An explicitly-assigned generated column is written as given
+    # (and still verified pre-publish).  The matched flag is computed
+    # over the ORIGINAL row in the same projection as the
+    # assignments — the predicate's source columns may themselves
+    # change, so it cannot be re-evaluated afterwards.
+    gens = dict(m.get("generatedCols") or {})
+    regen = sorted({g for c in set_exprs
+                    for g in _gen_mentions(gens, c)} - set(set_exprs))
+    if regen:
+        mtag = "__graft_update_matched"
+        if mtag in names:
+            raise ValueError(f"column name {mtag!r} is reserved")
+        types = {f.name: f.dataType for f in st.fields}
+        out = base.select(
+            *assigned, F.coalesce(cond, F.lit(False)).alias(mtag))
+        out = out.select(*[
+            (F.when(F.col(mtag),
+                    F.expr(gens[f.name]).cast(types[f.name]))
+             .otherwise(F.col(f.name)).alias(f.name))
+            if f.name in regen else F.col(f.name)
+            for f in st.fields])
+    else:
+        out = base.select(*assigned)
     paths = [f["path"] for f in affected]
     # bloom filters and FIRST-CLASS partition values carry through the
     # rewrite — dropping either would silently disable point-lookup /
@@ -2422,6 +2486,74 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
     pcols = _entry_partition_cols(m, affected)
     write_frame(
         out.repartition(max(1, len(paths))), path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in affected}),
+        bloomCols=",".join(bloom_cols) if bloom_cols else None,
+        partitionCols=",".join(pcols) if pcols else None)
+    return load_manifest(path)
+
+
+def delete_where(spark, path: str, where: str,
+                 stat_cols: list[str] | None = None,
+                 filters: list[tuple] | None = None) -> dict:
+    """Copy-on-write ``DELETE FROM <table> WHERE <pred>`` (the Delta
+    DELETE statement, predicate form — ``delete_from_manifest`` is
+    the key-list form): rewrite ONLY the files containing at least
+    one row satisfying ``where``, dropping exactly those rows, in one
+    atomic tombstone-plus-append commit (``replacePaths`` +
+    ``dvState``, the MERGE/UPDATE protocol).  ANSI DELETE semantics:
+    a row is deleted only when the predicate is TRUE — FALSE and NULL
+    rows survive.
+
+    Planning is the same two-phase shape as ``update_manifest``:
+    stats/partition ``filters`` prune candidates first, a FIND scan
+    tags matched rows with their source file (`_metadata`, bounded by
+    file count), then only the affected files re-read masked and
+    rewrite without the doomed rows.  A file whose rows all match
+    rewrites to nothing — the commit carries pure tombstones for it.
+
+    100 TB shape: O(candidate scan) + O(affected rewrite); a
+    partition-scoped delete touches the slice, never the table."""
+    register(spark)
+    m = load_manifest(path)
+    st = _table_schema(m)
+    names = {f.name for f in st.fields}
+    from pyspark.sql import functions as F
+
+    live = [f for f in m["files"] if not f.get("dead")]
+    if filters:
+        dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
+        psf = dsf + _derived_partition_filters(
+            dsf, _all_partition_specs(m))
+        live = [f for f in live
+                if _partition_survives(f.get("partition"), psf)
+                and _file_survives(f.get("stats") or {}, dsf,
+                                   f.get("bloom"))]
+    if not live:
+        return m
+    tag = "__graft_delete_file"
+    if tag in names:
+        raise ValueError(f"column name {tag!r} is reserved")
+    cand = _masked_spark_read(spark, st, live, tag_col=tag)
+    hit = {r[0] for r in cand.filter(F.expr(where))
+           .select(tag).distinct().collect()}
+    affected = [f for f in live
+                if os.path.basename(f["path"]) in hit]
+    if not affected:
+        return m  # no row matches: the table is untouched
+    if stat_cols is None:
+        stat_cols = sorted({k for f in live
+                            for k in (f.get("stats") or {})})
+    base = _masked_spark_read(spark, st, affected)
+    kept = base.filter(~F.coalesce(F.expr(where), F.lit(False)))
+    paths = [f["path"] for f in affected]
+    bloom_cols = sorted({c for f in affected
+                         for c in (f.get("bloom") or {})})
+    pcols = _entry_partition_cols(m, affected)
+    write_frame(
+        kept.repartition(max(1, len(paths))), path, "append",
         statCols=",".join(stat_cols),
         replacePaths=json.dumps(paths),
         dvState=json.dumps(
@@ -2538,10 +2670,18 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     if isinstance(source, (list, tuple)):
         cands = [canon_src(p) for p in source]
     elif os.path.isdir(source):
-        cands = sorted(
-            os.path.join(r, n)
-            for r, _dirs, names in os.walk(source) for n in names
-            if not n.startswith((".", "_")))
+        # hidden/underscore DIRECTORIES are pruned from the walk, not
+        # just hidden file names: a concurrent Spark job writing the
+        # landing zone stages under `_temporary/` task-attempt dirs,
+        # and ingesting those would register phantom rows forever
+        # (Spark's own file listing skips any `.`/`_` path segment)
+        def _walk(root: str):
+            for r, dirs, names in os.walk(root):
+                dirs[:] = [d for d in dirs
+                           if not d.startswith((".", "_"))]
+                yield from (os.path.join(r, n) for n in names
+                            if not n.startswith((".", "_")))
+        cands = sorted(_walk(source))
         cands = [os.path.abspath(p) for p in cands]
     else:
         cands = sorted(os.path.abspath(p)
@@ -4383,6 +4523,11 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             _pg = options.get("plannedgenerated")
             if _pg is not None:
                 self._table_generated = dict(json.loads(_pg))
+            self._table_defaults = dict(
+                _m.get("columnDefaults") or {})
+            _pd = options.get("planneddefaults")
+            if _pd is not None:
+                self._table_defaults = dict(json.loads(_pd))
             self._table_partition_gen = list(
                 _m.get("partitionGen") or [])
             _props = dict(_m.get("properties") or {})
@@ -4391,6 +4536,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             self._table_schema_json = None
             self._table_constraints = []
             self._table_generated = {}
+            self._table_defaults = {}
             self._table_partition_gen = []
             _props = {}
         # persisted file-size policy: the table's targetFileRows
@@ -4886,6 +5032,16 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     fail("table generated-column declarations changed "
                          "after this write was planned; re-run so the "
                          "column is computed/verified on its rows")
+                # and for column DEFAULTs: an append that omitted a
+                # column, planned before a racing SET DEFAULT landed,
+                # already filled (or skipped) under the OLD defaults —
+                # publishing it would write NULLs where the current
+                # contract fills a value
+                if (prev.get("columnDefaults") or {}) != \
+                        self._table_defaults:
+                    fail("table column defaults changed after this "
+                         "write was planned; re-run so omitted "
+                         "columns fill under the current defaults")
                 # a hidden-partition spec that changed since planning
                 # means this commit's files were split (or not split)
                 # under the wrong layout — committing would mix specs.
@@ -5449,6 +5605,11 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
         # so a declaration landing between here and writer init fails
         # the commit instead of publishing unverified values
         opts["plannedgenerated"] = json.dumps(gens)
+        # same anchoring for column DEFAULTs: an append omitting a
+        # column, planned before a racing SET DEFAULT lands, must
+        # fail the commit instead of publishing NULLs where the
+        # now-current table contract says the default applies
+        opts["planneddefaults"] = json.dumps(defaults)
         if defaults or gens:
             from pyspark.sql import functions as F
 

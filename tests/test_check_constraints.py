@@ -133,3 +133,36 @@ def test_subset_schema_append_null_passes_check(spark, table):
     row = read_manifest(spark, table).filter(
         F.col("k") == 500).collect()
     assert len(row) == 1 and row[0]["cat"] is None
+
+
+def test_drop_constraint_refuses_ambiguous_name(spark, table):
+    # a CHECK named after a column that also carries a bounds
+    # constraint: one call must not silently drop both contracts
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_table_constraint,
+        drop_check_constraint,
+    )
+
+    add_table_constraint(table, {"col": "amount", "notNull": True})
+    add_check_constraint(spark, table, "amount", "amount >= 0")
+    with pytest.raises(ValueError, match="both"):
+        drop_table_constraint(table, "amount")
+    drop_check_constraint(table, "amount")  # removes ONLY the CHECK
+    cons = load_manifest(table).get("constraints") or []
+    assert any(c.get("col") == "amount" and not c.get("check")
+               for c in cons)
+    assert not any(c.get("check") for c in cons)
+    drop_table_constraint(table, "amount")  # now unambiguous
+    assert not (load_manifest(table).get("constraints") or [])
+
+
+def test_drop_check_constraint_by_name_only(spark, table):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        drop_check_constraint,
+    )
+
+    add_check_constraint(spark, table, "pos_amount", "amount > 0")
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_check_constraint(table, "nope")
+    drop_check_constraint(table, "pos_amount")
+    assert not (load_manifest(table).get("constraints") or [])

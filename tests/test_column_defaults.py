@@ -120,3 +120,41 @@ def test_default_survives_checkpoint_and_fresh_process(spark, table):
         write_frame(filler, table, "append", statCols="k")
     _invalidate_caches()
     assert load_manifest(table)["columnDefaults"] == {"tag": "'ck'"}
+
+
+def test_defaults_change_after_planning_fails_commit(spark, table):
+    # a SET DEFAULT landing between a write's planning snapshot and
+    # its commit must FAIL the commit: the append filled (or skipped)
+    # omitted columns under the OLD defaults, so publishing it would
+    # write NULLs where the current contract fills a value
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        ManifestArrowWriter,
+        _FileCommit,
+    )
+
+    schema = StructType([StructField("k", LongType()),
+                         StructField("tag", StringType()),
+                         StructField("score", DoubleType())])
+    w = ManifestArrowWriter({"path": table, "statcols": "k"},
+                            schema, overwrite=False)  # plans now
+    set_column_default(spark, table, "score", "1.5")  # lands late
+    staged = os.path.join(table, ".late.parquet.tmp")
+    pq.write_table(
+        pa.table({"k": [5], "tag": ["x"], "score": [2.0]}), staged)
+    msg = _FileCommit(tmp_path=staged,
+                      final_path=os.path.join(table, "late.parquet"),
+                      rows=1, stats={"k": {"min": 5, "max": 5}})
+    with pytest.raises(ValueError, match="column defaults changed"):
+        w.commit([msg])

@@ -209,3 +209,20 @@ def test_headered_csv_maps_columns_by_name(spark, landing):
     row = read_manifest(spark, tbl).filter(
         F.col("k") == 101).collect()
     assert len(row) == 1 and row[0]["v"] == 300.5
+
+
+def test_copy_into_prunes_hidden_and_underscore_dirs(spark, landing):
+    # a concurrent Spark job writing the landing zone stages files
+    # under `_temporary/` task-attempt dirs; a `.staging/` dir is the
+    # same story — descending into either would register phantom rows
+    # forever (Spark's file listing skips `.`/`_` path SEGMENTS, not
+    # just basenames)
+    src, table = landing
+    for d in (".staging", "_temporary"):
+        os.makedirs(os.path.join(src, d))
+    _land(spark, os.path.join(src, ".staging"), "x.parquet", 100, 110)
+    _land(spark, os.path.join(src, "_temporary"), "y.parquet", 200, 210)
+    res = copy_into(spark, table, src, stat_cols=["k"])
+    assert res["loadedFiles"] == 2  # a.parquet + b.parquet only
+    ks = {r["k"] for r in read_manifest(spark, table).collect()}
+    assert ks == set(range(20))

@@ -58,12 +58,22 @@ def test_supplied_value_verified(spark, declared):
 
 
 def test_update_must_keep_generated_consistent(spark, declared):
-    with pytest.raises(ValueError, match="_generated_v2"):
-        update_manifest(spark, declared, {"v": "v + 1"}, "k = 1")
+    # updating a SOURCE column recomputes the generated column from
+    # the post-assignment row (Delta UPDATE semantics; round-9 fix —
+    # previously the stale stored value was carried and the commit
+    # refused, making UPDATE unusable on such tables)
+    update_manifest(spark, declared, {"v": "v + 1"}, "k = 1")
+    r = read_manifest(spark, declared).filter("k = 1").collect()[0]
+    assert (r["v"], r["v2"]) == (11.0, 22.0)
+    # an explicit CONSISTENT assignment of the generated column is
+    # written as given and verified
     update_manifest(spark, declared,
                     {"v": "v + 1", "v2": "(v + 1) * 2"}, "k = 1")
     r = read_manifest(spark, declared).filter("k = 1").collect()[0]
-    assert (r["v"], r["v2"]) == (11.0, 22.0)
+    assert (r["v"], r["v2"]) == (12.0, 24.0)
+    # an explicit INCONSISTENT assignment is still refused pre-publish
+    with pytest.raises(ValueError, match="_generated_v2"):
+        update_manifest(spark, declared, {"v2": "999"}, "k = 1")
 
 
 def test_declare_existing_violating_data_refused(spark, tmp_path):

@@ -225,3 +225,51 @@ def test_update_preserves_first_class_partition_values(spark, tmp_path):
     rows = {r["k"]: r["val"]
             for r in read_manifest(spark, path).collect()}
     assert rows[4] == 104.0 and len(rows) == 12
+
+
+def test_update_recomputes_generated_columns(spark, tmp_path):
+    # Delta UPDATE semantics: a generated column whose SOURCE the
+    # update touches is recomputed from the post-assignment row —
+    # without this the rewrite carries the stale stored value and
+    # write_frame's synthetic `<=>` verification refuses the commit
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_generated_column,
+    )
+
+    register(spark)
+    path = str(tmp_path / "gen")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_manifest_table(df.repartitionByRange(4, "k"), path,
+                         ["k", "v"])
+    add_generated_column(spark, path, "v10", "v * 10",
+                         dtype="bigint", backfill=True)
+    update_manifest(spark, path, {"v": "v + 1"}, "k < 10")
+    rows = {r["k"]: (r["v"], r["v10"])
+            for r in read_manifest(spark, path).collect()}
+    assert rows[3] == (7, 70)      # matched: v updated, v10 recomputed
+    assert rows[20] == (40, 400)   # unmatched: byte-identical
+    assert len(rows) == 40
+
+
+def test_update_explicit_generated_assignment_still_verified(
+        spark, tmp_path):
+    # assigning the generated column DIRECTLY writes as given — and
+    # an inconsistent value is still refused pre-publish
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_generated_column,
+    )
+
+    register(spark)
+    path = str(tmp_path / "gen2")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    write_manifest_table(df, path, ["k"])
+    add_generated_column(spark, path, "v10", "v * 10",
+                         dtype="bigint", backfill=True)
+    with pytest.raises(Exception, match="violated"):
+        update_manifest(spark, path, {"v10": "999"}, "k = 1")
+    # the refused rewrite left the table untouched
+    rows = {r["k"]: r["v10"]
+            for r in read_manifest(spark, path).collect()}
+    assert rows[1] == 20
