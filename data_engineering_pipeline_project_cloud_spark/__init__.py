@@ -15,3 +15,12 @@ Design rules (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def graft_sql(spark, statement):
+    """SQL statement front-end (lazy alias for
+    ``statements.graft_sql`` — see that module's docstring for the
+    grammar)."""
+    from .statements import graft_sql as _impl
+
+    return _impl(spark, statement)

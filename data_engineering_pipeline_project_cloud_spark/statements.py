@@ -1,0 +1,1018 @@
+"""SQL statement front-end for the lakehouse surface (``graft_sql``).
+
+The reference's own idiom is SQL — its entire transform engine is one
+SQL string handed to the warehouse (reference
+``transform-complex-full.py:14-224``) — and every Delta-shaped DML/DDL
+this engine implements is SQL-first in the systems users come from
+(``spark.sql("UPDATE t SET ...")``).  This module closes that
+ergonomics gap: ``graft_sql(spark, statement)`` parses the statement
+forms below and dispatches to the EXISTING, tested Python APIs in
+``sources.manifest_source`` with zero new write-path behavior — the
+parser is a thin translation layer, never an engine.
+
+Table references are backtick-quoted filesystem paths (the Delta
+``delta.`/path/to/table``` convention, scheme-prefix optional)::
+
+    graft_sql(spark, "UPDATE `/data/orders` SET total = total * 0.9 "
+                     "WHERE status = 'F'")
+    graft_sql(spark, "SELECT status, count(*) AS n "
+                     "FROM graft.`/data/orders` GROUP BY status")
+
+Supported statements (each returns a DataFrame; DML/DDL return a
+one-row operation summary, queries return their rows):
+
+* ``SELECT`` / ``WITH`` — any Spark SQL; ``graft.`path``` (optionally
+  ``VERSION AS OF n``) references resolve to manifest-table reads.
+* ``INSERT INTO | OVERWRITE `t` <query>`` — append/replace through
+  ``write_frame`` conforming BY POSITION to the table schema.
+* ``CREATE TABLE `t` AS <query>`` — CTAS via ``write_manifest_table``.
+* ``UPDATE `t` SET c = e, ... [WHERE p]`` → ``update_manifest``.
+* ``DELETE FROM `t` [WHERE p]`` → ``delete_where``.
+* ``MERGE INTO `t` [AS] a USING <src> [AS] b ON a.k = b.k [AND ...]``
+  with ``WHEN MATCHED THEN UPDATE SET *`` / ``WHEN NOT MATCHED THEN
+  INSERT *`` / ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the
+  upsert-by-key contract of ``merge_into_manifest``), or ``WHEN
+  MATCHED THEN DELETE`` alone → ``delete_from_manifest``.
+* ``COPY INTO `t` FROM '<src>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
+  [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]``
+  → ``copy_into``.
+* ``ALTER TABLE `t` ...``: ``ADD CONSTRAINT n CHECK (e)``, ``DROP
+  CONSTRAINT n``, ``ALTER COLUMN c SET DEFAULT e`` / ``DROP DEFAULT``,
+  ``ADD COLUMN c type GENERATED ALWAYS AS (e)``, ``RENAME COLUMN a TO
+  b``, ``DROP COLUMN c``, ``SET TBLPROPERTIES (...)``, ``CLUSTER BY
+  (...)`` / ``CLUSTER BY NONE``.
+* ``OPTIMIZE `t` [ZORDER BY (c, ...)]`` → ``optimize_manifest`` /
+  ``zorder_manifest``.
+* ``VACUUM `t` [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]``.
+* ``DESCRIBE HISTORY|DETAIL `t```.
+* ``RESTORE [TABLE] `t` TO VERSION AS OF n`` → ``restore_manifest``.
+
+Error contract: unsupported verbs, malformed clauses, non-equi MERGE
+conditions, and unknown columns raise ``ValueError`` with the
+offending fragment — never a silent partial parse.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["graft_sql"]
+
+# ---------------------------------------------------------------- lexer
+
+_TOKEN = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<dqs>"(?:[^"]|"")*")
+      | (?P<bt>`(?:[^`]|``)*`)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_$.]*)
+      | (?P<num>\d+(?:\.\d+)?)
+      | (?P<op><=>|<>|!=|>=|<=|\|\||->|[=<>(),;*+\-/%&|^~\[\]{}:.@])
+    """,
+    re.X,
+)
+
+
+class _Tok:
+    __slots__ = ("raw", "up", "kind", "start", "end")
+
+    def __init__(self, raw: str, kind: str, start: int, end: int):
+        self.raw = raw
+        self.kind = kind
+        self.up = raw.upper() if kind in ("word", "op") else raw
+        self.start = start
+        self.end = end
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"_Tok({self.raw!r})"
+
+
+def _lex(sql: str) -> list[_Tok]:
+    toks, i = [], 0
+    while i < len(sql):
+        m = _TOKEN.match(sql, i)
+        if m is None:
+            raise ValueError(
+                f"cannot tokenize SQL at offset {i}: {sql[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup == "ws":
+            continue
+        toks.append(_Tok(m.group(0), m.lastgroup, m.start(), m.end()))
+    return toks
+
+
+class _P:
+    """Token cursor over the ORIGINAL text: keywords parse from
+    tokens, expressions slice verbatim from the source so arbitrary
+    SQL passes through untouched."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = _lex(sql)
+        self.i = 0
+
+    def done(self) -> bool:
+        return self.i >= len(self.toks)
+
+    def peek(self, k: int = 0) -> _Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, *words: str) -> bool:
+        """True when the next tokens are exactly this keyword phrase."""
+        for k, w in enumerate(words):
+            t = self.peek(k)
+            if t is None or t.kind != "word" or t.up != w:
+                return False
+        return True
+
+    def eat(self, *words: str) -> bool:
+        if self.at(*words):
+            self.i += len(words)
+            return True
+        return False
+
+    def expect(self, *words: str) -> None:
+        if not self.eat(*words):
+            got = self.peek()
+            raise ValueError(
+                f"expected {' '.join(words)} at {got.raw!r}" if got
+                else f"expected {' '.join(words)} at end of statement")
+
+    def expect_op(self, op: str) -> None:
+        t = self.peek()
+        if t is None or t.up != op:
+            raise ValueError(f"expected {op!r} at "
+                             f"{t.raw if t else 'end of statement'!r}")
+        self.i += 1
+
+    def eat_op(self, op: str) -> bool:
+        t = self.peek()
+        if t is not None and t.up == op:
+            self.i += 1
+            return True
+        return False
+
+    def find(self, *words: str) -> int:
+        """Token index of the next TOP-LEVEL (paren-depth 0) keyword
+        phrase at or after the cursor; -1 when absent."""
+        depth = 0
+        for j in range(self.i, len(self.toks)):
+            t = self.toks[j]
+            if t.up == "(":
+                depth += 1
+            elif t.up == ")":
+                depth -= 1
+            elif depth == 0 and t.kind == "word" and t.up == words[0]:
+                if all((self.toks[j + k].kind == "word"
+                        and self.toks[j + k].up == w)
+                       if j + k < len(self.toks) else False
+                       for k, w in enumerate(words)):
+                    return j
+        return -1
+
+    def slice(self, a: int, b: int | None = None) -> str:
+        """Original text spanning tokens [a, b) (b=None → to end)."""
+        if b is None:
+            b = len(self.toks)
+        if a >= len(self.toks) or b <= a:
+            return ""
+        return self.sql[self.toks[a].start:self.toks[b - 1].end] \
+            .strip()
+
+    # ------------------------------------------------ common pieces
+
+    def ident(self, what: str = "identifier") -> str:
+        t = self.peek()
+        if t is None:
+            raise ValueError(f"expected {what} at end of statement")
+        self.i += 1
+        if t.kind == "bt":
+            return t.raw[1:-1].replace("``", "`")
+        if t.kind == "word":
+            return t.raw
+        raise ValueError(f"expected {what}, got {t.raw!r}")
+
+    def string(self, what: str = "string literal") -> str:
+        t = self.peek()
+        if t is None or t.kind != "str":
+            raise ValueError(
+                f"expected {what}, got "
+                f"{t.raw if t else 'end of statement'!r}")
+        self.i += 1
+        return t.raw[1:-1].replace("''", "'")
+
+    def table(self) -> str:
+        """A table reference: ``graft.`path``` or a backtick path or a
+        quoted path."""
+        t = self.peek()
+        if (t is not None and t.kind == "word"
+                and t.up in ("GRAFT.", "MANIFEST.", "DELTA.")):
+            self.i += 1
+            t = self.peek()
+        if t is None:
+            raise ValueError("expected table path at end of statement")
+        if t.kind == "bt":
+            self.i += 1
+            return t.raw[1:-1].replace("``", "`")
+        if t.kind == "str":
+            return self.string("table path")
+        raise ValueError(
+            "table references are backtick-quoted paths "
+            f"(got {t.raw!r}) — e.g. UPDATE `/data/orders` ...")
+
+    def paren_cols(self) -> list[str]:
+        self.expect_op("(")
+        cols = [self.ident("column")]
+        while self.peek() is not None and self.peek().up == ",":
+            self.i += 1
+            cols.append(self.ident("column"))
+        self.expect_op(")")
+        return cols
+
+    def balanced_paren_slice(self) -> str:
+        """Consume a parenthesized group, returning the INNER text."""
+        t = self.peek()
+        if t is None or t.up != "(":
+            raise ValueError(
+                "expected '(' at "
+                f"{t.raw if t else 'end of statement'!r}")
+        depth, j = 0, self.i
+        while j < len(self.toks):
+            if self.toks[j].up == "(":
+                depth += 1
+            elif self.toks[j].up == ")":
+                depth -= 1
+                if depth == 0:
+                    inner = self.sql[self.toks[self.i].end:
+                                     self.toks[j].start].strip()
+                    self.i = j + 1
+                    return inner
+            j += 1
+        raise ValueError("unbalanced parentheses")
+
+
+# ------------------------------------------------------------ utilities
+
+
+def _summary(spark: SparkSession, operation: str, table: str,
+             **metrics) -> DataFrame:
+    """One-row DML/DDL result frame (Delta statements return metric
+    frames, not None): stable schema ``operation, table, metric
+    columns sorted by name`` with BIGINT metrics."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keys = sorted(metrics)
+    schema = StructType(
+        [StructField("operation", StringType(), False),
+         StructField("table", StringType(), False)]
+        + [StructField(k, LongType(), True) for k in keys])
+    row = (operation, table) + tuple(
+        None if metrics[k] is None else int(metrics[k]) for k in keys)
+    return spark.createDataFrame([row], schema)
+
+
+def _live_stat_cols(m: dict) -> list[str]:
+    cols = sorted({k for f in m["files"] if not f.get("dead")
+                   for k in (f.get("stats") or {})})
+    return cols
+
+
+def _default_stat_cols(df: DataFrame) -> list[str]:
+    """CTAS default stats: the first 32 top-level atomic columns
+    (Delta's dataSkippingNumIndexedCols=32 posture)."""
+    atomic = ("long", "int", "short", "byte", "double", "float",
+              "string", "date", "boolean")
+    out = []
+    for f in df.schema.fields:
+        t = f.dataType.typeName()
+        if t in atomic or t.startswith("decimal") \
+                or t.startswith("timestamp"):
+            out.append(f.name)
+        if len(out) >= 32:
+            break
+    return out
+
+
+_GRAFT_VIEWS: dict[tuple[str, int | None], str] = {}
+
+
+def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
+    """Replace every ``graft.`path``` (optionally ``VERSION AS OF
+    n``) table reference in a query with a registered temp view over
+    ``read_manifest`` — the read-side twin of the DML dispatch.  The
+    rewrite is token-exact (never inside string literals)."""
+    from .sources.manifest_source import read_manifest, register
+
+    toks = _lex(sql)
+    out, last, k = [], 0, 0
+    registered = False
+    while k < len(toks):
+        t = toks[k]
+        if (t.kind == "word" and t.up in ("GRAFT.", "MANIFEST.")
+                and k + 1 < len(toks) and toks[k + 1].kind == "bt"):
+            path = toks[k + 1].raw[1:-1].replace("``", "`")
+            end = toks[k + 1].end
+            version = None
+            if (k + 4 < len(toks)
+                    and toks[k + 2].up == "VERSION"
+                    and toks[k + 3].up == "AS"
+                    and toks[k + 4].up == "OF"
+                    and k + 5 < len(toks)
+                    and toks[k + 5].kind == "num"):
+                version = int(toks[k + 5].raw)
+                end = toks[k + 5].end
+                k += 4
+            key = (os.path.abspath(path) if "://" not in path
+                   else path, version)
+            view = _GRAFT_VIEWS.setdefault(
+                key, f"graft_view_{len(_GRAFT_VIEWS)}")
+            if not registered:
+                register(spark)
+                registered = True
+            # always re-register: the view must reflect the CURRENT
+            # table version (read_manifest pins at definition time),
+            # and a new session must not miss the relation
+            read_manifest(spark, path, version=version) \
+                .createOrReplaceTempView(view)
+            out.append(sql[last:t.start])
+            out.append(view)
+            last = end
+            k += 2
+            continue
+        k += 1
+    out.append(sql[last:])
+    return "".join(out)
+
+
+# ------------------------------------------------------------ dispatch
+
+
+def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
+    """Execute one lakehouse SQL statement (module docstring has the
+    grammar).  Always returns a DataFrame: queries return rows,
+    DML/DDL return a one-row operation summary."""
+    sql = statement.strip().rstrip(";").strip()
+    if not sql:
+        raise ValueError("empty statement")
+    p = _P(sql)
+    head = p.peek()
+    if head is None:
+        raise ValueError("empty statement")
+    verb = head.up if head.kind == "word" else head.raw
+    if verb in ("SELECT", "WITH", "VALUES"):
+        return spark.sql(_rewrite_graft_refs(spark, sql))
+    handler = {
+        "UPDATE": _stmt_update,
+        "DELETE": _stmt_delete,
+        "MERGE": _stmt_merge,
+        "COPY": _stmt_copy_into,
+        "ALTER": _stmt_alter,
+        "OPTIMIZE": _stmt_optimize,
+        "VACUUM": _stmt_vacuum,
+        "DESCRIBE": _stmt_describe,
+        "RESTORE": _stmt_restore,
+        "INSERT": _stmt_insert,
+        "CREATE": _stmt_create,
+    }.get(verb)
+    if handler is None:
+        raise ValueError(f"unsupported statement: {verb} "
+                         "(see graft_sql docstring for the grammar)")
+    return handler(spark, p)
+
+
+# ----------------------------------------------------------------- DML
+
+
+def _stmt_update(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import update_manifest
+
+    p.expect("UPDATE")
+    path = p.table()
+    p.expect("SET")
+    w = p.find("WHERE")
+    set_src = p.slice(p.i, w if w >= 0 else None)
+    where = "true"
+    if w >= 0:
+        where = p.slice(w + 1, None)
+        if not where:
+            raise ValueError("WHERE with no predicate")
+    assignments = _parse_assignments(set_src)
+    m = update_manifest(spark, path, assignments, where)
+    return _summary(spark, "UPDATE", path, version=m.get("version"))
+
+
+def _parse_assignments(src: str) -> dict[str, str]:
+    """``a = e1, b = e2`` → {a: e1, b: e2}; split at top-level commas
+    and the FIRST top-level ``=`` of each piece, so expressions
+    containing commas/equality stay intact."""
+    if not src.strip():
+        raise ValueError("SET with no assignments")
+    out: dict[str, str] = {}
+    for piece in _split_top(src, ","):
+        q = _P(piece)
+        depth, eq = 0, -1
+        for j, t in enumerate(q.toks):
+            if t.up == "(":
+                depth += 1
+            elif t.up == ")":
+                depth -= 1
+            elif depth == 0 and t.up == "=":
+                eq = j
+                break
+        if eq <= 0:
+            raise ValueError(f"malformed assignment: {piece!r}")
+        col_p = _P(q.slice(0, eq))
+        col = col_p.ident("column")
+        if not col_p.done():
+            raise ValueError(f"malformed assignment target: {piece!r}")
+        expr = q.slice(eq + 1, None)
+        if not expr:
+            raise ValueError(f"assignment with no expression: {piece!r}")
+        if col in out:
+            raise ValueError(f"column {col!r} assigned twice")
+        out[col] = expr
+    return out
+
+
+def _split_top(src: str, sep: str) -> list[str]:
+    toks = _lex(src)
+    out, depth, last = [], 0, 0
+    for t in toks:
+        if t.up == "(":
+            depth += 1
+        elif t.up == ")":
+            depth -= 1
+        elif depth == 0 and t.up == sep:
+            out.append(src[last:t.start].strip())
+            last = t.end
+    out.append(src[last:].strip())
+    return [s for s in out if s]
+
+
+def _stmt_delete(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import delete_where
+
+    p.expect("DELETE")
+    p.expect("FROM")
+    path = p.table()
+    where = "true"
+    if p.eat("WHERE"):
+        where = p.slice(p.i, None)
+        if not where:
+            raise ValueError("WHERE with no predicate")
+    elif not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    m = delete_where(spark, path, where)
+    return _summary(spark, "DELETE", path, version=m.get("version"))
+
+
+def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import (
+        delete_from_manifest,
+        load_manifest,
+        merge_into_manifest,
+    )
+
+    p.expect("MERGE")
+    p.expect("INTO")
+    path = p.table()
+    t_alias = None
+    if p.eat("AS"):
+        t_alias = p.ident("target alias")
+    elif (p.peek() is not None and p.peek().kind == "word"
+          and p.peek().up != "USING"):
+        t_alias = p.ident("target alias")
+    p.expect("USING")
+    src_df = _merge_source(spark, p)
+    s_alias = None
+    if p.eat("AS"):
+        s_alias = p.ident("source alias")
+    elif (p.peek() is not None and p.peek().kind == "word"
+          and p.peek().up != "ON"):
+        s_alias = p.ident("source alias")
+    p.expect("ON")
+    w = p.find("WHEN")
+    if w < 0:
+        raise ValueError("MERGE requires at least one WHEN clause")
+    key_cols = _merge_keys(p.slice(p.i, w), t_alias, s_alias)
+    p.i = w
+
+    upsert = insert = False
+    matched_delete = False
+    nmbs_cond = None
+    while p.eat("WHEN"):
+        if p.eat("MATCHED", "THEN", "UPDATE", "SET"):
+            p.expect_op("*")
+            upsert = True
+        elif p.eat("MATCHED", "THEN", "DELETE"):
+            matched_delete = True
+        elif p.eat("NOT", "MATCHED", "BY", "SOURCE"):
+            nmbs_cond = "true"
+            if p.eat("AND"):
+                th = p.find("THEN")
+                if th < 0:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE AND <cond> "
+                        "requires THEN DELETE")
+                nmbs_cond = p.slice(p.i, th)
+                p.i = th
+            p.expect("THEN")
+            p.expect("DELETE")
+        elif p.eat("NOT", "MATCHED", "THEN", "INSERT"):
+            p.expect_op("*")
+            insert = True
+        else:
+            raise ValueError(
+                "unsupported WHEN clause at "
+                f"{p.slice(p.i, min(p.i + 6, len(p.toks)))!r}; "
+                "supported: WHEN MATCHED THEN UPDATE SET * | WHEN "
+                "MATCHED THEN DELETE | WHEN NOT MATCHED THEN INSERT * "
+                "| WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    if not p.done():
+        raise ValueError(
+            f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
+    m0 = load_manifest(path)
+    stat_cols = _live_stat_cols(m0) or list(key_cols)
+    if matched_delete:
+        if upsert or insert or nmbs_cond is not None:
+            raise ValueError(
+                "WHEN MATCHED THEN DELETE cannot combine with other "
+                "clauses in this front-end")
+        m = delete_from_manifest(
+            src_df.select(*key_cols), path, key_cols, stat_cols)
+        return _summary(spark, "MERGE DELETE", path,
+                        version=m.get("version"))
+    if not (upsert and insert):
+        raise ValueError(
+            "MERGE upsert requires BOTH `WHEN MATCHED THEN UPDATE SET"
+            " *` and `WHEN NOT MATCHED THEN INSERT *` (the "
+            "merge_into_manifest key-grain contract)")
+    m = merge_into_manifest(
+        src_df, path, key_cols, stat_cols,
+        not_matched_by_source=nmbs_cond)
+    return _summary(spark, "MERGE", path, version=m.get("version"))
+
+
+def _merge_source(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import read_manifest, register
+
+    t = p.peek()
+    if t is None:
+        raise ValueError("MERGE USING requires a source")
+    if t.up == "(":
+        inner = p.balanced_paren_slice()
+        return spark.sql(_rewrite_graft_refs(spark, inner))
+    if t.kind == "bt" or (t.kind == "word"
+                          and t.up in ("GRAFT.", "MANIFEST.")):
+        register(spark)
+        return read_manifest(spark, p.table())
+    if t.kind == "word":
+        p.i += 1
+        return spark.table(t.raw)
+    raise ValueError(f"unsupported MERGE source: {t.raw!r}")
+
+
+def _merge_keys(cond: str, t_alias: str | None,
+                s_alias: str | None) -> list[str]:
+    """``a.k = b.k AND a.j = b.j`` → [k, j]: the equi-key contract of
+    ``merge_into_manifest`` (same column name both sides).  Anything
+    else is refused with the offending conjunct."""
+    aliases = {a for a in (t_alias, s_alias) if a}
+    keys: list[str] = []
+    for part in _split_top_kw(cond, "AND"):
+        q = _P(part)
+        left = _qualified(q, aliases)
+        t = q.peek()
+        if t is None or t.up != "=":
+            raise ValueError(f"non-equi MERGE condition: {part!r}; "
+                             "merge_into_manifest upserts by equi-key")
+        q.i += 1
+        right = _qualified(q, aliases)
+        if not q.done():
+            raise ValueError(f"non-equi MERGE condition: {part!r}")
+        if left != right:
+            raise ValueError(
+                f"MERGE keys must match by NAME on both sides "
+                f"(got {part!r}); merge_into_manifest upserts by "
+                "shared key columns")
+        keys.append(left)
+    if not keys:
+        raise ValueError("MERGE ON condition has no keys")
+    return keys
+
+
+def _qualified(q: _P, aliases: set[str]) -> str:
+    name = q.ident("column")
+    # the lexer folds `a.k` into one word token; strip a known alias
+    if "." in name:
+        alias, _, col = name.partition(".")
+        if aliases and alias not in aliases:
+            raise ValueError(
+                f"unknown alias {alias!r} in MERGE condition "
+                f"(declared: {sorted(aliases)})")
+        return col
+    return name
+
+
+def _split_top_kw(src: str, kw: str) -> list[str]:
+    toks = _lex(src)
+    out, depth, last = [], 0, 0
+    for t in toks:
+        if t.up == "(":
+            depth += 1
+        elif t.up == ")":
+            depth -= 1
+        elif depth == 0 and t.kind == "word" and t.up == kw:
+            out.append(src[last:t.start].strip())
+            last = t.end
+    out.append(src[last:].strip())
+    return [s for s in out if s]
+
+
+def _stmt_copy_into(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import copy_into
+
+    p.expect("COPY")
+    p.expect("INTO")
+    path = p.table()
+    p.expect("FROM")
+    t = p.peek()
+    if t is None:
+        raise ValueError("COPY INTO requires a FROM source")
+    source = p.string("source path") if t.kind == "str" else p.table()
+    fmt = "parquet"
+    pattern = None
+    reader_options: dict[str, str] = {}
+    force = False
+    while not p.done():
+        if p.eat("FILEFORMAT"):
+            p.expect_op("=")
+            fmt = p.ident("file format").lower()
+        elif p.eat("PATTERN"):
+            p.expect_op("=")
+            pattern = p.string("pattern")
+        elif p.eat("FORMAT_OPTIONS"):
+            reader_options.update(_kv_options(p))
+        elif p.eat("COPY_OPTIONS"):
+            opts = _kv_options(p)
+            force = str(opts.pop("force", "false")).lower() == "true"
+            if opts:
+                raise ValueError(f"unsupported COPY_OPTIONS: "
+                                 f"{sorted(opts)}")
+        else:
+            raise ValueError(
+                f"unexpected COPY INTO clause: {p.slice(p.i, None)!r}")
+    if pattern is not None:
+        source = os.path.join(source, pattern)
+    res = copy_into(spark, path, source, source_format=fmt,
+                    reader_options=reader_options or None,
+                    force=force)
+    return _summary(spark, "COPY INTO", path,
+                    loaded_files=res["loadedFiles"],
+                    skipped_files=res["skippedFiles"],
+                    version=res["version"])
+
+
+def _kv_options(p: _P) -> dict[str, str]:
+    """``('k' = 'v', k2 = 'v2')`` → dict (keys quoted or bare)."""
+    p.expect_op("(")
+    out: dict[str, str] = {}
+    while True:
+        t = p.peek()
+        if t is None:
+            raise ValueError("unterminated options list")
+        key = p.string("option key") if t.kind == "str" \
+            else p.ident("option key")
+        p.expect_op("=")
+        v = p.peek()
+        if v is None:
+            raise ValueError("option with no value")
+        if v.kind == "str":
+            val = p.string()
+        elif v.kind in ("num", "word"):
+            p.i += 1
+            val = v.raw
+        else:
+            raise ValueError(f"bad option value: {v.raw!r}")
+        out[key] = val
+        if p.eat_op(","):
+            continue
+        p.expect_op(")")
+        return out
+
+
+def _stmt_insert(spark: SparkSession, p: _P) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .sources.manifest_source import (
+        _table_schema,
+        load_manifest,
+        register,
+        write_frame,
+    )
+
+    p.expect("INSERT")
+    overwrite = False
+    if p.eat("OVERWRITE"):
+        overwrite = True
+        p.eat("TABLE")  # optional noise word
+    else:
+        p.expect("INTO")
+    path = p.table()
+    query = p.slice(p.i, None)
+    if not query:
+        raise ValueError("INSERT requires a query (SELECT/VALUES)")
+    register(spark)
+    df = spark.sql(_rewrite_graft_refs(spark, query))
+    m = load_manifest(path)
+    st = _table_schema(m)
+    if len(df.columns) != len(st.fields):
+        raise ValueError(
+            f"INSERT arity mismatch: query has {len(df.columns)} "
+            f"columns, table has {len(st.fields)}")
+    # ANSI INSERT conforms BY POSITION: rename + cast to the table
+    # schema so `VALUES (...)`'s col1/col2 names never leak.  The
+    # rename is toDF (positional), never by-name resolution —
+    # unaliased query outputs like `(id * 1.5)` contain dots the
+    # column parser would read as struct access
+    df = df.toDF(*[f.name for f in st.fields])
+    df = df.select(*[
+        F.col(f.name).cast(f.dataType) for f in st.fields])
+    stat_cols = _live_stat_cols(m)
+    write_frame(df, path, "overwrite" if overwrite else "append",
+                statCols=",".join(stat_cols) if stat_cols else None)
+    m2 = load_manifest(path)
+    return _summary(spark,
+                    "INSERT OVERWRITE" if overwrite else "INSERT",
+                    path, version=m2.get("version"))
+
+
+def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import (
+        load_manifest,
+        register,
+        write_manifest_table,
+    )
+
+    p.expect("CREATE")
+    p.expect("TABLE")
+    path = p.table()
+    p.expect("AS")
+    query = p.slice(p.i, None)
+    if not query:
+        raise ValueError("CREATE TABLE ... AS requires a query")
+    register(spark)
+    df = spark.sql(_rewrite_graft_refs(spark, query))
+    write_manifest_table(df, path, _default_stat_cols(df))
+    m = load_manifest(path)
+    return _summary(spark, "CREATE TABLE AS", path,
+                    version=m.get("version"))
+
+
+# ----------------------------------------------------------------- DDL
+
+
+def _stmt_alter(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import (
+        add_check_constraint,
+        add_generated_column,
+        drop_check_constraint,
+        drop_column_from_manifest,
+        load_manifest,
+        rename_column_in_manifest,
+        set_cluster_by,
+        set_column_default,
+        set_table_properties,
+    )
+
+    p.expect("ALTER")
+    p.expect("TABLE")
+    path = p.table()
+    if p.eat("ADD", "CONSTRAINT"):
+        name = p.ident("constraint name")
+        p.expect("CHECK")
+        expr = p.balanced_paren_slice()
+        m = add_check_constraint(spark, path, name, expr)
+        return _summary(spark, "ADD CONSTRAINT", path,
+                        version=m.get("version"))
+    if p.eat("DROP", "CONSTRAINT"):
+        name = p.ident("constraint name")
+        m = drop_check_constraint(path, name)
+        return _summary(spark, "DROP CONSTRAINT", path,
+                        version=m.get("version"))
+    if p.eat("ALTER", "COLUMN") or p.eat("CHANGE", "COLUMN"):
+        col = p.ident("column")
+        if p.eat("SET", "DEFAULT"):
+            expr = p.slice(p.i, None)
+            if not expr:
+                raise ValueError("SET DEFAULT requires an expression")
+            m = set_column_default(spark, path, col, expr)
+            return _summary(spark, "SET DEFAULT", path,
+                            version=m.get("version"))
+        if p.eat("DROP", "DEFAULT"):
+            m = set_column_default(spark, path, col, None)
+            return _summary(spark, "DROP DEFAULT", path,
+                            version=m.get("version"))
+        raise ValueError("ALTER COLUMN supports SET DEFAULT / "
+                         "DROP DEFAULT")
+    if p.eat("ADD", "COLUMN"):
+        name = p.ident("column")
+        # everything up to GENERATED is the type
+        g = p.find("GENERATED")
+        if g < 0:
+            raise ValueError(
+                "ALTER TABLE ... ADD COLUMN supports only GENERATED "
+                "ALWAYS AS columns (plain add-column happens "
+                "implicitly on append with mergeSchema semantics)")
+        dtype = p.slice(p.i, g)
+        if not dtype:
+            raise ValueError("ADD COLUMN requires a type before "
+                             "GENERATED ALWAYS AS")
+        p.i = g
+        p.expect("GENERATED", "ALWAYS", "AS")
+        expr = p.balanced_paren_slice()
+        live = any(not f.get("dead")
+                   for f in load_manifest(path)["files"])
+        m = add_generated_column(spark, path, name, expr,
+                                 dtype=dtype, backfill=live)
+        return _summary(spark, "ADD GENERATED COLUMN", path,
+                        version=m.get("version"))
+    if p.eat("RENAME", "COLUMN"):
+        old = p.ident("column")
+        p.expect("TO")
+        new = p.ident("column")
+        m = rename_column_in_manifest(path, old, new)
+        return _summary(spark, "RENAME COLUMN", path,
+                        version=m.get("version"))
+    if p.eat("DROP", "COLUMN"):
+        col = p.ident("column")
+        m = drop_column_from_manifest(path, col)
+        return _summary(spark, "DROP COLUMN", path,
+                        version=m.get("version"))
+    if p.eat("SET", "TBLPROPERTIES"):
+        props = _kv_options(p)
+        m = set_table_properties(path, props)
+        return _summary(spark, "SET TBLPROPERTIES", path,
+                        version=m.get("version"))
+    if p.eat("CLUSTER", "BY"):
+        if p.eat("NONE"):
+            m = set_cluster_by(path, [])
+        else:
+            m = set_cluster_by(path, p.paren_cols())
+        return _summary(spark, "CLUSTER BY", path,
+                        version=m.get("version"))
+    raise ValueError(
+        f"unsupported ALTER TABLE clause: {p.slice(p.i, None)!r}")
+
+
+# --------------------------------------------------------- maintenance
+
+
+def _target_rows(m: dict) -> int:
+    props = m.get("properties") or {}
+    return int(props.get("targetFileRows", 0) or 0) or 1_000_000
+
+
+def _stmt_optimize(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import (
+        load_manifest,
+        optimize_manifest,
+        zorder_manifest,
+    )
+
+    p.expect("OPTIMIZE")
+    path = p.table()
+    m0 = load_manifest(path)
+    target = _target_rows(m0)
+    if p.eat("ZORDER", "BY"):
+        cols = p.paren_cols()
+        stat_cols = sorted(set(_live_stat_cols(m0)) | set(cols))
+        m = zorder_manifest(spark, path, cols, stat_cols, target)
+    else:
+        if not p.done():
+            raise ValueError(
+                f"unexpected OPTIMIZE clause: {p.slice(p.i, None)!r}")
+        m = optimize_manifest(spark, path, target)
+    return _summary(spark, "OPTIMIZE", path, version=m.get("version"))
+
+
+def _stmt_vacuum(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import vacuum_manifest
+
+    p.expect("VACUUM")
+    path = p.table()
+    keep_versions = 1
+    min_age = 3600.0
+    dry = False
+    while not p.done():
+        if p.eat("RETAIN"):
+            t = p.peek()
+            if t is None or t.kind != "num":
+                raise ValueError("RETAIN requires a number")
+            p.i += 1
+            n = float(t.raw)
+            if p.eat("VERSIONS"):
+                keep_versions = int(n)
+            elif p.eat("HOURS"):
+                min_age = n * 3600.0
+            else:
+                raise ValueError("RETAIN n VERSIONS or RETAIN n HOURS")
+        elif p.eat("DRY", "RUN"):
+            dry = True
+        else:
+            raise ValueError(
+                f"unexpected VACUUM clause: {p.slice(p.i, None)!r}")
+    res = vacuum_manifest(path, keep_versions=keep_versions,
+                          min_age_seconds=min_age, dry_run=dry)
+    return _summary(spark, "VACUUM (DRY RUN)" if dry else "VACUUM",
+                    path,
+                    removed_files=len(res.get("removed_files", [])),
+                    removed_manifests=len(
+                        res.get("removed_manifests", [])))
+
+
+def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources.manifest_source import (
+        describe_manifest,
+        manifest_operations,
+    )
+
+    p.expect("DESCRIBE")
+    if p.eat("HISTORY"):
+        path = p.table()
+        rows = manifest_operations(path)
+        schema = StructType([
+            StructField("version", LongType(), False),
+            StructField("operation", StringType(), False),
+            StructField("detail", StringType(), True),
+            StructField("committed_at", DoubleType(), True),
+        ])
+        data = [(int(r["version"]), r["operation"],
+                 json.dumps(r["detail"], sort_keys=True)
+                 if r.get("detail") is not None else None,
+                 float(r["committedAt"])
+                 if r.get("committedAt") is not None else None)
+                for r in rows]
+        return spark.createDataFrame(data, schema) \
+            .orderBy("version", ascending=False)
+    if p.eat("DETAIL"):
+        path = p.table()
+        d = describe_manifest(path)
+        schema = StructType([
+            StructField("version", LongType(), False),
+            StructField("num_files", LongType(), False),
+            StructField("num_rows", LongType(), False),
+            StructField("size_bytes", LongType(), False),
+            StructField("partition_columns", StringType(), True),
+            StructField("cluster_by", StringType(), True),
+            StructField("constraints", StringType(), True),
+            StructField("properties", StringType(), True),
+            StructField("schema_fields", StringType(), True),
+        ])
+        row = (int(d["version"]), int(d["numFiles"]),
+               int(d["numRows"]), int(d["sizeBytes"]),
+               json.dumps(d["partitionColumns"]),
+               json.dumps(d["clusterBy"]),
+               json.dumps(d["constraints"], sort_keys=True),
+               json.dumps(d["properties"], sort_keys=True),
+               json.dumps(d["schemaFields"]))
+        return spark.createDataFrame([row], schema)
+    raise ValueError("DESCRIBE supports HISTORY and DETAIL")
+
+
+def _stmt_restore(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import restore_manifest
+
+    p.expect("RESTORE")
+    p.eat("TABLE")  # optional noise word
+    path = p.table()
+    p.expect("TO")
+    p.expect("VERSION", "AS", "OF")
+    t = p.peek()
+    if t is None or t.kind != "num":
+        raise ValueError("VERSION AS OF requires a version number")
+    p.i += 1
+    if not p.done():
+        raise ValueError(
+            f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
+    m = restore_manifest(path, int(t.raw))
+    return _summary(spark, "RESTORE", path, version=m.get("version"))

@@ -1,0 +1,295 @@
+"""SQL statement front-end (statements.graft_sql): every statement
+form dispatches to the existing lakehouse API with identical
+semantics — the twin-face contract (VERDICT r8 item 1) — and
+malformed statements fail loudly with the offending fragment.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_pipeline_project_cloud_spark import graft_sql
+from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+    load_manifest,
+    read_manifest,
+    register,
+    write_manifest_table,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+        F.concat(F.lit("row"), F.col("id")).alias("name"))
+    write_manifest_table(df.repartitionByRange(5, "k"), path,
+                         ["k", "grp"])
+    return path
+
+
+# ------------------------------------------------------------------ DML
+
+
+def test_sql_update(spark, table):
+    res = graft_sql(
+        spark,
+        f"UPDATE `{table}` SET val = val * 2, name = upper(name) "
+        f"WHERE grp = 7;")
+    assert res.collect()[0]["operation"] == "UPDATE"
+    rows = {r["k"]: (r["val"], r["name"])
+            for r in read_manifest(spark, table).collect()}
+    assert rows[7] == (7 * 1.5 * 2, "ROW7")
+    assert rows[8] == (8 * 1.5, "row8")
+
+
+def test_sql_update_without_where_hits_all_rows(spark, table):
+    graft_sql(spark, f"UPDATE `{table}` SET grp = 0")
+    assert all(r["grp"] == 0
+               for r in read_manifest(spark, table).collect())
+
+
+def test_sql_delete(spark, table):
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE grp = 3")
+    rows = read_manifest(spark, table).collect()
+    assert len(rows) == 90 and all(r["grp"] != 3 for r in rows)
+
+
+def test_sql_merge_upsert(spark, table):
+    src = spark.createDataFrame(
+        [(1, 99, 0.0, "upd"), (1000, 5, 1.0, "new")],
+        "k long, grp long, val double, name string")
+    src.createOrReplaceTempView("merge_src")
+    graft_sql(spark, f"""
+        MERGE INTO `{table}` AS t USING merge_src AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+    rows = {r["k"]: (r["grp"], r["name"])
+            for r in read_manifest(spark, table).collect()}
+    assert rows[1] == (99, "upd")
+    assert rows[1000] == (5, "new")
+    assert len(rows) == 101
+
+
+def test_sql_merge_subquery_source_and_nmbs_delete(spark, table):
+    # keep only k < 10 via NOT MATCHED BY SOURCE DELETE; the source is
+    # a subquery over the table ITSELF through a graft. reference
+    graft_sql(spark, f"""
+        MERGE INTO `{table}` t
+        USING (SELECT k, grp, val, name FROM graft.`{table}`
+               WHERE k < 10) s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    rows = read_manifest(spark, table).collect()
+    assert len(rows) == 10 and all(r["k"] < 10 for r in rows)
+
+
+def test_sql_merge_matched_delete(spark, table):
+    spark.createDataFrame([(5,), (7,)], "k long") \
+        .createOrReplaceTempView("doomed_keys")
+    graft_sql(spark, f"""
+        MERGE INTO `{table}` t USING doomed_keys s ON t.k = s.k
+        WHEN MATCHED THEN DELETE""")
+    ks = {r["k"] for r in read_manifest(spark, table).collect()}
+    assert len(ks) == 98 and not ({5, 7} & ks)
+
+
+def test_sql_copy_into(spark, tmp_path):
+    register(spark)
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    import glob
+    import shutil
+
+    for name, lo in [("a.parquet", 0), ("b.parquet", 10)]:
+        tmp = os.path.join(landing, "_t")
+        (spark.range(lo, lo + 10)
+         .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        shutil.move(glob.glob(os.path.join(tmp, "*.parquet"))[0],
+                    os.path.join(landing, name))
+        shutil.rmtree(tmp)
+    tbl = str(tmp_path / "tbl")
+    r1 = graft_sql(spark, f"""
+        COPY INTO `{tbl}` FROM '{landing}'
+        FILEFORMAT = PARQUET PATTERN = '*.parquet'""").collect()[0]
+    assert (r1["loaded_files"], r1["skipped_files"]) == (2, 0)
+    r2 = graft_sql(spark, f"COPY INTO `{tbl}` FROM '{landing}' "
+                          f"FILEFORMAT = PARQUET").collect()[0]
+    assert (r2["loaded_files"], r2["skipped_files"]) == (0, 2)
+    assert read_manifest(spark, tbl).count() == 20
+    # FORCE = re-load registered files
+    r3 = graft_sql(spark, f"""
+        COPY INTO `{tbl}` FROM '{landing}' FILEFORMAT = PARQUET
+        COPY_OPTIONS ('force' = 'true')""").collect()[0]
+    assert r3["loaded_files"] == 2
+    assert read_manifest(spark, tbl).count() == 40
+
+
+def test_sql_insert_and_ctas(spark, table, tmp_path):
+    graft_sql(spark,
+              f"INSERT INTO `{table}` VALUES (500, 5, 0.5, 'ins')")
+    rows = {r["k"]: r["name"]
+            for r in read_manifest(spark, table).collect()}
+    assert rows[500] == "ins" and len(rows) == 101
+    dst = str(tmp_path / "ctas")
+    graft_sql(spark, f"""
+        CREATE TABLE `{dst}` AS
+        SELECT grp, count(*) AS n, sum(val) AS total
+        FROM graft.`{table}` GROUP BY grp""")
+    got = {r["grp"]: r["n"]
+           for r in read_manifest(spark, dst).collect()}
+    assert sum(got.values()) == 101
+    graft_sql(spark, f"""
+        INSERT OVERWRITE `{dst}`
+        SELECT grp, count(*) AS n, sum(val) AS total
+        FROM graft.`{table}` WHERE k < 50 GROUP BY grp""")
+    got = {r["grp"]: r["n"] for r in read_manifest(spark, dst).collect()}
+    assert sum(got.values()) == 50
+
+
+def test_sql_select_with_graft_refs_and_time_travel(spark, table):
+    v0 = load_manifest(table)["version"]
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE k >= 50")
+    now = graft_sql(spark, f"SELECT count(*) AS n "
+                           f"FROM graft.`{table}`").collect()[0]["n"]
+    then = graft_sql(
+        spark, f"SELECT count(*) AS n FROM graft.`{table}` "
+               f"VERSION AS OF {v0}").collect()[0]["n"]
+    assert (now, then) == (50, 100)
+
+
+# ------------------------------------------------------------------ DDL
+
+
+def test_sql_alter_constraint_lifecycle(spark, table):
+    graft_sql(spark, f"ALTER TABLE `{table}` ADD CONSTRAINT "
+                     f"pos_val CHECK (val >= 0)")
+    assert any(c.get("name") == "pos_val"
+               for c in load_manifest(table)["constraints"])
+    with pytest.raises(Exception, match="pos_val"):
+        graft_sql(spark, f"INSERT INTO `{table}` "
+                         f"VALUES (9999, 1, -5.0, 'bad')")
+    graft_sql(spark, f"ALTER TABLE `{table}` DROP CONSTRAINT pos_val")
+    assert not load_manifest(table).get("constraints")
+
+
+def test_sql_alter_default_and_generated(spark, table):
+    graft_sql(spark, f"ALTER TABLE `{table}` ALTER COLUMN name "
+                     f"SET DEFAULT 'anon'")
+    assert load_manifest(table)["columnDefaults"] == {"name": "'anon'"}
+    graft_sql(spark, f"ALTER TABLE `{table}` ALTER COLUMN name "
+                     f"DROP DEFAULT")
+    assert not load_manifest(table).get("columnDefaults")
+    graft_sql(spark, f"ALTER TABLE `{table}` ADD COLUMN k10 bigint "
+                     f"GENERATED ALWAYS AS (k * 10)")
+    rows = {r["k"]: r["k10"]
+            for r in read_manifest(spark, table).collect()}
+    assert rows[4] == 40
+    assert load_manifest(table)["generatedCols"] == {"k10": "k * 10"}
+
+
+def test_sql_alter_rename_drop_props_cluster(spark, table):
+    graft_sql(spark, f"ALTER TABLE `{table}` RENAME COLUMN name "
+                     f"TO label")
+    assert "label" in read_manifest(spark, table).columns
+    graft_sql(spark, f"ALTER TABLE `{table}` DROP COLUMN label")
+    assert "label" not in read_manifest(spark, table).columns
+    graft_sql(spark, f"ALTER TABLE `{table}` SET TBLPROPERTIES "
+                     f"('targetFileRows' = '50')")
+    assert load_manifest(table)["properties"]["targetFileRows"] == "50"
+    graft_sql(spark, f"ALTER TABLE `{table}` CLUSTER BY (grp, k)")
+    assert load_manifest(table)["clusterBy"] == ["grp", "k"]
+    graft_sql(spark, f"ALTER TABLE `{table}` CLUSTER BY NONE")
+    assert not load_manifest(table).get("clusterBy")
+
+
+# ---------------------------------------------------------- maintenance
+
+
+def test_sql_optimize_vacuum_history_detail_restore(spark, table):
+    # fragment, optimize, vacuum, then restore
+    for lo in (1000, 1010, 1020):
+        graft_sql(spark, f"INSERT INTO `{table}` SELECT id, id % 10, "
+                         f"id * 1.5, concat('row', id) FROM "
+                         f"range({lo}, {lo + 10})")
+    pre = read_manifest(spark, table).count()
+    graft_sql(spark, f"OPTIMIZE `{table}`")
+    assert read_manifest(spark, table).count() == pre
+    hist = graft_sql(spark, f"DESCRIBE HISTORY `{table}`")
+    ops = [r["operation"] for r in hist.collect()]
+    assert "REWRITE" in ops and ops[-1] == "CREATE"
+    detail = graft_sql(spark,
+                       f"DESCRIBE DETAIL `{table}`").collect()[0]
+    assert detail["num_rows"] == pre
+    v_opt = load_manifest(table)["version"]
+    res = graft_sql(spark, f"VACUUM `{table}` RETAIN 1 VERSIONS")
+    assert res.collect()[0]["operation"] == "VACUUM"
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE k >= 1000")
+    graft_sql(spark,
+              f"RESTORE TABLE `{table}` TO VERSION AS OF {v_opt}")
+    assert read_manifest(spark, table).count() == pre
+
+
+def test_sql_optimize_zorder(spark, table):
+    graft_sql(spark, f"OPTIMIZE `{table}` ZORDER BY (grp, k)")
+    m = load_manifest(table)
+    live = [f for f in m["files"] if not f.get("dead")]
+    assert live and all(f.get("clusteredBy") for f in live)
+    # z-ordering a column with no stats surfaces the engine's
+    # contract error, not a silent mis-layout
+    with pytest.raises(ValueError, match="no stats"):
+        graft_sql(spark, f"OPTIMIZE `{table}` ZORDER BY (val)")
+
+
+# --------------------------------------------------------- error paths
+
+
+def test_sql_error_paths(spark, table):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        graft_sql(spark, f"TRUNCATE `{table}`")
+    with pytest.raises(ValueError, match="malformed assignment"):
+        graft_sql(spark, f"UPDATE `{table}` SET val WHERE k = 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        graft_sql(spark, f"UPDATE `{table}` SET nope = 1")
+    with pytest.raises(ValueError, match="assigned twice"):
+        graft_sql(spark, f"UPDATE `{table}` SET val = 1, val = 2")
+    with pytest.raises(ValueError, match="backtick-quoted"):
+        graft_sql(spark, "DELETE FROM not_a_path WHERE k = 1")
+    spark.createDataFrame([(1,)], "k long") \
+        .createOrReplaceTempView("one_key")
+    with pytest.raises(ValueError, match="non-equi"):
+        graft_sql(spark, f"MERGE INTO `{table}` t USING one_key s "
+                         f"ON t.k > s.k WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="unknown alias"):
+        graft_sql(spark, f"MERGE INTO `{table}` t USING one_key s "
+                         f"ON t.k = x.k WHEN MATCHED THEN DELETE")
+    with pytest.raises(ValueError, match="BOTH"):
+        graft_sql(spark, f"MERGE INTO `{table}` t USING one_key s "
+                         f"ON t.k = s.k "
+                         f"WHEN NOT MATCHED THEN INSERT *")
+    with pytest.raises(ValueError, match="trailing"):
+        graft_sql(spark, f"DELETE FROM `{table}` garbage here")
+    with pytest.raises(ValueError, match="RETAIN"):
+        graft_sql(spark, f"VACUUM `{table}` RETAIN 5 FORTNIGHTS")
+    with pytest.raises(ValueError, match="HISTORY"):
+        graft_sql(spark, f"DESCRIBE EXTENDED `{table}`")
+    with pytest.raises(ValueError, match="empty statement"):
+        graft_sql(spark, "   ;")
+
+
+def test_sql_statement_strings_keep_keywords_intact(spark, table):
+    # WHERE/AND inside string literals must not confuse the parser
+    graft_sql(spark, f"UPDATE `{table}` SET name = 'WHERE AND SET' "
+                     f"WHERE k = 1")
+    r = read_manifest(spark, table).filter("k = 1").collect()[0]
+    assert r["name"] == "WHERE AND SET"
