@@ -41,8 +41,18 @@ def _scope(fn: QueryFn) -> QueryFn:
 
 
 def _modules():
-    from . import analytics, llmdata, media, parity, relational, streamed, temporal
-    return [temporal, streamed, media, llmdata, parity, analytics, relational]
+    from . import (
+        analytics,
+        llmdata,
+        media,
+        parity,
+        relational,
+        sqlstmt,
+        streamed,
+        temporal,
+    )
+    return [temporal, streamed, media, llmdata, parity, analytics,
+            relational, sqlstmt]
 
 
 def _evidence() -> tuple[dict[str, int], set[str]]:
@@ -229,6 +239,14 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_check_constraint": 8,
     "manifest_column_defaults": 8,
     "manifest_generated_column": 8,
+    "sql_update_where": 9,
+    "sql_delete_where": 9,
+    "sql_merge_upsert": 9,
+    "sql_copy_into": 9,
+    "sql_table_contracts": 9,
+    "sql_ctas_select": 9,
+    "sql_restore_time_travel": 9,
+    "sql_optimize_vacuum": 9,
 }
 
 

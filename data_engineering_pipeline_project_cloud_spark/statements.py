@@ -730,25 +730,41 @@ def _stmt_insert(spark: SparkSession, p: _P) -> DataFrame:
     else:
         p.expect("INTO")
     path = p.table()
+    m = load_manifest(path)
+    st = _table_schema(m)
+    fields = list(st.fields)
+    # optional explicit column list: `INSERT INTO t (a, c) ...` —
+    # omitted columns fall to the write path's DEFAULT fill /
+    # GENERATED compute / NULL alignment, exactly the SQL contract
+    t = p.peek()
+    if t is not None and t.up == "(":
+        names = p.paren_cols()
+        by_name = {f.name: f for f in fields}
+        unknown = [n for n in names if n not in by_name]
+        if unknown:
+            raise ValueError(f"INSERT column(s) not in table schema: "
+                             f"{unknown}")
+        if overwrite:
+            raise ValueError("INSERT OVERWRITE requires the full "
+                             "column set (it replaces the table)")
+        fields = [by_name[n] for n in names]
     query = p.slice(p.i, None)
     if not query:
         raise ValueError("INSERT requires a query (SELECT/VALUES)")
     register(spark)
     df = spark.sql(_rewrite_graft_refs(spark, query))
-    m = load_manifest(path)
-    st = _table_schema(m)
-    if len(df.columns) != len(st.fields):
+    if len(df.columns) != len(fields):
         raise ValueError(
             f"INSERT arity mismatch: query has {len(df.columns)} "
-            f"columns, table has {len(st.fields)}")
-    # ANSI INSERT conforms BY POSITION: rename + cast to the table
-    # schema so `VALUES (...)`'s col1/col2 names never leak.  The
+            f"columns, target column list has {len(fields)}")
+    # ANSI INSERT conforms BY POSITION: rename + cast to the target
+    # columns so `VALUES (...)`'s col1/col2 names never leak.  The
     # rename is toDF (positional), never by-name resolution —
     # unaliased query outputs like `(id * 1.5)` contain dots the
     # column parser would read as struct access
-    df = df.toDF(*[f.name for f in st.fields])
+    df = df.toDF(*[f.name for f in fields])
     df = df.select(*[
-        F.col(f.name).cast(f.dataType) for f in st.fields])
+        F.col(f.name).cast(f.dataType) for f in fields])
     stat_cols = _live_stat_cols(m)
     write_frame(df, path, "overwrite" if overwrite else "append",
                 statCols=",".join(stat_cols) if stat_cols else None)
