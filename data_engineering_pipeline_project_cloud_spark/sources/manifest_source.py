@@ -2621,6 +2621,37 @@ def expire_copy_registry(path: str, keep_versions: int) -> dict:
     return load_manifest(path, target)
 
 
+def _list_remote_source(source: str) -> list[str]:
+    """COPY INTO candidates for an object-store ``source`` (round 9):
+    a prefix ('directory') lists recursively through ``table_fs``'
+    pyarrow filesystem, a glob matches its pattern against the
+    listing of the longest non-glob prefix (``*`` crosses key
+    segments — object stores have no real directories), a plain key
+    is itself.  Hidden/underscore path SEGMENTS are skipped (Spark
+    listing semantics: a concurrent writer's ``_temporary`` staging
+    must never ingest).  Returned identities are the VERBATIM URIs —
+    the registry contract (round 8, 9b3ae6f)."""
+    import fnmatch as _fnmatch
+
+    def clean(rel: str) -> bool:
+        return not any(seg.startswith((".", "_"))
+                       for seg in rel.split("/"))
+
+    glob_at = min((i for i, c in enumerate(source) if c in "*?["),
+                  default=-1)
+    if glob_at >= 0:
+        base = source[:glob_at].rsplit("/", 1)[0]
+        pattern = source[len(base) + 1:]
+        return sorted(
+            f"{base}/{r}" for r in _tfs.walk_files(base)
+            if clean(r) and _fnmatch.fnmatch(r, pattern))
+    if _tfs.isdir(source):
+        base = source.rstrip("/")
+        return sorted(f"{base}/{r}" for r in _tfs.walk_files(base)
+                      if clean(r))
+    return [source] if _tfs.exists(source) else []
+
+
 def copy_into(spark, path: str, source, source_format: str = "parquet",
               stat_cols: list[str] | None = None,
               reader_options: dict | None = None,
@@ -2640,11 +2671,13 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
     Two concurrent copies of the same file race at the CAS claim — the
     loser fails with a conflict and its re-run skips the file.
 
-    ``source``: a directory, a glob, or an explicit list of files.
-    Directory/glob listing is local-filesystem; for object-store
-    sources pass an explicit list of URIs (identities keep the URI
-    verbatim, and the read goes through whatever filesystem Spark has
-    configured for the scheme).
+    ``source``: a directory, a glob, or an explicit list of files —
+    local paths or object-store URIs.  Object-store directories/
+    prefixes and globs list through ``table_fs``' pyarrow filesystem
+    (round 9 — Databricks' COPY INTO lists the store; explicit URI
+    lists still work).  Identities keep the URI verbatim, and the
+    data read goes through whatever filesystem Spark has configured
+    for the scheme (s3a on a real cluster).
     ``source_format``: any ``spark.read`` format (parquet/csv/json/
     orc); ``reader_options`` pass through (e.g. ``{"header": "true"}``
     for CSV).  If the table exists, rows conform to its schema (cast +
@@ -2669,6 +2702,8 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
 
     if isinstance(source, (list, tuple)):
         cands = [canon_src(p) for p in source]
+    elif "://" in source:
+        cands = _list_remote_source(source)
     elif os.path.isdir(source):
         # hidden/underscore DIRECTORIES are pruned from the walk, not
         # just hidden file names: a concurrent Spark job writing the
@@ -2744,6 +2779,15 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
         df, path, "append", statCols=",".join(stat_cols),
         copyFiles=json.dumps(new_ids) if new_ids else None)
     out = load_manifest(path)
+    # auto-retention (round 9, Delta load-history posture): with the
+    # ``copyRegistryKeepVersions`` table property set, every copy
+    # commit trims registry entries older than that many versions —
+    # checkpoints stop growing without a manual expire call.  A no-op
+    # trim costs one manifest load, no commit.
+    keep = int((out.get("properties") or {})
+               .get("copyRegistryKeepVersions", 0) or 0)
+    if keep:
+        out = expire_copy_registry(path, keep)
     return {"loadedFiles": len(todo),
             "skippedFiles": len(cands) - len(todo),
             "version": out.get("version")}

@@ -31,9 +31,10 @@ S3 specifics:
   — ``spark_path`` / the internal key mapping translate, so callers
   keep one canonical table path.
 
-Maintenance ops that remain LOCAL-ONLY this round (documented in
-SCALE.md): fsck, clone, and the Python-Arrow UDS writer (s3 tables
-write through ``write_frame``'s JVM-native path).
+fsck, clone, and tail streaming all work on object-store tables
+(round 8: a22bf28, 0b0c804).  The one LOCAL-ONLY piece is the legacy
+Python-Arrow DataSource writer — s3 tables write through
+``write_frame``'s JVM-native path (documented in SCALE.md).
 """
 
 from __future__ import annotations

@@ -226,3 +226,37 @@ def test_copy_into_prunes_hidden_and_underscore_dirs(spark, landing):
     assert res["loadedFiles"] == 2  # a.parquet + b.parquet only
     ks = {r["k"] for r in read_manifest(spark, table).collect()}
     assert ks == set(range(20))
+
+
+def test_copy_registry_auto_expires_via_table_property(spark, landing):
+    """Round 9: with `copyRegistryKeepVersions` set, every copy commit
+    trims registry entries older than that many table versions — the
+    checkpoint stops growing without a manual expire_copy_registry
+    call (Delta's bounded load-history posture)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _copy_registry_ids,
+        set_table_properties,
+    )
+
+    src, table = landing
+    copy_into(spark, table, src, stat_cols=["k"])
+    set_table_properties(table, {"copyRegistryKeepVersions": "2"})
+    files = []
+    for i in range(5):
+        f = _land(spark, src, f"f{i}.parquet",
+                  100 + i * 10, 110 + i * 10)
+        files.append(os.path.abspath(f))
+        copy_into(spark, table, [f])
+    m = load_manifest(table)
+    ids = _copy_registry_ids(m)
+    # the newest load is always inside the window; the early ones
+    # expired on later copy commits with no manual call
+    assert files[-1] in ids
+    assert files[0] not in ids and files[1] not in ids
+    # each surviving entry is inside the window AS OF its trim commit
+    # (the expire commit itself bumps the version by one more)
+    assert all((e["at"] if isinstance(e, dict) else 0)
+               >= m["version"] - 3 for e in (m.get("copyInto") or []))
+    assert len(m.get("copyInto") or []) <= 3
+    # every row still landed exactly once
+    assert read_manifest(spark, table).count() == 70

@@ -213,3 +213,49 @@ def test_fsck_and_shallow_clone_on_bucket_tables(spark, fake_s3):
     got2 = (spark.read.format("graft_manifest").option("path", deep)
             .load())
     assert sorted(r["k"] for r in got2.collect()) == [1, 2, 3, 10, 11]
+
+
+def test_copy_into_lists_object_store_sources(spark, fake_s3):
+    """Round 9: COPY INTO lists s3:// prefixes and globs through
+    table_fs' pyarrow filesystem (Databricks posture) instead of
+    requiring explicit URI lists; hidden/underscore SEGMENTS are
+    skipped; identities stay the verbatim URIs (the 9b3ae6f
+    contract)."""
+    base = f"s3://bkt/landing-{uuid.uuid4().hex[:8]}"
+    for key in ("a.parquet", "b.parquet", "sub/c.parquet",
+                "_temporary/0/t.parquet", ".staging/s.parquet"):
+        tfs.write_bytes(f"{base}/{key}", b"x")
+    # directory/prefix listing, recursive, hidden segments pruned
+    assert ms._list_remote_source(base) == [
+        f"{base}/a.parquet", f"{base}/b.parquet",
+        f"{base}/sub/c.parquet"]
+    assert ms._list_remote_source(base + "/") == \
+        ms._list_remote_source(base)
+    # glob against the non-glob prefix
+    assert ms._list_remote_source(f"{base}/a*.parquet") == [
+        f"{base}/a.parquet"]
+    # a plain existing key is itself; a missing one lists nothing
+    assert ms._list_remote_source(f"{base}/a.parquet") == [
+        f"{base}/a.parquet"]
+    assert ms._list_remote_source(f"{base}/nope.parquet") == []
+
+
+def test_copy_into_s3_prefix_skips_registered_before_any_read(
+        spark, fake_s3, tmp_path):
+    """The idempotent re-run path against an s3 PREFIX source: all
+    listed URIs already registered → copy_into returns skip counts
+    without touching Spark's reader (this container has no s3a jars,
+    which also proves the skip happens BEFORE the data plane)."""
+    base = f"s3://bkt/reg-{uuid.uuid4().hex[:8]}"
+    for key in ("a.parquet", "b.parquet"):
+        tfs.write_bytes(f"{base}/{key}", b"x")
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    # seed the registry in the same atomic commit shape copy_into
+    # uses (copyFiles option), with the VERBATIM URIs
+    ms.write_frame(df, path, "append", statCols="k",
+                   copyFiles=json.dumps(
+                       [f"{base}/a.parquet", f"{base}/b.parquet"]))
+    res = ms.copy_into(spark, path, base)
+    assert res == {"loadedFiles": 0, "skippedFiles": 2,
+                   "version": ms.load_manifest(path)["version"]}

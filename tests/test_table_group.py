@@ -201,3 +201,26 @@ def test_group_txn_id_reuse_refused(spark, group):
     # the refused commit wrote nothing: member b and the cut unchanged
     assert _counts(spark, gpath) == {"a": 25, "b": 10}
     assert load_manifest(t2)["version"] == 0
+
+
+def test_group_commit_writes_through_native_path(spark, group):
+    """Round 9: member appends route through write_frame's JVM-native
+    staging (Spark's own parquet writer), not the Python-Arrow
+    DataSource writer — pinned by the parquet footers' created_by
+    (parquet-mr = the JVM writer), the same evidence
+    tests/test_native_write.py uses for every other write leg."""
+    import pyarrow.parquet as pq
+
+    gpath, t1, t2, nat = group
+    pre = {f["path"] for f in load_manifest(t1)["files"]}
+    batch = nat.filter("n_nationkey >= 10").coalesce(1)
+    tg.group_commit(gpath, {"a": (batch, ["n_nationkey"]),
+                            "b": (batch, ["n_nationkey"])})
+    added = [f for f in load_manifest(t1)["files"]
+             if f["path"] not in pre and not f.get("dead")]
+    assert added, "group commit appended nothing to member a"
+    for f in added:
+        created_by = pq.ParquetFile(f["path"]).metadata.created_by
+        assert "parquet-mr" in created_by, created_by
+    # and the commit is still txn-tagged + group-pinned as before
+    assert _counts(spark, gpath) == {"a": 25, "b": 25}
