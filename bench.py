@@ -89,6 +89,17 @@ SECONDARY = [
     "manifest_column_defaults",
     "manifest_generated_column",
     "dsir_importance_weights",
+    # round-9 additions: the SQL statement front-end twins (pass-1
+    # raws carry the CTAS seeding + DML write legs — sql_update/
+    # delete/merge/copy time the statement-driven write paths), the
+    # group-commit leg (txn_group_consistent_view now writes members
+    # through the JVM-native write_frame), and the predicate DELETE
+    "sql_update_where",
+    "sql_delete_where",
+    "sql_merge_upsert",
+    "sql_copy_into",
+    "sql_ctas_select",
+    "txn_group_consistent_view",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

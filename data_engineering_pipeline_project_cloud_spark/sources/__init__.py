@@ -13,6 +13,7 @@ from .catalog import (
 __all__ = [
     "TABLES",
     "add_check_constraint",
+    "add_column_to_manifest",
     "add_generated_column",
     "add_table_constraint",
     "assert_unique_key",
@@ -61,6 +62,7 @@ read_manifest = _lazy("read_manifest")
 add_check_constraint = _lazy("add_check_constraint")
 add_generated_column = _lazy("add_generated_column")
 add_table_constraint = _lazy("add_table_constraint")
+add_column_to_manifest = _lazy("add_column_to_manifest")
 delete_where = _lazy("delete_where")
 drop_check_constraint = _lazy("drop_check_constraint")
 drop_generated_column_decl = _lazy("drop_generated_column_decl")

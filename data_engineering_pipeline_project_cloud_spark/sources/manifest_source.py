@@ -3770,6 +3770,52 @@ def vacuum_manifest(path: str, keep_versions: int = 1,
             "removed_manifests": removed_manifests}
 
 
+def add_column_to_manifest(spark, path: str, name: str,
+                           dtype: str) -> dict:
+    """METADATA-ONLY ``ALTER TABLE ... ADD COLUMN`` (Delta add-column
+    semantics): one CAS commit appends the field to the table schema;
+    no data file is touched — rows written before the add NULL-fill
+    at read time through the same alignment path implicit append-side
+    schema evolution uses (``_read_aligned``).  Refused when the name
+    exists, was previously dropped (its physical epoch is ambiguous —
+    re-introduce it by appending data that carries it, which lifts
+    the epoch explicitly), or participates in a rename chain (the
+    rename map would mis-route old files' physical column)."""
+    from pyspark.sql.types import StructType
+
+    field = StructType.fromDDL(f"`{name}` {dtype}").fields[0]
+    while True:
+        prev = load_manifest(path)
+        st = _table_schema(prev)
+        if name in {f.name for f in st.fields}:
+            raise ValueError(f"column {name!r} already exists")
+        if name in (prev.get("droppedCols") or {}):
+            raise ValueError(
+                f"column {name!r} was previously dropped; re-adding "
+                "it metadata-only would resurrect the old files' "
+                "values — re-introduce it by appending data that "
+                "carries the column")
+        for r in prev.get("renames") or []:
+            if name in (r["from"], r["to"]):
+                raise ValueError(
+                    f"column {name!r} participates in a rename chain; "
+                    "pick another name or re-introduce via append")
+        new_schema = StructType(list(st.fields) + [field]).json()
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": new_schema,
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def drop_column_from_manifest(path: str, col: str) -> dict:
     """METADATA-ONLY column drop: one CAS commit replaces the manifest
     schema with the schema minus ``col`` — no data file is touched
@@ -4235,6 +4281,14 @@ def manifest_operations(path: str) -> list[dict]:
                     != (pr.get("properties") or {})):
                 op = "SET TBLPROPERTIES"
                 detail = dict(st.get("properties") or {})
+            elif pr and st.get("schema") != pr.get("schema"):
+                # metadata-only schema change with nothing else moved:
+                # the r9 add_column_to_manifest commit
+                cur_f = {f.name for f in _table_schema(st).fields}
+                pre_f = {f.name for f in _table_schema(pr).fields}
+                op = "ADD COLUMN" if cur_f >= pre_f else "ALTER SCHEMA"
+                added = sorted(cur_f - pre_f)
+                detail = {"cols": added} if added else None
             else:
                 op = "TXN"
         out.append({"version": v, "operation": op, "detail": detail,

@@ -38,6 +38,7 @@ one-row operation summary, queries return their rows):
   → ``copy_into``.
 * ``ALTER TABLE `t` ...``: ``ADD CONSTRAINT n CHECK (e)``, ``DROP
   CONSTRAINT n``, ``ALTER COLUMN c SET DEFAULT e`` / ``DROP DEFAULT``,
+  ``ADD COLUMN c type`` (metadata-only; old rows NULL-fill) or
   ``ADD COLUMN c type GENERATED ALWAYS AS (e)``, ``RENAME COLUMN a TO
   b``, ``DROP COLUMN c``, ``SET TBLPROPERTIES (...)``, ``CLUSTER BY
   (...)`` / ``CLUSTER BY NONE``.
@@ -843,18 +844,20 @@ def _stmt_alter(spark: SparkSession, p: _P) -> DataFrame:
         raise ValueError("ALTER COLUMN supports SET DEFAULT / "
                          "DROP DEFAULT")
     if p.eat("ADD", "COLUMN"):
+        from .sources.manifest_source import add_column_to_manifest
+
         name = p.ident("column")
-        # everything up to GENERATED is the type
+        # everything up to GENERATED (or the end) is the type
         g = p.find("GENERATED")
-        if g < 0:
-            raise ValueError(
-                "ALTER TABLE ... ADD COLUMN supports only GENERATED "
-                "ALWAYS AS columns (plain add-column happens "
-                "implicitly on append with mergeSchema semantics)")
-        dtype = p.slice(p.i, g)
+        dtype = p.slice(p.i, g if g >= 0 else None)
         if not dtype:
-            raise ValueError("ADD COLUMN requires a type before "
-                             "GENERATED ALWAYS AS")
+            raise ValueError("ADD COLUMN requires a type")
+        if g < 0:
+            # plain add-column: O(1) metadata commit, old files
+            # NULL-fill at read (Delta add-column semantics)
+            m = add_column_to_manifest(spark, path, name, dtype)
+            return _summary(spark, "ADD COLUMN", path,
+                            version=m.get("version"))
         p.i = g
         p.expect("GENERATED", "ALWAYS", "AS")
         expr = p.balanced_paren_slice()

@@ -293,3 +293,36 @@ def test_sql_statement_strings_keep_keywords_intact(spark, table):
                      f"WHERE k = 1")
     r = read_manifest(spark, table).filter("k = 1").collect()[0]
     assert r["name"] == "WHERE AND SET"
+
+
+def test_sql_add_column_metadata_only(spark, table):
+    """Round 9: plain ADD COLUMN is an O(1) metadata commit — no data
+    file touched; existing rows NULL-fill at read; later appends
+    carry values; dropped/renamed names are refused."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_column_to_manifest,
+    )
+
+    files0 = {f["path"] for f in load_manifest(table)["files"]}
+    graft_sql(spark, f"ALTER TABLE `{table}` ADD COLUMN note string")
+    m = load_manifest(table)
+    assert {f["path"] for f in m["files"]} == files0, "metadata only"
+    rows = read_manifest(spark, table).collect()
+    assert all(r["note"] is None for r in rows) and len(rows) == 100
+    graft_sql(spark, f"INSERT INTO `{table}` "
+                     f"VALUES (777, 7, 7.0, 'x', 'noted')")
+    got = read_manifest(spark, table).filter("k = 777").collect()[0]
+    assert got["note"] == "noted"
+    with pytest.raises(ValueError, match="already exists"):
+        graft_sql(spark, f"ALTER TABLE `{table}` ADD COLUMN note string")
+    graft_sql(spark, f"ALTER TABLE `{table}` DROP COLUMN note")
+    with pytest.raises(ValueError, match="previously dropped"):
+        add_column_to_manifest(spark, table, "note", "string")
+    graft_sql(spark, f"ALTER TABLE `{table}` RENAME COLUMN name "
+                     f"TO label")
+    with pytest.raises(ValueError, match="rename chain"):
+        add_column_to_manifest(spark, table, "name", "string")
+    # decimal types parse through fromDDL
+    graft_sql(spark, f"ALTER TABLE `{table}` ADD COLUMN amt "
+                     f"decimal(12,2)")
+    assert "amt" in read_manifest(spark, table).columns
