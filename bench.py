@@ -100,6 +100,7 @@ SECONDARY = [
     "sql_copy_into",
     "sql_ctas_select",
     "txn_group_consistent_view",
+    "manifest_dv_delete_where",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

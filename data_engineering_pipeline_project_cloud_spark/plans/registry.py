@@ -247,6 +247,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "sql_ctas_select": 9,
     "sql_restore_time_travel": 9,
     "sql_optimize_vacuum": 9,
+    "manifest_dv_delete_where": 9,
+    "sql_truncate_reload": 9,
 }
 
 

@@ -310,7 +310,70 @@ def sql_optimize_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "status", "total_price"))
 
 
+def manifest_dv_delete_where(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Merge-on-read predicate DELETE (round 9 —
+    sources/manifest_source.py:delete_where_dv): with the
+    ``enableDeletionVectors`` table property set, the SQL DELETE
+    records doomed ROW POSITIONS as per-file bitmaps instead of
+    rewriting files — the build asserts the file set is UNTOUCHED
+    (pure metadata).  The face returns the masked read; the oracle
+    recomputes the survivors relationally, so hash-green proves the
+    deletion-vector mask hides exactly the predicate's rows through
+    the ordinary read path."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        _seed_orders_table(spark, sf_dir, path, with_year=True)
+        graft_sql(spark, f"ALTER TABLE `{path}` SET TBLPROPERTIES "
+                         f"('enableDeletionVectors' = 'true')")
+        files0 = {f["path"] for f in load_manifest(path)["files"]}
+        graft_sql(spark, f"""
+            DELETE FROM `{path}`
+            WHERE status = 'F' AND order_year = 1996
+        """)
+        m = load_manifest(path)
+        assert {f["path"] for f in m["files"]} == files0, \
+            "DV delete must not rewrite or add files"
+        assert any(int(f.get("dvRows", 0)) > 0 for f in m["files"]), \
+            "no deletion vector landed"
+
+    root = scoped_scratch("dv_delete_orders", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price",
+                    "order_year"))
+
+
+def sql_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``TRUNCATE TABLE`` through graft_sql (round 9 —
+    sources/manifest_source.py:truncate_manifest): one metadata
+    commit empties the table while schema and contracts survive, then
+    a reload INSERT proves the table is immediately writable.  The
+    face returns the post-reload state (reloaded slice only); the
+    oracle recomputes it, so hash-green proves the truncate dropped
+    every pre-existing row and ONLY those."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        _seed_orders_table(spark, sf_dir, path, with_year=True)
+        graft_sql(spark, f"TRUNCATE TABLE `{path}`")
+        graft_sql(spark, f"""
+            INSERT INTO `{path}`
+            SELECT o_orderkey, status, total_price, order_year
+            FROM sql_orders_src WHERE order_year <= 1995
+        """)
+
+    root = scoped_scratch("sql_truncate_orders", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price",
+                    "order_year"))
+
+
 QUERIES = {
+    "manifest_dv_delete_where": manifest_dv_delete_where,
+    "sql_truncate_reload": sql_truncate_reload,
     "sql_update_where": sql_update_where,
     "sql_delete_where": sql_delete_where,
     "sql_merge_upsert": sql_merge_upsert,
@@ -331,6 +394,14 @@ _ORDERS_PROJ = """
 """
 
 ORACLE_SQL = {
+    "manifest_dv_delete_where": f"""
+        SELECT * FROM ({_ORDERS_PROJ}) t
+        WHERE NOT (status = 'F' AND order_year = 1996)
+    """,
+    "sql_truncate_reload": f"""
+        SELECT * FROM ({_ORDERS_PROJ}) t
+        WHERE order_year <= 1995
+    """,
     "sql_update_where": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                CASE WHEN o_orderstatus = 'F'

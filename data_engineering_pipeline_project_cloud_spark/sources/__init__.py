@@ -19,6 +19,7 @@ __all__ = [
     "assert_unique_key",
     "copy_into",
     "delete_where",
+    "delete_where_dv",
     "describe_manifest",
     "drop_check_constraint",
     "drop_generated_column_decl",
@@ -36,6 +37,7 @@ __all__ = [
     "set_cluster_by",
     "set_column_default",
     "set_table_properties",
+    "truncate_manifest",
     "update_manifest",
     "vacuum_manifest",
     "write_frame",
@@ -64,6 +66,8 @@ add_generated_column = _lazy("add_generated_column")
 add_table_constraint = _lazy("add_table_constraint")
 add_column_to_manifest = _lazy("add_column_to_manifest")
 delete_where = _lazy("delete_where")
+delete_where_dv = _lazy("delete_where_dv")
+truncate_manifest = _lazy("truncate_manifest")
 drop_check_constraint = _lazy("drop_check_constraint")
 drop_generated_column_decl = _lazy("drop_generated_column_decl")
 drop_table_constraint = _lazy("drop_table_constraint")

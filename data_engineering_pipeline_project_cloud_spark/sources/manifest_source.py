@@ -2987,6 +2987,22 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
     touched = {f["path"]: f.get("dvGen", 0) for f in affected
                if os.path.basename(f["path"]) in by_file}
     conflict = _conflict_option(rv, key_cols[0], bounds, keys_sorted)
+    return _commit_deletion_vectors(path, touched, by_file, conflict,
+                                    txn)
+
+
+def _commit_deletion_vectors(path: str, touched: dict[str, int],
+                             by_file: dict[str, list[int]],
+                             conflict: str | None,
+                             txn: tuple[str, int] | None) -> dict:
+    """CAS commit shared by the key- and predicate-form DV deletes:
+    merge the new positions into each touched file's vector (payload
+    bytes in one per-commit sidecar, the delta carries only refs),
+    failing on concurrent rewrite/re-vector of a touched file and —
+    when a key summary is provided — on racing appends that may
+    contain the deleted keys."""
+    import time as _time
+
     while True:
         prev = load_manifest(path)
         if txn is not None:
@@ -3046,6 +3062,131 @@ def delete_vectors_from_manifest(keys, path: str, key_cols: list[str],
 
         with contextlib.suppress(OSError, ValueError):
             _write_checkpoint(path, _load_state(path, target))
+    return load_manifest(path, target)
+
+
+def delete_where_dv(spark, path: str, where: str,
+                    stat_cols: list[str] | None = None,
+                    max_dv_rows: int = 100_000,
+                    filters: list[tuple] | None = None) -> dict:
+    """MERGE-ON-READ predicate DELETE: the deletion-vector twin of
+    ``delete_where`` — doomed row POSITIONS are recorded as per-file
+    bitmaps instead of rewriting the files, a pure-metadata commit
+    O(matched positions).  Readers mask them, time travel still sees
+    them, OPTIMIZE materializes the debt.  This is what a sparse
+    predicate delete should cost: deleting 100 rows spread across
+    1000 large files rewrites NOTHING (copy-on-write would rewrite
+    all 1000).
+
+    Same planning shape as ``delete_where``: ``filters`` prune
+    candidate files by stats/partitions first; discovery is one
+    JVM-side scan of the candidates projecting ``_metadata`` file/row
+    positions under the predicate (raw-byte read grouped per rename
+    epoch, exactly like the key-form DV delete; positions earlier DV
+    commits already deleted are excluded).  A delete matching more
+    than ``max_dv_rows`` positions FALLS BACK to the copy-on-write
+    ``delete_where`` automatically — a big delete should pay the
+    rewrite, not bloat every future read's mask.
+
+    Concurrency: racing rewrite/re-vector of a touched file fails the
+    commit (dvGen check).  Like ``delete_where`` — and Delta's
+    predicate DELETE — a racing append of rows matching ``where`` is
+    not deleted (WriteSerializable residual; no key summary exists
+    for an arbitrary predicate)."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    m = load_manifest(path)
+    st = _table_schema(m)
+    names = {f.name for f in st.fields}
+    for tag in ("__file", "__pos"):
+        if tag in names:
+            raise ValueError(f"column name {tag!r} is reserved")
+    live = [f for f in m["files"] if not f.get("dead")]
+    if filters:
+        dsf = [_READ_FILTER_OPS[op](col, v) for col, op, v in filters]
+        psf = dsf + _derived_partition_filters(
+            dsf, _all_partition_specs(m))
+        live = [f for f in live
+                if _partition_survives(f.get("partition"), psf)
+                and _file_survives(f.get("stats") or {}, dsf,
+                                   f.get("bloom"))]
+    if not live:
+        return m
+    groups: dict[tuple, list[dict]] = {}
+    for f in live:
+        gk = tuple(sorted((f.get("_rename") or {}).items()))
+        groups.setdefault(gk, []).append(f)
+    hit_parts = []
+    for gk, grp in groups.items():
+        inv = {lg: ph for ph, lg in dict(gk).items()}
+        phys = StructType([
+            StructField(inv.get(f.name, f.name), f.dataType,
+                        f.nullable, f.metadata) for f in st.fields])
+        base = spark.read.schema(phys).parquet(
+            *[f["path"] for f in grp])
+        logical = base.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"),
+                         -1).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+            *[F.col(inv.get(f.name, f.name)).alias(f.name)
+              for f in st.fields])
+        hit_parts.append(logical.filter(F.expr(where))
+                         .select("__file", "__pos"))
+    hits = hit_parts[0]
+    for p in hit_parts[1:]:
+        hits = hits.unionAll(p)
+    import numpy as np
+
+    already = [(os.path.basename(f["path"]), int(i))
+               for f in live if f.get("dv")
+               for i in np.flatnonzero(_dv_decode(f["dv"], f["rows"]))]
+    if already:
+        excl = spark.createDataFrame(already,
+                                     "__file string, __pos long")
+        hits = hits.join(F.broadcast(excl), ["__file", "__pos"],
+                         "left_anti")
+    rows = hits.limit(max_dv_rows + 1).collect()
+    if len(rows) > max_dv_rows:
+        return delete_where(spark, path, where, stat_cols,
+                            filters=filters)
+    if not rows:
+        return m
+    by_file: dict[str, list[int]] = {}
+    for r in rows:
+        by_file.setdefault(r[0], []).append(r[1])
+    touched = {f["path"]: f.get("dvGen", 0) for f in live
+               if os.path.basename(f["path"]) in by_file}
+    return _commit_deletion_vectors(path, touched, by_file, None,
+                                    None)
+
+
+def truncate_manifest(path: str) -> dict:
+    """``TRUNCATE TABLE``: ONE metadata commit tombstones every live
+    file — schema, constraints, defaults, generated columns, and
+    properties all survive (unlike an overwrite, which resets the
+    table contract); time travel below the truncate still sees the
+    rows; VACUUM reclaims the data past retention.  O(files) driver
+    metadata, no data file touched — at 100 TB this is the difference
+    between an instant and a rewrite.  Race-safe: a racing rewrite's
+    commit either lands first (this CAS retries and tombstones its
+    outputs too) or fails on its replaced file being dead."""
+    import time as _time
+
+    while True:
+        prev = load_manifest(path)
+        live = [f["path"] for f in prev["files"] if not f.get("dead")]
+        if not live:
+            return prev  # already empty: nothing to commit
+        target = prev.get("version", 0) + 1
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "tombstone": live,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
     return load_manifest(path, target)
 
 

@@ -27,7 +27,11 @@ one-row operation summary, queries return their rows):
   ``write_frame`` conforming BY POSITION to the table schema.
 * ``CREATE TABLE `t` AS <query>`` — CTAS via ``write_manifest_table``.
 * ``UPDATE `t` SET c = e, ... [WHERE p]`` → ``update_manifest``.
-* ``DELETE FROM `t` [WHERE p]`` → ``delete_where``.
+* ``DELETE FROM `t` [WHERE p]`` → ``delete_where``; with the
+  ``enableDeletionVectors`` table property set, ``delete_where_dv``
+  (merge-on-read positions, CoW fallback past the mask threshold).
+* ``TRUNCATE [TABLE] `t``` → ``truncate_manifest`` (metadata-only;
+  schema and contracts survive, time travel below still works).
 * ``MERGE INTO `t` [AS] a USING <src> [AS] b ON a.k = b.k [AND ...]``
   with ``WHEN MATCHED THEN UPDATE SET *`` / ``WHEN NOT MATCHED THEN
   INSERT *`` / ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the
@@ -384,6 +388,7 @@ def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
         "RESTORE": _stmt_restore,
         "INSERT": _stmt_insert,
         "CREATE": _stmt_create,
+        "TRUNCATE": _stmt_truncate,
     }.get(verb)
     if handler is None:
         raise ValueError(f"unsupported statement: {verb} "
@@ -461,7 +466,11 @@ def _split_top(src: str, sep: str) -> list[str]:
 
 
 def _stmt_delete(spark: SparkSession, p: _P) -> DataFrame:
-    from .sources.manifest_source import delete_where
+    from .sources.manifest_source import (
+        delete_where,
+        delete_where_dv,
+        load_manifest,
+    )
 
     p.expect("DELETE")
     p.expect("FROM")
@@ -474,7 +483,13 @@ def _stmt_delete(spark: SparkSession, p: _P) -> DataFrame:
     elif not p.done():
         raise ValueError(f"unexpected trailing tokens: "
                          f"{p.slice(p.i, None)!r}")
-    m = delete_where(spark, path, where)
+    # Delta posture: with enableDeletionVectors set, DELETE goes
+    # merge-on-read (positions masked, no rewrite) and falls back to
+    # copy-on-write automatically past the mask-size threshold
+    props = load_manifest(path).get("properties") or {}
+    dv = str(props.get("enableDeletionVectors", "")).lower() \
+        in ("true", "1")
+    m = (delete_where_dv if dv else delete_where)(spark, path, where)
     return _summary(spark, "DELETE", path, version=m.get("version"))
 
 
@@ -795,6 +810,19 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
     m = load_manifest(path)
     return _summary(spark, "CREATE TABLE AS", path,
                     version=m.get("version"))
+
+
+def _stmt_truncate(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import truncate_manifest
+
+    p.expect("TRUNCATE")
+    p.eat("TABLE")  # optional noise word
+    path = p.table()
+    if not p.done():
+        raise ValueError(
+            f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
+    m = truncate_manifest(path)
+    return _summary(spark, "TRUNCATE", path, version=m.get("version"))
 
 
 # ----------------------------------------------------------------- DDL

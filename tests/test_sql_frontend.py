@@ -256,7 +256,7 @@ def test_sql_optimize_zorder(spark, table):
 
 def test_sql_error_paths(spark, table):
     with pytest.raises(ValueError, match="unsupported statement"):
-        graft_sql(spark, f"TRUNCATE `{table}`")
+        graft_sql(spark, f"GRANT SELECT ON `{table}` TO alice")
     with pytest.raises(ValueError, match="malformed assignment"):
         graft_sql(spark, f"UPDATE `{table}` SET val WHERE k = 1")
     with pytest.raises(ValueError, match="unknown column"):
@@ -326,3 +326,21 @@ def test_sql_add_column_metadata_only(spark, table):
     graft_sql(spark, f"ALTER TABLE `{table}` ADD COLUMN amt "
                      f"decimal(12,2)")
     assert "amt" in read_manifest(spark, table).columns
+
+
+def test_sql_truncate_and_dv_delete_property(spark, table):
+    """TRUNCATE TABLE is metadata-only through SQL; and with
+    enableDeletionVectors set, DELETE goes merge-on-read (no file
+    rewritten) — the Delta property contract."""
+    graft_sql(spark, f"ALTER TABLE `{table}` SET TBLPROPERTIES "
+                     f"('enableDeletionVectors' = 'true')")
+    files0 = {f["path"] for f in load_manifest(table)["files"]}
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE grp = 4")
+    m = load_manifest(table)
+    assert {f["path"] for f in m["files"]} == files0, "DV, not CoW"
+    assert any(f.get("dv") for f in m["files"])
+    assert read_manifest(spark, table).count() == 90
+    res = graft_sql(spark, f"TRUNCATE TABLE `{table}`")
+    assert res.collect()[0]["operation"] == "TRUNCATE"
+    assert read_manifest(spark, table).count() == 0
+    assert {f["path"] for f in load_manifest(table)["files"]} == files0
