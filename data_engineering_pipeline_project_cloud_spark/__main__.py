@@ -4,6 +4,7 @@ point (``scripts/pipeline.py:4-18``), plus query execution.
     python -m data_engineering_pipeline_project_cloud_spark pipeline --sf-dir DIR --out DIR
     python -m data_engineering_pipeline_project_cloud_spark query NAME --sf-dir DIR [-n 20]
     python -m data_engineering_pipeline_project_cloud_spark list
+    python -m data_engineering_pipeline_project_cloud_spark sql "UPDATE `/t` SET ..." [-n 20]
     python -m data_engineering_pipeline_project_cloud_spark serve --sf-dir DIR --out DIR [--sql Q | --stdin]
 
 ``serve`` is the BI entry (the reference's Superset-over-warehouse
@@ -38,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registry queries")
 
+    gp = sub.add_parser("sql", help="run lakehouse SQL statements "
+                                    "(statements.graft_sql grammar)")
+    gp.add_argument("statement", nargs="?",
+                    help="one statement; omit to read line-by-line "
+                         "from stdin")
+    gp.add_argument("-n", type=int, default=20, help="rows to show")
+
     sp = sub.add_parser("serve", help="materialize the mart and serve "
                                       "it as SQL views")
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -66,6 +74,23 @@ def main(argv: list[str] | None = None) -> int:
 
         report = run_pipeline(spark, args.sf_dir, args.out)
         print(json.dumps(report))
+        return 0
+
+    if args.cmd == "sql":
+        from .statements import graft_sql
+
+        if args.statement:
+            graft_sql(spark, args.statement).show(args.n,
+                                                  truncate=False)
+            return 0
+        for line in sys.stdin:
+            stmt = line.strip()
+            if not stmt:
+                continue
+            try:
+                graft_sql(spark, stmt).show(args.n, truncate=False)
+            except Exception as exc:  # keep the console alive
+                print(f"error: {exc}", file=sys.stderr, flush=True)
         return 0
 
     if args.cmd == "serve":

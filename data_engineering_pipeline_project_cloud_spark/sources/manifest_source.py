@@ -1511,6 +1511,13 @@ def _require_path(options) -> str:
     path = options.get("path")
     if not path:
         raise ValueError("graft_manifest requires option 'path'")
+    # Spark's SQL catalog normalizes a CREATE TABLE ... USING
+    # graft_manifest path/LOCATION to a file: URI before handing it
+    # to the data source; local table code expects a plain path
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(path).path)
     return path
 
 

@@ -46,7 +46,8 @@ one-row operation summary, queries return their rows):
   ``ADD COLUMN c type GENERATED ALWAYS AS (e)``, ``RENAME COLUMN a TO
   b``, ``DROP COLUMN c``, ``SET TBLPROPERTIES (...)``, ``CLUSTER BY
   (...)`` / ``CLUSTER BY NONE``.
-* ``OPTIMIZE `t` [ZORDER BY (c, ...)]`` → ``optimize_manifest`` /
+* ``OPTIMIZE `t` [WHERE p = lit [AND ...]] [ZORDER BY (c, ...)]`` →
+  ``optimize_manifest`` (partition-scoped compaction) /
   ``zorder_manifest``.
 * ``VACUUM `t` [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]``.
 * ``DESCRIBE HISTORY|DETAIL `t```.
@@ -942,7 +943,18 @@ def _stmt_optimize(spark: SparkSession, p: _P) -> DataFrame:
     path = p.table()
     m0 = load_manifest(path)
     target = _target_rows(m0)
+    part_where = None
+    if p.eat("WHERE"):
+        # Delta's OPTIMIZE WHERE: partition-literal equalities only —
+        # compaction scope, not a row predicate
+        z = p.find("ZORDER")
+        part_where = _parse_partition_where(
+            p.slice(p.i, z if z >= 0 else None))
+        p.i = z if z >= 0 else len(p.toks)
     if p.eat("ZORDER", "BY"):
+        if part_where is not None:
+            raise ValueError("OPTIMIZE WHERE cannot combine with "
+                             "ZORDER BY in this front-end")
         cols = p.paren_cols()
         stat_cols = sorted(set(_live_stat_cols(m0)) | set(cols))
         m = zorder_manifest(spark, path, cols, stat_cols, target)
@@ -950,8 +962,40 @@ def _stmt_optimize(spark: SparkSession, p: _P) -> DataFrame:
         if not p.done():
             raise ValueError(
                 f"unexpected OPTIMIZE clause: {p.slice(p.i, None)!r}")
-        m = optimize_manifest(spark, path, target)
+        m = optimize_manifest(spark, path, target,
+                              partition_where=part_where)
     return _summary(spark, "OPTIMIZE", path, version=m.get("version"))
+
+
+def _parse_partition_where(src: str) -> dict:
+    """``p = 'v' AND q = 3`` → {p: 'v', q: 3} (literal equalities —
+    the OPTIMIZE WHERE scope grammar)."""
+    if not src:
+        raise ValueError("OPTIMIZE WHERE requires partition "
+                         "equalities")
+    out: dict = {}
+    for part in _split_top_kw(src, "AND"):
+        q = _P(part)
+        col = q.ident("partition column")
+        q.expect_op("=")
+        t = q.peek()
+        if t is None:
+            raise ValueError(
+                f"OPTIMIZE WHERE equality with no literal: {part!r}")
+        if t.kind == "str":
+            out[col] = q.string()
+        elif t.kind == "num":
+            q.i += 1
+            out[col] = float(t.raw) if "." in t.raw else int(t.raw)
+        else:
+            raise ValueError(
+                f"OPTIMIZE WHERE supports only string/number "
+                f"literals (got {t.raw!r})")
+        if not q.done():
+            raise ValueError(
+                f"OPTIMIZE WHERE supports only `col = literal` "
+                f"equalities (got {part!r})")
+    return out
 
 
 def _stmt_vacuum(spark: SparkSession, p: _P) -> DataFrame:

@@ -2013,3 +2013,18 @@ def test_table_properties_drive_writer_defaults(spark, tmp_path):
     assert describe_manifest(path)["properties"]["owner"] == \
         "pipeline-team"
     assert read_manifest(spark, path).count() == 150
+
+
+def test_file_uri_path_option_normalizes(spark, tmp_path):
+    """Spark's SQL catalog (and some callers) hand the data source a
+    file: URI instead of a plain path — _require_path normalizes it
+    so local table code never sees the scheme."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    path = str(tmp_path / "uri_t")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_manifest_table(df, path, ["k"])
+    got = (spark.read.format("graft_manifest")
+           .option("path", "file:" + path).load())
+    assert got.count() == 5

@@ -344,3 +344,45 @@ def test_sql_truncate_and_dv_delete_property(spark, table):
     assert res.collect()[0]["operation"] == "TRUNCATE"
     assert read_manifest(spark, table).count() == 0
     assert {f["path"] for f in load_manifest(table)["files"]} == files0
+
+
+def test_sql_optimize_where_scopes_partition(spark, tmp_path):
+    """OPTIMIZE `t` WHERE p = <literal> compacts ONLY that
+    partition's files (Delta's OPTIMIZE WHERE) — other partitions'
+    entries stay byte-identical."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        write_frame,
+    )
+
+    register(spark)
+    path = str(tmp_path / "pt")
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 2).alias("p"), F.col("id").alias("k"))
+
+    write_frame(batch(0, 100).repartition(2), path, "overwrite",
+                statCols="k", partitionCols="p")
+    for lo in (100, 120):
+        write_frame(batch(lo, lo + 20), path, "append",
+                    statCols="k", partitionCols="p")
+    graft_sql(spark, f"ALTER TABLE `{path}` SET TBLPROPERTIES "
+                     f"('targetFileRows' = '100000')")
+
+    def live_parts(val):
+        return {f["path"] for f in load_manifest(path)["files"]
+                if not f.get("dead")
+                and str((f.get("partition") or {}).get("p")) == val}
+
+    p1_before = live_parts("1")
+    assert len(live_parts("0")) > 1, "fixture must be fragmented"
+    graft_sql(spark, f"OPTIMIZE `{path}` WHERE p = 1")
+    assert live_parts("1") != p1_before, "p=1 compacted"
+    # p=0 untouched by the scoped run
+    n0 = len(live_parts("0"))
+    assert n0 > 1
+    assert read_manifest(spark, path).count() == 140
+    with pytest.raises(ValueError, match="expected '='"):
+        graft_sql(spark, f"OPTIMIZE `{path}` WHERE p > 1")
+    with pytest.raises(ValueError, match="col = literal"):
+        graft_sql(spark, f"OPTIMIZE `{path}` WHERE p = 1 OR p = 0")
