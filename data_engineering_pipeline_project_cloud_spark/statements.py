@@ -414,8 +414,99 @@ def _stmt_update(spark: SparkSession, p: _P) -> DataFrame:
         if not where:
             raise ValueError("WHERE with no predicate")
     assignments = _parse_assignments(set_src)
-    m = update_manifest(spark, path, assignments, where)
+    m = update_manifest(spark, path, assignments, where,
+                        filters=_derive_filters(spark, path, where))
     return _summary(spark, "UPDATE", path, version=m.get("version"))
+
+
+_NO_LITERAL = object()
+
+
+def _derive_filters(spark: SparkSession, path: str,
+                    where: str) -> list[tuple] | None:
+    """Stats-pruning filters IMPLIED by the WHERE clause's simple
+    top-level conjuncts (``col op literal`` / ``col IN (...)``) — the
+    100 TB reason the API forms take ``filters`` explicitly: without
+    them a selective UPDATE/DELETE through SQL would FIND-scan every
+    candidate file instead of the stats-surviving slice.
+
+    Sound by construction: a row satisfying the whole WHERE satisfies
+    each top-level conjunct, so pruning a file that cannot satisfy
+    one conjunct can never drop a match.  Anything not obviously a
+    conjunct of that shape (ORs, functions, casts, mismatched literal
+    types, date literals) is SKIPPED — derivation only ever narrows
+    the candidate list, never the semantics."""
+    from .sources.manifest_source import _table_schema, load_manifest
+
+    try:
+        st = _table_schema(load_manifest(path))
+    except (FileNotFoundError, ValueError, OSError):
+        return None
+    types = {f.name: f.dataType.simpleString() for f in st.fields}
+    out: list[tuple] = []
+    for part in _split_top_kw(where, "AND"):
+        try:
+            q = _P(part)
+        except ValueError:
+            continue
+        t = q.peek()
+        if t is None or t.kind != "word" or "." in t.raw:
+            continue
+        col = t.raw
+        dt = types.get(col)
+        if dt is None:
+            continue
+        q.i += 1
+        op_t = q.peek()
+        if op_t is None:
+            continue
+        if op_t.kind == "word" and op_t.up == "IN":
+            q.i += 1
+            try:
+                inner = q.balanced_paren_slice()
+            except ValueError:
+                continue
+            if not q.done():
+                continue
+            vals = []
+            for piece in _split_top(inner, ","):
+                v = _typed_literal(piece, dt)
+                if v is _NO_LITERAL:
+                    vals = None
+                    break
+                vals.append(v)
+            if vals:
+                out.append((col, "in", vals))
+            continue
+        if op_t.up not in ("=", "<", "<=", ">", ">="):
+            continue
+        q.i += 1
+        v = _typed_literal(q.slice(q.i, None), dt)
+        if v is _NO_LITERAL:
+            continue
+        out.append((col, op_t.up, v))
+    return out or None
+
+
+def _typed_literal(src: str, dt: str):
+    """A single numeric/string literal matching the column type, else
+    the _NO_LITERAL sentinel (cross-type comparisons against stored
+    stats would be unsound or raise)."""
+    try:
+        toks = _lex(src)
+    except ValueError:
+        return _NO_LITERAL
+    if len(toks) != 1:
+        return _NO_LITERAL
+    t = toks[0]
+    numeric = (dt in ("bigint", "int", "smallint", "tinyint",
+                      "double", "float")
+               or dt.startswith("decimal"))
+    if t.kind == "num" and numeric:
+        return float(t.raw) if "." in t.raw else int(t.raw)
+    if t.kind == "str" and dt == "string":
+        return t.raw[1:-1].replace("''", "'")
+    return _NO_LITERAL
 
 
 def _parse_assignments(src: str) -> dict[str, str]:
@@ -490,7 +581,9 @@ def _stmt_delete(spark: SparkSession, p: _P) -> DataFrame:
     props = load_manifest(path).get("properties") or {}
     dv = str(props.get("enableDeletionVectors", "")).lower() \
         in ("true", "1")
-    m = (delete_where_dv if dv else delete_where)(spark, path, where)
+    filters = _derive_filters(spark, path, where)
+    m = (delete_where_dv if dv else delete_where)(
+        spark, path, where, filters=filters)
     return _summary(spark, "DELETE", path, version=m.get("version"))
 
 

@@ -386,3 +386,47 @@ def test_sql_optimize_where_scopes_partition(spark, tmp_path):
         graft_sql(spark, f"OPTIMIZE `{path}` WHERE p > 1")
     with pytest.raises(ValueError, match="col = literal"):
         graft_sql(spark, f"OPTIMIZE `{path}` WHERE p = 1 OR p = 0")
+
+
+def test_sql_where_derives_stats_pruning_filters(spark, table,
+                                                 monkeypatch):
+    """The SQL UPDATE/DELETE path derives stats-pruning filters from
+    simple WHERE conjuncts — a selective statement FIND-scans the
+    stats-surviving slice, not every candidate file (the 100 TB
+    reason the API forms take `filters` explicitly)."""
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as ms
+    from data_engineering_pipeline_project_cloud_spark.statements import (
+        _derive_filters,
+    )
+
+    # unit: shapes that must derive, and shapes that must not
+    assert _derive_filters(spark, table, "k <= 10") == \
+        [("k", "<=", 10)]
+    assert _derive_filters(
+        spark, table, "grp IN (1, 2) AND name = 'x' AND k > 5") == \
+        [("grp", "in", [1, 2]), ("name", "=", "x"), ("k", ">", 5)]
+    # unsound or unparseable shapes are skipped, never guessed
+    assert _derive_filters(spark, table, "k = 1 OR grp = 2") is None
+    assert _derive_filters(spark, table, "upper(name) = 'X'") is None
+    assert _derive_filters(spark, table, "k = '5'") is None  # type mix
+    assert _derive_filters(spark, table, "k = 5 + 1") is None
+    assert _derive_filters(
+        spark, table, "nope = 1 AND k < 3") == [("k", "<", 3)]
+
+    # integration: the pruned UPDATE touches only the one range file
+    seen: dict = {}
+    real = ms.update_manifest
+
+    def spy(spark_, path_, set_exprs, where, stat_cols=None,
+            filters=None):
+        seen["filters"] = filters
+        return real(spark_, path_, set_exprs, where,
+                    stat_cols=stat_cols, filters=filters)
+
+    monkeypatch.setattr(ms, "update_manifest", spy)
+    graft_sql(spark, f"UPDATE `{table}` SET name = 'hit' "
+                     f"WHERE k = 50")
+    assert seen["filters"] == [("k", "=", 50)]
+    rows = {r["k"]: r["name"]
+            for r in read_manifest(spark, table).collect()}
+    assert rows[50] == "hit" and rows[49] == "row49"
