@@ -22,7 +22,8 @@ Supported statements (each returns a DataFrame; DML/DDL return a
 one-row operation summary, queries return their rows):
 
 * ``SELECT`` / ``WITH`` — any Spark SQL; ``graft.`path``` (optionally
-  ``VERSION AS OF n``) references resolve to manifest-table reads.
+  ``VERSION AS OF n`` / ``TIMESTAMP AS OF '<ts>'``) references
+  resolve to manifest-table reads.
 * ``INSERT INTO | OVERWRITE `t` <query>`` — append/replace through
   ``write_frame`` conforming BY POSITION to the table schema.
 * ``CREATE TABLE `t` AS <query>`` — CTAS via ``write_manifest_table``.
@@ -51,7 +52,8 @@ one-row operation summary, queries return their rows):
   ``zorder_manifest``.
 * ``VACUUM `t` [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]``.
 * ``DESCRIBE HISTORY|DETAIL `t```.
-* ``RESTORE [TABLE] `t` TO VERSION AS OF n`` → ``restore_manifest``.
+* ``RESTORE [TABLE] `t` TO VERSION AS OF n | TIMESTAMP AS OF
+  '<ts>'`` → ``restore_manifest``.
 
 Error contract: unsupported verbs, malformed clauses, non-equi MERGE
 conditions, and unknown columns raise ``ValueError`` with the
@@ -309,7 +311,7 @@ def _default_stat_cols(df: DataFrame) -> list[str]:
     return out
 
 
-_GRAFT_VIEWS: dict[tuple[str, int | None], str] = {}
+_GRAFT_VIEWS: dict[tuple, str] = {}
 
 
 def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
@@ -329,6 +331,7 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
             path = toks[k + 1].raw[1:-1].replace("``", "`")
             end = toks[k + 1].end
             version = None
+            timestamp = None
             if (k + 4 < len(toks)
                     and toks[k + 2].up == "VERSION"
                     and toks[k + 3].up == "AS"
@@ -338,8 +341,17 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
                 version = int(toks[k + 5].raw)
                 end = toks[k + 5].end
                 k += 4
+            elif (k + 4 < len(toks)
+                    and toks[k + 2].up == "TIMESTAMP"
+                    and toks[k + 3].up == "AS"
+                    and toks[k + 4].up == "OF"
+                    and k + 5 < len(toks)
+                    and toks[k + 5].kind == "str"):
+                timestamp = toks[k + 5].raw[1:-1].replace("''", "'")
+                end = toks[k + 5].end
+                k += 4
             key = (os.path.abspath(path) if "://" not in path
-                   else path, version)
+                   else path, version, timestamp)
             view = _GRAFT_VIEWS.setdefault(
                 key, f"graft_view_{len(_GRAFT_VIEWS)}")
             if not registered:
@@ -348,7 +360,8 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
             # always re-register: the view must reflect the CURRENT
             # table version (read_manifest pins at definition time),
             # and a new session must not miss the relation
-            read_manifest(spark, path, version=version) \
+            read_manifest(spark, path, version=version,
+                          timestamp=timestamp) \
                 .createOrReplaceTempView(view)
             out.append(sql[last:t.start])
             out.append(view)
@@ -1184,19 +1197,29 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
 
 
 def _stmt_restore(spark: SparkSession, p: _P) -> DataFrame:
-    from .sources.manifest_source import restore_manifest
+    from .sources.manifest_source import (
+        resolve_version,
+        restore_manifest,
+    )
 
     p.expect("RESTORE")
     p.eat("TABLE")  # optional noise word
     path = p.table()
     p.expect("TO")
-    p.expect("VERSION", "AS", "OF")
-    t = p.peek()
-    if t is None or t.kind != "num":
-        raise ValueError("VERSION AS OF requires a version number")
-    p.i += 1
+    if p.eat("VERSION", "AS", "OF"):
+        t = p.peek()
+        if t is None or t.kind != "num":
+            raise ValueError("VERSION AS OF requires a version number")
+        p.i += 1
+        target = int(t.raw)
+    elif p.eat("TIMESTAMP", "AS", "OF"):
+        ts = p.string("timestamp")
+        target = resolve_version(path, {"timestampasof": ts})
+    else:
+        raise ValueError("RESTORE supports TO VERSION AS OF <n> and "
+                         "TO TIMESTAMP AS OF '<ts>'")
     if not p.done():
         raise ValueError(
             f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
-    m = restore_manifest(path, int(t.raw))
+    m = restore_manifest(path, target)
     return _summary(spark, "RESTORE", path, version=m.get("version"))

@@ -430,3 +430,29 @@ def test_sql_where_derives_stats_pruning_filters(spark, table,
     rows = {r["k"]: r["name"]
             for r in read_manifest(spark, table).collect()}
     assert rows[50] == "hit" and rows[49] == "row49"
+
+
+def test_sql_timestamp_as_of(spark, table):
+    """TIMESTAMP AS OF time travel through SELECT graft refs and
+    RESTORE (resolved to the latest version committed at or before
+    the stamp, Delta's contract)."""
+    import time
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _commit_time,
+    )
+
+    v0 = load_manifest(table)["version"]
+    t0 = _commit_time(table, v0)
+    time.sleep(0.05)
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE k >= 50")
+    stamp = str(t0)  # _parse_ts accepts epoch seconds or UTC dates
+    n_then = graft_sql(
+        spark, f"SELECT count(*) AS n FROM graft.`{table}` "
+               f"TIMESTAMP AS OF '{stamp}'").collect()[0]["n"]
+    assert n_then == 100
+    graft_sql(spark, f"RESTORE TABLE `{table}` TO TIMESTAMP AS OF "
+                     f"'{stamp}'")
+    assert read_manifest(spark, table).count() == 100
+    with pytest.raises(ValueError, match="VERSION AS OF"):
+        graft_sql(spark, f"RESTORE TABLE `{table}` TO YESTERDAY")
