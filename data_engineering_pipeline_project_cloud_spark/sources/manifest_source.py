@@ -2771,12 +2771,20 @@ def copy_into(spark, path: str, source, source_format: str = "parquet",
         from pyspark.sql import functions as F
 
         have = {f.name for f in df.schema.fields}
-        missing = [f.name for f in st.fields if f.name not in have]
+        # a source column the table covers by DEFAULT or GENERATED
+        # declaration may be OMITTED — write_frame fills/computes it
+        # (Delta COPY INTO's behavior for defaulted columns); only
+        # truly uncovered columns refuse
+        covered = (set(m.get("columnDefaults") or {})
+                   | set(m.get("generatedCols") or {}))
+        missing = [f.name for f in st.fields
+                   if f.name not in have and f.name not in covered]
         if missing:
             raise ValueError(
                 f"COPY INTO source lacks table column(s): {missing}")
         df = df.select(*[F.col(f.name).cast(f.dataType).alias(f.name)
-                         for f in st.fields])
+                         for f in st.fields
+                         if f.name in have])
     if stat_cols is None:
         stat_cols = (sorted({k for f in m["files"]
                              for k in (f.get("stats") or {})})

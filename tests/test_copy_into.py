@@ -260,3 +260,39 @@ def test_copy_registry_auto_expires_via_table_property(spark, landing):
     assert len(m.get("copyInto") or []) <= 3
     # every row still landed exactly once
     assert read_manifest(spark, table).count() == 70
+
+
+def test_copy_into_fills_defaults_and_generated(spark, landing):
+    """A source lacking a defaulted or generated column loads anyway —
+    write_frame fills/computes it (Delta COPY INTO behavior); a column
+    covered by NEITHER still refuses."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        add_generated_column,
+        drop_column_from_manifest,
+        set_column_default,
+    )
+
+    src, table = landing
+    copy_into(spark, table, src, stat_cols=["k"])
+    set_column_default(spark, table, "v", "-1.0")
+    add_generated_column(spark, table, "k2", "k * 2", dtype="bigint",
+                         backfill=True)
+    # land a file with ONLY k: v defaults, k2 computes
+    narrow = os.path.join(src, "narrow")
+    os.makedirs(narrow)
+    (spark.range(500, 505).select(F.col("id").alias("k"))
+     .coalesce(1).write.mode("overwrite").parquet(narrow))
+    res = copy_into(spark, table, os.path.join(narrow, "*.parquet"))
+    assert res["loadedFiles"] == 1
+    rows = {r["k"]: (r["v"], r["k2"])
+            for r in read_manifest(spark, table)
+            .filter("k >= 500").collect()}
+    assert rows[501] == (-1.0, 1002)
+    # dropping the default re-exposes the refusal for v
+    set_column_default(spark, table, "v", None)
+    narrow2 = os.path.join(src, "narrow2")
+    os.makedirs(narrow2)
+    (spark.range(600, 605).select(F.col("id").alias("k"))
+     .coalesce(1).write.mode("overwrite").parquet(narrow2))
+    with pytest.raises(ValueError, match="lacks table column"):
+        copy_into(spark, table, os.path.join(narrow2, "*.parquet"))
