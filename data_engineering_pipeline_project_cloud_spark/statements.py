@@ -26,7 +26,9 @@ one-row operation summary, queries return their rows):
   resolve to manifest-table reads.
 * ``INSERT INTO | OVERWRITE `t` <query>`` — append/replace through
   ``write_frame`` conforming BY POSITION to the table schema.
-* ``CREATE TABLE `t` AS <query>`` — CTAS via ``write_manifest_table``.
+* ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] `t` AS <query>`` —
+  CTAS via ``write_manifest_table`` (plain CREATE refuses an
+  existing table; OR REPLACE overwrites; IF NOT EXISTS no-ops).
 * ``UPDATE `t` SET c = e, ... [WHERE p]`` → ``update_manifest``.
 * ``DELETE FROM `t` [WHERE p]`` → ``delete_where``; with the
   ``enableDeletionVectors`` table property set, ``delete_where_dv``
@@ -853,7 +855,12 @@ def _stmt_insert(spark: SparkSession, p: _P) -> DataFrame:
     else:
         p.expect("INTO")
     path = p.table()
-    m = load_manifest(path)
+    try:
+        m = load_manifest(path)
+    except (FileNotFoundError, ValueError, OSError) as exc:
+        raise ValueError(
+            f"INSERT target does not exist: {path!r} — create it "
+            "first (CREATE TABLE ... AS)") from exc
     st = _table_schema(m)
     fields = list(st.fields)
     # optional explicit column list: `INSERT INTO t (a, c) ...` —
@@ -905,17 +912,34 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
     )
 
     p.expect("CREATE")
+    replace = p.eat("OR", "REPLACE")
     p.expect("TABLE")
+    if_not_exists = p.eat("IF", "NOT", "EXISTS")
+    if replace and if_not_exists:
+        raise ValueError("OR REPLACE and IF NOT EXISTS conflict")
     path = p.table()
     p.expect("AS")
     query = p.slice(p.i, None)
     if not query:
         raise ValueError("CREATE TABLE ... AS requires a query")
     register(spark)
+    exists = True
+    try:
+        m = load_manifest(path)
+    except (FileNotFoundError, ValueError, OSError):
+        exists = False
+    if exists and not replace:
+        if if_not_exists:
+            return _summary(spark, "CREATE TABLE AS (exists)", path,
+                            version=m.get("version"))
+        raise ValueError(
+            f"table already exists: {path!r} (use CREATE OR REPLACE "
+            "TABLE to replace it, or IF NOT EXISTS to no-op)")
     df = spark.sql(_rewrite_graft_refs(spark, query))
     write_manifest_table(df, path, _default_stat_cols(df))
     m = load_manifest(path)
-    return _summary(spark, "CREATE TABLE AS", path,
+    return _summary(spark, "CREATE OR REPLACE TABLE AS" if replace
+                    else "CREATE TABLE AS", path,
                     version=m.get("version"))
 
 

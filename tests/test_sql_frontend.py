@@ -456,3 +456,23 @@ def test_sql_timestamp_as_of(spark, table):
     assert read_manifest(spark, table).count() == 100
     with pytest.raises(ValueError, match="VERSION AS OF"):
         graft_sql(spark, f"RESTORE TABLE `{table}` TO YESTERDAY")
+
+
+def test_sql_create_table_existence_semantics(spark, table, tmp_path):
+    dst = str(tmp_path / "ct")
+    graft_sql(spark, f"CREATE TABLE `{dst}` AS "
+                     f"SELECT k FROM graft.`{table}` WHERE k < 10")
+    assert read_manifest(spark, dst).count() == 10
+    with pytest.raises(ValueError, match="already exists"):
+        graft_sql(spark, f"CREATE TABLE `{dst}` AS "
+                         f"SELECT k FROM graft.`{table}`")
+    r = graft_sql(spark, f"CREATE TABLE IF NOT EXISTS `{dst}` AS "
+                         f"SELECT k FROM graft.`{table}`").collect()[0]
+    assert "exists" in r["operation"]
+    assert read_manifest(spark, dst).count() == 10  # untouched
+    graft_sql(spark, f"CREATE OR REPLACE TABLE `{dst}` AS "
+                     f"SELECT k FROM graft.`{table}` WHERE k < 5")
+    assert read_manifest(spark, dst).count() == 5
+    with pytest.raises(ValueError, match="does not exist"):
+        graft_sql(spark, f"INSERT INTO `{tmp_path / 'nope'}` "
+                         f"VALUES (1)")
