@@ -249,6 +249,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "sql_optimize_vacuum": 9,
     "manifest_dv_delete_where": 9,
     "sql_truncate_reload": 9,
+    "sql_convert_in_place": 9,
 }
 
 

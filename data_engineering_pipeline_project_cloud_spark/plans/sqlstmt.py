@@ -371,7 +371,43 @@ def sql_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "order_year"))
 
 
+def sql_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO`` (round 9 —
+    sources/manifest_source.py:convert_to_manifest, Delta's CONVERT TO
+    DELTA): a plain-parquet orders directory is adopted IN PLACE (the
+    build asserts zero rewrite — the adopted files ARE the table's
+    entries), then the full surface works immediately: a CoW UPDATE
+    marks low-value open orders.  The oracle recomputes the post-
+    update state relationally, so hash-green proves footer-harvested
+    adoption + DML on an adopted table end-to-end."""
+    import glob as _glob
+
+    register(spark)
+
+    def build(root: str) -> None:
+        plain = os.path.join(root, "plain")
+        (_orders_frame(spark, sf_dir, with_year=True)
+         .repartition(4).write.mode("overwrite").parquet(plain))
+        for junk in _glob.glob(os.path.join(plain, "_SUCCESS")):
+            os.remove(junk)
+        before = set(_glob.glob(os.path.join(plain, "*.parquet")))
+        graft_sql(spark, f"CONVERT TO GRAFT `{plain}`")
+        m = load_manifest(plain)
+        assert {f["path"] for f in m["files"]} == before, \
+            "CONVERT must adopt in place, never rewrite"
+        graft_sql(spark, f"""
+            UPDATE `{plain}` SET status = 'cheap'
+            WHERE status = 'O' AND total_price < 10000.0
+        """)
+
+    root = scoped_scratch("sql_convert_orders", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "plain"))
+            .select("o_orderkey", "status", "total_price",
+                    "order_year"))
+
+
 QUERIES = {
+    "sql_convert_in_place": sql_convert_in_place,
     "manifest_dv_delete_where": manifest_dv_delete_where,
     "sql_truncate_reload": sql_truncate_reload,
     "sql_update_where": sql_update_where,
@@ -394,6 +430,13 @@ _ORDERS_PROJ = """
 """
 
 ORACLE_SQL = {
+    "sql_convert_in_place": f"""
+        SELECT o_orderkey, CASE WHEN status = 'O'
+                                     AND total_price < 10000.0
+                                THEN 'cheap' ELSE status END AS status,
+               total_price, order_year
+        FROM ({_ORDERS_PROJ}) t
+    """,
     "manifest_dv_delete_where": f"""
         SELECT * FROM ({_ORDERS_PROJ}) t
         WHERE NOT (status = 'F' AND order_year = 1996)

@@ -17,6 +17,7 @@ __all__ = [
     "add_generated_column",
     "add_table_constraint",
     "assert_unique_key",
+    "convert_to_manifest",
     "copy_into",
     "delete_where",
     "delete_where_dv",
@@ -65,6 +66,7 @@ add_check_constraint = _lazy("add_check_constraint")
 add_generated_column = _lazy("add_generated_column")
 add_table_constraint = _lazy("add_table_constraint")
 add_column_to_manifest = _lazy("add_column_to_manifest")
+convert_to_manifest = _lazy("convert_to_manifest")
 delete_where = _lazy("delete_where")
 delete_where_dv = _lazy("delete_where_dv")
 truncate_manifest = _lazy("truncate_manifest")

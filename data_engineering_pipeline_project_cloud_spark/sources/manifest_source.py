@@ -1705,6 +1705,92 @@ def build_manifest_from_footers(path: str, schema_json: str,
     return manifest
 
 
+def convert_to_manifest(spark, path: str,
+                        stat_cols: list[str] | None = None) -> dict:
+    """``CONVERT TO`` (Delta's CONVERT TO DELTA): adopt an EXISTING
+    plain-parquet directory as a manifest table WITHOUT rewriting a
+    byte — one footer pass harvests per-file row counts and min/max
+    stats, and one CAS commit (delta v0, the normal claim protocol)
+    publishes the manifest over the files in place.  From then on the
+    directory has the full table surface: ACID appends, DML, time
+    travel, stats pruning, constraints.
+
+    Scope: every file must carry the SAME schema including every
+    column (the common "plain parquet table" case).  Hive ``k=v``
+    partition layouts are REFUSED: Spark's ``partitionBy`` drops the
+    partition column from the data files, and this engine's scan path
+    serves columns from file bytes (native manifest writes duplicate
+    partition columns into the files precisely so reads stay one
+    plain parquet scan) — reconstituting dir-encoded values would
+    need a different read plan.  Re-ingest such layouts via COPY INTO
+    or CREATE TABLE AS instead.
+
+    ``stat_cols`` default: every JSON-portable leaf column (capped at
+    32 — the Delta dataSkippingNumIndexedCols posture).  O(files)
+    driver metadata; no data page is read."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    already = True
+    try:
+        load_manifest(path)
+    except (FileNotFoundError, ValueError, OSError):
+        already = False
+    if already:
+        raise ValueError(f"{path!r} is already a manifest table")
+
+    rels = []
+    for r, dirs, names in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for d in dirs:
+            if "=" in d:
+                raise ValueError(
+                    f"Hive-partitioned layout ({d!r}): partitionBy "
+                    "drops the column from data files, so the scan "
+                    "path cannot reconstitute its values — re-ingest "
+                    "via COPY INTO or CREATE TABLE AS")
+        rels.extend(os.path.join(r, n) for n in names
+                    if n.endswith(".parquet")
+                    and not n.startswith((".", "_")))
+    if not rels:
+        raise ValueError(f"no parquet files under {path!r}")
+    rels.sort()
+    arrow_schema = pq.read_schema(rels[0])
+    st = from_arrow_schema(arrow_schema)
+    if stat_cols is None:
+        atomic = ("long", "integer", "short", "byte", "double",
+                  "float", "string", "boolean")
+        stat_cols = [f.name for f in st.fields
+                     if f.dataType.typeName() in atomic
+                     or f.dataType.typeName().startswith("decimal")
+                     ][:32]
+    want = set(stat_cols)
+    entries = []
+    for fpath in rels:
+        fschema = pq.read_schema(fpath)
+        if fschema.names != arrow_schema.names or any(
+                not fschema.field(i).type.equals(arrow_schema.field(i).type)
+                for i in range(len(fschema))):
+            raise ValueError(
+                f"schema mismatch: {os.path.basename(fpath)!r} differs "
+                "from the first file — CONVERT requires one consistent "
+                "schema (evolve AFTER adoption, through appends)")
+        rows, stats, _nulls = _footer_entry(os.path.abspath(fpath),
+                                            want, set())
+        entries.append({"path": os.path.abspath(fpath), "rows": rows,
+                        "stats": stats})
+    import time as _time
+
+    delta = {"version": 0, "truncate": True, "schema": st.json(),
+             "txn": {}, "droppedCols": {}, "add": entries,
+             "committedAt": _time.time()}
+    if not _claim(path, _delta_file(0), json.dumps(delta)):
+        raise ValueError(
+            f"{path!r} gained a manifest concurrently — nothing to do")
+    return load_manifest(path)
+
+
 def _key_pruning_info(updates, key_cols: list[str],
                       max_driver_keys: int = 100_000):
     """One metadata pass over the updates: per-key-column [min,max]

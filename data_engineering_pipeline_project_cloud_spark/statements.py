@@ -35,6 +35,9 @@ one-row operation summary, queries return their rows):
   (merge-on-read positions, CoW fallback past the mask threshold).
 * ``TRUNCATE [TABLE] `t``` → ``truncate_manifest`` (metadata-only;
   schema and contracts survive, time travel below still works).
+* ``CONVERT TO [GRAFT] `dir``` → ``convert_to_manifest`` (adopt an
+  existing plain-parquet directory in place — footer stats, one
+  CAS commit, zero rewrite; Hive layouts refused, see the API).
 * ``MERGE INTO `t` [AS] a USING <src> [AS] b ON a.k = b.k [AND ...]``
   with ``WHEN MATCHED THEN UPDATE SET *`` / ``WHEN NOT MATCHED THEN
   INSERT *`` / ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the
@@ -405,6 +408,7 @@ def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
         "INSERT": _stmt_insert,
         "CREATE": _stmt_create,
         "TRUNCATE": _stmt_truncate,
+        "CONVERT": _stmt_convert,
     }.get(verb)
     if handler is None:
         raise ValueError(f"unsupported statement: {verb} "
@@ -941,6 +945,24 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
     return _summary(spark, "CREATE OR REPLACE TABLE AS" if replace
                     else "CREATE TABLE AS", path,
                     version=m.get("version"))
+
+
+def _stmt_convert(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.manifest_source import convert_to_manifest
+
+    p.expect("CONVERT")
+    p.expect("TO")
+    p.eat("GRAFT") or p.eat("MANIFEST")  # optional dialect word
+    path = p.table()
+    if not p.done():
+        raise ValueError(
+            f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
+    m = convert_to_manifest(spark, path)
+    live = [f for f in m["files"] if not f.get("dead")]
+    return _summary(spark, "CONVERT TO", path,
+                    version=m.get("version"),
+                    num_files=len(live),
+                    num_rows=sum(f["rows"] for f in live))
 
 
 def _stmt_truncate(spark: SparkSession, p: _P) -> DataFrame:

@@ -476,3 +476,48 @@ def test_sql_create_table_existence_semantics(spark, table, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         graft_sql(spark, f"INSERT INTO `{tmp_path / 'nope'}` "
                          f"VALUES (1)")
+
+
+def test_sql_convert_to_adopts_plain_parquet(spark, tmp_path):
+    """CONVERT TO (Delta's CONVERT TO DELTA): an existing plain
+    parquet directory becomes a manifest table in place — zero
+    rewrite, footer-harvested stats, and the full surface (DML, time
+    travel) from the first commit."""
+    import glob
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        manifest_files,
+    )
+
+    plain = str(tmp_path / "plain")
+    (spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("n"), F.col("id")).alias("name"))
+     .repartition(4).write.mode("overwrite").parquet(plain))
+    before = sorted(glob.glob(os.path.join(plain, "*.parquet")))
+    r = graft_sql(spark, f"CONVERT TO GRAFT `{plain}`").collect()[0]
+    assert (r["num_files"], r["num_rows"]) == (4, 100)
+    # zero rewrite: the adopted files ARE the table
+    assert sorted(glob.glob(os.path.join(plain, "*.parquet"))) == before
+    assert {f["path"] for f in load_manifest(plain)["files"]} == \
+        set(before)
+    # stats harvested → pruning works; full surface works
+    got = read_manifest(spark, plain)
+    assert got.count() == 100
+    assert manifest_files(spark, plain).count() == 4
+    graft_sql(spark, f"UPDATE `{plain}` SET name = 'hit' WHERE k = 3")
+    assert read_manifest(spark, plain).filter("k = 3") \
+        .collect()[0]["name"] == "hit"
+    # refusal matrix: double convert, hive layout, empty dir
+    with pytest.raises(ValueError, match="already a manifest"):
+        graft_sql(spark, f"CONVERT TO GRAFT `{plain}`")
+    hive = str(tmp_path / "hive")
+    (spark.range(10).select((F.col("id") % 2).alias("p"),
+                            F.col("id").alias("k"))
+     .write.partitionBy("p").mode("overwrite").parquet(hive))
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        graft_sql(spark, f"CONVERT TO GRAFT `{hive}`")
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(ValueError, match="no parquet files"):
+        graft_sql(spark, f"CONVERT TO GRAFT `{empty}`")
