@@ -78,7 +78,7 @@ __all__ = ["graft_sql"]
 # ---------------------------------------------------------------- lexer
 
 _TOKEN = re.compile(
-    r"""(?P<ws>\s+)
+    r"""(?P<ws>\s+|--[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
       | (?P<str>'(?:[^']|'')*')
       | (?P<dqs>"(?:[^"]|"")*")
       | (?P<bt>`(?:[^`]|``)*`)

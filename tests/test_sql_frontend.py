@@ -521,3 +521,18 @@ def test_sql_convert_to_adopts_plain_parquet(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(ValueError, match="no parquet files"):
         graft_sql(spark, f"CONVERT TO GRAFT `{empty}`")
+
+
+def test_sql_comments_are_skipped(spark, table):
+    graft_sql(spark, f"""
+        -- audit pass
+        UPDATE `{table}` /* inline note */ SET name = 'c'
+        WHERE k = 1  -- only the first row
+    """)
+    rows = {r["k"]: r["name"]
+            for r in read_manifest(spark, table)
+            .filter("k < 3").collect()}
+    assert rows == {0: "row0", 1: "c", 2: "row2"}
+    n = graft_sql(spark, f"SELECT count(*) AS n -- tail comment\n"
+                         f"FROM graft.`{table}`").collect()[0]["n"]
+    assert n == 100
