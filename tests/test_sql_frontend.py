@@ -536,3 +536,34 @@ def test_sql_comments_are_skipped(spark, table):
     n = graft_sql(spark, f"SELECT count(*) AS n -- tail comment\n"
                          f"FROM graft.`{table}`").collect()[0]["n"]
     assert n == 100
+
+
+def test_sql_describe_history_labels_round9_ops(spark, tmp_path):
+    """Operation labels across the round-9 surface: CONVERT lands as
+    the CREATE-shaped v0 (truncate delta), a DV DELETE labels
+    DELETE (DV), an UPDATE labels REWRITE, ADD COLUMN labels
+    ADD COLUMN, TRUNCATE labels REWRITE (tombstone-only commit)."""
+    plain = str(tmp_path / "hist_ops")
+    (spark.range(20).select(F.col("id").alias("k"),
+                            (F.col("id") % 3).alias("g"))
+     .coalesce(2).write.mode("overwrite").parquet(plain))
+    import glob
+    for junk in glob.glob(os.path.join(plain, "_SUCCESS")):
+        os.remove(junk)
+    graft_sql(spark, f"CONVERT TO GRAFT `{plain}`")            # v0
+    graft_sql(spark, f"ALTER TABLE `{plain}` SET TBLPROPERTIES "
+                     f"('enableDeletionVectors' = 'true')")    # v1
+    graft_sql(spark, f"DELETE FROM `{plain}` WHERE k = 3")     # v2 DV
+    graft_sql(spark, f"UPDATE `{plain}` SET g = 0 WHERE k = 5")  # v3
+    graft_sql(spark, f"ALTER TABLE `{plain}` ADD COLUMN note "
+                     f"string")                                # v4
+    graft_sql(spark, f"TRUNCATE TABLE `{plain}`")              # v5
+    hist = {r["version"]: r["operation"]
+            for r in graft_sql(
+                spark, f"DESCRIBE HISTORY `{plain}`").collect()}
+    assert hist[0] == "CREATE"
+    assert hist[1] == "SET TBLPROPERTIES"
+    assert hist[2] == "DELETE (DV)"
+    assert hist[3] == "REWRITE"
+    assert hist[4] == "ADD COLUMN"
+    assert hist[5] == "REWRITE"  # tombstone-only truncate commit
