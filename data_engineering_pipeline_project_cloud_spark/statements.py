@@ -26,6 +26,10 @@ one-row operation summary, queries return their rows):
   resolve to manifest-table reads.
 * ``INSERT INTO | OVERWRITE `t` <query>`` — append/replace through
   ``write_frame`` conforming BY POSITION to the table schema.
+  Casts follow the engine's non-ANSI Spark posture: an un-castable
+  value stores NULL rather than erroring (unlike
+  ``spark.sql.ansi.enabled`` / Delta store-assignment); guard with
+  CHECK constraints where silent NULLs would be wrong.
 * ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] `t` AS <query>`` —
   CTAS via ``write_manifest_table`` (plain CREATE refuses an
   existing table; OR REPLACE overwrites; IF NOT EXISTS no-ops).
@@ -79,8 +83,8 @@ __all__ = ["graft_sql"]
 
 _TOKEN = re.compile(
     r"""(?P<ws>\s+|--[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)
-      | (?P<str>'(?:[^']|'')*')
-      | (?P<dqs>"(?:[^"]|"")*")
+      | (?P<str>'(?:[^'\\]|\\.|'')*')
+      | (?P<dqs>"(?:[^"\\]|\\.|"")*")
       | (?P<bt>`(?:[^`]|``)*`)
       | (?P<word>[A-Za-z_][A-Za-z0-9_$.]*)
       | (?P<num>\d+(?:\.\d+)?)
@@ -217,7 +221,10 @@ class _P:
                 f"expected {what}, got "
                 f"{t.raw if t else 'end of statement'!r}")
         self.i += 1
-        return t.raw[1:-1].replace("''", "'")
+        # both Spark escape forms: '' doubling and backslash escapes
+        return re.sub(r"\\(.)|''",
+                      lambda m: m.group(1) if m.group(1) else "'",
+                      t.raw[1:-1])
 
     def table(self) -> str:
         """A table reference: ``graft.`path``` or a backtick path or a
@@ -331,7 +338,7 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
     registered = False
     while k < len(toks):
         t = toks[k]
-        if (t.kind == "word" and t.up in ("GRAFT.", "MANIFEST.")
+        if (t.kind == "word" and t.up in ("GRAFT.", "MANIFEST.", "DELTA.")
                 and k + 1 < len(toks) and toks[k + 1].kind == "bt"):
             path = toks[k + 1].raw[1:-1].replace("``", "`")
             end = toks[k + 1].end
@@ -454,12 +461,24 @@ def _derive_filters(spark: SparkSession, path: str,
     one conjunct can never drop a match.  Anything not obviously a
     conjunct of that shape (ORs, functions, casts, mismatched literal
     types, date literals) is SKIPPED — derivation only ever narrows
-    the candidate list, never the semantics."""
+    the candidate list, never the semantics.
+
+    A top-level OR anywhere in the predicate disables derivation
+    entirely: AND binds tighter than OR, so ``a = 1 AND b = 2 OR
+    c = 3`` splits on AND into pieces the full predicate does NOT
+    imply (a row matching only the OR branch fails ``a = 1``), and a
+    filter derived from such a piece would prune files holding rows
+    the statement must touch."""
     from .sources.manifest_source import _table_schema, load_manifest
 
     try:
         st = _table_schema(load_manifest(path))
     except (FileNotFoundError, ValueError, OSError):
+        return None
+    try:
+        if len(_split_top_kw(where, "OR")) > 1:
+            return None
+    except ValueError:
         return None
     types = {f.name: f.dataType.simpleString() for f in st.fields}
     out: list[tuple] = []
@@ -597,7 +616,11 @@ def _stmt_delete(spark: SparkSession, p: _P) -> DataFrame:
     # Delta posture: with enableDeletionVectors set, DELETE goes
     # merge-on-read (positions masked, no rewrite) and falls back to
     # copy-on-write automatically past the mask-size threshold
-    props = load_manifest(path).get("properties") or {}
+    try:
+        props = load_manifest(path).get("properties") or {}
+    except (FileNotFoundError, OSError) as exc:
+        raise ValueError(
+            f"DELETE target does not exist: {path!r}") from exc
     dv = str(props.get("enableDeletionVectors", "")).lower() \
         in ("true", "1")
     filters = _derive_filters(spark, path, where)
@@ -671,7 +694,11 @@ def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
     if not p.done():
         raise ValueError(
             f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
-    m0 = load_manifest(path)
+    try:
+        m0 = load_manifest(path)
+    except (FileNotFoundError, OSError) as exc:
+        raise ValueError(
+            f"MERGE target does not exist: {path!r}") from exc
     stat_cols = _live_stat_cols(m0) or list(key_cols)
     if matched_delete:
         if upsert or insert or nmbs_cond is not None:
@@ -703,7 +730,7 @@ def _merge_source(spark: SparkSession, p: _P) -> DataFrame:
         inner = p.balanced_paren_slice()
         return spark.sql(_rewrite_graft_refs(spark, inner))
     if t.kind == "bt" or (t.kind == "word"
-                          and t.up in ("GRAFT.", "MANIFEST.")):
+                          and t.up in ("GRAFT.", "MANIFEST.", "DELTA.")):
         register(spark)
         return read_manifest(spark, p.table())
     if t.kind == "word":

@@ -567,3 +567,77 @@ def test_sql_describe_history_labels_round9_ops(spark, tmp_path):
     assert hist[3] == "REWRITE"
     assert hist[4] == "ADD COLUMN"
     assert hist[5] == "REWRITE"  # tombstone-only truncate commit
+
+
+# ------------------------------------------------- round-10 ADVICE fixes
+
+
+def test_derive_filters_bails_on_mixed_and_or(spark, table):
+    """ADVICE r9 (high): AND binds tighter than OR, so splitting
+    'a = 1 AND b = 2 OR c = 3' on AND yields pieces the predicate
+    does NOT imply — any top-level OR must disable derivation."""
+    from data_engineering_pipeline_project_cloud_spark.statements import (
+        _derive_filters,
+    )
+
+    assert _derive_filters(
+        spark, table, "k = 1 AND grp = 2 OR name = 'x'") is None
+    assert _derive_filters(
+        spark, table, "grp = 2 OR k = 1 AND name = 'x'") is None
+    # parenthesized OR is not top-level: that conjunct is skipped but
+    # sound siblings still derive
+    assert _derive_filters(
+        spark, table, "(grp = 2 OR grp = 3) AND k < 5") == \
+        [("k", "<", 5)]
+
+
+def test_sql_update_mixed_and_or_hits_or_branch(spark, table):
+    """Integration regression for the same defect: the row matching
+    only the OR branch (k=99) must be updated even though a filter
+    naively derived from 'k = 1' would have stats-pruned its file."""
+    graft_sql(spark, f"UPDATE `{table}` SET val = -1 "
+                     f"WHERE k = 1 AND grp = 2 OR name = 'row99'")
+    rows = {r["k"]: r["val"]
+            for r in read_manifest(spark, table).collect()}
+    assert rows[99] == -1.0          # OR branch touched
+    assert rows[1] == 1.5            # k=1 has grp=1: no match
+    assert rows[98] == 98 * 1.5      # everything else untouched
+
+
+def test_sql_delta_prefix_consistent_read_write(spark, table):
+    """ADVICE r9 (low): delta.`path` is accepted in DML table refs,
+    so SELECT and MERGE USING must resolve it too."""
+    n = graft_sql(
+        spark, f"SELECT count(*) AS n FROM delta.`{table}`"
+    ).collect()[0]["n"]
+    assert n == 100
+    graft_sql(spark, f"UPDATE delta.`{table}` SET val = 0 "
+                     f"WHERE k = 0")
+    assert read_manifest(spark, table) \
+        .filter("k = 0").collect()[0]["val"] == 0.0
+
+
+def test_sql_delete_merge_missing_target_value_error(spark, tmp_path):
+    """ADVICE r9 (low): a missing target path raises the documented
+    ValueError (with the path), never a raw FileNotFoundError."""
+    ghost = str(tmp_path / "nope")
+    with pytest.raises(ValueError, match="does not exist"):
+        graft_sql(spark, f"DELETE FROM `{ghost}` WHERE 1 = 1")
+    spark.createDataFrame([(1,)], "k long") \
+        .createOrReplaceTempView("ghost_src")
+    with pytest.raises(ValueError, match="does not exist"):
+        graft_sql(spark, f"MERGE INTO `{ghost}` t USING ghost_src s "
+                         f"ON t.k = s.k WHEN MATCHED THEN DELETE")
+
+
+def test_sql_backslash_escaped_quote_lexes(spark, table):
+    """ADVICE r9 (low): Spark SQL accepts backslash-escaped quotes;
+    the statement lexer must too (previously a tokenize error)."""
+    graft_sql(spark, f"UPDATE `{table}` SET name = 'it\\'s' "
+                     f"WHERE k = 2")
+    r = read_manifest(spark, table).filter("k = 2").collect()[0]
+    assert r["name"] == "it's"
+    # and in the parser's own consumed strings (COPY INTO paths etc.)
+    from data_engineering_pipeline_project_cloud_spark.statements import _P
+    q = _P(r"'a\'b' rest")
+    assert q.string() == "a'b"
