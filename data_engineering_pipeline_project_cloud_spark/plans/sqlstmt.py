@@ -134,6 +134,57 @@ def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "status", "total_price"))
 
 
+def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard CDC-apply MERGE (round 10 — VERDICT r9 task 1):
+    mixed, ordered, conditioned clauses through graft_sql →
+    ``merge_apply`` (sources/manifest_source.py) — per-op DELETE,
+    two ordered per-column UPDATE clauses, a conditional explicit-
+    column INSERT, and a NOT MATCHED BY SOURCE UPDATE, all in ONE
+    atomic commit.  Deterministic op assignment by key so the DuckDB
+    oracle replays the same matrix in plain SQL."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        _seed_orders_table(spark, sf_dir, path)
+        orders = _orders_frame(spark, sf_dir)
+        cdc = (orders
+               .filter(F.col("o_orderkey") % 10 == 3)
+               .select("o_orderkey", F.lit("D").alias("op"),
+                       F.lit(0.0).alias("px"))
+               .unionByName(
+                   orders.filter(F.col("o_orderkey") % 10 == 4)
+                   .select("o_orderkey", F.lit("U").alias("op"),
+                           F.col("total_price").alias("px")))
+               .unionByName(
+                   spark.range(30).select(
+                       (F.lit(SQL_MERGE_INSERT_BASE) + F.col("id"))
+                       .alias("o_orderkey"),
+                       F.lit("I").alias("op"),
+                       F.col("id").cast("double").alias("px"))))
+        cdc.createOrReplaceTempView("sql_cdc_batch")
+        graft_sql(spark, f"""
+            MERGE INTO `{path}` AS t USING sql_cdc_batch AS s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED AND s.op = 'U' AND s.px >= 100000.0 THEN
+                 UPDATE SET status = 'hot',
+                            total_price = s.px + 0.25
+            WHEN MATCHED AND s.op = 'U' THEN
+                 UPDATE SET status = 'warm',
+                            total_price = s.px + 5.0
+            WHEN NOT MATCHED AND s.op = 'I' THEN
+                 INSERT (o_orderkey, status, total_price)
+                 VALUES (s.o_orderkey, 'new', s.px)
+            WHEN NOT MATCHED BY SOURCE AND t.status = 'P' THEN
+                 UPDATE SET status = 'px'
+        """)
+
+    root = scoped_scratch("sql_merge_cdc_orders", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price"))
+
+
 def sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``COPY INTO ... FROM ... FILEFORMAT = PARQUET PATTERN = ...``
     through graft_sql: two landing files load once, an immediate
@@ -413,6 +464,7 @@ QUERIES = {
     "sql_update_where": sql_update_where,
     "sql_delete_where": sql_delete_where,
     "sql_merge_upsert": sql_merge_upsert,
+    "sql_merge_cdc_apply": sql_merge_cdc_apply,
     "sql_copy_into": sql_copy_into,
     "sql_table_contracts": sql_table_contracts,
     "sql_ctas_select": sql_ctas_select,
@@ -478,6 +530,31 @@ ORACLE_SQL = {
                'N' AS status,
                CAST(i AS DOUBLE) + 0.5 AS total_price
         FROM range(5) AS t(i)
+    """,
+    "sql_merge_cdc_apply": """
+        WITH base AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total_price
+            FROM orders)
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 4
+                         AND total_price >= 100000.0 THEN 'hot'
+                    WHEN o_orderkey % 10 = 4 THEN 'warm'
+                    WHEN status = 'P' THEN 'px'
+                    ELSE status END AS status,
+               CASE WHEN o_orderkey % 10 = 4
+                         AND total_price >= 100000.0
+                    THEN total_price + 0.25
+                    WHEN o_orderkey % 10 = 4 THEN total_price + 5.0
+                    ELSE total_price END AS total_price
+        FROM base
+        WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
+               'new' AS status, CAST(i AS DOUBLE) AS total_price
+        FROM range(30) AS t(i)
     """,
     "sql_copy_into": _ORDERS_PROJ,
     "sql_table_contracts": """

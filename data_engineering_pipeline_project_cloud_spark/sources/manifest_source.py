@@ -2456,6 +2456,272 @@ def delete_from_manifest(keys, path: str, key_cols: list[str],
     return load_manifest(path)
 
 
+def merge_apply(source, path: str, key_cols: list[str],
+                stat_cols: list[str],
+                matched: list[dict] | None = None,
+                not_matched: list[dict] | None = None,
+                not_matched_by_source: list[dict] | None = None,
+                target_alias: str = "t", source_alias: str = "s",
+                txn: tuple[str, int] | None = None) -> dict:
+    """Copy-on-write MERGE with the FULL Delta clause matrix (the
+    CDC-apply idiom ``merge_into_manifest``'s fixed upsert shape
+    cannot express): ordered, conditional WHEN clauses with
+    per-column assignments —
+
+    * ``matched``: ``[{"cond": sql|None, "action": "update"|"delete",
+      "set": {col: expr}|None}, ...]`` — evaluated IN ORDER per
+      matched target row; the first clause whose condition is TRUE
+      fires (later clauses never apply to that row); ``set=None``
+      means ``UPDATE SET *`` (every table column from the source).
+    * ``not_matched``: ``[{"cond": sql|None,
+      "values": {col: expr}|None}, ...]`` — per unmatched SOURCE row,
+      first TRUE clause inserts; ``values=None`` means ``INSERT *``;
+      explicit values fill unlisted columns with their declared
+      DEFAULT (``set_column_default``) else NULL, the ANSI INSERT
+      contract.  A source row firing no clause is NOT inserted.
+    * ``not_matched_by_source``: same shape as ``matched`` — per
+      target row whose key is absent from the source.
+
+    Rows touched by no firing clause carry through unchanged.  A NULL
+    clause condition does not fire (SQL three-valued logic, Delta's
+    clause semantics).  Condition and assignment expressions are
+    Spark SQL over the ALIASED sides — ``target_alias``/
+    ``source_alias`` name them (the MERGE statement's aliases), so
+    ``"s.op = 'D'"`` and ``{"v": "t.v + s.delta"}`` resolve exactly
+    as they would in Delta SQL; unqualified names resolve when
+    unambiguous and raise Spark's analysis error when both sides
+    carry them.
+
+    Semantics guarded exactly as Delta guards them: if MULTIPLE
+    source rows match one target row while any ``matched`` clause
+    exists, the merge raises (the result would be nondeterministic) —
+    checked with a cheap duplicate-key probe first, so the common
+    key-grain source pays one map-side aggregation, never a second
+    table scan.  GENERATED columns not explicitly assigned by the
+    firing clause are RECOMPUTED from the post-image (same contract
+    as ``update_manifest``).
+
+    One atomic commit, the MERGE protocol: only files that might hold
+    a source key are rewritten (``_files_possibly_containing`` stats
+    pruning — unless a ``not_matched_by_source`` clause exists, which
+    like Delta's must examine every live file), tombstones + appends
+    land together (``replacePaths``/``dvState``), and the commit
+    carries the source-key summary (``conflictKeys``) so a racing
+    append of a merged key fails this commit instead of leaving two
+    rows.  100 TB shape: O(affected files + source), broadcast key
+    anti-checks, zero driver materialization; blooms and first-class
+    partition values carry through the rewrite.
+
+    ``txn=(app_id, version)`` gives foreachBatch idempotency, same as
+    ``merge_into_manifest``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    spark = source.sparkSession
+    register(spark)
+    m = load_manifest(path)
+    if txn is not None:
+        done = m.get("txn", {}).get(txn[0])
+        if done is not None and int(done) >= txn[1]:
+            return m  # replayed batch: the merge already landed
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    nmbs = list(not_matched_by_source or [])
+    if not (matched or not_matched or nmbs):
+        raise ValueError("MERGE requires at least one WHEN clause")
+    st = _table_schema(m)
+    names = [f.name for f in st.fields]
+    name_set = set(names)
+    types = {f.name: f.dataType for f in st.fields}
+    for k in key_cols:
+        if k not in name_set:
+            raise ValueError(f"MERGE key {k!r} not in table schema "
+                             f"{names}")
+    ta, sa = target_alias, source_alias
+    defaults = dict(m.get("columnDefaults") or {})
+    gens = dict(m.get("generatedCols") or {})
+
+    def _resolve_set(cl: dict, star_ok: bool) -> dict[str, str]:
+        assigns = cl.get("set") if "set" in cl else cl.get("values")
+        if assigns is None:
+            if not star_ok:
+                raise ValueError(
+                    "NOT MATCHED BY SOURCE UPDATE requires explicit "
+                    "assignments (there is no source row to take "
+                    "* from)")
+            return {c: f"{sa}.{c}" for c in names}
+        unknown = sorted(set(assigns) - name_set)
+        if unknown:
+            raise ValueError(
+                f"MERGE assigns unknown column(s): {unknown}")
+        return dict(assigns)
+
+    # ---- normalize clauses to (label, cond, per-column map) --------
+    upd_clauses: list[tuple[str, str | None, dict[str, str]]] = []
+    del_labels: list[str] = []
+    explicit: dict[str, set[str]] = {}  # col -> labels assigning it
+    act_order: list[tuple[str, str, str | None]] = []  # (label, kind, cond)
+    for i, cl in enumerate(matched):
+        lab = f"m{i}"
+        act_order.append((lab, "matched", cl.get("cond")))
+        if cl.get("action", "update") == "delete":
+            del_labels.append(lab)
+        else:
+            amap = _resolve_set(cl, star_ok=True)
+            upd_clauses.append((lab, cl.get("cond"), amap))
+            for c in amap:
+                explicit.setdefault(c, set()).add(lab)
+    for i, cl in enumerate(not_matched):
+        lab = f"i{i}"
+        act_order.append((lab, "insert", cl.get("cond")))
+        given = cl.get("values")
+        if given is None:
+            amap = {c: f"{sa}.{c}" for c in names}
+        else:
+            amap = _resolve_set(cl, star_ok=True)
+            for c in names:
+                if c not in amap and c not in gens:
+                    amap[c] = defaults.get(c, "NULL")
+        upd_clauses.append((lab, cl.get("cond"), amap))
+        for c in amap:
+            explicit.setdefault(c, set()).add(lab)
+    for i, cl in enumerate(nmbs):
+        lab = f"b{i}"
+        act_order.append((lab, "by_source", cl.get("cond")))
+        if cl.get("action", "delete") == "delete":
+            del_labels.append(lab)
+        else:
+            amap = _resolve_set(cl, star_ok=False)
+            upd_clauses.append((lab, cl.get("cond"), amap))
+            for c in amap:
+                explicit.setdefault(c, set()).add(lab)
+
+    # ---- plan: candidate files (key-pruned unless BY SOURCE) -------
+    src_keys = source.select(
+        *[F.col(c).cast(types[c]).alias(c) for c in key_cols]
+    ).distinct()
+    bounds, keys_sorted = _key_pruning_info(src_keys, key_cols)
+    if nmbs:
+        affected = [f for f in m["files"] if not f.get("dead")]
+    else:
+        affected = _files_possibly_containing(
+            m["files"], key_cols, bounds, keys_sorted)
+    conflict = _conflict_option(m.get("version", 0), key_cols[0],
+                                bounds, keys_sorted)
+    paths = [f["path"] for f in affected]
+    if not paths and not not_matched:
+        return m  # nothing could match and nothing inserts
+
+    t_ind, s_ind = "__merge_t_row", "__merge_s_row"
+    if t_ind in name_set or s_ind in name_set \
+            or t_ind in source.columns or s_ind in source.columns:
+        raise ValueError(
+            f"column names {t_ind!r}/{s_ind!r} are reserved")
+    if paths:
+        base = _masked_spark_read(spark, st, affected)
+    else:
+        base = spark.createDataFrame([], st)
+
+    # ---- Delta's multi-match guard (cheap probe first) -------------
+    if matched and paths:
+        dups = (source.groupBy(*key_cols).count()
+                .filter(F.col("count") > 1).select(*key_cols))
+        if dups.limit(1).count():
+            clash = base.join(
+                F.broadcast(dups.select(
+                    *[F.col(c).cast(types[c]).alias(c)
+                      for c in key_cols])),
+                key_cols, "left_semi").limit(1).count()
+            if clash:
+                raise ValueError(
+                    "MERGE: multiple source rows match the same "
+                    "target row and a WHEN MATCHED clause exists — "
+                    "the result would be nondeterministic; dedupe "
+                    "the source to key grain first")
+
+    tdf = base.withColumn(t_ind, F.lit(True)).alias(ta)
+    sdf = source.withColumn(s_ind, F.lit(True)).alias(sa)
+    on = reduce(lambda a, b: a & b,
+                [tdf[k] == sdf[k] for k in key_cols])
+    j = tdf.join(sdf, on, "full_outer")
+
+    t_nn = F.col(f"{ta}.{t_ind}").isNotNull()
+    s_nn = F.col(f"{sa}.{s_ind}").isNotNull()
+    guards = {"matched": t_nn & s_nn, "insert": ~t_nn,
+              "by_source": ~s_nn}
+
+    def _fire(cond: str | None):
+        if cond is None:
+            return F.lit(True)
+        return F.coalesce(F.expr(cond), F.lit(False))
+
+    act = None
+    for lab, kind, cond in act_order:
+        c = guards[kind] & _fire(cond)
+        act = F.when(c, F.lit(lab)) if act is None else \
+            act.when(c, F.lit(lab))
+        if kind == "insert" and lab == f"i{len(not_matched) - 1}":
+            # an unmatched source row firing no insert clause drops
+            act = act.when(guards["insert"], F.lit("__drop"))
+    if not not_matched:
+        act = act.when(guards["insert"], F.lit("__drop"))
+    act = act.otherwise(F.lit("__keep"))
+    act_col = "__merge_act"
+    if act_col in name_set:
+        raise ValueError(f"column name {act_col!r} is reserved")
+
+    # ---- pass 1: per-column first-firing-clause values -------------
+    pass1 = []
+    for f in st.fields:
+        col = None
+        for lab, cond, amap in upd_clauses:
+            if f.name not in amap:
+                continue
+            v = F.expr(amap[f.name]).cast(f.dataType)
+            col = F.when(F.col(act_col) == lab, v) if col is None \
+                else col.when(F.col(act_col) == lab, v)
+        orig = F.col(f"{ta}.{f.name}")
+        pass1.append((col.otherwise(orig) if col is not None
+                      else orig).alias(f.name))
+    out = j.select(act.alias(act_col), *pass1) \
+        .filter(~F.col(act_col).isin(*(del_labels + ["__drop"])))
+
+    # ---- pass 2: recompute generated columns not explicitly set ----
+    fired_upd = [lab for lab, _, _ in upd_clauses]
+    if gens:
+        regen_sel = []
+        for f in st.fields:
+            if f.name in gens:
+                labs = [lab for lab in fired_upd
+                        if lab not in explicit.get(f.name, set())]
+                if labs:
+                    regen_sel.append(
+                        F.when(F.col(act_col).isin(*labs),
+                               F.expr(gens[f.name]).cast(f.dataType))
+                        .otherwise(F.col(f.name)).alias(f.name))
+                    continue
+            regen_sel.append(F.col(f.name))
+        out = out.select(act_col, *regen_sel)
+    out = out.drop(act_col)
+
+    bloom_cols = sorted({c for f in affected
+                         for c in (f.get("bloom") or {})})
+    pcols = _entry_partition_cols(m, affected)
+    write_frame(
+        out.repartition(max(1, len(paths))), path, "append",
+        statCols=",".join(stat_cols),
+        replacePaths=json.dumps(paths),
+        dvState=json.dumps(
+            {f["path"]: f.get("dvGen", 0) for f in affected}),
+        conflictKeys=conflict,
+        bloomCols=",".join(bloom_cols) if bloom_cols else None,
+        partitionCols=",".join(pcols) if pcols else None,
+        txnAppId=txn[0] if txn else None,
+        txnVersion=str(txn[1]) if txn else None)
+    return load_manifest(path)
+
+
 def update_manifest(spark, path: str, set_exprs: dict[str, str],
                     where: str, stat_cols: list[str] | None = None,
                     filters: list[tuple] | None = None) -> dict:

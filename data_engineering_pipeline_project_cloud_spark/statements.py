@@ -43,10 +43,18 @@ one-row operation summary, queries return their rows):
   existing plain-parquet directory in place — footer stats, one
   CAS commit, zero rewrite; Hive layouts refused, see the API).
 * ``MERGE INTO `t` [AS] a USING <src> [AS] b ON a.k = b.k [AND ...]``
-  with ``WHEN MATCHED THEN UPDATE SET *`` / ``WHEN NOT MATCHED THEN
-  INSERT *`` / ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` (the
-  upsert-by-key contract of ``merge_into_manifest``), or ``WHEN
-  MATCHED THEN DELETE`` alone → ``delete_from_manifest``.
+  with the FULL Delta clause matrix (round 10): ordered,
+  optionally-conditioned ``WHEN MATCHED [AND c] THEN UPDATE SET *
+  | UPDATE SET col = expr, ... | DELETE``, ``WHEN NOT MATCHED
+  [AND c] THEN INSERT * | INSERT (cols) VALUES (exprs)`` (unlisted
+  columns fill from their declared DEFAULT else NULL), and ``WHEN
+  NOT MATCHED BY SOURCE [AND c] THEN UPDATE ... | DELETE``.  Per
+  row the FIRST clause of its kind whose condition is TRUE fires;
+  a condition-less clause must be last of its kind.  The plain
+  upsert/delete shapes dispatch to ``merge_into_manifest`` /
+  ``delete_from_manifest`` unchanged; everything else runs through
+  ``merge_apply`` (one atomic CDC-apply commit, multi-match guard
+  included).
 * ``COPY INTO `t` FROM '<src>' FILEFORMAT = <fmt> [PATTERN = '<glob>']
   [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]``
   → ``copy_into``.
@@ -185,6 +193,31 @@ class _P:
             elif t.up == ")":
                 depth -= 1
             elif depth == 0 and t.kind == "word" and t.up == words[0]:
+                if all((self.toks[j + k].kind == "word"
+                        and self.toks[j + k].up == w)
+                       if j + k < len(self.toks) else False
+                       for k, w in enumerate(words)):
+                    return j
+        return -1
+
+    def find_clause(self, *words: str) -> int:
+        """``find()`` that ALSO skips ``CASE ... END`` spans — the
+        MERGE clause boundaries (WHEN / THEN) are keywords that
+        legitimately appear inside CASE expressions, so a boundary
+        only counts at paren depth 0 AND case depth 0."""
+        depth = case = 0
+        for j in range(self.i, len(self.toks)):
+            t = self.toks[j]
+            if t.up == "(":
+                depth += 1
+            elif t.up == ")":
+                depth -= 1
+            elif t.kind == "word" and t.up == "CASE":
+                case += 1
+            elif t.kind == "word" and t.up == "END" and case:
+                case -= 1
+            elif (depth == 0 and case == 0 and t.kind == "word"
+                  and t.up == words[0]):
                 if all((self.toks[j + k].kind == "word"
                         and self.toks[j + k].up == w)
                        if j + k < len(self.toks) else False
@@ -633,6 +666,7 @@ def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
     from .sources.manifest_source import (
         delete_from_manifest,
         load_manifest,
+        merge_apply,
         merge_into_manifest,
     )
 
@@ -654,70 +688,168 @@ def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
           and p.peek().up != "ON"):
         s_alias = p.ident("source alias")
     p.expect("ON")
-    w = p.find("WHEN")
+    w = p.find_clause("WHEN")
     if w < 0:
         raise ValueError("MERGE requires at least one WHEN clause")
     key_cols = _merge_keys(p.slice(p.i, w), t_alias, s_alias)
     p.i = w
 
-    upsert = insert = False
-    matched_delete = False
-    nmbs_cond = None
-    while p.eat("WHEN"):
-        if p.eat("MATCHED", "THEN", "UPDATE", "SET"):
-            p.expect_op("*")
-            upsert = True
-        elif p.eat("MATCHED", "THEN", "DELETE"):
-            matched_delete = True
-        elif p.eat("NOT", "MATCHED", "BY", "SOURCE"):
-            nmbs_cond = "true"
-            if p.eat("AND"):
-                th = p.find("THEN")
-                if th < 0:
+    matched, not_matched, nmbs = _merge_clauses(p)
+    # UPDATE SET lhs may be target-qualified (`t.col = ...`): strip
+    # the target alias; a source-qualified lhs is refused
+    for cl in (*matched, *nmbs):
+        if not cl.get("set"):
+            continue
+        fixed = {}
+        for k, v in cl["set"].items():
+            if "." in k:
+                a, _, c = k.partition(".")
+                if t_alias is not None and a == t_alias:
+                    k = c
+                else:
                     raise ValueError(
-                        "WHEN NOT MATCHED BY SOURCE AND <cond> "
-                        "requires THEN DELETE")
-                nmbs_cond = p.slice(p.i, th)
-                p.i = th
-            p.expect("THEN")
-            p.expect("DELETE")
-        elif p.eat("NOT", "MATCHED", "THEN", "INSERT"):
-            p.expect_op("*")
-            insert = True
-        else:
-            raise ValueError(
-                "unsupported WHEN clause at "
-                f"{p.slice(p.i, min(p.i + 6, len(p.toks)))!r}; "
-                "supported: WHEN MATCHED THEN UPDATE SET * | WHEN "
-                "MATCHED THEN DELETE | WHEN NOT MATCHED THEN INSERT * "
-                "| WHEN NOT MATCHED BY SOURCE THEN DELETE")
-    if not p.done():
-        raise ValueError(
-            f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
+                        f"UPDATE SET assigns non-target column "
+                        f"{k!r} (target alias: {t_alias!r})")
+            if k in fixed:
+                raise ValueError(f"column {k!r} assigned twice")
+            fixed[k] = v
+        cl["set"] = fixed
     try:
         m0 = load_manifest(path)
     except (FileNotFoundError, OSError) as exc:
         raise ValueError(
             f"MERGE target does not exist: {path!r}") from exc
     stat_cols = _live_stat_cols(m0) or list(key_cols)
-    if matched_delete:
-        if upsert or insert or nmbs_cond is not None:
-            raise ValueError(
-                "WHEN MATCHED THEN DELETE cannot combine with other "
-                "clauses in this front-end")
+
+    # legacy fast paths: the exact shapes merge_into_manifest /
+    # delete_from_manifest already implement dispatch there unchanged
+    # (identical semantics, fewer moving parts); everything else is
+    # the general clause matrix -> merge_apply
+    def _is(cl, **kv):
+        return all(cl.get(k) == v for k, v in kv.items())
+
+    if (len(matched) == 1 and not not_matched and not nmbs
+            and _is(matched[0], cond=None, action="delete")):
         m = delete_from_manifest(
             src_df.select(*key_cols), path, key_cols, stat_cols)
         return _summary(spark, "MERGE DELETE", path,
                         version=m.get("version"))
-    if not (upsert and insert):
-        raise ValueError(
-            "MERGE upsert requires BOTH `WHEN MATCHED THEN UPDATE SET"
-            " *` and `WHEN NOT MATCHED THEN INSERT *` (the "
-            "merge_into_manifest key-grain contract)")
-    m = merge_into_manifest(
+    if (len(matched) == 1 and len(not_matched) == 1 and len(nmbs) <= 1
+            and _is(matched[0], cond=None, action="update", set=None)
+            and _is(not_matched[0], cond=None, values=None)
+            and all(_is(c, action="delete") for c in nmbs)):
+        m = merge_into_manifest(
+            src_df, path, key_cols, stat_cols,
+            not_matched_by_source=(
+                nmbs[0].get("cond") or "true") if nmbs else None)
+        return _summary(spark, "MERGE", path, version=m.get("version"))
+    m = merge_apply(
         src_df, path, key_cols, stat_cols,
-        not_matched_by_source=nmbs_cond)
+        matched=matched, not_matched=not_matched,
+        not_matched_by_source=nmbs,
+        target_alias=t_alias or "__tgt",
+        source_alias=s_alias or "__src")
     return _summary(spark, "MERGE", path, version=m.get("version"))
+
+
+def _merge_clauses(p: _P) -> tuple[list[dict], list[dict], list[dict]]:
+    """Parse the WHEN clause list — the full Delta matrix: ordered,
+    optionally AND-conditioned MATCHED (UPDATE SET */assignments |
+    DELETE), NOT MATCHED (INSERT * | INSERT (cols) VALUES (exprs)),
+    and NOT MATCHED BY SOURCE (UPDATE assignments | DELETE) clauses.
+    Within each category a condition-less clause must be LAST (it
+    would shadow every later clause — Delta refuses the same)."""
+    matched: list[dict] = []
+    not_matched: list[dict] = []
+    nmbs: list[dict] = []
+    while p.eat("WHEN"):
+        if p.eat("NOT", "MATCHED", "BY", "SOURCE"):
+            kind, bucket = "NOT MATCHED BY SOURCE", nmbs
+        elif p.eat("NOT", "MATCHED"):
+            kind, bucket = "NOT MATCHED", not_matched
+        elif p.eat("MATCHED"):
+            kind, bucket = "MATCHED", matched
+        else:
+            raise ValueError(
+                "unsupported WHEN clause at "
+                f"{p.slice(p.i, min(p.i + 6, len(p.toks)))!r}; "
+                "supported: WHEN [NOT] MATCHED [BY SOURCE] "
+                "[AND <cond>] THEN UPDATE SET ... | DELETE | "
+                "INSERT ...")
+        if bucket and bucket[-1].get("cond") is None:
+            raise ValueError(
+                f"a condition-less WHEN {kind} clause must be the "
+                "LAST of its kind (it would shadow every later one)")
+        cond = None
+        if p.eat("AND"):
+            th = p.find_clause("THEN")
+            if th < 0:
+                raise ValueError(
+                    f"WHEN {kind} AND <cond> requires THEN")
+            cond = p.slice(p.i, th)
+            if not cond:
+                raise ValueError(f"WHEN {kind} AND with no condition")
+            p.i = th
+        p.expect("THEN")
+        end = p.find_clause("WHEN")
+        if p.eat("DELETE"):
+            if bucket is not_matched:
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT only "
+                    "(DELETE/UPDATE need a target row)")
+            bucket.append({"cond": cond, "action": "delete"})
+        elif p.eat("INSERT"):
+            if bucket is not not_matched:
+                raise ValueError(
+                    f"WHEN {kind} cannot INSERT (the target row "
+                    "already exists)")
+            if p.eat_op("*"):
+                bucket.append({"cond": cond, "values": None})
+            else:
+                cols = p.paren_cols()
+                p.expect("VALUES")
+                inner = p.balanced_paren_slice()
+                exprs = _split_top(inner, ",")
+                if len(exprs) != len(cols):
+                    raise ValueError(
+                        f"INSERT lists {len(cols)} column(s) but "
+                        f"{len(exprs)} value(s): {inner!r}")
+                dup = {c for c in cols if cols.count(c) > 1}
+                if dup:
+                    raise ValueError(
+                        f"INSERT column(s) listed twice: {sorted(dup)}")
+                bucket.append({"cond": cond,
+                               "values": dict(zip(cols, exprs))})
+        elif p.eat("UPDATE"):
+            if bucket is not_matched:
+                raise ValueError(
+                    "WHEN NOT MATCHED supports INSERT only "
+                    "(DELETE/UPDATE need a target row)")
+            p.expect("SET")
+            if p.eat_op("*"):
+                if bucket is nmbs:
+                    raise ValueError(
+                        "NOT MATCHED BY SOURCE UPDATE SET * is "
+                        "meaningless (there is no source row)")
+                bucket.append({"cond": cond, "action": "update",
+                               "set": None})
+            else:
+                stop = end if end >= 0 else len(p.toks)
+                src = p.slice(p.i, stop)
+                if not src:
+                    raise ValueError("UPDATE SET with no assignments")
+                bucket.append({"cond": cond, "action": "update",
+                               "set": _parse_assignments(src)})
+                p.i = stop
+        else:
+            got = p.peek()
+            raise ValueError(
+                f"WHEN {kind} THEN must be UPDATE/DELETE/INSERT, got "
+                f"{got.raw if got else 'end of statement'!r}")
+    if not p.done():
+        raise ValueError(
+            f"unexpected trailing tokens: {p.slice(p.i, None)!r}")
+    return matched, not_matched, nmbs
 
 
 def _merge_source(spark: SparkSession, p: _P) -> DataFrame:

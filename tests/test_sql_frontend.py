@@ -273,10 +273,11 @@ def test_sql_error_paths(spark, table):
     with pytest.raises(ValueError, match="unknown alias"):
         graft_sql(spark, f"MERGE INTO `{table}` t USING one_key s "
                          f"ON t.k = x.k WHEN MATCHED THEN DELETE")
-    with pytest.raises(ValueError, match="BOTH"):
+    with pytest.raises(ValueError, match="LAST of its kind"):
         graft_sql(spark, f"MERGE INTO `{table}` t USING one_key s "
                          f"ON t.k = s.k "
-                         f"WHEN NOT MATCHED THEN INSERT *")
+                         f"WHEN MATCHED THEN DELETE "
+                         f"WHEN MATCHED AND s.k = 1 THEN DELETE")
     with pytest.raises(ValueError, match="trailing"):
         graft_sql(spark, f"DELETE FROM `{table}` garbage here")
     with pytest.raises(ValueError, match="RETAIN"):
