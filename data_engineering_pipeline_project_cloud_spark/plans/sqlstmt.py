@@ -185,6 +185,35 @@ def sql_merge_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "status", "total_price"))
 
 
+def sql_delete_in_subquery(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """``DELETE ... WHERE <conjunct> AND k IN (SELECT ...)`` (round
+    10 — VERDICT r9 task 2): the predicate carries a SUBQUERY, which
+    the DML path plans through spark.sql as a distributed semi-join
+    (``manifest_source._subquery_pred``) — F.expr cannot plan
+    subqueries, and the r9 front-end refused them.  The simple
+    conjunct still derives a stats-pruning filter."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        _seed_orders_table(spark, sf_dir, path)
+        load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_quantity").cast("double").alias("l_quantity")) \
+            .createOrReplaceTempView("sql_del_lineitem")
+        graft_sql(spark, f"""
+            DELETE FROM `{path}`
+            WHERE status = 'F' AND o_orderkey IN
+                  (SELECT l_orderkey FROM sql_del_lineitem
+                   WHERE l_quantity >= 49.0)
+        """)
+
+    root = scoped_scratch("sql_delete_subquery_orders", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price"))
+
+
 def sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``COPY INTO ... FROM ... FILEFORMAT = PARQUET PATTERN = ...``
     through graft_sql: two landing files load once, an immediate
@@ -465,6 +494,7 @@ QUERIES = {
     "sql_delete_where": sql_delete_where,
     "sql_merge_upsert": sql_merge_upsert,
     "sql_merge_cdc_apply": sql_merge_cdc_apply,
+    "sql_delete_in_subquery": sql_delete_in_subquery,
     "sql_copy_into": sql_copy_into,
     "sql_table_contracts": sql_table_contracts,
     "sql_ctas_select": sql_ctas_select,
@@ -555,6 +585,18 @@ ORACLE_SQL = {
         SELECT CAST(1000000000 + i AS BIGINT) AS o_orderkey,
                'new' AS status, CAST(i AS DOUBLE) AS total_price
         FROM range(30) AS t(i)
+    """,
+    "sql_delete_in_subquery": """
+        WITH base AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total_price
+            FROM orders)
+        SELECT * FROM base
+        WHERE NOT (status = 'F' AND o_orderkey IN
+                   (SELECT CAST(l_orderkey AS BIGINT) FROM lineitem
+                    WHERE CAST(l_quantity AS DOUBLE) >= 49.0))
     """,
     "sql_copy_into": _ORDERS_PROJ,
     "sql_table_contracts": """

@@ -79,6 +79,7 @@ int/float/string columns.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -2722,9 +2723,37 @@ def merge_apply(source, path: str, key_cols: list[str],
     return load_manifest(path)
 
 
+_DML_VIEW_SEQ = itertools.count()
+
+
+def _subquery_pred(spark, df, where: str):
+    """Evaluate a predicate CONTAINING SUBQUERIES (``col IN
+    (SELECT ...)``, ``EXISTS (SELECT ...)``, scalar subqueries) as a
+    boolean column over ``df`` — ``F.expr`` cannot plan subqueries,
+    but ``spark.sql`` over a temp view can, with exact ANSI
+    semantics (NOT IN null-sensitivity, correlated EXISTS) for free.
+    Returns ``(frame_with_column, column_name)``; the view is dropped
+    immediately (spark.sql analyzes eagerly, the plan no longer needs
+    it).  Fully distributed: the subquery plans as a broadcast/
+    shuffle semi-join, never a driver materialization."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    v = f"__graft_dml_cand_{next(_DML_VIEW_SEQ)}"
+    mcol = "__graft_dml_match"
+    if mcol in df.columns:
+        raise ValueError(f"column name {mcol!r} is reserved")
+    df.createOrReplaceTempView(v)
+    try:
+        out = spark.sql(f"SELECT *, ({where}) AS {mcol} FROM {v}")
+    finally:
+        spark.catalog.dropTempView(v)
+    return out, mcol
+
+
 def update_manifest(spark, path: str, set_exprs: dict[str, str],
                     where: str, stat_cols: list[str] | None = None,
-                    filters: list[tuple] | None = None) -> dict:
+                    filters: list[tuple] | None = None,
+                    subquery: bool = False) -> dict:
     """Copy-on-write ``UPDATE <table> SET ... WHERE ...`` (the Delta
     UPDATE statement): rewrite ONLY the files that contain at least
     one row satisfying ``where``, replacing matched rows with the
@@ -2790,7 +2819,12 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
     if tag in names:
         raise ValueError(f"column name {tag!r} is reserved")
     cand = _masked_spark_read(spark, st, live, tag_col=tag)
-    hit = {r[0] for r in cand.filter(F.expr(where))
+    if subquery:
+        cand2, mc = _subquery_pred(spark, cand, where)
+        matched_cand = cand2.filter(F.col(mc))
+    else:
+        matched_cand = cand.filter(F.expr(where))
+    hit = {r[0] for r in matched_cand
            .select(tag).distinct().collect()}
     affected = [f for f in live
                 if os.path.basename(f["path"]) in hit]
@@ -2799,8 +2833,12 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
     if stat_cols is None:
         stat_cols = sorted({k for f in live
                             for k in (f.get("stats") or {})})
-    cond = F.expr(where)
     base = _masked_spark_read(spark, st, affected)
+    if subquery:
+        base, mc = _subquery_pred(spark, base, where)
+        cond = F.col(mc)
+    else:
+        cond = F.expr(where)
     assigned = [
         (F.when(cond, F.expr(set_exprs[f.name]).cast(f.dataType))
          .otherwise(F.col(f.name)).alias(f.name))
@@ -2856,7 +2894,8 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
 
 def delete_where(spark, path: str, where: str,
                  stat_cols: list[str] | None = None,
-                 filters: list[tuple] | None = None) -> dict:
+                 filters: list[tuple] | None = None,
+                 subquery: bool = False) -> dict:
     """Copy-on-write ``DELETE FROM <table> WHERE <pred>`` (the Delta
     DELETE statement, predicate form — ``delete_from_manifest`` is
     the key-list form): rewrite ONLY the files containing at least
@@ -2896,7 +2935,12 @@ def delete_where(spark, path: str, where: str,
     if tag in names:
         raise ValueError(f"column name {tag!r} is reserved")
     cand = _masked_spark_read(spark, st, live, tag_col=tag)
-    hit = {r[0] for r in cand.filter(F.expr(where))
+    if subquery:
+        cand2, mc = _subquery_pred(spark, cand, where)
+        matched_cand = cand2.filter(F.col(mc))
+    else:
+        matched_cand = cand.filter(F.expr(where))
+    hit = {r[0] for r in matched_cand
            .select(tag).distinct().collect()}
     affected = [f for f in live
                 if os.path.basename(f["path"]) in hit]
@@ -2906,7 +2950,12 @@ def delete_where(spark, path: str, where: str,
         stat_cols = sorted({k for f in live
                             for k in (f.get("stats") or {})})
     base = _masked_spark_read(spark, st, affected)
-    kept = base.filter(~F.coalesce(F.expr(where), F.lit(False)))
+    if subquery:
+        base2, mc = _subquery_pred(spark, base, where)
+        kept = base2.filter(~F.coalesce(F.col(mc), F.lit(False))) \
+            .drop(mc)
+    else:
+        kept = base.filter(~F.coalesce(F.expr(where), F.lit(False)))
     paths = [f["path"] for f in affected]
     bloom_cols = sorted({c for f in affected
                          for c in (f.get("bloom") or {})})
@@ -3435,7 +3484,8 @@ def _commit_deletion_vectors(path: str, touched: dict[str, int],
 def delete_where_dv(spark, path: str, where: str,
                     stat_cols: list[str] | None = None,
                     max_dv_rows: int = 100_000,
-                    filters: list[tuple] | None = None) -> dict:
+                    filters: list[tuple] | None = None,
+                    subquery: bool = False) -> dict:
     """MERGE-ON-READ predicate DELETE: the deletion-vector twin of
     ``delete_where`` — doomed row POSITIONS are recorded as per-file
     bitmaps instead of rewriting the files, a pure-metadata commit
@@ -3498,8 +3548,13 @@ def delete_where_dv(spark, path: str, where: str,
             F.col("_metadata.row_index").alias("__pos"),
             *[F.col(inv.get(f.name, f.name)).alias(f.name)
               for f in st.fields])
-        hit_parts.append(logical.filter(F.expr(where))
-                         .select("__file", "__pos"))
+        if subquery:
+            logical, mc = _subquery_pred(spark, logical, where)
+            hit_parts.append(logical.filter(F.col(mc))
+                             .select("__file", "__pos"))
+        else:
+            hit_parts.append(logical.filter(F.expr(where))
+                             .select("__file", "__pos"))
     hits = hit_parts[0]
     for p in hit_parts[1:]:
         hits = hits.unionAll(p)
@@ -3516,7 +3571,7 @@ def delete_where_dv(spark, path: str, where: str,
     rows = hits.limit(max_dv_rows + 1).collect()
     if len(rows) > max_dv_rows:
         return delete_where(spark, path, where, stat_cols,
-                            filters=filters)
+                            filters=filters, subquery=subquery)
     if not rows:
         return m
     by_file: dict[str, list[int]] = {}

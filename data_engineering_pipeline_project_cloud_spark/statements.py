@@ -37,6 +37,12 @@ one-row operation summary, queries return their rows):
 * ``DELETE FROM `t` [WHERE p]`` → ``delete_where``; with the
   ``enableDeletionVectors`` table property set, ``delete_where_dv``
   (merge-on-read positions, CoW fallback past the mask threshold).
+* UPDATE/DELETE predicates may contain SUBQUERIES (round 10):
+  ``WHERE k IN (SELECT ...)``, ``NOT IN``, correlated
+  ``EXISTS (SELECT ... WHERE x.k = k)``, scalar subqueries — planned
+  through ``spark.sql`` as distributed semi/anti joins with exact
+  ANSI semantics (NOT IN null-sensitivity included); subqueries may
+  reference ``graft.`path``` tables.
 * ``TRUNCATE [TABLE] `t``` → ``truncate_manifest`` (metadata-only;
   schema and contracts survive, time travel below still works).
 * ``CONVERT TO [GRAFT] `dir``` → ``convert_to_manifest`` (adopt an
@@ -473,9 +479,28 @@ def _stmt_update(spark: SparkSession, p: _P) -> DataFrame:
         if not where:
             raise ValueError("WHERE with no predicate")
     assignments = _parse_assignments(set_src)
+    sub = _has_subquery(where)
+    if sub:
+        # subqueries may reference graft.`path` tables; resolve them
+        # to temp views before the API evaluates the predicate via
+        # spark.sql (F.expr cannot plan subqueries)
+        where = _rewrite_graft_refs(spark, where)
     m = update_manifest(spark, path, assignments, where,
-                        filters=_derive_filters(spark, path, where))
+                        filters=_derive_filters(spark, path, where),
+                        subquery=sub)
     return _summary(spark, "UPDATE", path, version=m.get("version"))
+
+
+def _has_subquery(src: str) -> bool:
+    """True when the predicate contains a subquery (SELECT/EXISTS
+    keyword anywhere) — those must evaluate through spark.sql, not
+    F.expr."""
+    try:
+        toks = _lex(src)
+    except ValueError:
+        return False
+    return any(t.kind == "word" and t.up in ("SELECT", "EXISTS")
+               for t in toks)
 
 
 _NO_LITERAL = object()
@@ -656,9 +681,12 @@ def _stmt_delete(spark: SparkSession, p: _P) -> DataFrame:
             f"DELETE target does not exist: {path!r}") from exc
     dv = str(props.get("enableDeletionVectors", "")).lower() \
         in ("true", "1")
+    sub = _has_subquery(where)
+    if sub:
+        where = _rewrite_graft_refs(spark, where)
     filters = _derive_filters(spark, path, where)
     m = (delete_where_dv if dv else delete_where)(
-        spark, path, where, filters=filters)
+        spark, path, where, filters=filters, subquery=sub)
     return _summary(spark, "DELETE", path, version=m.get("version"))
 
 

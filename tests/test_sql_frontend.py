@@ -642,3 +642,88 @@ def test_sql_backslash_escaped_quote_lexes(spark, table):
     from data_engineering_pipeline_project_cloud_spark.statements import _P
     q = _P(r"'a\'b' rest")
     assert q.string() == "a'b"
+
+
+# ---------------------------------------------- round-10 DML subqueries
+
+
+def test_sql_delete_in_subquery_over_graft_table(spark, table,
+                                                 tmp_path):
+    lk = str(tmp_path / "lk")
+    write_manifest_table(
+        spark.createDataFrame([(3,), (5,), (7,)], "kk long"), lk,
+        ["kk"])
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE k IN "
+                     f"(SELECT kk FROM graft.`{lk}`)")
+    ks = {r["k"] for r in read_manifest(spark, table).collect()}
+    assert ks == set(range(100)) - {3, 5, 7}
+
+
+def test_sql_update_with_correlated_exists(spark, table):
+    spark.createDataFrame([(10,), (11,)], "m long") \
+        .createOrReplaceTempView("sq_marks")
+    graft_sql(spark, f"UPDATE `{table}` SET name = 'marked' WHERE "
+                     f"EXISTS (SELECT 1 FROM sq_marks WHERE "
+                     f"sq_marks.m = k)")
+    rows = {r["k"]: r["name"]
+            for r in read_manifest(spark, table).collect()}
+    assert rows[10] == "marked" and rows[11] == "marked"
+    assert rows[12] == "row12"
+
+
+def test_sql_delete_not_in_with_null_deletes_nothing(spark, table):
+    """ANSI NOT IN: a NULL in the subquery result makes the predicate
+    never TRUE — nothing deletes (the spark.sql route gives this for
+    free; a naive anti-join would delete everything)."""
+    spark.createDataFrame([(1,), (None,)], "n long") \
+        .createOrReplaceTempView("sq_null")
+    graft_sql(spark, f"DELETE FROM `{table}` WHERE k NOT IN "
+                     f"(SELECT n FROM sq_null)")
+    assert read_manifest(spark, table).count() == 100
+
+
+def test_sql_delete_subquery_dv_route(spark, table):
+    """Subquery predicates compose with the deletion-vector route."""
+    graft_sql(spark, f"ALTER TABLE `{table}` SET TBLPROPERTIES "
+                     f"('enableDeletionVectors' = 'true')")
+    spark.createDataFrame([(42,), (43,)], "d long") \
+        .createOrReplaceTempView("sq_dv")
+    res = graft_sql(spark, f"DELETE FROM `{table}` WHERE k IN "
+                           f"(SELECT d FROM sq_dv)")
+    assert res.collect()[0]["operation"] == "DELETE"
+    ks = {r["k"] for r in read_manifest(spark, table).collect()}
+    assert ks == set(range(100)) - {42, 43}
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+    )
+    # merge-on-read: no file rewritten, masks recorded
+    assert any(f.get("dv") for f in load_manifest(table)["files"])
+
+
+def test_sql_update_subquery_keeps_simple_filter_derivation(
+        spark, table, monkeypatch):
+    """The non-subquery conjunct still derives a stats-pruning filter
+    and the subquery flag reaches the API."""
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as ms
+
+    seen = {}
+    real = ms.update_manifest
+
+    def spy(spark_, path_, set_exprs, where, stat_cols=None,
+            filters=None, subquery=False):
+        seen["filters"] = filters
+        seen["subquery"] = subquery
+        return real(spark_, path_, set_exprs, where,
+                    stat_cols=stat_cols, filters=filters,
+                    subquery=subquery)
+
+    monkeypatch.setattr(ms, "update_manifest", spy)
+    spark.createDataFrame([(50,)], "m long") \
+        .createOrReplaceTempView("sq_one")
+    graft_sql(spark, f"UPDATE `{table}` SET name = 'hit' WHERE "
+                     f"k >= 50 AND k IN (SELECT m FROM sq_one)")
+    assert seen["subquery"] is True
+    assert seen["filters"] == [("k", ">=", 50)]
+    rows = {r["k"]: r["name"]
+            for r in read_manifest(spark, table).collect()}
+    assert rows[50] == "hit" and rows[51] == "row51"
