@@ -24,3 +24,11 @@ def graft_sql(spark, statement):
     from .statements import graft_sql as _impl
 
     return _impl(spark, statement)
+
+
+def graft_sql_script(spark, script, group=None):
+    """Multi-statement script executor with transactional BEGIN ...
+    COMMIT spans (lazy alias for ``statements.graft_sql_script``)."""
+    from .statements import graft_sql_script as _impl
+
+    return _impl(spark, script, group=group)

@@ -214,6 +214,47 @@ def sql_delete_in_subquery(spark: SparkSession,
             .select("o_orderkey", "status", "total_price"))
 
 
+def sql_script_transaction(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """``BEGIN; CTAS; UPDATE; COMMIT`` as ONE transactional script
+    (round 10 — VERDICT r9 task 3): the reference's flagship shape is
+    exactly this multi-statement transaction (reference
+    ``transform-complex-full.py:15-223``).  The COMMIT publishes one
+    consistent-cut group snapshot (``table_group.pin_group``); the
+    face reads the CTAS'd aggregate THROUGH the group, so a
+    hash-green row proves the pinned cut is the script's atomic
+    result.  Mid-script failure compensation is pinned by pytest
+    (tests/test_sql_script.py)."""
+    from ..sources.table_group import read_group_table
+    from ..statements import graft_sql_script
+
+    register(spark)
+
+    def build(root: str) -> None:
+        seed = os.path.join(root, "orders")
+        agg = os.path.join(root, "agg")
+        grp = os.path.join(root, "grp")
+        _seed_orders_table(spark, sf_dir, seed, with_year=True)
+        graft_sql_script(spark, f"""
+            BEGIN;
+            CREATE TABLE `{agg}` AS
+                SELECT order_year, status, count(*) AS n_orders,
+                       CAST(sum(CAST(total_price AS DECIMAL(18,2)))
+                            AS DOUBLE) AS revenue
+                FROM graft.`{seed}`
+                GROUP BY order_year, status;
+            UPDATE `{seed}` SET status = 'audited'
+                WHERE status = 'F';
+            COMMIT;
+        """, group=grp)
+
+    root = scoped_scratch("sql_script_txn", sf_dir, build)
+    return read_group_table(
+        spark, os.path.join(root, "grp"),
+        os.path.abspath(os.path.join(root, "agg"))
+    ).select("order_year", "status", "n_orders", "revenue")
+
+
 def sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``COPY INTO ... FROM ... FILEFORMAT = PARQUET PATTERN = ...``
     through graft_sql: two landing files load once, an immediate
@@ -495,6 +536,7 @@ QUERIES = {
     "sql_merge_upsert": sql_merge_upsert,
     "sql_merge_cdc_apply": sql_merge_cdc_apply,
     "sql_delete_in_subquery": sql_delete_in_subquery,
+    "sql_script_transaction": sql_script_transaction,
     "sql_copy_into": sql_copy_into,
     "sql_table_contracts": sql_table_contracts,
     "sql_ctas_select": sql_ctas_select,
@@ -597,6 +639,15 @@ ORACLE_SQL = {
         WHERE NOT (status = 'F' AND o_orderkey IN
                    (SELECT CAST(l_orderkey AS BIGINT) FROM lineitem
                     WHERE CAST(l_quantity AS DOUBLE) >= 49.0))
+    """,
+    "sql_script_transaction": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderstatus AS status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                             AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1, 2
     """,
     "sql_copy_into": _ORDERS_PROJ,
     "sql_table_contracts": """

@@ -227,6 +227,56 @@ def group_commit(path: str, writes: dict[str, tuple],
             return group
 
 
+def pin_group(path: str, pins: dict[str, tuple[str, int]]) -> dict:
+    """Publish ONE group snapshot pinning explicit ``{name: (table
+    path, manifest version)}`` cuts — the primitive ``BEGIN ...
+    COMMIT`` SQL scripts use: the script's statements commit to the
+    member tables through their normal per-table protocol, then the
+    COMMIT publishes the exact versions they landed as one atomic
+    pointer swap (readers through the group flip from none-of-the-
+    script to all-of-it).  Creates the group at v0 when absent.
+    Rebase-merges with a concurrently-advanced latest exactly like
+    ``group_commit``: for pinned tables the MONOTONIC max version
+    wins (manifest versions are an append-only log, so the later
+    version contains both writes); unpinned members carry forward."""
+    import time as _time
+
+    while True:
+        try:
+            latest = load_group(path)
+        except FileNotFoundError:
+            group = {"version": 0,
+                     "tables": {n: {"path": p, "version": int(v)}
+                                for n, (p, v) in pins.items()},
+                     "txns": {}, "committedAt": _time.time()}
+            os.makedirs(path, exist_ok=True)
+            if _publish(path, group):
+                return group
+            continue
+        merged = dict(latest["tables"])
+        for n, (p, v) in pins.items():
+            cur = merged.get(n)
+            if cur is None or int(v) >= int(cur["version"]):
+                merged[n] = {"path": p, "version": int(v)}
+        group = {"version": latest["version"] + 1, "tables": merged,
+                 "txns": dict(latest.get("txns", {})),
+                 "committedAt": _time.time()}
+        if _publish(path, group):
+            return group
+
+
+def group_history(path: str) -> list[dict]:
+    """Every group snapshot, oldest first — the group-level DESCRIBE
+    HISTORY: each row is the full consistent cut (version,
+    committedAt, member pins).  O(snapshots) driver metadata."""
+    snaps = _group_snapshots(path)
+    out = []
+    for v in sorted(snaps):
+        with open(snaps[v]) as fh:
+            out.append(json.load(fh))
+    return out
+
+
 def read_group_table(spark, path: str, name: str,
                      version: int | None = None):
     """Read one member table AT THE GROUP'S PINNED VERSION — the

@@ -91,7 +91,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["graft_sql"]
+__all__ = ["graft_sql", "graft_sql_script", "split_statements"]
 
 # ---------------------------------------------------------------- lexer
 
@@ -460,6 +460,181 @@ def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
         raise ValueError(f"unsupported statement: {verb} "
                          "(see graft_sql docstring for the grammar)")
     return handler(spark, p)
+
+
+# --------------------------------------------------------------- scripts
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement script at TOP-LEVEL semicolons.  The
+    lexer already skips comments and string literals (commit
+    5bcf874), so a ``;`` inside either never splits; parenthesized
+    subqueries are depth-guarded the same way."""
+    toks = _lex(script)
+    out, depth = [], 0
+    span: list[_Tok] = []
+    for t in toks:
+        if t.up == "(":
+            depth += 1
+        elif t.up == ")":
+            depth -= 1
+        elif t.up == ";" and depth == 0:
+            if span:
+                out.append(script[span[0].start:span[-1].end])
+            span = []
+            continue
+        span.append(t)
+    if span:
+        out.append(script[span[0].start:span[-1].end])
+    return out
+
+
+def _stmt_target_path(sql: str) -> str | None:
+    """The table path a write statement targets — best-effort peek
+    used ONLY to capture pre-transaction versions (a parse failure
+    here surfaces as graft_sql's own error moments later)."""
+    try:
+        p = _P(sql)
+        if p.eat("UPDATE"):
+            return p.table()
+        if p.eat("DELETE"):
+            p.expect("FROM")
+            return p.table()
+        if p.eat("MERGE"):
+            p.expect("INTO")
+            return p.table()
+        if p.eat("INSERT"):
+            if not p.eat("INTO"):
+                p.expect("OVERWRITE")
+            p.eat("TABLE")
+            return p.table()
+        if p.eat("CREATE"):
+            p.eat("OR", "REPLACE")
+            p.expect("TABLE")
+            p.eat("IF", "NOT", "EXISTS")
+            return p.table()
+        if p.eat("COPY"):
+            p.expect("INTO")
+            return p.table()
+        if p.eat("ALTER"):
+            p.expect("TABLE")
+            return p.table()
+        if p.eat("TRUNCATE"):
+            p.eat("TABLE")
+            return p.table()
+        if p.eat("OPTIMIZE"):
+            return p.table()
+        if p.eat("RESTORE"):
+            p.eat("TABLE")
+            return p.table()
+    except ValueError:
+        return None
+    return None
+
+
+def graft_sql_script(spark: SparkSession, script: str,
+                     group: str | None = None) -> DataFrame:
+    """Execute a multi-statement SQL script — the reference's flagship
+    shape is exactly this (one transactional script: BEGIN → DROP →
+    CTAS → ALTER → COMMIT, reference ``transform-complex-full.py:
+    15-223``).  Statements run in order; the LAST statement's
+    DataFrame is returned.
+
+    ``BEGIN [TRANSACTION]`` ... ``COMMIT`` spans are TRANSACTIONAL:
+
+    * Before the first write to each table inside the span, its
+      pre-script manifest version is captured.
+    * A statement failure (or explicit ``ROLLBACK``) COMPENSATES:
+      every touched pre-existing table is ``restore_manifest``-ed to
+      its captured version (an auditable REVERT commit, time travel
+      intact) and every table the span CREATED is removed — no
+      partial state survives, the pytest contract.
+    * At ``COMMIT`` with ``group`` set, ONE group snapshot
+      (``table_group.pin_group``) pins every touched table at its
+      post-script version — readers resolving tables through the
+      group flip from none-of-the-script to all-of-it atomically,
+      and group time travel re-materializes any historical cut.
+
+    Isolation is per-table READ COMMITTED for direct table readers
+    (each statement's commit is individually visible, exactly like a
+    Delta multi-statement script); the GROUP view is the consistent
+    cut.  A hard crash mid-span leaves member commits visible to
+    direct readers until the script re-runs — the group view never
+    shows them.  ``VACUUM`` and ``CONVERT TO`` are refused inside a
+    span (both are irreversible, compensation would be a lie)."""
+    from .sources.manifest_source import load_manifest, restore_manifest
+
+    stmts = split_statements(script)
+    if not stmts:
+        raise ValueError("empty script")
+    result: DataFrame | None = None
+    txn: dict | None = None
+
+    def _rollback() -> None:
+        import shutil
+
+        for path in reversed(txn["order"]):
+            pre = txn["pre"][path]
+            if pre is None:
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                restore_manifest(path, pre)
+
+    for sql in stmts:
+        head = sql.split(None, 1)[0].upper().rstrip(";")
+        if head == "BEGIN":
+            if txn is not None:
+                raise ValueError("nested BEGIN (already in a "
+                                 "transaction)")
+            txn = {"pre": {}, "order": []}
+            continue
+        if head == "COMMIT":
+            if txn is None:
+                raise ValueError("COMMIT without BEGIN")
+            if group is not None and txn["order"]:
+                from .sources.table_group import pin_group
+
+                pin_group(group, {
+                    os.path.abspath(p): (p, load_manifest(p)
+                                         .get("version", 0))
+                    for p in txn["order"]})
+            txn = None
+            continue
+        if head == "ROLLBACK":
+            if txn is None:
+                raise ValueError("ROLLBACK without BEGIN")
+            _rollback()
+            txn = None
+            continue
+        if txn is not None:
+            if head in ("VACUUM", "CONVERT"):
+                raise ValueError(
+                    f"{head} is refused inside BEGIN ... COMMIT: it "
+                    "is irreversible, so a later ROLLBACK could not "
+                    "compensate it")
+            target = _stmt_target_path(sql)
+            if target is not None and "://" not in target:
+                target = os.path.abspath(target)
+            if target is not None and target not in txn["pre"]:
+                try:
+                    pre = load_manifest(target).get("version", 0)
+                except (FileNotFoundError, OSError):
+                    pre = None
+                txn["pre"][target] = pre
+                txn["order"].append(target)
+        try:
+            result = graft_sql(spark, sql)
+        except BaseException:
+            if txn is not None:
+                _rollback()
+            raise
+    if txn is not None:
+        _rollback()
+        raise ValueError(
+            "script ended inside an open transaction (missing "
+            "COMMIT) — rolled back")
+    assert result is not None  # stmts is non-empty
+    return result
 
 
 # ----------------------------------------------------------------- DML
@@ -1389,6 +1564,24 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
     p.expect("DESCRIBE")
     if p.eat("HISTORY"):
         path = p.table()
+        from .sources.table_group import _group_snapshots, group_history
+
+        if _group_snapshots(path):
+            # a COMMIT-GROUP directory: history is the consistent
+            # cuts (one row per snapshot, member pins as JSON)
+            schema = StructType([
+                StructField("version", LongType(), False),
+                StructField("operation", StringType(), False),
+                StructField("detail", StringType(), True),
+                StructField("committed_at", DoubleType(), True),
+            ])
+            data = [(int(g["version"]), "GROUP COMMIT",
+                     json.dumps(g["tables"], sort_keys=True),
+                     float(g["committedAt"])
+                     if g.get("committedAt") is not None else None)
+                    for g in group_history(path)]
+            return spark.createDataFrame(data, schema) \
+                .orderBy("version", ascending=False)
         rows = manifest_operations(path)
         schema = StructType([
             StructField("version", LongType(), False),

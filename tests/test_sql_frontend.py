@@ -419,10 +419,11 @@ def test_sql_where_derives_stats_pruning_filters(spark, table,
     real = ms.update_manifest
 
     def spy(spark_, path_, set_exprs, where, stat_cols=None,
-            filters=None):
+            filters=None, subquery=False):
         seen["filters"] = filters
         return real(spark_, path_, set_exprs, where,
-                    stat_cols=stat_cols, filters=filters)
+                    stat_cols=stat_cols, filters=filters,
+                    subquery=subquery)
 
     monkeypatch.setattr(ms, "update_manifest", spy)
     graft_sql(spark, f"UPDATE `{table}` SET name = 'hit' "
