@@ -255,6 +255,42 @@ def sql_script_transaction(spark: SparkSession,
     ).select("order_year", "status", "n_orders", "revenue")
 
 
+def sql_catalog_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-name addressing end to end (round 10 — VERDICT r9
+    task 4, ``sources.metastore``): CREATE TABLE <name> LOCATION
+    registers the seeded table, UPDATE addresses it BY NAME, a
+    managed CTAS creates a second named table, and the face reads
+    ``graft.<name>`` — the idiom the reference's own SQL uses
+    (name-addressed tables, reference ``transform-complex-full.py``).
+    Catalog state is CAS-versioned JSON under the face's scratch."""
+    register(spark)
+
+    def build(root: str) -> None:
+        spark.conf.set("spark.graft.catalogDir",
+                       os.path.join(root, "catalog"))
+        seed = os.path.join(root, "orders")
+        _seed_orders_table(spark, sf_dir, seed, with_year=True)
+        graft_sql(spark, f"CREATE TABLE cat_orders_r10 "
+                         f"LOCATION '{seed}'")
+        graft_sql(spark, f"""
+            UPDATE cat_orders_r10 SET status = 'audited'
+            WHERE status = 'F'
+                  AND order_year <= {SQL_UPDATE_CUT_YEAR}
+        """)
+        graft_sql(spark, """
+            CREATE TABLE cat_yearly_r10 AS
+            SELECT order_year, status, count(*) AS n_orders
+            FROM graft.cat_orders_r10
+            GROUP BY order_year, status
+        """)
+
+    root = scoped_scratch("sql_catalog_names", sf_dir, build)
+    spark.conf.set("spark.graft.catalogDir",
+                   os.path.join(root, "catalog"))
+    return graft_sql(spark, "SELECT order_year, status, n_orders "
+                            "FROM graft.cat_yearly_r10")
+
+
 def sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``COPY INTO ... FROM ... FILEFORMAT = PARQUET PATTERN = ...``
     through graft_sql: two landing files load once, an immediate
@@ -537,6 +573,7 @@ QUERIES = {
     "sql_merge_cdc_apply": sql_merge_cdc_apply,
     "sql_delete_in_subquery": sql_delete_in_subquery,
     "sql_script_transaction": sql_script_transaction,
+    "sql_catalog_names": sql_catalog_names,
     "sql_copy_into": sql_copy_into,
     "sql_table_contracts": sql_table_contracts,
     "sql_ctas_select": sql_ctas_select,
@@ -646,6 +683,15 @@ ORACLE_SQL = {
                count(*) AS n_orders,
                CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2))
                              AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    "sql_catalog_names": """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               CASE WHEN o_orderstatus = 'F'
+                         AND year(o_orderdate) <= 1997
+                    THEN 'audited' ELSE o_orderstatus END AS status,
+               count(*) AS n_orders
         FROM orders
         GROUP BY 1, 2
     """,

@@ -11,7 +11,17 @@ forms below and dispatches to the EXISTING, tested Python APIs in
 parser is a thin translation layer, never an engine.
 
 Table references are backtick-quoted filesystem paths (the Delta
-``delta.`/path/to/table``` convention, scheme-prefix optional)::
+``delta.`/path/to/table``` convention, scheme-prefix optional) or —
+round 10 — CATALOG NAMES registered in the metastore-lite
+(``sources.metastore``): ``CREATE TABLE orders LOCATION '/data/o'``
+once, then ``UPDATE orders SET ...`` and ``SELECT ... FROM
+graft.orders`` everywhere; ``SHOW TABLES`` lists entries, ``DROP
+TABLE [IF EXISTS] name`` forgets one (managed tables — created by a
+name-form CTAS without LOCATION — drop their data too; external
+locations are never touched).  Catalog state is CAS-versioned on
+disk and survives a fresh process.
+
+::
 
     graft_sql(spark, "UPDATE `/data/orders` SET total = total * 0.9 "
                      "WHERE status = 'F'")
@@ -145,6 +155,7 @@ class _P:
         self.sql = sql
         self.toks = _lex(sql)
         self.i = 0
+        self.spark = None  # set by graft_sql for catalog-name lookup
 
     def done(self) -> bool:
         return self.i >= len(self.toks)
@@ -266,13 +277,24 @@ class _P:
                       t.raw[1:-1])
 
     def table(self) -> str:
-        """A table reference: ``graft.`path``` or a backtick path or a
-        quoted path."""
+        """A table reference: ``graft.`path```, a backtick path, a
+        quoted path, or (round 10) a CATALOG NAME — a bare identifier
+        resolved through the metastore (``sources.metastore``),
+        optionally ``graft.name``-prefixed."""
         t = self.peek()
         if (t is not None and t.kind == "word"
                 and t.up in ("GRAFT.", "MANIFEST.", "DELTA.")):
             self.i += 1
             t = self.peek()
+        elif t is not None and t.kind == "word":
+            # the lexer folds `graft.name` into ONE word token
+            raw = t.raw
+            for pre in ("GRAFT.", "MANIFEST.", "DELTA."):
+                if t.up.startswith(pre) and len(raw) > len(pre):
+                    raw = raw[len(pre):]
+                    break
+            self.i += 1
+            return self._resolve_name(raw)
         if t is None:
             raise ValueError("expected table path at end of statement")
         if t.kind == "bt":
@@ -281,8 +303,14 @@ class _P:
         if t.kind == "str":
             return self.string("table path")
         raise ValueError(
-            "table references are backtick-quoted paths "
-            f"(got {t.raw!r}) — e.g. UPDATE `/data/orders` ...")
+            "table references are backtick-quoted paths or catalog "
+            f"names (got {t.raw!r}) — e.g. UPDATE `/data/orders` ... "
+            "or UPDATE orders ...")
+
+    def _resolve_name(self, name: str) -> str:
+        from .sources.metastore import resolve_table
+
+        return resolve_table(self.spark, name)
 
     def paren_cols(self) -> list[str]:
         self.expect_op("(")
@@ -377,49 +405,61 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
     registered = False
     while k < len(toks):
         t = toks[k]
+        path = None
         if (t.kind == "word" and t.up in ("GRAFT.", "MANIFEST.", "DELTA.")
                 and k + 1 < len(toks) and toks[k + 1].kind == "bt"):
             path = toks[k + 1].raw[1:-1].replace("``", "`")
             end = toks[k + 1].end
-            version = None
-            timestamp = None
-            if (k + 4 < len(toks)
-                    and toks[k + 2].up == "VERSION"
-                    and toks[k + 3].up == "AS"
-                    and toks[k + 4].up == "OF"
-                    and k + 5 < len(toks)
-                    and toks[k + 5].kind == "num"):
-                version = int(toks[k + 5].raw)
-                end = toks[k + 5].end
-                k += 4
-            elif (k + 4 < len(toks)
-                    and toks[k + 2].up == "TIMESTAMP"
-                    and toks[k + 3].up == "AS"
-                    and toks[k + 4].up == "OF"
-                    and k + 5 < len(toks)
-                    and toks[k + 5].kind == "str"):
-                timestamp = toks[k + 5].raw[1:-1].replace("''", "'")
-                end = toks[k + 5].end
-                k += 4
-            key = (os.path.abspath(path) if "://" not in path
-                   else path, version, timestamp)
-            view = _GRAFT_VIEWS.setdefault(
-                key, f"graft_view_{len(_GRAFT_VIEWS)}")
-            if not registered:
-                register(spark)
-                registered = True
-            # always re-register: the view must reflect the CURRENT
-            # table version (read_manifest pins at definition time),
-            # and a new session must not miss the relation
-            read_manifest(spark, path, version=version,
-                          timestamp=timestamp) \
-                .createOrReplaceTempView(view)
-            out.append(sql[last:t.start])
-            out.append(view)
-            last = end
-            k += 2
+            j = k + 2  # VERSION/TIMESTAMP lookahead starts here
+        elif t.kind == "word" and "." in t.raw:
+            # the lexer folds `graft.name` into ONE word token: a
+            # catalog-name reference (round 10)
+            pre, _, rest = t.raw.partition(".")
+            if pre.upper() in ("GRAFT", "MANIFEST", "DELTA") and rest:
+                from .sources.metastore import resolve_table
+
+                path = resolve_table(spark, rest)
+                end = t.end
+                j = k + 1
+        if path is None:
+            k += 1
             continue
-        k += 1
+        version = None
+        timestamp = None
+        if (j + 3 < len(toks)
+                and toks[j].up == "VERSION"
+                and toks[j + 1].up == "AS"
+                and toks[j + 2].up == "OF"
+                and toks[j + 3].kind == "num"):
+            version = int(toks[j + 3].raw)
+            end = toks[j + 3].end
+            j += 4
+        elif (j + 3 < len(toks)
+                and toks[j].up == "TIMESTAMP"
+                and toks[j + 1].up == "AS"
+                and toks[j + 2].up == "OF"
+                and toks[j + 3].kind == "str"):
+            timestamp = toks[j + 3].raw[1:-1].replace("''", "'")
+            end = toks[j + 3].end
+            j += 4
+        key = (os.path.abspath(path) if "://" not in path
+               else path, version, timestamp)
+        view = _GRAFT_VIEWS.setdefault(
+            key, f"graft_view_{len(_GRAFT_VIEWS)}")
+        if not registered:
+            register(spark)
+            registered = True
+        # always re-register: the view must reflect the CURRENT
+        # table version (read_manifest pins at definition time),
+        # and a new session must not miss the relation
+        read_manifest(spark, path, version=version,
+                      timestamp=timestamp) \
+            .createOrReplaceTempView(view)
+        out.append(sql[last:t.start])
+        out.append(view)
+        last = end
+        k = j
+        continue
     out.append(sql[last:])
     return "".join(out)
 
@@ -435,6 +475,7 @@ def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
     if not sql:
         raise ValueError("empty statement")
     p = _P(sql)
+    p.spark = spark
     head = p.peek()
     if head is None:
         raise ValueError("empty statement")
@@ -455,6 +496,8 @@ def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
         "CREATE": _stmt_create,
         "TRUNCATE": _stmt_truncate,
         "CONVERT": _stmt_convert,
+        "SHOW": _stmt_show,
+        "DROP": _stmt_drop,
     }.get(verb)
     if handler is None:
         raise ValueError(f"unsupported statement: {verb} "
@@ -489,12 +532,13 @@ def split_statements(script: str) -> list[str]:
     return out
 
 
-def _stmt_target_path(sql: str) -> str | None:
+def _stmt_target_path(spark: SparkSession, sql: str) -> str | None:
     """The table path a write statement targets — best-effort peek
     used ONLY to capture pre-transaction versions (a parse failure
     here surfaces as graft_sql's own error moments later)."""
     try:
         p = _P(sql)
+        p.spark = spark
         if p.eat("UPDATE"):
             return p.table()
         if p.eat("DELETE"):
@@ -512,6 +556,21 @@ def _stmt_target_path(sql: str) -> str | None:
             p.eat("OR", "REPLACE")
             p.expect("TABLE")
             p.eat("IF", "NOT", "EXISTS")
+            t = p.peek()
+            if (t is not None and t.kind == "word"
+                    and t.up not in ("GRAFT.", "MANIFEST.", "DELTA.")):
+                # name form: the data lands at the declared LOCATION
+                # or the managed path — resolvable without the entry
+                from .sources.metastore import (
+                    catalog_dir,
+                    managed_location,
+                )
+
+                name = p.ident("table name")
+                p.eat("USING", "GRAFT") or p.eat("USING", "MANIFEST")
+                if p.eat("LOCATION"):
+                    return p.string("location path")
+                return managed_location(catalog_dir(spark), name)
             return p.table()
         if p.eat("COPY"):
             p.expect("INTO")
@@ -563,6 +622,7 @@ def graft_sql_script(spark: SparkSession, script: str,
     shows them.  ``VACUUM`` and ``CONVERT TO`` are refused inside a
     span (both are irreversible, compensation would be a lie)."""
     from .sources.manifest_source import load_manifest, restore_manifest
+    from .sources.metastore import catalog_dir, load_catalog, restore_catalog
 
     stmts = split_statements(script)
     if not stmts:
@@ -579,6 +639,9 @@ def graft_sql_script(spark: SparkSession, script: str,
                 shutil.rmtree(path, ignore_errors=True)
             else:
                 restore_manifest(path, pre)
+        cur = load_catalog(catalog_dir(spark))["version"]
+        if cur != txn["catalog"]:
+            restore_catalog(spark, txn["catalog"])
 
     for sql in stmts:
         head = sql.split(None, 1)[0].upper().rstrip(";")
@@ -586,7 +649,9 @@ def graft_sql_script(spark: SparkSession, script: str,
             if txn is not None:
                 raise ValueError("nested BEGIN (already in a "
                                  "transaction)")
-            txn = {"pre": {}, "order": []}
+            txn = {"pre": {}, "order": [],
+                   "catalog": load_catalog(
+                       catalog_dir(spark))["version"]}
             continue
         if head == "COMMIT":
             if txn is None:
@@ -607,12 +672,12 @@ def graft_sql_script(spark: SparkSession, script: str,
             txn = None
             continue
         if txn is not None:
-            if head in ("VACUUM", "CONVERT"):
+            if head in ("VACUUM", "CONVERT", "DROP"):
                 raise ValueError(
                     f"{head} is refused inside BEGIN ... COMMIT: it "
-                    "is irreversible, so a later ROLLBACK could not "
-                    "compensate it")
-            target = _stmt_target_path(sql)
+                    "is irreversible (a managed DROP deletes data), "
+                    "so a later ROLLBACK could not compensate it")
+            target = _stmt_target_path(spark, sql)
             if target is not None and "://" not in target:
                 target = os.path.abspath(target)
             if target is not None and target not in txn["pre"]:
@@ -1070,7 +1135,14 @@ def _merge_source(spark: SparkSession, p: _P) -> DataFrame:
         return read_manifest(spark, p.table())
     if t.kind == "word":
         p.i += 1
-        return spark.table(t.raw)
+        try:
+            return spark.table(t.raw)
+        except Exception:
+            # not a temp view: a catalog name (views take precedence)
+            from .sources.metastore import resolve_table
+
+            register(spark)
+            return read_manifest(spark, resolve_table(spark, t.raw))
     raise ValueError(f"unsupported MERGE source: {t.raw!r}")
 
 
@@ -1283,6 +1355,12 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
     if_not_exists = p.eat("IF", "NOT", "EXISTS")
     if replace and if_not_exists:
         raise ValueError("OR REPLACE and IF NOT EXISTS conflict")
+    t = p.peek()
+    if (t is not None and t.kind == "word"
+            and t.up not in ("GRAFT.", "MANIFEST.", "DELTA.")):
+        # NAME form (round 10): CREATE TABLE <name> [USING GRAFT]
+        # [LOCATION '<path>'] [AS <query>] — catalog registration
+        return _create_named(spark, p, replace, if_not_exists)
     path = p.table()
     p.expect("AS")
     query = p.slice(p.i, None)
@@ -1307,6 +1385,119 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
     return _summary(spark, "CREATE OR REPLACE TABLE AS" if replace
                     else "CREATE TABLE AS", path,
                     version=m.get("version"))
+
+
+def _create_named(spark: SparkSession, p: _P, replace: bool,
+                  if_not_exists: bool) -> DataFrame:
+    """CREATE TABLE <name>: catalog registration (metastore-lite).
+    With LOCATION and no query: register an EXISTING manifest table
+    (external).  With AS <query>: CTAS at the location — or, with no
+    LOCATION, MANAGED under the catalog directory.  After this the
+    name works everywhere a backtick path does, including
+    ``graft.<name>`` in queries."""
+    from .sources.manifest_source import (
+        load_manifest,
+        register,
+        write_manifest_table,
+    )
+    from .sources.metastore import create_table_entry, drop_table_entry
+
+    name = p.ident("table name")
+    p.eat("USING", "GRAFT") or p.eat("USING", "MANIFEST")
+    location = None
+    if p.eat("LOCATION"):
+        location = p.string("location path")
+    if p.eat("AS"):
+        query = p.slice(p.i, None)
+        if not query:
+            raise ValueError("CREATE TABLE ... AS requires a query")
+        entry = create_table_entry(spark, name, location,
+                                   or_replace=replace,
+                                   if_not_exists=if_not_exists)
+        path = entry["location"]
+        if not entry["created"]:  # IF NOT EXISTS on an existing name
+            m = load_manifest(path)
+            return _summary(spark, "CREATE TABLE AS (exists)", path,
+                            version=m.get("version"))
+        register(spark)
+        try:
+            df = spark.sql(_rewrite_graft_refs(spark, query))
+            write_manifest_table(df, path, _default_stat_cols(df))
+        except BaseException:
+            if entry["created"] and not replace:
+                drop_table_entry(spark, name, if_exists=True)
+            raise
+        m = load_manifest(path)
+        return _summary(spark, "CREATE OR REPLACE TABLE AS" if replace
+                        else "CREATE TABLE AS", path,
+                        version=m.get("version"))
+    if not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    if location is None:
+        raise ValueError(
+            "CREATE TABLE <name> requires LOCATION '<path>' (to "
+            "register an existing table) or AS <query> (to create "
+            "one)")
+    try:
+        m = load_manifest(location)
+    except (FileNotFoundError, ValueError, OSError) as exc:
+        raise ValueError(
+            f"no manifest table at LOCATION {location!r} — CONVERT "
+            "TO GRAFT an existing parquet directory or use CREATE "
+            "TABLE ... AS to materialize one") from exc
+    entry = create_table_entry(spark, name, location,
+                               or_replace=replace,
+                               if_not_exists=if_not_exists)
+    return _summary(spark, "CREATE TABLE" if entry["created"]
+                    else "CREATE TABLE (exists)", entry["location"],
+                    version=m.get("version"))
+
+
+def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources.metastore import list_tables
+
+    p.expect("SHOW")
+    p.expect("TABLES")
+    if not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    schema = StructType([
+        StructField("name", StringType(), False),
+        StructField("location", StringType(), False),
+        StructField("managed", BooleanType(), False),
+    ])
+    return spark.createDataFrame(
+        [(r["name"], r["location"], r["managed"])
+         for r in list_tables(spark)], schema)
+
+
+def _stmt_drop(spark: SparkSession, p: _P) -> DataFrame:
+    from .sources.metastore import drop_table_entry
+
+    p.expect("DROP")
+    p.expect("TABLE")
+    if_exists = p.eat("IF", "EXISTS")
+    t = p.peek()
+    if t is None or t.kind != "word":
+        raise ValueError(
+            "DROP TABLE takes a CATALOG NAME (path-addressed tables "
+            "have no catalog entry to drop — VACUUM/retention govern "
+            "their data)")
+    name = p.ident("table name")
+    if not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    e = drop_table_entry(spark, name, if_exists=if_exists)
+    return _summary(spark, "DROP TABLE" if e else "DROP TABLE (absent)",
+                    e["location"] if e else name)
 
 
 def _stmt_convert(spark: SparkSession, p: _P) -> DataFrame:
