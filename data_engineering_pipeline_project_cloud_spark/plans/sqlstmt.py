@@ -502,6 +502,32 @@ def manifest_dv_delete_where(spark: SparkSession,
                     "order_year"))
 
 
+def dv_delete_mask_debt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulated deletion-vector debt (round 10 — VERDICT r9 task
+    5): three successive merge-on-read DELETEs mask positions in the
+    SAME files, so each later delete must exclude every earlier
+    mask's positions.  The exclusion set now expands EXECUTOR-side
+    (``delete_where_dv``'s mapInPandas decode) — driver planning is
+    O(masked files), flat in the debt — and a hash-green row proves
+    the masks compose without resurrection or double-delete."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        _seed_orders_table(spark, sf_dir, path, with_year=True)
+        graft_sql(spark, f"ALTER TABLE `{path}` SET TBLPROPERTIES "
+                         f"('enableDeletionVectors' = 'true')")
+        for pred in ("o_orderkey % 10 = 1",
+                     "o_orderkey % 10 = 2",
+                     "status = 'F' AND order_year = 1995"):
+            graft_sql(spark, f"DELETE FROM `{path}` WHERE {pred}")
+
+    root = scoped_scratch("dv_mask_debt_orders", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "table"))
+            .select("o_orderkey", "status", "total_price",
+                    "order_year"))
+
+
 def sql_truncate_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``TRUNCATE TABLE`` through graft_sql (round 9 —
     sources/manifest_source.py:truncate_manifest): one metadata
@@ -566,6 +592,7 @@ def sql_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sql_convert_in_place": sql_convert_in_place,
     "manifest_dv_delete_where": manifest_dv_delete_where,
+    "dv_delete_mask_debt": dv_delete_mask_debt,
     "sql_truncate_reload": sql_truncate_reload,
     "sql_update_where": sql_update_where,
     "sql_delete_where": sql_delete_where,
@@ -601,6 +628,12 @@ ORACLE_SQL = {
     "manifest_dv_delete_where": f"""
         SELECT * FROM ({_ORDERS_PROJ}) t
         WHERE NOT (status = 'F' AND order_year = 1996)
+    """,
+    "dv_delete_mask_debt": f"""
+        SELECT * FROM ({_ORDERS_PROJ}) t
+        WHERE NOT (o_orderkey % 10 = 1)
+          AND NOT (o_orderkey % 10 = 2)
+          AND NOT (status = 'F' AND order_year = 1995)
     """,
     "sql_truncate_reload": f"""
         SELECT * FROM ({_ORDERS_PROJ}) t
