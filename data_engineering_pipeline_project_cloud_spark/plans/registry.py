@@ -250,6 +250,11 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_dv_delete_where": 9,
     "sql_truncate_reload": 9,
     "sql_convert_in_place": 9,
+    "sql_merge_cdc_apply": 10,
+    "sql_delete_in_subquery": 10,
+    "sql_script_transaction": 10,
+    "sql_catalog_names": 10,
+    "dv_delete_mask_debt": 10,
 }
 
 

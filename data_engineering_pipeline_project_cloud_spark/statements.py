@@ -1034,6 +1034,7 @@ def _merge_clauses(p: _P) -> tuple[list[dict], list[dict], list[dict]]:
         if p.eat("NOT", "MATCHED", "BY", "SOURCE"):
             kind, bucket = "NOT MATCHED BY SOURCE", nmbs
         elif p.eat("NOT", "MATCHED"):
+            p.eat("BY", "TARGET")  # Delta synonym for NOT MATCHED
             kind, bucket = "NOT MATCHED", not_matched
         elif p.eat("MATCHED"):
             kind, bucket = "MATCHED", matched

@@ -289,3 +289,16 @@ def test_merge_apply_key_pruning_rewrites_only_affected(spark, table):
     dead = [f["path"] for f in m1["files"]
             if f.get("dead") and f["path"] in live0]
     assert len(dead) == 1, "k=0 lives in exactly one range file"
+
+
+def test_sql_merge_by_target_synonym(spark, table):
+    """Delta accepts WHEN NOT MATCHED BY TARGET as a synonym for
+    WHEN NOT MATCHED."""
+    spark.createDataFrame([(300, 3.0)], "k long, v double") \
+        .createOrReplaceTempView("bt_src")
+    graft_sql(spark, f"MERGE INTO `{table}` t USING bt_src s "
+                     f"ON t.k = s.k "
+                     f"WHEN NOT MATCHED BY TARGET THEN "
+                     f"INSERT (k, val) VALUES (s.k, s.v)")
+    assert read_manifest(spark, table).filter("k = 300") \
+        .collect()[0]["val"] == 3.0
