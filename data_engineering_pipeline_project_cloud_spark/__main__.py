@@ -42,8 +42,18 @@ def main(argv: list[str] | None = None) -> int:
     gp = sub.add_parser("sql", help="run lakehouse SQL statements "
                                     "(statements.graft_sql grammar)")
     gp.add_argument("statement", nargs="?",
-                    help="one statement; omit to read line-by-line "
-                         "from stdin")
+                    help="one statement or a ;-separated script "
+                         "(BEGIN..COMMIT spans are transactional); "
+                         "omit to read line-by-line from stdin")
+    gp.add_argument("--script", metavar="FILE",
+                    help="execute FILE ('-' = stdin) as ONE script "
+                         "via graft_sql_script: statements split at "
+                         "top-level semicolons, BEGIN..COMMIT spans "
+                         "roll back atomically on mid-script failure")
+    gp.add_argument("--group", metavar="DIR",
+                    help="publish each script COMMIT as a consistent-"
+                         "cut group snapshot under DIR "
+                         "(table_group.pin_group)")
     gp.add_argument("-n", type=int, default=20, help="rows to show")
 
     sp = sub.add_parser("serve", help="materialize the mart and serve "
@@ -77,11 +87,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
-        from .statements import graft_sql
+        from .statements import graft_sql, graft_sql_script
 
+        if args.script:
+            text = (sys.stdin.read() if args.script == "-"
+                    else open(args.script).read())
+            graft_sql_script(spark, text, group=args.group) \
+                .show(args.n, truncate=False)
+            return 0
         if args.statement:
-            graft_sql(spark, args.statement).show(args.n,
-                                                  truncate=False)
+            # a ;-separated script routes through the transactional
+            # executor; a single statement behaves identically
+            graft_sql_script(spark, args.statement,
+                             group=args.group) \
+                .show(args.n, truncate=False)
             return 0
         for line in sys.stdin:
             stmt = line.strip()

@@ -283,12 +283,20 @@ def sql_catalog_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM graft.cat_orders_r10
             GROUP BY order_year, status
         """)
+        graft_sql(spark, """
+            CREATE VIEW cat_yearly_view_r10 AS
+            SELECT order_year, status, n_orders
+            FROM graft.cat_yearly_r10
+        """)
 
     root = scoped_scratch("sql_catalog_names", sf_dir, build)
     spark.conf.set("spark.graft.catalogDir",
                    os.path.join(root, "catalog"))
+    # read THROUGH the stored view: one hash-green row proves name
+    # registration, name-addressed DML, managed CTAS, and view
+    # expansion end to end
     return graft_sql(spark, "SELECT order_year, status, n_orders "
-                            "FROM graft.cat_yearly_r10")
+                            "FROM graft.cat_yearly_view_r10")
 
 
 def sql_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:

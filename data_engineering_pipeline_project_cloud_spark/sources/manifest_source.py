@@ -2463,7 +2463,8 @@ def merge_apply(source, path: str, key_cols: list[str],
                 not_matched: list[dict] | None = None,
                 not_matched_by_source: list[dict] | None = None,
                 target_alias: str = "t", source_alias: str = "s",
-                txn: tuple[str, int] | None = None) -> dict:
+                txn: tuple[str, int] | None = None,
+                schema_evolution: bool = False) -> dict:
     """Copy-on-write MERGE with the FULL Delta clause matrix (the
     CDC-apply idiom ``merge_into_manifest``'s fixed upsert shape
     cannot express): ordered, conditional WHEN clauses with
@@ -2542,6 +2543,20 @@ def merge_apply(source, path: str, key_cols: list[str],
     ta, sa = target_alias, source_alias
     defaults = dict(m.get("columnDefaults") or {})
     gens = dict(m.get("generatedCols") or {})
+    t_names = set(name_set)
+    new_fields: list = []
+    if schema_evolution:
+        # WITH SCHEMA EVOLUTION (Delta's withSchemaEvolution): source
+        # columns the table lacks WIDEN the table in the same commit
+        # (add-column only — the writer's schema-merge contract).
+        # Star clauses carry them from the source; rows no clause
+        # touches NULL-fill, exactly add-column read semantics.
+        new_fields = [f for f in source.schema.fields
+                      if f.name not in name_set]
+        names = names + [f.name for f in new_fields]
+        name_set = set(names)
+        for f in new_fields:
+            types[f.name] = f.dataType
 
     def _resolve_set(cl: dict, star_ok: bool) -> dict[str, str]:
         assigns = cl.get("set") if "set" in cl else cl.get("values")
@@ -2674,7 +2689,7 @@ def merge_apply(source, path: str, key_cols: list[str],
 
     # ---- pass 1: per-column first-firing-clause values -------------
     pass1 = []
-    for f in st.fields:
+    for f in list(st.fields) + new_fields:
         col = None
         for lab, cond, amap in upd_clauses:
             if f.name not in amap:
@@ -2682,7 +2697,8 @@ def merge_apply(source, path: str, key_cols: list[str],
             v = F.expr(amap[f.name]).cast(f.dataType)
             col = F.when(F.col(act_col) == lab, v) if col is None \
                 else col.when(F.col(act_col) == lab, v)
-        orig = F.col(f"{ta}.{f.name}")
+        orig = (F.col(f"{ta}.{f.name}") if f.name in t_names
+                else F.lit(None).cast(f.dataType))  # evolution NULL-fill
         pass1.append((col.otherwise(orig) if col is not None
                       else orig).alias(f.name))
     out = j.select(act.alias(act_col), *pass1) \
@@ -2692,7 +2708,7 @@ def merge_apply(source, path: str, key_cols: list[str],
     fired_upd = [lab for lab, _, _ in upd_clauses]
     if gens:
         regen_sel = []
-        for f in st.fields:
+        for f in list(st.fields) + new_fields:
             if f.name in gens:
                 labs = [lab for lab in fired_upd
                         if lab not in explicit.get(f.name, set())]

@@ -155,11 +155,55 @@ def create_table_entry(spark, name: str, location: str | None,
     return out
 
 
-def drop_table_entry(spark, name: str,
-                     if_exists: bool = False) -> dict | None:
+def create_view_entry(spark, name: str, sql: str,
+                      or_replace: bool = False) -> dict:
+    """Register a NAMED VIEW: stored SQL text, expanded at query time
+    by the statement front-end (``graft.<name>`` references resolve
+    to the view's rewritten SELECT).  Views share the catalog
+    namespace with tables — a name is one or the other."""
+    cdir = catalog_dir(spark)
+    n = _norm(name)
+
+    def fn(tables: dict) -> None:
+        cur = tables.get(n)
+        if cur is not None and not or_replace:
+            kind = "view" if "view" in cur else "table"
+            raise ValueError(
+                f"name {n!r} already exists (a {kind}) — use CREATE "
+                "OR REPLACE VIEW or DROP it first")
+        if cur is not None and "view" not in cur:
+            raise ValueError(
+                f"name {n!r} is a TABLE — CREATE OR REPLACE VIEW "
+                "cannot repoint it (DROP TABLE first)")
+        tables[n] = {"view": sql}
+
+    _mutate(cdir, fn)
+    return {"name": n, "view": sql}
+
+
+def resolve_ref(spark, name: str) -> tuple[str, str]:
+    """Resolve a catalog name to ``("table", location)`` or
+    ``("view", sql)`` — the query rewriter's hook (DML targets use
+    ``resolve_table``, which refuses views)."""
+    cdir = catalog_dir(spark)
+    n = _norm(name)
+    t = load_catalog(cdir)["tables"].get(n)
+    if t is None:
+        raise ValueError(
+            f"unknown table name {name!r} (catalog {cdir} has "
+            f"{sorted(load_catalog(cdir)['tables']) or 'no tables'})")
+    if "view" in t:
+        return "view", t["view"]
+    return "table", t["location"]
+
+
+def drop_table_entry(spark, name: str, if_exists: bool = False,
+                     kind: str | None = None) -> dict | None:
     """Forget ``name``; a MANAGED table's data directory is removed
-    with it (external locations are never touched).  Returns the
-    dropped entry, or None under IF EXISTS on a missing name."""
+    with it (external locations are never touched).  ``kind`` of
+    "table"/"view" refuses dropping the other (ANSI DROP TABLE vs
+    DROP VIEW).  Returns the dropped entry, or None under IF EXISTS
+    on a missing name."""
     import shutil
 
     cdir = catalog_dir(spark)
@@ -173,6 +217,11 @@ def drop_table_entry(spark, name: str,
             raise ValueError(
                 f"unknown table name {n!r} "
                 f"(have {sorted(tables)})")
+        actual = "view" if "view" in tables[n] else "table"
+        if kind is not None and actual != kind:
+            raise ValueError(
+                f"{n!r} is a {actual}, not a {kind} — use DROP "
+                f"{actual.upper()}")
         dropped.update(tables.pop(n))
 
     _mutate(cdir, fn)
@@ -197,6 +246,10 @@ def resolve_table(spark, name: str) -> str:
             f"{sorted(tables) or 'no tables'}); register it with "
             "CREATE TABLE <name> LOCATION '<path>' or use a "
             "backtick-quoted path")
+    if "view" in t:
+        raise ValueError(
+            f"{name!r} is a VIEW — it can be queried "
+            f"(graft.{n}) but not used as a DML/DDL target")
     return t["location"]
 
 
@@ -218,9 +271,12 @@ def restore_catalog(spark, version: int) -> dict:
 
 
 def list_tables(spark) -> list[dict]:
-    """Every catalog entry, name-sorted: ``{"name", "location",
-    "managed"}`` — the SHOW TABLES surface."""
+    """Every catalog entry, name-sorted: ``{"name", "kind",
+    "location", "managed"}`` — the SHOW TABLES surface (views list
+    their stored SQL as the location)."""
     tables = load_catalog(catalog_dir(spark))["tables"]
-    return [{"name": n, "location": t["location"],
+    return [{"name": n,
+             "kind": "view" if "view" in t else "table",
+             "location": t.get("location", t.get("view", "")),
              "managed": bool(t.get("managed"))}
             for n, t in sorted(tables.items())]

@@ -18,8 +18,11 @@ once, then ``UPDATE orders SET ...`` and ``SELECT ... FROM
 graft.orders`` everywhere; ``SHOW TABLES`` lists entries, ``DROP
 TABLE [IF EXISTS] name`` forgets one (managed tables — created by a
 name-form CTAS without LOCATION — drop their data too; external
-locations are never touched).  Catalog state is CAS-versioned on
-disk and survives a fresh process.
+locations are never touched).  ``CREATE [OR REPLACE] VIEW name AS
+<query>`` stores SQL in the same namespace; ``graft.name`` view
+references expand recursively at query time (cycle-capped), always
+reflecting the CURRENT member tables; ``DROP VIEW name``.  Catalog
+state is CAS-versioned on disk and survives a fresh process.
 
 ::
 
@@ -58,7 +61,8 @@ one-row operation summary, queries return their rows):
 * ``CONVERT TO [GRAFT] `dir``` → ``convert_to_manifest`` (adopt an
   existing plain-parquet directory in place — footer stats, one
   CAS commit, zero rewrite; Hive layouts refused, see the API).
-* ``MERGE INTO `t` [AS] a USING <src> [AS] b ON a.k = b.k [AND ...]``
+* ``MERGE [WITH SCHEMA EVOLUTION] INTO `t` [AS] a USING <src> [AS] b
+  ON a.k = b.k [AND ...]``
   with the FULL Delta clause matrix (round 10): ordered,
   optionally-conditioned ``WHEN MATCHED [AND c] THEN UPDATE SET *
   | UPDATE SET col = expr, ... | DELETE``, ``WHEN NOT MATCHED
@@ -393,11 +397,15 @@ def _default_stat_cols(df: DataFrame) -> list[str]:
 _GRAFT_VIEWS: dict[tuple, str] = {}
 
 
-def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
+def _rewrite_graft_refs(spark: SparkSession, sql: str,
+                        _depth: int = 0) -> str:
     """Replace every ``graft.`path``` (optionally ``VERSION AS OF
     n``) table reference in a query with a registered temp view over
-    ``read_manifest`` — the read-side twin of the DML dispatch.  The
-    rewrite is token-exact (never inside string literals)."""
+    ``read_manifest`` — the read-side twin of the DML dispatch.
+    ``graft.<name>`` catalog refs resolve through the metastore:
+    tables read like paths, VIEWS expand recursively (their stored
+    SQL rewritten and registered, cycle-capped).  The rewrite is
+    token-exact (never inside string literals)."""
     from .sources.manifest_source import read_manifest, register
 
     toks = _lex(sql)
@@ -416,9 +424,24 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str) -> str:
             # catalog-name reference (round 10)
             pre, _, rest = t.raw.partition(".")
             if pre.upper() in ("GRAFT", "MANIFEST", "DELTA") and rest:
-                from .sources.metastore import resolve_table
+                from .sources.metastore import resolve_ref
 
-                path = resolve_table(spark, rest)
+                kind, val = resolve_ref(spark, rest)
+                if kind == "view":
+                    if _depth >= 10:
+                        raise ValueError(
+                            f"view expansion exceeds depth 10 at "
+                            f"{rest!r} — view cycle?")
+                    view = f"graft_catview_{rest.lower()}"
+                    spark.sql(_rewrite_graft_refs(
+                        spark, val, _depth + 1)) \
+                        .createOrReplaceTempView(view)
+                    out.append(sql[last:t.start])
+                    out.append(view)
+                    last = t.end
+                    k += 1
+                    continue
+                path = val
                 end = t.end
                 j = k + 1
         if path is None:
@@ -939,6 +962,7 @@ def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
     )
 
     p.expect("MERGE")
+    evolve = p.eat("WITH", "SCHEMA", "EVOLUTION")
     p.expect("INTO")
     path = p.table()
     t_alias = None
@@ -996,7 +1020,8 @@ def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
     def _is(cl, **kv):
         return all(cl.get(k) == v for k, v in kv.items())
 
-    if (len(matched) == 1 and not not_matched and not nmbs
+    if (not evolve and len(matched) == 1 and not not_matched
+            and not nmbs
             and _is(matched[0], cond=None, action="delete")):
         m = delete_from_manifest(
             src_df.select(*key_cols), path, key_cols, stat_cols)
@@ -1009,14 +1034,16 @@ def _stmt_merge(spark: SparkSession, p: _P) -> DataFrame:
         m = merge_into_manifest(
             src_df, path, key_cols, stat_cols,
             not_matched_by_source=(
-                nmbs[0].get("cond") or "true") if nmbs else None)
+                nmbs[0].get("cond") or "true") if nmbs else None,
+            schema_evolution=evolve)
         return _summary(spark, "MERGE", path, version=m.get("version"))
     m = merge_apply(
         src_df, path, key_cols, stat_cols,
         matched=matched, not_matched=not_matched,
         not_matched_by_source=nmbs,
         target_alias=t_alias or "__tgt",
-        source_alias=s_alias or "__src")
+        source_alias=s_alias or "__src",
+        schema_evolution=evolve)
     return _summary(spark, "MERGE", path, version=m.get("version"))
 
 
@@ -1352,6 +1379,22 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
 
     p.expect("CREATE")
     replace = p.eat("OR", "REPLACE")
+    if p.eat("VIEW"):
+        # CREATE [OR REPLACE] VIEW <name> AS <query> (round 10):
+        # stored SQL in the catalog, expanded at query time
+        from .sources.metastore import create_view_entry
+
+        name = p.ident("view name")
+        p.expect("AS")
+        query = p.slice(p.i, None)
+        if not query:
+            raise ValueError("CREATE VIEW requires a query")
+        # validate eagerly: a view that cannot analyze should fail at
+        # CREATE, not at first use (catalog refs resolve too)
+        spark.sql(_rewrite_graft_refs(spark, query)).schema
+        create_view_entry(spark, name, query, or_replace=replace)
+        return _summary(spark, "CREATE OR REPLACE VIEW" if replace
+                        else "CREATE VIEW", name)
     p.expect("TABLE")
     if_not_exists = p.eat("IF", "NOT", "EXISTS")
     if replace and if_not_exists:
@@ -1472,11 +1515,12 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
                          f"{p.slice(p.i, None)!r}")
     schema = StructType([
         StructField("name", StringType(), False),
+        StructField("kind", StringType(), False),
         StructField("location", StringType(), False),
         StructField("managed", BooleanType(), False),
     ])
     return spark.createDataFrame(
-        [(r["name"], r["location"], r["managed"])
+        [(r["name"], r["kind"], r["location"], r["managed"])
          for r in list_tables(spark)], schema)
 
 
@@ -1484,21 +1528,25 @@ def _stmt_drop(spark: SparkSession, p: _P) -> DataFrame:
     from .sources.metastore import drop_table_entry
 
     p.expect("DROP")
-    p.expect("TABLE")
+    kind = "view" if p.eat("VIEW") else None
+    if kind is None:
+        p.expect("TABLE")
+        kind = "table"
     if_exists = p.eat("IF", "EXISTS")
     t = p.peek()
     if t is None or t.kind != "word":
         raise ValueError(
-            "DROP TABLE takes a CATALOG NAME (path-addressed tables "
-            "have no catalog entry to drop — VACUUM/retention govern "
-            "their data)")
-    name = p.ident("table name")
+            f"DROP {kind.upper()} takes a CATALOG NAME "
+            "(path-addressed tables have no catalog entry to drop — "
+            "VACUUM/retention govern their data)")
+    name = p.ident(f"{kind} name")
     if not p.done():
         raise ValueError(f"unexpected trailing tokens: "
                          f"{p.slice(p.i, None)!r}")
-    e = drop_table_entry(spark, name, if_exists=if_exists)
-    return _summary(spark, "DROP TABLE" if e else "DROP TABLE (absent)",
-                    e["location"] if e else name)
+    e = drop_table_entry(spark, name, if_exists=if_exists, kind=kind)
+    label = f"DROP {kind.upper()}"
+    return _summary(spark, label if e else f"{label} (absent)",
+                    e.get("location", name) if e else name)
 
 
 def _stmt_convert(spark: SparkSession, p: _P) -> DataFrame:

@@ -302,3 +302,40 @@ def test_sql_merge_by_target_synonym(spark, table):
                      f"INSERT (k, val) VALUES (s.k, s.v)")
     assert read_manifest(spark, table).filter("k = 300") \
         .collect()[0]["val"] == 3.0
+
+
+def test_sql_merge_with_schema_evolution(spark, table):
+    """MERGE WITH SCHEMA EVOLUTION: a source column the table lacks
+    widens the table in the same commit — star clauses carry it,
+    untouched rows NULL-fill (Delta's withSchemaEvolution)."""
+    spark.createDataFrame(
+        [(2, 222.0, "n", "eu"), (500, 5.0, "n", "us")],
+        "k long, val double, tag string, region string"
+    ).createOrReplaceTempView("evo_src")
+    graft_sql(spark, f"""
+        MERGE WITH SCHEMA EVOLUTION INTO `{table}` t
+        USING evo_src s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    out = {r["k"]: r["region"]
+           for r in read_manifest(spark, table).collect()}
+    assert out[2] == "eu" and out[500] == "us"
+    assert out[3] is None  # untouched rows NULL-fill the new column
+
+
+def test_merge_apply_schema_evolution_matrix(spark, table):
+    """Evolution through the general clause matrix: a conditional
+    star update carries the new column for firing rows only."""
+    src = spark.createDataFrame(
+        [(1, 11.0, "x", 7), (2, 22.0, "y", 8)],
+        "k long, val double, tag string, score int")
+    merge_apply(src, table, ["k"], ["k"],
+                matched=[{"cond": "s.score > 7", "action": "update",
+                          "set": None}],
+                source_alias="s", schema_evolution=True)
+    out = {r["k"]: (r["val"], r["score"])
+           for r in read_manifest(spark, table).collect()}
+    assert out[2] == (22.0, 8)
+    assert out[1] == (10.0, None)  # clause did not fire
+    assert out[5] == (50.0, None)

@@ -127,3 +127,50 @@ def test_catalog_unknown_name_error_lists_options(spark, cat, src):
         graft_sql(spark, "UPDATE missing SET v = 1")
     with pytest.raises(ValueError, match="known"):
         graft_sql(spark, "DELETE FROM missing WHERE k = 1")
+
+
+def test_catalog_views_lifecycle(spark, cat, src):
+    graft_sql(spark, f"CREATE TABLE base LOCATION '{src}'")
+    graft_sql(spark, "CREATE VIEW evens AS SELECT k, v FROM "
+                     "graft.base WHERE k % 2 = 0")
+    assert graft_sql(spark, "SELECT count(*) AS n FROM graft.evens"
+                     ).collect()[0]["n"] == 5
+    # views compose (view over view), and reflect the CURRENT table
+    graft_sql(spark, "CREATE VIEW evens_small AS SELECT * FROM "
+                     "graft.evens WHERE k < 4")
+    graft_sql(spark, "DELETE FROM base WHERE k = 0")
+    assert graft_sql(spark, "SELECT count(*) AS n FROM "
+                            "graft.evens_small"
+                     ).collect()[0]["n"] == 1  # k=2 only
+    rows = {r["name"]: r["kind"]
+            for r in graft_sql(spark, "SHOW TABLES").collect()}
+    assert rows == {"base": "table", "evens": "view",
+                    "evens_small": "view"}
+    # a view is not a DML target, and DROP statements check kind
+    with pytest.raises(ValueError, match="VIEW"):
+        graft_sql(spark, "UPDATE evens SET v = 1")
+    with pytest.raises(ValueError, match="is a view"):
+        graft_sql(spark, "DROP TABLE evens")
+    with pytest.raises(ValueError, match="is a table"):
+        graft_sql(spark, "DROP VIEW base")
+    graft_sql(spark, "DROP VIEW evens_small")
+    graft_sql(spark, "DROP VIEW evens")
+    assert graft_sql(spark, "SHOW TABLES").count() == 1
+
+
+def test_catalog_view_create_validates_eagerly(spark, cat, src):
+    graft_sql(spark, f"CREATE TABLE base LOCATION '{src}'")
+    with pytest.raises(Exception):
+        graft_sql(spark, "CREATE VIEW broken AS SELECT nope "
+                         "FROM graft.base")
+    names = {r["name"]
+             for r in graft_sql(spark, "SHOW TABLES").collect()}
+    assert "broken" not in names
+    # OR REPLACE repoints; plain CREATE refuses
+    graft_sql(spark, "CREATE VIEW v1 AS SELECT k FROM graft.base")
+    with pytest.raises(ValueError, match="already exists"):
+        graft_sql(spark, "CREATE VIEW v1 AS SELECT v FROM graft.base")
+    graft_sql(spark, "CREATE OR REPLACE VIEW v1 AS "
+                     "SELECT v FROM graft.base")
+    cols = graft_sql(spark, "SELECT * FROM graft.v1").columns
+    assert cols == ["v"]

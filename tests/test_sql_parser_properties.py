@@ -89,3 +89,61 @@ def test_split_top_comma_depth(depth, parts):
                for p in parts]
     src = " , ".join(wrapped)
     assert _split_top(src, ",") == wrapped
+
+
+@given(st.lists(_payload, min_size=1, max_size=4))
+@settings(max_examples=200, deadline=None)
+def test_split_statements_respects_literals(parts):
+    """Round 10: script splitting at top-level semicolons — a `;`
+    inside a string literal or parens never splits, and each piece
+    round-trips to its statement text."""
+    from data_engineering_pipeline_project_cloud_spark.statements import split_statements
+
+    stmts = [f"UPDATE `t{i}` SET c = {_q(p + ';x')}"
+             for i, p in enumerate(parts)]
+    script = "; ".join(stmts) + ";"
+    got = split_statements(script)
+    assert got == stmts
+
+
+@given(_payload)
+@settings(max_examples=200, deadline=None)
+def test_find_clause_skips_case_end_spans(s):
+    """Round 10: WHEN/THEN inside CASE..END (and string literals)
+    are never clause boundaries."""
+    p = _P(f"CASE WHEN a = {_q(s)} THEN 1 ELSE 2 END WHEN")
+    # the only top-level WHEN is the trailing one
+    j = p.find_clause("WHEN")
+    assert p.toks[j].up == "WHEN" and j == len(p.toks) - 1
+    p2 = _P(f"x = {_q(s)} THEN")
+    assert p2.find_clause("THEN") == len(p2.toks) - 1
+
+
+@given(st.lists(_payload, min_size=1, max_size=3),
+       st.booleans())
+@settings(max_examples=150, deadline=None)
+def test_merge_clause_list_roundtrip(vals, with_cond):
+    """Round 10: the WHEN clause parser recovers every clause's kind,
+    condition, and assignments from adversarial payload text."""
+    from data_engineering_pipeline_project_cloud_spark.statements import _merge_clauses
+
+    conds = [f"s.op = {_q(v)}" for v in vals]
+    parts = []
+    for i, v in enumerate(vals):
+        cond = f" AND {conds[i]}" if with_cond or i < len(vals) - 1 \
+            else ""
+        parts.append(f"WHEN MATCHED{cond} THEN UPDATE SET "
+                     f"c{i} = {_q(v)}")
+    parts.append("WHEN NOT MATCHED THEN INSERT *")
+    p = _P(" ".join(parts))
+    matched, not_matched, nmbs = _merge_clauses(p)
+    assert len(matched) == len(vals) and len(not_matched) == 1
+    assert not nmbs
+    for i, (cl, v) in enumerate(zip(matched, vals)):
+        assert cl["action"] == "update"
+        assert cl["set"] == {f"c{i}": _q(v)}
+        if with_cond or i < len(vals) - 1:
+            assert cl["cond"] == f"s.op = {_q(v)}"
+        else:
+            assert cl["cond"] is None
+    assert not_matched[0] == {"cond": None, "values": None}
