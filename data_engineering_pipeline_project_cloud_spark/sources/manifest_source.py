@@ -4415,6 +4415,56 @@ def add_column_to_manifest(spark, path: str, name: str,
     return load_manifest(path, target)
 
 
+def widen_column_type(path: str, col: str, dtype: str) -> dict:
+    """EXPLICIT type widening (round 10 — the SQL ``ALTER TABLE ...
+    ALTER COLUMN ... TYPE`` form of the implicit append-time widening
+    ``_merged_schema_json`` already performs): one O(1) metadata
+    commit rewrites the schema with the wider type; every existing
+    file upcasts losslessly at read (JVM vectorized reader / Arrow
+    cast), exactly as post-widen reads of pre-widen files already do.
+    Only the ``_WIDENINGS`` matrix is accepted — narrowing or
+    cross-family changes are refused (they would require a rewrite
+    and could lose values).  Idempotent on the same type."""
+    from pyspark.sql.types import StructField, StructType
+
+    new_field = StructType.fromDDL(f"`{col}` {dtype}").fields[0]
+    while True:
+        prev = load_manifest(path)
+        st = _table_schema(prev)
+        fields = {f.name: f for f in st.fields}
+        if col not in fields:
+            raise ValueError(f"column {col!r} not in table schema "
+                             f"{[f.name for f in st.fields]}")
+        old = fields[col]
+        if old.dataType == new_field.dataType:
+            return prev  # idempotent
+        if not _widens(old.dataType, new_field.dataType):
+            raise ValueError(
+                f"cannot change column {col!r} from "
+                f"{old.dataType.simpleString()} to "
+                f"{new_field.dataType.simpleString()} — only safe "
+                "widening (int→bigint, float→double, …) is a "
+                "metadata-only change; anything else would need a "
+                "rewrite")
+        new_schema = StructType([
+            StructField(f.name, new_field.dataType, f.nullable,
+                        f.metadata) if f.name == col else f
+            for f in st.fields]).json()
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": new_schema,
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def drop_column_from_manifest(path: str, col: str) -> dict:
     """METADATA-ONLY column drop: one CAS commit replaces the manifest
     schema with the schema minus ``col`` — no data file is touched

@@ -79,7 +79,9 @@ one-row operation summary, queries return their rows):
   [FORMAT_OPTIONS ('k' = 'v', ...)] [COPY_OPTIONS ('force' = 'true')]``
   → ``copy_into``.
 * ``ALTER TABLE `t` ...``: ``ADD CONSTRAINT n CHECK (e)``, ``DROP
-  CONSTRAINT n``, ``ALTER COLUMN c SET DEFAULT e`` / ``DROP DEFAULT``,
+  CONSTRAINT n``, ``ALTER COLUMN c SET DEFAULT e`` / ``DROP DEFAULT``
+  / ``TYPE <wider>`` (metadata-only safe widening, int→bigint /
+  float→double — the explicit form of append-time widening),
   ``ADD COLUMN c type`` (metadata-only; old rows NULL-fill) or
   ``ADD COLUMN c type GENERATED ALWAYS AS (e)``, ``RENAME COLUMN a TO
   b``, ``DROP COLUMN c``, ``SET TBLPROPERTIES (...)``, ``CLUSTER BY
@@ -88,7 +90,10 @@ one-row operation summary, queries return their rows):
   ``optimize_manifest`` (partition-scoped compaction) /
   ``zorder_manifest``.
 * ``VACUUM `t` [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]``.
-* ``DESCRIBE HISTORY|DETAIL `t```.
+* ``DESCRIBE HISTORY|DETAIL `t``` (HISTORY on a commit-group
+  directory lists its consistent cuts), and plain ``DESCRIBE
+  [TABLE] `t``` — the column listing with DEFAULT/GENERATED
+  annotations.
 * ``RESTORE [TABLE] `t` TO VERSION AS OF n | TIMESTAMP AS OF
   '<ts>'`` → ``restore_manifest``.
 
@@ -1624,8 +1629,18 @@ def _stmt_alter(spark: SparkSession, p: _P) -> DataFrame:
             m = set_column_default(spark, path, col, None)
             return _summary(spark, "DROP DEFAULT", path,
                             version=m.get("version"))
+        if p.eat("TYPE") or p.eat("SET", "DATA", "TYPE"):
+            from .sources.manifest_source import widen_column_type
+
+            dtype = p.slice(p.i, None)
+            if not dtype:
+                raise ValueError("ALTER COLUMN ... TYPE requires a "
+                                 "type")
+            m = widen_column_type(path, col, dtype)
+            return _summary(spark, "WIDEN COLUMN TYPE", path,
+                            version=m.get("version"))
         raise ValueError("ALTER COLUMN supports SET DEFAULT / "
-                         "DROP DEFAULT")
+                         "DROP DEFAULT / TYPE <wider type>")
     if p.eat("ADD", "COLUMN"):
         from .sources.manifest_source import add_column_to_manifest
 
@@ -1859,7 +1874,39 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
                json.dumps(d["properties"], sort_keys=True),
                json.dumps(d["schemaFields"]))
         return spark.createDataFrame([row], schema)
-    raise ValueError("DESCRIBE supports HISTORY and DETAIL")
+    # plain DESCRIBE [TABLE] <t>: the column listing (ANSI/Spark
+    # DESCRIBE), annotated with defaults and generated expressions
+    from .sources.manifest_source import _table_schema, load_manifest
+
+    if p.at("EXTENDED") or p.at("FORMATTED"):
+        raise ValueError(
+            "DESCRIBE supports HISTORY, DETAIL, or a plain table "
+            "schema listing (DESCRIBE [TABLE] <t>)")
+    p.eat("TABLE")  # optional noise word
+    path = p.table()
+    if not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    m = load_manifest(path)
+    st = _table_schema(m)
+    defaults = m.get("columnDefaults") or {}
+    gens = m.get("generatedCols") or {}
+    schema = StructType([
+        StructField("col_name", StringType(), False),
+        StructField("data_type", StringType(), False),
+        StructField("nullable", StringType(), False),
+        StructField("extra", StringType(), True),
+    ])
+    rows = []
+    for f in st.fields:
+        extra = None
+        if f.name in gens:
+            extra = f"GENERATED ALWAYS AS ({gens[f.name]})"
+        elif f.name in defaults:
+            extra = f"DEFAULT {defaults[f.name]}"
+        rows.append((f.name, f.dataType.simpleString(),
+                     str(f.nullable).lower(), extra))
+    return spark.createDataFrame(rows, schema)
 
 
 def _stmt_restore(spark: SparkSession, p: _P) -> DataFrame:

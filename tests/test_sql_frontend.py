@@ -728,3 +728,47 @@ def test_sql_update_subquery_keeps_simple_filter_derivation(
     rows = {r["k"]: r["name"]
             for r in read_manifest(spark, table).collect()}
     assert rows[50] == "hit" and rows[51] == "row51"
+
+
+# ----------------------------------------------- round-10 DDL additions
+
+
+def test_sql_alter_column_type_widens(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "w")
+    write_manifest_table(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("k"),
+                                  (F.col("id").cast("float"))
+                                  .alias("x")), path, ["k"])
+    graft_sql(spark, f"ALTER TABLE `{path}` ALTER COLUMN k TYPE "
+                     f"bigint")
+    graft_sql(spark, f"ALTER TABLE `{path}` ALTER COLUMN x SET DATA "
+                     f"TYPE double")
+    df = read_manifest(spark, path)
+    assert dict(df.dtypes) == {"k": "bigint", "x": "double"}
+    # existing rows upcast losslessly
+    assert df.agg(F.sum("k")).collect()[0][0] == 45
+    # narrowing / cross-family refused
+    with pytest.raises(ValueError, match="widening"):
+        graft_sql(spark, f"ALTER TABLE `{path}` ALTER COLUMN k "
+                         f"TYPE int")
+    with pytest.raises(ValueError, match="widening"):
+        graft_sql(spark, f"ALTER TABLE `{path}` ALTER COLUMN x "
+                         f"TYPE bigint")
+    # metadata-only: no data file touched
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+    )
+    assert not any(f.get("dead") for f in load_manifest(path)["files"])
+
+
+def test_sql_plain_describe_lists_schema(spark, table):
+    graft_sql(spark, f"ALTER TABLE `{table}` ALTER COLUMN name "
+                     f"SET DEFAULT 'anon'")
+    rows = {r["col_name"]: r
+            for r in graft_sql(spark,
+                               f"DESCRIBE `{table}`").collect()}
+    assert rows["k"]["data_type"] == "bigint"
+    assert rows["name"]["extra"] == "DEFAULT 'anon'"
+    with pytest.raises(ValueError, match="HISTORY"):
+        graft_sql(spark, f"DESCRIBE EXTENDED `{table}`")
