@@ -2618,11 +2618,17 @@ def merge_apply(source, path: str, key_cols: list[str],
         *[F.col(c).cast(types[c]).alias(c) for c in key_cols]
     ).distinct()
     bounds, keys_sorted = _key_pruning_info(src_keys, key_cols)
+    # only matched / by-source clauses REWRITE target files; an
+    # insert-only merge appends and tombstones NOTHING (and is immune
+    # to duplicate matched source keys by construction)
+    touch_target = bool(matched or nmbs)
     if nmbs:
         affected = [f for f in m["files"] if not f.get("dead")]
-    else:
+    elif touch_target:
         affected = _files_possibly_containing(
             m["files"], key_cols, bounds, keys_sorted)
+    else:
+        affected = []
     conflict = _conflict_option(m.get("version", 0), key_cols[0],
                                 bounds, keys_sorted)
     paths = [f["path"] for f in affected]
@@ -2656,53 +2662,102 @@ def merge_apply(source, path: str, key_cols: list[str],
                     "the result would be nondeterministic; dedupe "
                     "the source to key grain first")
 
-    tdf = base.withColumn(t_ind, F.lit(True)).alias(ta)
-    sdf = source.withColumn(s_ind, F.lit(True)).alias(sa)
-    on = reduce(lambda a, b: a & b,
-                [tdf[k] == sdf[k] for k in key_cols])
-    j = tdf.join(sdf, on, "full_outer")
-
-    t_nn = F.col(f"{ta}.{t_ind}").isNotNull()
-    s_nn = F.col(f"{sa}.{s_ind}").isNotNull()
-    guards = {"matched": t_nn & s_nn, "insert": ~t_nn,
-              "by_source": ~s_nn}
+    act_col = "__merge_act"
+    if act_col in name_set:
+        raise ValueError(f"column name {act_col!r} is reserved")
 
     def _fire(cond: str | None):
         if cond is None:
             return F.lit(True)
         return F.coalesce(F.expr(cond), F.lit(False))
 
-    act = None
-    for lab, kind, cond in act_order:
-        c = guards[kind] & _fire(cond)
-        act = F.when(c, F.lit(lab)) if act is None else \
-            act.when(c, F.lit(lab))
-        if kind == "insert" and lab == f"i{len(not_matched) - 1}":
-            # an unmatched source row firing no insert clause drops
-            act = act.when(guards["insert"], F.lit("__drop"))
-    if not not_matched:
-        act = act.when(guards["insert"], F.lit("__drop"))
-    act = act.otherwise(F.lit("__keep"))
-    act_col = "__merge_act"
-    if act_col in name_set:
-        raise ValueError(f"column name {act_col!r} is reserved")
-
-    # ---- pass 1: per-column first-firing-clause values -------------
-    pass1 = []
-    for f in list(st.fields) + new_fields:
-        col = None
-        for lab, cond, amap in upd_clauses:
-            if f.name not in amap:
+    parts = []
+    if touch_target:
+        # UPDATE PART: target rows of the affected files, LEFT OUTER
+        # joined to the source — never a full outer, so a
+        # broadcast-sized CDC batch broadcasts and the (big) target
+        # side stays partition-local instead of sort-merging.  With
+        # no MATCHED clause the join only needs matched-NESS, so the
+        # key-grain src_keys frame joins instead of the raw source —
+        # duplicate source keys can then never fan out kept rows.
+        tdf = base.withColumn(t_ind, F.lit(True)).alias(ta)
+        s_frame = source if matched else src_keys
+        sdf = s_frame.withColumn(s_ind, F.lit(True)).alias(sa)
+        on = reduce(lambda a, b: a & b,
+                    [tdf[k] == sdf[k] for k in key_cols])
+        j = tdf.join(sdf, on, "left_outer")
+        s_nn = F.col(f"{sa}.{s_ind}").isNotNull()
+        guards = {"matched": s_nn, "by_source": ~s_nn}
+        act = None
+        for lab, kind, cond in act_order:
+            if kind == "insert":
+                continue  # source-only rows never appear here
+            c = guards[kind] & _fire(cond)
+            act = F.when(c, F.lit(lab)) if act is None else \
+                act.when(c, F.lit(lab))
+        act = act.otherwise(F.lit("__keep")) if act is not None \
+            else F.lit("__keep")
+        pass1 = []
+        for f in list(st.fields) + new_fields:
+            col = None
+            for lab, cond, amap in upd_clauses:
+                if f.name not in amap or lab.startswith("i"):
+                    continue
+                v = F.expr(amap[f.name]).cast(f.dataType)
+                col = F.when(F.col(act_col) == lab, v) if col is None \
+                    else col.when(F.col(act_col) == lab, v)
+            orig = (F.col(f"{ta}.{f.name}") if f.name in t_names
+                    else F.lit(None).cast(f.dataType))  # evolution
+            pass1.append((col.otherwise(orig) if col is not None
+                          else orig).alias(f.name))
+        parts.append(j.select(act.alias(act_col), *pass1))
+    if not_matched:
+        # INSERT PART: source rows whose key is in NO candidate file
+        # (the anti-join needs only the candidate files' keys — the
+        # same stats-pruned slice, never the whole table).  Insert
+        # conditions and values are SOURCE expressions (Delta's own
+        # scoping rule); a target reference fails analysis.
+        cand = affected if touch_target else \
+            _files_possibly_containing(m["files"], key_cols, bounds,
+                                       keys_sorted)
+        if cand:
+            tkeys = _masked_spark_read(spark, st, cand) \
+                .select(*key_cols)
+        else:
+            tkeys = spark.createDataFrame(
+                [], StructType([f for f in st.fields
+                                if f.name in key_cols]))
+        sdf_i = source.alias(sa)
+        on_i = reduce(lambda a, b: a & b,
+                      [sdf_i[k] == tkeys[k] for k in key_cols])
+        ins = sdf_i.join(tkeys, on_i, "left_anti")
+        act_i = None
+        for lab, kind, cond in act_order:
+            if kind != "insert":
                 continue
-            v = F.expr(amap[f.name]).cast(f.dataType)
-            col = F.when(F.col(act_col) == lab, v) if col is None \
-                else col.when(F.col(act_col) == lab, v)
-        orig = (F.col(f"{ta}.{f.name}") if f.name in t_names
-                else F.lit(None).cast(f.dataType))  # evolution NULL-fill
-        pass1.append((col.otherwise(orig) if col is not None
-                      else orig).alias(f.name))
-    out = j.select(act.alias(act_col), *pass1) \
-        .filter(~F.col(act_col).isin(*(del_labels + ["__drop"])))
+            c = _fire(cond)
+            act_i = F.when(c, F.lit(lab)) if act_i is None else \
+                act_i.when(c, F.lit(lab))
+        act_i = act_i.otherwise(F.lit("__drop"))
+        ins1 = []
+        for f in list(st.fields) + new_fields:
+            col = None
+            for lab, cond, amap in upd_clauses:
+                if f.name not in amap or not lab.startswith("i"):
+                    continue
+                v = F.expr(amap[f.name]).cast(f.dataType)
+                col = F.when(F.col(act_col) == lab, v) if col is None \
+                    else col.when(F.col(act_col) == lab, v)
+            ins1.append((col.otherwise(F.lit(None).cast(f.dataType))
+                         if col is not None
+                         else F.lit(None).cast(f.dataType))
+                        .alias(f.name))
+        parts.append(ins.select(act_i.alias(act_col), *ins1))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    drop_labels = del_labels + ["__drop"]
+    out = out.filter(~F.col(act_col).isin(*drop_labels))
 
     # ---- pass 2: recompute generated columns not explicitly set ----
     fired_upd = [lab for lab, _, _ in upd_clauses]

@@ -339,3 +339,54 @@ def test_merge_apply_schema_evolution_matrix(spark, table):
     assert out[2] == (22.0, 8)
     assert out[1] == (10.0, None)  # clause did not fire
     assert out[5] == (50.0, None)
+
+
+def test_merge_apply_insert_only_dup_matched_keys_no_fanout(
+        spark, table):
+    """Round-10 fix: an insert-only merge whose source carries a
+    MATCHED key twice must neither duplicate the kept target row
+    (the old full-outer join fanned it out) nor rewrite any file
+    (insert-only merges are append-only commits)."""
+    src = spark.createDataFrame([(3, 0.1, "a"), (3, 0.2, "b"),
+                                 (600, 1.0, "c")],
+                                "k long, val double, tag string")
+    merge_apply(src, table, ["k"], ["k"],
+                not_matched=[{"cond": None, "values": None}],
+                source_alias="s")
+    assert read_manifest(spark, table).filter("k = 3").count() == 1
+    assert read_manifest(spark, table).count() == 21
+    m = load_manifest(table)
+    assert not any(f.get("dead") for f in m["files"])
+
+
+def test_merge_apply_update_part_is_broadcastable(spark, table):
+    """The 100 TB plan contract: the update part is a LEFT OUTER join
+    (a broadcast-sized CDC batch broadcasts; the big target side
+    stays partition-local) — never a full outer, which Spark can only
+    sort-merge."""
+    captured = {}
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as msrc
+
+    real = msrc.write_frame
+
+    def spy(df, *a, **kw):
+        captured["plan"] = df._jdf.queryExecution().executedPlan() \
+            .toString()
+        return real(df, *a, **kw)
+
+    orig = msrc.write_frame
+    msrc.write_frame = spy
+    try:
+        merge_apply(
+            spark.createDataFrame([(1, -1.0)], "k long, v double"),
+            table, ["k"], ["k"],
+            matched=[{"cond": None, "action": "update",
+                      "set": {"val": "s.v"}}],
+            source_alias="s")
+    finally:
+        msrc.write_frame = orig
+    plan = captured["plan"]
+    # the join is LEFT OUTER (AQE may pick broadcast at runtime —
+    # FullOuter would FORCE a sort-merge and is the regression)
+    assert "FullOuter" not in plan, plan[:2000]
+    assert "LeftOuter" in plan, plan[:2000]
