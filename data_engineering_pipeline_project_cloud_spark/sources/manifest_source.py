@@ -2510,9 +2510,18 @@ def merge_apply(source, path: str, key_cols: list[str],
     land together (``replacePaths``/``dvState``), and the commit
     carries the source-key summary (``conflictKeys``) so a racing
     append of a merged key fails this commit instead of leaving two
-    rows.  100 TB shape: O(affected files + source), broadcast key
-    anti-checks, zero driver materialization; blooms and first-class
-    partition values carry through the rewrite.
+    rows.  100 TB shape: the update part is a LEFT OUTER join from
+    the affected rows (AQE broadcasts a CDC-batch-sized source; the
+    big target side stays partition-local — never the full outer
+    Spark can only sort-merge), inserts come from a separate
+    anti-join of the source against the candidate files' KEY columns,
+    and an insert-only merge rewrites nothing at all (pure append
+    commit).  O(affected files + source), zero driver
+    materialization; blooms and first-class partition values carry
+    through the rewrite.  Scoping rules (Delta's): insert
+    conditions/values resolve against the SOURCE only; by-source
+    conditions/assignments against the TARGET only; matched clauses
+    see both sides.
 
     ``txn=(app_id, version)`` gives foreachBatch idempotency, same as
     ``merge_into_manifest``."""
