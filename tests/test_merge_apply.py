@@ -390,3 +390,37 @@ def test_merge_apply_update_part_is_broadcastable(spark, table):
     # FullOuter would FORCE a sort-merge and is the regression)
     assert "FullOuter" not in plan, plan[:2000]
     assert "LeftOuter" in plan, plan[:2000]
+
+
+def test_merge_apply_serializable_conflict_on_racing_append(
+        spark, table):
+    """merge_apply carries the same source-key summary
+    (conflictKeys) as merge_into_manifest: a plain append that lands
+    a MERGED key between the merge's read snapshot and its commit
+    fails the merge instead of leaving two rows for the key."""
+    import data_engineering_pipeline_project_cloud_spark.sources.manifest_source as msrc
+
+    real = msrc.write_frame
+
+    def race(df, path_, mode="append", **kw):
+        msrc.write_frame = real   # the racer itself must not recurse
+        racer = spark.createDataFrame([(1, 0.5, "racer")],
+                                      "k long, val double, tag string")
+        real(racer, path_, "append", statCols="k")
+        return real(df, path_, mode, **kw)
+
+    msrc.write_frame = race
+    try:
+        with pytest.raises(Exception, match="serializable conflict"):
+            merge_apply(
+                spark.createDataFrame([(1, -1.0)],
+                                      "k long, v double"),
+                table, ["k"], ["k"],
+                matched=[{"cond": None, "action": "update",
+                          "set": {"val": "s.v"}}],
+                source_alias="s")
+    finally:
+        msrc.write_frame = real
+    # the racer's row landed; the merge did not
+    rows = read_manifest(spark, table).filter("k = 1").collect()
+    assert {r["tag"] for r in rows} == {"old", "racer"}
