@@ -255,6 +255,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "sql_script_transaction": 10,
     "sql_catalog_names": 10,
     "dv_delete_mask_debt": 10,
+    "streaming_cdc_apply": 10,
 }
 
 

@@ -247,6 +247,77 @@ def streaming_manifest_upsert_view(spark: SparkSession,
                     "last_seen"))
 
 
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-APPLY through the full merge clause matrix
+    (round 10 — streaming/sinks.py:cdc_apply_writer → merge_apply):
+    a CDC log stream of (key, op, px) change rows — deletes, updates,
+    inserts, each key carrying exactly ONE op so the converged state
+    is independent of micro-batch boundaries — applies to the orders
+    table batch by batch, each batch ONE txn-gated atomic commit
+    mixing clause kinds.  The oracle replays the same op matrix
+    relationally; equality proves every op landed exactly once
+    through the streamed path."""
+    import os
+
+    from ..sources.manifest_source import register, write_manifest_table
+    from ..streaming.sinks import cdc_apply_writer, run_foreach_batch
+    from .scratch import scoped_scratch
+
+    register(spark)
+
+    def build(path: str) -> None:
+        src = os.path.join(path, "src")
+        table = os.path.join(path, "table")
+        ckpt = os.path.join(path, "ckpt")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("total_price"))
+        write_manifest_table(
+            orders.repartitionByRange(4, "o_orderkey"), table,
+            ["o_orderkey"])
+        cdc = (orders.filter(F.col("o_orderkey") % 10 == 3)
+               .select("o_orderkey", F.lit("D").alias("op"),
+                       F.lit(0.0).alias("px"))
+               .unionByName(
+                   orders.filter(F.col("o_orderkey") % 10 == 4)
+                   .select("o_orderkey", F.lit("U").alias("op"),
+                           (F.col("total_price") + F.lit(2.5))
+                           .alias("px")))
+               .unionByName(
+                   spark.range(25).select(
+                       (F.lit(2_000_000_000) + F.col("id"))
+                       .alias("o_orderkey"),
+                       F.lit("I").alias("op"),
+                       F.col("id").cast("double").alias("px"))))
+        cdc.repartition(3).write.mode("overwrite").parquet(src)
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(src).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        run_foreach_batch(
+            stream,
+            cdc_apply_writer(
+                table, ["o_orderkey"], ["o_orderkey"], "cdcapply",
+                matched=[
+                    {"cond": "s.op = 'D'", "action": "delete"},
+                    {"cond": "s.op = 'U'", "action": "update",
+                     "set": {"total_price": "s.px",
+                             "status": "'updated'"}}],
+                not_matched=[
+                    {"cond": "s.op = 'I'",
+                     "values": {"o_orderkey": "s.o_orderkey",
+                                "status": "'new'",
+                                "total_price": "s.px"}}]),
+            ckpt)
+
+    import os
+
+    path = scoped_scratch("streaming_cdc_apply", sf_dir, build)
+    return (read_manifest(spark, os.path.join(path, "table"))
+            .select("o_orderkey", "status", "total_price"))
+
+
 def streaming_dv_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming RIGHT-TO-BE-FORGOTTEN: a stream of erasure requests
     (every 9th customer key) is applied to the orders manifest table
@@ -515,6 +586,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM range(5) AS t(i)
         WHERE (1000000000 + i) % 7 <> 0
     """,
+    "streaming_cdc_apply": """
+        WITH base AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total_price
+            FROM orders)
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 4 THEN 'updated'
+                    ELSE status END AS status,
+               CASE WHEN o_orderkey % 10 = 4 THEN total_price + 2.5
+                    ELSE total_price END AS total_price
+        FROM base
+        WHERE o_orderkey % 10 <> 3
+        UNION ALL
+        SELECT CAST(2000000000 + i AS BIGINT) AS o_orderkey,
+               'new' AS status, CAST(i AS DOUBLE) AS total_price
+        FROM range(25) AS t(i)
+    """,
     "streaming_dv_forget": """
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -657,6 +747,7 @@ QUERIES = {
     "streaming_manifest_sink": streaming_manifest_sink,
     "streaming_manifest_upsert_view": streaming_manifest_upsert_view,
     "streaming_dv_forget": streaming_dv_forget,
+    "streaming_cdc_apply": streaming_cdc_apply,
     "streaming_manifest_cdc_feed": streaming_manifest_cdc_feed,
     "manifest_cdc_downstream_view": manifest_cdc_downstream_view,
     "cdc_incremental_agg_view": cdc_incremental_agg_view,

@@ -335,6 +335,41 @@ def drain_available_now(build_stream: Callable[[], DataFrame],
     return runs
 
 
+def cdc_apply_writer(path: str, key_cols: list[str],
+                     stat_cols: list[str], app_id: str,
+                     matched: list[dict] | None = None,
+                     not_matched: list[dict] | None = None,
+                     not_matched_by_source: list[dict] | None = None,
+                     source_alias: str = "s"
+                     ) -> Callable[[DataFrame, int], None]:
+    """foreachBatch callback applying a CDC LOG STREAM to a manifest
+    table through the FULL merge clause matrix (round 10,
+    ``merge_apply``): each micro-batch of change rows — typically
+    carrying an op column — lands as ONE atomic commit mixing
+    per-clause deletes, per-column updates, and conditional inserts.
+    This is the standard streaming CDC-apply topology (Debezium/DMS
+    feed → merge), which ``manifest_merge_writer``'s fixed upsert
+    shape cannot express.
+
+    Exactly-once: txn-gated per batch_id — a replayed batch no-ops
+    before planning any work.  Per-batch cost is merge_apply's:
+    key-stats file pruning, left-outer update part (a batch-sized
+    source broadcasts), anti-join inserts; an insert-only batch
+    appends without rewriting anything."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..sources.manifest_source import merge_apply, register
+
+        register(batch.sparkSession)
+        merge_apply(batch, path, key_cols, stat_cols,
+                    matched=matched, not_matched=not_matched,
+                    not_matched_by_source=not_matched_by_source,
+                    source_alias=source_alias,
+                    txn=(app_id, batch_id))
+
+    return write
+
+
 def dv_delete_writer(path: str, key_cols: list[str],
                      stat_cols: list[str],
                      app_id: str) -> Callable[[DataFrame, int], None]:

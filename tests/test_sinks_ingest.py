@@ -205,3 +205,45 @@ def test_manifest_merge_writer_maintains_keyed_view(spark, sf_dir, tmp_path):
     assert load_manifest(sink)["version"] == m["version"]
     assert (spark.read.format("graft_manifest").option("path", sink)
             .load().count()) == batch.count()
+
+
+def test_cdc_apply_writer_mixed_ops_and_replay(spark, tmp_path):
+    """Round 10: the CDC-apply foreachBatch sink routes each batch
+    through merge_apply's clause matrix — mixed delete/update/insert
+    in one commit — and a replayed batch_id no-ops (txn gate)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest,
+        read_manifest,
+        register,
+        write_manifest_table,
+    )
+    from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
+        cdc_apply_writer,
+    )
+
+    register(spark)
+    path = str(tmp_path / "cdct")
+    write_manifest_table(
+        spark.range(0, 10).select(F.col("id").alias("k"),
+                                  (F.col("id") * 1.0).alias("v")),
+        path, ["k"])
+    writer = cdc_apply_writer(
+        path, ["k"], ["k"], "cdctest",
+        matched=[{"cond": "s.op = 'D'", "action": "delete"},
+                 {"cond": "s.op = 'U'", "action": "update",
+                  "set": {"v": "s.px"}}],
+        not_matched=[{"cond": "s.op = 'I'",
+                      "values": {"k": "s.k", "v": "s.px"}}])
+    batch = spark.createDataFrame(
+        [(1, "D", 0.0), (2, "U", 99.0), (50, "I", 5.0)],
+        "k long, op string, px double")
+    writer(batch, 0)
+    out = {r["k"]: r["v"] for r in read_manifest(spark, path).collect()}
+    assert 1 not in out and out[2] == 99.0 and out[50] == 5.0
+    v_after = load_manifest(path)["version"]
+    # replayed batch (same batch_id): no new version, no double apply
+    writer(batch, 0)
+    assert load_manifest(path)["version"] == v_after
+    assert read_manifest(spark, path).filter("k = 50").count() == 1
