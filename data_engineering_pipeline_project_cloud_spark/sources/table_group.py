@@ -227,7 +227,8 @@ def group_commit(path: str, writes: dict[str, tuple],
             return group
 
 
-def pin_group(path: str, pins: dict[str, tuple[str, int]]) -> dict:
+def pin_group(path: str, pins: dict[str, tuple[str, int]],
+              txn_id: str | None = None) -> dict:
     """Publish ONE group snapshot pinning explicit ``{name: (table
     path, manifest version)}`` cuts — the primitive ``BEGIN ...
     COMMIT`` SQL scripts use: the script's statements commit to the
@@ -238,7 +239,12 @@ def pin_group(path: str, pins: dict[str, tuple[str, int]]) -> dict:
     Rebase-merges with a concurrently-advanced latest exactly like
     ``group_commit``: for pinned tables the MONOTONIC max version
     wins (manifest versions are an append-only log, so the later
-    version contains both writes); unpinned members carry forward."""
+    version contains both writes); unpinned members carry forward.
+
+    ``txn_id`` records the commit in the snapshot's consumed-id
+    registry (same contract as ``group_commit``): reusing a consumed
+    id is REFUSED naming the consuming group version — the signal a
+    crash-retrier needs that its commit in fact published."""
     import time as _time
 
     while True:
@@ -248,19 +254,27 @@ def pin_group(path: str, pins: dict[str, tuple[str, int]]) -> dict:
             group = {"version": 0,
                      "tables": {n: {"path": p, "version": int(v)}
                                 for n, (p, v) in pins.items()},
-                     "txns": {}, "committedAt": _time.time()}
+                     "txns": {txn_id: 0} if txn_id else {},
+                     "committedAt": _time.time()}
             os.makedirs(path, exist_ok=True)
             if _publish(path, group):
                 return group
             continue
+        txns = dict(latest.get("txns", {}))
+        if txn_id is not None:
+            if txn_id in txns:
+                raise ValueError(
+                    f"txn_id {txn_id!r} was already consumed by "
+                    f"group version {txns[txn_id]} — this commit "
+                    "already published")
+            txns[txn_id] = latest["version"] + 1
         merged = dict(latest["tables"])
         for n, (p, v) in pins.items():
             cur = merged.get(n)
             if cur is None or int(v) >= int(cur["version"]):
                 merged[n] = {"path": p, "version": int(v)}
         group = {"version": latest["version"] + 1, "tables": merged,
-                 "txns": dict(latest.get("txns", {})),
-                 "committedAt": _time.time()}
+                 "txns": txns, "committedAt": _time.time()}
         if _publish(path, group):
             return group
 

@@ -648,7 +648,24 @@ def graft_sql_script(spark: SparkSession, script: str,
     cut.  A hard crash mid-span leaves member commits visible to
     direct readers until the script re-runs — the group view never
     shows them.  ``VACUUM`` and ``CONVERT TO`` are refused inside a
-    span (both are irreversible, compensation would be a lie)."""
+    span (both are irreversible, compensation would be a lie).
+
+    ``BEGIN TRANSACTION '<txn-id>'`` (requires ``group``) makes the
+    span CRASH-RECOVERABLE and IDEMPOTENT under retry:
+
+    * a WRITE-AHEAD INTENT (``<group>/intent-<id>.json``, the
+      captured pre-versions) is persisted before each first write;
+    * re-running a script whose id the group already CONSUMED skips
+      the whole span — the commit published, replaying would double-
+      apply;
+    * re-running after a HARD CRASH (intent present, id not
+      consumed) first restores every captured pre-version — undoing
+      the crashed attempt's partial writes — then re-executes the
+      span cleanly;
+    * COMMIT consumes the id in the group snapshot (one CAS with the
+      pins) and removes the intent.  Exactly-once across the script,
+      the contract ``group_commit``/foreachBatch already give per
+      table."""
     from .sources.manifest_source import load_manifest, restore_manifest
     from .sources.metastore import catalog_dir, load_catalog, restore_catalog
 
@@ -657,40 +674,113 @@ def graft_sql_script(spark: SparkSession, script: str,
         raise ValueError("empty script")
     result: DataFrame | None = None
     txn: dict | None = None
+    skipping = False
 
-    def _rollback() -> None:
+    def _intent_path(tid: str) -> str:
+        return os.path.join(group, f"intent-{tid}.json")
+
+    def _persist_intent() -> None:
+        if txn.get("id") is None:
+            return
+        os.makedirs(group, exist_ok=True)
+        tmp = _intent_path(txn["id"]) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"pre": txn["pre"], "order": txn["order"],
+                       "catalog": txn["catalog"]}, fh)
+        os.replace(tmp, _intent_path(txn["id"]))
+
+    def _restore(state: dict) -> None:
         import shutil
 
-        for path in reversed(txn["order"]):
-            pre = txn["pre"][path]
+        for path in reversed(state["order"]):
+            pre = state["pre"][path]
             if pre is None:
                 shutil.rmtree(path, ignore_errors=True)
             else:
                 restore_manifest(path, pre)
         cur = load_catalog(catalog_dir(spark))["version"]
-        if cur != txn["catalog"]:
-            restore_catalog(spark, txn["catalog"])
+        if cur != state["catalog"]:
+            restore_catalog(spark, state["catalog"])
+
+    def _rollback() -> None:
+        _restore(txn)
+        if txn.get("id") is not None:
+            try:
+                os.remove(_intent_path(txn["id"]))
+            except FileNotFoundError:
+                pass
+
+    def _parse_begin(sql: str) -> str | None:
+        q = _P(sql)
+        q.expect("BEGIN")
+        q.eat("TRANSACTION") or q.eat("WORK")
+        tid = None
+        t = q.peek()
+        if t is not None and t.kind == "str":
+            tid = q.string("transaction id")
+            if not re.fullmatch(r"[A-Za-z0-9._-]{1,100}", tid):
+                raise ValueError(
+                    f"transaction id {tid!r} must be 1-100 chars of "
+                    "[A-Za-z0-9._-]")
+        if not q.done():
+            raise ValueError(f"unexpected trailing tokens: "
+                             f"{q.slice(q.i, None)!r}")
+        return tid
 
     for sql in stmts:
         head = sql.split(None, 1)[0].upper().rstrip(";")
+        if skipping:
+            # a consumed-txn span replays as a no-op up to its COMMIT
+            if head in ("COMMIT", "ROLLBACK"):
+                skipping = False
+                result = _summary(spark, "COMMIT (replayed)",
+                                  group or "")
+            continue
         if head == "BEGIN":
             if txn is not None:
                 raise ValueError("nested BEGIN (already in a "
                                  "transaction)")
-            txn = {"pre": {}, "order": [],
+            tid = _parse_begin(sql)
+            if tid is not None:
+                if group is None:
+                    raise ValueError(
+                        "BEGIN TRANSACTION '<id>' requires a group "
+                        "(the consumed-id registry lives in the "
+                        "group snapshot)")
+                from .sources.table_group import load_group
+
+                try:
+                    consumed = load_group(group).get("txns", {})
+                except FileNotFoundError:
+                    consumed = {}
+                if tid in consumed:
+                    skipping = True  # already committed: skip span
+                    continue
+                if os.path.exists(_intent_path(tid)):
+                    # crashed attempt: undo its partial writes first
+                    with open(_intent_path(tid)) as fh:
+                        _restore(json.load(fh))
+            txn = {"pre": {}, "order": [], "id": tid,
                    "catalog": load_catalog(
                        catalog_dir(spark))["version"]}
             continue
         if head == "COMMIT":
             if txn is None:
                 raise ValueError("COMMIT without BEGIN")
-            if group is not None and txn["order"]:
+            if group is not None and (txn["order"] or txn["id"]):
                 from .sources.table_group import pin_group
 
                 pin_group(group, {
                     os.path.abspath(p): (p, load_manifest(p)
                                          .get("version", 0))
-                    for p in txn["order"]})
+                    for p in txn["order"]}, txn_id=txn["id"])
+            if txn.get("id") is not None:
+                try:
+                    os.remove(_intent_path(txn["id"]))
+                except FileNotFoundError:
+                    pass
+            if result is None:
+                result = _summary(spark, "COMMIT", group or "")
             txn = None
             continue
         if head == "ROLLBACK":
@@ -715,6 +805,7 @@ def graft_sql_script(spark: SparkSession, script: str,
                     pre = None
                 txn["pre"][target] = pre
                 txn["order"].append(target)
+                _persist_intent()
         try:
             result = graft_sql(spark, sql)
         except BaseException:
@@ -726,7 +817,8 @@ def graft_sql_script(spark: SparkSession, script: str,
         raise ValueError(
             "script ended inside an open transaction (missing "
             "COMMIT) — rolled back")
-    assert result is not None  # stmts is non-empty
+    if result is None:  # e.g. a fully-replayed span with no COMMIT
+        result = _summary(spark, "NO-OP", group or "")
     return result
 
 

@@ -148,3 +148,80 @@ def test_script_group_commit_is_monotonic_across_runs(spark, src,
     g0 = load_group(grp, 0)
     assert g0["tables"][os.path.abspath(src)]["version"] < \
         g["tables"][os.path.abspath(src)]["version"]
+
+
+# ------------------------------------------- round-10 idempotent retry
+
+
+def test_script_txn_id_skips_consumed_span(spark, src, tmp_path):
+    grp = str(tmp_path / "grp_t")
+    script = f"""
+        BEGIN TRANSACTION 'load-001';
+        UPDATE `{src}` SET v = v + 1 WHERE k < 3;
+        COMMIT;
+    """
+    graft_sql_script(spark, script, group=grp)
+    vals1 = {r["k"]: r["v"]
+             for r in read_manifest(spark, src).collect()}
+    assert vals1[0] == 1.0
+    # the EXACT retry (crash-after-commit, driver restart, double
+    # submission) replays as a no-op — never a double apply
+    res = graft_sql_script(spark, script, group=grp)
+    assert res.collect()[0]["operation"] == "COMMIT (replayed)"
+    vals2 = {r["k"]: r["v"]
+             for r in read_manifest(spark, src).collect()}
+    assert vals2 == vals1
+    # a FRESH id applies
+    graft_sql_script(spark, f"""
+        BEGIN TRANSACTION 'load-002';
+        UPDATE `{src}` SET v = v + 1 WHERE k < 3;
+        COMMIT;
+    """, group=grp)
+    assert read_manifest(spark, src).filter("k = 0") \
+        .collect()[0]["v"] == 2.0
+
+
+def test_script_txn_id_recovers_from_crash(spark, src, tmp_path):
+    """Hard-crash simulation: a prior attempt wrote PART of the span
+    (its intent journal persisted, its id never consumed).  The retry
+    must first restore the captured pre-versions — undoing the
+    partial writes — then re-execute the whole span cleanly."""
+    import json as _json
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        load_manifest as _lm,
+    )
+
+    grp = str(tmp_path / "grp_c")
+    os.makedirs(grp)
+    pre_version = _lm(src).get("version", 0)
+    # the "crashed attempt": one statement landed, then the process
+    # died — exactly what the intent journal records
+    graft_sql(spark, f"UPDATE `{src}` SET v = -100 WHERE k = 0")
+    with open(os.path.join(grp, "intent-job7.json"), "w") as fh:
+        _json.dump({"pre": {os.path.abspath(src): pre_version},
+                    "order": [os.path.abspath(src)],
+                    "catalog": -1}, fh)
+    # retry with the same id: partial write undone, span re-applied
+    graft_sql_script(spark, f"""
+        BEGIN TRANSACTION 'job7';
+        UPDATE `{src}` SET v = v + 0.5 WHERE k = 0;
+        COMMIT;
+    """, group=grp)
+    assert read_manifest(spark, src).filter("k = 0") \
+        .collect()[0]["v"] == 0.5  # NOT -99.5 (crashed write undone)
+    assert not os.path.exists(os.path.join(grp, "intent-job7.json"))
+    # the id is consumed in the group snapshot
+    assert "job7" in load_group(grp).get("txns", {})
+
+
+def test_script_txn_id_requires_group_and_valid_id(spark, src):
+    with pytest.raises(ValueError, match="requires a group"):
+        graft_sql_script(spark, f"""
+            BEGIN TRANSACTION 'x1';
+            UPDATE `{src}` SET v = 0;
+            COMMIT;
+        """)
+    with pytest.raises(ValueError, match="transaction id"):
+        graft_sql_script(spark, "BEGIN TRANSACTION 'bad id!'; "
+                                "COMMIT;", group="/tmp/g")
