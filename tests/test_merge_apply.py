@@ -424,3 +424,25 @@ def test_merge_apply_serializable_conflict_on_racing_append(
     # the racer's row landed; the merge did not
     rows = read_manifest(spark, table).filter("k = 1").collect()
     assert {r["tag"] for r in rows} == {"old", "racer"}
+
+
+def test_merge_apply_composite_key(spark, tmp_path):
+    register(spark)
+    path = str(tmp_path / "ck")
+    df = spark.range(0, 12).select(
+        (F.col("id") % 4).alias("a"), (F.col("id") % 3).alias("b"),
+        F.col("id").cast("double").alias("v"))
+    write_manifest_table(df, path, ["a", "b"])
+    src = spark.createDataFrame([(1, 1, -1.0), (0, 9, 77.0)],
+                                "a long, b long, v double")
+    merge_apply(src, path, ["a", "b"], ["a", "b"],
+                matched=[{"cond": None, "action": "update",
+                          "set": {"v": "s.v"}}],
+                not_matched=[{"cond": None, "values": None}],
+                source_alias="s")
+    out = {(r["a"], r["b"]): r["v"]
+           for r in read_manifest(spark, path).collect()}
+    assert out[(1, 1)] == -1.0      # composite key matched
+    assert out[(0, 9)] == 77.0      # composite key inserted
+    assert out[(0, 0)] == 0.0
+    assert len(out) == 13
