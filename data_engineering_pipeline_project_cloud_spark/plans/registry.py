@@ -256,6 +256,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "sql_catalog_names": 10,
     "dv_delete_mask_debt": 10,
     "streaming_cdc_apply": 10,
+    "sql_script_flagship_master": 10,
 }
 
 

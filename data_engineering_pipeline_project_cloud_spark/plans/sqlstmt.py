@@ -255,6 +255,56 @@ def sql_script_transaction(spark: SparkSession,
     ).select("order_year", "status", "n_orders", "revenue")
 
 
+def sql_script_flagship_master(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP SHAPE end to end (round 10): its
+    entire transform engine is one transactional SQL script building
+    the master table (reference ``transform-complex-full.py:15-223``
+    — BEGIN → CTAS master → constraint → COMMIT).  This face runs
+    exactly that shape through ``graft_sql_script``: the master-table
+    ANSI SQL (the SAME text the DuckDB oracle executes, modulo
+    ``EPOCH`` → ``unix_timestamp`` — DuckDB's epoch function vs
+    Spark's) materializes as a manifest CTAS inside a BEGIN
+    TRANSACTION span, gains a CHECK constraint, and publishes one
+    consistent-cut group snapshot at COMMIT.  A hash-green row proves
+    the engine's SQL path reproduces the reference's master build
+    statement-for-statement."""
+    from ..statements import graft_sql_script
+    from .parity import ORACLE_SQL as PARITY_ORACLE
+
+    register(spark)
+    raw = ("lineitem", "orders", "nation", "region", "customer",
+           "supplier", "part")
+
+    def build(root: str) -> None:
+        master = os.path.join(root, "master")
+        grp = os.path.join(root, "grp")
+        for t in raw:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        try:
+            # two dialect seams: DuckDB's EPOCH() is Spark's
+            # unix_timestamp(), and Spark parses the 86400.0 literal
+            # as DECIMAL (DuckDB: DOUBLE) which would turn the delay
+            # division into fixed-point — force the double division
+            sql = (PARITY_ORACLE["master_table"]
+                   .replace("EPOCH(", "unix_timestamp(")
+                   .replace("/ 86400.0",
+                            "/ CAST(86400 AS DOUBLE)"))
+            graft_sql_script(spark, f"""
+                BEGIN TRANSACTION 'flagship-build';
+                CREATE OR REPLACE TABLE `{master}` AS {sql};
+                ALTER TABLE `{master}` ADD CONSTRAINT pos_price
+                    CHECK (item_price >= 0);
+                COMMIT;
+            """, group=grp)
+        finally:
+            for t in raw:
+                spark.catalog.dropTempView(t)
+
+    root = scoped_scratch("sql_flagship_master", sf_dir, build)
+    return read_manifest(spark, os.path.join(root, "master"))
+
+
 def sql_catalog_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog-name addressing end to end (round 10 — VERDICT r9
     task 4, ``sources.metastore``): CREATE TABLE <name> LOCATION
@@ -609,12 +659,21 @@ QUERIES = {
     "sql_delete_in_subquery": sql_delete_in_subquery,
     "sql_script_transaction": sql_script_transaction,
     "sql_catalog_names": sql_catalog_names,
+    "sql_script_flagship_master": sql_script_flagship_master,
     "sql_copy_into": sql_copy_into,
     "sql_table_contracts": sql_table_contracts,
     "sql_ctas_select": sql_ctas_select,
     "sql_restore_time_travel": sql_restore_time_travel,
     "sql_optimize_vacuum": sql_optimize_vacuum,
 }
+
+def _flagship_oracle() -> str:
+    from .parity import ORACLE_SQL as _PO
+
+    return _PO["master_table"]
+
+
+_FLAGSHIP_ORACLE = _flagship_oracle()
 
 _ORDERS_PROJ = """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
@@ -727,6 +786,7 @@ ORACLE_SQL = {
         FROM orders
         GROUP BY 1, 2
     """,
+    "sql_script_flagship_master": _FLAGSHIP_ORACLE,
     "sql_catalog_names": """
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                CASE WHEN o_orderstatus = 'F'
