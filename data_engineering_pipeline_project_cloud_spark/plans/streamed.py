@@ -249,7 +249,7 @@ def streaming_manifest_upsert_view(spark: SparkSession,
 
 def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC-APPLY through the full merge clause matrix
-    (round 10 — streaming/sinks.py:cdc_apply_writer → merge_apply):
+    (round 10 — streaming/sinks.py:merge_apply_writer → merge_apply):
     a CDC log stream of (key, op, px) change rows — deletes, updates,
     inserts, each key carrying exactly ONE op so the converged state
     is independent of micro-batch boundaries — applies to the orders
@@ -260,7 +260,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..sources.manifest_source import register, write_manifest_table
-    from ..streaming.sinks import cdc_apply_writer, run_foreach_batch
+    from ..streaming.sinks import merge_apply_writer, run_foreach_batch
     from .scratch import scoped_scratch
 
     register(spark)
@@ -297,7 +297,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .option("maxFilesPerTrigger", 1).parquet(src))
         run_foreach_batch(
             stream,
-            cdc_apply_writer(
+            merge_apply_writer(
                 table, ["o_orderkey"], ["o_orderkey"], "cdcapply",
                 matched=[
                     {"cond": "s.op = 'D'", "action": "delete"},

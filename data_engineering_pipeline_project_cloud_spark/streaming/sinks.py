@@ -335,13 +335,13 @@ def drain_available_now(build_stream: Callable[[], DataFrame],
     return runs
 
 
-def cdc_apply_writer(path: str, key_cols: list[str],
-                     stat_cols: list[str], app_id: str,
-                     matched: list[dict] | None = None,
-                     not_matched: list[dict] | None = None,
-                     not_matched_by_source: list[dict] | None = None,
-                     source_alias: str = "s"
-                     ) -> Callable[[DataFrame, int], None]:
+def merge_apply_writer(path: str, key_cols: list[str],
+                       stat_cols: list[str], app_id: str,
+                       matched: list[dict] | None = None,
+                       not_matched: list[dict] | None = None,
+                       not_matched_by_source: list[dict] | None = None,
+                       source_alias: str = "s"
+                       ) -> Callable[[DataFrame, int], None]:
     """foreachBatch callback applying a CDC LOG STREAM to a manifest
     table through the FULL merge clause matrix (round 10,
     ``merge_apply``): each micro-batch of change rows — typically
@@ -349,7 +349,10 @@ def cdc_apply_writer(path: str, key_cols: list[str],
     per-clause deletes, per-column updates, and conditional inserts.
     This is the standard streaming CDC-apply topology (Debezium/DMS
     feed → merge), which ``manifest_merge_writer``'s fixed upsert
-    shape cannot express.
+    shape cannot express.  (``cdc_apply_writer`` above is the
+    CHANGEFEED applier — change_type post-image rows from
+    manifest_changes; this one takes an arbitrary op-column log and
+    a clause matrix.)
 
     Exactly-once: txn-gated per batch_id — a replayed batch no-ops
     before planning any work.  Per-batch cost is merge_apply's:

@@ -220,7 +220,7 @@ def test_cdc_apply_writer_mixed_ops_and_replay(spark, tmp_path):
         write_manifest_table,
     )
     from data_engineering_pipeline_project_cloud_spark.streaming.sinks import (
-        cdc_apply_writer,
+        merge_apply_writer,
     )
 
     register(spark)
@@ -229,7 +229,7 @@ def test_cdc_apply_writer_mixed_ops_and_replay(spark, tmp_path):
         spark.range(0, 10).select(F.col("id").alias("k"),
                                   (F.col("id") * 1.0).alias("v")),
         path, ["k"])
-    writer = cdc_apply_writer(
+    writer = merge_apply_writer(
         path, ["k"], ["k"], "cdctest",
         matched=[{"cond": "s.op = 'D'", "action": "delete"},
                  {"cond": "s.op = 'U'", "action": "update",
