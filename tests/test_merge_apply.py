@@ -446,3 +446,24 @@ def test_merge_apply_composite_key(spark, tmp_path):
     assert out[(0, 9)] == 77.0      # composite key inserted
     assert out[(0, 0)] == 0.0
     assert len(out) == 13
+
+
+def test_merge_apply_out_of_range_keys_insert_without_rewrite(
+        spark, table):
+    """Source keys entirely outside every file's stats range: the
+    FIND prunes ALL candidates, the matched clause has nothing to
+    touch, and the not-matched clause still inserts — as a pure
+    append commit (no tombstones)."""
+    src = spark.createDataFrame([(900, 9.0), (901, 9.1)],
+                                "k long, v double")
+    merge_apply(src, table, ["k"], ["k"],
+                matched=[{"cond": None, "action": "update",
+                          "set": {"val": "s.v"}}],
+                not_matched=[{"cond": None,
+                              "values": {"k": "s.k", "val": "s.v"}}],
+                source_alias="s")
+    out = _rows(spark, table)
+    assert out[900] == (9.0, None) and out[901] == (9.1, None)
+    assert len(out) == 22
+    assert not any(f.get("dead")
+                   for f in load_manifest(table)["files"])

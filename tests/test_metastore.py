@@ -174,3 +174,20 @@ def test_catalog_view_create_validates_eagerly(spark, cat, src):
                      "SELECT v FROM graft.base")
     cols = graft_sql(spark, "SELECT * FROM graft.v1").columns
     assert cols == ["v"]
+
+
+def test_catalog_concurrent_creates_all_land(spark, cat, src):
+    """The CAS mutation loop under racing writers: every create lands
+    exactly once (lost publishes rebase and retry), the same
+    put-if-absent discipline as table commits."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def mk(i: int) -> None:
+        ms.create_table_entry(spark, f"race{i}", src)
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(mk, range(8)))
+    names = {r["name"] for r in ms.list_tables(spark)}
+    assert names == {f"race{i}" for i in range(8)}
+    # one version per successful publish: exactly 8 snapshots
+    assert ms.load_catalog(cat)["version"] == 7
