@@ -15,7 +15,8 @@ Table references are backtick-quoted filesystem paths (the Delta
 round 10 — CATALOG NAMES registered in the metastore-lite
 (``sources.metastore``): ``CREATE TABLE orders LOCATION '/data/o'``
 once, then ``UPDATE orders SET ...`` and ``SELECT ... FROM
-graft.orders`` everywhere; ``SHOW TABLES`` lists entries, ``DROP
+graft.orders`` everywhere; ``SHOW TABLES`` / ``SHOW VIEWS`` list entries (``SHOW
+TBLPROPERTIES `t``` lists table properties), ``DROP
 TABLE [IF EXISTS] name`` forgets one (managed tables — created by a
 name-form CTAS without LOCATION — drop their data too; external
 locations are never touched).  ``CREATE [OR REPLACE] VIEW name AS
@@ -1606,7 +1607,24 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
     from .sources.metastore import list_tables
 
     p.expect("SHOW")
-    p.expect("TABLES")
+    if p.eat("TBLPROPERTIES"):
+        from .sources.manifest_source import load_manifest
+
+        path = p.table()
+        if not p.done():
+            raise ValueError(f"unexpected trailing tokens: "
+                             f"{p.slice(p.i, None)!r}")
+        props = load_manifest(path).get("properties") or {}
+        schema = StructType([
+            StructField("key", StringType(), False),
+            StructField("value", StringType(), False),
+        ])
+        return spark.createDataFrame(
+            sorted((str(k), str(v)) for k, v in props.items()),
+            schema)
+    views_only = p.eat("VIEWS")
+    if not views_only:
+        p.expect("TABLES")
     if not p.done():
         raise ValueError(f"unexpected trailing tokens: "
                          f"{p.slice(p.i, None)!r}")
@@ -1616,9 +1634,11 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
         StructField("location", StringType(), False),
         StructField("managed", BooleanType(), False),
     ])
+    rows = [r for r in list_tables(spark)
+            if not views_only or r["kind"] == "view"]
     return spark.createDataFrame(
         [(r["name"], r["kind"], r["location"], r["managed"])
-         for r in list_tables(spark)], schema)
+         for r in rows], schema)
 
 
 def _stmt_drop(spark: SparkSession, p: _P) -> DataFrame:

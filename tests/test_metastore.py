@@ -191,3 +191,20 @@ def test_catalog_concurrent_creates_all_land(spark, cat, src):
     assert names == {f"race{i}" for i in range(8)}
     # one version per successful publish: exactly 8 snapshots
     assert ms.load_catalog(cat)["version"] == 7
+
+
+def test_show_views_and_tblproperties(spark, cat, src):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        set_table_properties,
+    )
+
+    graft_sql(spark, f"CREATE TABLE base LOCATION '{src}'")
+    graft_sql(spark, "CREATE VIEW only_v AS SELECT k FROM graft.base")
+    vs = graft_sql(spark, "SHOW VIEWS").collect()
+    assert [r["name"] for r in vs] == ["only_v"]
+    set_table_properties(src, {"enableDeletionVectors": "true",
+                               "owner": "etl"})
+    props = {r["key"]: r["value"]
+             for r in graft_sql(spark,
+                                "SHOW TBLPROPERTIES base").collect()}
+    assert props == {"enableDeletionVectors": "true", "owner": "etl"}
