@@ -2692,8 +2692,13 @@ def merge_apply(source, path: str, key_cols: list[str],
         tdf = base.withColumn(t_ind, F.lit(True)).alias(ta)
         s_frame = source if matched else src_keys
         sdf = s_frame.withColumn(s_ind, F.lit(True)).alias(sa)
+        # join on keys CAST TO THE TABLE'S TYPES — the same cast the
+        # file-pruning src_keys uses; raw-typed equality (e.g. string
+        # source keys vs bigint column) coerces via double and can
+        # disagree with the pruned candidate set past 2^53
         on = reduce(lambda a, b: a & b,
-                    [tdf[k] == sdf[k] for k in key_cols])
+                    [tdf[k] == sdf[k].cast(types[k])
+                     for k in key_cols])
         j = tdf.join(sdf, on, "left_outer")
         s_nn = F.col(f"{sa}.{s_ind}").isNotNull()
         guards = {"matched": s_nn, "by_source": ~s_nn}
@@ -2738,7 +2743,8 @@ def merge_apply(source, path: str, key_cols: list[str],
                                 if f.name in key_cols]))
         sdf_i = source.alias(sa)
         on_i = reduce(lambda a, b: a & b,
-                      [sdf_i[k] == tkeys[k] for k in key_cols])
+                      [sdf_i[k].cast(types[k]) == tkeys[k]
+                       for k in key_cols])
         ins = sdf_i.join(tkeys, on_i, "left_anti")
         act_i = None
         for lab, kind, cond in act_order:

@@ -128,6 +128,8 @@ def create_table_entry(spark, name: str, location: str | None,
     the catalog).  Plain CREATE refuses an existing name; OR REPLACE
     repoints it; IF NOT EXISTS no-ops.  Returns ``{"name",
     "location", "managed", "created": bool}``."""
+    import shutil
+
     cdir = catalog_dir(spark)
     n = _norm(name)
     managed = location is None
@@ -136,8 +138,10 @@ def create_table_entry(spark, name: str, location: str | None,
               else os.path.abspath(location))
     out = {"name": n, "location": loc, "managed": managed,
            "created": True}
+    orphaned: dict = {}
 
     def fn(tables: dict) -> None:
+        orphaned.clear()
         if n in tables:
             if if_not_exists:
                 out["location"] = tables[n]["location"]
@@ -149,9 +153,18 @@ def create_table_entry(spark, name: str, location: str | None,
                     f"table name {n!r} already exists "
                     f"(at {tables[n]['location']}) — use CREATE OR "
                     "REPLACE or DROP TABLE first")
+            # OR REPLACE repointing a MANAGED table elsewhere: the
+            # old managed data directory loses its only catalog
+            # reference — remove it, matching drop_table_entry's
+            # managed-data contract (otherwise it leaks, unfindable)
+            if (tables[n].get("managed")
+                    and tables[n].get("location") != loc):
+                orphaned.update(tables[n])
         tables[n] = {"location": loc, "managed": managed}
 
     _mutate(cdir, fn)
+    if orphaned:
+        shutil.rmtree(orphaned["location"], ignore_errors=True)
     return out
 
 

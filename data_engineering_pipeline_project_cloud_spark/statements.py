@@ -156,6 +156,16 @@ def _lex(sql: str) -> list[_Tok]:
     return toks
 
 
+#: Spark's string-literal escape table (unescapeSQLString): the
+#: control-character pairs decode, LIKE escapes keep their backslash,
+#: anything else falls through to "drop the backslash, keep the char".
+_STR_ESCAPES = {
+    "0": "\0", "b": "\b", "n": "\n", "r": "\r", "t": "\t",
+    "Z": "\x1a", "\\": "\\", "'": "'", '"': '"',
+    "%": "\\%", "_": "\\_",
+}
+
+
 class _P:
     """Token cursor over the ORIGINAL text: keywords parse from
     tokens, expressions slice verbatim from the source so arbitrary
@@ -281,10 +291,16 @@ class _P:
                 f"expected {what}, got "
                 f"{t.raw if t else 'end of statement'!r}")
         self.i += 1
-        # both Spark escape forms: '' doubling and backslash escapes
-        return re.sub(r"\\(.)|''",
-                      lambda m: m.group(1) if m.group(1) else "'",
-                      t.raw[1:-1])
+        # both Spark escape forms: '' doubling and backslash escapes,
+        # with Spark's actual escape TABLE (unescapeSQLString): '\n'
+        # is a newline, not the letter n; '\%'/'\_' keep their
+        # backslash (LIKE-pattern escapes); an unknown pair drops the
+        # backslash and keeps the char
+        return re.sub(
+            r"\\(.)|''",
+            lambda m: (_STR_ESCAPES.get(m.group(1), m.group(1))
+                       if m.group(1) is not None else "'"),
+            t.raw[1:-1])
 
     def table(self) -> str:
         """A table reference: ``graft.`path```, a backtick path, a
@@ -417,15 +433,28 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str,
     toks = _lex(sql)
     out, last, k = [], 0, 0
     registered = False
+
+    def _table_position(k: int) -> bool:
+        # only a token in TABLE POSITION is a catalog/path reference:
+        # a query alias literally named ``delta`` must keep working
+        # (``SELECT delta.change FROM (...) delta`` — pre-round-10
+        # behavior; ADVICE r10).  Table position = right after FROM /
+        # JOIN / USING / INTO / TABLE / LATERAL.
+        if k == 0:
+            return False
+        return toks[k - 1].up in ("FROM", "JOIN", "USING", "INTO",
+                                  "TABLE", "LATERAL")
+
     while k < len(toks):
         t = toks[k]
         path = None
         if (t.kind == "word" and t.up in ("GRAFT.", "MANIFEST.", "DELTA.")
-                and k + 1 < len(toks) and toks[k + 1].kind == "bt"):
+                and k + 1 < len(toks) and toks[k + 1].kind == "bt"
+                and _table_position(k)):
             path = toks[k + 1].raw[1:-1].replace("``", "`")
             end = toks[k + 1].end
             j = k + 2  # VERSION/TIMESTAMP lookahead starts here
-        elif t.kind == "word" and "." in t.raw:
+        elif t.kind == "word" and "." in t.raw and _table_position(k):
             # the lexer folds `graft.name` into ONE word token: a
             # catalog-name reference (round 10)
             pre, _, rest = t.raw.partition(".")
@@ -620,6 +649,34 @@ def _stmt_target_path(spark: SparkSession, sql: str) -> str | None:
     return None
 
 
+def _stmt_catalog_name(sql: str) -> str | None:
+    """The CATALOG NAME a statement creates/repoints (``CREATE
+    [OR REPLACE] TABLE|VIEW <bare-name> ...``) — best-effort peek
+    used only to capture per-name pre-images inside a transaction
+    span.  Compensation must restore exactly the entries the span
+    touched: a wholesale catalog-version rollback would erase a
+    CONCURRENT session's CREATE/DROP committed mid-span (ADVICE
+    r10)."""
+    from .sources.metastore import _norm
+
+    try:
+        p = _P(sql)
+        if not p.eat("CREATE"):
+            return None
+        p.eat("OR", "REPLACE")
+        if not (p.eat("TABLE") or p.eat("VIEW")):
+            return None
+        p.eat("IF", "NOT", "EXISTS")
+        t = p.peek()
+        if (t is not None and t.kind == "word"
+                and t.up not in ("GRAFT.", "MANIFEST.", "DELTA.")
+                and "." not in t.raw):
+            return _norm(p.ident("name"))
+    except ValueError:
+        return None
+    return None
+
+
 def graft_sql_script(spark: SparkSession, script: str,
                      group: str | None = None) -> DataFrame:
     """Execute a multi-statement SQL script — the reference's flagship
@@ -687,7 +744,7 @@ def graft_sql_script(spark: SparkSession, script: str,
         tmp = _intent_path(txn["id"]) + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"pre": txn["pre"], "order": txn["order"],
-                       "catalog": txn["catalog"]}, fh)
+                       "cat_pre": txn["cat_pre"]}, fh)
         os.replace(tmp, _intent_path(txn["id"]))
 
     def _restore(state: dict) -> None:
@@ -699,9 +756,27 @@ def graft_sql_script(spark: SparkSession, script: str,
                 shutil.rmtree(path, ignore_errors=True)
             else:
                 restore_manifest(path, pre)
-        cur = load_catalog(catalog_dir(spark))["version"]
-        if cur != state["catalog"]:
-            restore_catalog(spark, state["catalog"])
+        # catalog compensation is PER-NAME: only entries THIS span
+        # created/repointed roll back to their pre-images — a
+        # concurrent session's CREATE/DROP committed mid-span
+        # survives untouched (never a wholesale version restore)
+        cat_pre = state.get("cat_pre")
+        if cat_pre:
+            from .sources.metastore import _mutate
+
+            def fn(tables: dict) -> None:
+                for n, pre in cat_pre.items():
+                    if pre is None:
+                        tables.pop(n, None)
+                    else:
+                        tables[n] = dict(pre)
+
+            _mutate(catalog_dir(spark), fn)
+        elif cat_pre is None and state.get("catalog") is not None:
+            # legacy intent (pre-round-11): whole-version fallback
+            cur = load_catalog(catalog_dir(spark))["version"]
+            if cur != state["catalog"]:
+                restore_catalog(spark, state["catalog"])
 
     def _rollback() -> None:
         _restore(txn)
@@ -761,9 +836,7 @@ def graft_sql_script(spark: SparkSession, script: str,
                     # crashed attempt: undo its partial writes first
                     with open(_intent_path(tid)) as fh:
                         _restore(json.load(fh))
-            txn = {"pre": {}, "order": [], "id": tid,
-                   "catalog": load_catalog(
-                       catalog_dir(spark))["version"]}
+            txn = {"pre": {}, "order": [], "id": tid, "cat_pre": {}}
             continue
         if head == "COMMIT":
             if txn is None:
@@ -806,6 +879,13 @@ def graft_sql_script(spark: SparkSession, script: str,
                     pre = None
                 txn["pre"][target] = pre
                 txn["order"].append(target)
+                _persist_intent()
+            cname = _stmt_catalog_name(sql)
+            if cname is not None and cname not in txn["cat_pre"]:
+                entry = load_catalog(
+                    catalog_dir(spark))["tables"].get(cname)
+                txn["cat_pre"][cname] = (dict(entry)
+                                         if entry is not None else None)
                 _persist_intent()
         try:
             result = graft_sql(spark, sql)

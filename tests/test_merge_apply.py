@@ -467,3 +467,21 @@ def test_merge_apply_out_of_range_keys_insert_without_rewrite(
     assert len(out) == 22
     assert not any(f.get("dead")
                    for f in load_manifest(table)["files"])
+
+
+def test_merge_apply_casts_source_keys_to_table_types(spark, table):
+    """A type-mismatched source (string keys vs bigint column) joins
+    under the TABLE's key type — the same cast the file-pruning
+    src_keys uses (ADVICE r10) — so matches agree with the pruned
+    candidate set instead of coercing both sides via double."""
+    src = spark.createDataFrame(
+        [("3", 777.0), ("99", 888.0)], ["k", "val"])
+    merge_apply(src, table, ["k"], ["k"], matched=[
+        {"set": {"val": "s.val"}}],
+        not_matched=[{"values": {"k": "s.k", "val": "s.val"}}],
+        source_alias="s")
+    rows = {r["k"]: (r["val"], r["tag"])
+            for r in read_manifest(spark, table).collect()}
+    assert rows[3] == (777.0, "old")       # string '3' matched bigint 3
+    assert rows[99] == (888.0, None)       # inserted, cast to bigint
+    assert len(rows) == 21

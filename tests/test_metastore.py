@@ -208,3 +208,40 @@ def test_show_views_and_tblproperties(spark, cat, src):
              for r in graft_sql(spark,
                                 "SHOW TBLPROPERTIES base").collect()}
     assert props == {"enableDeletionVectors": "true", "owner": "etl"}
+
+
+def test_alias_named_delta_passes_through(spark, cat, src):
+    """A query alias literally named ``delta``/``graft`` is NOT a
+    catalog reference (ADVICE r10): only tokens in table position
+    (after FROM/JOIN/USING/INTO) resolve through the metastore."""
+    graft_sql(spark, f"CREATE TABLE base LOCATION '{src}'")
+    rows = graft_sql(spark, """
+        SELECT delta.change AS change
+        FROM (SELECT k AS change FROM graft.base WHERE k = 3) delta
+    """).collect()
+    assert [r["change"] for r in rows] == [3]
+    # alias-qualified columns in ON clauses pass through too
+    rows = graft_sql(spark, """
+        SELECT graft.k AS k FROM graft.base graft
+        JOIN graft.base b ON graft.k = b.k AND graft.k = 5
+    """).collect()
+    assert [r["k"] for r in rows] == [5]
+    # a genuinely unknown name IN table position still raises
+    with pytest.raises(ValueError, match="unknown table name"):
+        graft_sql(spark, "SELECT * FROM graft.nope")
+
+
+def test_or_replace_repoint_removes_managed_dir(spark, cat, src):
+    """CREATE OR REPLACE repointing a MANAGED table to an external
+    location removes the old managed data directory (ADVICE r10) —
+    the same contract DROP TABLE honors; an orphaned directory with
+    no catalog reference would leak forever."""
+    graft_sql(spark, "CREATE TABLE mgd AS SELECT 1 AS k")
+    old_loc = ms.resolve_table(spark, "mgd")
+    assert os.path.isdir(old_loc)
+    graft_sql(spark, f"CREATE OR REPLACE TABLE mgd LOCATION '{src}'")
+    assert not os.path.exists(old_loc)
+    assert ms.resolve_table(spark, "mgd") == src
+    # repointing an EXTERNAL entry never touches its data
+    graft_sql(spark, "CREATE OR REPLACE TABLE mgd AS SELECT 2 AS k")
+    assert os.path.isdir(src)

@@ -772,3 +772,21 @@ def test_sql_plain_describe_lists_schema(spark, table):
     assert rows["name"]["extra"] == "DEFAULT 'anon'"
     with pytest.raises(ValueError, match="HISTORY"):
         graft_sql(spark, f"DESCRIBE EXTENDED `{table}`")
+
+
+def test_string_literal_escape_table():
+    """Backslash escapes decode per Spark's lexer (ADVICE r10): '\\n'
+    is a NEWLINE, not the letter n; regex/path backslashes survive
+    where Spark's own unescape keeps them."""
+    from data_engineering_pipeline_project_cloud_spark.statements import _P
+
+    def lit(src: str) -> str:
+        return _P(src).string()
+
+    assert lit(r"'a\nb'") == "a\nb"
+    assert lit(r"'a\tb'") == "a\tb"
+    assert lit(r"'a\\b'") == "a\\b"
+    assert lit(r"'it''s'") == "it's"
+    assert lit(r"'a\%b'") == r"a\%b"     # LIKE escape keeps backslash
+    assert lit(r"'a\_b'") == r"a\_b"
+    assert lit(r"'a\qb'") == "aqb"       # unknown pair: drop backslash

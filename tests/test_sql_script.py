@@ -225,3 +225,56 @@ def test_script_txn_id_requires_group_and_valid_id(spark, src):
     with pytest.raises(ValueError, match="transaction id"):
         graft_sql_script(spark, "BEGIN TRANSACTION 'bad id!'; "
                                 "COMMIT;", group="/tmp/g")
+
+
+def test_rollback_compensates_only_own_catalog_entries(
+        spark, src, tmp_path):
+    """A failing span's compensation restores ONLY the catalog
+    entries the span itself created/repointed (ADVICE r10): a
+    CONCURRENT session's CREATE committed mid-span must survive the
+    rollback, and the span's own CREATE must be erased."""
+    from data_engineering_pipeline_project_cloud_spark.sources import metastore as ms
+
+    cdir = str(tmp_path / "cat_scoped")
+    spark.conf.set("spark.graft.catalogDir", cdir)
+    try:
+        graft_sql(spark, f"CREATE TABLE pre_existing LOCATION '{src}'")
+
+        class Boom(Exception):
+            pass
+
+        # interleave a concurrent session's CREATE mid-span by
+        # monkey-driving the script: statement 2 fails AFTER the
+        # concurrent create landed
+        import data_engineering_pipeline_project_cloud_spark.statements as st
+
+        real_graft_sql = st.graft_sql
+        state = {"fired": False}
+
+        def wrapped(sp, sql):
+            if "explode_now" in sql and not state["fired"]:
+                state["fired"] = True
+                # the concurrent session commits between statements
+                ms.create_table_entry(spark, "concurrent_t", src)
+                raise Boom("mid-span failure")
+            return real_graft_sql(sp, sql)
+
+        st.graft_sql = wrapped
+        try:
+            with pytest.raises(Boom):
+                graft_sql_script(spark, f"""
+                    BEGIN;
+                    CREATE TABLE span_t AS SELECT k FROM graft.`{src}`;
+                    UPDATE `{src}` SET v = v WHERE k = 'explode_now';
+                    COMMIT;
+                """)
+        finally:
+            st.graft_sql = real_graft_sql
+        names = {r["name"] for r in ms.list_tables(spark)}
+        assert "concurrent_t" in names      # survived the rollback
+        assert "span_t" not in names        # span's own create erased
+        assert "pre_existing" in names
+        # the span's managed data directory is gone too
+        assert not os.path.exists(ms.managed_location(cdir, "span_t"))
+    finally:
+        spark.conf.unset("spark.graft.catalogDir")
