@@ -257,6 +257,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "dv_delete_mask_debt": 10,
     "streaming_cdc_apply": 10,
     "sql_script_flagship_master": 10,
+    "sql_create_declared": 11,
+    "manifest_identity_insert": 11,
 }
 
 

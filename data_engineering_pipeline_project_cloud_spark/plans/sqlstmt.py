@@ -647,7 +647,101 @@ def sql_convert_in_place(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "order_year"))
 
 
+def sql_create_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-complete CREATE TABLE (round 11 — VERDICT r10 task 1): a
+    DECLARED-schema table (column types, NOT NULL, DEFAULT) with a
+    first-class partition column AND a hidden year() transform is
+    created EMPTY (one v0 metadata commit carrying the whole
+    contract, ``manifest_source.create_declared_table``), loaded via
+    COPY INTO (which conforms to the contract and splits files under
+    the declared layout), then read back through SQL with a
+    partition-pruned predicate.  The oracle recomputes the filter
+    relationally — hash-green proves declared DDL + conforming load +
+    pruned read return exactly the right rows."""
+    register(spark)
+
+    def build(root: str) -> None:
+        landing = os.path.join(root, "landing")
+        table = os.path.join(root, "table")
+        (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                 F.col("o_orderstatus").alias("status"),
+                 F.col("o_totalprice").cast("decimal(12,2)")
+                 .cast("double").alias("total_price"),
+                 F.col("o_orderdate").alias("odate"))
+         .coalesce(2).write.mode("overwrite").parquet(landing))
+        graft_sql(spark, f"""
+            CREATE TABLE `{table}` (
+              o_orderkey BIGINT NOT NULL,
+              status STRING,
+              total_price DOUBLE DEFAULT 0.0,
+              odate TIMESTAMP
+            ) USING GRAFT
+            PARTITIONED BY (status, year(odate))
+            TBLPROPERTIES ('owner' = 'round11')
+        """)
+        graft_sql(spark, f"""
+            COPY INTO `{table}` FROM '{landing}'
+            FILEFORMAT = PARQUET PATTERN = '*.parquet'
+        """)
+
+    root = scoped_scratch("sql_create_declared", sf_dir, build)
+    table = os.path.join(root, "table")
+    return graft_sql(spark, f"""
+        SELECT o_orderkey, status, total_price, odate
+        FROM graft.`{table}`
+        WHERE status = 'F'
+          AND odate < TIMESTAMP '1996-01-01 00:00:00'
+    """)
+
+
+def manifest_identity_insert(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """IDENTITY columns (round 11 — VERDICT r10 task 4): a declared
+    table with ``GENERATED BY DEFAULT AS IDENTITY (START WITH 1000)``
+    fills omitted ids on two successive appends (the second continues
+    from the first's CAS-committed high-water mark) and passes
+    EXPLICIT ids through on a third.  Appends are single-partition +
+    key-sorted, so the distributed allocation is deterministic:
+    ``id = 999 + row_number() over (order by o_orderkey)`` per
+    append — exactly what the DuckDB oracle recomputes.  Hash-green
+    proves value-exact allocation, not just uniqueness."""
+    register(spark)
+    from ..sources.manifest_source import write_frame
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        graft_sql(spark, f"""
+            CREATE TABLE `{path}` (
+              id BIGINT GENERATED BY DEFAULT AS IDENTITY
+                 (START WITH 1000 INCREMENT BY 1),
+              o_orderkey BIGINT,
+              status STRING,
+              total_price DOUBLE
+            )
+        """)
+        orders = _orders_frame(spark, sf_dir)
+        for st in ("F", "O"):  # two allocating appends, id omitted
+            write_frame(orders.filter(F.col("status") == st)
+                        .coalesce(1)
+                        .sortWithinPartitions("o_orderkey"),
+                        path, "append", statCols="o_orderkey")
+        # BY DEFAULT accepts explicit values (no high-water move)
+        explicit = spark.createDataFrame(
+            [(-1, 1_000_000_001, "X", 1.0),
+             (-2, 1_000_000_002, "X", 2.0)],
+            "id BIGINT, o_orderkey BIGINT, status STRING, "
+            "total_price DOUBLE").coalesce(1)
+        write_frame(explicit, path, "append", statCols="o_orderkey")
+
+    root = scoped_scratch("manifest_identity_insert", sf_dir, build)
+    return (read_manifest(spark, os.path.join(root, "table"))
+            .select("id", "o_orderkey", "status", "total_price"))
+
+
 QUERIES = {
+    "sql_create_declared": sql_create_declared,
+    "manifest_identity_insert": manifest_identity_insert,
     "sql_convert_in_place": sql_convert_in_place,
     "manifest_dv_delete_where": manifest_dv_delete_where,
     "dv_delete_mask_debt": dv_delete_mask_debt,
@@ -685,6 +779,43 @@ _ORDERS_PROJ = """
 """
 
 ORACLE_SQL = {
+    "sql_create_declared": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                   AS total_price,
+               o_orderdate AS odate
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    """,
+    "manifest_identity_insert": """
+        WITH proj AS (
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus AS status,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+                       AS total_price
+            FROM orders
+        ), f AS (
+            SELECT CAST(999 + ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                        AS BIGINT) AS id, *
+            FROM proj WHERE status = 'F'
+        ), o AS (
+            SELECT CAST((SELECT count(*) FROM proj WHERE status = 'F')
+                        + 999
+                        + ROW_NUMBER() OVER (ORDER BY o_orderkey)
+                        AS BIGINT) AS id, *
+            FROM proj WHERE status = 'O'
+        )
+        SELECT id, o_orderkey, status, total_price FROM f
+        UNION ALL
+        SELECT id, o_orderkey, status, total_price FROM o
+        UNION ALL
+        SELECT * FROM (VALUES
+            (CAST(-1 AS BIGINT), CAST(1000000001 AS BIGINT), 'X', 1.0),
+            (CAST(-2 AS BIGINT), CAST(1000000002 AS BIGINT), 'X', 2.0))
+            AS t(id, o_orderkey, status, total_price)
+    """,
     "sql_convert_in_place": f"""
         SELECT o_orderkey, CASE WHEN status = 'O'
                                      AND total_price < 10000.0

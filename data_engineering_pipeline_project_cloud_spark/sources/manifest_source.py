@@ -450,6 +450,10 @@ def _apply_delta(path: str, base: dict | None, delta: dict) -> dict:
                 delta["generatedCols"] if "generatedCols" in delta
                 else {} if (delta.get("truncate") or base is None)
                 else base.get("generatedCols", {})),
+            "identityCols": (
+                delta["identityCols"] if "identityCols" in delta
+                else {} if (delta.get("truncate") or base is None)
+                else base.get("identityCols", {})),
             "properties": (delta["properties"] if "properties" in delta
                            else {} if (delta.get("truncate")
                                        or base is None)
@@ -470,7 +474,7 @@ def _write_checkpoint(path: str, state: dict) -> None:
             ("schema", "version", "txn", "droppedCols", "committedAt",
              "renames", "constraints", "partitionGen", "partitionSpecs",
              "clusterBy", "copyInto", "columnDefaults",
-             "generatedCols", "properties")}
+             "generatedCols", "identityCols", "properties")}
     kinds = ["state"] + ["file"] * len(state["files"])
     payloads = [json.dumps(head)] + [
         json.dumps(_strip_payloads(f)) for f in state["files"]]
@@ -521,6 +525,8 @@ def _read_checkpoint(path: str, full: str) -> dict:
         head["columnDefaults"] = {}
     if head.get("generatedCols") is None:
         head["generatedCols"] = {}
+    if head.get("identityCols") is None:
+        head["identityCols"] = {}
     return head
 
 
@@ -1249,6 +1255,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
                 "copyInto": list(st.get("copyInto") or []),
                 "columnDefaults": dict(st.get("columnDefaults") or {}),
                 "generatedCols": dict(st.get("generatedCols") or {}),
+                "identityCols": {k: dict(v) for k, v in
+                                 (st.get("identityCols") or {}).items()},
                 "properties": dict(st.get("properties") or {})}
     files = []
     for f in st["files"]:
@@ -1284,6 +1292,8 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             "copyInto": list(st.get("copyInto") or []),
             "columnDefaults": dict(st.get("columnDefaults") or {}),
             "generatedCols": dict(st.get("generatedCols") or {}),
+            "identityCols": {k: dict(v) for k, v in
+                             (st.get("identityCols") or {}).items()},
             "properties": dict(st.get("properties") or {})}
 
 
@@ -1661,6 +1671,177 @@ def write_manifest_table(df, path: str, stat_cols: list[str]) -> dict:
     protocol.  Returns the manifest dict."""
     write_frame(df, path, "overwrite", statCols=",".join(stat_cols))
     return load_manifest(path)
+
+
+def create_declared_table(spark, path: str, schema: StructType, *,
+                          partition_gen: str = "",
+                          partition_cols: list[str] | None = None,
+                          cluster_by: list[str] | None = None,
+                          properties: dict | None = None,
+                          constraints: list[dict] | None = None,
+                          column_defaults: dict | None = None,
+                          generated_cols: dict | None = None,
+                          identity_cols: dict | None = None,
+                          or_replace: bool = False,
+                          if_not_exists: bool = False) -> dict:
+    """DDL-complete CREATE TABLE (round 11): publish an EMPTY manifest
+    table whose first commit carries the table's FULL declared
+    contract — schema, hidden-partition spec (``partitionGen``),
+    first-class partition columns (persisted as the ``partitionCols``
+    property every future append inherits), clustering columns, table
+    properties, NOT NULL / bounds / CHECK constraints, column
+    DEFAULTs, GENERATED columns, and IDENTITY columns.  The
+    reference's own master build declares its column contract in DDL
+    (reference ``transform-complex-full.py:127-221``); this is that
+    statement's engine-native landing.  INSERT / COPY INTO then
+    conform to the contract.  One O(1) metadata commit, no data file
+    written; the same CAS claim protocol as every other commit, so a
+    racing CREATE of the same path loses the v0 claim and surfaces
+    the already-exists error.
+
+    ``identity_cols``: ``{name: {"start": int, "step": int,
+    "always": bool}}`` — Delta's GENERATED AS IDENTITY contract:
+    values are unique and follow ``start + k*step``, NOT contiguous
+    (allocation is distributed); the high-water mark lives in table
+    state and advances in the same CAS commit as the data, so racing
+    allocating writers can never issue the same value (the loser's
+    commit fails its planned-high guard and re-runs).
+    """
+    from pyspark.sql import functions as F
+
+    cluster_by = list(cluster_by or [])
+    partition_cols = list(partition_cols or [])
+    properties = dict(properties or {})
+    constraints = [dict(c) for c in (constraints or [])]
+    column_defaults = dict(column_defaults or {})
+    generated_cols = dict(generated_cols or {})
+    identity_cols = {k: dict(v) for k, v in (identity_cols or {}).items()}
+
+    fields = {f.name: f for f in schema.fields}
+    if not fields:
+        raise ValueError("CREATE TABLE requires at least one column")
+    if len(fields) != len(schema.fields):
+        raise ValueError("duplicate column names in declared schema")
+    spec = _parse_partition_gen(partition_gen)
+    for g in spec:
+        if g["src"] not in fields:
+            raise ValueError(
+                f"partitionGen source column {g['src']!r} not in "
+                "table schema")
+        if g["name"] in fields:
+            raise ValueError(
+                f"partitionGen name {g['name']!r} collides with a "
+                "data column (generated partitions are hidden — pick "
+                "a name outside the schema)")
+    missing = [c for c in partition_cols if c not in fields]
+    if missing:
+        raise ValueError(f"partition column(s) {missing} not in "
+                         "table schema")
+    clash = sorted(set(partition_cols) & {g["name"] for g in spec})
+    if clash:
+        raise ValueError(f"partitionGen name(s) {clash} collide with "
+                         "partition columns")
+    missing = [c for c in cluster_by if c not in fields]
+    if missing:
+        raise ValueError(f"clusterBy column(s) {missing} not in "
+                         "table schema")
+    if partition_cols:
+        properties["partitionCols"] = ",".join(partition_cols)
+    for k, v in properties.items():
+        if v is not None and not isinstance(v, (str, int, float, bool)):
+            raise ValueError(
+                f"table property {k!r} must be a JSON scalar "
+                f"(got {type(v).__name__})")
+    if properties.get("targetFileRows") is not None \
+            and int(properties["targetFileRows"]) < 1:
+        raise ValueError("targetFileRows must be >= 1")
+    empty = spark.createDataFrame([], schema)
+    for con in constraints:
+        if con.get("check"):
+            if not con.get("name"):
+                raise ValueError("check constraint needs a name")
+            # analysis-time validation, same posture as
+            # add_check_constraint (the table is empty, so there is
+            # no existing data to scan)
+            empty.filter(F.expr(con["check"])).schema
+        else:
+            if not con.get("col"):
+                raise ValueError("constraint needs a 'col'")
+            if con["col"] not in fields:
+                raise ValueError(f"constraint column {con['col']!r} "
+                                 "not in table schema")
+            if not (con.get("notNull") or con.get("min") is not None
+                    or con.get("max") is not None):
+                raise ValueError(
+                    "constraint needs notNull and/or min/max")
+    for col, expr in column_defaults.items():
+        if col not in fields:
+            raise ValueError(f"DEFAULT column {col!r} not in table "
+                             "schema")
+        # DEFAULT must be column-free (ANSI), same as
+        # set_column_default
+        spark.createDataFrame([()], StructType([])).select(
+            F.expr(expr).cast(fields[col].dataType)).schema
+    for col, expr in generated_cols.items():
+        if col not in fields:
+            raise ValueError(f"GENERATED column {col!r} not in table "
+                             "schema")
+        if col in column_defaults:
+            raise ValueError(f"column {col!r} cannot be both "
+                             "GENERATED and DEFAULTed")
+        empty.select(F.expr(expr).cast(fields[col].dataType)).schema
+    for col, d in identity_cols.items():
+        if col not in fields:
+            raise ValueError(f"IDENTITY column {col!r} not in table "
+                             "schema")
+        if col in column_defaults or col in generated_cols:
+            raise ValueError(f"column {col!r} cannot combine IDENTITY "
+                             "with DEFAULT or a generation expression")
+        if fields[col].dataType.typeName() not in (
+                "long", "integer", "short", "byte"):
+            raise ValueError(
+                f"IDENTITY column {col!r} must be an integral type "
+                f"(got {fields[col].dataType.simpleString()})")
+        d.setdefault("start", 1)
+        d.setdefault("step", 1)
+        d.setdefault("always", True)
+        if int(d["step"]) == 0:
+            raise ValueError("IDENTITY INCREMENT BY must be nonzero")
+        d["start"], d["step"] = int(d["start"]), int(d["step"])
+        d["always"] = bool(d["always"])
+        d["high"] = None  # nothing allocated yet
+
+    import time as _time
+
+    _tfs.makedirs(path)
+    while True:
+        try:
+            prev = load_manifest(path)
+        except (FileNotFoundError, ValueError, OSError):
+            prev = None
+        if prev is not None and not or_replace:
+            if if_not_exists:
+                return prev
+            raise ValueError(
+                f"table already exists: {path!r} (use CREATE OR "
+                "REPLACE TABLE to replace it, or IF NOT EXISTS to "
+                "no-op)")
+        target = 0 if prev is None else prev.get("version", 0) + 1
+        delta = {"version": target, "schema": schema.json(),
+                 "txn": {}, "truncate": True, "add": [],
+                 "droppedCols": {}, "renames": [],
+                 "constraints": constraints,
+                 "partitionGen": spec, "partitionSpecs": [],
+                 "clusterBy": cluster_by,
+                 "columnDefaults": column_defaults,
+                 "generatedCols": generated_cols,
+                 "identityCols": identity_cols,
+                 "properties": properties,
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
 
 
 def build_manifest_from_footers(path: str, schema_json: str,
@@ -3967,6 +4148,14 @@ _ENGINE_PROPS = {
     # is absent — the per-table file-size policy (Delta's
     # delta.targetFileSize, row-count edition)
     "targetFileRows",
+    # declared first-class partition columns (round 11): appends with
+    # no explicit partitionCols option inherit this comma-separated
+    # list, so CREATE TABLE ... PARTITIONED BY (col) persists
+    "partitionCols",
+    # VACUUM defaults when the statement has no explicit RETAIN
+    # (round 11): explicit always wins
+    "retentionVersions",
+    "retentionHours",
 }
 
 
@@ -3989,6 +4178,15 @@ def set_table_properties(path: str, props: dict) -> dict:
             raise ValueError("targetFileRows must be >= 1")
     while True:
         prev = load_manifest(path)
+        if props.get("partitionCols"):
+            _names = {f.name for f in _table_schema(prev).fields}
+            _missing = [c for c in
+                        str(props["partitionCols"]).split(",")
+                        if c and c not in _names]
+            if _missing:
+                raise ValueError(
+                    f"partitionCols column(s) {_missing} not in "
+                    "table schema")
         cur = dict(prev.get("properties") or {})
         nxt = dict(cur)
         for k, v in props.items():
@@ -4704,6 +4902,14 @@ def restore_manifest(path: str, version: int) -> dict:
             # exactly-once memory of what was ever loaded)
             "columnDefaults": dict(old.get("columnDefaults") or {}),
             "generatedCols": dict(old.get("generatedCols") or {}),
+            # identity declarations roll back with the schema, but the
+            # HIGH-WATER MARK carries FORWARD from the pre-restore
+            # state (like txn watermarks): values allocated by
+            # since-restored commits must never be reissued
+            "identityCols": {
+                c: dict(d, high=(prev.get("identityCols", {})
+                                 .get(c, {}).get("high", d.get("high"))))
+                for c, d in (old.get("identityCols") or {}).items()},
             "properties": dict(old.get("properties") or {}),
             "committedAt": _time.time(),
             "restoredFrom": version,
@@ -4814,6 +5020,7 @@ def clone_manifest(src: str, dst: str, version: int | None = None,
         "clusterBy": list(state.get("clusterBy") or []),
         "columnDefaults": dict(state.get("columnDefaults") or {}),
         "generatedCols": dict(state.get("generatedCols") or {}),
+        "identityCols": dict(state.get("identityCols") or {}),
         # registry identities carry over; version stamps REBASE to the
         # clone's own axis (its v0) so expire_copy_registry's window
         # counts clone versions, not the source's unrelated numbering
@@ -5347,6 +5554,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 self._table_defaults = dict(json.loads(_pd))
             self._table_partition_gen = list(
                 _m.get("partitionGen") or [])
+            self._table_identity = dict(_m.get("identityCols") or {})
             _props = dict(_m.get("properties") or {})
         except (FileNotFoundError, ValueError):
             self._name_version = 0
@@ -5355,7 +5563,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             self._table_generated = {}
             self._table_defaults = {}
             self._table_partition_gen = []
+            self._table_identity = {}
             _props = {}
+        # IDENTITY allocation guard (round 11): write_frame records
+        # the high-water mark its fill derived from; commit() fails
+        # if the table's has since moved (a racing append allocated
+        # the same range) — collision-free by construction
+        _pi = options.get("plannedidentity")
+        self._planned_identity = dict(json.loads(_pi)) if _pi else {}
         # persisted file-size policy: the table's targetFileRows
         # property is the rolling default for every append from any
         # process; the explicit maxRowsPerFile option wins, and an
@@ -5364,6 +5579,22 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         if (not self._max_rows_file and not overwrite
                 and _props.get("targetFileRows")):
             self._max_rows_file = int(_props["targetFileRows"])
+        # declared first-class partition columns are table metadata
+        # too (round 11): an append with no explicit partitionCols
+        # option inherits the persisted ``partitionCols`` property,
+        # so every writer from any process splits files under the
+        # declared layout (an overwrite replaces table + property)
+        if (not self._partition_cols and not overwrite
+                and _props.get("partitionCols")):
+            self._partition_cols = [
+                c for c in str(_props["partitionCols"]).split(",") if c]
+            _missing = [c for c in self._partition_cols
+                        if c not in {f.name for f in schema.fields}]
+            if _missing:
+                raise ValueError(
+                    "the table's declared partition column(s) "
+                    f"{_missing} are not in the written schema — "
+                    "appends must carry them")
         # hidden partitioning is TABLE metadata: appends inherit the
         # persisted spec; an explicit spec that disagrees is refused
         # (a mixed-spec layout would silently halve pruning)
@@ -5429,6 +5660,13 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 "table has generated column(s) "
                 f"{sorted(self._table_generated)}; write through "
                 "write_frame (the native path computes/verifies them)")
+        if not self._overwrite and self._table_identity:
+            # and for IDENTITY columns: allocation needs the
+            # high-water fill + commit guard only write_frame plans
+            raise ValueError(
+                "table has identity column(s) "
+                f"{sorted(self._table_identity)}; write through "
+                "write_frame (the native path allocates them)")
         os.makedirs(self._path, exist_ok=True)
         pcols = self._partition_cols
         gens = self._partition_gen
@@ -5859,6 +6097,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     fail("table column defaults changed after this "
                          "write was planned; re-run so omitted "
                          "columns fill under the current defaults")
+                # identity DECLARATIONS (high-water excluded — that
+                # moves on every allocation and has its own guard):
+                # a write planned before a declaration change would
+                # publish rows that skip the allocation contract
+                def _idecl(idc: dict) -> dict:
+                    return {c: {k: v for k, v in d.items()
+                                if k != "high"}
+                            for c, d in idc.items()}
+                if _idecl(prev.get("identityCols") or {}) != \
+                        _idecl(self._table_identity):
+                    fail("table identity declarations changed after "
+                         "this write was planned; re-run so its rows "
+                         "allocate under the current contract")
                 # a hidden-partition spec that changed since planning
                 # means this commit's files were split (or not split)
                 # under the wrong layout — committing would mix specs.
@@ -5870,6 +6121,42 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                     fail("table partitionGen spec changed after this "
                          "write was planned; re-run under the current "
                          "spec")
+            # IDENTITY allocation: the fill derived values from the
+            # planning-time high-water mark — if a racing commit
+            # advanced it since, this commit's values may collide;
+            # fail and re-run (the retry re-fills from the new mark).
+            # The winner advances the mark from its OWN files' footer
+            # stats in the same atomic commit as the data.
+            identity_delta = None
+            if not truncate and self._planned_identity:
+                table_idc = dict(prev.get("identityCols") or {})
+                for c, planned in self._planned_identity.items():
+                    cur = table_idc.get(c)
+                    if cur is None:
+                        fail(f"identity declaration for column {c!r} "
+                             "changed after this write was planned; "
+                             "re-run against the current table")
+                    if cur.get("high") != planned:
+                        fail(f"identity high-water for column {c!r} "
+                             "moved after this write was planned (a "
+                             "racing append allocated the same "
+                             "range); re-run against the current "
+                             "table version")
+                    d = dict(cur)
+                    step = int(d.get("step", 1))
+                    vals = [f["stats"][c]["max" if step > 0 else "min"]
+                            for f in new_files
+                            if c in (f.get("stats") or {})]
+                    if vals:
+                        ext = max(vals) if step > 0 else min(vals)
+                        if d.get("high") is None:
+                            d["high"] = ext
+                        else:
+                            d["high"] = (max(d["high"], ext)
+                                         if step > 0
+                                         else min(d["high"], ext))
+                    table_idc[c] = d
+                identity_delta = table_idc
             # RE-ADD of a previously dropped name (epoch lift of the
             # old refusal): a retroactive MASKED rename record — from
             # the dropped name to a reserved never-in-schema target,
@@ -5908,6 +6195,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                      "add": new_files}
             if truncate:
                 delta["truncate"] = True
+            if identity_delta is not None:
+                delta["identityCols"] = identity_delta
             if tombstoned:
                 delta["tombstone"] = tombstoned
             if self._copy_files:
@@ -6079,8 +6368,17 @@ def _footer_entry(fpath: str, want_stats: set, want_nulls: set):
             if not s.has_min_max:
                 ok_mm = False
                 continue
-            lo = s.min if lo is None else min(lo, s.min)
-            hi = s.max if hi is None else max(hi, s.max)
+            try:
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            except Exception:
+                # pyarrow can't DECODE min/max for every physical
+                # type (e.g. some decimals raise
+                # ArrowNotImplementedError) — a column whose stats
+                # can't be read simply isn't skippable, never an
+                # error (the same never-prune-on-doubt posture)
+                ok_mm = False
+                lo = hi = None
         if col in want_nulls:
             nulls[col] = nc if ok_nc else None
         if (col in want_stats and ok_mm and lo is not None
@@ -6456,6 +6754,74 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
                 extra = json.loads(opts["constraints"]) \
                     if opts.get("constraints") else []
                 opts["constraints"] = json.dumps(extra + synth)
+        # IDENTITY columns (create_declared_table): a PLAIN append
+        # that omits one allocates values distributed —
+        # start + k*step with k from monotonically_increasing_id
+        # (unique per row; NOT contiguous across partitions, Delta's
+        # documented identity contract) — anchored at the planning
+        # snapshot's high-water mark; the commit's CAS guard fails a
+        # racing allocation.  GENERATED ALWAYS refuses explicit
+        # values; BY DEFAULT passes them through (no high-water
+        # move, Delta's contract).  CoW rewrites (replacePaths)
+        # carry existing rows as-is.
+        idc = (_m.get("identityCols") or {}) if _m else {}
+        if idc and "replacepaths" not in opts:
+            from pyspark.sql import functions as F
+
+            have = {f.name for f in df.schema.fields}
+            types = {f.name: f.dataType
+                     for f in _table_schema(_m).fields}
+            planned: dict[str, int | None] = {}
+            for c, d in idc.items():
+                if c not in types:
+                    continue
+                if c in have:
+                    if d.get("always"):
+                        raise ValueError(
+                            f"column {c!r} is GENERATED ALWAYS AS "
+                            "IDENTITY — explicit values are refused "
+                            "(declare GENERATED BY DEFAULT to allow "
+                            "them)")
+                    continue
+                step = int(d.get("step", 1))
+                base = (int(d["start"]) - step
+                        if d.get("high") is None else int(d["high"]))
+                df = df.withColumn(
+                    c, (F.lit(base)
+                        + (F.monotonically_increasing_id() + 1)
+                        * F.lit(step)).cast(types[c]))
+                planned[c] = d.get("high")
+            if planned:
+                opts["plannedidentity"] = json.dumps(planned)
+                # the commit advances the high-water from THIS
+                # write's footer stats: the column must be stat-kept
+                scols = [x for x in (opts.get("statcols") or ""
+                                     ).split(",") if x]
+                for c in planned:
+                    if c not in scols:
+                        scols.append(c)
+                opts["statcols"] = ",".join(scols)
+        # a subset-schema append that omits a DECLARED partition
+        # column (first-class, or a hidden transform's source)
+        # NULL-fills it — the row lands in the null partition, the
+        # SQL INSERT contract; without the fill the writer would
+        # refuse the append outright
+        if _m is not None:
+            pg = _m.get("partitionGen") or []
+            pprop = (_m.get("properties") or {}).get(
+                "partitionCols", "")
+            need = ([g["src"] for g in pg]
+                    + [c for c in str(pprop).split(",") if c])
+            if need:
+                from pyspark.sql import functions as F
+
+                have = {f.name for f in df.schema.fields}
+                types = {f.name: f.dataType
+                         for f in _table_schema(_m).fields}
+                for c in need:
+                    if c not in have and c in types:
+                        df = df.withColumn(
+                            c, F.lit(None).cast(types[c]))
     _native_write(df, path, mode, opts)
     # AUTO-COMPACT (Delta autoCompact analog, opt-in): when the table
     # persists BOTH `autoCompact` (trigger: live small-file count) and

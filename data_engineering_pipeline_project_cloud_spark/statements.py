@@ -397,7 +397,31 @@ def _summary(spark: SparkSession, operation: str, table: str,
 def _live_stat_cols(m: dict) -> list[str]:
     cols = sorted({k for f in m["files"] if not f.get("dead")
                    for k in (f.get("stats") or {})})
-    return cols
+    if cols:
+        return cols
+    # an EMPTY (declared) table has no file stats to inherit: default
+    # to the CTAS stats posture over the declared schema, so the
+    # first INSERT/COPY INTO lands with skipping stats
+    from .sources.manifest_source import _table_schema
+
+    try:
+        return _atomic_stat_fields(_table_schema(m).fields)
+    except Exception:
+        return []
+
+
+def _atomic_stat_fields(fields) -> list[str]:
+    atomic = ("long", "integer", "int", "short", "byte", "double",
+              "float", "string", "date", "boolean")
+    out: list[str] = []
+    for f in fields:
+        t = f.dataType.typeName()
+        if t in atomic or t.startswith("decimal") \
+                or t.startswith("timestamp"):
+            out.append(f.name)
+        if len(out) >= 32:
+            break
+    return out
 
 
 def _default_stat_cols(df: DataFrame) -> list[str]:
@@ -1584,6 +1608,11 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
         # [LOCATION '<path>'] [AS <query>] — catalog registration
         return _create_named(spark, p, replace, if_not_exists)
     path = p.table()
+    t = p.peek()
+    if t is not None and t.up == "(":
+        # declared-schema DDL (round 11): CREATE TABLE `path` (cols)
+        return _create_declared(spark, p, path, replace,
+                                if_not_exists)
     p.expect("AS")
     query = p.slice(p.i, None)
     if not query:
@@ -1609,6 +1638,255 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
                     version=m.get("version"))
 
 
+#: column-def clause starters — a type/expression slice ends at one of
+#: these (paren/angle depth 0)
+_COLDEF_STOPS = {"NOT", "DEFAULT", "GENERATED", "COMMENT", "CONSTRAINT"}
+
+#: hidden-partition transforms the PARTITIONED BY clause recognizes
+_PART_TRANSFORMS = {"date", "year", "month", "hour", "bucket",
+                    "truncate"}
+
+
+def _slice_until(p: _P, stops: set[str]) -> str:
+    """Raw text from the cursor to the next ``,``/``)`` or stop
+    keyword at paren/angle depth 0 (types like ``DECIMAL(12,2)`` /
+    ``ARRAY<STRUCT<a: INT>>`` and expressions with calls stay
+    whole)."""
+    depth = angle = 0
+    j = p.i
+    while j < len(p.toks):
+        t = p.toks[j]
+        if t.up == "(":
+            depth += 1
+        elif t.up == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif t.up == "<":
+            angle += 1
+        elif t.up == ">":
+            angle -= 1
+        elif depth == 0 and angle <= 0 and (
+                t.up == "," or (t.kind == "word" and t.up in stops)):
+            break
+        j += 1
+    out = p.slice(p.i, j)
+    p.i = j
+    return out
+
+
+def _signed_int(p: _P, what: str) -> int:
+    neg = p.eat_op("-")
+    t = p.peek()
+    if t is None or t.kind != "num" or "." in t.raw:
+        raise ValueError(f"expected integer {what}, got "
+                         f"{t.raw if t else 'end of statement'!r}")
+    p.i += 1
+    return -int(t.raw) if neg else int(t.raw)
+
+
+def _parse_create_body(spark: SparkSession, p: _P,
+                       allow_location: bool) -> dict:
+    """Parse a DECLARED-SCHEMA create body from the ``(`` after the
+    table reference: the column list (types, NOT NULL, DEFAULT,
+    GENERATED ALWAYS AS (expr), GENERATED ALWAYS|BY DEFAULT AS
+    IDENTITY, table-level CONSTRAINT ... CHECK) and the layout
+    clauses (PARTITIONED BY with plain columns and/or hidden
+    transforms, CLUSTER BY, TBLPROPERTIES, LOCATION).  Returns the
+    kwargs for ``create_declared_table`` plus ``location``."""
+    from pyspark.sql.types import StructType
+
+    p.expect_op("(")
+    cols: list[tuple[str, str]] = []
+    constraints: list[dict] = []
+    defaults: dict[str, str] = {}
+    generated: dict[str, str] = {}
+    identity: dict[str, dict] = {}
+    while True:
+        if p.eat("CONSTRAINT"):
+            cname = p.ident("constraint name")
+            p.expect("CHECK")
+            constraints.append({"name": cname,
+                                "check": p.balanced_paren_slice()})
+        else:
+            name = p.ident("column name")
+            dtype = _slice_until(p, _COLDEF_STOPS)
+            if not dtype:
+                raise ValueError(f"column {name!r} needs a type")
+            cols.append((name, dtype))
+            while True:
+                if p.eat("NOT", "NULL"):
+                    constraints.append({"col": name, "notNull": True})
+                    continue
+                if p.eat("DEFAULT"):
+                    expr = _slice_until(p, _COLDEF_STOPS - {"DEFAULT"})
+                    if not expr:
+                        raise ValueError(
+                            f"DEFAULT on {name!r} needs an expression")
+                    defaults[name] = expr
+                    continue
+                if p.eat("GENERATED"):
+                    always = True
+                    if p.eat("ALWAYS"):
+                        pass
+                    elif p.eat("BY", "DEFAULT"):
+                        always = False
+                    else:
+                        raise ValueError(
+                            "expected ALWAYS or BY DEFAULT after "
+                            "GENERATED")
+                    p.expect("AS")
+                    if p.eat("IDENTITY"):
+                        start, step = 1, 1
+                        t = p.peek()
+                        if t is not None and t.up == "(":
+                            p.expect_op("(")
+                            while not p.eat_op(")"):
+                                if p.eat("START", "WITH"):
+                                    start = _signed_int(p, "START WITH")
+                                elif p.eat("INCREMENT", "BY"):
+                                    step = _signed_int(p,
+                                                       "INCREMENT BY")
+                                else:
+                                    raise ValueError(
+                                        "IDENTITY options are START "
+                                        "WITH <n> / INCREMENT BY <m>")
+                        identity[name] = {"start": start, "step": step,
+                                          "always": always}
+                    else:
+                        if not always:
+                            raise ValueError(
+                                "GENERATED BY DEFAULT is only valid "
+                                "with AS IDENTITY")
+                        generated[name] = p.balanced_paren_slice()
+                    continue
+                if p.eat("COMMENT"):
+                    p.string("column comment")  # carried nowhere yet
+                    continue
+                break
+        if p.eat_op(","):
+            continue
+        p.expect_op(")")
+        break
+    if not cols:
+        raise ValueError("CREATE TABLE requires at least one column")
+    ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
+    try:
+        schema = StructType.fromDDL(ddl)
+    except Exception as exc:
+        raise ValueError(f"cannot parse declared schema {ddl!r}: "
+                         f"{exc}") from exc
+
+    part_cols: list[str] = []
+    gen_items: list[str] = []
+    cluster: list[str] = []
+    props: dict = {}
+    location: str | None = None
+    while not p.done():
+        if p.eat("USING", "GRAFT") or p.eat("USING", "MANIFEST"):
+            continue
+        if p.eat("PARTITIONED", "BY"):
+            p.expect_op("(")
+            while True:
+                word = p.ident("partition column or transform")
+                t = p.peek()
+                if t is not None and t.up == "=":
+                    p.i += 1
+                    tr = p.ident("transform").lower()
+                    gen_items.append(
+                        f"{word}={tr}({p.balanced_paren_slice()})")
+                elif (t is not None and t.up == "("
+                        and word.lower() in _PART_TRANSFORMS):
+                    args = p.balanced_paren_slice()
+                    src = args.split(",")[-1].strip().strip("`")
+                    gen_items.append(
+                        f"{src}_{word.lower()}={word.lower()}({args})")
+                else:
+                    part_cols.append(word)
+                if p.eat_op(","):
+                    continue
+                p.expect_op(")")
+                break
+            continue
+        if p.eat("CLUSTER", "BY"):
+            cluster = p.paren_cols()
+            continue
+        if p.eat("TBLPROPERTIES"):
+            props.update(_kv_options(p))
+            continue
+        if p.at("LOCATION"):
+            if not allow_location:
+                raise ValueError(
+                    "LOCATION is redundant on a path-addressed CREATE "
+                    "TABLE (the backtick path IS the location)")
+            p.expect("LOCATION")
+            location = p.string("location path")
+            continue
+        if p.at("AS"):
+            raise ValueError(
+                "CREATE TABLE with a declared column list does not "
+                "take AS <query> — CREATE then INSERT INTO")
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    return {"schema": schema, "constraints": constraints,
+            "column_defaults": defaults, "generated_cols": generated,
+            "identity_cols": identity, "partition_cols": part_cols,
+            "partition_gen": ",".join(gen_items),
+            "cluster_by": cluster, "properties": props,
+            "location": location}
+
+
+def _create_declared(spark: SparkSession, p: _P, path: str,
+                     replace: bool, if_not_exists: bool) -> DataFrame:
+    """``CREATE TABLE `path` (cols...) ...`` — the declared-schema
+    create at an explicit path (``sources.manifest_source.
+    create_declared_table``)."""
+    from .sources.manifest_source import create_declared_table
+
+    body = _parse_create_body(spark, p, allow_location=False)
+    body.pop("location")
+    m = create_declared_table(
+        spark, path, body.pop("schema"), or_replace=replace,
+        if_not_exists=if_not_exists, **body)
+    return _summary(spark, "CREATE OR REPLACE TABLE" if replace
+                    else "CREATE TABLE", path,
+                    version=m.get("version"))
+
+
+def _create_named_declared(spark: SparkSession, p: _P, name: str,
+                           replace: bool,
+                           if_not_exists: bool) -> DataFrame:
+    """``CREATE TABLE <name> (cols...) ...`` — declared-schema create
+    registered in the catalog: MANAGED under the catalog dir unless
+    the body carries LOCATION."""
+    from .sources.manifest_source import (
+        create_declared_table,
+        load_manifest,
+    )
+    from .sources.metastore import create_table_entry, drop_table_entry
+
+    body = _parse_create_body(spark, p, allow_location=True)
+    location = body.pop("location")
+    entry = create_table_entry(spark, name, location,
+                               or_replace=replace,
+                               if_not_exists=if_not_exists)
+    if not entry["created"]:  # IF NOT EXISTS on an existing name
+        m = load_manifest(entry["location"])
+        return _summary(spark, "CREATE TABLE (exists)",
+                        entry["location"], version=m.get("version"))
+    try:
+        m = create_declared_table(
+            spark, entry["location"], body.pop("schema"),
+            or_replace=replace, if_not_exists=if_not_exists, **body)
+    except BaseException:
+        if not replace:
+            drop_table_entry(spark, name, if_exists=True)
+        raise
+    return _summary(spark, "CREATE OR REPLACE TABLE" if replace
+                    else "CREATE TABLE", entry["location"],
+                    version=m.get("version"))
+
+
 def _create_named(spark: SparkSession, p: _P, replace: bool,
                   if_not_exists: bool) -> DataFrame:
     """CREATE TABLE <name>: catalog registration (metastore-lite).
@@ -1625,6 +1903,11 @@ def _create_named(spark: SparkSession, p: _P, replace: bool,
     from .sources.metastore import create_table_entry, drop_table_entry
 
     name = p.ident("table name")
+    t = p.peek()
+    if t is not None and t.up == "(":
+        # declared-schema DDL (round 11): CREATE TABLE name (cols)
+        return _create_named_declared(spark, p, name, replace,
+                                      if_not_exists)
     p.eat("USING", "GRAFT") or p.eat("USING", "MANIFEST")
     location = None
     if p.eat("LOCATION"):
