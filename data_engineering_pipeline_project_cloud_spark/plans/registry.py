@@ -259,6 +259,8 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "sql_script_flagship_master": 10,
     "sql_create_declared": 11,
     "manifest_identity_insert": 11,
+    "sql_show_partitions": 11,
+    "manifest_stats_minmax": 11,
 }
 
 

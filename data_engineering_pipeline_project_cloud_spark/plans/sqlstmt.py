@@ -739,9 +739,78 @@ def manifest_identity_insert(spark: SparkSession,
             .select("id", "o_orderkey", "status", "total_price"))
 
 
+def sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW PARTITIONS (round 11 — VERDICT r10 task 3): a declared
+    table with first-class partition columns (status, order_year) is
+    loaded through the conforming INSERT path, then SHOW PARTITIONS
+    reads the per-partition row counts PURELY from manifest metadata
+    (one row per live partition-value combo, DV-adjusted Σrows — no
+    data file opened; `statements._stmt_show`).  The oracle is the
+    relational GROUP BY COUNT(*) — hash-green proves the metadata
+    ledger agrees with the data, partition by partition."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        graft_sql(spark, f"""
+            CREATE TABLE `{path}` (
+              o_orderkey BIGINT,
+              status STRING,
+              total_price DOUBLE,
+              order_year INT
+            ) PARTITIONED BY (status, order_year)
+        """)
+        _orders_frame(spark, sf_dir, with_year=True) \
+            .createOrReplaceTempView("show_parts_src")
+        graft_sql(spark, f"INSERT INTO `{path}` "
+                         f"SELECT * FROM show_parts_src")
+
+    root = scoped_scratch("sql_show_partitions", sf_dir, build)
+    path = os.path.join(root, "table")
+    return (graft_sql(spark, f"SHOW PARTITIONS `{path}`")
+            .select("status", "order_year",
+                    F.col("num_rows").alias("part_rows")))
+
+
+def manifest_stats_minmax(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Metadata-only MIN/MAX (round 11 — VERDICT r10 task 5):
+    `stats_minmax` answers MIN/MAX over stat-tracked integer columns
+    from the manifest's live-entry stats — a driver metadata fold,
+    no data file opened (`manifest_source.minmax_manifest`) — and
+    `count_manifest` the row count.  The face PINS that the metadata
+    path answered (raises if it fell back to a scan); the DuckDB
+    oracle recomputes the extrema relationally.  The DV/missing-stats
+    refusal + scan fallback is pinned by tests/test_stats_minmax.py."""
+    register(spark)
+    from ..sources.manifest_source import count_manifest, stats_minmax
+
+    def build(root: str) -> None:
+        _seed_orders_table(spark, sf_dir,
+                           os.path.join(root, "table"),
+                           with_year=True)
+
+    root = scoped_scratch("manifest_stats_minmax", sf_dir, build)
+    path = os.path.join(root, "table")
+    mm, source = stats_minmax(spark, path,
+                              ["o_orderkey", "order_year"])
+    if source != "metadata":
+        raise AssertionError(
+            "expected the metadata fast path to serve a DV-free, "
+            f"stat-tracked table (got {source!r})")
+    return spark.createDataFrame(
+        [(mm["o_orderkey"]["min"], mm["o_orderkey"]["max"],
+          mm["order_year"]["min"], mm["order_year"]["max"],
+          count_manifest(path))],
+        "min_okey BIGINT, max_okey BIGINT, min_year INT, "
+        "max_year INT, n_rows BIGINT")
+
+
 QUERIES = {
     "sql_create_declared": sql_create_declared,
     "manifest_identity_insert": manifest_identity_insert,
+    "sql_show_partitions": sql_show_partitions,
+    "manifest_stats_minmax": manifest_stats_minmax,
     "sql_convert_in_place": sql_convert_in_place,
     "manifest_dv_delete_where": manifest_dv_delete_where,
     "dv_delete_mask_debt": dv_delete_mask_debt,
@@ -779,6 +848,22 @@ _ORDERS_PROJ = """
 """
 
 ORACLE_SQL = {
+    "sql_show_partitions": """
+        SELECT o_orderstatus AS status,
+               CAST(CAST(YEAR(o_orderdate) AS INT) AS VARCHAR)
+                   AS order_year,
+               COUNT(*) AS part_rows
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    "manifest_stats_minmax": """
+        SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_okey,
+               CAST(MIN(YEAR(o_orderdate)) AS INT) AS min_year,
+               CAST(MAX(YEAR(o_orderdate)) AS INT) AS max_year,
+               COUNT(*) AS n_rows
+        FROM orders
+    """,
     "sql_create_declared": """
         SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                o_orderstatus AS status,

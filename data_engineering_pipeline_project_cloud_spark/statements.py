@@ -90,7 +90,20 @@ one-row operation summary, queries return their rows):
 * ``OPTIMIZE `t` [WHERE p = lit [AND ...]] [ZORDER BY (c, ...)]`` →
   ``optimize_manifest`` (partition-scoped compaction) /
   ``zorder_manifest``.
-* ``VACUUM `t` [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]``.
+* ``VACUUM `t` [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]`` —
+  with no explicit RETAIN, the table's ``retentionVersions`` /
+  ``retentionHours`` TBLPROPERTIES govern (round 11); absent both,
+  the engine defaults (1 version, 1-hour in-flight guard).
+* ``SHOW CREATE TABLE `t`|name`` (round 11) — the persisted contract
+  rendered as re-executable DDL: columns with NOT NULL / DEFAULT /
+  GENERATED / IDENTITY (START WITH resumes past the live high-water
+  mark), CHECK constraints (stats-bounds constraints render as
+  equivalent CHECKs), PARTITIONED BY, CLUSTER BY, TBLPROPERTIES,
+  LOCATION on external names; views render their stored SQL.
+* ``SHOW PARTITIONS `t``` (round 11) — metadata-only: one row per
+  live partition-value combo with ``num_files`` and the DV-adjusted
+  ``num_rows``; refuses an unpartitioned table.
+* ``SHOW COLUMNS FROM|IN `t``` (round 11).
 * ``DESCRIBE HISTORY|DETAIL `t``` (HISTORY on a commit-group
   directory lists its consistent cuts), and plain ``DESCRIBE
   [TABLE] `t``` — the column listing with DEFAULT/GENERATED
@@ -427,7 +440,10 @@ def _atomic_stat_fields(fields) -> list[str]:
 def _default_stat_cols(df: DataFrame) -> list[str]:
     """CTAS default stats: the first 32 top-level atomic columns
     (Delta's dataSkippingNumIndexedCols=32 posture)."""
-    atomic = ("long", "int", "short", "byte", "double", "float",
+    # typeName() spells IntegerType "integer" — "int" would silently
+    # drop every INT column from stats (no skipping, no metadata
+    # min/max); caught by the round-11 manifest_stats_minmax face
+    atomic = ("long", "integer", "short", "byte", "double", "float",
               "string", "date", "boolean")
     out = []
     for f in df.schema.fields:
@@ -1959,9 +1975,119 @@ def _create_named(spark: SparkSession, p: _P, replace: bool,
                     version=m.get("version"))
 
 
+def _sql_str(s: str) -> str:
+    """A string literal the front-end lexer reads back verbatim
+    (backslashes doubled first — `_P.string` applies Spark's escape
+    table — then embedded quotes doubled)."""
+    return "'" + str(s).replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def _render_create_table(m: dict, ref: str,
+                         location: str | None = None) -> str:
+    """Render a manifest table's PERSISTED contract as re-executable
+    DDL — the `SHOW CREATE TABLE` body (round 11 — VERDICT r10 task
+    3).  Everything the v-current state declares is carried: column
+    types, NOT NULL, DEFAULT, GENERATED ALWAYS AS, IDENTITY (START
+    WITH resumes from the live high-water mark so a recreated table
+    never re-issues allocated values), table-level CHECK constraints
+    (stats-bounds constraints render as equivalent CHECKs),
+    PARTITIONED BY (first-class columns + hidden transforms), CLUSTER
+    BY, and TBLPROPERTIES (minus ``partitionCols``, which PARTITIONED
+    BY re-derives; non-string property values round-trip as strings —
+    the SQL grammar's representation).  Executing the output yields
+    an empty table with an equivalent contract, pinned by the
+    round-trip pytest."""
+    from .sources.manifest_source import _table_schema
+
+    st = _table_schema(m)
+    cons = list(m.get("constraints") or [])
+    defaults = m.get("columnDefaults") or {}
+    gens = m.get("generatedCols") or {}
+    idents = m.get("identityCols") or {}
+    not_null = {c["col"] for c in cons
+                if c.get("col") and c.get("notNull")}
+    col_lines = []
+    for f in st.fields:
+        parts = [f"  `{f.name}` {f.dataType.simpleString().upper()}"]
+        if f.name in not_null or not f.nullable:
+            parts.append("NOT NULL")
+        if f.name in defaults:
+            parts.append(f"DEFAULT {defaults[f.name]}")
+        if f.name in gens:
+            parts.append(f"GENERATED ALWAYS AS ({gens[f.name]})")
+        if f.name in idents:
+            d = idents[f.name]
+            kind = "ALWAYS" if d.get("always", True) else "BY DEFAULT"
+            step = int(d.get("step", 1))
+            # resume past what this table already allocated: a table
+            # recreated from this DDL must never re-issue a value
+            high = d.get("high")
+            start = (int(d.get("start", 1)) if high is None
+                     else int(high) + step)
+            parts.append(f"GENERATED {kind} AS IDENTITY "
+                         f"(START WITH {start} INCREMENT BY {step})")
+        col_lines.append(" ".join(parts))
+
+    def lit(v):
+        return _sql_str(v) if isinstance(v, str) else repr(v)
+
+    seq = 0
+    for c in cons:
+        if c.get("check"):
+            col_lines.append(f"  CONSTRAINT {c['name']} "
+                             f"CHECK ({c['check']})")
+        elif c.get("min") is not None or c.get("max") is not None:
+            # stats-bounds constraint (API form): render the
+            # equivalent CHECK — same rows refused on round-trip
+            terms = []
+            if c.get("min") is not None:
+                terms.append(f"`{c['col']}` >= {lit(c['min'])}")
+            if c.get("max") is not None:
+                terms.append(f"`{c['col']}` <= {lit(c['max'])}")
+            seq += 1
+            col_lines.append(
+                f"  CONSTRAINT {c['col']}_bounds_{seq} "
+                f"CHECK ({' AND '.join(terms)})")
+
+    out = [f"CREATE TABLE {ref} (", ",\n".join(col_lines), ")",
+           "USING GRAFT"]
+    props = dict(m.get("properties") or {})
+    pcols = [c for c in str(props.pop("partitionCols", "")).split(",")
+             if c]
+    gen_items = []
+    for g in (m.get("partitionGen") or []):
+        if "n" in g:
+            gen_items.append(f"{g['name']} = {g['transform']}"
+                             f"({g['n']}, {g['src']})")
+        else:
+            gen_items.append(
+                f"{g['name']} = {g['transform']}({g['src']})")
+    if pcols or gen_items:
+        out.append("PARTITIONED BY ("
+                   + ", ".join(pcols + gen_items) + ")")
+    if m.get("clusterBy"):
+        out.append("CLUSTER BY (" + ", ".join(m["clusterBy"]) + ")")
+    if props:
+        out.append("TBLPROPERTIES ("
+                   + ", ".join(f"{_sql_str(k)} = {lit(v)}"
+                               for k, v in sorted(props.items()))
+                   + ")")
+    if location is not None:
+        out.append(f"LOCATION {_sql_str(location)}")
+    return "\n".join(out)
+
+
+def _one_string_df(spark: SparkSession, col: str, val: str):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return spark.createDataFrame(
+        [(val,)], StructType([StructField(col, StringType(), False)]))
+
+
 def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
     from pyspark.sql.types import (
         BooleanType,
+        LongType,
         StringType,
         StructField,
         StructType,
@@ -1970,6 +2096,94 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
     from .sources.metastore import list_tables
 
     p.expect("SHOW")
+    if p.eat("CREATE", "TABLE"):
+        from .sources.manifest_source import load_manifest
+
+        t = p.peek()
+        named = (t is not None and t.kind == "word"
+                 and t.up not in ("GRAFT.", "MANIFEST.", "DELTA."))
+        if named and "." not in t.raw.rstrip("."):
+            # catalog name: render the NAME form (views render their
+            # stored SQL; external tables carry LOCATION)
+            from .sources.metastore import resolve_ref
+
+            name = p.ident("table name")
+            if not p.done():
+                raise ValueError(f"unexpected trailing tokens: "
+                                 f"{p.slice(p.i, None)!r}")
+            kind, payload = resolve_ref(spark, name)
+            if kind == "view":
+                return _one_string_df(
+                    spark, "createtab_stmt",
+                    f"CREATE VIEW {name} AS {payload}")
+            managed = any(r["name"] == name.lower() and r["managed"]
+                          for r in list_tables(spark))
+            return _one_string_df(
+                spark, "createtab_stmt",
+                _render_create_table(
+                    load_manifest(payload), name,
+                    location=None if managed else payload))
+        path = p.table()
+        if not p.done():
+            raise ValueError(f"unexpected trailing tokens: "
+                             f"{p.slice(p.i, None)!r}")
+        return _one_string_df(
+            spark, "createtab_stmt",
+            _render_create_table(load_manifest(path),
+                                 "`" + path.replace("`", "``") + "`"))
+    if p.eat("PARTITIONS"):
+        from .sources.manifest_source import load_manifest
+
+        path = p.table()
+        if not p.done():
+            raise ValueError(f"unexpected trailing tokens: "
+                             f"{p.slice(p.i, None)!r}")
+        m = load_manifest(path)
+        live = [f for f in m["files"] if not f.get("dead")]
+        pcols = [c for c in str((m.get("properties") or {})
+                                .get("partitionCols", "")).split(",")
+                 if c]
+        gen_names = [g["name"] for g in (m.get("partitionGen") or [])]
+        cols = pcols + gen_names
+        seen = sorted({c for f in live
+                       for c in (f.get("partition") or {})})
+        cols += [c for c in seen if c not in cols]
+        if not cols:
+            raise ValueError(
+                f"SHOW PARTITIONS: table {path!r} is not partitioned")
+        # metadata-only: one row per live partition-value combo with
+        # its file count and DV-adjusted row count — the per-partition
+        # COUNT(*) a maintenance run reads before touching anything
+        agg: dict[tuple, list] = {}
+        for f in live:
+            part = f.get("partition") or {}
+            key = tuple(None if part.get(c) is None else str(part[c])
+                        for c in cols)
+            a = agg.setdefault(key, [0, 0])
+            a[0] += 1
+            a[1] += f["rows"] - int(f.get("dvRows", 0))
+        schema = StructType(
+            [StructField(c, StringType(), True) for c in cols]
+            + [StructField("num_files", LongType(), False),
+               StructField("num_rows", LongType(), False)])
+        rows = [(*k, a[0], a[1]) for k, a in agg.items()]
+        rows.sort(key=lambda r: tuple((v is None, v or "")
+                                      for v in r[:len(cols)]))
+        return spark.createDataFrame(rows, schema)
+    if p.eat("COLUMNS"):
+        from .sources.manifest_source import _table_schema, load_manifest
+
+        if not (p.eat("FROM") or p.eat("IN")):
+            raise ValueError("SHOW COLUMNS FROM|IN <table>")
+        path = p.table()
+        if not p.done():
+            raise ValueError(f"unexpected trailing tokens: "
+                             f"{p.slice(p.i, None)!r}")
+        st = _table_schema(load_manifest(path))
+        schema = StructType([StructField("col_name", StringType(),
+                                         False)])
+        return spark.createDataFrame([(f.name,) for f in st.fields],
+                                     schema)
     if p.eat("TBLPROPERTIES"):
         from .sources.manifest_source import load_manifest
 
@@ -2247,8 +2461,8 @@ def _stmt_vacuum(spark: SparkSession, p: _P) -> DataFrame:
 
     p.expect("VACUUM")
     path = p.table()
-    keep_versions = 1
-    min_age = 3600.0
+    keep_versions: int | None = None
+    min_age: float | None = None
     dry = False
     while not p.done():
         if p.eat("RETAIN"):
@@ -2268,6 +2482,21 @@ def _stmt_vacuum(spark: SparkSession, p: _P) -> DataFrame:
         else:
             raise ValueError(
                 f"unexpected VACUUM clause: {p.slice(p.i, None)!r}")
+    if keep_versions is None or min_age is None:
+        # per-table retention policy (round 11 — VERDICT r10 task 6):
+        # a VACUUM with no explicit RETAIN consults the table's
+        # `retentionVersions` / `retentionHours` TBLPROPERTIES —
+        # governance in table state, Delta's
+        # delta.deletedFileRetentionDuration posture.  Explicit
+        # RETAIN always wins; absent both, the engine-wide defaults
+        # (1 version, 1 hour) apply.
+        from .sources.manifest_source import load_manifest
+
+        props = load_manifest(path).get("properties") or {}
+        if keep_versions is None:
+            keep_versions = int(props.get("retentionVersions", 1))
+        if min_age is None:
+            min_age = float(props.get("retentionHours", 1.0)) * 3600.0
     res = vacuum_manifest(path, keep_versions=keep_versions,
                           min_age_seconds=min_age, dry_run=dry)
     return _summary(spark, "VACUUM (DRY RUN)" if dry else "VACUUM",

@@ -199,6 +199,52 @@ def leg_dv_delete_debt(spark, sf_dir, root):
     return time.monotonic() - t0
 
 
+def leg_replace_where(spark, sf_dir, root):
+    """replaceWhere backfill (round 11 — VERDICT r10 task 8): rewrite
+    ONE ship_year slice of a table whose files are range-laid-out on
+    ship_year — the production backfill shape, where scope-stat
+    pruning must keep the rewrite O(slice), not O(table)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        overwrite_where,
+        write_manifest_table,
+    )
+
+    path = os.path.join(root, "li_by_year")
+    write_manifest_table(
+        _lineitem(spark, sf_dir)
+        .repartitionByRange(16, "ship_year", "l_orderkey"),
+        path, ["l_orderkey", "ship_year"])
+    backfill = (_lineitem(spark, sf_dir)
+                .filter(F.col("ship_year") == 1994)
+                .withColumn("l_quantity",
+                            F.col("l_quantity") + 1.0))
+    t0 = time.monotonic()
+    overwrite_where(backfill, path, "ship_year", 1994, 1994,
+                    ["l_orderkey", "ship_year"])
+    return time.monotonic() - t0
+
+
+def leg_optimize_zorder(spark, sf_dir, root):
+    """OPTIMIZE with persisted clustering (round 11 — VERDICT r10
+    task 8): the z-order maintenance rewrite — the full-table CoW
+    cost a user pays per maintenance window.  Expected ~linear (every
+    row re-sorted and rewritten); the probe pins that it is not
+    SUPER-linear (no global-sort blowup — the curve key sorts
+    per-range)."""
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        optimize_manifest,
+        set_cluster_by,
+    )
+
+    path = _seed_li(spark, sf_dir, root)
+    set_cluster_by(path, ["l_orderkey", "ship_year"])
+    t0 = time.monotonic()
+    optimize_manifest(spark, path, target_rows=500_000)
+    return time.monotonic() - t0
+
+
 LEGS = {
     "update_cow": leg_update,
     "merge_upsert": leg_merge,
@@ -206,6 +252,8 @@ LEGS = {
     "copy_into": leg_copy_into,
     "dv_delete": leg_dv_delete,
     "dv_delete_debt": leg_dv_delete_debt,
+    "replace_where": leg_replace_where,
+    "optimize_zorder": leg_optimize_zorder,
 }
 
 
