@@ -47,6 +47,13 @@ one-row operation summary, queries return their rows):
 * ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] `t` AS <query>`` —
   CTAS via ``write_manifest_table`` (plain CREATE refuses an
   existing table; OR REPLACE overwrites; IF NOT EXISTS no-ops).
+* ``CREATE TABLE `dst` SHALLOW|DEEP CLONE `src` [VERSION AS OF n |
+  TIMESTAMP AS OF '<ts>']`` (round 11) → ``clone_manifest``
+  (shallow: zero-copy file references; deep: hard-link/copy,
+  vacuum-immune), and ``CREATE TABLE `dst` LIKE `src``` — an empty
+  table carrying the source's full declared contract, identity
+  definitions restarting at their declared START.  Both work with
+  catalog names (the clone registers MANAGED).
 * ``UPDATE `t` SET c = e, ... [WHERE p]`` → ``update_manifest``.
 * ``DELETE FROM `t` [WHERE p]`` → ``delete_where``; with the
   ``enableDeletionVectors`` table property set, ``delete_where_dv``
@@ -1629,6 +1636,9 @@ def _stmt_create(spark: SparkSession, p: _P) -> DataFrame:
         # declared-schema DDL (round 11): CREATE TABLE `path` (cols)
         return _create_declared(spark, p, path, replace,
                                 if_not_exists)
+    if t is not None and t.up in ("SHALLOW", "DEEP", "CLONE", "LIKE"):
+        return _create_clone_like(spark, p, path, replace,
+                                  if_not_exists)
     p.expect("AS")
     query = p.slice(p.i, None)
     if not query:
@@ -1869,6 +1879,109 @@ def _create_declared(spark: SparkSession, p: _P, path: str,
                     version=m.get("version"))
 
 
+def _create_clone_like(spark: SparkSession, p: _P, dst: str,
+                       replace: bool, if_not_exists: bool) -> DataFrame:
+    """``CREATE TABLE <dst> SHALLOW|DEEP CLONE <src> [VERSION AS OF n
+    | TIMESTAMP AS OF '<ts>']`` → ``clone_manifest`` (Delta's CLONE
+    statement: shallow references the source's files zero-copy, deep
+    hard-links/copies for vacuum immunity), and ``CREATE TABLE <dst>
+    LIKE <src>`` → an EMPTY table carrying the source's full declared
+    contract (schema, constraints, defaults, generated columns,
+    identity DEFINITIONS restarting at their declared START, partition
+    spec, clustering, properties) — no data, fresh history."""
+    from .sources.manifest_source import (
+        clone_manifest,
+        create_declared_table,
+        load_manifest,
+        resolve_version,
+    )
+
+    if p.eat("LIKE"):
+        src = p.table()
+        if not p.done():
+            raise ValueError(f"unexpected trailing tokens: "
+                             f"{p.slice(p.i, None)!r}")
+        m = create_declared_table(
+            spark, dst, or_replace=replace,
+            if_not_exists=if_not_exists, **_like_kwargs(src))
+        return _summary(spark, "CREATE TABLE LIKE", dst,
+                        version=m.get("version"))
+    deep = bool(p.eat("DEEP"))
+    if not deep and not p.eat("SHALLOW"):
+        raise ValueError(
+            "CLONE requires an explicit depth: CREATE TABLE <dst> "
+            "SHALLOW CLONE <src> (zero-copy file references — source "
+            "VACUUM can invalidate them) or DEEP CLONE <src> "
+            "(hard-link/copy, vacuum-immune)")
+    p.expect("CLONE")
+    src = p.table()
+    version = None
+    if p.eat("VERSION", "AS", "OF"):
+        t = p.peek()
+        if t is None or t.kind != "num":
+            raise ValueError("VERSION AS OF requires a version number")
+        p.i += 1
+        version = int(t.raw)
+    elif p.eat("TIMESTAMP", "AS", "OF"):
+        version = resolve_version(
+            src, {"timestampasof": p.string("timestamp")})
+    if not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    if replace:
+        raise ValueError(
+            "CREATE OR REPLACE ... CLONE is not supported — DROP/"
+            "remove the destination first (a clone's v0 must be the "
+            "source snapshot, not a rewrite of existing history)")
+    if if_not_exists:
+        try:
+            m = load_manifest(dst)
+        except (FileNotFoundError, ValueError, OSError):
+            m = None
+        if m is not None:
+            return _summary(spark, "CLONE (exists)", dst,
+                            version=m.get("version"))
+    m = clone_manifest(src, dst, version=version, copy_data=deep)
+    return _summary(spark, "DEEP CLONE" if deep else "SHALLOW CLONE",
+                    dst, version=m.get("version"),
+                    num_files=len([f for f in m["files"]
+                                   if not f.get("dead")]))
+
+
+def _like_kwargs(src: str) -> dict:
+    """The source table's declared contract as
+    ``create_declared_table`` kwargs (CREATE TABLE LIKE): identity
+    definitions keep start/step/always but DROP the high-water mark —
+    the new table allocates from its declared START."""
+    from .sources.manifest_source import _table_schema, load_manifest
+
+    m = load_manifest(src)
+    props = dict(m.get("properties") or {})
+    pcols = [c for c in str(props.pop("partitionCols", "")).split(",")
+             if c]
+    gen_items = []
+    for g in (m.get("partitionGen") or []):
+        if "n" in g:
+            gen_items.append(f"{g['name']}={g['transform']}"
+                             f"({g['n']},{g['src']})")
+        else:
+            gen_items.append(f"{g['name']}={g['transform']}"
+                             f"({g['src']})")
+    return {
+        "schema": _table_schema(m),
+        "constraints": [dict(c) for c in (m.get("constraints") or [])],
+        "column_defaults": dict(m.get("columnDefaults") or {}),
+        "generated_cols": dict(m.get("generatedCols") or {}),
+        "identity_cols": {
+            k: {kk: vv for kk, vv in v.items() if kk != "high"}
+            for k, v in (m.get("identityCols") or {}).items()},
+        "partition_cols": pcols,
+        "partition_gen": ",".join(gen_items),
+        "cluster_by": list(m.get("clusterBy") or []),
+        "properties": props,
+    }
+
+
 def _create_named_declared(spark: SparkSession, p: _P, name: str,
                            replace: bool,
                            if_not_exists: bool) -> DataFrame:
@@ -1924,6 +2037,23 @@ def _create_named(spark: SparkSession, p: _P, replace: bool,
         # declared-schema DDL (round 11): CREATE TABLE name (cols)
         return _create_named_declared(spark, p, name, replace,
                                       if_not_exists)
+    if t is not None and t.up in ("SHALLOW", "DEEP", "CLONE", "LIKE"):
+        # clone/LIKE into a MANAGED location under the catalog dir
+        entry = create_table_entry(spark, name, None,
+                                   or_replace=replace,
+                                   if_not_exists=if_not_exists)
+        if not entry["created"]:  # IF NOT EXISTS on an existing name
+            m = load_manifest(entry["location"])
+            return _summary(spark, "CREATE TABLE (exists)",
+                            entry["location"],
+                            version=m.get("version"))
+        try:
+            return _create_clone_like(spark, p, entry["location"],
+                                      replace, if_not_exists)
+        except BaseException:
+            if not replace:
+                drop_table_entry(spark, name, if_exists=True)
+            raise
     p.eat("USING", "GRAFT") or p.eat("USING", "MANIFEST")
     location = None
     if p.eat("LOCATION"):
