@@ -112,9 +112,12 @@ one-row operation summary, queries return their rows):
   ``num_rows``; refuses an unpartitioned table.
 * ``SHOW COLUMNS FROM|IN `t``` (round 11).
 * ``DESCRIBE HISTORY|DETAIL `t``` (HISTORY on a commit-group
-  directory lists its consistent cuts), and plain ``DESCRIBE
-  [TABLE] `t``` — the column listing with DEFAULT/GENERATED
-  annotations.
+  directory lists its consistent cuts), plain ``DESCRIBE [TABLE]
+  `t``` — the column listing with DEFAULT/GENERATED/IDENTITY
+  annotations — and ``DESCRIBE EXTENDED|FORMATTED `t``` (round 11):
+  the listing plus Spark's ``# Detailed Table Information``
+  key/value section (location, version, files/rows/bytes, partition
+  spec, clustering, constraints, properties, retained versions).
 * ``RESTORE [TABLE] `t` TO VERSION AS OF n | TIMESTAMP AS OF
   '<ts>'`` → ``restore_manifest``.
 
@@ -2712,10 +2715,7 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
     # DESCRIBE), annotated with defaults and generated expressions
     from .sources.manifest_source import _table_schema, load_manifest
 
-    if p.at("EXTENDED") or p.at("FORMATTED"):
-        raise ValueError(
-            "DESCRIBE supports HISTORY, DETAIL, or a plain table "
-            "schema listing (DESCRIBE [TABLE] <t>)")
+    extended = bool(p.eat("EXTENDED") or p.eat("FORMATTED"))
     p.eat("TABLE")  # optional noise word
     path = p.table()
     if not p.done():
@@ -2725,6 +2725,7 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
     st = _table_schema(m)
     defaults = m.get("columnDefaults") or {}
     gens = m.get("generatedCols") or {}
+    idents = m.get("identityCols") or {}
     schema = StructType([
         StructField("col_name", StringType(), False),
         StructField("data_type", StringType(), False),
@@ -2736,10 +2737,46 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
         extra = None
         if f.name in gens:
             extra = f"GENERATED ALWAYS AS ({gens[f.name]})"
+        elif f.name in idents:
+            d = idents[f.name]
+            extra = (f"GENERATED "
+                     f"{'ALWAYS' if d.get('always', True) else 'BY DEFAULT'}"
+                     f" AS IDENTITY (START WITH {d.get('start', 1)} "
+                     f"INCREMENT BY {d.get('step', 1)})")
         elif f.name in defaults:
             extra = f"DEFAULT {defaults[f.name]}"
         rows.append((f.name, f.dataType.simpleString(),
                      str(f.nullable).lower(), extra))
+    if extended:
+        # Spark's DESCRIBE EXTENDED shape: the column listing, a
+        # separator, then the detail section as key/value rows
+        d = describe_manifest(path)
+        rows.append(("", "", "", None))
+        rows.append(("# Detailed Table Information", "", "", None))
+        for key, val in (
+                ("Location", path),
+                ("Provider", "GRAFT"),
+                ("Version", d["version"]),
+                ("Num Files", d["numFiles"]),
+                ("Num Rows", d["numRows"]),
+                ("Size Bytes", d["sizeBytes"]),
+                ("Partition Columns", json.dumps(
+                    # declared first-class columns (property) union
+                    # file-observed, so an EMPTY declared table still
+                    # lists its layout
+                    sorted(set(d["partitionColumns"]) | {
+                        c for c in str(d["properties"].get(
+                            "partitionCols", "")).split(",") if c}) +
+                    [f"{g['name']}={g['transform']}" for g in
+                     d["partitionGen"]])),
+                ("Cluster By", json.dumps(d["clusterBy"])),
+                ("Constraints", json.dumps(d["constraints"],
+                                           sort_keys=True)),
+                ("Properties", json.dumps(d["properties"],
+                                          sort_keys=True)),
+                ("Retained Versions", json.dumps(
+                    d["retainedVersions"]))):
+            rows.append((key, str(val), "", None))
     return spark.createDataFrame(rows, schema)
 
 
