@@ -261,6 +261,7 @@ _ADDED_IN_ROUND: dict[str, int] = {
     "manifest_identity_insert": 11,
     "sql_show_partitions": 11,
     "manifest_stats_minmax": 11,
+    "sql_replace_where": 11,
 }
 
 

@@ -772,6 +772,34 @@ def sql_show_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("num_rows").alias("part_rows")))
 
 
+def sql_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT INTO .. REPLACE WHERE`` (round 11 — Delta's
+    replaceWhere backfill through the SQL front-end): one atomic
+    commit replaces exactly the ``order_year = 1995`` slice with a
+    re-derived (discounted) build of that year; rows outside the
+    scope are untouched, and stats pruning keeps the rewrite to the
+    files that INTERSECT the scope (``overwrite_where``).  The
+    oracle recomputes the post-backfill table relationally."""
+    register(spark)
+
+    def build(root: str) -> None:
+        path = os.path.join(root, "table")
+        _seed_orders_table(spark, sf_dir, path, with_year=True)
+        _orders_frame(spark, sf_dir, with_year=True) \
+            .filter(F.col("order_year") == 1995) \
+            .withColumn("total_price",
+                        F.col("total_price") * F.lit(0.5)) \
+            .createOrReplaceTempView("rw_backfill_src")
+        graft_sql(spark, f"""
+            INSERT INTO `{path}` REPLACE WHERE order_year = 1995
+            SELECT * FROM rw_backfill_src
+        """)
+
+    root = scoped_scratch("sql_replace_where", sf_dir, build)
+    return read_manifest(spark, os.path.join(root, "table")) \
+        .select("o_orderkey", "status", "total_price", "order_year")
+
+
 def manifest_stats_minmax(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
     """Metadata-only MIN/MAX (round 11 — VERDICT r10 task 5):
@@ -811,6 +839,7 @@ QUERIES = {
     "manifest_identity_insert": manifest_identity_insert,
     "sql_show_partitions": sql_show_partitions,
     "manifest_stats_minmax": manifest_stats_minmax,
+    "sql_replace_where": sql_replace_where,
     "sql_convert_in_place": sql_convert_in_place,
     "manifest_dv_delete_where": manifest_dv_delete_where,
     "dv_delete_mask_debt": dv_delete_mask_debt,
@@ -855,6 +884,17 @@ ORACLE_SQL = {
                COUNT(*) AS part_rows
         FROM orders
         GROUP BY 1, 2
+    """,
+    "sql_replace_where": """
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+               o_orderstatus AS status,
+               CASE WHEN YEAR(o_orderdate) = 1995
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DOUBLE) * 0.5
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DOUBLE) END AS total_price,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year
+        FROM orders
     """,
     "manifest_stats_minmax": """
         SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,

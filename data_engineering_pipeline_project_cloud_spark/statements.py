@@ -44,6 +44,11 @@ one-row operation summary, queries return their rows):
   value stores NULL rather than erroring (unlike
   ``spark.sql.ansi.enabled`` / Delta store-assignment); guard with
   CHECK constraints where silent NULLs would be wrong.
+* ``INSERT INTO `t` REPLACE WHERE col BETWEEN lo AND hi | col = lit
+  <query>`` (round 11, Delta's replaceWhere backfill) →
+  ``overwrite_where``: one atomic commit replaces exactly the
+  scope's rows; file pruning keeps the rewrite O(slice).  The scope
+  grammar is deliberately the range form stats pruning understands.
 * ``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] `t` AS <query>`` —
   CTAS via ``write_manifest_table`` (plain CREATE refuses an
   existing table; OR REPLACE overwrites; IF NOT EXISTS no-ops).
@@ -1557,6 +1562,39 @@ def _stmt_insert(spark: SparkSession, p: _P) -> DataFrame:
             "first (CREATE TABLE ... AS)") from exc
     st = _table_schema(m)
     fields = list(st.fields)
+    replace_scope = None
+    if not overwrite and p.eat("REPLACE", "WHERE"):
+        # Delta's `INSERT INTO t REPLACE WHERE <scope> <query>` — the
+        # BACKFILL statement over `overwrite_where`: one atomic
+        # commit replaces exactly the rows in scope.  The engine's
+        # scope grammar is the range form pruning understands:
+        # `col BETWEEN lo AND hi` or `col = lit`.
+        scol = p.ident("REPLACE WHERE column")
+        if scol not in {f.name for f in fields}:
+            raise ValueError(f"REPLACE WHERE column {scol!r} not in "
+                             "table schema")
+
+        def lit(what: str):
+            t = p.peek()
+            if t is not None and t.kind == "num":
+                p.i += 1
+                return float(t.raw) if "." in t.raw else int(t.raw)
+            if t is not None and t.kind == "str":
+                return p.string(what)
+            raise ValueError(f"REPLACE WHERE expects a number or "
+                             f"string literal for {what}")
+
+        if p.eat("BETWEEN"):
+            lo = lit("lower bound")
+            p.expect("AND")
+            hi = lit("upper bound")
+        elif p.eat_op("="):
+            lo = hi = lit("scope value")
+        else:
+            raise ValueError(
+                "REPLACE WHERE supports `col BETWEEN lo AND hi` and "
+                "`col = literal` (the stats-prunable range forms)")
+        replace_scope = (scol, lo, hi)
     # optional explicit column list: `INSERT INTO t (a, c) ...` —
     # omitted columns fall to the write path's DEFAULT fill /
     # GENERATED compute / NULL alignment, exactly the SQL contract
@@ -1590,6 +1628,20 @@ def _stmt_insert(spark: SparkSession, p: _P) -> DataFrame:
     df = df.select(*[
         F.col(f.name).cast(f.dataType) for f in fields])
     stat_cols = _live_stat_cols(m)
+    if replace_scope is not None:
+        from .sources.manifest_source import overwrite_where
+
+        if len(fields) != len(st.fields):
+            raise ValueError(
+                "REPLACE WHERE requires the full column set (the "
+                "scope's rows are REPLACED, so omitted columns have "
+                "no value to keep)")
+        scol, lo, hi = replace_scope
+        overwrite_where(df, path, scol, lo, hi,
+                        stat_cols or [scol])
+        m2 = load_manifest(path)
+        return _summary(spark, "INSERT REPLACE WHERE", path,
+                        version=m2.get("version"))
     write_frame(df, path, "overwrite" if overwrite else "append",
                 statCols=",".join(stat_cols) if stat_cols else None)
     m2 = load_manifest(path)
