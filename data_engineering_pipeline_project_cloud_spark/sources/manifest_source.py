@@ -2506,6 +2506,87 @@ def minmax_manifest(path: str, cols: list[str],
     return out
 
 
+def sync_identity(spark, path: str,
+                  cols: list[str] | None = None) -> dict:
+    """``ALTER TABLE .. ALTER COLUMN c SYNC IDENTITY`` (Delta's
+    contract): advance each identity column's high-water mark to
+    cover every value PRESENT in the table — the repair after
+    ``GENERATED BY DEFAULT`` explicit inserts, which pass values
+    through WITHOUT moving the mark (so a later automatic allocation
+    could collide).  The observed extreme comes from the live
+    entries' min/max stats (O(files) metadata; identity columns are
+    integer, whose parquet stats are exact); any live file missing
+    stats falls back to ONE exact scan.  DV-masked extremes are used
+    as-is — a deleted row's extreme can only OVER-advance the mark,
+    which skips values (allowed; identity is never contiguous) and
+    can never collide.  The mark only ever advances (never regresses
+    below values already allocated), in one CAS metadata commit; a
+    racing allocating append planned against the old mark fails its
+    planned-high guard and re-runs."""
+    from pyspark.sql import functions as F
+
+    while True:
+        prev = load_manifest(path)
+        idc = {k: dict(v) for k, v in
+               (prev.get("identityCols") or {}).items()}
+        targets = list(idc) if cols is None else list(cols)
+        unknown = [c for c in targets if c not in idc]
+        if unknown:
+            raise ValueError(
+                f"SYNC IDENTITY: column(s) {unknown} are not "
+                f"identity columns (table has {sorted(idc) or 'none'})")
+        live = [f for f in prev["files"] if not f.get("dead")]
+        changed = {}
+        for c in targets:
+            step = int(idc[c].get("step", 1))
+            ext = None
+            need_scan = False
+            for f in live:
+                s = (f.get("stats") or {}).get(c)
+                if s is None:
+                    need_scan = True
+                    break
+                v = s["max"] if step > 0 else s["min"]
+                ext = (v if ext is None
+                       else max(ext, v) if step > 0 else min(ext, v))
+            if need_scan:
+                agg = (F.max(c) if step > 0 else F.min(c))
+                ext = read_manifest(spark, path).agg(
+                    agg.alias("x")).first()["x"]
+            if ext is None:
+                continue  # empty table: nothing to cover
+            cur = idc[c].get("high")
+            new = (int(ext) if cur is None
+                   else max(int(cur), int(ext)) if step > 0
+                   else min(int(cur), int(ext)))
+            if new != cur:
+                idc[c]["high"] = new
+                changed[c] = new
+        if not changed:
+            return prev  # idempotent
+        target = prev.get("version", 0) + 1
+        import time as _time
+
+        delta = {"version": target, "schema": prev["schema"],
+                 "txn": dict(prev.get("txn", {})),
+                 "droppedCols": dict(prev.get("droppedCols", {})),
+                 "renames": list(prev.get("renames") or []),
+                 "constraints": list(prev.get("constraints") or []),
+                 "partitionGen": list(prev.get("partitionGen") or []),
+                 "clusterBy": list(prev.get("clusterBy") or []),
+                 "columnDefaults": dict(prev.get("columnDefaults")
+                                        or {}),
+                 "generatedCols": dict(prev.get("generatedCols")
+                                       or {}),
+                 "identityCols": idc,
+                 "properties": dict(prev.get("properties") or {}),
+                 "committedAt": _time.time()}
+        if _claim(path, _delta_file(target), json.dumps(delta)):
+            break
+    _maybe_checkpoint(path, target)
+    return load_manifest(path, target)
+
+
 def stats_minmax(spark, path: str, cols: list[str],
                  version: int | None = None,
                  allow_float: bool = False) -> tuple[dict, str]:

@@ -94,7 +94,10 @@ one-row operation summary, queries return their rows):
 * ``ALTER TABLE `t` ...``: ``ADD CONSTRAINT n CHECK (e)``, ``DROP
   CONSTRAINT n``, ``ALTER COLUMN c SET DEFAULT e`` / ``DROP DEFAULT``
   / ``TYPE <wider>`` (metadata-only safe widening, int→bigint /
-  float→double — the explicit form of append-time widening),
+  float→double — the explicit form of append-time widening) /
+  ``SYNC IDENTITY`` (round 11: advance the identity high-water mark
+  over every value present — the repair after BY DEFAULT explicit
+  inserts; stats-fold metadata, scan fallback),
   ``ADD COLUMN c type`` (metadata-only; old rows NULL-fill) or
   ``ADD COLUMN c type GENERATED ALWAYS AS (e)``, ``RENAME COLUMN a TO
   b``, ``DROP COLUMN c``, ``SET TBLPROPERTIES (...)``, ``CLUSTER BY
@@ -2513,8 +2516,21 @@ def _stmt_alter(spark: SparkSession, p: _P) -> DataFrame:
             m = widen_column_type(path, col, dtype)
             return _summary(spark, "WIDEN COLUMN TYPE", path,
                             version=m.get("version"))
+        if p.eat("SYNC", "IDENTITY"):
+            from .sources.manifest_source import sync_identity
+
+            if not p.done():
+                raise ValueError(f"unexpected trailing tokens: "
+                                 f"{p.slice(p.i, None)!r}")
+            m = sync_identity(spark, path, [col])
+            return _summary(
+                spark, "SYNC IDENTITY", path,
+                version=m.get("version"),
+                high=(m.get("identityCols") or {})
+                .get(col, {}).get("high"))
         raise ValueError("ALTER COLUMN supports SET DEFAULT / "
-                         "DROP DEFAULT / TYPE <wider type>")
+                         "DROP DEFAULT / TYPE <wider type> / "
+                         "SYNC IDENTITY")
     if p.eat("ADD", "COLUMN"):
         from .sources.manifest_source import add_column_to_manifest
 

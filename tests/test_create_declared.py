@@ -233,3 +233,54 @@ def test_identity_survives_restore_and_clone(spark, path, tmp_path):
     dst = str(tmp_path / "clone")
     clone_manifest(path, dst)
     assert load_manifest(dst)["identityCols"]["id"]["high"] == 8
+
+
+def test_sync_identity_covers_explicit_values(spark, path):
+    graft_sql(spark, f"""
+        CREATE TABLE `{path}` (
+          id BIGINT GENERATED BY DEFAULT AS IDENTITY
+             (START WITH 1 INCREMENT BY 1),
+          k BIGINT
+        )
+    """)
+    # explicit BY DEFAULT values pass through WITHOUT moving the mark
+    write_frame(spark.createDataFrame(
+        [(50, 1), (51, 2)], "id BIGINT, k BIGINT").coalesce(1),
+        path, "append")
+    m = load_manifest(path)
+    assert m["identityCols"]["id"].get("high") is None
+    graft_sql(spark, f"ALTER TABLE `{path}` "
+                     f"ALTER COLUMN id SYNC IDENTITY")
+    m = load_manifest(path)
+    assert m["identityCols"]["id"]["high"] == 51
+    # a subsequent automatic allocation starts PAST the synced mark
+    write_frame(spark.range(3).selectExpr("id AS k").coalesce(1),
+                path, "append")
+    ids = sorted(r["id"] for r in
+                 read_manifest(spark, path).collect())
+    assert len(ids) == len(set(ids)) == 5
+    assert all(i > 51 for i in ids if i not in (50, 51))
+
+
+def test_sync_identity_idempotent_and_refusals(spark, path):
+    graft_sql(spark, f"""
+        CREATE TABLE `{path}` (
+          id BIGINT GENERATED ALWAYS AS IDENTITY,
+          k BIGINT
+        )
+    """)
+    # empty table: nothing to cover, no commit
+    v0 = load_manifest(path)["version"]
+    graft_sql(spark, f"ALTER TABLE `{path}` "
+                     f"ALTER COLUMN id SYNC IDENTITY")
+    assert load_manifest(path)["version"] == v0
+    with pytest.raises(ValueError, match="not identity"):
+        graft_sql(spark, f"ALTER TABLE `{path}` "
+                         f"ALTER COLUMN k SYNC IDENTITY")
+    # allocate, then sync is a no-op (mark already covers the data)
+    write_frame(spark.range(4).selectExpr("id AS k").coalesce(1),
+                path, "append")
+    v1 = load_manifest(path)["version"]
+    graft_sql(spark, f"ALTER TABLE `{path}` "
+                     f"ALTER COLUMN id SYNC IDENTITY")
+    assert load_manifest(path)["version"] == v1
