@@ -103,6 +103,14 @@ SECONDARY = [
     "sql_ctas_select",
     "txn_group_consistent_view",
     "manifest_dv_delete_where",
+    # round-11 additions: declared-DDL create + conforming COPY INTO,
+    # the replaceWhere backfill statement (pass-1 raws carry the
+    # seeding CTAS + the backfill write leg), and the metadata-only
+    # introspection faces (SHOW PARTITIONS fold, stats MIN/MAX)
+    "sql_create_declared",
+    "sql_replace_where",
+    "sql_show_partitions",
+    "manifest_stats_minmax",
 ]
 
 #: Passes per query.  Round 6 replaced the single-pass first-run

@@ -282,8 +282,8 @@ def test_sql_error_paths(spark, table):
         graft_sql(spark, f"DELETE FROM `{table}` garbage here")
     with pytest.raises(ValueError, match="RETAIN"):
         graft_sql(spark, f"VACUUM `{table}` RETAIN 5 FORTNIGHTS")
-    with pytest.raises(ValueError, match="HISTORY"):
-        graft_sql(spark, f"DESCRIBE EXTENDED `{table}`")
+    with pytest.raises(ValueError, match="SHOW COLUMNS"):
+        graft_sql(spark, f"SHOW COLUMNS `{table}`")  # missing FROM/IN
     with pytest.raises(ValueError, match="empty statement"):
         graft_sql(spark, "   ;")
 
@@ -770,8 +770,13 @@ def test_sql_plain_describe_lists_schema(spark, table):
                                f"DESCRIBE `{table}`").collect()}
     assert rows["k"]["data_type"] == "bigint"
     assert rows["name"]["extra"] == "DEFAULT 'anon'"
-    with pytest.raises(ValueError, match="HISTORY"):
-        graft_sql(spark, f"DESCRIBE EXTENDED `{table}`")
+    # DESCRIBE EXTENDED (round 11): same listing + the detail section
+    ext = {r["col_name"]: r["data_type"]
+           for r in graft_sql(spark,
+                              f"DESCRIBE EXTENDED `{table}`").collect()}
+    assert ext["k"] == "bigint"
+    assert ext["Provider"] == "GRAFT"
+    assert "# Detailed Table Information" in ext
 
 
 def test_string_literal_escape_table():
