@@ -97,6 +97,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     StringStartsWith,
@@ -1273,6 +1275,9 @@ def load_manifest(path: str, version: int | None = None) -> dict:
             if e.get("stats"):
                 e["stats"] = {rmap.get(k, k): v
                               for k, v in e["stats"].items()}
+            if e.get("nulls"):
+                e["nulls"] = {rmap.get(k, k): v
+                              for k, v in e["nulls"].items()}
             if e.get("bloom"):
                 e["bloom"] = {rmap.get(k, k): v
                               for k, v in e["bloom"].items()}
@@ -2247,6 +2252,9 @@ _READ_FILTER_OPS = {
     "<=": lambda c, v: LessThanOrEqual((c,), v),
     "in": lambda c, v: In((c,), tuple(v)),
     "startswith": lambda c, v: StringStartsWith((c,), v),
+    # round 11 (value ignored): null-count file pruning
+    "isnull": lambda c, v: IsNull((c,)),
+    "isnotnull": lambda c, v: IsNotNull((c,)),
 }
 
 
@@ -2299,7 +2307,9 @@ def read_manifest(spark, path: str, version: int | None = None,
         live = [f for f in live
                 if _partition_survives(f.get("partition"), psf)
                 and _file_survives(f.get("stats") or {}, dsf,
-                                   f.get("bloom"))]
+                                   f.get("bloom"),
+                                   nulls=f.get("nulls"),
+                                   rows=f.get("rows"))]
     clean = [f for f in live
              if not f.get("dv") and not f.get("_rename")]
     special = [f for f in live if f.get("dv") or f.get("_rename")]
@@ -2418,17 +2428,42 @@ def describe_manifest(path: str, version: int | None = None) -> dict:
     }
 
 
-def count_manifest(path: str, version: int | None = None) -> int:
+def count_manifest(path: str, version: int | None = None,
+                   col: str | None = None) -> int:
     """METADATA-ONLY ``COUNT(*)`` of a snapshot: Σ(rows − dvRows) over
     the live entries — no data file is opened.  This is the
     metadata-only aggregate every table format answers from its
     snapshot (Spark's OptimizeMetadataOnlyQuery / Delta's stats-based
     count): at 100 TB a row count is a driver metadata fold, not a
     scan.  Deletion vectors subtract exactly (``dvRows`` is the
-    popcount of the mask); tombstoned entries contribute nothing."""
+    popcount of the mask); tombstoned entries contribute nothing.
+
+    With ``col`` (round 11): metadata-only ``COUNT(col)`` — the
+    NON-NULL count, Σ(rows − nulls[col]) from the per-entry null
+    counts the writers record for stat columns.  Raises
+    ``ValueError`` when any live file lacks a null count for the
+    column or carries a deletion vector (a masked row may or may not
+    be null — the subtraction would be inexact); the caller falls
+    back to a scan."""
     m = load_manifest(path, version)
-    return sum(f["rows"] - int(f.get("dvRows", 0))
-               for f in m["files"] if not f.get("dead"))
+    live = [f for f in m["files"] if not f.get("dead")]
+    if col is None:
+        return sum(f["rows"] - int(f.get("dvRows", 0)) for f in live)
+    total = 0
+    for f in live:
+        if f.get("dvRows") or f.get("dv") or f.get("dvRef"):
+            raise ValueError(
+                "COUNT(col) is not metadata-servable: live file(s) "
+                "carry deletion vectors (a masked row may or may not "
+                "be NULL); fall back to a scan")
+        nc = (f.get("nulls") or {}).get(col)
+        if nc is None:
+            raise ValueError(
+                f"live file {os.path.basename(f['path'])!r} has no "
+                f"null count for {col!r} (written before round 11, "
+                "or not a stat column); fall back to a scan")
+        total += f["rows"] - int(nc)
+    return total
 
 
 #: Spark type names whose manifest min/max stats are EXACT answers to
@@ -3260,7 +3295,9 @@ def update_manifest(spark, path: str, set_exprs: dict[str, str],
         live = [f for f in live
                 if _partition_survives(f.get("partition"), psf)
                 and _file_survives(f.get("stats") or {}, dsf,
-                                   f.get("bloom"))]
+                                   f.get("bloom"),
+                                   nulls=f.get("nulls"),
+                                   rows=f.get("rows"))]
     if not live:
         return m
     tag = "__graft_update_file"
@@ -3376,7 +3413,9 @@ def delete_where(spark, path: str, where: str,
         live = [f for f in live
                 if _partition_survives(f.get("partition"), psf)
                 and _file_survives(f.get("stats") or {}, dsf,
-                                   f.get("bloom"))]
+                                   f.get("bloom"),
+                                   nulls=f.get("nulls"),
+                                   rows=f.get("rows"))]
     if not live:
         return m
     tag = "__graft_delete_file"
@@ -3975,7 +4014,9 @@ def delete_where_dv(spark, path: str, where: str,
         live = [f for f in live
                 if _partition_survives(f.get("partition"), psf)
                 and _file_survives(f.get("stats") or {}, dsf,
-                                   f.get("bloom"))]
+                                   f.get("bloom"),
+                                   nulls=f.get("nulls"),
+                                   rows=f.get("rows"))]
     if not live:
         return m
     groups: dict[tuple, list[dict]] = {}
@@ -5503,6 +5544,10 @@ class _FileCommit(WriterCommitMessage):
     stats: dict = field(default_factory=dict)
     bloom: dict = field(default_factory=dict)
     partition: dict | None = None
+    #: per-column NULL counts over the stat columns (round 11):
+    #: O(1) from Arrow validity buffers / footer statistics — powers
+    #: IS [NOT] NULL file pruning and metadata-only COUNT(col)
+    nulls: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -5703,8 +5748,9 @@ class ManifestArrowWriter(DataSourceArrowWriter):
         etraw = options.get("entrytags")
         self._entry_tags = json.loads(etraw) if etraw else {}
         bad_tags = set(self._entry_tags) & {
-            "path", "rows", "stats", "partition", "bloom", "bloomRef",
-            "dv", "dvRef", "dvRows", "dvGen", "dead", "addedAt"}
+            "path", "rows", "stats", "nulls", "partition", "bloom",
+            "bloomRef", "dv", "dvRef", "dvRows", "dvGen", "dead",
+            "addedAt"}
         if bad_tags:
             raise ValueError(
                 f"entryTags may not override entry fields: {bad_tags}")
@@ -5876,7 +5922,7 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             # only the attempt whose commit message Spark accepts
             # gets published
             o = {"writer": None, "rows": 0, "lo": {}, "hi": {},
-                 "blooms": {}, "partition": values,
+                 "nulls": {}, "blooms": {}, "partition": values,
                  "final": os.path.join(self._path, name),
                  "tmp": os.path.join(
                      self._path, f".{name}.{ctx.taskAttemptId()}.tmp")}
@@ -5924,6 +5970,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             lo, hi, blooms = o["lo"], o["hi"], o["blooms"]
             stat_cols = set(self._stat_cols) | set(pcols)
             for col in stat_cols:
+                # NULL counts first (O(1) from the validity buffer)
+                # and independently of min/max: an ALL-NULL batch has
+                # no extrema but its null count must still register
+                try:
+                    o["nulls"][col] = (o["nulls"].get(col, 0)
+                                       + batch.column(col).null_count)
+                except KeyError:
+                    pass
                 try:
                     mm = pc.min_max(batch.column(col))
                     bmin, bmax = mm["min"].as_py(), mm["max"].as_py()
@@ -6018,7 +6072,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                        for c in o["lo"]},
                 bloom={c: _bloom_encode(b, k)
                        for c, (k, b) in o["blooms"].items()},
-                partition=o["partition"]))
+                partition=o["partition"],
+                nulls=dict(o["nulls"])))
         if not commits:
             # empty task: the runtime requires a real
             # WriterCommitMessage (None is rejected) — send a
@@ -6067,6 +6122,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                 entry.update(self._entry_tags)
             if getattr(m, "partition", None):
                 entry["partition"] = m.partition
+            if getattr(m, "nulls", None):
+                entry["nulls"] = m.nulls
             bloom = getattr(m, "bloom", None)
             if bloom:
                 ref = {}
@@ -6816,8 +6873,11 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
         keep_stats = set(w._stat_cols) | set(pcols)
 
         def harvest(rel: str):
+            # null counts for the kept stat columns too (round 11):
+            # O(footer) alongside min/max — powers IS [NOT] NULL file
+            # pruning and metadata-only COUNT(col)
             return _footer_entry(os.path.join(stage_dir, rel),
-                                 want_stats, con_cols)
+                                 want_stats, con_cols | keep_stats)
 
         if len(rels) > 4:
             from concurrent.futures import ThreadPoolExecutor
@@ -6867,7 +6927,9 @@ def _native_write(df, path: str, mode: str, opts: dict) -> None:
                        if c in keep_stats},
                 bloom=blooms.get(os.path.basename(rel), {}),
                 partition=(_stage_partition(rel, casters)
-                           if pb_keys else None)))
+                           if pb_keys else None),
+                nulls={c: v for c, v in _nulls.items()
+                       if c in keep_stats and v is not None}))
         w.commit(msgs)
     finally:
         _tfs.rmtree(stage_dir)
@@ -7375,16 +7437,34 @@ def _partition_survives(part: dict | None, filters) -> bool:
     return True
 
 
-def _file_survives(stats: dict, filters, bloom: dict | None = None) -> bool:
+def _file_survives(stats: dict, filters, bloom: dict | None = None,
+                   nulls: dict | None = None,
+                   rows: int | None = None) -> bool:
     """False only when some pushed filter PROVABLY excludes every row
     of the file: stat range disjoint from the predicate, an
     ``EqualTo``/``In`` integer literal set whose bloom probes all miss
     (a bloom has no false negatives, so this is exact exclusion), an
     ``In`` list every element of which falls outside the stat range,
-    or a ``StringStartsWith`` prefix whose half-open range
-    ``[prefix, prefix⁺)`` is disjoint from the stat range.  Missing
-    stats/bloom for a column, or incomparable literal/stat types →
-    the file survives (never prune on doubt)."""
+    a ``StringStartsWith`` prefix whose half-open range
+    ``[prefix, prefix⁺)`` is disjoint from the stat range, or (round
+    11, when the entry carries NULL counts) an ``IsNull`` filter on a
+    column with ZERO nulls / an ``IsNotNull`` filter — which Spark
+    pushes alongside every comparison — on an ALL-NULL column.
+    Missing stats/bloom/null-counts for a column, or incomparable
+    literal/stat types → the file survives (never prune on doubt)."""
+    if nulls:
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1:
+                continue
+            nc = nulls.get(attr[0])
+            if nc is None:
+                continue
+            if isinstance(f, IsNull) and nc == 0:
+                return False
+            if (isinstance(f, IsNotNull) and rows is not None
+                    and nc >= rows):
+                return False
     if bloom:
         for f in filters:
             vals = None
@@ -7539,6 +7619,23 @@ def _read_aligned(path: str, schema_json: str | None,
 
 
 class ManifestReader(DataSourceReader):
+    """Batch reader for the ``graft_manifest`` DataSource — the
+    COMPATIBILITY surface (generic ``spark.read.format``).  It
+    deliberately implements NO ``pushFilters``: Spark 4.1 computes a
+    Python data source's partitions in the pushdown worker and caches
+    them on the relation, reusing them for any later scan of the same
+    loaded DataFrame that pushes nothing — so partitions baked under
+    one query's filters (pruned files, row-group predicates) silently
+    LOSE ROWS for the next query on the same frame.  Round 11
+    reproduced this with stock Spark (filtered count → plain count on
+    one frame returned the pruned subset) and removed the pruning
+    here: this path always plans every live file and lets Spark apply
+    predicates row-wise.  Pruned reads — manifest stats, blooms, null
+    counts, partition values, parquet row-group skipping — are the
+    JVM-native planner's job (`read_manifest`, which every SQL
+    front-end read and DML path uses; it plans per call, so its
+    pruning can never leak across queries)."""
+
     def __init__(self, options):
         path = _require_path(options)
         self._manifest = load_manifest(path, resolve_version(path, options))
@@ -7548,46 +7645,31 @@ class ManifestReader(DataSourceReader):
         self._files = [f for f in self._manifest["files"]
                        if not f.get("dead")]
 
-    def pushFilters(self, filters):
+    def prune_for_scan(self, filters):
+        """EXPLICIT planner pruning for a directly-constructed reader
+        (tests and embedding callers own the instance lifecycle) —
+        deliberately NOT named ``pushFilters``, so Spark never calls
+        it (see the class docstring for why).  Same semantics the
+        JVM-native planner applies: partition-value survival
+        (including derived hidden-transform filters), stat ranges,
+        blooms, and null counts.  Yields every filter back
+        (unsupported — the caller re-applies row-wise)."""
         filters = list(filters)
-        # hidden-partition pruning: derived filters target generated
-        # names that exist only in entries' partition dicts — they
-        # feed _partition_survives alone, never file stats or
-        # row-group evaluation (the generated column is in no file)
         part_filters = filters + _derived_partition_filters(
             filters, _all_partition_specs(self._manifest))
         self._files = [f for f in self._files
                        if _partition_survives(f.get("partition"),
                                               part_filters)
                        and _file_survives(f["stats"], filters,
-                                          f.get("bloom"))]
-        # carried to the partitions for the second skipping level
-        # (row-group footer stats inside each surviving file)
-        self._rg_filters = _serialize_rg_filters(filters)
-        # declare everything unsupported: Spark re-applies all filters
-        # row-wise, so pruning can never change results — only IO
+                                          f.get("bloom"),
+                                          nulls=f.get("nulls"),
+                                          rows=f.get("rows"))]
         yield from filters
 
     def partitions(self):
-        # row-group pruning is disabled on DV-carrying files: deletion
-        # vector positions are FILE-absolute, and skipping groups
-        # would shift the mask offsets onto the wrong rows
-        rg = getattr(self, "_rg_filters", None)
-        out = []
-        for f in self._files:
-            rmap = f.get("_rename")
-            frg = None
-            if rg and not f.get("dv"):
-                if rmap:
-                    # footer stats key by PHYSICAL names: translate
-                    # the pushed logical columns back per file
-                    inv = {lg: ph for ph, lg in rmap.items()}
-                    frg = [(k, inv.get(c, c), v) for k, c, v in rg]
-                else:
-                    frg = rg
-            out.append(_FilePartition(f["path"], self._schema_json,
-                                      f.get("dv"), frg, rmap))
-        return out
+        return [_FilePartition(f["path"], self._schema_json,
+                               f.get("dv"), None, f.get("_rename"))
+                for f in self._files]
 
     def read(self, partition: _FilePartition) -> Iterator:
         if partition is None:

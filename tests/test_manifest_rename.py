@@ -87,7 +87,7 @@ def test_pruning_survives_rename(spark, sf_dir, table):
     rd = ManifestReader({"path": table})
     total = len(rd.partitions())
     probe = live[0]["stats"]["o_orderkey"]["min"]
-    list(rd.pushFilters([EqualTo(("o_orderkey",), probe)]))
+    list(rd.prune_for_scan([EqualTo(("o_orderkey",), probe)]))
     assert 0 < len(rd.partitions()) < total
     # filtering on the renamed column end-to-end equals the raw query
     cutoff = 50_000.0

@@ -57,7 +57,7 @@ def test_pushed_filter_prunes_files(manifest_dir):
     total = len(rd.partitions())
     assert total == len(m["files"])
     cutoff = max(f["stats"]["order_year"]["min"] for f in m["files"])
-    unsupported = list(rd.pushFilters(
+    unsupported = list(rd.prune_for_scan(
         [GreaterThanOrEqual(("order_year",), cutoff)]))
     # every filter is declared unsupported (Spark re-applies row-wise)
     assert len(unsupported) == 1
@@ -695,7 +695,7 @@ def test_bloom_prunes_point_lookups(spark, sf_dir, tmp_path):
     from pyspark.sql.datasource import EqualTo
 
     rd = ManifestReader({"path": path})
-    list(rd.pushFilters([EqualTo(("o_orderkey",), int(key))]))
+    list(rd.prune_for_scan([EqualTo(("o_orderkey",), int(key))]))
     surviving = len(rd.partitions())
     assert surviving < len(m["files"]), "bloom should prune files"
     got = (spark.read.format("graft_manifest").option("path", path)
@@ -1039,7 +1039,7 @@ def test_runtime_filter_scan_prunes_and_caps(spark, sf_dir, tmp_path):
     # the pushed IN-list prunes files (two low keys live in one range)
     rd = ManifestReader({"path": path})
     assert len(rd.partitions()) == len(m["files"])
-    list(rd.pushFilters([In(("o_custkey",), tuple(sorted(keys)[:2]))]))
+    list(rd.prune_for_scan([In(("o_custkey",), tuple(sorted(keys)[:2]))]))
     assert len(rd.partitions()) < len(m["files"])
     # over the cap → plain scan (no predicate, full row count)
     capped = read_with_runtime_filter(spark, path, "o_custkey", dim,
@@ -1251,7 +1251,7 @@ def test_partition_columns_first_class(spark, sf_dir, tmp_path):
     rd = ManifestReader({"path": path})
     total = len(rd.partitions())
     y = max(years)
-    list(rd.pushFilters([EqualTo(("order_year",), y)]))
+    list(rd.prune_for_scan([EqualTo(("order_year",), y)]))
     pruned = len(rd.partitions())
     want = sum(1 for f in live if f["partition"]["order_year"] == y)
     assert pruned == want < total
@@ -1486,7 +1486,7 @@ def test_hidden_generated_partitions(spark, tmp_path):
     cut = datetime.datetime(2024, 1, 6)
     rd = ManifestReader({"path": path})
     total = len(rd.partitions())
-    list(rd.pushFilters([GreaterThanOrEqual(("ts",), cut)]))
+    list(rd.prune_for_scan([GreaterThanOrEqual(("ts",), cut)]))
     kept = len(rd.partitions())
     want = sum(1 for f in live
                if f["partition"]["event_date"] >= "2024-01-06")

@@ -47,7 +47,7 @@ def layouts(spark, sf_dir, tmp_path_factory):
 def _survivors(path: str, filters) -> tuple[int, int]:
     rd = ManifestReader({"path": path})
     total = len(rd.partitions())
-    list(rd.pushFilters(filters))
+    list(rd.prune_for_scan(filters))
     return len(rd.partitions()), total
 
 
@@ -183,7 +183,7 @@ def test_cluster_by_drives_optimize(spark, tmp_path):
     from pyspark.sql.datasource import EqualTo
     for col in ("a", "b"):
         rd2 = ManifestReader({"path": path})
-        list(rd2.pushFilters([EqualTo((col,), 3)]))
+        list(rd2.prune_for_scan([EqualTo((col,), 3)]))
         assert len(rd2.partitions()) < total
     # content parity
     got = read_manifest(spark, path)
