@@ -1055,6 +1055,16 @@ def _derive_filters(spark: SparkSession, path: str,
         op_t = q.peek()
         if op_t is None:
             continue
+        # `col IS [NOT] NULL` conjuncts (round 11): null-count file
+        # pruning — an all-null file cannot satisfy IS NOT NULL, a
+        # zero-null file cannot satisfy IS NULL
+        if op_t.kind == "word" and op_t.up == "IS":
+            q.i += 1
+            neg = q.eat("NOT")
+            if q.eat("NULL") and q.done():
+                out.append((col, "isnotnull" if neg else "isnull",
+                            None))
+            continue
         if op_t.kind == "word" and op_t.up == "IN":
             q.i += 1
             try:

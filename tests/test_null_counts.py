@@ -134,3 +134,27 @@ def test_reused_dataframe_never_loses_rows(spark, path):
     assert df.filter("k >= 90").count() == 10
     assert df.filter("v IS NULL").count() == 50
     assert df.count() == 100
+
+
+def test_dml_derives_null_filters(spark, path):
+    from data_engineering_pipeline_project_cloud_spark import graft_sql
+    from data_engineering_pipeline_project_cloud_spark.statements import (
+        _derive_filters,
+    )
+
+    assert _derive_filters(spark, path,
+                           "v IS NOT NULL AND k <= 10") == \
+        [("v", "isnotnull", None), ("k", "<=", 10)]
+    assert _derive_filters(spark, path, "s IS NULL") == \
+        [("s", "isnull", None)]
+    # OR disables derivation entirely (soundness)
+    assert _derive_filters(spark, path,
+                           "v IS NULL OR k = 1") is None
+    # end-to-end through the statements
+    graft_sql(spark, f"UPDATE `{path}` SET v = v + 1 "
+                     f"WHERE v IS NOT NULL AND k <= 10")
+    rows = {r["k"]: r["v"] for r in read_manifest(spark, path)
+            .collect()}
+    assert rows[5] == 6.0 and rows[20] == 20.0 and rows[60] is None
+    graft_sql(spark, f"DELETE FROM `{path}` WHERE v IS NULL")
+    assert read_manifest(spark, path).count() == 50
