@@ -1211,6 +1211,14 @@ def rename_column_in_manifest(path: str, old: str, new: str) -> dict:
             "generatedCols": {
                 (new if k == old else k): v
                 for k, v in (prev.get("generatedCols") or {}).items()},
+            # identity definitions (incl. high-water) and comment
+            # properties follow the column to its new name (round 11)
+            "identityCols": {
+                (new if k == old else k): dict(v)
+                for k, v in (prev.get("identityCols") or {}).items()},
+            "properties": {
+                (f"comment.{new}" if k == f"comment.{old}" else k): v
+                for k, v in (prev.get("properties") or {}).items()},
             "committedAt": _time.time()}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break
@@ -5015,6 +5023,14 @@ def drop_column_from_manifest(path: str, col: str) -> dict:
             "generatedCols": {
                 k: v for k, v in
                 (prev.get("generatedCols") or {}).items() if k != col},
+            # ... and its identity definition and comment property
+            "identityCols": {
+                k: dict(v) for k, v in
+                (prev.get("identityCols") or {}).items() if k != col},
+            "properties": {
+                k: v for k, v in
+                (prev.get("properties") or {}).items()
+                if k != f"comment.{col}"},
             "committedAt": _time.time(), "droppedCols": dropped}
         if _claim(path, _delta_file(target), json.dumps(delta)):
             break

@@ -97,7 +97,8 @@ one-row operation summary, queries return their rows):
   float→double — the explicit form of append-time widening) /
   ``SYNC IDENTITY`` (round 11: advance the identity high-water mark
   over every value present — the repair after BY DEFAULT explicit
-  inserts; stats-fold metadata, scan fallback),
+  inserts; stats-fold metadata, scan fallback) / ``COMMENT '<text>'
+  | NULL`` (round 11),
   ``ADD COLUMN c type`` (metadata-only; old rows NULL-fill) or
   ``ADD COLUMN c type GENERATED ALWAYS AS (e)``, ``RENAME COLUMN a TO
   b``, ``DROP COLUMN c``, ``SET TBLPROPERTIES (...)``, ``CLUSTER BY
@@ -119,6 +120,10 @@ one-row operation summary, queries return their rows):
   live partition-value combo with ``num_files`` and the DV-adjusted
   ``num_rows``; refuses an unpartitioned table.
 * ``SHOW COLUMNS FROM|IN `t``` (round 11).
+* ``COMMENT ON TABLE `t` IS '<text>' | NULL`` (round 11) — table and
+  column comments persist in the properties map (``comment``,
+  ``comment.<col>``), render in SHOW CREATE TABLE / DESCRIBE, and
+  follow renames/drops.
 * ``DESCRIBE HISTORY|DETAIL `t``` (HISTORY on a commit-group
   directory lists its consistent cuts), plain ``DESCRIBE [TABLE]
   `t``` — the column listing with DEFAULT/GENERATED/IDENTITY
@@ -614,6 +619,7 @@ def graft_sql(spark: SparkSession, statement: str) -> DataFrame:
         "CONVERT": _stmt_convert,
         "SHOW": _stmt_show,
         "DROP": _stmt_drop,
+        "COMMENT": _stmt_comment,
     }.get(verb)
     if handler is None:
         raise ValueError(f"unsupported statement: {verb} "
@@ -1796,6 +1802,7 @@ def _parse_create_body(spark: SparkSession, p: _P,
     defaults: dict[str, str] = {}
     generated: dict[str, str] = {}
     identity: dict[str, dict] = {}
+    comments: dict[str, str] = {}
     while True:
         if p.eat("CONSTRAINT"):
             cname = p.ident("constraint name")
@@ -1855,7 +1862,10 @@ def _parse_create_body(spark: SparkSession, p: _P,
                         generated[name] = p.balanced_paren_slice()
                     continue
                 if p.eat("COMMENT"):
-                    p.string("column comment")  # carried nowhere yet
+                    # persisted as the `comment.<col>` property
+                    # (round 11) — properties carry through every
+                    # lifecycle (restore/clone/checkpoint) for free
+                    comments[name] = p.string("column comment")
                     continue
                 break
         if p.eat_op(","):
@@ -1908,6 +1918,9 @@ def _parse_create_body(spark: SparkSession, p: _P,
         if p.eat("TBLPROPERTIES"):
             props.update(_kv_options(p))
             continue
+        if p.eat("COMMENT"):
+            comments[""] = p.string("table comment")
+            continue
         if p.at("LOCATION"):
             if not allow_location:
                 raise ValueError(
@@ -1922,6 +1935,11 @@ def _parse_create_body(spark: SparkSession, p: _P,
                 "take AS <query> — CREATE then INSERT INTO")
         raise ValueError(f"unexpected trailing tokens: "
                          f"{p.slice(p.i, None)!r}")
+    # comments persist in the PROPERTIES map (`comment` for the
+    # table, `comment.<col>` per column) — carried by every
+    # lifecycle with zero new state machinery
+    for c, v in comments.items():
+        props["comment" if c == "" else f"comment.{c}"] = v
     return {"schema": schema, "constraints": constraints,
             "column_defaults": defaults, "generated_cols": generated,
             "identity_cols": identity, "partition_cols": part_cols,
@@ -2204,9 +2222,11 @@ def _render_create_table(m: dict, ref: str,
     idents = m.get("identityCols") or {}
     not_null = {c["col"] for c in cons
                 if c.get("col") and c.get("notNull")}
+    all_props = m.get("properties") or {}
     col_lines = []
     for f in st.fields:
         parts = [f"  `{f.name}` {f.dataType.simpleString().upper()}"]
+        ccomment = all_props.get(f"comment.{f.name}")
         if f.name in not_null or not f.nullable:
             parts.append("NOT NULL")
         if f.name in defaults:
@@ -2224,6 +2244,8 @@ def _render_create_table(m: dict, ref: str,
                      else int(high) + step)
             parts.append(f"GENERATED {kind} AS IDENTITY "
                          f"(START WITH {start} INCREMENT BY {step})")
+        if ccomment is not None:
+            parts.append(f"COMMENT {_sql_str(ccomment)}")
         col_lines.append(" ".join(parts))
 
     def lit(v):
@@ -2249,7 +2271,11 @@ def _render_create_table(m: dict, ref: str,
 
     out = [f"CREATE TABLE {ref} (", ",\n".join(col_lines), ")",
            "USING GRAFT"]
-    props = dict(m.get("properties") or {})
+    props = {k: v for k, v in all_props.items()
+             if k != "comment" and not k.startswith("comment.")}
+    tbl_comment = all_props.get("comment")
+    if tbl_comment is not None:
+        out.append(f"COMMENT {_sql_str(tbl_comment)}")
     pcols = [c for c in str(props.pop("partitionCols", "")).split(",")
              if c]
     gen_items = []
@@ -2416,6 +2442,26 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
          for r in rows], schema)
 
 
+def _stmt_comment(spark: SparkSession, p: _P) -> DataFrame:
+    """``COMMENT ON TABLE `t` IS '<text>' | NULL`` — table comment in
+    the properties map (``comment`` key; NULL unsets), rendered by
+    SHOW CREATE TABLE and carried through restore/clone."""
+    from .sources.manifest_source import set_table_properties
+
+    p.expect("COMMENT")
+    p.expect("ON")
+    p.expect("TABLE")
+    path = p.table()
+    p.expect("IS")
+    val = None if p.eat("NULL") else p.string("table comment")
+    if not p.done():
+        raise ValueError(f"unexpected trailing tokens: "
+                         f"{p.slice(p.i, None)!r}")
+    m = set_table_properties(path, {"comment": val})
+    return _summary(spark, "COMMENT ON TABLE", path,
+                    version=m.get("version"))
+
+
 def _stmt_drop(spark: SparkSession, p: _P) -> DataFrame:
     from .sources.metastore import drop_table_entry
 
@@ -2525,6 +2571,25 @@ def _stmt_alter(spark: SparkSession, p: _P) -> DataFrame:
                                  "type")
             m = widen_column_type(path, col, dtype)
             return _summary(spark, "WIDEN COLUMN TYPE", path,
+                            version=m.get("version"))
+        if p.eat("COMMENT"):
+            from .sources.manifest_source import (
+                _table_schema,
+                load_manifest,
+            )
+
+            val = (None if p.eat("NULL")
+                   else p.string("column comment"))
+            if not p.done():
+                raise ValueError(f"unexpected trailing tokens: "
+                                 f"{p.slice(p.i, None)!r}")
+            names = {f.name for f in
+                     _table_schema(load_manifest(path)).fields}
+            if col not in names:
+                raise ValueError(f"unknown column {col!r} "
+                                 f"(table has {sorted(names)})")
+            m = set_table_properties(path, {f"comment.{col}": val})
+            return _summary(spark, "ALTER COLUMN COMMENT", path,
                             version=m.get("version"))
         if p.eat("SYNC", "IDENTITY"):
             from .sources.manifest_source import sync_identity
@@ -2804,10 +2869,12 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
     defaults = m.get("columnDefaults") or {}
     gens = m.get("generatedCols") or {}
     idents = m.get("identityCols") or {}
+    dprops = m.get("properties") or {}
     schema = StructType([
         StructField("col_name", StringType(), False),
         StructField("data_type", StringType(), False),
         StructField("nullable", StringType(), False),
+        StructField("comment", StringType(), True),
         StructField("extra", StringType(), True),
     ])
     rows = []
@@ -2824,13 +2891,15 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
         elif f.name in defaults:
             extra = f"DEFAULT {defaults[f.name]}"
         rows.append((f.name, f.dataType.simpleString(),
-                     str(f.nullable).lower(), extra))
+                     str(f.nullable).lower(),
+                     dprops.get(f"comment.{f.name}"), extra))
     if extended:
         # Spark's DESCRIBE EXTENDED shape: the column listing, a
         # separator, then the detail section as key/value rows
         d = describe_manifest(path)
-        rows.append(("", "", "", None))
-        rows.append(("# Detailed Table Information", "", "", None))
+        rows.append(("", "", "", None, None))
+        rows.append(("# Detailed Table Information", "", "", None,
+                     None))
         for key, val in (
                 ("Location", path),
                 ("Provider", "GRAFT"),
@@ -2854,7 +2923,7 @@ def _stmt_describe(spark: SparkSession, p: _P) -> DataFrame:
                                           sort_keys=True)),
                 ("Retained Versions", json.dumps(
                     d["retainedVersions"]))):
-            rows.append((key, str(val), "", None))
+            rows.append((key, str(val), "", None, None))
     return spark.createDataFrame(rows, schema)
 
 
