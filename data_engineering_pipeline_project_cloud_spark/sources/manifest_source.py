@@ -2549,6 +2549,23 @@ def minmax_manifest(path: str, cols: list[str],
     return out
 
 
+def stats_count(spark, path: str, col: str,
+                version: int | None = None) -> tuple[int, str]:
+    """``COUNT(col)`` with the metadata fast path and an exact scan
+    fallback — `stats_minmax`'s counting twin: try
+    ``count_manifest(col=...)`` first; on refusal (DV-masked files,
+    missing null counts) run ONE JVM aggregate.  Returns
+    ``(count, source)`` with ``source`` in ``("metadata", "scan")``."""
+    from pyspark.sql import functions as F
+
+    try:
+        return count_manifest(path, version, col=col), "metadata"
+    except ValueError:
+        row = read_manifest(spark, path, version).agg(
+            F.count(col).alias("__n")).first()
+        return int(row["__n"]), "scan"
+
+
 def sync_identity(spark, path: str,
                   cols: list[str] | None = None) -> dict:
     """``ALTER TABLE .. ALTER COLUMN c SYNC IDENTITY`` (Delta's

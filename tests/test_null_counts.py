@@ -158,3 +158,14 @@ def test_dml_derives_null_filters(spark, path):
     assert rows[5] == 6.0 and rows[20] == 20.0 and rows[60] is None
     graft_sql(spark, f"DELETE FROM `{path}` WHERE v IS NULL")
     assert read_manifest(spark, path).count() == 50
+
+
+def test_stats_count_fallback(spark, path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        stats_count,
+    )
+
+    assert stats_count(spark, path, "v") == (50, "metadata")
+    delete_where_dv(spark, path, "k = 5")  # v[5] was non-null
+    n, source = stats_count(spark, path, "v")
+    assert source == "scan" and n == 49
