@@ -55,14 +55,16 @@ public APIs only:
   Structured Streaming ``foreachBatch`` sink exactly-once: Spark may
   re-run a batch with the same batch_id after a failure, and the
   replay must not double-append (streaming/sinks.py wires it up).
-* ``ManifestDataSource`` — reads a manifest table.  ``pushFilters``
-  receives Catalyst's translated predicates, prunes the FILE LIST with
-  them, and declares every filter unsupported so Spark still applies
-  them row-wise: skipping is a strict optimization, never a
-  correctness dependency (the same contract Delta data skipping has).
-  ``partitions()`` returns one input partition per surviving file, so
-  scan parallelism = surviving files; ``read`` yields Arrow record
-  batches straight from the parquet file — no per-row Python.
+* ``ManifestDataSource`` — reads a manifest table.  The batch reader
+  plans one input partition per LIVE file and lets Spark apply every
+  predicate row-wise; it deliberately does NOT prune via
+  ``pushFilters`` (round 11: Spark caches pushdown-computed
+  partitions on the relation and reuses them across queries on the
+  same loaded DataFrame, so baked pruning lost rows — see
+  `ManifestReader`).  All data skipping (stats, blooms, null counts,
+  partition values, row groups) lives in the per-call JVM-native
+  planner `read_manifest`.  ``read`` yields Arrow record batches
+  straight from the parquet file — no per-row Python.
 
 Scale notes: the manifest is metadata (bytes per file); a 100 TB table
 at 1 GB/file is ~100k entries — one parquet checkpoint + a ≤16-commit
@@ -1810,10 +1812,14 @@ def create_declared_table(spark, path: str, schema: StructType, *,
         if col in column_defaults or col in generated_cols:
             raise ValueError(f"column {col!r} cannot combine IDENTITY "
                              "with DEFAULT or a generation expression")
-        if fields[col].dataType.typeName() not in (
-                "long", "integer", "short", "byte"):
+        if fields[col].dataType.typeName() != "long":
+            # BIGINT only (Delta's contract, and a hard requirement
+            # here: the distributed allocator derives values from
+            # monotonically_increasing_id, whose per-partition bases
+            # jump by 2^33 — a narrower type would silently WRAP on
+            # any multi-partition append and collide)
             raise ValueError(
-                f"IDENTITY column {col!r} must be an integral type "
+                f"IDENTITY column {col!r} must be BIGINT "
                 f"(got {fields[col].dataType.simpleString()})")
         d.setdefault("start", 1)
         d.setdefault("step", 1)
@@ -2564,6 +2570,18 @@ def stats_count(spark, path: str, col: str,
         row = read_manifest(spark, path, version).agg(
             F.count(col).alias("__n")).first()
         return int(row["__n"]), "scan"
+
+
+def _identity_mark_union(a: int | None, b: int | None,
+                         step: int) -> int | None:
+    """The high-water mark covering BOTH marks: the further one in
+    the allocation direction (max for ascending, min for
+    descending); ``None`` only when both are."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return max(int(a), int(b)) if step > 0 else min(int(a), int(b))
 
 
 def sync_identity(spark, path: str,
@@ -5158,12 +5176,20 @@ def restore_manifest(path: str, version: int) -> dict:
             "columnDefaults": dict(old.get("columnDefaults") or {}),
             "generatedCols": dict(old.get("generatedCols") or {}),
             # identity declarations roll back with the schema, but the
-            # HIGH-WATER MARK carries FORWARD from the pre-restore
-            # state (like txn watermarks): values allocated by
-            # since-restored commits must never be reissued
+            # HIGH-WATER MARK covers BOTH states: the pre-restore
+            # head's mark (values allocated by since-restored commits
+            # must never be reissued) AND the restored snapshot's own
+            # mark — a head whose mark was reset (e.g. OR REPLACE,
+            # high=None) must not let the restored rows' ids be
+            # reissued either (round-11 review: `.get("high",
+            # default)` returned the head's EXPLICIT None and dropped
+            # the snapshot's mark)
             "identityCols": {
-                c: dict(d, high=(prev.get("identityCols", {})
-                                 .get(c, {}).get("high", d.get("high"))))
+                c: dict(d, high=_identity_mark_union(
+                    prev.get("identityCols", {}).get(c, {})
+                    .get("high"),
+                    d.get("high"),
+                    int(d.get("step", 1))))
                 for c, d in (old.get("identityCols") or {}).items()},
             "properties": dict(old.get("properties") or {}),
             "committedAt": _time.time(),
@@ -6399,7 +6425,8 @@ class ManifestArrowWriter(DataSourceArrowWriter):
             # The winner advances the mark from its OWN files' footer
             # stats in the same atomic commit as the data.
             identity_delta = None
-            if not truncate and self._planned_identity:
+            if not truncate and (self._planned_identity
+                                 or prev.get("identityCols")):
                 table_idc = dict(prev.get("identityCols") or {})
                 for c, planned in self._planned_identity.items():
                     cur = table_idc.get(c)
@@ -6413,6 +6440,19 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                              "racing append allocated the same "
                              "range); re-run against the current "
                              "table version")
+                # advance every identity mark over the NEW entries'
+                # footer stats — for ALL commits, not only planned
+                # allocations (round-11 review: a replaceWhere
+                # backfill / merge rewrite / BY DEFAULT explicit
+                # insert lands values through `replacepaths` legs
+                # that skip allocation planning; without this a later
+                # automatic allocation from the stale mark would
+                # REISSUE those values).  Monotone in the step
+                # direction, so it can only skip values — stricter
+                # than Delta, where explicit BY DEFAULT inserts
+                # require a manual SYNC IDENTITY to become safe.
+                moved = False
+                for c, cur in table_idc.items():
                     d = dict(cur)
                     step = int(d.get("step", 1))
                     vals = [f["stats"][c]["max" if step > 0 else "min"]
@@ -6420,14 +6460,14 @@ class ManifestArrowWriter(DataSourceArrowWriter):
                             if c in (f.get("stats") or {})]
                     if vals:
                         ext = max(vals) if step > 0 else min(vals)
-                        if d.get("high") is None:
-                            d["high"] = ext
-                        else:
-                            d["high"] = (max(d["high"], ext)
-                                         if step > 0
-                                         else min(d["high"], ext))
+                        new_high = _identity_mark_union(
+                            d.get("high"), ext, step)
+                        if new_high != d.get("high"):
+                            d["high"] = new_high
+                            moved = True
                     table_idc[c] = d
-                identity_delta = table_idc
+                if moved or self._planned_identity:
+                    identity_delta = table_idc
             # RE-ADD of a previously dropped name (epoch lift of the
             # old refusal): a retroactive MASKED rename record — from
             # the dropped name to a reserved never-in-schema target,
@@ -7069,13 +7109,18 @@ def write_frame(df, path: str, mode: str = "append", **options) -> None:
                 planned[c] = d.get("high")
             if planned:
                 opts["plannedidentity"] = json.dumps(planned)
-                # the commit advances the high-water from THIS
-                # write's footer stats: the column must be stat-kept
-                scols = [x for x in (opts.get("statcols") or ""
-                                     ).split(",") if x]
-                for c in planned:
-                    if c not in scols:
-                        scols.append(c)
+            # the commit advances the high-water from THIS write's
+            # footer stats, so EVERY identity column must be
+            # stat-kept — allocating appends AND explicit BY DEFAULT
+            # values (round-11 review: without stats an explicit
+            # append leaves the mark stale and a later allocation
+            # could reissue its values)
+            scols = [x for x in (opts.get("statcols") or ""
+                                 ).split(",") if x]
+            for c in idc:
+                if c in types and c not in scols:
+                    scols.append(c)
+            if scols:
                 opts["statcols"] = ",".join(scols)
         # a subset-schema append that omits a DECLARED partition
         # column (first-class, or a hidden transform's source)
@@ -8353,15 +8398,8 @@ class ManifestDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent per-session registration.
-
-    Also enables ``spark.sql.python.filterPushdown.enabled``
-    (default-off runtime conf): PySpark 4.1 REFUSES any batch read of
-    a Python source that implements ``pushFilters`` while the conf is
-    off, so registering the source without it would make every
-    ``graft_manifest`` scan error.  Deliberate session-wide setting,
-    owned here so no caller/test ordering can leave the source
-    half-registered; it only affects Python data sources that push
-    filters — this one."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Idempotent per-session registration.  (The batch reader
+    implements no ``pushFilters`` since round 11 — see
+    `ManifestReader` — so the ``spark.sql.python.filterPushdown``
+    conf is irrelevant to this source and is no longer touched.)"""
     spark.dataSource.register(ManifestDataSource)

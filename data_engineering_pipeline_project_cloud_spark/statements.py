@@ -447,7 +447,18 @@ def _live_stat_cols(m: dict) -> list[str]:
 
 
 def _atomic_stat_fields(fields) -> list[str]:
-    atomic = ("long", "integer", "int", "short", "byte", "double",
+    """Default stat columns: the first 32 top-level atomic columns
+    (Delta's dataSkippingNumIndexedCols=32 posture) — ONE shared
+    predicate for every create path (CTAS, declared-empty,
+    name-form), so pruning/COUNT(col) servability never depends on
+    which statement built the table (round-11 review unified the two
+    diverging copies).  typeName() spells IntegerType "integer" — the
+    old "int" alias silently dropped every INT column from stats;
+    caught by the manifest_stats_minmax face.  Decimal/timestamp
+    columns are listed so constraint verification sees them, though
+    the harvest layer may decline their footer stats
+    (`_footer_entry` policy)."""
+    atomic = ("long", "integer", "short", "byte", "double",
               "float", "string", "date", "boolean")
     out: list[str] = []
     for f in fields:
@@ -461,22 +472,7 @@ def _atomic_stat_fields(fields) -> list[str]:
 
 
 def _default_stat_cols(df: DataFrame) -> list[str]:
-    """CTAS default stats: the first 32 top-level atomic columns
-    (Delta's dataSkippingNumIndexedCols=32 posture)."""
-    # typeName() spells IntegerType "integer" — "int" would silently
-    # drop every INT column from stats (no skipping, no metadata
-    # min/max); caught by the round-11 manifest_stats_minmax face
-    atomic = ("long", "integer", "short", "byte", "double", "float",
-              "string", "date", "boolean")
-    out = []
-    for f in df.schema.fields:
-        t = f.dataType.typeName()
-        if t in atomic or t.startswith("decimal") \
-                or t.startswith("timestamp"):
-            out.append(f.name)
-        if len(out) >= 32:
-            break
-    return out
+    return _atomic_stat_fields(df.schema.fields)
 
 
 _GRAFT_VIEWS: dict[tuple, str] = {}
@@ -502,11 +498,36 @@ def _rewrite_graft_refs(spark: SparkSession, sql: str,
         # a query alias literally named ``delta`` must keep working
         # (``SELECT delta.change FROM (...) delta`` — pre-round-10
         # behavior; ADVICE r10).  Table position = right after FROM /
-        # JOIN / USING / INTO / TABLE / LATERAL.
+        # JOIN / USING / INTO / TABLE / LATERAL — or after a COMMA
+        # that continues a FROM list (``FROM graft.a, graft.b``;
+        # round-11 review fix: walk back over the previous reference
+        # and its optional alias/version clause to the list head;
+        # balanced parens are skipped so an IN-list comma never
+        # qualifies).
         if k == 0:
             return False
-        return toks[k - 1].up in ("FROM", "JOIN", "USING", "INTO",
-                                  "TABLE", "LATERAL")
+        if toks[k - 1].up in ("FROM", "JOIN", "USING", "INTO",
+                              "TABLE", "LATERAL"):
+            return True
+        if toks[k - 1].up != ",":
+            return False
+        depth = 0
+        for i in range(k - 2, -1, -1):
+            up = toks[i].up
+            if up == ")":
+                depth += 1
+            elif up == "(":
+                if depth == 0:
+                    return False  # comma belongs to a paren list
+                depth -= 1
+            elif depth == 0:
+                if up == "FROM":
+                    return True
+                if up in ("SELECT", "WHERE", "GROUP", "ORDER",
+                          "HAVING", "JOIN", "ON", "UNION", "EXCEPT",
+                          "INTERSECT", ";"):
+                    return False
+        return False
 
     while k < len(toks):
         t = toks[k]
@@ -714,23 +735,29 @@ def _stmt_target_path(spark: SparkSession, sql: str) -> str | None:
 
 
 def _stmt_catalog_name(sql: str) -> str | None:
-    """The CATALOG NAME a statement creates/repoints (``CREATE
-    [OR REPLACE] TABLE|VIEW <bare-name> ...``) — best-effort peek
-    used only to capture per-name pre-images inside a transaction
-    span.  Compensation must restore exactly the entries the span
-    touched: a wholesale catalog-version rollback would erase a
-    CONCURRENT session's CREATE/DROP committed mid-span (ADVICE
-    r10)."""
+    """The CATALOG NAME a statement creates/repoints/DROPS (``CREATE
+    [OR REPLACE] TABLE|VIEW <bare-name> ...``, ``DROP TABLE|VIEW [IF
+    EXISTS] <bare-name>`` — round-11 review: a DROP inside a failed
+    span must roll back too) — best-effort peek used only to capture
+    per-name pre-images inside a transaction span.  Compensation must
+    restore exactly the entries the span touched: a wholesale
+    catalog-version rollback would erase a CONCURRENT session's
+    CREATE/DROP committed mid-span (ADVICE r10)."""
     from .sources.metastore import _norm
 
     try:
         p = _P(sql)
-        if not p.eat("CREATE"):
+        if p.eat("CREATE"):
+            p.eat("OR", "REPLACE")
+            if not (p.eat("TABLE") or p.eat("VIEW")):
+                return None
+            p.eat("IF", "NOT", "EXISTS")
+        elif p.eat("DROP"):
+            if not (p.eat("TABLE") or p.eat("VIEW")):
+                return None
+            p.eat("IF", "EXISTS")
+        else:
             return None
-        p.eat("OR", "REPLACE")
-        if not (p.eat("TABLE") or p.eat("VIEW")):
-            return None
-        p.eat("IF", "NOT", "EXISTS")
         t = p.peek()
         if (t is not None and t.kind == "word"
                 and t.up not in ("GRAFT.", "MANIFEST.", "DELTA.")
@@ -831,6 +858,16 @@ def graft_sql_script(spark: SparkSession, script: str,
             def fn(tables: dict) -> None:
                 for n, pre in cat_pre.items():
                     if pre is None:
+                        tables.pop(n, None)
+                    elif (pre.get("managed")
+                          and not os.path.isdir(pre.get("location",
+                                                        ""))):
+                        # a MANAGED table dropped mid-span lost its
+                        # data directory with the entry — re-inserting
+                        # a name that points at nothing would be worse
+                        # than honest absence (documented limitation:
+                        # in-span DROP of managed tables is not fully
+                        # compensable; external/view entries are)
                         tables.pop(n, None)
                     else:
                         tables[n] = dict(pre)
@@ -1592,13 +1629,29 @@ def _stmt_insert(spark: SparkSession, p: _P) -> DataFrame:
         if scol not in {f.name for f in fields}:
             raise ValueError(f"REPLACE WHERE column {scol!r} not in "
                              "table schema")
+        always_ids = sorted(
+            c for c, d in (m.get("identityCols") or {}).items()
+            if d.get("always", True))
+        if always_ids:
+            # the backfill must supply every column, but GENERATED
+            # ALWAYS identity refuses explicit values (Delta's
+            # contract) — refuse up front rather than silently
+            # accepting unvalidated ids through the rewrite leg
+            raise ValueError(
+                "REPLACE WHERE is not supported on a table with "
+                f"GENERATED ALWAYS AS IDENTITY column(s) {always_ids} "
+                "(the backfill must supply every column, and ALWAYS "
+                "identity refuses explicit values; declare GENERATED "
+                "BY DEFAULT to backfill ids)")
 
         def lit(what: str):
+            neg = p.eat_op("-")
             t = p.peek()
             if t is not None and t.kind == "num":
                 p.i += 1
-                return float(t.raw) if "." in t.raw else int(t.raw)
-            if t is not None and t.kind == "str":
+                v = float(t.raw) if "." in t.raw else int(t.raw)
+                return -v if neg else v
+            if t is not None and t.kind == "str" and not neg:
                 return p.string(what)
             raise ValueError(f"REPLACE WHERE expects a number or "
                              f"string literal for {what}")
@@ -2124,7 +2177,17 @@ def _create_named(spark: SparkSession, p: _P, replace: bool,
         return _create_named_declared(spark, p, name, replace,
                                       if_not_exists)
     if t is not None and t.up in ("SHALLOW", "DEEP", "CLONE", "LIKE"):
-        # clone/LIKE into a MANAGED location under the catalog dir
+        # clone/LIKE into a MANAGED location under the catalog dir.
+        # The OR REPLACE CLONE refusal must fire BEFORE the catalog
+        # is touched — otherwise a guaranteed-to-fail statement would
+        # repoint/create the entry and leave it behind (round-11
+        # review finding)
+        if replace and t.up != "LIKE":
+            raise ValueError(
+                "CREATE OR REPLACE ... CLONE is not supported — DROP/"
+                "remove the destination first (a clone's v0 must be "
+                "the source snapshot, not a rewrite of existing "
+                "history)")
         entry = create_table_entry(spark, name, None,
                                    or_replace=replace,
                                    if_not_exists=if_not_exists)

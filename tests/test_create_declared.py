@@ -106,7 +106,7 @@ def test_create_declared_validation_matrix(spark, path, tmp_path):
     with pytest.raises(ValueError, match="partition column"):
         graft_sql(spark, f"CREATE TABLE `{path}` (k BIGINT) "
                          f"PARTITIONED BY (v)")
-    with pytest.raises(ValueError, match="integral"):
+    with pytest.raises(ValueError, match="BIGINT"):
         graft_sql(spark, f"CREATE TABLE `{path}` (id STRING "
                          f"GENERATED ALWAYS AS IDENTITY)")
     with pytest.raises(ValueError, match="nonzero"):
@@ -243,16 +243,35 @@ def test_sync_identity_covers_explicit_values(spark, path):
           k BIGINT
         )
     """)
-    # explicit BY DEFAULT values pass through WITHOUT moving the mark
+    # explicit BY DEFAULT values AUTO-ADVANCE the mark when the id
+    # column carries entry stats (round 11, stricter than Delta)
     write_frame(spark.createDataFrame(
         [(50, 1), (51, 2)], "id BIGINT, k BIGINT").coalesce(1),
         path, "append")
+    assert load_manifest(path)["identityCols"]["id"]["high"] == 51
+    # simulate a LEGACY/EXTERNAL writer's stale mark (a raw metadata
+    # commit that resets high — pre-round-11 tables and onboarded
+    # logs look like this): SYNC IDENTITY is the repair
+    import json as _json
+    import time as _time
+
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        _claim,
+        _delta_file,
+    )
+
     m = load_manifest(path)
-    assert m["identityCols"]["id"].get("high") is None
+    target = m["version"] + 1
+    assert _claim(path, _delta_file(target), _json.dumps({
+        "version": target, "schema": m["schema"], "txn": {},
+        "droppedCols": {}, "add": [],
+        "identityCols": {"id": {**m["identityCols"]["id"],
+                                "high": None}},
+        "committedAt": _time.time()}))
+    assert load_manifest(path)["identityCols"]["id"]["high"] is None
     graft_sql(spark, f"ALTER TABLE `{path}` "
                      f"ALTER COLUMN id SYNC IDENTITY")
-    m = load_manifest(path)
-    assert m["identityCols"]["id"]["high"] == 51
+    assert load_manifest(path)["identityCols"]["id"]["high"] == 51
     # a subsequent automatic allocation starts PAST the synced mark
     write_frame(spark.range(3).selectExpr("id AS k").coalesce(1),
                 path, "append")

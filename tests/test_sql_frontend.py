@@ -795,3 +795,23 @@ def test_string_literal_escape_table():
     assert lit(r"'a\%b'") == r"a\%b"     # LIKE escape keeps backslash
     assert lit(r"'a\_b'") == r"a\_b"
     assert lit(r"'a\qb'") == "aqb"       # unknown pair: drop backslash
+
+
+def test_comma_from_list_resolves_graft_refs(spark, table):
+    # round-11 review regression: the table-position gate must treat
+    # a comma that continues a FROM list as table position
+    got = graft_sql(spark, f"""
+        SELECT COUNT(*) AS n
+        FROM graft.`{table}` a, graft.`{table}` b
+        WHERE a.k = b.k
+    """).collect()[0]["n"]
+    rows = graft_sql(spark, f"SELECT COUNT(*) AS n "
+                            f"FROM graft.`{table}`").collect()[0]["n"]
+    assert got == rows
+    # ...while an IN-list comma before an alias named like a prefix
+    # still does NOT resolve as a table (alias passthrough intact)
+    ok = graft_sql(spark, f"""
+        SELECT delta.k FROM (SELECT k FROM graft.`{table}`
+                             WHERE k IN (1, 2)) delta
+    """).count()
+    assert ok <= 2

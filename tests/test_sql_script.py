@@ -278,3 +278,36 @@ def test_rollback_compensates_only_own_catalog_entries(
         assert not os.path.exists(ms.managed_location(cdir, "span_t"))
     finally:
         spark.conf.unset("spark.graft.catalogDir")
+
+
+def test_drop_inside_failed_span_rolls_back(spark, tmp_path):
+    from data_engineering_pipeline_project_cloud_spark.sources.manifest_source import (
+        register,
+        write_manifest_table,
+    )
+    from data_engineering_pipeline_project_cloud_spark.statements import (
+        graft_sql_script,
+    )
+
+    register(spark)
+    spark.conf.set("spark.graft.catalogDir", str(tmp_path / "cat"))
+    try:
+        ext = str(tmp_path / "ext")
+        write_manifest_table(
+            spark.range(5).selectExpr("id AS k"), ext, ["k"])
+        graft_sql(spark, f"CREATE TABLE rolld LOCATION '{ext}'")
+        with pytest.raises(Exception):
+            graft_sql_script(spark, f"""
+                BEGIN;
+                DROP TABLE rolld;
+                UPDATE `{ext}` SET k = no_such_col + 1;
+                COMMIT;
+            """)
+        # round-11 review fix: the DROPPED external entry is restored
+        # by the compensation (it only captured CREATEs before)
+        n = graft_sql(spark, "SELECT COUNT(*) AS n "
+                             "FROM graft.rolld").collect()[0]["n"]
+        assert n == 5
+        graft_sql(spark, "DROP TABLE rolld")
+    finally:
+        spark.conf.unset("spark.graft.catalogDir")
