@@ -2475,6 +2475,16 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
         from .sources.manifest_source import load_manifest
 
         path = p.table()
+        key = None
+        t = p.peek()
+        if t is not None and t.up == "(":
+            # Spark's specific-key form: SHOW TBLPROPERTIES t ('k')
+            p.expect_op("(")
+            key = (p.string("property key")
+                   if (p.peek() is not None
+                       and p.peek().kind == "str")
+                   else p.ident("property key"))
+            p.expect_op(")")
         if not p.done():
             raise ValueError(f"unexpected trailing tokens: "
                              f"{p.slice(p.i, None)!r}")
@@ -2483,6 +2493,13 @@ def _stmt_show(spark: SparkSession, p: _P) -> DataFrame:
             StructField("key", StringType(), False),
             StructField("value", StringType(), False),
         ])
+        if key is not None:
+            if key not in props:
+                raise ValueError(
+                    f"table property {key!r} is not set "
+                    f"(table has {sorted(props) or 'none'})")
+            return spark.createDataFrame(
+                [(key, str(props[key]))], schema)
         return spark.createDataFrame(
             sorted((str(k), str(v)) for k, v in props.items()),
             schema)
