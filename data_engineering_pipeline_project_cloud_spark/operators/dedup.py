@@ -156,48 +156,44 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     #    h1 + i*h2, so each shingle costs one md5 digest (sliced into
     #    both 60-bit halves) or 2 xxhash64 calls instead of k hashes
     #    (59/60-bit values: h1 + 7*h2 < 2^63 — no overflow).
-    #  - A single fold over the shingle array computing all k minima
-    #    at once; Spark's runtime subexpression elimination keeps the
-    #    fold evaluated once even though k columns reference it.
-    # (HOF lambdas kept unary — a second parameter would be
-    # interpreted by Spark as the element index.)
+    #  - r11: the per-shingle hashing runs as ORDINARY expressions
+    #    over an exploded shingle row-stream, not inside an array-HOF
+    #    fold — higher-order-function lambdas are interpreted
+    #    (CodegenFallback), so the old fold paid interpreted eval +
+    #    two array allocations per shingle, while explode → hash →
+    #    partial-MIN aggregation stays in whole-stage codegen with
+    #    codegen-level common-subexpression elimination sharing the
+    #    one md5 digest between h1/h2 (measured ~10-15% per signature
+    #    pass at sf0.1, bit-identical both hash families).  The
+    #    explode multiplies rows only INSIDE the stage: the partial
+    #    aggregate collapses each task's docs to k minima before any
+    #    exchange, so the shuffle (none at all when the input is
+    #    already hash-distributed by id, as the registry corpus is)
+    #    carries doc-grain rows, never shingle-grain.
+    #  - LEAST(sentinel, MIN(..)) reproduces the historical fold
+    #    init exactly: h1 + s·h2 can exceed 2^62 for s ≥ 6, and the
+    #    fold's sentinel clipped those — the oracle-checked values
+    #    keep that clip.
     sentinel = F.lit(1 << 62).cast("long")
-    init = F.array(*[sentinel for _ in range(num_hashes)])
-
+    ex = docs.select(F.col(id_col), F.explode(sh).alias("__sh"))
+    x = F.col("__sh")
     if hash_fn == "portable":
-        # One md5 digest per shingle, sliced into two independent
-        # 60-bit halves (chars 1-15 and 17-31 of the 32-hex digest).
-        # HOF lambda bodies get no common-subexpression elimination, so
-        # computing h1/h2 as two salted md5 calls would double the
-        # digest cost; materializing the digest array first makes the
-        # md5 per-shingle cost exactly 1.
-        src = F.transform(sh, lambda x: F.md5(F.concat(F.lit("mh|"), x)))
-
-        def h1(d):
-            return F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
-
-        def h2(d):
-            return F.conv(F.substring(d, 17, 15), 16, 10).cast("long")
+        # one md5 digest per shingle, sliced into two independent
+        # 60-bit halves (chars 1-15 and 17-31 of the 32-hex digest);
+        # codegen CSE evaluates the digest once for both slices
+        d = F.md5(F.concat(F.lit("mh|"), x))
+        h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+        h2 = F.conv(F.substring(d, 17, 15), 16, 10).cast("long")
     elif hash_fn == "fast":
-        src = sh
-
-        def h1(x):
-            return F.shiftrightunsigned(F.xxhash64(F.lit("mh1"), x), 5)
-
-        def h2(x):
-            return F.shiftrightunsigned(F.xxhash64(F.lit("mh2"), x), 5)
+        h1 = F.shiftrightunsigned(F.xxhash64(F.lit("mh1"), x), 5)
+        h2 = F.shiftrightunsigned(F.xxhash64(F.lit("mh2"), x), 5)
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-
-    def fold(acc, x):
-        a, b = h1(x), h2(x)
-        hs = F.array(*[a + F.lit(s) * b for s in range(num_hashes)])
-        return F.zip_with(acc, hs, lambda u, v: F.least(u, v))
-
-    sig = F.aggregate(src, init, fold)
-    return docs.select(
-        F.col(id_col),
-        *[sig[s].alias(f"mh_{s}") for s in range(num_hashes)])
+    # shingles() never yields an empty array (short/null docs collapse
+    # to one shingle), so the explode drops no document
+    return ex.groupBy(id_col).agg(
+        *[F.least(sentinel, F.min(h1 + F.lit(s) * h2)).alias(f"mh_{s}")
+          for s in range(num_hashes)])
 
 
 def _cap_buckets(buckets: DataFrame, keys: list[str],
