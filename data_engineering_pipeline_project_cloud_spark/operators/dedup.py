@@ -233,9 +233,17 @@ def _bucket_pairs(buckets: DataFrame, keys: list[str], id_col: str,
     advisory; the cache is session-scoped and released by the registry
     before the next query).  Uncapped, the single consumer needs no
     materialization.
+
+    r11: the persisted band table is REPARTITIONED BY THE BUCKET KEYS
+    first, so the cap's count aggregate and the pairing collect both
+    reuse that one exchange (cached plans keep their output
+    partitioning) instead of each shuffling the band table themselves
+    — one band-grain shuffle instead of two, same pair set (measured
+    2.08 s → 1.65 s for candidate generation at sf0.1).
     """
     if max_bucket is not None:
-        buckets = scoped_persist(buckets)
+        buckets = scoped_persist(
+            buckets.repartition(*[F.col(k) for k in keys]))
     buckets = _cap_buckets(buckets, keys, max_bucket)
     grouped = (buckets.groupBy(*keys)
                .agg(F.array_distinct(F.array_sort(F.collect_list(id_col)))
