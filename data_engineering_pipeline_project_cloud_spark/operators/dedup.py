@@ -528,33 +528,39 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint: per bit position, majority vote of token
-    hash bits; near-duplicates differ in few bits (Hamming).  Map-side
-    only, one pass over the token array: each token hash is expanded to
-    its bit vector once and the per-bit ones-counts are folded in a
-    single ``aggregate`` (vs one array scan per bit), then the majority
-    vote packs the fingerprint.  ``bits`` ≤ 60 — the usable width of
-    ``portable_hash64`` — keeps the value a plain BIGINT in any engine.
+    hash bits; near-duplicates differ in few bits (Hamming).
+
+    r11: like ``minhash_signatures``, the per-token work runs as
+    ORDINARY expressions over an exploded token row-stream instead of
+    an array-HOF fold — the fold expanded each token hash to a
+    ``bits``-wide array and zip-added it under interpreted evaluation
+    (CodegenFallback), where explode → ``bits`` conditional SUM
+    aggregates stays in whole-stage codegen (measured 3.2 s → 1.75 s
+    at sf0.1, bit-identical).  The explode multiplies rows only
+    inside the stage: the partial aggregate collapses to one
+    ``bits``-counter row per document before any exchange (none at
+    all on an id-distributed input).  ``explode_outer`` keeps
+    NULL-text documents in the output with the same all-zero
+    fingerprint the fold's null-propagating majority vote produced.
+    ``bits`` ≤ 60 — the usable width of ``portable_hash64`` — keeps
+    the value a plain BIGINT in any engine.
     """
     toks = _tokens(F.col(text_col))
-    th = F.transform(toks, lambda t: portable_hash64(t, salt="sim|"))
-    n = F.size(toks)
-
-    def bit_vec(h):  # literal shifts: exact for all 60 bits
-        return F.array(*[
-            F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
-            for b in range(bits)])
-
-    counts = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda u, v: u + v),
-    )
+    ex = docs.select(F.col(id_col), F.size(toks).alias("__n"),
+                     F.explode_outer(toks).alias("__t"))
+    h = portable_hash64(F.col("__t"), salt="sim|")
+    counts = ex.groupBy(id_col).agg(
+        F.first("__n").alias("__n"),
+        *[F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+          for b in range(bits)])
     fingerprint = None
     for b in range(bits):
-        term = F.when(counts[b] * 2 > n, F.lit(1 << b).cast("long")) \
+        term = F.when(F.col(f"__c{b}") * 2 > F.col("__n"),
+                      F.lit(1 << b).cast("long")) \
             .otherwise(F.lit(0).cast("long"))
         fingerprint = term if fingerprint is None else fingerprint + term
-    return docs.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return counts.select(F.col(id_col),
+                         fingerprint.cast("long").alias("simhash"))
 
 
 def connected_components(pairs: DataFrame, id_a: str = "doc_a",
