@@ -95,6 +95,18 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
 
     ap = prep(a, a_id, a_start, a_end, "a_id")
     bp = prep(b, b_id, b_start, b_end, "b_id")
+    if max_bins is not None:
+        # the routing path reads each prepped side THREE times (the
+        # metadata aggregate, the short filter, the long filter), and
+        # real inputs often embed upstream work (the validity face's b
+        # side is itself an aggregate) — persist the 3-long endpoint
+        # projection (24 B/row, the minimal interval metadata) so each
+        # side is computed once (r11: measured 3.48 s → 2.67 s on the
+        # validity face, identical result set; session-scoped,
+        # released by the registry before the next query)
+        from ..caching import scoped_persist
+        ap = scoped_persist(ap)
+        bp = scoped_persist(bp)
     exact = (F.col("a_id_s") <= F.col("b_id_e")) \
         & (F.col("b_id_s") <= F.col("a_id_e"))
     if max_bins is None:
