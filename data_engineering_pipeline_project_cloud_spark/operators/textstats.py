@@ -708,11 +708,18 @@ def prune_rare_tokens(docs: DataFrame, id_col: str, text_col: str,
     """
     import math
 
+    from ..caching import scoped_persist
+
     words = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"))
-    freq = words.groupBy("word").agg(
-        F.count(F.lit(1)).cast("long").alias("c"))
+    # vocab-grain and bounded (real corpora: ~1e5-1e7 types against
+    # 1e12 tokens) with TWO consumers — the total for the threshold
+    # and the keep-set — each of which would otherwise re-explode the
+    # whole corpus (r11; the token-instance-grain `words` itself stays
+    # unpersisted by design, it is corpus-sized)
+    freq = scoped_persist(words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")))
     total = freq.agg(F.sum("c")).collect()[0][0] or 0
     threshold = math.ceil(min_fraction * total)
     keep = (freq.filter(F.col("c") >= threshold)
