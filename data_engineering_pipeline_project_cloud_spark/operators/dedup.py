@@ -71,25 +71,47 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     Models Better", ACL 2022: exact duplicated SPANS, not just
     whole-document near-dups).
 
-    All HOF array arithmetic over the string — no per-row Python, no
-    token explode before selection; output is the exploded DISTINCT
-    ``(doc_id, fp)`` set, ~len/window rows per document (the density
-    bound winnowing guarantees).  Hashes are the portable md5 fold,
-    so an ANSI engine reproduces every selected print exactly."""
+    r12: like ``minhash_signatures``/``simhash``, the per-position
+    work runs as ORDINARY expressions over an exploded position
+    row-stream instead of array-HOF folds — the old form paid TWO
+    interpreted passes (a ``transform`` lambda per md5, then a
+    ``slice`` allocation + ``array_min`` per window position), where
+    explode → md5 → sliding ``MIN OVER (ORDER BY pos ROWS window-1
+    PRECEDING)`` stays in whole-stage codegen end to end (guide §4.1).
+    The explode multiplies rows only inside the stage: on an
+    id-distributed input (the registry corpus) the window and the
+    final distinct reuse that partitioning, so the plan adds a local
+    sort and NO exchange; an arbitrary caller pays one (id, pos, hash)
+    exchange — the same grain the old form's final ``distinct``
+    shuffled.  Output is the DISTINCT ``(doc_id, fp)`` set,
+    ~len/window rows per document (the density bound winnowing
+    guarantees).  Hashes are the portable md5 construction, so an
+    ANSI engine reproduces every selected print exactly.
+
+    Selection semantics (bit-identical to the historical fold): with
+    ``n`` gram hashes, full windows ``j = 1..n-window+1`` each select
+    their minimum — at row position ``p >= window`` the trailing
+    window ``[p-window+1, p]`` IS window ``j = p-window+1``; a doc
+    shorter than ``window`` grams keeps the single minimum of all its
+    hashes — the row ``p = n`` with ``p >= least(window, n)``."""
+    from pyspark.sql import Window
+
     text = F.col(text_col)
     n = F.greatest(F.length(text) - F.lit(gram_chars - 1), F.lit(1))
-    hashed = docs.select(
-        F.col(id_col),
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: portable_hash64(text.substr(i, F.lit(gram_chars)),
-                                      salt="wf|")).alias("__hs"))
-    n_win = F.greatest(F.size("__hs") - F.lit(window - 1), F.lit(1))
-    selected = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda j: F.array_min(F.slice(F.col("__hs"), j, window))))
-    return (hashed.select(F.col(id_col),
-                          F.explode(selected).alias("fp"))
+    ex = docs.select(
+        F.col(id_col), n.alias("__n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("__p"),
+        text.alias("__txt"))
+    h = portable_hash64(
+        F.col("__txt").substr(F.col("__p"), F.lit(gram_chars)), salt="wf|")
+    w = (Window.partitionBy(id_col).orderBy("__p")
+         .rowsBetween(-(window - 1), Window.currentRow))
+    return (ex.select(F.col(id_col), F.col("__n"), F.col("__p"),
+                      h.alias("__h"))
+            .select(F.col(id_col), F.col("__n"), F.col("__p"),
+                    F.min("__h").over(w).alias("fp"))
+            .filter(F.col("__p") >= F.least(F.lit(window), F.col("__n")))
+            .select(F.col(id_col), "fp")
             .distinct())
 
 
@@ -117,9 +139,16 @@ def duplicate_span_pairs(docs: DataFrame, text_col: str = "text",
     # ~len/window 16-byte rows per document, the density bound
     # winnowing guarantees (r11: measured 5.8 s → 2.1 s at sf0.1,
     # identical 1,313-pair output; session-scoped, released by the
-    # registry before the next query).
+    # registry before the next query).  Sizing at extreme scale (r12):
+    # len/window · 16 B ≈ corpus_bytes · 16/window — ~4 TB cached per
+    # 100 TB of text at window 8 — so the level is pinned to
+    # MEMORY_AND_DISK explicitly: overflow spills to local disk
+    # instead of evicting hot blocks, and the cache still beats three
+    # md5-per-character recomputes by an order of magnitude.
+    from pyspark.storagelevel import StorageLevel
     fps = scoped_persist(winnow_fingerprints(docs, text_col, id_col,
-                                             gram_chars, window))
+                                             gram_chars, window),
+                         StorageLevel.MEMORY_AND_DISK)
     sized = (fps.groupBy("fp")
              .agg(F.count(F.lit(1)).alias("__n"))
              .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
@@ -150,6 +179,13 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     path); ``"fast"`` = ``xxhash64`` right-shifted to 59 bits — ~an
     order of magnitude cheaper per shingle (no hex-string conv), the
     production path when signatures are an internal LSH detail.
+
+    Precondition: ``id_col`` is unique (one row per document) — the
+    r11 explode + groupBy(id) form aggregates over ALL rows sharing an
+    id, so duplicate ids would merge into one combined-shingle
+    signature where the historical per-row fold emitted one row each.
+    The corpus registry guarantees this; ``_bucket_pairs`` guards the
+    analogous duplicate-id hazard on the pairing side.
     """
     # Kirsch-Mitzenmacher combination h1 + s*h2 with 60-bit hashes:
     # 8*2^60 = 2^63 is the signed-64 overflow edge, so k > 8 would wrap
@@ -553,6 +589,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     fingerprint the fold's null-propagating majority vote produced.
     ``bits`` ≤ 60 — the usable width of ``portable_hash64`` — keeps
     the value a plain BIGINT in any engine.
+
+    Precondition: ``id_col`` is unique (one row per document) — the
+    groupBy(id) vote merges all rows sharing an id into one combined
+    fingerprint (see the same note on ``minhash_signatures``).
     """
     toks = _tokens(F.col(text_col))
     ex = docs.select(F.col(id_col), F.size(toks).alias("__n"),

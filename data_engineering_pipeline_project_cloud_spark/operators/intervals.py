@@ -103,10 +103,20 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
         # projection (24 B/row, the minimal interval metadata) so each
         # side is computed once (r11: measured 3.48 s → 2.67 s on the
         # validity face, identical result set; session-scoped,
-        # released by the registry before the next query)
+        # released by the registry before the next query).
+        # Sizing at extreme scale (r12): 24 B/row over BOTH inputs is
+        # ~24 GB per billion intervals — far under the text corpus it
+        # derives from, but beyond the memory storage fraction on
+        # small clusters, so the level is pinned to MEMORY_AND_DISK
+        # explicitly: overflow spills to local disk rather than
+        # evicting hot blocks, and recompute stays cheaper only for
+        # trivial upstreams (this cache exists precisely because the
+        # upstream is often an aggregate).
+        from pyspark.storagelevel import StorageLevel
+
         from ..caching import scoped_persist
-        ap = scoped_persist(ap)
-        bp = scoped_persist(bp)
+        ap = scoped_persist(ap, StorageLevel.MEMORY_AND_DISK)
+        bp = scoped_persist(bp, StorageLevel.MEMORY_AND_DISK)
     exact = (F.col("a_id_s") <= F.col("b_id_e")) \
         & (F.col("b_id_s") <= F.col("a_id_e"))
     if max_bins is None:

@@ -100,6 +100,109 @@ def lsh_bucket(vec: Column, num_planes: int = 8) -> Column:
     return acc.cast("long")
 
 
+#: (num_planes, dim, portable) → sign table.  The table is a pure
+#: function of plane/dimension INDICES — no corpus data flows into it
+#: — so memoizing it is equivalent to inlining constants: the first
+#: xxhash64-path query in a session pays one tiny JVM evaluation job,
+#: later queries reuse the constants (the portable path never pays a
+#: job at all — see below).
+_SIGN_TABLES: dict[tuple[int, int, bool], list[list]] = {}
+
+
+def _plane_sign_table(spark, num_planes: int, dim: int,
+                      portable: bool) -> list[list]:
+    """The ±1 hyperplane component table, evaluated ONCE per (plane,
+    dim) instead of once per (row, plane, dim).
+
+    ``_hyperplane_sign`` / ``_portable_sign`` regenerate the plane
+    vector inside a per-row ``transform`` — every ROW recomputes
+    ``num_planes × dim`` hash calls (xxhash64 / md5) whose inputs are
+    row-independent constants.  This helper produces the IDENTICAL
+    values once (guide §4.1 — hoist loop-invariant work out of the
+    per-row path): the portable md5 construction is replayed exactly
+    in pure Python (``portable_hash64`` is by design reproducible in
+    any engine — including this one), and the xxhash64 planes are
+    evaluated with the identical Spark expressions over the same
+    IntegerType dimension indices in one bounded driver job
+    (num_planes × dim values).  Returns one ±1 list per plane (ints
+    for the portable integer path, floats for the xxhash64 path),
+    bit-identical to the per-row forms by construction
+    (collect-compared in tests and the r12 A/B)."""
+    key = (num_planes, dim, portable)
+    if key in _SIGN_TABLES:
+        return _SIGN_TABLES[key]
+    if portable:
+        import hashlib
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        table = [[1 if h60(f"hp|{p}|{d}") & 1 else -1
+                  for d in range(1, dim + 1)]
+                 for p in range(num_planes)]
+    else:
+        d = F.col("d")
+
+        def sign(p: int) -> Column:
+            return F.when(
+                F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0)).otherwise(F.lit(-1.0))
+
+        rows = (spark.range(1, dim + 1)
+                .select(F.col("id").cast("int").alias("d"))
+                .select(d, *[sign(p).alias(f"s{p}")
+                             for p in range(num_planes)])
+                .collect())
+        rows.sort(key=lambda r: r["d"])
+        table = [[r[f"s{p}"] for r in rows] for p in range(num_planes)]
+    _SIGN_TABLES[key] = table
+    return table
+
+
+def _bucket_from_signs(vec: Column, signs: list[list],
+                       portable: bool) -> Column:
+    """Bucket id from a precomputed sign table (``_plane_sign_table``):
+    per plane, one literal-array ``zip_with`` dot + sign test — the
+    same fold order and arithmetic as the per-row forms, minus the
+    per-row hashing.  Precondition: every non-null vector has width
+    ``len(signs[p])`` (the registry embedding tables do; ragged rows
+    would zip against NULL components where the per-row form used the
+    row's own width)."""
+    v = _quantized(vec) if portable else vec
+    acc = F.lit(0)
+    for p, sv in enumerate(signs):
+        lits = F.array(*[F.lit(s) for s in sv])
+        if portable:
+            total = F.aggregate(
+                F.zip_with(v, lits, lambda x, s: x * s),
+                F.lit(0).cast("long"), lambda a, c: a + c)
+        else:
+            total = F.aggregate(
+                F.zip_with(v, lits, lambda x, s: x.cast("double") * s),
+                F.lit(0.0), lambda a, c: a + c)
+        bit = F.when(total >= 0, F.lit(1)).otherwise(F.lit(0))
+        acc = acc + bit * F.lit(1 << p)
+    return acc.cast("long")
+
+
+def _bucketed_frame(emb: DataFrame, num_planes: int, id_col: str,
+                    vec_col: str, portable: bool) -> DataFrame:
+    """(id, vec, bucket) with the hoisted-sign bucket computation; one
+    bounded dim-probe job (like ``kmeans_centroids``'s), falling back
+    to the per-row form only for an empty input (no dim to probe)."""
+    probe = (emb.filter(F.col(vec_col).isNotNull())
+             .select(F.size(F.col(vec_col)).alias("d")).first())
+    if probe is None:
+        mk = lsh_bucket_portable if portable else lsh_bucket
+        bucket = mk(F.col(vec_col), num_planes)
+    else:
+        signs = _plane_sign_table(emb.sparkSession, num_planes,
+                                  probe["d"], portable)
+        bucket = _bucket_from_signs(F.col(vec_col), signs, portable)
+    return emb.select(F.col(id_col), F.col(vec_col),
+                      bucket.alias("bucket"))
+
+
 def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
                  num_planes: int = 6, multiprobe: bool = False,
                  id_col: str = "vec_id",
@@ -121,11 +224,11 @@ def lsh_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     # integer-exact buckets of ``lsh_bucket_portable`` so the whole
     # approximate result set is reproducible in ANSI SQL (the
     # oracle-checked registry face); the default stays on the cheaper
-    # JVM xxhash64 path for production
-    mk_bucket = lsh_bucket_portable if portable else lsh_bucket
-    bucketed = emb.select(
-        F.col(id_col), F.col(vec_col),
-        mk_bucket(F.col(vec_col), num_planes).alias("bucket"))
+    # JVM xxhash64 path for production.  r12: bucket computation uses
+    # the hoisted plane-sign table (``_bucketed_frame``) — one bounded
+    # (planes × dim) driver job replaces the per-ROW recomputation of
+    # every plane component hash; bit-identical buckets.
+    bucketed = _bucketed_frame(emb, num_planes, id_col, vec_col, portable)
     q_base = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         F.col("bucket"))
@@ -208,10 +311,22 @@ def blocked_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
     ``partitionBy(bucket)`` and the join prunes partitions).  Recall:
     a cosine-close pair disagrees on a random hyperplane with low
     probability, but blocking IS a recall trade — production stacks
-    multiple bucket tables the way MinHash stacks bands."""
-    b = emb.select(F.col(id_col), F.col(vec_col),
-                   lsh_bucket_portable(F.col(vec_col), num_planes)
-                   .alias("bucket"))
+    multiple bucket tables the way MinHash stacks bands.
+
+    r12: the bucket computation uses the hoisted plane-sign table
+    (``_bucketed_frame`` — removes the per-row plane-hash
+    recomputation), and the bucketed frame is repartitioned by bucket
+    and persisted before the self-join: the pairing joins the SAME
+    table on both sides, so without materialization the quantize +
+    plane-dot bucketing ran twice and each side shuffled separately —
+    one exchange + one bucketing pass shared instead (the
+    ``_bucket_pairs`` r11 pattern; vectors + an 8-byte bucket per row,
+    session-scoped, released by the registry before the next query)."""
+    from ..caching import scoped_persist
+
+    b = scoped_persist(
+        _bucketed_frame(emb, num_planes, id_col, vec_col, portable=True)
+        .repartition("bucket"))
     lhs = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
                    "bucket")
     rhs = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
@@ -422,7 +537,11 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
     codebook assignment, and the probed-cell set is applied as a
     STATIC isin filter (from a bounded |Q|·nprobe collect of the
     probe ranking), so a partitioned code table is partition-pruned
-    before a single vector is read.  Requires ``centroids``."""
+    before a single vector is read.  Requires ``centroids``.  With
+    ``assigned`` construction is EAGER (the probe collect is a driver
+    job fired while the DataFrame is built), and query ids that
+    resolve to no probe — absent from the corpus — raise
+    ``ValueError`` rather than silently returning an empty top-k."""
     from pyspark.sql import Window
 
     if assigned is None:
@@ -473,6 +592,10 @@ def ivf_ann_topk(emb: DataFrame, query_ids: list[int], k: int = 5,
         # lineage on its broadcast side
         probe_rows = [(int(r["query_id"]), [float(x) for x in r["qv"]],
                        int(r["cell_id"])) for r in probes.collect()]
+        if not probe_rows:
+            raise ValueError(
+                f"no query id of {sorted(query_ids)} resolved in "
+                f"{id_col}: empty probe set")
         probes = F.broadcast(emb.sparkSession.createDataFrame(
             probe_rows,
             schema="query_id long, qv array<double>, cell_id long"))
@@ -787,6 +910,13 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
     selection is |Q|·n_cells driver-side dots on the collected
     (bounded, tiny) coarse codebook — the same bounded-artifact shape
     as the ADC tables themselves.
+
+    Construction is EAGER (unlike most operators here): the query
+    vectors are collected while the DataFrame is being built — one
+    bounded driver job (|Q| vectors) that makes the probed-cell
+    filter static, so the at-rest index is partition-pruned before a
+    single code is read.  Absent/NULL-embedded query ids raise
+    ``ValueError``.
     """
     from pyspark.sql import Window
 
@@ -871,13 +1001,28 @@ def pq_ann_topk(emb: DataFrame, query_ids: list[int],
         return shortlist.select("query_id", "candidate_id", "approx_dist",
                                 F.col("rank").cast("long").alias("rank"))
     # exact rerank: fetch true vectors ONLY for the shortlist
-    # (|Q|·rerank·k rows) and score with the unit-vector dot product
+    # (|Q|·rerank·k rows) and score with the unit-vector dot product.
+    # The shortlist carries an explicit BROADCAST hint (r12): it is
+    # bounded-small by construction but sits behind a window, so the
+    # planner's size estimate is unusable — without the hint the
+    # planner picked the CORPUS side as the build relation (the r11
+    # plan broadcast the full normalized vector table into the hash
+    # relation), which OOMs at any real corpus size.  With the hint
+    # the corpus side streams through the join unshuffled and
+    # unbroadcast.  A further static prune — collecting the shortlist
+    # and pushing its candidate ids into the vector scan's
+    # PushedFilters — was measured and REJECTED at bench SF: the
+    # extra eager job costs ~+0.9 s fixed overhead per query here
+    # (1.94 → 2.84 s same-session) for a scan that is already one
+    # pruned-column pass; at true 100 TB scale an id-pushdown point
+    # fetch is how a production rerank runs, and the change is a
+    # five-line re-application of the probed-cell collect above.
     cand_vecs = emb.select(F.col(id_col).alias("candidate_id"),
                            F.col(vec_col).alias("__cv"))
     qvec_df = F.broadcast(emb.sparkSession.createDataFrame(
         [(int(q), [float(x) for x in v]) for q, v in qrows.items()],
         schema="query_id long, __qv array<double>"))
-    exact = (shortlist.select("query_id", "candidate_id")
+    exact = (F.broadcast(shortlist.select("query_id", "candidate_id"))
              .join(cand_vecs, "candidate_id")
              .join(qvec_df, "query_id")
              .select("query_id", "candidate_id",

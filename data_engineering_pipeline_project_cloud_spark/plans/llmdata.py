@@ -44,6 +44,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = spark.sparkContext.defaultParallelism
     return load_table(spark, sf_dir, "documents").repartition(n, "doc_id")
 
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings table, redistributed across the cluster — the
+    ``_docs`` treatment for the vector faces (r12): the test corpus is
+    one small parquet file = ONE input split, which serialized every
+    per-vector HOF pass (dim-wide dot/norm/quantize per candidate
+    pair) onto a single core.  Used by the faces whose cost is
+    per-row vector math over the WHOLE corpus (brute-force cosine,
+    LSH bucketing, Gram/PCA statistics); the indexed ANN faces
+    (ivf/pq) keep the raw table — their query lookup needs id
+    pushdown into the single-file scan, and their corpus-shaped work
+    lives in the at-rest index."""
+    n = spark.sparkContext.defaultParallelism
+    return load_table(spark, sf_dir, "embeddings").repartition(n, "vec_id")
+
 #: portable_hash64(x) in DuckDB SQL (same construction as
 #: functions/scalar.py: first 15 hex chars of md5 → 60-bit BIGINT).
 _H = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
@@ -223,7 +238,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     remains available as ``operators.similarity.cosine_neardup_pairs``
     for post-blocking candidate sets."""
     return sim.blocked_neardup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=NEARDUP_T,
+        _emb(spark, sf_dir), threshold=NEARDUP_T,
         num_planes=NEARDUP_PLANES)
 
 
@@ -231,7 +246,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN (probes the query bucket + all Hamming-1
     neighbors) — no oracle; recall-vs-single-probe pytest-asserted."""
     return sim.lsh_ann_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK,
+        _emb(spark, sf_dir), QUERY_VEC_IDS, k=TOPK,
         multiprobe=True)
 
 
@@ -807,7 +822,8 @@ def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id) kept per semantic cluster.  The embedding-space sibling of
     ``dedup_corpus_keep_one``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = (sim.blocked_neardup_pairs(emb, threshold=NEARDUP_T,
+    pairs = (sim.blocked_neardup_pairs(_emb(spark, sf_dir),
+                                       threshold=NEARDUP_T,
                                        num_planes=NEARDUP_PLANES)
              .select(F.col("vec_a").alias("doc_a"),
                      F.col("vec_b").alias("doc_b")))
@@ -819,14 +835,14 @@ def semantic_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_bruteforce(
-        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
+        _emb(spark, sf_dir), QUERY_VEC_IDS, k=TOPK)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant — no oracle (bucketing is engine-specific
     via xxhash64); recall vs brute force is pytest-asserted."""
     return sim.lsh_ann_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK)
+        _emb(spark, sf_dir), QUERY_VEC_IDS, k=TOPK)
 
 
 def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,7 +852,7 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-reproducible, so the driver hash-checks an actual ANN
     query instead of recording rows-only."""
     return sim.lsh_ann_topk(
-        load_table(spark, sf_dir, "embeddings"), QUERY_VEC_IDS, k=TOPK,
+        _emb(spark, sf_dir), QUERY_VEC_IDS, k=TOPK,
         num_planes=NEARDUP_PLANES, portable=True)
 
 
@@ -858,7 +874,7 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistic PCA/whitening start from.  Integer-quantized
     sums make it bit-identical across engines; the shuffle is
     O(d² × partitions) regardless of corpus size."""
-    return sim.gram_matrix(load_table(spark, sf_dir, "embeddings"))
+    return sim.gram_matrix(_emb(spark, sf_dir))
 
 
 def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,7 +883,7 @@ def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast loadings → one JVM-side projection pass.  Rows-only by
     design (the eigensolve is not ANSI-SQL-expressible); orthonormality,
     variance ordering and numpy parity are pytest-asserted."""
-    return sim.pca_project(load_table(spark, sf_dir, "embeddings"), k=2)
+    return sim.pca_project(_emb(spark, sf_dir), k=2)
 
 
 def _minhash_sig_sql(where: str = "") -> str:

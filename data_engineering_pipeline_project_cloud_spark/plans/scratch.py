@@ -12,6 +12,7 @@ remove the superseded directory when the scale changes.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -19,6 +20,17 @@ from collections.abc import Callable
 
 #: face name → (sf_dir it was built for, directory path)
 _SCRATCH: dict[str, tuple[str, str]] = {}
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    """Remove every live scratch layout at interpreter exit: without
+    this, each PROCESS leaks one tempdir per scratch face (the
+    in-session lifecycle above only removes a dir when its sf_dir is
+    superseded within the same run)."""
+    while _SCRATCH:
+        _, (_, path) = _SCRATCH.popitem()
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def scoped_scratch(name: str, sf_dir: str,

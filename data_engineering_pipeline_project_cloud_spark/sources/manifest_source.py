@@ -120,7 +120,13 @@ _C_RE = re.compile(r"checkpoint-v(\d{8})\.parquet")   # periodic full state
 #: every this-many commits (plus at vacuum's retention floor), so
 #: state reconstruction replays a bounded delta tail — the Delta-log
 #: checkpointInterval design.  Commits themselves stay O(commit delta).
-CHECKPOINT_EVERY = 16
+#: Env-overridable (r12) the way Delta's checkpointInterval is
+#: table-settable: the pytest suite runs at a shorter cadence so the
+#: checkpoint-boundary tests cross it with fewer commit jobs — the
+#: env form (not a monkeypatch) keeps every process that imports this
+#: module (driver, Python data-source workers) on ONE consistent
+#: value.  Production default unchanged.
+CHECKPOINT_EVERY = int(os.environ.get("SPARK_GRAFT_CHECKPOINT_EVERY", "16"))
 
 
 def _manifest_file(version: int) -> str:

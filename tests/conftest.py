@@ -15,6 +15,14 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Shorter manifest checkpoint cadence for the suite (set BEFORE the
+# package imports below resolve manifest_source): the checkpoint-
+# boundary tests cross the cadence with 8 commit jobs instead of 16+
+# — identical logic, roughly half the commit-loop wall clock of the
+# two slowest tests in the suite.  Env (not monkeypatch) so Python
+# data-source worker processes see the same value.
+os.environ.setdefault("SPARK_GRAFT_CHECKPOINT_EVERY", "8")
+
 from data_engineering_pipeline_project_cloud_spark.session import get_spark  # noqa: E402
 from data_engineering_pipeline_project_cloud_spark.sources import TABLES  # noqa: E402
 
@@ -43,7 +51,15 @@ os.environ.setdefault("AWS_REGION", "us-east-1")
 
 @pytest.fixture(scope="session")
 def spark():
-    return get_spark("pytest")
+    # 8 initial shuffle partitions for the sf0.001 suite: AQE already
+    # coalesces batch shuffles, but STREAMING state stores are sized
+    # by the initial number — at 32 every stateful drain creates 32
+    # state-store instances per operator per run, pure fixed overhead
+    # on 6k-row test data.  Results are partition-count-independent
+    # (decimal/integer aggregation, watermark semantics unchanged);
+    # the driver's own correctness/bench runs use their own sessions
+    # and are unaffected.
+    return get_spark("pytest", shuffle_partitions=8)
 
 
 @pytest.fixture(scope="session")

@@ -1,11 +1,11 @@
-"""Capture .explain("formatted") for registry queries into plans/r11/.
+"""Capture .explain("formatted") for registry queries into plans/<round>/ (default r12; SPARK_GRAFT_PLAN_ROUND overrides).
 
 Usage:
     python tools/capture_plans.py before [name ...]
     python tools/capture_plans.py after  [name ...]
 
 With no names, captures the bench HEADLINE set plus the heavy secondary
-faces examined this round.  Output: plans/r11/<name>_<tag>.txt (the
+faces examined this round.  Output: plans/r12/<name>_<tag>.txt (the
 judge reads these to verify plan claims — Exchange counts, join
 strategies, PushedFilters, Python-boundary nodes).
 """
@@ -34,7 +34,7 @@ def main() -> None:
     names = sys.argv[2:] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture_plans")
     qs = all_queries()
