@@ -28,14 +28,57 @@ from ..sources import load_table
 from ..sources.manifest_source import read_manifest
 
 
-def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFrame:
+def _source_bytes(*paths: str) -> int | None:
+    """Total on-disk bytes of the files/dirs a stream reads."""
+    import os
+
+    total = 0
+    for p in paths:
+        if os.path.isfile(p):
+            total += os.path.getsize(p)
+        elif os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+    return total or None
+
+
+def _drain_partitions(spark: SparkSession, source_bytes: int | None) -> int:
+    """Scale-adaptive state-partition count for an AvailableNow drain
+    (guide §2.2: derive partition counts from input size, never a
+    constant).  AQE does not apply to stateful streaming — the state
+    partition count is pinned from ``spark.sql.shuffle.partitions`` at
+    checkpoint creation, and EVERY partition is one state-store
+    instance whose per-micro-batch commit (delta file write + snapshot
+    maintenance) is paid even when it holds a handful of rows.  At
+    bench SF a 32-partition drain spends most of its wall clock in 32
+    near-empty store commits.  Derive the count from the source volume
+    (~32 MB of stream input per state partition), clamped to the
+    session setting, so a real firehose (GBs+ per drain) keeps the
+    session's full parallelism while small drains stop paying the
+    fixed per-store cost.  Partition count never changes WHAT a
+    stateful aggregation computes, only where keys live — output
+    equality across counts is asserted in tests/test_streaming.py.
+    """
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if not source_bytes:
+        return sess
+    return int(max(1, min(sess, (source_bytes + (32 << 20) - 1) >> 25)))
+
+
+def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete",
+           source_bytes: int | None = None) -> DataFrame:
     import shutil
 
     name = "q_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(_drain_partitions(spark, source_bytes)))
         run_available_now(df, name, ckpt, output_mode=mode)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
         # the memory sink holds the drained rows; the checkpoint is
         # only needed while the query runs — drop it so a long session
         # doesn't accumulate one dir per drain
@@ -43,9 +86,14 @@ def _drain(df: DataFrame, spark: SparkSession, mode: str = "complete") -> DataFr
     return spark.table(name)
 
 
+def _events_bytes(sf_dir: str) -> int | None:
+    return _source_bytes(f"{sf_dir}/events.parquet")
+
+
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    out = _drain(stream_tumbling_hourly(ev).drop("approx_users"), spark)
+    out = _drain(stream_tumbling_hourly(ev).drop("approx_users"), spark,
+                 source_bytes=_events_bytes(sf_dir))
     # canonical output rule (plans/parity.py): decimal state sums are
     # presented as DOUBLE after the drain
     return out.select("window_start", "event_type", "n_events",
@@ -54,7 +102,8 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    return _drain(stream_session_windows(ev), spark).select(
+    return _drain(stream_session_windows(ev), spark,
+                  source_bytes=_events_bytes(sf_dir)).select(
         "user_id", "session_start", "n_events",
         F.col("sum_value").cast("double").alias("sum_value"))
 
@@ -64,6 +113,12 @@ def streaming_user_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries one row per (user, micro-batch); the final state is
     the row with the highest running count."""
     ev = read_events_stream(spark, sf_dir)
+    # deliberately NOT source-sized (source_bytes=None → session
+    # parallelism): this drain's cost is the per-key Python work inside
+    # applyInPandasWithState, where the partition count IS the
+    # Python-worker parallelism — shrinking it serializes 1,500 user
+    # groups through one worker (measured 2.6 → 5.9 s), the opposite
+    # trade from the JVM state-store faces.
     out = _drain(stream_user_lifetime_stats(ev), spark, mode="update")
     w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (out.withColumn("__rn", F.row_number().over(w))
@@ -91,7 +146,8 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.coalesce("segment", F.lit("NONE")).alias("segment"),
                         F.coalesce("nation_key", F.lit(-1)).cast("long")
                         .alias("nation_key")))
-    return _drain(enriched, spark, mode="append")
+    return _drain(enriched, spark, mode="append",
+                  source_bytes=_events_bytes(sf_dir))
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,7 +156,8 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivery-dropping behavior is pytest-covered with a duplicated
     source)."""
     ev = read_events_stream(spark, sf_dir)
-    out = _drain(stream_dedup_events(ev), spark, mode="append")
+    out = _drain(stream_dedup_events(ev), spark, mode="append",
+                 source_bytes=_events_bytes(sf_dir))
     return out.select("event_id", "ts", "user_id", "event_type",
                       F.col("value").cast("double").alias("value"))
 
@@ -109,7 +166,8 @@ def streaming_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join through the real engine (append mode:
     rows emit as the watermark closes their match window)."""
     ev = read_events_stream(spark, sf_dir)
-    return _drain(stream_click_purchase_join(ev), spark, mode="append")
+    return _drain(stream_click_purchase_join(ev), spark, mode="append",
+                  source_bytes=_events_bytes(sf_dir))
 
 
 def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +178,8 @@ def streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.documents import read_documents_stream, stream_quality_filter
 
     docs = read_documents_stream(spark, sf_dir)
-    return _drain(stream_quality_filter(docs), spark, mode="append")
+    return _drain(stream_quality_filter(docs), spark, mode="append",
+                  source_bytes=_source_bytes(f"{sf_dir}/documents.parquet"))
 
 
 def streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +206,8 @@ def streaming_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = scoped_scratch("manifest_stream", sf_dir, build)
     stream = (spark.readStream.format("graft_manifest")
               .option("path", tmp).load())
-    return _drain(stream, spark, mode="append").select(
+    return _drain(stream, spark, mode="append",
+                  source_bytes=_source_bytes(tmp)).select(
         F.col("n_nationkey").cast("long").alias("n_nationkey"),
         "n_name",
         F.col("n_regionkey").cast("long").alias("n_regionkey"))

@@ -323,3 +323,39 @@ def test_stream_left_outer_join_emits_null_after_watermark(
     assert rows.count((4, 5)) == 1      # batch-2 pair matched inline
     assert rows.count((3, None)) == 1   # unmatched click, NULL emit
     assert not any(c is None for c, _ in rows)
+
+
+def test_drain_partitions_scale_adaptive(spark):
+    """plans/streamed.py:_drain_partitions derives the state-partition
+    count from the stream's source volume (guide §2.2): small drains
+    use few state stores, large inputs clamp to the session setting."""
+    from data_engineering_pipeline_project_cloud_spark.plans.streamed import (
+        _drain_partitions,
+    )
+
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _drain_partitions(spark, None) == sess          # unknown → session
+    assert _drain_partitions(spark, 1) == 1                # tiny → one store
+    assert _drain_partitions(spark, 33 << 20) == min(sess, 2)
+    assert _drain_partitions(spark, 1 << 40) == sess       # 1 TB → clamped
+
+
+def test_stateful_drain_output_independent_of_partition_count(
+        spark, sf_dir, events_stream, tmp_path):
+    """State-partition count decides WHERE keys live, never what the
+    aggregation computes: the tumbling drain must be row-identical at
+    1 and at 8 state partitions (the invariant _drain relies on when
+    it sizes partitions from the source volume)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for i, parts in enumerate(("1", "8")):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            name = f"t_dp{i}"
+            run_available_now(
+                stream_tumbling_hourly(events_stream).drop("approx_users"),
+                name, str(tmp_path / f"ckpt{i}"))
+            outs.append(sorted(map(tuple, spark.table(name).collect())))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1] and outs[0]
