@@ -102,8 +102,13 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
-    return _drain(stream_session_windows(ev), spark,
-                  source_bytes=_events_bytes(sf_dir)).select(
+    # deliberately NOT source-sized: session-window state is KEY-DENSE
+    # (sub-second-jittered timestamps → ~one session per event, 95k
+    # state rows per 100k events at sf0.1), so the drain's cost is the
+    # per-partition session merge, not near-empty store commits —
+    # shrinking partitions measured 1.56 → 1.79 s, the opposite of the
+    # sparse-state tumbling face.  Keep session parallelism.
+    return _drain(stream_session_windows(ev), spark).select(
         "user_id", "session_start", "n_events",
         F.col("sum_value").cast("double").alias("sum_value"))
 
